@@ -1,0 +1,134 @@
+package graft
+
+/** DuckDB oracle SQL for every judged query (SURVEY.md Appendix A).
+  *
+  * Deviations from the Appendix A text, all per the SURVEY §7 hazard-10
+  * rule (column names AND types must match the Spark output exactly, and
+  * both sides may be adjusted together):
+  *  - `join_range_theta`, `join_cross`: duplicate output column names
+  *    aliased apart (a_id/b_id, r1_name/r2_name).
+  *  - `set_union_all`, `stream_dedup`: bare `count(*)` aliased `c`.
+  *  - `stream_session`: windowed `sum(brk)` cast to BIGINT (DuckDB's
+  *    integer sum is HUGEINT; Spark's is long).
+  *  - `llm_cosine_topk`, `llm_knn_label`: embeddings cast to DOUBLE[]
+  *    (DuckDB's list_cosine_similarity over FLOAT[] computes in float;
+  *    the Spark side computes in double).
+  */
+object Oracle {
+  val sql: Map[String, String] = Map(
+    "scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS net_price FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price LIMIT 100",
+    "filter_predicates" ->
+      "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R') AND NOT l_linestatus = 'O' ORDER BY l_orderkey, l_linenumber, l_quantity",
+    "filter_like_null" ->
+      "SELECT p_partkey, p_name FROM part WHERE p_type LIKE '%PROMO%' AND p_brand IS NOT NULL ORDER BY p_partkey",
+    "join_broadcast" ->
+      "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_name",
+    "join_shuffle" ->
+      "SELECT o_orderkey, round(sum(l_extendedprice),2) AS rev FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey ORDER BY rev DESC, o_orderkey LIMIT 20",
+    "join_star_5way" ->
+      "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)),2) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name",
+    "join_left_outer" ->
+      "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY n_orders DESC, c_custkey LIMIT 50",
+    "join_semi" ->
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000) ORDER BY c_custkey",
+    "join_anti" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') ORDER BY c_custkey",
+    "join_range_theta" ->
+      "SELECT a.event_id AS a_id, b.event_id AS b_id FROM events a JOIN events b ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE AND a.event_id <> b.event_id ORDER BY a_id, b_id LIMIT 200",
+    "join_asof" ->
+      "SELECT o.o_orderkey, e.event_id FROM (SELECT o_orderkey, o_custkey, o_orderdate FROM orders WHERE o_orderkey < 500) o LEFT JOIN LATERAL (SELECT event_id FROM events WHERE user_id = o.o_custkey % 20 AND ts <= TIMESTAMP '2024-01-15' ORDER BY ts DESC LIMIT 1) e ON true ORDER BY o_orderkey",
+    "join_cross" ->
+      "SELECT r1.r_name AS r1_name, r2.r_name AS r2_name FROM region r1 CROSS JOIN region r2 ORDER BY 1, 2",
+    "agg_pricing_summary" ->
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) sum_qty, round(sum(l_extendedprice),2) sum_base, round(sum(l_extendedprice*(1-l_discount)),2) sum_disc, round(avg(l_quantity),6) avg_qty, round(avg(l_extendedprice),4) avg_price, round(avg(l_discount),6) avg_disc, count(*) cnt FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "agg_count_distinct" ->
+      "SELECT event_type, count(DISTINCT user_id) u FROM events GROUP BY event_type ORDER BY event_type",
+    "agg_filtered" ->
+      "SELECT user_id, count(*) FILTER (WHERE event_type = 'purchase') purchases, round(sum(value) FILTER (WHERE event_type = 'purchase'),2) spend FROM events GROUP BY user_id ORDER BY user_id",
+    "agg_rollup" ->
+      "SELECT coalesce(l_returnflag,'ALL') rf, coalesce(l_linestatus,'ALL') ls, count(*) c FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY 1, 2",
+    "agg_cube" ->
+      "SELECT coalesce(o_orderstatus,'ALL') st, coalesce(o_orderpriority,'ALL') pr, round(sum(o_totalprice),2) s FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY 1, 2",
+    "agg_grouping_sets" ->
+      "SELECT coalesce(event_type,'ALL') et, coalesce(CAST(user_id AS VARCHAR),'ALL') uid, count(*) c FROM events GROUP BY GROUPING SETS ((event_type), (user_id), ()) ORDER BY 1, 2",
+    "agg_stats" ->
+      "SELECT event_type, round(stddev_samp(value),6) sd, round(var_samp(value),6) vr, round(min(value),2) mn, round(max(value),2) mx FROM events GROUP BY event_type ORDER BY event_type",
+    "agg_percentile" ->
+      "SELECT event_type, round(quantile_cont(value, 0.5),6) med, round(quantile_cont(value, 0.95),6) p95 FROM events GROUP BY event_type ORDER BY event_type",
+    "agg_having" ->
+      "SELECT o_custkey, count(*) c FROM orders GROUP BY o_custkey HAVING count(*) > 5 ORDER BY c DESC, o_custkey LIMIT 50",
+    "win_rank_topk_per_group" ->
+      "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn",
+    "win_rank_dense" ->
+      "SELECT c_custkey, c_acctbal, rank() OVER (ORDER BY c_acctbal DESC, c_custkey) r, dense_rank() OVER (ORDER BY round(c_acctbal,0) DESC) dr FROM customer ORDER BY r LIMIT 100",
+    "win_lag_lead" ->
+      "SELECT user_id, event_id, round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id),2) dv, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) nxt FROM events ORDER BY user_id, event_id LIMIT 500",
+    "win_moving_avg" ->
+      "SELECT user_id, event_id, round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),6) ma5 FROM events ORDER BY user_id, event_id LIMIT 500",
+    "win_cumsum" ->
+      "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING),2) cum FROM orders ORDER BY o_custkey, o_orderkey LIMIT 500",
+    "win_range_time" ->
+      "SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW) c10m FROM events ORDER BY event_id LIMIT 500",
+    "win_first_last" ->
+      "SELECT user_id, event_id, first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) f, last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) l FROM events ORDER BY user_id, event_id LIMIT 500",
+    "win_ntile_pctrank" ->
+      "SELECT c_custkey, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) q, round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey),6) pr FROM customer ORDER BY c_custkey LIMIT 200",
+    "sort_multi" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_shipdate DESC, l_orderkey ASC, l_linenumber LIMIT 100",
+    "topk_global" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "set_union" ->
+      "SELECT c_nationkey k FROM customer UNION SELECT s_nationkey FROM supplier ORDER BY k",
+    "set_union_all" ->
+      "SELECT count(*) AS c FROM (SELECT c_nationkey FROM customer UNION ALL SELECT s_nationkey FROM supplier)",
+    "set_intersect" ->
+      "SELECT c_nationkey k FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY k",
+    "set_except" ->
+      "SELECT c_nationkey k FROM customer EXCEPT SELECT s_nationkey FROM supplier ORDER BY k",
+    "fn_string" ->
+      "SELECT c_custkey, upper(c_name) u, substring(c_name, 10, 9) tail, length(c_name) ln, concat(c_name, '-', c_mktsegment) cc, replace(c_name,'Customer','Cust') rp FROM customer ORDER BY c_custkey LIMIT 100",
+    "fn_regexp" ->
+      "SELECT p_partkey, regexp_extract(p_brand, '#([0-9]+)', 1) brand_num FROM part ORDER BY p_partkey LIMIT 200",
+    "fn_date" ->
+      "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) y, CAST(month(o_orderdate) AS INT) m, date_trunc('month', o_orderdate) mt, o_orderdate + INTERVAL 30 DAY due FROM orders ORDER BY o_orderkey LIMIT 200",
+    "fn_math" ->
+      "SELECT l_orderkey, l_linenumber, round(sqrt(l_extendedprice),6) sq, round(ln(l_extendedprice),6) lg, abs(l_discount - 0.05) ab, CAST(ceil(l_quantity) AS BIGINT) ce, CAST(floor(l_quantity) AS BIGINT) fl, CAST(l_quantity AS INT) % 7 md FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount, l_quantity LIMIT 200",
+    "fn_case_coalesce" ->
+      "SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END bucket, coalesce(nullif(o_orderstatus,'O'), 'OPEN') st FROM orders ORDER BY o_orderkey LIMIT 200",
+    "fn_json" ->
+      "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) k FROM events ORDER BY event_id LIMIT 500",
+    "fn_array" ->
+      "SELECT doc_id, len(string_split(text, ' ')) n_words, string_split(text,' ')[1] first_word FROM documents ORDER BY doc_id LIMIT 200",
+    "fn_explode_wordcount" ->
+      "SELECT w word, count(*) c FROM (SELECT unnest(string_split(text,' ')) w FROM documents) GROUP BY w ORDER BY c DESC, w LIMIT 50",
+    "stream_tumbling" ->
+      "SELECT date_trunc('hour', ts) wstart, event_type, count(*) c, round(sum(value),2) s FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+    "stream_sliding" ->
+      "SELECT ws wstart, count(*) c FROM (SELECT e.ts, g.ws FROM events e JOIN (SELECT DISTINCT date_trunc('hour', ts) - INTERVAL (k*30) MINUTE ws FROM events, (SELECT unnest([0,1]) k)) g ON e.ts >= g.ws AND e.ts < g.ws + INTERVAL 60 MINUTE) GROUP BY ws ORDER BY ws",
+    "stream_session" ->
+      "WITH o AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END brk FROM events), s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) sid FROM o) SELECT user_id, sid, count(*) n, min(ts) st, max(ts) en FROM s GROUP BY user_id, sid ORDER BY user_id, sid",
+    "stream_dedup" ->
+      "SELECT count(*) AS c FROM (SELECT DISTINCT user_id, event_type FROM events)",
+    "stream_late_filter" ->
+      "SELECT count(*) c FROM events WHERE ts < (SELECT max(ts) FROM events) - INTERVAL 1 DAY",
+    "llm_exact_dedup" ->
+      "SELECT md5(text) h, count(*) c, min(doc_id) keeper FROM documents GROUP BY md5(text) ORDER BY h",
+    "llm_dedup_keep_first" ->
+      "SELECT user_id, event_type, min(event_id) keeper, count(*) dups FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+    "llm_docstats" ->
+      "SELECT lang, count(*) docs, round(avg(n_chars),4) avg_chars, round(avg(len(string_split(text,' '))),4) avg_words FROM documents GROUP BY lang ORDER BY lang",
+    "llm_ngrams" ->
+      "WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents), b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] bg FROM w, (SELECT unnest(range(1, 200)) i) WHERE i < len(ws)) SELECT bg, count(*) c FROM b GROUP BY bg ORDER BY c DESC, bg LIMIT 30",
+    "llm_cosine_topk" ->
+      "SELECT a.vec_id, b.vec_id nb, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) sim FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE a.vec_id < 10 QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY sim DESC, b.vec_id) <= 5 ORDER BY a.vec_id, sim DESC, nb",
+    "llm_knn_label" ->
+      "SELECT label, count(*) c, round(avg(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))),6) avg_sim FROM embeddings GROUP BY label ORDER BY label",
+    "llm_minhash_jaccard" ->
+      "WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) toks FROM documents WHERE doc_id < 50) SELECT * FROM (SELECT a.doc_id a_id, b.doc_id b_id, round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))), 6) jac FROM t a JOIN t b ON a.doc_id < b.doc_id) WHERE jac > 0.6 ORDER BY a_id, b_id",
+    "subq_scalar_corr" ->
+      "SELECT o_orderkey, o_totalprice FROM orders o WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey LIMIT 100",
+    "subq_in" ->
+      "SELECT p_partkey FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45) ORDER BY p_partkey LIMIT 200"
+  )
+}

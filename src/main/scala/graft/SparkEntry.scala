@@ -1,13 +1,92 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.{Relational, Windows, Scalars, TimeSeries, LlmOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` is one operator from the SURVEY.md §2 inventory;
+  * `oracleSql` carries the DuckDB-equivalent SQL the driver hash-compares
+  * against (graft.Oracle documents the few dialect/type alignments).
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.aggPricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 scans
+    "scan_project" -> (Relational.scanProject _),
+    // §2.2 filters
+    "filter_predicates" -> (Relational.filterPredicates _),
+    "filter_like_null" -> (Relational.filterLikeNull _),
+    // §2.3 joins
+    "join_broadcast" -> (Relational.joinBroadcast _),
+    "join_shuffle" -> (Relational.joinShuffle _),
+    "join_star_5way" -> (Relational.joinStar5Way _),
+    "join_left_outer" -> (Relational.joinLeftOuter _),
+    "join_semi" -> (Relational.joinSemi _),
+    "join_anti" -> (Relational.joinAnti _),
+    "join_range_theta" -> (Relational.joinRangeTheta _),
+    "join_asof" -> (Relational.joinAsof _),
+    "join_cross" -> (Relational.joinCross _),
+    // §2.4 aggregations
+    "agg_pricing_summary" -> (Relational.aggPricingSummary _),
+    "agg_count_distinct" -> (Relational.aggCountDistinct _),
+    "agg_filtered" -> (Relational.aggFiltered _),
+    "agg_rollup" -> (Relational.aggRollup _),
+    "agg_cube" -> (Relational.aggCube _),
+    "agg_grouping_sets" -> (Relational.aggGroupingSets _),
+    "agg_stats" -> (Relational.aggStats _),
+    "agg_percentile" -> (Relational.aggPercentile _),
+    "agg_having" -> (Relational.aggHaving _),
+    // §2.5 windows
+    "win_rank_topk_per_group" -> (Windows.winRankTopkPerGroup _),
+    "win_rank_dense" -> (Windows.winRankDense _),
+    "win_lag_lead" -> (Windows.winLagLead _),
+    "win_moving_avg" -> (Windows.winMovingAvg _),
+    "win_cumsum" -> (Windows.winCumsum _),
+    "win_range_time" -> (Windows.winRangeTime _),
+    "win_first_last" -> (Windows.winFirstLast _),
+    "win_ntile_pctrank" -> (Windows.winNtilePctrank _),
+    // §2.6 sorts / top-k
+    "sort_multi" -> (Relational.sortMulti _),
+    "topk_global" -> (Relational.topkGlobal _),
+    // §2.7 set ops
+    "set_union" -> (Relational.setUnion _),
+    "set_union_all" -> (Relational.setUnionAll _),
+    "set_intersect" -> (Relational.setIntersect _),
+    "set_except" -> (Relational.setExcept _),
+    // §2.8 scalar functions
+    "fn_string" -> (Scalars.fnString _),
+    "fn_regexp" -> (Scalars.fnRegexp _),
+    "fn_date" -> (Scalars.fnDate _),
+    "fn_math" -> (Scalars.fnMath _),
+    "fn_case_coalesce" -> (Scalars.fnCaseCoalesce _),
+    "fn_json" -> (Scalars.fnJson _),
+    "fn_array" -> (Scalars.fnArray _),
+    "fn_explode_wordcount" -> (Scalars.fnExplodeWordcount _),
+    // §2.9 time-series / streaming (batch forms)
+    "stream_tumbling" -> (TimeSeries.streamTumbling _),
+    "stream_sliding" -> (TimeSeries.streamSliding _),
+    "stream_session" -> (TimeSeries.streamSession _),
+    "stream_dedup" -> (TimeSeries.streamDedup _),
+    "stream_late_filter" -> (TimeSeries.streamLateFilter _),
+    // §2.10 LLM-data-pipeline
+    "llm_exact_dedup" -> (LlmOps.llmExactDedup _),
+    "llm_dedup_keep_first" -> (LlmOps.llmDedupKeepFirst _),
+    "llm_docstats" -> (LlmOps.llmDocstats _),
+    "llm_ngrams" -> (LlmOps.llmNgrams _),
+    "llm_cosine_topk" -> (LlmOps.llmCosineTopk _),
+    "llm_knn_label" -> (LlmOps.llmKnnLabel _),
+    "llm_minhash_jaccard" -> (LlmOps.llmMinhashJaccard _),
+    // §2.11 subqueries
+    "subq_scalar_corr" -> (Relational.subqScalarCorr _),
+    "subq_in" -> (Relational.subqIn _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracle.sql
 }

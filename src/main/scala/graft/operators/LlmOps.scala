@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.10): exact and
+  * near-duplicate detection, corpus statistics, n-grams, and embedding
+  * similarity search.
+  *
+  * Scale notes: exact dedup is a hash group-by (shuffle on the content
+  * hash — uniform by construction, no skew). The brute-force cosine and
+  * Jaccard pair scans keep the small probe side broadcast so the big side
+  * streams once; the 100 TB upgrade path (MinHash-LSH banding for Jaccard,
+  * random-hyperplane bucketing for cosine) replaces the all-pairs join
+  * with an equi-join on bucket ids — see graft.operators.ScalableDedup
+  * (unjudged; LSH is randomized so it cannot hash-match a deterministic
+  * oracle).
+  */
+object LlmOps {
+
+  /** #49 exact dedup map: content hash → duplicate count + keeper id. */
+  def llmExactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"), min(col("doc_id")).as("keeper"))
+      .orderBy(col("h"))
+
+  /** #50 keep-first-by-key dedup with deterministic keeper (min id). */
+  def llmDedupKeepFirst(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("keeper"), count(lit(1)).as("dups"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** #51 per-language corpus stats (doc count, avg chars, avg words). */
+  def llmDocstats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(avg(size(TextFunctions.tokens(col("text")))), 4).as("avg_words"))
+      .orderBy(col("lang"))
+
+  /** #52 top-30 word bigrams. The bigram list is built with higher-order
+    * functions (no self-join on token position), then exploded and counted. */
+  def llmNgrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(TextFunctions.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(TextFunctions.bigrams(col("ws"))).as("bg"))
+      .groupBy(col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bg"))
+      .limit(30)
+
+  /** #53 brute-force cosine top-5 neighbors for 10 probe vectors. The
+    * probe side (10 rows) broadcasts; the full embedding table streams
+    * through one codegen'd pipeline computing dot products via
+    * zip_with/aggregate. Top-k per probe is a row_number window over the
+    * (tiny) candidate set. */
+  def llmCosineTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), VectorFunctions.toDoubleVec(col("embedding")).as("v"))
+    val a = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("a_vid"), col("v").as("va"))
+    val b = emb.select(col("vec_id").as("b_vid"), col("v").as("vb"))
+    val pairs = broadcast(a).join(b, col("a_vid") < col("b_vid"))
+      .select(col("a_vid").as("vec_id"), col("b_vid").as("nb"),
+        round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nb"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .drop("rn")
+      .orderBy(col("vec_id"), col("sim").desc, col("nb"))
+  }
+
+  /** #54 per-label mean similarity to one probe vector (kNN-classifier
+    * shape): the probe is a 1-row broadcast, similarity folds into a
+    * partial+final average per label. */
+  def llmKnnLabel(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        VectorFunctions.toDoubleVec(col("embedding")).as("v"))
+    val probe = emb.filter(col("vec_id") === 0).select(col("v").as("probe"))
+    emb.crossJoin(broadcast(probe))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("c"),
+        round(avg(VectorFunctions.cosine(col("v"), col("probe"))), 6).as("avg_sim"))
+      .orderBy(col("label"))
+  }
+
+  /** #55 near-duplicate candidate pairs by token-set Jaccard > 0.6 over a
+    * bounded probe set (doc_id < 50). Exact all-pairs on the probe window;
+    * the scalable variant (MinHash banding) lives in ScalableDedup. */
+  def llmMinhashJaccard(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), TextFunctions.tokenSet(col("text")).as("toks"))
+    val a = t.select(col("doc_id").as("a_id"), col("toks").as("ta"))
+    val b = t.select(col("doc_id").as("b_id"), col("toks").as("tb"))
+    broadcast(a).join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(TextFunctions.jaccard(col("ta"), col("tb")), 6).as("jac"))
+      .filter(col("jac") > 0.6)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+}

@@ -1,0 +1,311 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational core: scan/project, filters, all join shapes, aggregations,
+  * sorts, set operations and correlated subqueries (SURVEY.md §2.1–2.4,
+  * §2.6–2.7, §2.11).
+  *
+  * Everything is declared through the DataFrame API (or `spark.sql` where
+  * the construct is SQL-native, e.g. GROUPING SETS and correlated
+  * subqueries) so Catalyst owns the physical strategy: predicate pushdown
+  * and column pruning reach the parquet scan, dimension joins broadcast
+  * under `spark.sql.autoBroadcastJoinThreshold`, fact-fact joins shuffle on
+  * their keys with AQE free to coalesce or switch to shuffled-hash, and
+  * aggregations run partial (map-side) before the final exchange. These are
+  * exactly the properties that keep the same plans viable at 100 TB on a
+  * multi-executor cluster.
+  */
+object Relational {
+
+  /** #1 scan + projection + derived column. Only the three referenced
+    * columns are read (ReadSchema pruning); the arithmetic is codegen'd. */
+  def scanProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+      // (l_orderkey, l_linenumber) is NOT unique in this data — net_price
+      // breaks the tie so the output order is total.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("net_price"))
+      .limit(100)
+
+  /** #2 conjunctive predicates (BETWEEN / IN / NOT) — all pushed to the
+    * parquet reader as data filters. */
+  def filterPredicates(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity").between(10, 20)
+        && col("l_returnflag").isin("A", "R")
+        && !(col("l_linestatus") === "O"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .select(col("l_orderkey"), col("l_quantity"))
+
+  /** #3 LIKE + IS NOT NULL (StringContains pushdown). */
+  def filterLikeNull(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_type").like("%PROMO%") && col("p_brand").isNotNull)
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+
+  /** #4 small-dim equi-join: both sides are tiny, Catalyst plans a
+    * BroadcastHashJoin with no shuffle at any scale. */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("r_name"))
+      .orderBy(col("n_name"))
+
+  /** #5 fact-fact join + aggregation. Shuffles both sides on the order key;
+    * at cluster scale this is the canonical co-partitioned join (bucketing
+    * both tables by orderkey would remove the shuffle entirely). */
+  def joinShuffle(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("rev"))
+      .orderBy(col("rev").desc, col("o_orderkey"))
+      .limit(20)
+
+  /** #6 5-table star join (TPC-H Q5 shape): the region filter prunes before
+    * the join, dims broadcast, and only customer⋈orders⋈lineitem shuffles. */
+  def joinStar5Way(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  /** #7 left outer join preserving unmatched, with null-skipping count. */
+  def joinLeftOuter(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("c_custkey"))
+      .limit(50)
+
+  /** #8 EXISTS → left semi join (no row multiplication, build side only
+    * needs the key column). */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 100000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** #9 NOT EXISTS with extra predicate → left anti join. */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** #10 self-join with key equality + time-range theta predicate. The
+    * equi-clause (user_id) drives a hash join; the 5-minute range condition
+    * is evaluated as a post-join filter — never a cartesian product, and the
+    * hash partitioning on user_id is exactly how it parallelizes on a
+    * cluster. */
+  def joinRangeTheta(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val a = e.select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+    val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_uid"), col("ts").as("b_ts"))
+    a.join(b,
+        col("user_id") === col("b_uid")
+          && col("b_ts") > col("a_ts")
+          && col("b_ts") <= col("a_ts") + expr("interval 5 minutes")
+          && col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .orderBy(col("a_id"), col("b_id"))
+      .limit(200)
+  }
+
+  /** #11 as-of join: latest event at or before a cutoff, per key. Rather
+    * than a per-row lateral sort (the oracle's formulation), reduce events
+    * to one row per key with `max_by` (single partial+final aggregate —
+    * no join-side sort, no row explosion), then equi-join. At 100 TB the
+    * aggregate is map-side combinable and the reduced side is small enough
+    * to broadcast. */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"), (col("o_custkey") % 20).as("uid"))
+    val latest = Tables.events(s, d)
+      .filter(col("ts") <= expr("TIMESTAMP '2024-01-15 00:00:00'"))
+      .groupBy(col("user_id"))
+      .agg(max_by(col("event_id"), col("ts")).as("event_id"))
+    o.join(latest, col("uid") === col("user_id"), "left_outer")
+      .select(col("o_orderkey"), col("event_id"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** #12 small cartesian product (explicit crossJoin). */
+  def joinCross(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d)
+    r.select(col("r_name").as("r1_name"))
+      .crossJoin(r.select(col("r_name").as("r2_name")))
+      .orderBy(col("r1_name"), col("r2_name"))
+  }
+
+  /** #13 TPC-H Q1 pricing summary: multi-measure group-by with date filter.
+    * Partial aggregation reduces 600k rows to 6 groups before the exchange. */
+  def aggPricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= expr("TIMESTAMP '1998-09-02 00:00:00'"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** #14 COUNT(DISTINCT) per group — Catalyst expands to the two-phase
+    * distinct aggregate automatically. */
+  def aggCountDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .orderBy(col("event_type"))
+
+  /** #15 FILTER-ed aggregates via conditional expressions (sum/count over
+    * `when`), one pass over the data. */
+  def aggFiltered(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "purchase", lit(1))).as("purchases"),
+        round(sum(when(col("event_type") === "purchase", col("value"))), 2).as("spend"))
+      .orderBy(col("user_id"))
+
+  /** #16 ROLLUP with coalesced grouping keys. */
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("c"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("c"))
+      .orderBy(col("rf"), col("ls"))
+
+  /** #17 CUBE over two dimensions. */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("s"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pr"), col("s"))
+      .orderBy(col("st"), col("pr"))
+
+  /** #18 explicit GROUPING SETS — SQL-native construct, expressed via
+    * spark.sql over a registered view (Catalyst expands to a single
+    * Expand + aggregate, one scan). */
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events")
+    s.sql("""SELECT coalesce(event_type,'ALL') et,
+                    coalesce(CAST(user_id AS STRING),'ALL') uid,
+                    count(*) c
+             FROM events
+             GROUP BY GROUPING SETS ((event_type), (user_id), ())
+             ORDER BY 1, 2""")
+  }
+
+  /** #19 sample stddev / variance / min / max per group — the core
+    * HRV-style statistical feature block. */
+  def aggStats(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(stddev_samp(col("value")), 6).as("sd"),
+        round(var_samp(col("value")), 6).as("vr"),
+        round(min(col("value")), 2).as("mn"),
+        round(max(col("value")), 2).as("mx"))
+      .orderBy(col("event_type"))
+
+  /** #20 exact interpolated percentiles (Spark `percentile`, not approx —
+    * matches quantile_cont semantics). */
+  def aggPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("med"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"))
+      .orderBy(col("event_type"))
+
+  /** #21 HAVING on the group count (post-aggregation filter). */
+  def aggHaving(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 5)
+      .orderBy(col("c").desc, col("o_custkey"))
+      .limit(50)
+
+  /** #30 multi-key mixed-direction sort + limit → TakeOrderedAndProject
+    * (per-partition top-k, no global sort materialized). */
+  def sortMulti(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .orderBy(col("l_shipdate").desc, col("l_orderkey").asc, col("l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** #31 global top-k. */
+  def topkGlobal(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** #32 UNION (distinct). */
+  def setUnion(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("k"))
+      .union(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+      .distinct()
+      .orderBy(col("k"))
+
+  /** #33 UNION ALL (bag semantics), counted. */
+  def setUnionAll(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("k"))
+      .union(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+      .agg(count(lit(1)).as("c"))
+
+  /** #34 INTERSECT (distinct). */
+  def setIntersect(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("k"))
+      .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+      .orderBy(col("k"))
+
+  /** #35 EXCEPT (distinct). */
+  def setExcept(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("k"))
+      .except(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+      .orderBy(col("k"))
+
+  /** #56 correlated scalar subquery — written in SQL so Catalyst's
+    * decorrelation rewrites it to an aggregate + join (no per-row
+    * re-execution, fully parallel). */
+  def subqScalarCorr(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql("""SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
+                                   FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+             ORDER BY o_orderkey LIMIT 100""")
+  }
+
+  /** #57 IN-subquery → left semi join after decorrelation. */
+  def subqIn(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("part")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql("""SELECT p_partkey FROM part
+             WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+             ORDER BY p_partkey LIMIT 200""")
+  }
+}

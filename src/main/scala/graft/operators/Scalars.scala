@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Scalar function surface (SURVEY.md §2.8): string / regexp / date / math /
+  * conditional / JSON / array functions plus the explode generator. All are
+  * built-in codegen'd expressions — no UDFs anywhere on this path.
+  *
+  * Type notes: Spark's `length`/`size` return INT where the oracle dialect
+  * returns BIGINT, so those are cast to long; 1-based `element_at` and
+  * 1-based `substring` already agree across engines (SURVEY §7 hazards).
+  */
+object Scalars {
+
+  /** #36 upper / substring / length / concat / replace. */
+  def fnString(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("u"),
+        substring(col("c_name"), 10, 9).as("tail"),
+        length(col("c_name")).cast("long").as("ln"),
+        concat(col("c_name"), lit("-"), col("c_mktsegment")).as("cc"),
+        expr("replace(c_name, 'Customer', 'Cust')").as("rp"))
+      .orderBy(col("c_custkey"))
+      .limit(100)
+
+  /** #37 regexp_extract with capture group (no-match → '' in both engines). */
+  def fnRegexp(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        regexp_extract(col("p_brand"), "#([0-9]+)", 1).as("brand_num"))
+      .orderBy(col("p_partkey"))
+      .limit(200)
+
+  /** #38 year / month / date_trunc / interval arithmetic. */
+  def fnDate(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        // cast to NTZ: the source column is parquet-naive (read as NTZ) but
+        // date_trunc returns tz-adjusted TIMESTAMP; the oracle output is naive
+        date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("mt"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("due"))
+      .orderBy(col("o_orderkey"))
+      .limit(200)
+
+  /** #39 sqrt / ln / abs / ceil / floor / mod. Spark `log` IS natural log
+    * (= oracle `ln`); ceil/floor already return BIGINT. */
+  def fnMath(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_extendedprice")), 6).as("sq"),
+        round(log(col("l_extendedprice")), 6).as("lg"),
+        abs(col("l_discount") - 0.05).as("ab"),
+        ceil(col("l_quantity")).as("ce"),
+        floor(col("l_quantity")).as("fl"),
+        (col("l_quantity").cast("int") % 7).as("md"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+      .limit(200)
+
+  /** #40 CASE WHEN ladder + coalesce + nullif. */
+  def fnCaseCoalesce(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("bucket"),
+        expr("coalesce(nullif(o_orderstatus, 'O'), 'OPEN')").as("st"))
+      .orderBy(col("o_orderkey"))
+      .limit(200)
+
+  /** #41 JSON field extraction from a string column. */
+  def fnJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy(col("event_id"))
+      .limit(500)
+
+  /** #42 split → array; size; first element (1-based element_at). */
+  def fnArray(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        element_at(split(col("text"), " "), 1).as("first_word"))
+      .orderBy(col("doc_id"))
+      .limit(200)
+
+  /** #43 explode generator → word count (canonical UDTF shape). */
+  def fnExplodeWordcount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word"))
+      .limit(50)
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Time-series / streaming semantics in batch-checkable form
+  * (SURVEY.md §2.9): tumbling and sliding windows, sessionization,
+  * dedup, and watermark-style late-row filtering. Each query here has a
+  * Structured Streaming twin (graft.streaming) using `window()` /
+  * `session_window()` / `dropDuplicatesWithinWatermark` — the batch forms
+  * below compute identical answers over a bounded input and are what the
+  * oracle judges.
+  */
+object TimeSeries {
+
+  /** #44 1-hour tumbling window per event_type (batch form of
+    * groupBy(window(ts, "1 hour"))). One partial+final aggregate. */
+  def streamTumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("wstart"),
+        col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum(col("value")), 2).as("s"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  /** #45 60-minute windows sliding every 30 minutes. Instead of a
+    * range-join of events against the window grid (O(|grid|·|events|)
+    * nested-loop), each event is exploded into exactly the two 30-min-
+    * aligned window starts that can contain it, then equi-joined against
+    * the (broadcast, tiny) grid of valid starts — turning a theta join
+    * into a shuffle-free broadcast hash join. This is the same trick
+    * `window(ts, "60 minutes", "30 minutes")` uses internally and it is
+    * the form that survives 100 TB.
+    */
+  def streamSliding(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    // Window-start grid as the oracle defines it: every distinct event
+    // hour H contributes starts {H, H-30min}.
+    val hours = e.select(date_trunc("hour", col("ts")).as("ws")).distinct()
+    val grid = hours
+      .union(hours.select((col("ws") - expr("interval 30 minutes")).as("ws")))
+      .distinct()
+    // Candidate starts per event: trunc-to-30min(ts) and that minus 30min.
+    val t30 = expr("timestamp_micros(unix_micros(ts) div 1800000000 * 1800000000)")
+    val cand = e.select(t30.as("t30"))
+      .select(explode(array(col("t30"), col("t30") - expr("interval 30 minutes"))).as("ws"))
+    cand.join(broadcast(grid), "ws")
+      .groupBy(col("ws"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("ws").cast("timestamp_ntz").as("wstart"), col("c"))
+      .orderBy(col("wstart"))
+  }
+
+  /** #46 30-minute-gap sessionization per user: gap flag via lag, session
+    * id via running sum, then per-session aggregates. All three steps are
+    * partitioned by user_id — a single shuffle, then purely local work,
+    * exactly the batch shape of `session_window(ts, "30 minutes")`. */
+  def streamSession(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("brk",
+        when(lag(col("ts"), 1).over(wOrd).isNull
+          || col("ts") - lag(col("ts"), 1).over(wOrd) > expr("interval 30 minutes"), 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ts")).cast("timestamp_ntz").as("st"),
+        max(col("ts")).cast("timestamp_ntz").as("en"))
+      .orderBy(col("user_id"), col("sid"))
+  }
+
+  /** #47 distinct (user, event_type) — batch form of streaming dedup. */
+  def streamDedup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"))
+      .distinct()
+      .agg(count(lit(1)).as("c"))
+
+  /** #48 watermark semantics: rows older than max(ts) − 1 day. The global
+    * max is a one-row aggregate broadcast into the filter — no per-row
+    * subquery re-execution. */
+  def streamLateFilter(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val mx = e.agg(max(col("ts")).as("mx"))
+    e.crossJoin(broadcast(mx))
+      .filter(col("ts") < col("mx") - expr("interval 1 day"))
+      .agg(count(lit(1)).as("c"))
+  }
+}
