@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line.
+  *
+  * Methodology mirrors the BASELINE.md oracle measurement ("3 full-suite
+  * runs ... best of 3"): one untimed warmup pass (JIT + codegen cache +
+  * parquet footer cache), then two timed passes, reporting each query's
+  * best. Without warmup the first queries pay ~3 s of one-time JVM
+  * compilation that is not query cost.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,14 +22,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
     }
+    names.foreach(timeOne) // warmup, untimed
+    val r1 = names.map(n => n -> timeOne(n)).toMap
+    val r2 = names.map(n => n -> timeOne(n)).toMap
+    val results = names.map(n => n -> math.min(r1(n), r2(n)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

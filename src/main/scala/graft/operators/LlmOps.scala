@@ -64,14 +64,18 @@ object LlmOps {
     * zip_with/aggregate. Top-k per probe is a row_number window over the
     * (tiny) candidate set. */
   def llmCosineTopk(s: SparkSession, d: String): DataFrame = {
+    // Precompute each side's norm once before the join: cosine per pair then
+    // costs one dot product instead of three. dot/(na*nb) is arithmetically
+    // identical to dot/(norm(a)*norm(b)), so oracle parity is unaffected.
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), VectorFunctions.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
     val a = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("a_vid"), col("v").as("va"))
-    val b = emb.select(col("vec_id").as("b_vid"), col("v").as("vb"))
+      .select(col("vec_id").as("a_vid"), col("v").as("va"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("b_vid"), col("v").as("vb"), col("nrm").as("nb_n"))
     val pairs = broadcast(a).join(b, col("a_vid") < col("b_vid"))
       .select(col("a_vid").as("vec_id"), col("b_vid").as("nb"),
-        round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
+        round(VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb_n")), 6).as("sim"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nb"))
     pairs.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)

@@ -37,10 +37,11 @@ object TimeSeries {
   def streamSliding(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
     // Window-start grid as the oracle defines it: every distinct event
-    // hour H contributes starts {H, H-30min}.
-    val hours = e.select(date_trunc("hour", col("ts")).as("ws")).distinct()
-    val grid = hours
-      .union(hours.select((col("ws") - expr("interval 30 minutes")).as("ws")))
+    // hour H contributes starts {H, H-30min}. Explode before the single
+    // distinct — one shuffle instead of the naive distinct-union-distinct.
+    val h = date_trunc("hour", col("ts"))
+    val grid = e
+      .select(explode(array(h, h - expr("interval 30 minutes"))).as("ws"))
       .distinct()
     // Candidate starts per event: trunc-to-30min(ts) and that minus 30min.
     val t30 = expr("timestamp_micros(unix_micros(ts) div 1800000000 * 1800000000)")
