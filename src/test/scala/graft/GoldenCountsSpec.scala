@@ -1,0 +1,42 @@
+package graft
+
+/** Golden row counts for every judged query at sf0.001 (SURVEY.md §5.4,
+  * numbers from Appendix A). Catches nondeterminism/regression drift
+  * cheaply without a DuckDB dependency. */
+class GoldenCountsSpec extends SparkSpecBase {
+
+  private val expected: Map[String, Long] = Map(
+    "scan_project" -> 100, "filter_predicates" -> 433, "filter_like_null" -> 39,
+    "join_broadcast" -> 25, "join_shuffle" -> 20, "join_star_5way" -> 5,
+    "join_left_outer" -> 50, "join_semi" -> 150, "join_anti" -> 18,
+    "join_range_theta" -> 10, "join_asof" -> 500, "join_cross" -> 25,
+    "agg_pricing_summary" -> 6, "agg_count_distinct" -> 5, "agg_filtered" -> 15,
+    "agg_rollup" -> 10, "agg_cube" -> 24, "agg_grouping_sets" -> 21,
+    "agg_stats" -> 5, "agg_percentile" -> 5, "agg_having" -> 50,
+    "win_rank_topk_per_group" -> 449, "win_rank_dense" -> 100,
+    "win_lag_lead" -> 500, "win_moving_avg" -> 500, "win_cumsum" -> 500,
+    "win_range_time" -> 500, "win_first_last" -> 500, "win_ntile_pctrank" -> 150,
+    "sort_multi" -> 100, "topk_global" -> 10,
+    "set_union" -> 25, "set_union_all" -> 1, "set_intersect" -> 10, "set_except" -> 15,
+    "fn_string" -> 100, "fn_regexp" -> 200, "fn_date" -> 200, "fn_math" -> 200,
+    "fn_case_coalesce" -> 200, "fn_json" -> 500, "fn_array" -> 200,
+    "fn_explode_wordcount" -> 31,
+    "stream_tumbling" -> 868, "stream_sliding" -> 979, "stream_session" -> 946,
+    "stream_dedup" -> 1, "stream_late_filter" -> 1,
+    "llm_exact_dedup" -> 500, "llm_dedup_keep_first" -> 75, "llm_docstats" -> 5,
+    "llm_ngrams" -> 30, "llm_cosine_topk" -> 50, "llm_knn_label" -> 10,
+    "llm_minhash_jaccard" -> 763,
+    "subq_scalar_corr" -> 48, "subq_in" -> 193
+  )
+
+  test("every SURVEY §2 query is registered with an oracle") {
+    assert(SparkEntry.queries.keySet == expected.keySet)
+    assert(SparkEntry.oracleSql.keySet == expected.keySet)
+  }
+
+  expected.toSeq.sortBy(_._1).foreach { case (name, rows) =>
+    test(s"$name returns $rows rows at sf0.001") {
+      assert(SparkEntry.queries(name)(spark, sf()).count() == rows)
+    }
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Algebraic invariants over ScalaCheck-generated data (SURVEY.md §5.3).
+  * The scalatest↔scalacheck bridge isn't on the offline classpath, so
+  * generators are sampled directly with fixed seeds (deterministic runs). */
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int = 8): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val rowsGen: Gen[List[(String, Double)]] =
+    Gen.listOfN(40, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(-100.0, 100.0)))
+
+  test("UNION ALL count equals the sum of input counts") {
+    for ((xs, ys) <- samples(Gen.zip(rowsGen, rowsGen))) {
+      assert(xs.toDF("k", "v").union(ys.toDF("k", "v")).count() == xs.size + ys.size)
+    }
+  }
+
+  test("rollup grand total equals the ungrouped aggregate") {
+    for (xs <- samples(rowsGen)) {
+      val df = xs.toDF("k", "v")
+      val grand = df.rollup($"k").agg(sum($"v").as("s"))
+        .filter($"k".isNull).select($"s").collect().head.getDouble(0)
+      val plain = df.agg(sum($"v")).collect().head.getDouble(0)
+      assert(math.abs(grand - plain) < 1e-9)
+    }
+  }
+
+  test("dedup is idempotent") {
+    for (xs <- samples(rowsGen)) {
+      val d1 = xs.toDF("k", "v").dropDuplicates("k")
+      assert(d1.dropDuplicates("k").count() == d1.count())
+    }
+  }
+
+  test("top-k per group is a subset of the group, at most k rows each") {
+    for (xs <- samples(rowsGen, n = 4)) {
+      val df = xs.toDF("k", "v")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"k").orderBy($"v".desc)
+      val topk = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      assert(topk.groupBy($"k").count().collect().forall(_.getLong(1) <= 3))
+      assert(topk.drop("rn").except(df).count() == 0)
+    }
+  }
+
+  test("cosine similarity is symmetric and bounded by 1") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-1.0, 1.0)).suchThat(_.exists(_ != 0.0))
+    for ((x, y) <- samples(Gen.zip(vecGen, vecGen))) {
+      val df = Seq((x, y)).toDF("a", "b")
+      val row = df.select(
+        VectorFunctions.cosine($"a", $"b"),
+        VectorFunctions.cosine($"b", $"a")).collect().head
+      val (ab, ba) = (row.getDouble(0), row.getDouble(1))
+      assert(math.abs(ab - ba) < 1e-12)
+      assert(ab <= 1.0 + 1e-9 && ab >= -1.0 - 1e-9)
+    }
+  }
+
+  test("session row counts sum to the event count") {
+    val secsGen = Gen.listOfN(30, Gen.chooseNum(0L, 86400L))
+    for (secs <- samples(secsGen, n = 4)) {
+      val df = secs.zipWithIndex.map { case (s, i) => (1L, i.toLong, s) }
+        .toDF("user_id", "event_id", "sec")
+        .withColumn("ts", timestamp_seconds($"sec")).drop("sec")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sess = df
+        .withColumn("brk",
+          when(lag($"ts", 1).over(w).isNull
+            || $"ts".cast("long") - lag($"ts", 1).over(w).cast("long") > 1800, 1)
+            .otherwise(0))
+        .withColumn("sid", sum($"brk").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"sid").agg(count(lit(1)).as("n"))
+      assert(sess.agg(sum($"n")).collect().head.getLong(0) == secs.size)
+    }
+  }
+
+  test("jaccard is symmetric and 1 on identical token sets") {
+    val txtGen = Gen.listOfN(6, Gen.oneOf("w1", "w2", "w3", "w4")).map(_.mkString(" "))
+    for ((x, y) <- samples(Gen.zip(txtGen, txtGen))) {
+      val df = Seq((x, y)).toDF("x", "y")
+      val row = df.select(
+        TextFunctions.jaccard(TextFunctions.tokenSet($"x"), TextFunctions.tokenSet($"y")),
+        TextFunctions.jaccard(TextFunctions.tokenSet($"y"), TextFunctions.tokenSet($"x")),
+        TextFunctions.jaccard(TextFunctions.tokenSet($"x"), TextFunctions.tokenSet($"x")))
+        .collect().head
+      assert(row.getDouble(0) == row.getDouble(1))
+      assert(row.getDouble(2) == 1.0)
+    }
+  }
+}

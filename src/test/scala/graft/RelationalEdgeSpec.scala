@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Null/edge semantics for aggregates, joins and set ops on hand-built
+  * fixtures (SURVEY.md §5.2). */
+class RelationalEdgeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("stddev_samp of a single row is null") {
+    val r = Seq(("a", 1.0)).toDF("k", "v")
+      .groupBy($"k").agg(stddev_samp($"v").as("sd")).collect().head
+    assert(r.isNullAt(1))
+  }
+
+  test("count(col) skips outer-join nulls, count(*) does not") {
+    val left = Seq(1, 2).toDF("id")
+    val right = Seq(1).toDF("rid")
+    val j = left.join(right, $"id" === $"rid", "left_outer")
+    val r = j.agg(count($"rid").as("c_col"), count(lit(1)).as("c_star")).collect().head
+    assert(r.getLong(0) == 1 && r.getLong(1) == 2)
+  }
+
+  test("left semi returns each matching left row once; anti is its complement") {
+    val left = Seq(1, 2, 3).toDF("id")
+    val right = Seq(2, 2, 3).toDF("rid") // duplicate match must not multiply
+    val semi = left.join(right, $"id" === $"rid", "left_semi").collect().map(_.getInt(0)).sorted
+    val anti = left.join(right, $"id" === $"rid", "left_anti").collect().map(_.getInt(0))
+    assert(semi.toSeq == Seq(2, 3))
+    assert(anti.toSeq == Seq(1))
+  }
+
+  test("intersect and except use distinct set semantics") {
+    val a = Seq(1, 1, 2, 3).toDF("v")
+    val b = Seq(1, 2, 2).toDF("v")
+    assert(a.intersect(b).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    assert(a.except(b).collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
+
+  test("rollup emits per-group, subtotal and grand-total rows") {
+    val df = Seq(("x", "p", 1), ("x", "q", 2), ("y", "p", 4)).toDF("a", "b", "v")
+    val got = df.rollup($"a", $"b").agg(sum($"v").as("s"))
+      .select(coalesce($"a", lit("ALL")), coalesce($"b", lit("ALL")), $"s")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("x", "p", 1L), ("x", "q", 2L), ("y", "p", 4L),
+      ("x", "ALL", 3L), ("y", "ALL", 4L), ("ALL", "ALL", 7L)))
+  }
+
+  test("max_by picks the value at the maximum ordering key (as-of semantics)") {
+    val df = Seq((1L, 10L, 5L), (1L, 11L, 9L), (2L, 20L, 1L)).toDF("k", "id", "t")
+    val got = df.groupBy($"k").agg(max_by($"id", $"t").as("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 11L, 2L -> 20L))
+  }
+}

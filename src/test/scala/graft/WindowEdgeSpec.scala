@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-frame edge semantics on tiny hand-built fixtures
+  * (SURVEY.md §5.2): partition-first lag, rank ties, last_value frame,
+  * moving-average ramp-up, time-range frame boundaries. */
+class WindowEdgeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val ev = Seq(
+    // (user_id, event_id, seconds, value)
+    (1L, 10L, 0L, 1.0),
+    (1L, 11L, 300L, 2.0),
+    (1L, 12L, 601L, 4.0),   // 601s after event 10 → outside its 10-min window
+    (2L, 20L, 0L, 10.0)
+  ).toDF("user_id", "event_id", "sec", "value")
+    .withColumn("ts", timestamp_seconds(col("sec")))
+
+  test("lag is null on the first row of each partition") {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val dv = ev.select($"event_id", ($"value" - lag($"value", 1).over(w)).as("dv"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(dv(10L) == null && dv(20L) == null)
+    assert(dv(11L) == 1.0 && dv(12L) == 2.0)
+  }
+
+  test("rank leaves gaps on ties, dense_rank does not") {
+    val df = Seq(("a", 5), ("b", 5), ("c", 3)).toDF("k", "v")
+    val w = Window.orderBy($"v".desc)
+    val got = df.select($"k", rank().over(w).as("r"), dense_rank().over(w).as("dr"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == Set(("a", 1, 1), ("b", 1, 1), ("c", 3, 2)))
+  }
+
+  test("last_value needs the full frame; default frame stops at current row") {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val r = ev.filter($"user_id" === 1)
+      .select($"event_id",
+        last($"value").over(w).as("curr"),
+        last($"value").over(wFull).as("full"))
+      .orderBy($"event_id").collect()
+    assert(r.map(_.getDouble(1)).toSeq == Seq(1.0, 2.0, 4.0)) // runs with the row
+    assert(r.map(_.getDouble(2)).toSeq == Seq(4.0, 4.0, 4.0)) // true partition last
+  }
+
+  test("5-row moving average ramps up at partition start") {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id").rowsBetween(-4, 0)
+    val r = ev.filter($"user_id" === 1)
+      .select(avg($"value").over(w).as("ma")).orderBy($"ma").collect().map(_.getDouble(0))
+    assert(r.toSeq == Seq(1.0, 1.5, 7.0 / 3))
+  }
+
+  test("10-minute range frame includes the boundary and excludes beyond it") {
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-600000000L, 0)
+    val c = ev.select($"event_id", count(lit(1)).over(w).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c(10L) == 1)
+    assert(c(11L) == 2) // 300s back: inside
+    assert(c(12L) == 2) // event 10 is 601s back: outside; event 11 301s back: inside
+    assert(c(20L) == 1)
+  }
+}
