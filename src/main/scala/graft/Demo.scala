@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Aggregates, TextAnalysis, TextFunctions}
+import graft.multimodal.Multimodal
+import graft.operators.{Ann, ScalableDedup}
+import graft.plans.LatestPerKeyRule
+
+/** End-to-end tour of the engine's capability surface beyond the judged
+  * queries, against the real testdata — the "does the library actually
+  * drive" smoke for dedup, text analysis, ANN, the RMSSD UDAF, the
+  * latest-per-key optimizer rule and the multimodal plumbing.
+  *
+  * Usage: runMain graft.Demo [sfDir]
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", TextFunctions.tokenSet($"text"))
+    val emb = Tables.embeddings(spark, sfDir)
+
+    println(s"== graft demo on $sfDir ==")
+
+    val mh = ScalableDedup.minhashCandidates(docs, "doc_id", "toks").count()
+    println(s"minhash-LSH near-dup candidate pairs: $mh")
+
+    val sh = ScalableDedup.simhashCandidates(
+      docs.withColumn("toks", TextFunctions.tokens($"text")), "doc_id", "toks").count()
+    println(s"simhash hamming<=3 candidate pairs:   $sh")
+
+    val nd = ScalableDedup.embeddingNearDup(emb, "vec_id", "embedding",
+      minCosine = 0.8).count()
+    println(s"embedding near-dup pairs (cos>=0.8):  $nd")
+
+    val ta = docs.select(
+      TextAnalysis.langId($"text").as("lang"),
+      TextAnalysis.qualityScore($"text").as("q"),
+      TextAnalysis.tokenCount($"text").as("n"))
+    val taRow = ta.agg(count(lit(1)), round(avg($"q"), 3), round(avg($"n"), 1))
+      .collect().head
+    println(s"text analysis: docs=${taRow.get(0)} avgQuality=${taRow.get(1)} avgTokens=${taRow.get(2)}")
+
+    val probes = emb.filter($"vec_id" < 3)
+    val brute = Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 3).count()
+    val ivf = Ann.ivfTopK(spark, emb, probes, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 3).count()
+    println(s"ANN: brute-force rows=$brute ivf rows=$ivf")
+
+    Aggregates.register(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val rm = Tables.events(spark, sfDir)
+      .select($"user_id", ($"value" - lag($"value", 1).over(w)).as("dv"))
+      .filter($"dv".isNotNull)
+      .groupBy($"user_id").agg(expr("round(rmssd(dv), 3)").as("rmssd"))
+    println(s"rmssd per user: ${rm.count()} rows, sample=${rm.orderBy($"user_id").first()}")
+
+    LatestPerKeyRule.install(spark)
+    val latest = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"user_id").orderBy($"ts".desc)))
+      .filter($"rn" === 1)
+    val rewritten = latest.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty
+    println(s"latest-per-key rule rewrote window→aggregate: $rewritten (rows=${latest.count()})")
+
+    val media = Multimodal.syntheticMedia(spark, 12)
+    val feats = Multimodal.decodeFeatures(media, dim = 8)
+    println(s"multimodal: decoded ${feats.count()} media rows → ${feats.first().features.length}-dim features")
+
+    spark.stop()
+  }
+}

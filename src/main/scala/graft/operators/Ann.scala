@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Three tiers, in increasing scale-readiness:
+  *  - `bruteForceTopK`: exact cosine top-k, probe side broadcast, one
+  *    codegen'd pass over the corpus — the correctness baseline (and the
+  *    judged form, LlmOps.llmCosineTopk).
+  *  - `lshTopK`: random-hyperplane bucketing; probes only compare against
+  *    corpus vectors whose signature is within `maxHamming` bits, turning
+  *    the scan into a bucket join. Recall is tunable via bits/maxHamming.
+  *  - `ivfTopK`: inverted-file index via seeded KMeans; probes search the
+  *    `nprobe` nearest centroids' partitions only — the classic IVF-Flat
+  *    layout, with the centroid table broadcast.
+  */
+object Ann {
+
+  /** Exact cosine top-k for each probe vector. */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5): DataFrame = {
+    val c = corpus.select(col(idCol).as("nb"),
+      VectorFunctions.toDoubleVec(col(vecCol)).as("vb"))
+      .withColumn("nb_nrm", VectorFunctions.norm(col("vb")))
+    val p = probes.select(col(idCol).as("probe_id"),
+      VectorFunctions.toDoubleVec(col(vecCol)).as("vp"))
+      .withColumn("p_nrm", VectorFunctions.norm(col("vp")))
+    val pairs = broadcast(p).join(c, col("probe_id") =!= col("nb"))
+      .select(col("probe_id"), col("nb"),
+        (VectorFunctions.dot(col("vp"), col("vb")) / (col("p_nrm") * col("nb_nrm"))).as("sim"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("nb"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Hyperplane-LSH top-k: candidates are corpus vectors within
+    * `maxHamming` signature bits of the probe's signature. */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5, bits: Int = 16, maxHamming: Int = 6,
+      seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val planes = ScalableDedup.hyperplanes(dim, bits, seed)
+    def signed(df: DataFrame, id: String, v: String, n: String, s: String) =
+      df.select(col(idCol).as(id), VectorFunctions.toDoubleVec(col(vecCol)).as(v))
+        .withColumn(n, VectorFunctions.norm(col(v)))
+        .withColumn(s, ScalableDedup.hyperplaneSignature(col(v), planes))
+    val c = signed(corpus, "nb", "vb", "nb_nrm", "sb")
+    val p = signed(probes, "probe_id", "vp", "p_nrm", "sp")
+    val pairs = broadcast(p).join(c,
+        col("probe_id") =!= col("nb")
+          && bit_count(col("sp").bitwiseXOR(col("sb"))) <= maxHamming)
+      .select(col("probe_id"), col("nb"),
+        (VectorFunctions.dot(col("vp"), col("vb")) / (col("p_nrm") * col("nb_nrm"))).as("sim"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("nb"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** IVF-Flat top-k: seeded KMeans builds `nlist` centroids; each corpus
+    * vector lives in its nearest centroid's list; a probe searches the
+    * `nprobe` nearest lists. Centroid assignment for probes happens against
+    * the broadcast centroid table (nlist rows). */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int = 5, nlist: Int = 16,
+      nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val feats = corpus.select(col(idCol).as("nb"),
+      VectorFunctions.toDoubleVec(col(vecCol)).as("vb"))
+      .withColumn("fv", array_to_vector(col("vb")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv").fit(feats)
+    val indexed = model.transform(feats)
+      .select(col("nb"), col("vb"), col("prediction").as("list_id"))
+      .withColumn("nb_nrm", VectorFunctions.norm(col("vb")))
+    // Broadcastable centroid table: (list_id, centroid vector).
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
+      .toDF("list_id", "cv")
+    val p = probes.select(col(idCol).as("probe_id"),
+      VectorFunctions.toDoubleVec(col(vecCol)).as("vp"))
+      .withColumn("p_nrm", VectorFunctions.norm(col("vp")))
+    // Each probe picks its nprobe nearest centroids (euclidean, as in IVF).
+    val wc = Window.partitionBy(col("probe_id")).orderBy(col("cdist"), col("list_id"))
+    val probeLists = p.crossJoin(broadcast(centroids))
+      .withColumn("cdist", aggregate(zip_with(col("vp"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (s, x) => s + x))
+      .withColumn("rn", row_number().over(wc)).filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("vp"), col("p_nrm"), col("list_id"))
+    val pairs = probeLists.join(indexed, Seq("list_id"))
+      .filter(col("probe_id") =!= col("nb"))
+      .select(col("probe_id"), col("nb"),
+        (VectorFunctions.dot(col("vp"), col("vb")) / (col("p_nrm") * col("nb_nrm"))).as("sim"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("nb"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+}

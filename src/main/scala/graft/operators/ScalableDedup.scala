@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Scale-path deduplication: the all-pairs Jaccard/cosine scans in
+  * graft.operators.LlmOps are exact and judged, but O(n²) — these are the
+  * operators that replace them at 100 TB. Each turns "compare everything
+  * with everything" into "shuffle on a bucket key, compare within buckets":
+  *
+  *  - exact dedup        → hash group-by on the content key (1 shuffle)
+  *  - MinHash LSH        → banded minhash signatures, candidate pairs via
+  *                         equi-join on (band, signature) buckets
+  *  - SimHash            → 64-bit near-dup signature, hamming-ball match
+  *  - embedding LSH      → random-hyperplane signatures, bucket equi-join,
+  *                         exact cosine only within buckets
+  *
+  * All bucketing math is Column expressions (codegen'd); only MinHashLSH
+  * uses spark.ml (seeded — deterministic for a fixed seed, but still
+  * randomized across seeds, which is why these are unjudged while their
+  * exact twins in LlmOps carry the oracle).
+  */
+object ScalableDedup {
+
+  /** Exact dedup, keep-first: one row per key, keeper = min(orderCol).
+    * Aggregate form (map-side combinable) rather than window row_number —
+    * no per-key sort, no full-row shuffle. */
+  def exactDedupKeepFirst(df: DataFrame, key: Seq[String], orderCol: String): DataFrame =
+    df.groupBy(key.map(col): _*)
+      .agg(min(col(orderCol)).as("keeper"), count(lit(1)).as("dups"))
+
+  /** 64-bit SimHash over a token-array column, as a single expression:
+    * per-token xxhash64, per-bit ±1 vote, majority sign per bit. Documents
+    * within a small hamming distance are near-duplicates. SQL text because
+    * the Scala `shiftright` only accepts a literal shift amount while the
+    * SQL function takes a per-bit column. */
+  def simhash(tokensField: String): Column = expr(
+    s"""aggregate(
+          zip_with(
+            aggregate(
+              transform($tokensField, tok -> xxhash64(tok)),
+              array_repeat(0L, 64),
+              (acc, h) -> zip_with(acc, sequence(0, 63),
+                (v, b) -> v + IF((shiftright(h, b) & 1) = 1, 1L, -1L))),
+            sequence(0, 63),
+            (v, b) -> IF(v > 0, shiftleft(1L, b), 0L)),
+          0L, (s, x) -> s | x)""")
+
+  /** SimHash near-dup candidate pairs within a hamming radius. Pairs are
+    * generated per 16-bit signature band (equi-join on the band value →
+    * shuffle-parallel; a pair within hamming≤r, r<4 shares ≥1 of 4 bands
+    * by pigeonhole), then filtered by exact hamming distance. */
+  def simhashCandidates(df: DataFrame, idCol: String, tokensCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-band pigeonhole guarantee only holds for hamming <= 3")
+    val sig = df.select(col(idCol).as("id"), simhash(tokensCol).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bits"))): _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bits"))
+    val a = banded.select(col("band"), col("bits"), col("id").as("a_id"), col("sig").as("a_sig"))
+    val b = banded.select(col("band"), col("bits"), col("id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs on token sets: tokens →
+    * binary term-frequency vectors (HashingTF) → banded minhash →
+    * approxSimilarityJoin, i.e. an equi-join on LSH buckets with the exact
+    * Jaccard distance re-checked inside. Seeded for determinism. */
+  def minhashCandidates(df: DataFrame, idCol: String, tokensCol: String,
+      maxJaccardDistance: Double = 0.4, numHashTables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val tf = new HashingTF().setInputCol(tokensCol).setOutputCol("tf")
+      .setBinary(true).setNumFeatures(1 << 18)
+    val feats = tf.transform(df.select(col(idCol).as("id"), col(tokensCol)))
+      .filter(size(col(tokensCol)) > 0)
+    val mh = new MinHashLSH().setInputCol("tf").setOutputCol("mh")
+      .setNumHashTables(numHashTables).setSeed(seed)
+    val model = mh.fit(feats)
+    model.approxSimilarityJoin(feats, feats, maxJaccardDistance, "dist")
+      .select(col("datasetA.id").as("a_id"), col("datasetB.id").as("b_id"),
+        round(lit(1.0) - col("dist"), 6).as("jaccard"))
+      .filter(col("a_id") < col("b_id"))
+  }
+
+  /** Deterministic random hyperplanes for cosine LSH (seeded). */
+  private[graft] def hyperplanes(dim: Int, bits: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Random-hyperplane signature for an embedding column: bit i = sign of
+    * the projection on hyperplane i. Vectors at small cosine distance agree
+    * on most bits, so bucketing on the signature pre-filters candidates. */
+  def hyperplaneSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(VectorFunctions.dot(vec, typedLit(p)) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Embedding near-duplicate pairs: bucket equi-join on the hyperplane
+    * signature, exact cosine recheck within buckets. Trades recall
+    * (controlled by `bits`) for turning O(n²) into a shuffle join. */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.95, bits: Int = 16, seed: Long = 42L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(dim, bits, seed)
+    val sig = df.select(col(idCol).as("id"),
+      VectorFunctions.toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("bucket", hyperplaneSignature(col("v"), planes))
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+    val a = sig.select(col("bucket"), col("id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = sig.select(col("bucket"), col("id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+}

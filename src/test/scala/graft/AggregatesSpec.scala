@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Aggregates
+
+/** RMSSD UDAF cross-checked against the expression form
+  * sqrt(avg(dv*dv)) over the same lag-derived deltas (SURVEY.md §2.12). */
+class AggregatesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("rmssd equals sqrt(avg(dv^2)) on the events table") {
+    Aggregates.register(spark)
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val dv = Tables.events(spark, sf())
+      .select($"user_id", ($"value" - lag($"value", 1).over(w)).as("dv"))
+      .filter($"dv".isNotNull)
+    val got = dv.groupBy($"user_id")
+      .agg(expr("rmssd(dv)").as("r"), sqrt(avg($"dv" * $"dv")).as("want"))
+      .select($"user_id", abs($"r" - $"want").as("err"))
+      .agg(max($"err")).collect().head.getDouble(0)
+    assert(got < 1e-9)
+  }
+
+  test("rmssd on a hand-computed fixture") {
+    Aggregates.register(spark)
+    // diffs 3, -1 → rmssd = sqrt((9+1)/2) = sqrt(5)
+    val r = Seq(3.0, -1.0).toDF("dv").agg(expr("rmssd(dv)")).collect().head.getDouble(0)
+    assert(math.abs(r - math.sqrt(5.0)) < 1e-12)
+  }
+}

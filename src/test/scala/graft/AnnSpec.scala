@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ann
+
+class AnnSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf()) // 500 × 64-dim
+  private lazy val probes = emb.filter($"vec_id" < 5)
+
+  private def topkMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.select($"probe_id", $"nb", $"sim")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rows) =>
+        p -> rows.sortBy(r => (-r.getDouble(2), r.getLong(1))).map(_.getLong(1)).toSeq
+      }
+
+  test("brute force returns k neighbors per probe, self excluded, sim descending") {
+    val got = Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5)
+    val m = topkMap(got)
+    assert(m.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(m.values.forall(_.size == 5))
+    assert(m.forall { case (p, nbs) => !nbs.contains(p) })
+  }
+
+  test("LSH top-k candidates are a subset-quality approximation of brute force") {
+    val exact = topkMap(Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5))
+    val approx = topkMap(Ann.lshTopK(emb, probes, "vec_id", "embedding",
+      k = 5, bits = 16, maxHamming = 8))
+    // every probe gets candidates, and recall@5 is nonzero overall
+    assert(approx.keySet == exact.keySet)
+    val recall = exact.keys.toSeq.map { p =>
+      approx(p).toSet.intersect(exact(p).toSet).size.toDouble / 5.0
+    }.sum / exact.size
+    assert(recall > 0.3, s"recall@5 too low: $recall")
+  }
+
+  test("IVF top-k searches nprobe lists and approximates brute force") {
+    val exact = topkMap(Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5))
+    val approx = topkMap(Ann.ivfTopK(spark, emb, probes, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 4))
+    assert(approx.keySet == exact.keySet)
+    val recall = exact.keys.toSeq.map { p =>
+      approx(p).toSet.intersect(exact(p).toSet).size.toDouble / 5.0
+    }.sum / exact.size
+    assert(recall > 0.3, s"recall@5 too low: $recall")
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.ScalableDedup
+
+class ScalableDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "completely different words about query engines and shuffles here now"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today") // exact dup of 1
+  ).toDF("doc_id", "text")
+    .withColumn("toks", TextFunctions.tokens($"text"))
+
+  test("exact dedup keep-first keeps min id and counts dups") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
+    val got = ScalableDedup.exactDedupKeepFirst(df, Seq("k"), "id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("x" -> ((1L, 2L)), "y" -> ((3L, 1L))))
+  }
+
+  test("simhash: identical docs identical, near-dups close, unrelated far") {
+    val sig = docs.select($"doc_id", ScalableDedup.simhash("toks").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(2L)) < ham(sig(1L), sig(3L)))
+  }
+
+  test("simhash candidate pairs find the exact duplicate pair") {
+    val pairs = ScalableDedup.simhashCandidates(docs, "doc_id", "toks", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(1L, 3L) })
+  }
+
+  test("minhash LSH surfaces high-jaccard candidate pairs") {
+    val pairs = ScalableDedup.minhashCandidates(docs, "doc_id", "toks",
+      maxJaccardDistance = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // jaccard 1.0
+    assert(pairs.contains((1L, 2L))) // 12 of 13 tokens shared
+  }
+
+  test("embedding near-dup finds planted duplicates within buckets") {
+    val base = (0 until 16).map(_.toDouble / 7.0)
+    val dup = base.map(_ * 1.0001) // cosine ~ 1
+    val far = (0 until 16).map(i => if (i % 2 == 0) 1.0 else -1.0)
+    val df = Seq((1L, base), (2L, dup), (3L, far)).toDF("id", "v")
+    val got = ScalableDedup.embeddingNearDup(df, "id", "v", minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("minhash candidates over the documents table run and are symmetric-free") {
+    val d = Tables.documents(spark, sf()).limit(100)
+      .withColumn("toks", TextFunctions.tokenSet($"text"))
+    val pairs = ScalableDedup.minhashCandidates(d, "doc_id", "toks").collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+}

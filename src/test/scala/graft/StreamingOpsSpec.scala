@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+
+/** Streaming twins run against a MemoryStream and must agree with their
+  * batch forms over the same bounded input (SURVEY.md §2.9 / Phase 4). */
+class StreamingOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // (event_id, sec, user_id, event_type, value)
+  private val rows: Seq[(Long, Long, Long, String, Double)] = Seq(
+    (1L, 0L, 1L, "click", 1.0),
+    (2L, 600L, 1L, "click", 2.0),
+    (3L, 3700L, 1L, "view", 3.0),     // next hour, new 30-min session
+    (4L, 3800L, 2L, "click", 4.0),
+    (5L, 90000L, 1L, "click", 5.0))   // next day
+
+  private def eventsDF(df: DataFrame): DataFrame =
+    df.select($"_1".as("event_id"), timestamp_seconds($"_2").as("ts"),
+      $"_3".as("user_id"), $"_4".as("event_type"), $"_5".as("value"))
+
+  private def runStream(out: DataFrame, name: String, mode: String): DataFrame = {
+    val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  private def stream(): DataFrame = {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    ms.addData(rows: _*)
+    eventsDF(ms.toDF())
+  }
+
+  test("streaming tumbling matches the batch tumbling aggregate") {
+    // complete mode: emit every window regardless of watermark progress
+    val got = runStream(StreamingOps.tumbling(stream()), "t_tumb", "complete")
+      .select($"wstart", $"event_type", $"c", $"s")
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = eventsDF(rows.toDF())
+      .groupBy(date_trunc("hour", $"ts").as("wstart"), $"event_type")
+      .agg(count(lit(1)).as("c"), round(sum($"value"), 2).as("s"))
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == batch)
+  }
+
+  test("streaming sliding assigns each event to two windows") {
+    val got = runStream(StreamingOps.sliding(stream()), "t_slide", "complete")
+    assert(got.agg(sum($"c")).collect().head.getLong(0) == rows.size * 2)
+  }
+
+  test("streaming sessions split on the 30-minute gap") {
+    val got = runStream(StreamingOps.sessions(stream()), "t_sess", "complete")
+      .select($"user_id", $"n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // user 1: sessions {1,2}, {3}, {5} → n = 2,1,1 ; user 2: {4} → 1
+    assert(got == Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("streaming dedup drops the duplicate (user, event_type) rows") {
+    val got = runStream(StreamingOps.dedup(stream()), "t_dedup", "append")
+    // distinct (user_id, event_type): (1,click), (1,view), (2,click)
+    assert(got.count() == 3)
+  }
+
+  test("watermarked stream drops late rows behind the watermark") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val agg = StreamingOps.tumbling(eventsDF(ms.toDF()), watermark = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("t_late").outputMode("append").start()
+    try {
+      ms.addData((1L, 90000L, 1L, "click", 1.0)) // advance watermark to 90000-3600
+      q.processAllAvailable()
+      ms.addData((2L, 0L, 1L, "click", 1.0))     // a day late → dropped
+      q.processAllAvailable()
+      ms.addData((3L, 200000L, 1L, "click", 1.0)) // close the first window
+      q.processAllAvailable()
+    } finally q.stop()
+    val counts = spark.table("t_late").agg(sum($"c")).collect().head.getLong(0)
+    assert(counts == 1) // only event 1's window emitted; the late row never counted
+  }
+}
