@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
+import graft.functions.CosineSimilarityExpr.cosine_sim
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -28,13 +29,10 @@ object Ann {
       vecCol: String, k: Int = 5): DataFrame = {
     val c = corpus.select(col(idCol).as("nb"),
       VectorFunctions.toDoubleVec(col(vecCol)).as("vb"))
-      .withColumn("nb_nrm", VectorFunctions.norm(col("vb")))
     val p = probes.select(col(idCol).as("probe_id"),
       VectorFunctions.toDoubleVec(col(vecCol)).as("vp"))
-      .withColumn("p_nrm", VectorFunctions.norm(col("vp")))
     val pairs = broadcast(p).join(c, col("probe_id") =!= col("nb"))
-      .select(col("probe_id"), col("nb"),
-        (VectorFunctions.dot(col("vp"), col("vb")) / (col("p_nrm") * col("nb_nrm"))).as("sim"))
+      .select(col("probe_id"), col("nb"), cosine_sim(col("vp"), col("vb")).as("sim"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("nb"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
@@ -46,17 +44,15 @@ object Ann {
       seed: Long = 42L): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val planes = ScalableDedup.hyperplanes(dim, bits, seed)
-    def signed(df: DataFrame, id: String, v: String, n: String, s: String) =
+    def signed(df: DataFrame, id: String, v: String, s: String) =
       df.select(col(idCol).as(id), VectorFunctions.toDoubleVec(col(vecCol)).as(v))
-        .withColumn(n, VectorFunctions.norm(col(v)))
         .withColumn(s, ScalableDedup.hyperplaneSignature(col(v), planes))
-    val c = signed(corpus, "nb", "vb", "nb_nrm", "sb")
-    val p = signed(probes, "probe_id", "vp", "p_nrm", "sp")
+    val c = signed(corpus, "nb", "vb", "sb")
+    val p = signed(probes, "probe_id", "vp", "sp")
     val pairs = broadcast(p).join(c,
         col("probe_id") =!= col("nb")
           && bit_count(col("sp").bitwiseXOR(col("sb"))) <= maxHamming)
-      .select(col("probe_id"), col("nb"),
-        (VectorFunctions.dot(col("vp"), col("vb")) / (col("p_nrm") * col("nb_nrm"))).as("sim"))
+      .select(col("probe_id"), col("nb"), cosine_sim(col("vp"), col("vb")).as("sim"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("nb"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
@@ -75,25 +71,22 @@ object Ann {
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv").fit(feats)
     val indexed = model.transform(feats)
       .select(col("nb"), col("vb"), col("prediction").as("list_id"))
-      .withColumn("nb_nrm", VectorFunctions.norm(col("vb")))
     // Broadcastable centroid table: (list_id, centroid vector).
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
       .toDF("list_id", "cv")
     val p = probes.select(col(idCol).as("probe_id"),
       VectorFunctions.toDoubleVec(col(vecCol)).as("vp"))
-      .withColumn("p_nrm", VectorFunctions.norm(col("vp")))
     // Each probe picks its nprobe nearest centroids (euclidean, as in IVF).
     val wc = Window.partitionBy(col("probe_id")).orderBy(col("cdist"), col("list_id"))
     val probeLists = p.crossJoin(broadcast(centroids))
       .withColumn("cdist", aggregate(zip_with(col("vp"), col("cv"), (a, b) => (a - b) * (a - b)),
         lit(0.0), (s, x) => s + x))
       .withColumn("rn", row_number().over(wc)).filter(col("rn") <= nprobe)
-      .select(col("probe_id"), col("vp"), col("p_nrm"), col("list_id"))
+      .select(col("probe_id"), col("vp"), col("list_id"))
     val pairs = probeLists.join(indexed, Seq("list_id"))
       .filter(col("probe_id") =!= col("nb"))
-      .select(col("probe_id"), col("nb"),
-        (VectorFunctions.dot(col("vp"), col("vb")) / (col("p_nrm") * col("nb_nrm"))).as("sim"))
+      .select(col("probe_id"), col("nb"), cosine_sim(col("vp"), col("vb")).as("sim"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("nb"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.CosineSimilarityExpr.cosine_sim
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.10): exact and
   * near-duplicate detection, corpus statistics, n-grams, and embedding
@@ -64,18 +65,17 @@ object LlmOps {
     * zip_with/aggregate. Top-k per probe is a row_number window over the
     * (tiny) candidate set. */
   def llmCosineTopk(s: SparkSession, d: String): DataFrame = {
-    // Precompute each side's norm once before the join: cosine per pair then
-    // costs one dot product instead of three. dot/(na*nb) is arithmetically
-    // identical to dot/(norm(a)*norm(b)), so oracle parity is unaffected.
+    // cosine_sim is the fused native Catalyst expression — one register
+    // loop per pair, no intermediate arrays, bit-identical to the
+    // higher-order-function formulation (CosineSimilarityExprSpec).
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), VectorFunctions.toDoubleVec(col("embedding")).as("v"))
-      .withColumn("nrm", VectorFunctions.norm(col("v")))
     val a = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("a_vid"), col("v").as("va"), col("nrm").as("na"))
-    val b = emb.select(col("vec_id").as("b_vid"), col("v").as("vb"), col("nrm").as("nb_n"))
+      .select(col("vec_id").as("a_vid"), col("v").as("va"))
+    val b = emb.select(col("vec_id").as("b_vid"), col("v").as("vb"))
     val pairs = broadcast(a).join(b, col("a_vid") < col("b_vid"))
       .select(col("a_vid").as("vec_id"), col("b_vid").as("nb"),
-        round(VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb_n")), 6).as("sim"))
+        round(cosine_sim(col("va"), col("vb")), 6).as("sim"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nb"))
     pairs.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
@@ -94,7 +94,7 @@ object LlmOps {
     emb.crossJoin(broadcast(probe))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("c"),
-        round(avg(VectorFunctions.cosine(col("v"), col("probe"))), 6).as("avg_sim"))
+        round(avg(cosine_sim(col("v"), col("probe"))), 6).as("avg_sim"))
       .orderBy(col("label"))
   }
 

@@ -117,13 +117,12 @@ object ScalableDedup {
     val sig = df.select(col(idCol).as("id"),
       VectorFunctions.toDoubleVec(col(vecCol)).as("v"))
       .withColumn("bucket", hyperplaneSignature(col("v"), planes))
-      .withColumn("nrm", VectorFunctions.norm(col("v")))
-    val a = sig.select(col("bucket"), col("id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
-    val b = sig.select(col("bucket"), col("id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val a = sig.select(col("bucket"), col("id").as("a_id"), col("v").as("va"))
+    val b = sig.select(col("bucket"), col("id").as("b_id"), col("v").as("vb"))
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+        round(graft.functions.CosineSimilarityExpr.cosine_sim(col("va"), col("vb")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 }
