@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Aggregates, TextAnalysis, TextFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{Ann, ScalableDedup}
+import graft.operators.{Ann, Features, ScalableDedup}
 import graft.plans.LatestPerKeyRule
 
 /** End-to-end tour of the engine's capability surface beyond the judged
@@ -78,6 +78,11 @@ object Demo {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     }.nonEmpty
     println(s"latest-per-key rule rewrote window→aggregate: $rewritten (rows=${latest.count()})")
+
+    val feat = Features.rollingByRows(Tables.events(spark, sfDir),
+      $"user_id", $"ts", $"event_id", $"value", n = 5)
+    println(s"rolling feature table: ${feat.count()} rows × ${feat.columns.length} cols " +
+      s"(adds ${feat.columns.count(_.startsWith("f_"))} features)")
 
     val media = Multimodal.syntheticMedia(spark, 12)
     val feats = Multimodal.decodeFeatures(media, dim = 8)
