@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Structured Streaming twins of the batch time-series operators
   * (graft.operators.TimeSeries / SURVEY.md §2.9). Each takes a *streaming*
@@ -16,6 +17,26 @@ import org.apache.spark.sql.functions._
   * on a cluster.
   */
 object StreamingOps {
+
+  /** Live file-source wiring for the events table: `readStream` over the
+    * parquet directory with the same ns→µs timestamp handling as the batch
+    * loader (streaming sources require an explicit schema, so `ts` is
+    * declared as raw nanos and converted). New files appearing under the
+    * path become micro-batches — the deployment path for the ingestor. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw nanos
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 
   /** Twin of TimeSeries.streamTumbling: 1-hour tumbling count+sum per
     * event_type. */

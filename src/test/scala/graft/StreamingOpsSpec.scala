@@ -67,6 +67,13 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(got.count() == 3)
   }
 
+  test("readStream over the real events parquet matches the batch tumbling counts") {
+    val stream = StreamingOps.readEventsStream(spark, sf())
+    val got = runStream(StreamingOps.tumbling(stream), "t_file", "complete")
+    val batchTotal = Tables.events(spark, sf()).count()
+    assert(got.agg(sum($"c")).collect().head.getLong(0) == batchTotal)
+  }
+
   test("watermarked stream drops late rows behind the watermark") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, Long, Long, String, Double)]
