@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Aggregates, TextAnalysis, TextFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{Ann, Features, ScalableDedup}
+import graft.operators.{Ann, Features, Hrv, ScalableDedup}
 import graft.plans.LatestPerKeyRule
 import graft.streaming.StreamingOps
 
@@ -84,6 +84,15 @@ object Demo {
       $"user_id", $"ts", $"event_id", $"value", n = 5)
     println(s"rolling feature table: ${feat.count()} rows × ${feat.columns.length} cols " +
       s"(adds ${feat.columns.count(_.startsWith("f_"))} features)")
+
+    val cleaned = Hrv.interpolateOutliers(
+      Hrv.flagOutliers(Tables.events(spark, sfDir), $"user_id", $"ts", $"event_id",
+        $"value", lo = 0, hi = 1000),
+      $"user_id", $"ts", $"event_id", $"value")
+    val hrv = Hrv.timeDomain(cleaned, $"user_id", $"ts", $"event_id", $"value_clean")
+      .join(Hrv.poincare(cleaned, $"user_id", $"ts", $"event_id", $"value_clean"), "series_key")
+    println(s"HRV pipeline: ${hrv.count()} series → " +
+      s"sample=${hrv.orderBy($"series_key").select($"series_key", round($"rmssd",2), round($"sd1",2)).first()}")
 
     val media = Multimodal.syntheticMedia(spark, 12)
     val feats = Multimodal.decodeFeatures(media, dim = 8)

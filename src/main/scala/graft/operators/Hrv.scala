@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Physiological time-series cleaning and HRV-style feature extraction —
+  * the reference domain's core pipeline (RR-interval series → cleaned
+  * series → per-key feature table), expressed entirely as Spark window
+  * functions and aggregates.
+  *
+  * Everything partitions by the series key: cleaning and features are one
+  * shuffle on the key followed by local sorted work, so the pipeline
+  * scales with key cardinality. The spectral block uses a direct
+  * periodogram (per-frequency sin/cos projections as plain aggregates),
+  * which — unlike an FFT — needs no uniform resampling and distributes
+  * trivially; it is the natural Spark-first form of Lomb-Scargle-style
+  * band power for irregularly-sampled series.
+  */
+object Hrv {
+
+  /** Mark samples implausible on absolute bounds or relative deviation
+    * from the rolling median of the previous `medianWindow` samples — the
+    * median-filter artifact rule. Unlike a compare-to-previous-sample
+    * rule, the median reference is robust to the artifact itself, so the
+    * recovery sample after a spike is not flagged. Adds `is_outlier`. */
+  def flagOutliers(df: DataFrame, key: Column, ts: Column, tiebreak: Column,
+      value: Column, lo: Double, hi: Double, maxJumpFrac: Double = 0.2,
+      medianWindow: Int = 5): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tiebreak)
+      .rowsBetween(-medianWindow, -1)
+    // first sample of a series has an empty frame → median null → compare
+    // against itself (never a jump outlier)
+    val med = coalesce(percentile_approx(value, lit(0.5), lit(1000)).over(w), value)
+    df.withColumn("is_outlier",
+      value < lo || value > hi || abs(value - med) > abs(med) * maxJumpFrac)
+  }
+
+  /** Replace flagged samples with the mean of the nearest clean neighbors
+    * (linear gap fill of length-1 gaps; longer gaps keep the last clean
+    * neighbor's side value). Adds `value_clean`. */
+  def interpolateOutliers(df: DataFrame, key: Column, ts: Column,
+      tiebreak: Column, value: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    val cleanVal = when(col("is_outlier"), lit(null)).otherwise(value)
+    val prevClean = last(cleanVal, ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val nextClean = first(cleanVal, ignoreNulls = true)
+      .over(w.rowsBetween(1, Window.unboundedFollowing))
+    df.withColumn("value_clean",
+      when(!col("is_outlier"), value)
+        .when(prevClean.isNotNull && nextClean.isNotNull, (prevClean + nextClean) / 2)
+        .otherwise(coalesce(prevClean, nextClean, value)))
+  }
+
+  /** Time-domain HRV feature block per key: mean/SDNN (stddev of samples),
+    * RMSSD (RMS of successive differences), pNN-style fraction of
+    * successive differences exceeding `nnThreshold`, and sample count.
+    * One window pass for the diffs, one partial+final aggregate. */
+  def timeDomain(df: DataFrame, key: Column, ts: Column, tiebreak: Column,
+      value: Column, nnThreshold: Double = 50.0): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    val dv = value - lag(value, 1).over(w)
+    df.select(key.as("series_key"), value.as("v"), dv.as("dv"))
+      .groupBy(col("series_key"))
+      .agg(
+        count(col("v")).as("n"),
+        avg(col("v")).as("mean_nn"),
+        stddev_samp(col("v")).as("sdnn"),
+        sqrt(avg(col("dv") * col("dv"))).as("rmssd"),
+        (sum(when(abs(col("dv")) > nnThreshold, 1).otherwise(0)).cast("double")
+          / count(col("dv"))).as("pnn"))
+  }
+
+  /** Poincaré-plot descriptors per key, from the successive-pair identity:
+    * SD1² = var(x_{i+1} − x_i)/2 (short-term variability),
+    * SD2² = var(x_{i+1} + x_i)/2 − ... computed directly from the pair sums
+    * and differences (sample variance throughout). */
+  def poincare(df: DataFrame, key: Column, ts: Column, tiebreak: Column,
+      value: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    val prev = lag(value, 1).over(w)
+    df.select(key.as("series_key"),
+        (value - prev).as("d"), (value + prev).as("s"))
+      .filter(col("d").isNotNull)
+      .groupBy(col("series_key"))
+      .agg(
+        sqrt(var_samp(col("d")) / 2).as("sd1"),
+        sqrt(var_samp(col("s")) / 2).as("sd2"))
+      .withColumn("sd_ratio", col("sd2") / col("sd1"))
+  }
+
+  /** Direct periodogram band power per key: for each frequency f (Hz),
+    * P(f) = [(Σ c·cos 2πft)² + (Σ c·sin 2πft)²] / n over mean-centered
+    * samples c at their actual (irregular) timestamps — no resampling, no
+    * FFT, just per-frequency aggregates that combine map-side. Returns one
+    * `power_<i>` column per requested frequency. */
+  def bandPower(df: DataFrame, key: Column, ts: Column, value: Column,
+      freqsHz: Seq[Double]): DataFrame = {
+    val wk = Window.partitionBy(key)
+    val centered = value - avg(value).over(wk)
+    val tSec = unix_micros(ts).cast("double") / 1e6
+    val prepped = df.select(key.as("series_key"), centered.as("c"), tSec.as("t"))
+    val aggs = freqsHz.zipWithIndex.flatMap { case (f, i) =>
+      val theta = col("t") * (2 * math.Pi * f)
+      Seq(
+        ((pow(sum(col("c") * cos(theta)), 2) + pow(sum(col("c") * sin(theta)), 2))
+          / count(col("c"))).as(s"power_$i"))
+    }
+    prepped.groupBy(col("series_key")).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Hrv
+
+class HrvSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // An RR-interval-ish series for user 1 with one absolute outlier (5000)
+  // and one jump artifact (1300 after 800 > 20%), plus a clean user 2.
+  private lazy val rr = Seq(
+    (1L, 1L, 800.0), (1L, 2L, 810.0), (1L, 3L, 5000.0), (1L, 4L, 820.0),
+    (1L, 5L, 790.0), (1L, 6L, 1300.0), (1L, 7L, 805.0),
+    (2L, 8L, 600.0), (2L, 9L, 610.0))
+    .toDF("user_id", "event_id", "value")
+    .withColumn("ts", timestamp_seconds($"event_id"))
+
+  private def flagged = Hrv.flagOutliers(rr, $"user_id", $"ts", $"event_id",
+    $"value", lo = 300, hi = 2000)
+
+  test("outlier flags catch artifacts but not the recovery samples after them") {
+    val m = flagged.collect().map(r => r.getLong(1) -> r.getBoolean(4)).toMap
+    assert(m(3L)) // 5000 out of bounds
+    assert(m(6L)) // 1300 deviates >20% from the rolling median (~810)
+    // the samples right after each artifact compare against a robust
+    // median, so they are NOT flagged:
+    assert(!m(4L) && !m(7L))
+    assert(!m(1L) && !m(2L) && !m(5L) && !m(8L) && !m(9L))
+  }
+
+  test("interpolation replaces outliers with clean-neighbor means") {
+    val got = Hrv.interpolateOutliers(flagged, $"user_id", $"ts", $"event_id", $"value")
+      .collect().map(r => r.getLong(1) -> r.getDouble(5)).toMap
+    assert(got(3L) == (810.0 + 820.0) / 2) // clean neighbors id2=810, id4=820
+    assert(got(6L) == (790.0 + 805.0) / 2) // clean neighbors id5=790, id7=805
+    assert(got(1L) == 800.0) // untouched
+  }
+
+  test("time-domain block: rmssd/sdnn/pnn on a hand-checked series") {
+    val simple = Seq((9L, 1L, 100.0), (9L, 2L, 160.0), (9L, 3L, 130.0))
+      .toDF("user_id", "event_id", "value")
+      .withColumn("ts", timestamp_seconds($"event_id"))
+    val r = Hrv.timeDomain(simple, $"user_id", $"ts", $"event_id", $"value")
+      .collect().head
+    assert(r.getLong(1) == 3)
+    assert(math.abs(r.getDouble(2) - 130.0) < 1e-12) // mean
+    assert(math.abs(r.getDouble(4) - math.sqrt((3600.0 + 900.0) / 2)) < 1e-12) // rmssd
+    assert(math.abs(r.getDouble(5) - 0.5) < 1e-12) // |60|>50, |−30|≤50 → 1 of 2
+  }
+
+  test("poincare sd1 equals stddev(diffs)/sqrt(2)") {
+    val simple = Seq((9L, 1L, 100.0), (9L, 2L, 160.0), (9L, 3L, 130.0))
+      .toDF("user_id", "event_id", "value")
+      .withColumn("ts", timestamp_seconds($"event_id"))
+    val r = Hrv.poincare(simple, $"user_id", $"ts", $"event_id", $"value").collect().head
+    // diffs: 60, -30 → var_samp = 4050 → sd1 = sqrt(2025) = 45
+    assert(math.abs(r.getDouble(1) - 45.0) < 1e-9)
+    assert(r.getDouble(2) > 0)
+  }
+
+  test("band power peaks at the true frequency of a synthetic sinusoid") {
+    val n = 256
+    val f0 = 0.25 // Hz
+    val rows = (0 until n).map { i =>
+      val t = i.toDouble // 1 Hz sampling
+      (7L, i.toLong, math.sin(2 * math.Pi * f0 * t))
+    }
+    val df = rows.toDF("user_id", "event_id", "value")
+      .withColumn("ts", timestamp_seconds($"event_id"))
+    val r = Hrv.bandPower(df, $"user_id", $"ts", $"value",
+      freqsHz = Seq(0.05, 0.25, 0.40)).collect().head
+    val powers = Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(powers(1) > powers(0) * 10 && powers(1) > powers(2) * 10,
+      s"expected a peak at 0.25Hz, got $powers")
+  }
+
+  test("full pipeline runs on the events table") {
+    val cleaned = Hrv.interpolateOutliers(
+      Hrv.flagOutliers(Tables.events(spark, sf()), $"user_id", $"ts", $"event_id",
+        $"value", lo = 0, hi = 1000),
+      $"user_id", $"ts", $"event_id", $"value")
+    val features = Hrv.timeDomain(cleaned, $"user_id", $"ts", $"event_id", $"value_clean")
+    assert(features.count() == 15) // one row per user at sf0.001
+    assert(features.filter($"rmssd".isNull || $"sdnn".isNull).count() == 0)
+  }
+}
