@@ -85,6 +85,11 @@ object Demo {
     println(s"rolling feature table: ${feat.count()} rows × ${feat.columns.length} cols " +
       s"(adds ${feat.columns.count(_.startsWith("f_"))} features)")
 
+    val salted = graft.operators.SkewJoin.saltedInnerJoin(
+      Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
+      "o_custkey", "c_custkey", "o_orderkey", saltBuckets = 8)
+    println(s"salted skew join: ${salted.count()} rows (matches plain inner join)")
+
     val cleaned = Hrv.interpolateOutliers(
       Hrv.flagOutliers(Tables.events(spark, sfDir), $"user_id", $"ts", $"event_id",
         $"value", lo = 0, hi = 1000),
