@@ -29,7 +29,11 @@ object Demo {
     import spark.implicits._
     spark.sparkContext.setLogLevel("ERROR")
 
-    val docs = Tables.documents(spark, sfDir)
+    // The synthetic corpus draws from a ~40-word vocabulary (FIXTURES.md),
+    // so near-duplicate candidates are inherently quadratic in OUTPUT —
+    // even 50 docs yield 732 pairs above 0.6 Jaccard. Cap the pairwise
+    // demo stages at 500 docs so the tour stays a smoke, not a pair dump.
+    val docs = Tables.documents(spark, sfDir).limit(500)
       .withColumn("toks", TextFunctions.tokenSet($"text"))
     val emb = Tables.embeddings(spark, sfDir)
 
