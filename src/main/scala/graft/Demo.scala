@@ -42,9 +42,11 @@ object Demo {
     val mh = ScalableDedup.minhashCandidates(docs, "doc_id", "toks").count()
     println(s"minhash-LSH near-dup candidate pairs: $mh")
 
-    val sh = ScalableDedup.simhashCandidates(
-      docs.withColumn("toks", TextFunctions.tokens($"text")), "doc_id", "toks").count()
-    println(s"simhash hamming<=3 candidate pairs:   $sh")
+    val shPairs = ScalableDedup.simhashCandidates(
+      docs.withColumn("toks", TextFunctions.tokens($"text")), "doc_id", "toks")
+    println(s"simhash hamming<=3 candidate pairs:   ${shPairs.count()}")
+    val repl = graft.operators.DedupClusters.replacementMap(shPairs, "a_id", "b_id")
+    println(s"dedup clusters: ${repl.count()} docs would be replaced by a keeper")
 
     val nd = ScalableDedup.embeddingNearDup(emb, "vec_id", "embedding",
       minCosine = 0.8).count()
