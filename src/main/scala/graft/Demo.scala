@@ -109,6 +109,21 @@ object Demo {
     val feats = Multimodal.decodeFeatures(media, dim = 8)
     println(s"multimodal: decoded ${feats.count()} media rows → ${feats.first().features.length}-dim features")
 
+    // end-to-end reference pipeline: raw CSV export → quarantine → clean →
+    // rolling + HRV feature tables (see graft.Pipeline)
+    val pipeDir = java.nio.file.Files.createTempDirectory("graft_demo_pipe").toFile
+    val rawCsv = new java.io.File(pipeDir, "export.csv")
+    val rows = (0 until 200).map { i =>
+      val v = if (i % 37 == 0) 5000 else 700 + (i * 13) % 200
+      f"${i % 4},2024-01-01 00:${i / 60}%02d:${i % 60}%02d,$v"
+    }
+    java.nio.file.Files.writeString(rawCsv.toPath,
+      "series_id,ts,value\n" + rows.mkString("\n") + "\nbad,row,here\n")
+    val pipe = Pipeline.ingestAndFeaturize(spark, rawCsv.getAbsolutePath,
+      new java.io.File(pipeDir, "out").getAbsolutePath, lo = 300, hi = 2000)
+    println(s"pipeline: valid=${pipe.validRows} quarantined=${pipe.quarantinedRows} " +
+      s"series=${pipe.series} featureRows=${pipe.featureRows}")
+
     val q = StreamingOps.tumbling(StreamingOps.readEventsStream(spark, sfDir))
       .writeStream.format("memory").queryName("demo_stream").outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()

@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+class PipelineSpec extends SparkSpecBase {
+
+  test("raw CSV to feature tables, with quarantine and cleaning applied") {
+    val dir = Files.createTempDirectory("graft_pipe").toFile
+    val raw = new java.io.File(dir, "export.csv")
+    // series 1: clean run with one absolute artifact (5000); series 2: short;
+    // one malformed line that must be quarantined, not fatal
+    Files.writeString(raw.toPath,
+      """series_id,ts,value
+        |1,2024-01-01 00:00:00,800
+        |1,2024-01-01 00:00:01,810
+        |1,2024-01-01 00:00:02,5000
+        |1,2024-01-01 00:00:03,820
+        |1,2024-01-01 00:00:04,790
+        |2,2024-01-02 00:00:00,600
+        |2,2024-01-02 00:00:01,610
+        |garbage,not_a_ts,nope
+        |""".stripMargin)
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val s = Pipeline.ingestAndFeaturize(spark, raw.getAbsolutePath, out,
+      lo = 300, hi = 2000)
+
+    assert(s.validRows == 7)
+    assert(s.quarantinedRows == 1)
+    assert(s.series == 2)
+    assert(s.featureRows == 7)
+
+    // the artifact was interpolated before features: max clean value sane
+    val sample = spark.read.parquet(s"$out/sample_features")
+    import org.apache.spark.sql.functions._
+    val maxClean = sample.agg(max(col("value_clean"))).collect().head.getDouble(0)
+    assert(maxClean <= 2000, s"artifact leaked into features: $maxClean")
+
+    // day partitioning materialized on disk
+    assert(new java.io.File(s"$out/sample_features/day=2024-01-01").exists())
+    assert(new java.io.File(s"$out/sample_features/day=2024-01-02").exists())
+
+    // series feature table has the HRV block
+    val series = spark.read.parquet(s"$out/series_features")
+    assert(series.columns.toSet.intersect(Set("sdnn", "rmssd", "sd1", "sd2")).size == 4)
+  }
+}
