@@ -72,6 +72,26 @@ object TextAnalysis {
   def contentFingerprint(text: Column): Column =
     xxhash64(concat_ws(" ", array_sort(array_distinct(split(text, "\\s+")))))
 
+  /** TF-IDF term weights over a corpus: explode tokens → term frequency
+    * per (doc, term) → document frequency per term (one aggregate, joined
+    * back) → smoothed idf = ln((N+1)/(df+1)) + 1. Two shuffles total (by
+    * (doc, term) and by term); the per-term document-frequency table is
+    * tiny relative to the corpus and broadcasts at scale. */
+  def tfidf(df: org.apache.spark.sql.DataFrame, docIdCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count => cnt}
+    val n = df.count()
+    val terms = df.select(col(docIdCol).as("doc_id"),
+      explode(split(col(textCol), "\\s+")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(cnt(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(docFreq), "term")
+      .withColumn("idf", log((lit(n.toDouble) + 1) / (col("df") + 1)) + 1)
+      .withColumn("tfidf", col("tf") * col("idf"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("idf"), col("tfidf"))
+  }
+
   /** Rolling k-shingle min-hash fingerprint: hash every k-token shingle,
     * keep the minimum — one deterministic minhash band, the building block
     * of near-dup LSH (see graft.operators.ScalableDedup). */

@@ -57,6 +57,23 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(f(2) != 0L)
   }
 
+  test("tfidf: rare terms outweigh common ones, values hand-check") {
+    val df = Seq(
+      (1L, "cat cat dog"),
+      (2L, "cat fish"),
+      (3L, "cat bird")).toDF("doc_id", "text")
+    val w = TextAnalysis.tfidf(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(5)))).toMap
+    // "cat" in every doc: df=3, idf = ln(4/4)+1 = 1
+    assert(w((1L, "cat"))._1 == 2 && w((1L, "cat"))._2 == 3)
+    assert(math.abs(w((1L, "cat"))._3 - 2.0) < 1e-12) // tf=2 × idf=1
+    // "fish" df=1: idf = ln(4/2)+1
+    val fish = w((2L, "fish"))._3
+    assert(math.abs(fish - (math.log(2.0) + 1)) < 1e-12)
+    assert(fish > w((2L, "cat"))._3) // rare beats common at equal tf
+  }
+
   test("runs over the documents table") {
     val df = Tables.documents(spark, sf())
       .select(TextAnalysis.langId($"text").as("lid"),
