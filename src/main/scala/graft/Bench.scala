@@ -30,9 +30,8 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     names.foreach(timeOne) // warmup, untimed
-    val r1 = names.map(n => n -> timeOne(n)).toMap
-    val r2 = names.map(n => n -> timeOne(n)).toMap
-    val results = names.map(n => n -> math.min(r1(n), r2(n)))
+    val passes = Seq.fill(3)(names.map(n => n -> timeOne(n)).toMap)
+    val results = names.map(n => n -> passes.map(_(n)).min)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
