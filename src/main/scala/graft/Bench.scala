@@ -6,9 +6,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology mirrors the BASELINE.md oracle measurement ("3 full-suite
   * runs ... best of 3"): one untimed warmup pass (JIT + codegen cache +
-  * parquet footer cache), then two timed passes, reporting each query's
+  * parquet footer cache), then three timed passes, reporting each query's
   * best. Without warmup the first queries pay ~3 s of one-time JVM
-  * compilation that is not query cost.
+  * compilation that is not query cost. A query that throws is reported in
+  * a "failed" list (its recorded time is the time-to-exception, which is
+  * not a valid measurement).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,10 +25,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     names.foreach(timeOne) // warmup, untimed
@@ -35,7 +41,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -76,10 +76,11 @@ object Demo {
     println(s"rmssd per user: ${rm.count()} rows, sample=${rm.orderBy($"user_id").first()}")
 
     LatestPerKeyRule.install(spark)
+    // non-nullable ordering key (the rule's soundness precondition)
     val latest = Tables.events(spark, sfDir)
-      .select($"user_id", $"ts", $"event_id")
+      .select($"user_id", coalesce(unix_micros($"ts"), lit(0L)).as("tsm"), $"event_id")
       .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"user_id").orderBy($"ts".desc)))
+        org.apache.spark.sql.expressions.Window.partitionBy($"user_id").orderBy($"tsm".desc)))
       .filter($"rn" === 1)
     val rewritten = latest.queryExecution.optimizedPlan.collect {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a

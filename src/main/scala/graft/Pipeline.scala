@@ -38,9 +38,10 @@ object Pipeline {
   def ingestAndFeaturize(spark: SparkSession, rawCsvPath: String,
       outDir: String, lo: Double, hi: Double, rollingN: Int = 5): Summary = {
     // 1. schema-enforced read; malformed rows quarantined, not fatal
-    val (valid, bad) = Ingest.partitionValid(
-      Ingest.readCsv(spark, rawCsvPath, rawSchema))
+    val raw = Ingest.readCsv(spark, rawCsvPath, rawSchema)
+    val (valid, bad) = Ingest.partitionValid(raw)
     bad.write.mode("overwrite").parquet(s"$outDir/quarantine")
+    val (_, validRows, quarantinedRows) = Ingest.counts(raw)
 
     // 2. artifact cleaning per series
     val cleaned = Hrv.interpolateOutliers(
@@ -62,8 +63,8 @@ object Pipeline {
     hrv.write.mode("overwrite").parquet(s"$outDir/series_features")
 
     Summary(
-      validRows = valid.count(),
-      quarantinedRows = bad.count(),
+      validRows = validRows,
+      quarantinedRows = quarantinedRows,
       series = hrv.count(),
       featureRows = spark.read.parquet(s"$outDir/sample_features").count())
   }

@@ -37,21 +37,32 @@ object Ann {
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
-  /** Hyperplane-LSH top-k: candidates are corpus vectors within
-    * `maxHamming` signature bits of the probe's signature. */
+  /** Hyperplane-LSH top-k via banded bucket equi-joins: the signature is
+    * split into `bands` sub-signatures and a corpus vector becomes a
+    * candidate iff it agrees with the probe on at least one full band —
+    * a shuffle-parallel equi-join on (band, band-bits), never an all-pairs
+    * comparison. Recall is tuned by bits/bands (more bands → shorter
+    * bands → higher recall, more candidates). */
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-      vecCol: String, k: Int = 5, bits: Int = 16, maxHamming: Int = 6,
+      vecCol: String, k: Int = 5, bits: Int = 16, bands: Int = 4,
       seed: Long = 42L): DataFrame = {
+    require(bits % bands == 0, "bits must divide evenly into bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val planes = ScalableDedup.hyperplanes(dim, bits, seed)
-    def signed(df: DataFrame, id: String, v: String, s: String) =
+    def banded(df: DataFrame, id: String, v: String) =
       df.select(col(idCol).as(id), VectorFunctions.toDoubleVec(col(vecCol)).as(v))
-        .withColumn(s, ScalableDedup.hyperplaneSignature(col(v), planes))
-    val c = signed(corpus, "nb", "vb", "sb")
-    val p = signed(probes, "probe_id", "vp", "sp")
-    val pairs = broadcast(p).join(c,
-        col("probe_id") =!= col("nb")
-          && bit_count(col("sp").bitwiseXOR(col("sb"))) <= maxHamming)
+        .withColumn("_sig", ScalableDedup.hyperplaneSignature(col(v), planes))
+        .withColumn("_band", explode(array((0 until bands).map(b =>
+          struct(lit(b).as("b"),
+            shiftright(col("_sig"), b * width).bitwiseAND(lit(mask)).as("bits"))): _*)))
+        .select(col(id), col(v), col("_band.b"), col("_band.bits"))
+    val c = banded(corpus, "nb", "vb")
+    val p = banded(probes, "probe_id", "vp")
+    val pairs = broadcast(p).join(c, Seq("b", "bits"))
+      .filter(col("probe_id") =!= col("nb"))
+      .dropDuplicates("probe_id", "nb")
       .select(col("probe_id"), col("nb"), cosine_sim(col("vp"), col("vb")).as("sim"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("nb"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")

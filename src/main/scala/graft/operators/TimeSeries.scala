@@ -60,7 +60,9 @@ object TimeSeries {
     * exactly the batch shape of `session_window(ts, "30 minutes")`. */
   def streamSession(s: SparkSession, d: String): DataFrame = {
     val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val wRun = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    // same (ts, event_id) tiebreak as wOrd: a ROWS-frame running sum over
+    // a ties-ambiguous order would make session ids nondeterministic
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"))

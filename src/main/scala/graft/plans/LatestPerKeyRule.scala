@@ -26,8 +26,11 @@ import org.apache.spark.sql.types.IntegerType
   * Semantics: row_number over duplicate ordering keys is tie-ambiguous,
   * and so is max_by — the rewrite preserves the determinism contract the
   * query already had. Applied only to the narrow, provably-safe shape:
-  * single row_number window expression, attribute-only partition keys,
-  * single ordering key, rn compared to 1.
+  * single row_number window expression, non-empty attribute-only partition
+  * keys (a global window differs on empty input), a single NON-NULLABLE
+  * ordering key (max_by/min_by skip null ordering keys, which diverges
+  * from row_number under custom null ordering or all-null groups), rn
+  * compared to 1.
   */
 object LatestPerKeyRule extends Rule[LogicalPlan] {
 
@@ -50,15 +53,19 @@ object LatestPerKeyRule extends Rule[LogicalPlan] {
     case Filter(cond,
         w @ Window(Seq(Alias(WindowExpression(_: RowNumber, spec), rnName)), partitionSpec, Seq(order), child, _))
         if isRnFilter(cond, w.windowExpressions.head.exprId)
+          // non-empty attribute partition keys: a GLOBAL latest-row window
+          // returns 0 rows on empty input, but an ungrouped aggregate
+          // returns 1 phantom row — never rewrite the global form
+          && partitionSpec.nonEmpty
           && partitionSpec.forall(_.isInstanceOf[AttributeReference])
           && spec.frameSpecification.isInstanceOf[SpecifiedWindowFrame]
-          && (order.direction == Descending || !order.child.nullable) =>
+          // non-nullable ordering key: max_by/min_by skip null ordering
+          // keys, so a nullable key can pick a different row (custom null
+          // ordering) or fabricate an all-null row (all-null group) —
+          // both directions are gated
+          && !order.child.nullable =>
       val rnAttr = w.windowExpressions.head
       val keyIds = partitionSpec.map(_.asInstanceOf[AttributeReference].exprId).toSet
-      // Null-ordering parity: max_by/min_by skip null ordering keys. DESC's
-      // default NULLS LAST matches; ASC's default NULLS FIRST would rank a
-      // null-keyed row first, so the ascending rewrite is gated (in the
-      // pattern guard) on a non-nullable ordering key.
       val picker: Expression => Expression = order.direction match {
         case Descending => v => MaxBy(v, order.child).toAggregateExpression()
         case Ascending  => v => MinBy(v, order.child).toAggregateExpression()

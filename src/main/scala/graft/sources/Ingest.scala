@@ -40,12 +40,33 @@ object Ingest {
 
   /** Split a permissively-read frame into (valid, quarantined). Valid rows
     * drop the corrupt column; quarantined rows keep the raw text for
-    * replay/debugging. */
+    * replay/debugging.
+    *
+    * Deliberately uncached — an internal cache() would pin the whole raw
+    * input in storage memory with no handle for the caller to unpersist.
+    * Consequence (Spark restriction QUERY_ONLY_CORRUPT_RECORD_COLUMN): the
+    * quarantine side must be consumed through full-row operations (write,
+    * collect) — counting it alone is disallowed on an uncached raw scan;
+    * count quarantined rows as total − valid (see `counts`) or cache the
+    * input yourself with a lifetime you control. */
   def partitionValid(df: DataFrame): (DataFrame, DataFrame) = {
-    val cached = df.cache()
-    val valid = cached.filter(col(CorruptCol).isNull).drop(CorruptCol)
-    val bad = cached.filter(col(CorruptCol).isNotNull)
+    val valid = df.filter(col(CorruptCol).isNull).drop(CorruptCol)
+    val bad = df.filter(col(CorruptCol).isNotNull)
     (valid, bad)
+  }
+
+  /** (total, valid, quarantined) row counts for a permissively-read frame.
+    * Spark refuses corrupt-column-only queries against a raw scan, and
+    * column pruning reduces a filtered count to exactly that — so the
+    * frame is cached for the duration of the two counts and unpersisted
+    * before returning (scoped: no storage-memory leak survives the call). */
+  def counts(df: DataFrame): (Long, Long, Long) = {
+    val cached = df.cache()
+    try {
+      val total = cached.count()
+      val valid = cached.filter(col(CorruptCol).isNull).count()
+      (total, valid, total - valid)
+    } finally cached.unpersist()
   }
 
   /** Partitioned parquet sink: at scale, partition columns (typically a

@@ -29,7 +29,7 @@ class AnnSpec extends SparkSpecBase {
   test("LSH top-k candidates are a subset-quality approximation of brute force") {
     val exact = topkMap(Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5))
     val approx = topkMap(Ann.lshTopK(emb, probes, "vec_id", "embedding",
-      k = 5, bits = 16, maxHamming = 8))
+      k = 5, bits = 16, bands = 4))
     // every probe gets candidates, and recall@5 is nonzero overall
     assert(approx.keySet == exact.keySet)
     val recall = exact.keys.toSeq.map { p =>

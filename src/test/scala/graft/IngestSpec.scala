@@ -19,10 +19,13 @@ class IngestSpec extends SparkSpecBase {
     Files.writeString(f.toPath,
       "id,name,score\n1,alice,1.5\n2,bob,2.5\nnot_a_long,carol,oops\n3,dee,3.5\n")
     val df = Ingest.readCsv(spark, f.getAbsolutePath, schema)
-    val (valid, bad) = Ingest.partitionValid(df)
-    assert(valid.count() == 3)
-    assert(bad.count() == 1)
-    assert(bad.select(Ingest.CorruptCol).collect().head.getString(0).startsWith("not_a_long"))
+    val (_, bad) = Ingest.partitionValid(df)
+    val (total, valid, quarantined) = Ingest.counts(df)
+    assert(total == 4 && valid == 3 && quarantined == 1)
+    // quarantine side consumed as full rows (raw-scan corrupt-column rule)
+    val badRows = bad.collect()
+    assert(badRows.length == 1)
+    assert(badRows.head.getAs[String](Ingest.CorruptCol).startsWith("not_a_long"))
   }
 
   test("json ingestion enforces the declared schema and quarantines garbage") {
@@ -33,9 +36,9 @@ class IngestSpec extends SparkSpecBase {
         |this is not json
         |{"id": 2, "name": "bob", "score": 2.5}
         |""".stripMargin)
-    val (valid, bad) = Ingest.partitionValid(Ingest.readJson(spark, f.getAbsolutePath, schema))
-    assert(valid.count() == 2)
-    assert(bad.count() == 1)
+    val df = Ingest.readJson(spark, f.getAbsolutePath, schema)
+    val (total, valid, quarantined) = Ingest.counts(df)
+    assert(total == 3 && valid == 2 && quarantined == 1)
   }
 
   test("partitioned parquet sink round-trips with partition pruning available") {
