@@ -105,6 +105,8 @@ object Demo {
       .join(Hrv.poincare(cleaned, $"user_id", $"ts", $"event_id", $"value_clean"), "series_key")
     println(s"HRV pipeline: ${hrv.count()} series → " +
       s"sample=${hrv.orderBy($"series_key").select($"series_key", round($"rmssd",2), round($"sd1",2)).first()}")
+    val grid = Hrv.resample(cleaned, $"user_id", $"ts", $"value_clean", stepSeconds = 3600)
+    println(s"resampled to 1h grid: ${grid.count()} ticks")
 
     val media = Multimodal.syntheticMedia(spark, 12)
     val feats = Multimodal.decodeFeatures(media, dim = 8)

@@ -90,6 +90,39 @@ object Hrv {
       .withColumn("sd_ratio", col("sd2") / col("sd1"))
   }
 
+  /** Resample each series to a uniform grid: one row per `stepSeconds`
+    * tick between the series' first and last sample, carrying the most
+    * recent sample value at or before the tick (last-observation-carried-
+    * forward — the classic pre-step for FFT-style spectral analysis of
+    * irregular RR series).
+    *
+    * Plan shape: per-key bounds aggregate → `sequence()` tick explode →
+    * union with real samples → one window pass for the carried value →
+    * keep ticks. One shuffle on the key; tick count is bounded by
+    * (span / step), independent of sample count. */
+  def resample(df: DataFrame, key: Column, ts: Column, value: Column,
+      stepSeconds: Long): DataFrame = {
+    val micros = stepSeconds * 1000000L
+    val ticks = df.groupBy(key.as("series_key"))
+      .agg(min(unix_micros(ts)).as("t0"), max(unix_micros(ts)).as("t1"))
+      .select(col("series_key"),
+        explode(sequence(col("t0"), col("t1"), lit(micros))).as("tm"))
+      .select(col("series_key"), col("tm"), lit(null).cast("double").as("v"),
+        lit(1).as("is_tick"))
+    val samples = df.select(key.as("series_key"), unix_micros(ts).as("tm"),
+      value.cast("double").as("v"), lit(0).as("is_tick"))
+    // order ticks after a real sample at the same instant so the tick
+    // carries it; the window fills each tick with the last real value
+    val w = Window.partitionBy(col("series_key"))
+      .orderBy(col("tm"), col("is_tick"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    samples.union(ticks)
+      .withColumn("value_resampled", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("is_tick") === 1)
+      .select(col("series_key"), timestamp_micros(col("tm")).cast("timestamp_ntz").as("ts"),
+        col("value_resampled"))
+  }
+
   /** Direct periodogram band power per key: for each frequency f (Hz),
     * P(f) = [(Σ c·cos 2πft)² + (Σ c·sin 2πft)²] / n over mean-centered
     * samples c at their actual (irregular) timestamps — no resampling, no

@@ -75,6 +75,23 @@ class HrvSpec extends SparkSpecBase {
       s"expected a peak at 0.25Hz, got $powers")
   }
 
+  test("resample produces a uniform grid with last-observation-carried-forward") {
+    val df = Seq(
+      (1L, 0L, 10.0), (1L, 3L, 30.0), (1L, 10L, 99.0), // samples at t=0,3,10s
+      (2L, 100L, 5.0))
+      .toDF("user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val got = Hrv.resample(df, $"user_id", $"ts", $"value", stepSeconds = 2)
+      .filter($"series_key" === 1)
+      .orderBy($"ts")
+      .collect().map(r => r.getDouble(2))
+    // grid at 0,2,4,6,8,10s → carried values 10,10,30,30,30,99
+    assert(got.toSeq == Seq(10.0, 10.0, 30.0, 30.0, 30.0, 99.0))
+    val single = Hrv.resample(df, $"user_id", $"ts", $"value", stepSeconds = 2)
+      .filter($"series_key" === 2).collect()
+    assert(single.length == 1 && single.head.getDouble(2) == 5.0)
+  }
+
   test("full pipeline runs on the events table") {
     val cleaned = Hrv.interpolateOutliers(
       Hrv.flagOutliers(Tables.events(spark, sf()), $"user_id", $"ts", $"event_id",
