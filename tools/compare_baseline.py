@@ -1,0 +1,40 @@
+#!/usr/bin/env python3
+"""Compare a Bench JSON line against the per-query table in BASELINE.md.
+
+Usage: python3 tools/compare_baseline.py <bench.json or log containing it>
+
+Prints per-query engine/baseline ratios (worst first) and the totals —
+the tuning worklist for a bench round.
+"""
+import json, re, signal, sys
+
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # clean exit under `| head`
+
+def main(path):
+    line = None
+    for l in open(path):
+        m = re.search(r'\{"metric":"total".*\}', l)
+        if m:
+            line = m.group(0)
+    if not line:
+        sys.exit(f"no bench JSON line found in {path}")
+    bench = json.loads(line)
+    base = {}
+    for l in open("BASELINE.md"):
+        m = re.match(r"\| `(\w+)` \| ([0-9.]+) \|", l)
+        if m:
+            base[m.group(1)] = float(m.group(2))
+    rows = []
+    for q, t in bench["queries"].items():
+        b = base.get(q)
+        rows.append((t / b if b else float("inf"), q, t, b))
+    rows.sort(reverse=True)
+    print(f"{'ratio':>8} {'engine_s':>9} {'baseline_s':>10}  query")
+    for r, q, t, b in rows:
+        print(f"{r:8.1f} {t:9.3f} {b if b is not None else float('nan'):10.3f}  {q}")
+    total_base = sum(b for _, _, _, b in rows if b)
+    print(f"\ntotal engine {bench['value']:.2f}s vs baseline {total_base:.2f}s "
+          f"(ratio {bench['value']/total_base:.1f}x); failed={bench.get('failed', [])}")
+
+if __name__ == "__main__":
+    main(sys.argv[1])
