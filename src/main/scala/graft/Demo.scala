@@ -91,6 +91,12 @@ object Demo {
       $"user_id", $"ts", $"event_id", $"value", n = 5)
     println(s"rolling feature table: ${feat.count()} rows × ${feat.columns.length} cols " +
       s"(adds ${feat.columns.count(_.startsWith("f_"))} features)")
+    val anomalies = Features.anomalyByZScore(Tables.events(spark, sfDir),
+      $"user_id", $"ts", $"event_id", $"value", n = 20)
+      .filter($"a_anomaly").count()
+    val sessions = Features.sessionized(Tables.events(spark, sfDir),
+      $"user_id", $"ts", $"event_id", $"value", gapSeconds = 1800).count()
+    println(s"z-score anomalies: $anomalies | session feature rows: $sessions")
 
     val salted = graft.operators.SkewJoin.saltedInnerJoin(
       Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),

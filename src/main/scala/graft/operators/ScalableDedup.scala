@@ -93,6 +93,25 @@ object ScalableDedup {
       .filter(col("a_id") < col("b_id"))
   }
 
+  /** Exact n-gram (word-shingle) Jaccard near-dup pairs over a bounded
+    * candidate set: token shingles of length `n` as the comparison unit —
+    * stricter than token-set Jaccard because word ORDER must agree locally.
+    * All-pairs form (the scalable path hashes the same shingles through
+    * minhashCandidates). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.6): DataFrame = {
+    val t = df.select(col(idCol).as("id"),
+      array_distinct(graft.functions.TextFunctions.shingles(col(textCol), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = t.select(col("id").as("a_id"), col("sh").as("sa"))
+    val b = t.select(col("id").as("b_id"), col("sh").as("sb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / size(array_union(col("sa"), col("sb"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Deterministic random hyperplanes for cosine LSH (seeded). */
   private[graft] def hyperplanes(dim: Int, bits: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
