@@ -139,6 +139,15 @@ object Demo {
     val streamed = spark.table("demo_stream").agg(sum($"c")).collect().head.getLong(0)
     println(s"readStream over events.parquet → tumbling windows covering $streamed events")
 
+    val topk = graft.functions.TopK.perKey(Tables.orders(spark, sfDir),
+      "o_custkey", "o_totalprice", "o_orderkey", k = 3).count()
+    println(s"aggregate top-3 orders per customer: $topk rows (map-side combinable)")
+
+    val qs = StreamingOps.statefulSessions(StreamingOps.readEventsStream(spark, sfDir))
+      .writeStream.format("memory").queryName("demo_sessions").outputMode("append").start()
+    try qs.processAllAvailable() finally qs.stop()
+    println(s"stateful streaming sessions closed in-stream: ${spark.table("demo_sessions").count()}")
+
     spark.stop()
   }
 }

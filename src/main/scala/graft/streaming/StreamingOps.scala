@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming twins of the batch time-series operators
@@ -63,6 +66,64 @@ object StreamingOps {
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("w.start").as("st"), col("w.end").as("en"), col("n"))
+
+  /** Open-session state carried between micro-batches (epoch millis). */
+  case class SessionState(start: Long, end: Long, n: Long)
+
+  /** A closed session emitted once its gap has passed the watermark. */
+  case class ClosedSession(user_id: Long, st: Timestamp, en: Timestamp, n: Long)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: unlike
+    * `session_window` (which owns its state format), this keeps an
+    * explicit per-key open-session state, extends it with each batch,
+    * emits a session only when the inactivity gap elapses (event-time
+    * timeout against the watermark), and demonstrates the escape hatch
+    * for session semantics Spark's built-ins can't express (custom merge
+    * rules, per-session derived features, caps). State per key is O(1). */
+  def statefulSessions(events: DataFrame, gapSeconds: Long = 1800,
+      watermark: String = "1 day"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+    events.select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // gap elapsed past the watermark: close and emit
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user,
+              new Timestamp(s.start), new Timestamp(s.end), s.n))
+          } else {
+            // fold this batch's rows (event-time order) into the state,
+            // closing a session whenever a gap appears inside the batch
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1))
+                case Some(s) =>
+                  closed ::= ClosedSession(user,
+                    new Timestamp(s.start), new Timestamp(s.end), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 
   /** Twin of TimeSeries.streamDedup: streaming-safe distinct on
     * (user_id, event_type). State for a key can be dropped once the

@@ -74,6 +74,33 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(got.agg(sum($"c")).collect().head.getLong(0) == batchTotal)
   }
 
+  test("stateful sessions close on in-batch gaps and on event-time timeout") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val out = StreamingOps.statefulSessions(eventsDF(ms.toDF()), gapSeconds = 1800,
+      watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("t_state").outputMode("append").start()
+    try {
+      // batch 1: user 1 has two sessions separated by a >30min in-batch gap;
+      // the first closes immediately (in-batch), the second stays open.
+      // (times start at 1000s: a row AT the initial watermark 0 is late)
+      ms.addData((1L, 1000L, 1L, "click", 1.0), (2L, 1600L, 1L, "click", 1.0),
+        (3L, 6000L, 1L, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: far-future event advances the watermark past the open
+      // session's gap → event-time timeout closes it
+      ms.addData((4L, 900000L, 2L, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData((5L, 1800000L, 2L, "click", 1.0)) // push watermark again
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.table("t_state")
+      .select($"user_id", $"n").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // user 1: (0,600) closed in-batch with n=2, then (5000) closed by timeout;
+    // user 2's (900000) closed by the batch-3 watermark advance
+    assert(sessions == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
   test("watermarked stream drops late rows behind the watermark") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, Long, Long, String, Double)]

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopK
+
+/** The aggregate-based top-k must agree with the judged window form. */
+class TopKSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("matches the judged win_rank_topk_per_group result") {
+    val got = TopK.perKey(Tables.orders(spark, sf()),
+      "o_custkey", "o_totalprice", "o_orderkey", k = 3)
+      .select($"o_custkey", $"rank".cast("long").as("rn"), $"o_orderkey")
+    val want = SparkEntry.queries("win_rank_topk_per_group")(spark, sf())
+      .select($"o_custkey", $"rn", $"o_orderkey")
+    assert(got.count() == want.count())
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
+  test("bounded buffer: ties break toward the smaller id") {
+    val df = Seq((1L, 5.0, 100L), (1L, 5.0, 7L), (1L, 9.0, 50L), (1L, 1.0, 1L))
+      .toDF("k", "v", "id")
+    val got = TopK.perKey(df, "k", "v", "id", k = 2)
+      .orderBy($"rank").collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, 50L), (2, 7L))) // 9.0 first, then the 5.0 tie → id 7
+  }
+
+  test("plan includes partial aggregation (map-side combine)") {
+    val plan = TopK.perKey(Tables.orders(spark, sf()),
+      "o_custkey", "o_totalprice", "o_orderkey", k = 3)
+      .queryExecution.executedPlan.toString
+    // typed aggregate appears twice: partial_ before the exchange, final after
+    assert(plan.contains("partial_"), s"no partial aggregate in:\n$plan")
+  }
+}
