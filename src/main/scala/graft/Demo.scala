@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import graft.functions.{Aggregates, TextAnalysis, TextFunctions}
 import graft.multimodal.Multimodal
 import graft.operators.{Ann, Features, Hrv, ScalableDedup}
-import graft.plans.LatestPerKeyRule
 import graft.streaming.StreamingOps
 
 /** End-to-end tour of the engine's capability surface beyond the judged
@@ -25,6 +24,8 @@ object Demo {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the cluster deployment path: optimizer rules injected by config
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     import spark.implicits._
     spark.sparkContext.setLogLevel("ERROR")
@@ -75,7 +76,7 @@ object Demo {
       .groupBy($"user_id").agg(expr("round(rmssd(dv), 3)").as("rmssd"))
     println(s"rmssd per user: ${rm.count()} rows, sample=${rm.orderBy($"user_id").first()}")
 
-    LatestPerKeyRule.install(spark)
+    // the rule arrives via spark.sql.extensions (no programmatic install);
     // non-nullable ordering key (the rule's soundness precondition)
     val latest = Tables.events(spark, sfDir)
       .select($"user_id", coalesce(unix_micros($"ts"), lit(0L)).as("tsm"), $"event_id")
