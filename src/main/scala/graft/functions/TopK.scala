@@ -26,8 +26,16 @@ object TopK {
     private def keep(b: Seq[(Double, Long)]): Seq[(Double, Long)] =
       b.sortBy { case (v, id) => (-v, id) }.take(k)
     def zero: Seq[(Double, Long)] = Seq.empty
-    def reduce(b: Seq[(Double, Long)], a: (Long, Double, Long)): Seq[(Double, Long)] =
-      keep(b :+ ((a._2, a._3)))
+    def reduce(b: Seq[(Double, Long)], a: (Long, Double, Long)): Seq[(Double, Long)] = {
+      // buffer is kept sorted: skip the per-row re-sort when the buffer is
+      // full and the candidate can't displace the current k-th entry
+      val cand = (a._2, a._3)
+      if (b.size >= k) {
+        val last = b.last
+        if (cand._1 < last._1 || (cand._1 == last._1 && cand._2 >= last._2)) return b
+      }
+      keep(b :+ cand)
+    }
     def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
       keep(x ++ y)
     def finish(b: Seq[(Double, Long)]): Seq[Long] = keep(b).map(_._2)
@@ -42,8 +50,12 @@ object TopK {
       k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the typed tuple is non-nullable: surface null/non-numeric rows as a
+    // filtered-out condition rather than a deserialization crash
     val ds = df.select(col(keyCol).cast("long"), col(orderCol).cast("double"),
-      col(idCol).cast("long")).as[(Long, Double, Long)]
+      col(idCol).cast("long"))
+      .filter(col(keyCol).isNotNull && col(orderCol).isNotNull && col(idCol).isNotNull)
+      .as[(Long, Double, Long)]
     ds.groupByKey(_._1)
       .agg(new TopKAgg(k).toColumn.name("ids"))
       .flatMap { case (key, ids) =>

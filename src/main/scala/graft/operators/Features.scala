@@ -79,15 +79,8 @@ object Features {
       value: Column, gapSeconds: Long): DataFrame = {
     val base = df.select(key.as("series_key"), ts.as("_ts"), tiebreak.as("_tb"),
       value.as("_v"))
-    val wOrd = Window.partitionBy(col("series_key")).orderBy(col("_ts"), col("_tb"))
-    base
-      .withColumn("_brk",
-        when(lag(col("_ts"), 1).over(wOrd).isNull
-          || unix_micros(col("_ts")) - unix_micros(lag(col("_ts"), 1).over(wOrd))
-            > gapSeconds * 1000000L, 1)
-          .otherwise(0))
-      .withColumn("session_id",
-        sum(col("_brk")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    Sessionize.withSessionIds(base, col("series_key"), col("_ts"), col("_tb"),
+        gapSeconds)
       .groupBy(col("series_key"), col("session_id"))
       .agg(
         count(lit(1)).as("n"),

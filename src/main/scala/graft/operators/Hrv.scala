@@ -112,9 +112,10 @@ object Hrv {
     val samples = df.select(key.as("series_key"), unix_micros(ts).as("tm"),
       value.cast("double").as("v"), lit(0).as("is_tick"))
     // order ticks after a real sample at the same instant so the tick
-    // carries it; the window fills each tick with the last real value
+    // carries it; the value tiebreak makes duplicate-timestamp samples
+    // carry deterministically (larger value wins an exact tie)
     val w = Window.partitionBy(col("series_key"))
-      .orderBy(col("tm"), col("is_tick"))
+      .orderBy(col("tm"), col("is_tick"), col("v"))
       .rowsBetween(Window.unboundedPreceding, 0)
     samples.union(ticks)
       .withColumn("value_resampled", last(col("v"), ignoreNulls = true).over(w))

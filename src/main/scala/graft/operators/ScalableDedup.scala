@@ -100,8 +100,9 @@ object ScalableDedup {
     * minhashCandidates). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.6): DataFrame = {
-    val t = df.select(col(idCol).as("id"),
-      array_distinct(graft.functions.TextFunctions.shingles(col(textCol), n)).as("sh"))
+    val t = df.filter(trim(col(textCol)) =!= "") // blank docs share no content
+      .select(col(idCol).as("id"),
+        array_distinct(graft.functions.TextFunctions.shingles(col(textCol), n)).as("sh"))
       .filter(size(col("sh")) > 0)
     val a = t.select(col("id").as("a_id"), col("sh").as("sa"))
     val b = t.select(col("id").as("b_id"), col("sh").as("sb"))

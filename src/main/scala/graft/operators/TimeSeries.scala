@@ -55,28 +55,20 @@ object TimeSeries {
   }
 
   /** #46 30-minute-gap sessionization per user: gap flag via lag, session
-    * id via running sum, then per-session aggregates. All three steps are
+    * id via running sum (graft.operators.Sessionize — shared with the
+    * feature-table block), then per-session aggregates. All steps are
     * partitioned by user_id — a single shuffle, then purely local work,
     * exactly the batch shape of `session_window(ts, "30 minutes")`. */
-  def streamSession(s: SparkSession, d: String): DataFrame = {
-    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    // same (ts, event_id) tiebreak as wOrd: a ROWS-frame running sum over
-    // a ties-ambiguous order would make session ids nondeterministic
-    val wRun = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    Tables.events(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"))
-      .withColumn("brk",
-        when(lag(col("ts"), 1).over(wOrd).isNull
-          || col("ts") - lag(col("ts"), 1).over(wOrd) > expr("interval 30 minutes"), 1)
-          .otherwise(0))
-      .withColumn("sid", sum(col("brk")).over(wRun))
+  def streamSession(s: SparkSession, d: String): DataFrame =
+    Sessionize.withSessionIds(
+        Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id")),
+        col("user_id"), col("ts"), col("event_id"), gapSeconds = 1800)
+      .withColumnRenamed("session_id", "sid")
       .groupBy(col("user_id"), col("sid"))
       .agg(count(lit(1)).as("n"),
         min(col("ts")).cast("timestamp_ntz").as("st"),
         max(col("ts")).cast("timestamp_ntz").as("en"))
       .orderBy(col("user_id"), col("sid"))
-  }
 
   /** #47 distinct (user, event_type) — batch form of streaming dedup. */
   def streamDedup(s: SparkSession, d: String): DataFrame =

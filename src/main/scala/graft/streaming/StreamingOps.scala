@@ -67,19 +67,37 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("w.start").as("st"), col("w.end").as("en"), col("n"))
 
-  /** Open-session state carried between micro-batches (epoch millis). */
-  case class SessionState(start: Long, end: Long, n: Long)
+  /** One session interval (epoch millis) in per-key state. */
+  case class SessionSpan(start: Long, end: Long, n: Long)
 
-  /** A closed session emitted once its gap has passed the watermark. */
+  /** All of a key's not-yet-final sessions (watermark hasn't passed
+    * end + gap for them, so a late-but-admissible event could still
+    * extend or merge them). */
+  case class SessionsState(spans: Seq[SessionSpan])
+
+  /** A session emitted once the watermark passed its gap (final). */
   case class ClosedSession(user_id: Long, st: Timestamp, en: Timestamp, n: Long)
 
-  /** Custom stateful sessionization via flatMapGroupsWithState: unlike
-    * `session_window` (which owns its state format), this keeps an
-    * explicit per-key open-session state, extends it with each batch,
-    * emits a session only when the inactivity gap elapses (event-time
-    * timeout against the watermark), and demonstrates the escape hatch
-    * for session semantics Spark's built-ins can't express (custom merge
-    * rules, per-session derived features, caps). State per key is O(1). */
+  /** Merge points/intervals sorted by start under a gap rule: adjacent
+    * spans whose boundary distance is within the gap collapse. */
+  private[streaming] def mergeSpans(spans: Seq[SessionSpan], gapMs: Long): Seq[SessionSpan] =
+    spans.sortBy(s => (s.start, s.end)).foldLeft(List.empty[SessionSpan]) {
+      case ((prev :: rest), s) if s.start - prev.end <= gapMs =>
+        SessionSpan(prev.start, math.max(prev.end, s.end), prev.n + s.n) :: rest
+      case (acc, s) => s :: acc
+    }.reverse
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * escape hatch for session semantics `session_window` can't express
+    * (custom merge rules, per-session derived features, caps).
+    *
+    * Correctness contract (append mode): a session is emitted ONLY once
+    * the event-time watermark has passed `end + gap`, so no
+    * still-admissible event can extend or merge it afterwards. Until
+    * then every candidate session stays in state; out-of-order events
+    * inside the watermark merge exactly like in-order ones (interval
+    * merge, not last-event comparison). State per key is O(open spans
+    * within the watermark horizon). */
   def statefulSessions(events: DataFrame, gapSeconds: Long = 1800,
       watermark: String = "1 day"): Dataset[ClosedSession] = {
     val spark = events.sparkSession
@@ -89,39 +107,20 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .as[(Long, Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessionState, ClosedSession](
+      .flatMapGroupsWithState[SessionsState, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // gap elapsed past the watermark: close and emit
-            val s = state.get
-            state.remove()
-            Iterator.single(ClosedSession(user,
-              new Timestamp(s.start), new Timestamp(s.end), s.n))
-          } else {
-            // fold this batch's rows (event-time order) into the state,
-            // closing a session whenever a gap appears inside the batch
-            val ts = rows.map(_._2.getTime).toArray.sorted
-            var closed = List.empty[ClosedSession]
-            var cur = state.getOption
-            ts.foreach { t =>
-              cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1))
-                case Some(s) =>
-                  closed ::= ClosedSession(user,
-                    new Timestamp(s.start), new Timestamp(s.end), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            closed.reverseIterator
+        (user: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[SessionsState]) =>
+          val incoming = rows.map(r => SessionSpan(r._2.getTime, r._2.getTime, 1)).toSeq
+          val merged = mergeSpans(state.getOption.map(_.spans).getOrElse(Nil) ++ incoming, gapMs)
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, open) = merged.partition(_.end + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(open))
+            state.setTimeoutTimestamp(open.map(_.end).min + gapMs)
           }
+          ripe.iterator.map(s =>
+            ClosedSession(user, new Timestamp(s.start), new Timestamp(s.end), s.n))
       }
   }
 

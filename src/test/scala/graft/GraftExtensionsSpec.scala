@@ -1,39 +1,25 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.graftbridge.GraftBridge
 
-/** The spark.sql.extensions entry point must inject the optimizer rule
-  * into a session built with the config (the cluster deployment path). */
+/** The spark.sql.extensions entry point must register the engine's
+  * optimizer rules. Session extensions only apply at first session
+  * creation, so this inspects the registration directly through the
+  * bridge (the fresh-JVM end-to-end proof is graft.Demo, whose session
+  * is built with the config and whose output asserts the rewrite). */
 class GraftExtensionsSpec extends SparkSpecBase {
 
-  test("a session built with spark.sql.extensions=graft.GraftExtensions rewrites latest-per-key") {
-    // the shared test session exists; withExtensions applies to new builders
-    // only via the config at first creation — use a branched session state
-    val s = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .getOrCreate()
-    // getOrCreate may return the existing session (extensions not applied);
-    // verify the rule fires in whichever session carries the extension —
-    // fall back to explicit install semantics check otherwise
-    import s.implicits._
-    val df = (1L to 100L).map(i => (i % 5, i * 10, i)).toDF("k", "t", "id")
-    val w = Window.partitionBy($"k").orderBy($"t".desc)
-    val latest = df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-    val extensionApplied = s.sessionState.optimizer.extendedOperatorOptimizationRules
-      .contains(graft.plans.LatestPerKeyRule) ||
-      s.experimental.extraOptimizations.contains(graft.plans.LatestPerKeyRule)
-    if (!extensionApplied) {
-      // pre-existing shared session: exercise the programmatic path instead
-      GraftSession.enrich(s)
-    }
-    val optimized = latest.queryExecution.optimizedPlan
-    val hasWindow = optimized.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
-    }.nonEmpty
-    assert(!hasWindow, s"latest-per-key not rewritten:\n$optimized")
+  test("GraftExtensions registers LatestPerKeyRule") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val rules = GraftBridge.registeredOptimizerRules(ext, spark)
+    assert(rules.contains(graft.plans.LatestPerKeyRule))
+  }
+
+  test("the class is instantiable by name with a no-arg constructor (config contract)") {
+    val cls = Class.forName("graft.GraftExtensions")
+    val inst = cls.getDeclaredConstructor().newInstance()
+    assert(inst.isInstanceOf[SparkSessionExtensions => Unit])
   }
 }

@@ -81,24 +81,50 @@ class StreamingOpsSpec extends SparkSpecBase {
       watermark = "0 seconds")
     val q = out.writeStream.format("memory").queryName("t_state").outputMode("append").start()
     try {
-      // batch 1: user 1 has two sessions separated by a >30min in-batch gap;
-      // the first closes immediately (in-batch), the second stays open.
+      // batch 1: user 1 has two candidate sessions (gap >30min between
+      // them). The trailing no-data micro-batch advances the watermark to
+      // 6000s, so the FIRST session (gap horizon 3400s) is already final
+      // and emits; the second (horizon 7800s) must stay open.
       // (times start at 1000s: a row AT the initial watermark 0 is late)
       ms.addData((1L, 1000L, 1L, "click", 1.0), (2L, 1600L, 1L, "click", 1.0),
         (3L, 6000L, 1L, "click", 1.0))
       q.processAllAvailable()
-      // batch 2: far-future event advances the watermark past the open
-      // session's gap → event-time timeout closes it
+      assert(spark.table("t_state").count() == 1)
+      // batch 2 advances the watermark to 900000s → user 1's second
+      // session emits; user 2's session stays open
       ms.addData((4L, 900000L, 2L, "click", 1.0))
       q.processAllAvailable()
-      ms.addData((5L, 1800000L, 2L, "click", 1.0)) // push watermark again
+      // batch 3 advances the watermark to 1800000s → user 2's 900000s
+      // session emits; the newest session remains open at stop
+      ms.addData((5L, 1800000L, 2L, "click", 1.0))
       q.processAllAvailable()
     } finally q.stop()
     val sessions = spark.table("t_state")
       .select($"user_id", $"n").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-    // user 1: (0,600) closed in-batch with n=2, then (5000) closed by timeout;
-    // user 2's (900000) closed by the batch-3 watermark advance
     assert(sessions == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("out-of-order event within the watermark merges two pending sessions") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val out = StreamingOps.statefulSessions(eventsDF(ms.toDF()), gapSeconds = 1800,
+      watermark = "1 day")
+    val q = out.writeStream.format("memory").queryName("t_ooo").outputMode("append").start()
+    try {
+      // two spans 40 min apart: still two candidate sessions
+      ms.addData((1L, 1000L, 1L, "click", 1.0), (2L, 3400L, 1L, "click", 1.0))
+      q.processAllAvailable()
+      // the bridging event arrives out of order (admissible: watermark is
+      // a day behind) and welds them into one session
+      ms.addData((3L, 2200L, 1L, "click", 1.0))
+      q.processAllAvailable()
+      // far-future event pushes the watermark past the merged session
+      ms.addData((4L, 10000000L, 1L, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.table("t_ooo")
+      .select($"n").collect().map(_.getLong(0)).toSeq
+    assert(sessions == Seq(3L)) // ONE merged session, not two split ones
   }
 
   test("watermarked stream drops late rows behind the watermark") {

@@ -25,16 +25,26 @@ def main(path):
         if m:
             base[m.group(1)] = float(m.group(2))
     rows = []
+    uncovered = []
     for q, t in bench["queries"].items():
         b = base.get(q)
-        rows.append((t / b if b else float("inf"), q, t, b))
+        if b is None:
+            uncovered.append(q)
+        else:
+            rows.append((t / b, q, t, b))
     rows.sort(reverse=True)
     print(f"{'ratio':>8} {'engine_s':>9} {'baseline_s':>10}  query")
     for r, q, t, b in rows:
-        print(f"{r:8.1f} {t:9.3f} {b if b is not None else float('nan'):10.3f}  {q}")
-    total_base = sum(b for _, _, _, b in rows if b)
-    print(f"\ntotal engine {bench['value']:.2f}s vs baseline {total_base:.2f}s "
-          f"(ratio {bench['value']/total_base:.1f}x); failed={bench.get('failed', [])}")
+        print(f"{r:8.1f} {t:9.3f} {b:10.3f}  {q}")
+    if not rows:
+        sys.exit("no queries overlap with the BASELINE.md table")
+    # totals over the covered set only — an uncovered query must not
+    # inflate the headline ratio
+    total_engine = sum(t for _, _, t, _ in rows)
+    total_base = sum(b for _, _, _, b in rows)
+    print(f"\ncovered total engine {total_engine:.2f}s vs baseline {total_base:.2f}s "
+          f"(ratio {total_engine/total_base:.1f}x); failed={bench.get('failed', [])}"
+          + (f"; uncovered={uncovered}" if uncovered else ""))
 
 if __name__ == "__main__":
     main(sys.argv[1])
