@@ -134,6 +134,23 @@ object Demo {
     println(s"pipeline: valid=${pipe.validRows} quarantined=${pipe.quarantinedRows} " +
       s"series=${pipe.series} featureRows=${pipe.featureRows}")
 
+    // the same pipeline as a continuous file-watch stream
+    val watchDir = new java.io.File(pipeDir, "incoming"); watchDir.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(watchDir, "b1.csv").toPath,
+      "series_id,ts,value\n0,2024-01-01 00:00:00,750\n0,2024-01-01 00:00:05,760\n")
+    val sq = Pipeline.ingestAndFeaturizeStream(spark, watchDir.getAbsolutePath,
+      new java.io.File(pipeDir, "stream_out").getAbsolutePath,
+      new java.io.File(pipeDir, "ckpt").getAbsolutePath, lo = 300, hi = 2000)
+    try {
+      sq.processAllAvailable()
+      java.nio.file.Files.writeString(new java.io.File(watchDir, "b2.csv").toPath,
+        "series_id,ts,value\n1,2024-01-02 00:00:00,820\n")
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamedFeats = spark.read
+      .parquet(new java.io.File(pipeDir, "stream_out/sample_features").getAbsolutePath).count()
+    println(s"streaming pipeline: $streamedFeats feature rows across two file drops")
+
     val q = StreamingOps.tumbling(StreamingOps.readEventsStream(spark, sfDir))
       .writeStream.format("memory").queryName("demo_stream").outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()

@@ -68,4 +68,42 @@ object Pipeline {
       series = hrv.count(),
       featureRows = spark.read.parquet(s"$outDir/sample_features").count())
   }
+
+  /** Continuous deployment path: watch `rawCsvDir` as a file stream and
+    * run the same clean→features stages on each micro-batch via
+    * foreachBatch, appending day-partitioned parquet. foreachBatch gives
+    * the batch DataFrame + a batch id, so the sink write can be made
+    * idempotent on replay (the parquet append here relies on the
+    * checkpoint for exactly-once file-source progress).
+    *
+    * Returns the running StreamingQuery; callers own its lifecycle
+    * (`processAllAvailable`/`stop` in tests, `awaitTermination` in jobs).
+    */
+  def ingestAndFeaturizeStream(spark: SparkSession, rawCsvDir: String,
+      outDir: String, checkpointDir: String, lo: Double, hi: Double,
+      rollingN: Int = 5): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream
+      .schema(Ingest.rawWithCorrupt(rawSchema))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", Ingest.CorruptCol)
+      .csv(rawCsvDir)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (valid, bad) = Ingest.partitionValid(batch)
+        bad.write.mode("append").parquet(s"$outDir/quarantine")
+        val cleaned = Hrv.interpolateOutliers(
+          Hrv.flagOutliers(valid, col("series_id"), col("ts"), col("ts"),
+            col("value"), lo, hi),
+          col("series_id"), col("ts"), col("ts"), col("value"))
+        val rolling = Features.rollingByRows(cleaned, col("series_id"), col("ts"),
+          col("ts"), col("value_clean"), rollingN)
+          .withColumn("day", to_date(col("ts")))
+        rolling.write.mode("append").partitionBy("day")
+          .parquet(s"$outDir/sample_features")
+        ()
+      }
+      .start()
+  }
 }

@@ -16,6 +16,10 @@ object Ingest {
 
   val CorruptCol = "_corrupt_record"
 
+  /** The declared schema plus the quarantine column — streaming sources
+    * need it explicitly (they cannot infer). */
+  def rawWithCorrupt(schema: StructType): StructType = withCorrupt(schema)
+
   private def withCorrupt(schema: StructType): StructType =
     if (schema.fieldNames.contains(CorruptCol)) schema
     else schema.add(StructField(CorruptCol, StringType, nullable = true))

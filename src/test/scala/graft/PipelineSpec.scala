@@ -4,6 +4,28 @@ import java.nio.file.Files
 
 class PipelineSpec extends SparkSpecBase {
 
+  test("streaming ingest processes files arriving across micro-batches") {
+    val dir = Files.createTempDirectory("graft_pipe_stream").toFile
+    val in = new java.io.File(dir, "incoming"); in.mkdirs()
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    def drop(name: String, rows: String): Unit =
+      Files.writeString(new java.io.File(in, name).toPath,
+        "series_id,ts,value\n" + rows)
+    drop("a.csv", "1,2024-01-01 00:00:00,800\n1,2024-01-01 00:00:01,810\n")
+    val q = Pipeline.ingestAndFeaturizeStream(spark, in.getAbsolutePath, out,
+      ckpt, lo = 300, hi = 2000)
+    try {
+      q.processAllAvailable()
+      drop("b.csv", "2,2024-01-02 00:00:00,600\nbad,row,here\n")
+      q.processAllAvailable()
+    } finally q.stop()
+    val feats = spark.read.parquet(s"$out/sample_features")
+    assert(feats.count() == 3) // 2 + 1 valid rows across two batches
+    assert(spark.read.parquet(s"$out/quarantine").count() == 1)
+    assert(new java.io.File(s"$out/sample_features/day=2024-01-02").exists())
+  }
+
   test("raw CSV to feature tables, with quarantine and cleaning applied") {
     val dir = Files.createTempDirectory("graft_pipe").toFile
     val raw = new java.io.File(dir, "export.csv")
