@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -29,6 +30,21 @@ object Pipeline {
   case class Summary(validRows: Long, quarantinedRows: Long, series: Long,
       featureRows: Long)
 
+  /** The shared clean→rolling-features stage: artifact flagging,
+    * interpolation, rolling statistics, day-partition column. Used by both
+    * the batch and streaming paths so the two cannot diverge. Extra
+    * columns on `valid` (e.g. a provenance marker) pass through. */
+  private def cleanAndRoll(valid: DataFrame, lo: Double, hi: Double,
+      rollingN: Int): DataFrame = {
+    val cleaned = Hrv.interpolateOutliers(
+      Hrv.flagOutliers(valid, col("series_id"), col("ts"), col("ts"),
+        col("value"), lo, hi),
+      col("series_id"), col("ts"), col("ts"), col("value"))
+    Features.rollingByRows(cleaned, col("series_id"), col("ts"),
+      col("ts"), col("value_clean"), rollingN)
+      .withColumn("day", to_date(col("ts")))
+  }
+
   /** Ingest a raw CSV export and materialize both feature tables.
     *
     * @param lo/hi        plausibility bounds for the sample value
@@ -43,19 +59,13 @@ object Pipeline {
     bad.write.mode("overwrite").parquet(s"$outDir/quarantine")
     val (_, validRows, quarantinedRows) = Ingest.counts(raw)
 
-    // 2. artifact cleaning per series
-    val cleaned = Hrv.interpolateOutliers(
-      Hrv.flagOutliers(valid, col("series_id"), col("ts"), col("ts"),
-        col("value"), lo, hi),
-      col("series_id"), col("ts"), col("ts"), col("value"))
-
-    // 3. per-sample rolling features, partitioned by day for pruned reads
-    val rolling = Features.rollingByRows(cleaned, col("series_id"), col("ts"),
-      col("ts"), col("value_clean"), rollingN)
-      .withColumn("day", to_date(col("ts")))
+    // 2.+3. artifact cleaning and rolling features, day-partitioned
+    val rolling = cleanAndRoll(valid, lo, hi, rollingN)
     Ingest.writePartitioned(rolling, s"$outDir/sample_features", Seq("day"))
 
-    // 4. per-series HRV feature table
+    // 4. per-series HRV feature table (batch-only: per-series aggregates
+    // over the full history don't append incrementally)
+    val cleaned = rolling // value_clean travels on the feature rows
     val hrv = Hrv.timeDomain(cleaned, col("series_id"), col("ts"), col("ts"),
         col("value_clean"))
       .join(Hrv.poincare(cleaned, col("series_id"), col("ts"), col("ts"),
@@ -69,39 +79,78 @@ object Pipeline {
       featureRows = spark.read.parquet(s"$outDir/sample_features").count())
   }
 
+  /** Most recent per-series tail written by a batch id strictly below
+    * `currentId` (deterministic on replay: a half-finished batch N never
+    * feeds its own retry). */
+  private def latestTail(spark: SparkSession, tailBase: String,
+      currentId: Long): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(tailBase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return None
+    val ids = fs.listStatus(path).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
+      .filter(_ < currentId)
+    if (ids.isEmpty) None
+    else Some(spark.read.parquet(s"$tailBase/batch=${ids.max}"))
+  }
+
   /** Continuous deployment path: watch `rawCsvDir` as a file stream and
-    * run the same clean→features stages on each micro-batch via
-    * foreachBatch, appending day-partitioned parquet. foreachBatch gives
-    * the batch DataFrame + a batch id, so the sink write can be made
-    * idempotent on replay (the parquet append here relies on the
-    * checkpoint for exactly-once file-source progress).
+    * run the shared clean→rolling stage per micro-batch via foreachBatch.
+    *
+    * Cross-batch correctness: the last `tailRows` rows of every series are
+    * carried in a small state-tail table between batches and prepended to
+    * the next batch before the window pass, so rolling features and the
+    * outlier median see their full lookback even when a series spans file
+    * drops. Only the current batch's rows are emitted. One caveat remains:
+    * an artifact in the final rows of a batch interpolates from its past
+    * neighbor only (the future neighbor hasn't arrived yet).
+    *
+    * Replay safety: every sink write is `mode("overwrite")` into a
+    * `batch=<id>` directory, so re-running a micro-batch after a failure
+    * rewrites the same paths instead of appending duplicates, and the tail
+    * a retry reads (largest id < its own) is the same one the original
+    * attempt read. The streaming path produces the rolling sample features
+    * only; the per-series HRV table is a batch/backfill product
+    * (`ingestAndFeaturize`).
     *
     * Returns the running StreamingQuery; callers own its lifecycle
     * (`processAllAvailable`/`stop` in tests, `awaitTermination` in jobs).
     */
   def ingestAndFeaturizeStream(spark: SparkSession, rawCsvDir: String,
       outDir: String, checkpointDir: String, lo: Double, hi: Double,
-      rollingN: Int = 5): org.apache.spark.sql.streaming.StreamingQuery = {
-    val raw = spark.readStream
-      .schema(Ingest.rawWithCorrupt(rawSchema))
-      .option("header", "true")
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", Ingest.CorruptCol)
-      .csv(rawCsvDir)
-    raw.writeStream
+      rollingN: Int = 5, tailRows: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    val tailBase = s"$outDir/state_tail"
+    Ingest.readCsvStream(spark, rawCsvDir, rawSchema)
+      .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (valid, bad) = Ingest.partitionValid(batch)
-        bad.write.mode("append").parquet(s"$outDir/quarantine")
-        val cleaned = Hrv.interpolateOutliers(
-          Hrv.flagOutliers(valid, col("series_id"), col("ts"), col("ts"),
-            col("value"), lo, hi),
-          col("series_id"), col("ts"), col("ts"), col("value"))
-        val rolling = Features.rollingByRows(cleaned, col("series_id"), col("ts"),
-          col("ts"), col("value_clean"), rollingN)
-          .withColumn("day", to_date(col("ts")))
-        rolling.write.mode("append").partitionBy("day")
-          .parquet(s"$outDir/sample_features")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.persist()
+        try {
+          val (valid, bad) = Ingest.partitionValid(batch)
+          if (!bad.isEmpty) {
+            bad.write.mode("overwrite").parquet(s"$outDir/quarantine/batch=$id")
+          }
+          val work = latestTail(spark, tailBase, id) match {
+            case Some(tail) =>
+              valid.withColumn("_new", lit(true))
+                .unionByName(tail.withColumn("_new", lit(false)))
+            case None => valid.withColumn("_new", lit(true))
+          }
+          work.persist()
+          try {
+            cleanAndRoll(work, lo, hi, rollingN)
+              .filter(col("_new")).drop("_new")
+              .write.mode("overwrite").partitionBy("day")
+              .parquet(s"$outDir/sample_features/batch=$id")
+            val wTail = Window.partitionBy(col("series_id"))
+              .orderBy(col("ts").desc)
+            work.drop("_new")
+              .withColumn("_rn", row_number().over(wTail))
+              .filter(col("_rn") <= tailRows).drop("_rn")
+              .write.mode("overwrite").parquet(s"$tailBase/batch=$id")
+          } finally work.unpersist()
+        } finally batch.unpersist()
         ()
       }
       .start()

@@ -68,8 +68,11 @@ object Hrv {
         avg(col("v")).as("mean_nn"),
         stddev_samp(col("v")).as("sdnn"),
         sqrt(avg(col("dv") * col("dv"))).as("rmssd"),
-        (sum(when(abs(col("dv")) > nnThreshold, 1).otherwise(0)).cast("double")
-          / count(col("dv"))).as("pnn"))
+        // single-sample series have no successive differences: pnn is
+        // undefined (null), not an ANSI division error
+        when(count(col("dv")) > 0,
+          sum(when(abs(col("dv")) > nnThreshold, 1).otherwise(0)).cast("double")
+            / count(col("dv"))).as("pnn"))
   }
 
   /** Poincaré-plot descriptors per key, from the successive-pair identity:

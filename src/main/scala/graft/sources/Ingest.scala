@@ -16,10 +16,6 @@ object Ingest {
 
   val CorruptCol = "_corrupt_record"
 
-  /** The declared schema plus the quarantine column — streaming sources
-    * need it explicitly (they cannot infer). */
-  def rawWithCorrupt(schema: StructType): StructType = withCorrupt(schema)
-
   private def withCorrupt(schema: StructType): StructType =
     if (schema.fieldNames.contains(CorruptCol)) schema
     else schema.add(StructField(CorruptCol, StringType, nullable = true))
@@ -33,6 +29,18 @@ object Ingest {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .csv(path)
+
+  /** Streaming twin of `readCsv`: watch a directory of CSV files with the
+    * same schema/quarantine contract (streaming sources need the explicit
+    * schema — they cannot infer). */
+  def readCsvStream(spark: SparkSession, dir: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.readStream
+      .schema(withCorrupt(schema))
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .csv(dir)
 
   /** Schema-enforced JSON-lines read with the same quarantine contract. */
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
