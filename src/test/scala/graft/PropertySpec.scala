@@ -85,6 +85,55 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("aggregate top-k equals window top-k on random data") {
+    val rowsGen3 = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(-1000.0, 1000.0)))
+    for (xs <- samples(rowsGen3, n = 4)) {
+      val df = xs.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "v", "id")
+      val agg = graft.functions.TopK.perKey(df, "k", "v", "id", k = 3)
+        .select($"k", $"id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"k").orderBy($"v".desc, $"id")
+      val win = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+        .select($"k", $"id")
+      assert(agg.except(win).count() == 0 && win.except(agg).count() == 0)
+    }
+  }
+
+  test("sessionization conserves rows and session spans respect the gap") {
+    val secsGen = Gen.listOfN(25, Gen.chooseNum(0L, 50000L)).map(_.distinct)
+    for (secs <- samples(secsGen, n = 4) if secs.nonEmpty) {
+      val df = secs.zipWithIndex.map { case (s, i) => (1L, i.toLong, s) }
+        .toDF("user_id", "event_id", "sec")
+        .withColumn("ts", timestamp_seconds($"sec"))
+      val sess = graft.operators.Sessionize.withSessionIds(
+        df, $"user_id", $"ts", $"event_id", gapSeconds = 1800)
+      assert(sess.count() == secs.size)
+      // within one session, consecutive gaps never exceed the threshold
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id", $"session_id").orderBy($"ts")
+      val maxGap = sess.withColumn("gap",
+          $"ts".cast("long") - lag($"ts", 1).over(w).cast("long"))
+        .agg(max($"gap")).collect().head
+      assert(maxGap.isNullAt(0) || maxGap.getLong(0) <= 1800)
+    }
+  }
+
+  test("simhash self-distance is zero and hamming is bounded by 64") {
+    val txtGen2 = Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" "))
+    for ((x, y) <- samples(Gen.zip(txtGen2, txtGen2), n = 5)) {
+      val df = Seq((x, y)).toDF("x", "y")
+        .select(
+          graft.operators.ScalableDedup.simhash("split(x, ' ')").as("sx"),
+          graft.operators.ScalableDedup.simhash("split(y, ' ')").as("sy"))
+      val row = df.select(bit_count($"sx".bitwiseXOR($"sx")),
+        bit_count($"sx".bitwiseXOR($"sy"))).collect().head
+      assert(row.getInt(0) == 0)
+      assert(row.getInt(1) >= 0 && row.getInt(1) <= 64)
+    }
+  }
+
   test("jaccard is symmetric and 1 on identical token sets") {
     val txtGen = Gen.listOfN(6, Gen.oneOf("w1", "w2", "w3", "w4")).map(_.mkString(" "))
     for ((x, y) <- samples(Gen.zip(txtGen, txtGen))) {
