@@ -23,6 +23,7 @@ object TopK {
     * `ORDER BY v DESC, id`. */
   class TopKAgg(k: Int)
       extends Aggregator[(Long, Double, Long), Seq[(Double, Long)], Seq[Long]] {
+    require(k > 0, s"top-k requires k > 0, got $k")
     private def keep(b: Seq[(Double, Long)]): Seq[(Double, Long)] =
       b.sortBy { case (v, id) => (-v, id) }.take(k)
     def zero: Seq[(Double, Long)] = Seq.empty

@@ -49,7 +49,17 @@ object Ann {
     require(bits % bands == 0, "bits must divide evenly into bands")
     val width = bits / bands
     val mask = (1L << width) - 1
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    // dim inference needs one row; empty corpus → no neighbors for anyone
+    val probe = corpus.select(size(col(vecCol)).as("d")).head(1)
+    if (probe.isEmpty) {
+      val spark = corpus.sparkSession
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("probe_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("nb", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType))))
+    }
+    val dim = probe.head.getInt(0)
     val planes = ScalableDedup.hyperplanes(dim, bits, seed)
     def banded(df: DataFrame, id: String, v: String) =
       df.select(col(idCol).as(id), VectorFunctions.toDoubleVec(col(vecCol)).as(v))

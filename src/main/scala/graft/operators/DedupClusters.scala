@@ -43,6 +43,12 @@ object DedupClusters {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter " +
+          "iterations; component labels would be incorrect. The pair graph " +
+          s"has diameter > $maxIter — raise maxIter (iterations needed = " +
+          "graph diameter).")
     labels
   }
 

@@ -132,7 +132,17 @@ object ScalableDedup {
     * (controlled by `bits`) for turning O(n²) into a shuffle join. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.95, bits: Int = 16, seed: Long = 42L): DataFrame = {
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val spark = df.sparkSession
+    // dim inference needs one row; short-circuit empty input to an empty
+    // result instead of throwing from first() on no rows
+    val probe = df.select(size(col(vecCol)).as("d")).head(1)
+    if (probe.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("a_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("b_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType))))
+    val dim = probe.head.getInt(0)
     val planes = hyperplanes(dim, bits, seed)
     val sig = df.select(col(idCol).as("id"),
       VectorFunctions.toDoubleVec(col(vecCol)).as("v"))

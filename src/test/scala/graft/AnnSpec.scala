@@ -38,6 +38,12 @@ class AnnSpec extends SparkSpecBase {
     assert(recall > 0.3, s"recall@5 too low: $recall")
   }
 
+  test("LSH top-k on an empty corpus returns empty, not a crash") {
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    val r = Ann.lshTopK(empty, empty, "vec_id", "embedding")
+    assert(r.count() == 0 && r.columns.toSeq == Seq("probe_id", "nb", "sim"))
+  }
+
   test("IVF top-k searches nprobe lists and approximates brute force") {
     val exact = topkMap(Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5))
     val approx = topkMap(Ann.ivfTopK(spark, emb, probes, "vec_id", "embedding",

@@ -23,6 +23,15 @@ class DedupClustersSpec extends SparkSpecBase {
     assert(comps.toSeq == Seq(1L))
   }
 
+  test("non-convergence within maxIter throws instead of returning wrong labels") {
+    // chain of diameter 6 with maxIter=2 cannot converge
+    val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      DedupClusters.connectedComponents(pairs, "a", "b", maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("keepers and replacement map") {
     val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("a", "b")
     val k = DedupClusters.keepers(DedupClusters.connectedComponents(pairs, "a", "b"))

@@ -56,6 +56,13 @@ class ScalableDedupSpec extends SparkSpecBase {
     assert(got == Set((1L, 2L)))
   }
 
+  test("embedding near-dup on empty input returns empty, not a crash") {
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    val got = ScalableDedup.embeddingNearDup(empty, "id", "v")
+    assert(got.count() == 0)
+    assert(got.columns.toSeq == Seq("a_id", "b_id", "cosine"))
+  }
+
   test("minhash candidates over the documents table run and are symmetric-free") {
     val d = Tables.documents(spark, sf()).limit(100)
       .withColumn("toks", TextFunctions.tokenSet($"text"))

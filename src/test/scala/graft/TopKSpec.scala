@@ -26,6 +26,12 @@ class TopKSpec extends SparkSpecBase {
     assert(got == Seq((1, 50L), (2, 7L))) // 9.0 first, then the 5.0 tie → id 7
   }
 
+  test("k <= 0 is rejected up front, not as a mid-job crash") {
+    val df = Seq((1L, 5.0, 100L)).toDF("k", "v", "id")
+    intercept[IllegalArgumentException] { TopK.perKey(df, "k", "v", "id", k = 0) }
+    intercept[IllegalArgumentException] { new TopK.TopKAgg(-1) }
+  }
+
   test("plan includes partial aggregation (map-side combine)") {
     val plan = TopK.perKey(Tables.orders(spark, sf()),
       "o_custkey", "o_totalprice", "o_orderkey", k = 3)

@@ -19,10 +19,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def load_spark(outdir, name):
     import glob
-    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
     if not files:
         return None
-    return pq.read_table(files[0]).to_pandas()
+    # concat every part file: Verify coalesces to 1 today, but the checker
+    # must not silently compare a subset if that ever changes
+    tables = [pq.read_table(f) for f in files]
+    import pyarrow as pa
+    return pa.concat_tables(tables).to_pandas()
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
