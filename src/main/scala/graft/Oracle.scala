@@ -129,6 +129,57 @@ object Oracle {
     "subq_scalar_corr" ->
       "SELECT o_orderkey, o_totalprice FROM orders o WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey LIMIT 100",
     "subq_in" ->
-      "SELECT p_partkey FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45) ORDER BY p_partkey LIMIT 200"
+      "SELECT p_partkey FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45) ORDER BY p_partkey LIMIT 200",
+    // §2.13 training-data pipeline (round 2). Cross-engine hash parity
+    // notes: token codes come from md5 (standardized) not xxhash64
+    // (Spark-only); DuckDB regexp_replace needs the 'g' flag to match
+    // Spark's replace-all; DuckDB list_reduce seeds with the first
+    // element, which equals Spark's aggregate(..., 0, ...) for both the
+    // polynomial fold ((0*31+c)%M = c) and the bitwise-or fold (0|c = c).
+    "text_quality" ->
+      ("WITH t AS (SELECT doc_id, CAST(length(text) AS DOUBLE) len, CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) na, " +
+        "CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) np, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) words FROM documents) " +
+        "SELECT doc_id, round(greatest(0.0, least((CASE WHEN len > 0 THEN na / len ELSE 0.0 END) * 0.4 " +
+        "+ (1.0 - least(abs((CASE WHEN words > 0 THEN na / words ELSE 0.0 END) - 5.5) / 5.5, 1.0)) * 0.3 " +
+        "+ least(len / 200.0, 1.0) * 0.2 " +
+        "+ (1.0 - least((CASE WHEN len > 0 THEN np / len ELSE 0.0 END) * 5.0, 1.0)) * 0.1, 1.0)), 6) AS quality " +
+        "FROM t ORDER BY doc_id LIMIT 300"),
+    "text_tokencount" ->
+      ("SELECT lang, count(*) AS docs, CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens, " +
+        "CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpeish_tokens, " +
+        "round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_words FROM documents GROUP BY lang ORDER BY lang"),
+    "text_langid" ->
+      ("WITH t AS (SELECT lang, text, list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks FROM documents), " +
+        "p AS (SELECT lang, text, list_max([" +
+        "{'score': len(list_intersect(toks, ['der','die','das','und','ist','mit','von','nicht'])), 'lang': 'de'}, " +
+        "{'score': len(list_intersect(toks, ['the','and','of','to','in','is','that','with'])), 'lang': 'en'}, " +
+        "{'score': len(list_intersect(toks, ['el','la','los','las','de','que','es','con'])), 'lang': 'es'}, " +
+        "{'score': len(list_intersect(toks, ['le','la','les','des','est','avec','que','pour'])), 'lang': 'fr'}]) AS best FROM t) " +
+        "SELECT lang, CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' WHEN best.score > 0 THEN best.lang ELSE 'und' END AS pred, " +
+        "count(*) AS c FROM p GROUP BY 1, 2 ORDER BY 1, 2"),
+    "text_fingerprint" ->
+      ("SELECT doc_id, list_reduce(list_transform(string_split(text, ' '), tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT % 65536), " +
+        "(a, b) -> (a * 31 + b) % 1000000007) AS fp FROM documents ORDER BY doc_id LIMIT 300"),
+    "dedup_simhash" ->
+      ("WITH t AS (SELECT doc_id, list_transform(string_split(text, ' '), tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT) AS codes FROM documents WHERE doc_id < 100), " +
+        "s AS (SELECT doc_id, list_reduce(list_transform(range(32), b -> CASE WHEN 2 * len(list_filter(codes, c -> ((c >> b) & 1) = 1)) > len(codes) " +
+        "THEN (1::BIGINT << b) ELSE 0::BIGINT END), (a, b) -> a | b) AS sig FROM t) " +
+        "SELECT doc_id, sig, CAST(bit_count(sig) AS INT) AS nbits FROM s ORDER BY doc_id"),
+    "dedup_ngram_jaccard" ->
+      ("WITH t AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text) - 1, 2)), i -> substr(text, i::INT, 3))) AS sh " +
+        "FROM documents WHERE doc_id < 40) SELECT * FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac " +
+        "FROM t a JOIN t b ON a.doc_id < b.doc_id) WHERE jac >= 0.5 ORDER BY a_id, b_id"),
+    "hrv_rmssd" ->
+      ("WITH d AS (SELECT user_id, value, value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv FROM events) " +
+        "SELECT user_id AS series_key, count(value) AS n, round(avg(value), 2) AS mean_nn, round(stddev_samp(value), 2) AS sdnn, " +
+        "round(sqrt(avg(dv * dv)), 2) AS rmssd, " +
+        "round(CASE WHEN count(dv) > 0 THEN CAST(sum(CASE WHEN abs(dv) > 50.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(dv) ELSE NULL END, 4) AS pnn " +
+        "FROM d GROUP BY user_id ORDER BY series_key"),
+    "agg_pivot" ->
+      ("SELECT o_orderpriority, CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F, " +
+        "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O, " +
+        "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")
   )
 }

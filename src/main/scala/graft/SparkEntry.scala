@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Relational, Windows, Scalars, TimeSeries, LlmOps}
+import graft.operators.{Relational, Windows, Scalars, TimeSeries, LlmOps, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -83,7 +83,16 @@ object SparkEntry {
     "llm_minhash_jaccard" -> (LlmOps.llmMinhashJaccard _),
     // §2.11 subqueries
     "subq_scalar_corr" -> (Relational.subqScalarCorr _),
-    "subq_in" -> (Relational.subqIn _)
+    "subq_in" -> (Relational.subqIn _),
+    // §2.13 training-data pipeline
+    "text_quality" -> (TrainingData.textQuality _),
+    "text_tokencount" -> (TrainingData.textTokencount _),
+    "text_langid" -> (TrainingData.textLangid _),
+    "text_fingerprint" -> (TrainingData.textFingerprint _),
+    "dedup_simhash" -> (TrainingData.dedupSimhash _),
+    "dedup_ngram_jaccard" -> (TrainingData.dedupNgramJaccard _),
+    "hrv_rmssd" -> (TrainingData.hrvRmssd _),
+    "agg_pivot" -> (TrainingData.aggPivot _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -72,6 +72,34 @@ object TextAnalysis {
   def contentFingerprint(text: Column): Column =
     xxhash64(concat_ws(" ", array_sort(array_distinct(split(text, "\\s+")))))
 
+  /** Per-token 32-bit codes derived from md5 — unlike xxhash64 this hash
+    * is computable identically in other engines (md5 is standardized), so
+    * fingerprints built on it are cross-engine checkable. */
+  def md5TokenCodes(tokens: Column): Column =
+    transform(tokens, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+
+  /** Order-SENSITIVE rolling document fingerprint: polynomial hash
+    * acc = (acc*31 + code) mod 1e9+7 over per-token md5-derived codes.
+    * Complements contentFingerprint (order-insensitive): two documents
+    * with the same words in different order collide there but not here. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, " "),
+        t => conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 65536L),
+      lit(0L), (acc, x) => (acc * 31L + x) % 1000000007L)
+
+  /** 32-bit SimHash over a column holding md5-derived token codes (see
+    * md5TokenCodes): per-bit majority vote across tokens, ties → 0.
+    * SQL-text form because the per-bit shift amount is a lambda variable
+    * (the Scala `shiftright` only takes literal shifts). The xxhash64
+    * 64-bit variant for pure-Spark pipelines is ScalableDedup.simhash. */
+  def simhash32(codesField: String): Column = expr(
+    s"""aggregate(sequence(0, 31), 0L,
+          (acc, b) -> acc + IF(
+            2 * size(filter($codesField, c -> (shiftright(c, b) & 1) = 1))
+              > size($codesField),
+            shiftleft(1L, b), 0L))""")
+
   /** TF-IDF term weights over a corpus: explode tokens → term frequency
     * per (doc, term) → document frequency per term (one aggregate, joined
     * back) → smoothed idf = ln((N+1)/(df+1)) + 1. Two shuffles total (by

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextAnalysis, TextFunctions}
+
+/** Judged training-data-pipeline queries (SURVEY.md §2.13): the oracle-
+  * checked entry points for the text-analysis, fingerprinting, and dedup
+  * primitives in graft.functions.TextAnalysis and graft.operators.Hrv.
+  *
+  * Everything here is a pure Column-expression map or aggregate over the
+  * corpus — one scan, no UDFs, no driver-side loops — so each query is a
+  * single embarrassingly-parallel stage (plus one shuffle where grouped).
+  * Hash-parity with DuckDB pins the exact semantics of each primitive:
+  * md5-derived token codes (standardized across engines, unlike
+  * xxhash64), explicit rounding on every float, total ORDER BY.
+  */
+object TrainingData {
+
+  /** #58 per-document quality score (TextAnalysis.qualityScore verbatim):
+    * alphabetic ratio, mean word length, length and punctuation terms. */
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+      .limit(300)
+
+  /** #59 per-language token counting: whitespace tokens and the BPE-ish
+    * subword proxy (alphanumeric runs + single punctuation marks). */
+  def textTokencount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("ws_tokens"),
+        sum(TextAnalysis.bpeishTokenCount(col("text"))).as("bpeish_tokens"),
+        round(avg(TextAnalysis.tokenCount(col("text"))), 4).as("avg_words"))
+      .orderBy(col("lang"))
+
+  /** #60 language-ID confusion matrix: actual `lang` column vs the
+    * marker-word heuristic (TextAnalysis.langId verbatim). */
+  def textLangid(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("lang"), col("pred"))
+
+  /** #61 order-sensitive rolling fingerprint per document
+    * (TextAnalysis.rollingFingerprint verbatim). */
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+      .limit(300)
+
+  /** #62 32-bit SimHash signature + popcount per document over md5 token
+    * codes (TextAnalysis.simhash32): the deterministic, cross-engine-
+    * checkable twin of the xxhash64 production simhash. */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .withColumn("codes", TextAnalysis.md5TokenCodes(split(col("text"), " ")))
+      .select(col("doc_id"), TextAnalysis.simhash32("codes").as("sig"))
+      .withColumn("nbits", bit_count(col("sig")))
+      .orderBy(col("doc_id"))
+
+  /** #63 character-trigram Jaccard near-dup pairs over a bounded probe
+    * window — shingle granularity below the word level, catching
+    * near-dups that token-set Jaccard (#55) misses when words are edited
+    * in place. All-pairs on the 40-doc probe set; the scale path hashes
+    * the same shingles through ScalableDedup.minhashCandidates. */
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = expr(
+      "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3)))")
+    val t = Tables.documents(s, d)
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"), sh.as("sh"))
+    val a = t.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+    val b = t.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+    broadcast(a).join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(TextFunctions.jaccard(col("sa"), col("sb")), 6).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** #64 time-domain HRV feature block per user over the event stream
+    * (Hrv.timeDomain verbatim): count, mean, SDNN, RMSSD, pNN50 — the
+    * reference's signature feature computation, oracle-checked. */
+  def hrvRmssd(s: SparkSession, d: String): DataFrame =
+    Hrv.timeDomain(Tables.events(s, d),
+        col("user_id"), col("ts"), col("event_id"), col("value"))
+      // float aggregates at round-2: avg/stddev over ~5k doubles per key
+      // sit within 1 ulp of a 4-decimal rounding boundary across engines
+      // (observed at sf0.1); pnn is a ratio of exact counts, safe at 4
+      .select(col("series_key"), col("n"),
+        round(col("mean_nn"), 2).as("mean_nn"),
+        round(col("sdnn"), 2).as("sdnn"),
+        round(col("rmssd"), 2).as("rmssd"),
+        round(col("pnn"), 4).as("pnn"))
+      .orderBy(col("series_key"))
+
+  /** #65 pivot: order counts per priority × status, fixed column domain
+    * (the relational reshape the DataFrame `pivot` API owns). Missing
+    * combinations surface as 0, matching the conditional-sum oracle. */
+  def aggPivot(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+    p.select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy(col("o_orderpriority"))
+  }
+}

@@ -26,7 +26,10 @@ class GoldenCountsSpec extends SparkSpecBase {
     "llm_exact_dedup" -> 500, "llm_dedup_keep_first" -> 75, "llm_docstats" -> 5,
     "llm_ngrams" -> 30, "llm_cosine_topk" -> 50, "llm_knn_label" -> 10,
     "llm_minhash_jaccard" -> 763,
-    "subq_scalar_corr" -> 48, "subq_in" -> 193
+    "subq_scalar_corr" -> 48, "subq_in" -> 193,
+    "text_quality" -> 300, "text_tokencount" -> 5, "text_langid" -> 10,
+    "text_fingerprint" -> 300, "dedup_simhash" -> 100,
+    "dedup_ngram_jaccard" -> 342, "hrv_rmssd" -> 15, "agg_pivot" -> 5
   )
 
   test("every SURVEY §2 query is registered with an oracle") {

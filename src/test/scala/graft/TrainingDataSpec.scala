@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.TrainingData
+
+class TrainingDataSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("rolling fingerprint: deterministic, order-sensitive, bounded") {
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "gamma beta alpha"))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.rollingFingerprint($"text").as("fp"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))        // same text, same fingerprint
+    assert(m(1L) != m(3L))        // permutation changes it (order-sensitive)
+    assert(m.values.forall(v => v >= 0L && v < 1000000007L))
+  }
+
+  test("md5 simhash32: exact dups identical, near-dups closer than unrelated") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely different words about query engines and shuffles here now"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+      .withColumn("codes", TextAnalysis.md5TokenCodes(split($"text", " ")))
+      .select($"doc_id", TextAnalysis.simhash32("codes").as("sig"))
+    val sig = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(2L)) < ham(sig(1L), sig(3L)))
+    assert(sig.values.forall(v => v >= 0L && v < (1L << 32)))
+  }
+
+  test("langId: marker overlap wins, CJK forces zh, no overlap is und") {
+    val got = Seq(
+      (1, "the cat and the hat is on the mat"),
+      (2, "der hund und die katze ist nicht da"),
+      (3, "中文 文本 在 这里"),
+      (4, "zzz qqq xxx"))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.langId($"text").as("p"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(1 -> "en", 2 -> "de", 3 -> "zh", 4 -> "und"))
+  }
+
+  test("judged hrv_rmssd equals direct RMSSD from the lag-diff identity") {
+    val events = Tables.events(spark, sf())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val direct = events
+      .select($"user_id", ($"value" - lag($"value", 1).over(w)).as("d"))
+      .groupBy($"user_id")
+      .agg(round(sqrt(avg($"d" * $"d")), 2).as("rmssd"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val judged = TrainingData.hrvRmssd(spark, sf())
+      .select($"series_key", $"rmssd")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(judged == direct)
+  }
+
+  test("agg_pivot cells sum to the total order count") {
+    val p = TrainingData.aggPivot(spark, sf())
+    val total = p.select((col("F") + col("O") + col("P")).as("t"))
+      .agg(sum($"t")).head.getLong(0)
+    assert(total == Tables.orders(spark, sf()).count())
+  }
+
+  test("char-trigram jaccard pairs are ordered, thresholded and symmetric-free") {
+    val rows = TrainingData.dedupNgramJaccard(spark, sf()).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0))
+  }
+}
