@@ -170,6 +170,10 @@ object Oracle {
         "FROM documents WHERE doc_id < 40) SELECT * FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
         "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac " +
         "FROM t a JOIN t b ON a.doc_id < b.doc_id) WHERE jac >= 0.5 ORDER BY a_id, b_id"),
+    "dedup_embedding" ->
+      ("WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 120) " +
+        "SELECT * FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(list_cosine_similarity(a.v, b.v), 6) AS cosine " +
+        "FROM t a JOIN t b ON a.vec_id < b.vec_id) WHERE cosine >= 0.3 ORDER BY a_id, b_id"),
     "hrv_rmssd" ->
       ("WITH d AS (SELECT user_id, value, value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv FROM events) " +
         "SELECT user_id AS series_key, count(value) AS n, round(avg(value), 2) AS mean_nn, round(stddev_samp(value), 2) AS sdnn, " +

@@ -91,6 +91,7 @@ object SparkEntry {
     "text_fingerprint" -> (TrainingData.textFingerprint _),
     "dedup_simhash" -> (TrainingData.dedupSimhash _),
     "dedup_ngram_jaccard" -> (TrainingData.dedupNgramJaccard _),
+    "dedup_embedding" -> (TrainingData.dedupEmbedding _),
     "hrv_rmssd" -> (TrainingData.hrvRmssd _),
     "agg_pivot" -> (TrainingData.aggPivot _)
   )

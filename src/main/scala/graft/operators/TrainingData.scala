@@ -86,6 +86,26 @@ object TrainingData {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** #66 embedding-cosine near-dup pairs over a bounded probe window —
+    * the vector-space member of the dedup family (exact #49, token-set
+    * Jaccard #55, SimHash #62, char-ngram #63). Probe side broadcasts;
+    * cosine_sim is the fused native expression. Scale path:
+    * ScalableDedup.embeddingNearDup (hyperplane-LSH bucketing). */
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    import graft.functions.CosineSimilarityExpr.cosine_sim
+    val emb = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 120)
+      .select(col("vec_id"), VectorFunctions.toDoubleVec(col("embedding")).as("v"))
+    val a = emb.select(col("vec_id").as("a_id"), col("v").as("va"))
+    val b = emb.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    broadcast(a).join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine_sim(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** #64 time-domain HRV feature block per user over the event stream
     * (Hrv.timeDomain verbatim): count, mean, SDNN, RMSSD, pNN50 — the
     * reference's signature feature computation, oracle-checked. */

@@ -29,7 +29,8 @@ class GoldenCountsSpec extends SparkSpecBase {
     "subq_scalar_corr" -> 48, "subq_in" -> 193,
     "text_quality" -> 300, "text_tokencount" -> 5, "text_langid" -> 10,
     "text_fingerprint" -> 300, "dedup_simhash" -> 100,
-    "dedup_ngram_jaccard" -> 342, "hrv_rmssd" -> 15, "agg_pivot" -> 5
+    "dedup_ngram_jaccard" -> 342, "dedup_embedding" -> 56,
+    "hrv_rmssd" -> 15, "agg_pivot" -> 5
   )
 
   test("every SURVEY §2 query is registered with an oracle") {
