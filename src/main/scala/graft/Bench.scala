@@ -9,26 +9,31 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line.
   *
-  * Two measurements, both reported:
+  * Two measurements, both reported, each with a like-for-like DuckDB
+  * counterpart measured under the identical protocol in BASELINE.md
+  * ("Round-2 methodology" section):
   *
-  *  - **Per-query sequential** (the `queries` map): one untimed warmup pass
-  *    (JIT + codegen cache + parquet footer cache), then three timed
-  *    sequential passes, best-of-3 per query — the same "best of 3 runs"
-  *    protocol BASELINE.md used for the DuckDB oracle. Their sum is
-  *    `sum_best`.
-  *  - **Suite wall-clock** (`value`, the headline): the whole 57-query
-  *    suite submitted to the session from a thread pool, wall-clock of the
-  *    slowest straggler, best of three passes. At this data scale each
-  *    query is dominated by fixed driver/dispatch latency (~0.1-0.5 s),
-  *    not data volume, so a 32-core engine overlaps queries exactly as a
-  *    production cluster serves a concurrent workload; suite completion
-  *    time is the engine's real throughput on the benchmark workload.
-  *    Spark schedules concurrent jobs fairly via the FAIR scheduler.
+  *  - **Per-query sequential** (the `queries` map): one untimed warmup
+  *    pass (JIT + codegen cache + parquet footer cache), then three timed
+  *    sequential passes, best-of-3 per query; their sum is `sum_best`.
+  *    Baseline counterpart: DuckDB sequential suite total, same
+  *    best-of-3 protocol.
+  *  - **Suite wall-clock** (`value`, the headline): the whole suite
+  *    submitted from a 16-thread pool, wall-clock until the last query
+  *    finishes, best of three passes. At this data scale each query is
+  *    dominated by fixed dispatch latency, not data volume, so suite
+  *    completion time under concurrency is the engine's throughput on
+  *    the workload. Baseline counterpart: DuckDB under the same
+  *    16-thread pool protocol (BASELINE.md round-2 table). Jobs land in
+  *    Spark's default FIFO pool; they are submitted near-simultaneously
+  *    and the tiny stages pipeline freely, which measured faster than a
+  *    configured FAIR pool setup at this scale.
   *
-  * Both numbers are in the JSON (`value` = concurrent wall-clock,
-  * `sum_best` = sum of sequential per-query bests, `mode` names the
-  * headline methodology) — nothing is hidden. A query that throws is
-  * reported in a "failed" list.
+  * If ANY query throws in ANY pass, the concurrent wall-clock is not a
+  * valid suite measurement (a fast failure shrinks it), so `value` falls
+  * back to `sum_best` — where a failed query's time-to-exception still
+  * undercounts, but each query is at least attempted in isolation — and
+  * the "failed" list names the casualties.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -43,7 +48,6 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -76,8 +80,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sumBest = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val anyFailed = failed.synchronized { failed.nonEmpty }
+    val (value, mode) =
+      if (anyFailed) (sumBest, "sum-sequential-best (wallclock invalid: failures)")
+      else (wall, "suite-wallclock-concurrent")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","mode":"suite-wallclock-concurrent","threads":$threads,"sum_best":$sumBest,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$value,"unit":"sec","mode":"$mode","threads":$threads,"wall_concurrent":$wall,"sum_best":$sumBest,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -49,14 +49,17 @@ object Ann {
     require(bits % bands == 0, "bits must divide evenly into bands")
     val width = bits / bands
     val mask = (1L << width) - 1
-    // dim inference needs one row; empty corpus → no neighbors for anyone
+    // dim inference needs one row; empty corpus → no neighbors for anyone.
+    // The empty result keeps the non-empty path's schema: id columns in
+    // the source idCol's type, sim double.
     val probe = corpus.select(size(col(vecCol)).as("d")).head(1)
     if (probe.isEmpty) {
       val spark = corpus.sparkSession
+      val idType = corpus.schema(idCol).dataType
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("probe_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("nb", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("probe_id", idType),
+          org.apache.spark.sql.types.StructField("nb", idType),
           org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType))))
     }
     val dim = probe.head.getInt(0)

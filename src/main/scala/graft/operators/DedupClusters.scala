@@ -31,7 +31,11 @@ object DedupClusters {
       .localCheckpoint(true)
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
+    // labels for a diameter-d graph are final after pass d but only
+    // OBSERVABLY final on pass d+1 (the first no-change pass), so allow
+    // maxIter+1 passes: diameter == maxIter then converges instead of
+    // spuriously throwing
+    while (iter < maxIter + 1 && !converged) {
       val prop = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
         .union(labels)

@@ -134,14 +134,17 @@ object ScalableDedup {
       minCosine: Double = 0.95, bits: Int = 16, seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
     // dim inference needs one row; short-circuit empty input to an empty
-    // result instead of throwing from first() on no rows
+    // result (same schema as the non-empty path: ids in the source
+    // idCol's type) instead of throwing from first() on no rows
     val probe = df.select(size(col(vecCol)).as("d")).head(1)
-    if (probe.isEmpty)
+    if (probe.isEmpty) {
+      val idType = df.schema(idCol).dataType
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("a_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("b_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("a_id", idType),
+          org.apache.spark.sql.types.StructField("b_id", idType),
           org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType))))
+    }
     val dim = probe.head.getInt(0)
     val planes = hyperplanes(dim, bits, seed)
     val sig = df.select(col(idCol).as("id"),

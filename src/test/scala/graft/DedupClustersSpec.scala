@@ -32,6 +32,14 @@ class DedupClustersSpec extends SparkSpecBase {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("diameter == maxIter converges (labels final on the last allowed pass)") {
+    // chain 1-2-3-4: diameter 3; labels final after pass 3, observed on pass 4
+    val pairs = (1L until 4L).map(i => (i, i + 1)).toDF("a", "b")
+    val comps = DedupClusters.connectedComponents(pairs, "a", "b", maxIter = 3)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(comps.toSeq == Seq(1L))
+  }
+
   test("keepers and replacement map") {
     val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("a", "b")
     val k = DedupClusters.keepers(DedupClusters.connectedComponents(pairs, "a", "b"))

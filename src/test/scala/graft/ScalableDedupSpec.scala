@@ -61,6 +61,11 @@ class ScalableDedupSpec extends SparkSpecBase {
     val got = ScalableDedup.embeddingNearDup(empty, "id", "v")
     assert(got.count() == 0)
     assert(got.columns.toSeq == Seq("a_id", "b_id", "cosine"))
+    // schema matches the non-empty path even for non-long id columns
+    val emptyStr = Seq.empty[(String, Seq[Double])].toDF("id", "v")
+    val gotStr = ScalableDedup.embeddingNearDup(emptyStr, "id", "v")
+    assert(gotStr.schema("a_id").dataType ==
+      org.apache.spark.sql.types.StringType)
   }
 
   test("minhash candidates over the documents table run and are symmetric-free") {
