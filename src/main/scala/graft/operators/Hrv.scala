@@ -59,9 +59,15 @@ object Hrv {
     * One window pass for the diffs, one partial+final aggregate. */
   def timeDomain(df: DataFrame, key: Column, ts: Column, tiebreak: Column,
       value: Column, nnThreshold: Double = 50.0): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(ts, tiebreak)
-    val dv = value - lag(value, 1).over(w)
-    df.select(key.as("series_key"), value.as("v"), dv.as("dv"))
+    // alias the key BEFORE the window: the window's exchange then hashes
+    // series_key itself and the downstream group-by reuses that
+    // partitioning (aliasing below the exchange hides the equivalence
+    // from EnsureRequirements and costs a second full shuffle at scale)
+    val base = df.select(key.as("series_key"), ts.as("_ts"),
+      tiebreak.as("_tb"), value.as("v"))
+    val w = Window.partitionBy(col("series_key")).orderBy(col("_ts"), col("_tb"))
+    val dv = col("v") - lag(col("v"), 1).over(w)
+    base.select(col("series_key"), col("v"), dv.as("dv"))
       .groupBy(col("series_key"))
       .agg(
         count(col("v")).as("n"),
@@ -81,10 +87,13 @@ object Hrv {
     * and differences (sample variance throughout). */
   def poincare(df: DataFrame, key: Column, ts: Column, tiebreak: Column,
       value: Column): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(ts, tiebreak)
-    val prev = lag(value, 1).over(w)
-    df.select(key.as("series_key"),
-        (value - prev).as("d"), (value + prev).as("s"))
+    // alias-before-window for shuffle reuse — see timeDomain
+    val base = df.select(key.as("series_key"), ts.as("_ts"),
+      tiebreak.as("_tb"), value.as("v"))
+    val w = Window.partitionBy(col("series_key")).orderBy(col("_ts"), col("_tb"))
+    val prev = lag(col("v"), 1).over(w)
+    base.select(col("series_key"),
+        (col("v") - prev).as("d"), (col("v") + prev).as("s"))
       .filter(col("d").isNotNull)
       .groupBy(col("series_key"))
       .agg(
@@ -134,10 +143,13 @@ object Hrv {
     * `power_<i>` column per requested frequency. */
   def bandPower(df: DataFrame, key: Column, ts: Column, value: Column,
       freqsHz: Seq[Double]): DataFrame = {
-    val wk = Window.partitionBy(key)
-    val centered = value - avg(value).over(wk)
-    val tSec = unix_micros(ts).cast("double") / 1e6
-    val prepped = df.select(key.as("series_key"), centered.as("c"), tSec.as("t"))
+    // alias-before-window for shuffle reuse — see timeDomain
+    val base = df.select(key.as("series_key"), ts.as("_ts"),
+      value.cast("double").as("v"))
+    val wk = Window.partitionBy(col("series_key"))
+    val centered = col("v") - avg(col("v")).over(wk)
+    val tSec = unix_micros(col("_ts")).cast("double") / 1e6
+    val prepped = base.select(col("series_key"), centered.as("c"), tSec.as("t"))
     val aggs = freqsHz.zipWithIndex.flatMap { case (f, i) =>
       val theta = col("t") * (2 * math.Pi * f)
       Seq(
