@@ -134,6 +134,27 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("md5 simhash32 is order-insensitive; rolling fingerprint is order-sensitive") {
+    val toks = Gen.listOfN(8, Gen.oneOf("join", "scan", "agg", "hash", "sort"))
+    for (ws <- samples(toks, n = 5)) {
+      val perm = scala.util.Random.shuffle(ws)
+      val df = Seq((ws.mkString(" "), perm.mkString(" "))).toDF("x", "y")
+        .withColumn("cx", graft.functions.TextAnalysis.md5TokenCodes(split($"x", " ")))
+        .withColumn("cy", graft.functions.TextAnalysis.md5TokenCodes(split($"y", " ")))
+      val row = df.select(
+        graft.functions.TextAnalysis.simhash32("cx"),
+        graft.functions.TextAnalysis.simhash32("cy"),
+        graft.functions.TextAnalysis.rollingFingerprint($"x"),
+        graft.functions.TextAnalysis.rollingFingerprint($"y")).collect().head
+      // per-bit votes are a sum over the token multiset: permutation-proof
+      assert(row.getLong(0) == row.getLong(1))
+      // the polynomial fold weights positions: permutation changes it
+      // (unless the permutation is the identity)
+      if (perm != ws) assert(row.getLong(2) != row.getLong(3))
+      assert(row.getLong(2) >= 0 && row.getLong(2) < 1000000007L)
+    }
+  }
+
   test("jaccard is symmetric and 1 on identical token sets") {
     val txtGen = Gen.listOfN(6, Gen.oneOf("w1", "w2", "w3", "w4")).map(_.mkString(" "))
     for ((x, y) <- samples(Gen.zip(txtGen, txtGen))) {
