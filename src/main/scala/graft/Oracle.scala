@@ -180,6 +180,10 @@ object Oracle {
         "round(sqrt(avg(dv * dv)), 2) AS rmssd, " +
         "round(CASE WHEN count(dv) > 0 THEN CAST(sum(CASE WHEN abs(dv) > 50.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(dv) ELSE NULL END, 4) AS pnn " +
         "FROM d GROUP BY user_id ORDER BY series_key"),
+    "agg_argmax" ->
+      ("WITH c AS (SELECT user_id, event_type, count(*) n FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT user_id, event_type, n, row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type DESC) rn FROM c) " +
+        "SELECT user_id, event_type AS top_type, n AS n_top FROM r WHERE rn = 1 ORDER BY user_id"),
     "agg_pivot" ->
       ("SELECT o_orderpriority, CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F, " +
         "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O, " +

@@ -93,7 +93,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (TrainingData.dedupNgramJaccard _),
     "dedup_embedding" -> (TrainingData.dedupEmbedding _),
     "hrv_rmssd" -> (TrainingData.hrvRmssd _),
-    "agg_pivot" -> (TrainingData.aggPivot _)
+    "agg_pivot" -> (TrainingData.aggPivot _),
+    "agg_argmax" -> (TrainingData.aggArgmax _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -122,6 +122,22 @@ object TrainingData {
         round(col("pnn"), 4).as("pnn"))
       .orderBy(col("series_key"))
 
+  /** #67 deterministic per-key argmax: each user's most frequent event
+    * type (ties → lexicographically last type). Aggregate form via
+    * `max_by` over a tie-proof (count, type) struct key — two map-side-
+    * combinable shuffles and no full-table window sort, the same shape
+    * plans.LatestPerKeyRule rewrites window argmaxes into. The oracle
+    * states the identical semantics in the portable row_number form. */
+  def aggArgmax(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(col("event_type"), struct(col("n"), col("event_type"))).as("top_type"),
+        max(col("n")).as("n_top"))
+      .orderBy(col("user_id"))
+
   /** #65 pivot: order counts per priority × status, fixed column domain
     * (the relational reshape the DataFrame `pivot` API owns). Missing
     * combinations surface as 0, matching the conditional-sum oracle. */
