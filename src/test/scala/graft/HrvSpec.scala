@@ -49,6 +49,15 @@ class HrvSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(5) - 0.5) < 1e-12) // |60|>50, |−30|≤50 → 1 of 2
   }
 
+  test("timeDomain shuffles the series exactly once (window partitioning reused)") {
+    // regression guard for the alias-before-window fix: the group-by after
+    // the window must reuse the window's hash exchange, not add a second
+    val plan = Hrv.timeDomain(rr, $"user_id", $"ts", $"event_id", $"value")
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?i)exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$plan")
+  }
+
   test("poincare sd1 equals stddev(diffs)/sqrt(2)") {
     val simple = Seq((9L, 1L, 100.0), (9L, 2L, 160.0), (9L, 3L, 130.0))
       .toDF("user_id", "event_id", "value")
