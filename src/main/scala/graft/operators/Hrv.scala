@@ -53,18 +53,23 @@ object Hrv {
         .otherwise(coalesce(prevClean, nextClean, value)))
   }
 
+  /** Projection that aliases the key BEFORE any window: the window's
+    * exchange then hashes series_key itself and a downstream group-by on
+    * series_key reuses that partitioning. Aliasing below the exchange
+    * hides the equivalence from EnsureRequirements and costs a second
+    * full-table shuffle at scale (guarded by HrvSpec's plan-shape test). */
+  private def keyed(df: DataFrame, key: Column, ts: Column, tiebreak: Column,
+      value: Column): DataFrame =
+    df.select(key.as("series_key"), ts.as("_ts"), tiebreak.as("_tb"),
+      value.cast("double").as("v"))
+
   /** Time-domain HRV feature block per key: mean/SDNN (stddev of samples),
     * RMSSD (RMS of successive differences), pNN-style fraction of
     * successive differences exceeding `nnThreshold`, and sample count.
     * One window pass for the diffs, one partial+final aggregate. */
   def timeDomain(df: DataFrame, key: Column, ts: Column, tiebreak: Column,
       value: Column, nnThreshold: Double = 50.0): DataFrame = {
-    // alias the key BEFORE the window: the window's exchange then hashes
-    // series_key itself and the downstream group-by reuses that
-    // partitioning (aliasing below the exchange hides the equivalence
-    // from EnsureRequirements and costs a second full shuffle at scale)
-    val base = df.select(key.as("series_key"), ts.as("_ts"),
-      tiebreak.as("_tb"), value.as("v"))
+    val base = keyed(df, key, ts, tiebreak, value)
     val w = Window.partitionBy(col("series_key")).orderBy(col("_ts"), col("_tb"))
     val dv = col("v") - lag(col("v"), 1).over(w)
     base.select(col("series_key"), col("v"), dv.as("dv"))
@@ -87,9 +92,7 @@ object Hrv {
     * and differences (sample variance throughout). */
   def poincare(df: DataFrame, key: Column, ts: Column, tiebreak: Column,
       value: Column): DataFrame = {
-    // alias-before-window for shuffle reuse — see timeDomain
-    val base = df.select(key.as("series_key"), ts.as("_ts"),
-      tiebreak.as("_tb"), value.as("v"))
+    val base = keyed(df, key, ts, tiebreak, value)
     val w = Window.partitionBy(col("series_key")).orderBy(col("_ts"), col("_tb"))
     val prev = lag(col("v"), 1).over(w)
     base.select(col("series_key"),
@@ -143,9 +146,7 @@ object Hrv {
     * `power_<i>` column per requested frequency. */
   def bandPower(df: DataFrame, key: Column, ts: Column, value: Column,
       freqsHz: Seq[Double]): DataFrame = {
-    // alias-before-window for shuffle reuse — see timeDomain
-    val base = df.select(key.as("series_key"), ts.as("_ts"),
-      value.cast("double").as("v"))
+    val base = keyed(df, key, ts, ts, value) // no tiebreak needed: unordered window
     val wk = Window.partitionBy(col("series_key"))
     val centered = col("v") - avg(col("v")).over(wk)
     val tSec = unix_micros(col("_ts")).cast("double") / 1e6
