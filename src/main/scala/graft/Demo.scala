@@ -134,6 +134,14 @@ object Demo {
     println(s"pipeline: valid=${pipe.validRows} quarantined=${pipe.quarantinedRows} " +
       s"series=${pipe.series} featureRows=${pipe.featureRows}")
 
+    // training-data curation end to end over the judged corpus
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_demo_corpus")
+    val cur = CorpusPipeline.curate(spark, Tables.documents(spark, sfDir),
+      corpusDir.toString)
+    println(s"corpus curation: ${cur.input} docs → quality ${cur.afterQuality} " +
+      s"→ exact-dedup ${cur.afterExactDedup} → curated ${cur.curated} " +
+      s"(${cur.nearDupClustersRemoved} near-dup cluster members removed)")
+
     // the same pipeline as a continuous file-watch stream
     val watchDir = new java.io.File(pipeDir, "incoming"); watchDir.mkdirs()
     java.nio.file.Files.writeString(new java.io.File(watchDir, "b1.csv").toPath,

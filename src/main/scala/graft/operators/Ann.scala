@@ -89,6 +89,16 @@ object Ann {
       idCol: String, vecCol: String, k: Int = 5, nlist: Int = 16,
       nprobe: Int = 4, seed: Long = 42L): DataFrame = {
     import spark.implicits._
+    // KMeans.fit cannot train on zero rows; empty corpus → empty result
+    // with the non-empty path's schema (same contract as lshTopK)
+    if (corpus.select(col(idCol)).head(1).isEmpty) {
+      val idType = corpus.schema(idCol).dataType
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("probe_id", idType),
+          org.apache.spark.sql.types.StructField("nb", idType),
+          org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType))))
+    }
     val feats = corpus.select(col(idCol).as("nb"),
       VectorFunctions.toDoubleVec(col(vecCol)).as("vb"))
       .withColumn("fv", array_to_vector(col("vb")))
