@@ -174,6 +174,18 @@ object Oracle {
       ("WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 120) " +
         "SELECT * FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(list_cosine_similarity(a.v, b.v), 6) AS cosine " +
         "FROM t a JOIN t b ON a.vec_id < b.vec_id) WHERE cosine >= 0.3 ORDER BY a_id, b_id"),
+    "hrv_clean_interp" ->
+      ("WITH f AS (SELECT event_id, user_id, ts, value, " +
+        "(value < 1.0 OR value > 300.0 OR abs(value - coalesce(quantile_cont(value, 0.5) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), value)) > " +
+        "abs(coalesce(quantile_cont(value, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), value)) * 2.0) AS is_outlier FROM events), " +
+        "c AS (SELECT event_id, user_id, ts, value, is_outlier, CASE WHEN is_outlier THEN NULL ELSE value END AS cv FROM f), " +
+        "n AS (SELECT event_id, value, is_outlier, " +
+        "last_value(cv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc, " +
+        "first_value(cv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc FROM c) " +
+        "SELECT event_id, is_outlier, round(CASE WHEN NOT is_outlier THEN value " +
+        "WHEN pc IS NOT NULL AND nc IS NOT NULL THEN (pc + nc) / 2 " +
+        "ELSE coalesce(pc, nc, value) END, 4) AS value_clean FROM n ORDER BY event_id LIMIT 1000"),
     "hrv_rmssd" ->
       ("WITH d AS (SELECT user_id, value, value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv FROM events) " +
         "SELECT user_id AS series_key, count(value) AS n, round(avg(value), 2) AS mean_nn, round(stddev_samp(value), 2) AS sdnn, " +

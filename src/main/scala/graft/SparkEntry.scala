@@ -93,6 +93,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (TrainingData.dedupNgramJaccard _),
     "dedup_embedding" -> (TrainingData.dedupEmbedding _),
     "hrv_rmssd" -> (TrainingData.hrvRmssd _),
+    "hrv_clean_interp" -> (TrainingData.hrvCleanInterp _),
     "agg_pivot" -> (TrainingData.aggPivot _),
     "agg_argmax" -> (TrainingData.aggArgmax _)
   )

@@ -30,8 +30,11 @@ object Hrv {
     val w = Window.partitionBy(key).orderBy(ts, tiebreak)
       .rowsBetween(-medianWindow, -1)
     // first sample of a series has an empty frame → median null → compare
-    // against itself (never a jump outlier)
-    val med = coalesce(percentile_approx(value, lit(0.5), lit(1000)).over(w), value)
+    // against itself (never a jump outlier). Exact percentile: the frame
+    // is ≤ medianWindow elements, so a sketch buys nothing, and the exact
+    // interpolated median is reproducible across engines (oracle-checked
+    // via hrv_clean_interp).
+    val med = coalesce(percentile(value, lit(0.5)).over(w), value)
     df.withColumn("is_outlier",
       value < lo || value > hi || abs(value - med) > abs(med) * maxJumpFrac)
   }

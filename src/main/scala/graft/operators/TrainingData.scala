@@ -122,6 +122,24 @@ object TrainingData {
         round(col("pnn"), 4).as("pnn"))
       .orderBy(col("series_key"))
 
+  /** #68 artifact cleaning (Hrv.flagOutliers + interpolateOutliers
+    * verbatim — the reference's signature cleaning step): flag samples
+    * outside absolute bounds or deviating > 200% from the rolling median
+    * of the previous 5 samples, then gap-fill flagged samples from the
+    * nearest clean neighbors. One window pass per stage, all on the
+    * user_id partitioning. */
+  def hrvCleanInterp(s: SparkSession, d: String): DataFrame = {
+    val flagged = Hrv.flagOutliers(Tables.events(s, d),
+      col("user_id"), col("ts"), col("event_id"), col("value"),
+      lo = 1.0, hi = 300.0, maxJumpFrac = 2.0, medianWindow = 5)
+    Hrv.interpolateOutliers(flagged,
+        col("user_id"), col("ts"), col("event_id"), col("value"))
+      .select(col("event_id"), col("is_outlier"),
+        round(col("value_clean"), 4).as("value_clean"))
+      .orderBy(col("event_id"))
+      .limit(1000)
+  }
+
   /** #67 deterministic per-key argmax: each user's most frequent event
     * type (ties → lexicographically last type). Aggregate form via
     * `max_by` over a tie-proof (count, type) struct key — two map-side-
