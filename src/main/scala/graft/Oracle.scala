@@ -160,6 +160,14 @@ object Oracle {
     "text_fingerprint" ->
       ("SELECT doc_id, list_reduce(list_transform(string_split(text, ' '), tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT % 65536), " +
         "(a, b) -> (a * 31 + b) % 1000000007) AS fp FROM documents ORDER BY doc_id LIMIT 300"),
+    "text_tfidf" ->
+      ("WITH terms AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2), " +
+        "dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents) " +
+        "SELECT t.doc_id, t.term, t.tf, d.df, round(ln((n.n + 1) / (d.df + 1)) + 1, 6) AS idf, " +
+        "round(t.tf * (ln((n.n + 1) / (d.df + 1)) + 1), 6) AS tfidf " +
+        "FROM tf t JOIN dfq d USING (term) CROSS JOIN n WHERE t.doc_id < 30 ORDER BY t.doc_id, t.term"),
     "dedup_simhash" ->
       ("WITH t AS (SELECT doc_id, list_transform(string_split(text, ' '), tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT) AS codes FROM documents WHERE doc_id < 100), " +
         "s AS (SELECT doc_id, list_reduce(list_transform(range(32), b -> CASE WHEN 2 * len(list_filter(codes, c -> ((c >> b) & 1) = 1)) > len(codes) " +

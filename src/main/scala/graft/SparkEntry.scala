@@ -89,6 +89,7 @@ object SparkEntry {
     "text_tokencount" -> (TrainingData.textTokencount _),
     "text_langid" -> (TrainingData.textLangid _),
     "text_fingerprint" -> (TrainingData.textFingerprint _),
+    "text_tfidf" -> (TrainingData.textTfidf _),
     "dedup_simhash" -> (TrainingData.dedupSimhash _),
     "dedup_ngram_jaccard" -> (TrainingData.dedupNgramJaccard _),
     "dedup_embedding" -> (TrainingData.dedupEmbedding _),

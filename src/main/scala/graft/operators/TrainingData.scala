@@ -122,6 +122,17 @@ object TrainingData {
         round(col("pnn"), 4).as("pnn"))
       .orderBy(col("series_key"))
 
+  /** #69 TF-IDF term weights (TextAnalysis.tfidf verbatim): term
+    * frequency per (doc, term), document frequency per term over the
+    * FULL corpus, smoothed idf = ln((N+1)/(df+1)) + 1. Output bounded to
+    * a probe window of docs; the df table is corpus-wide. */
+  def textTfidf(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfidf(Tables.documents(s, d), "doc_id", "text")
+      .filter(col("doc_id") < 30)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("idf"), 6).as("idf"), round(col("tfidf"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("term"))
+
   /** #68 artifact cleaning (Hrv.flagOutliers + interpolateOutliers
     * verbatim — the reference's signature cleaning step): flag samples
     * outside absolute bounds or deviating > 200% from the rolling median
