@@ -134,13 +134,15 @@ object Demo {
     println(s"pipeline: valid=${pipe.validRows} quarantined=${pipe.quarantinedRows} " +
       s"series=${pipe.series} featureRows=${pipe.featureRows}")
 
-    // training-data curation end to end over the judged corpus
+    // training-data curation end to end over the judged corpus (capped:
+    // the ~40-word-vocabulary corpus makes near-dup candidates quadratic,
+    // same reason the dedup demos above cap their input)
     val corpusDir = java.nio.file.Files.createTempDirectory("graft_demo_corpus")
-    val cur = CorpusPipeline.curate(spark, Tables.documents(spark, sfDir),
-      corpusDir.toString)
+    val cur = CorpusPipeline.curate(spark,
+      Tables.documents(spark, sfDir).limit(500), corpusDir.toString)
     println(s"corpus curation: ${cur.input} docs → quality ${cur.afterQuality} " +
       s"→ exact-dedup ${cur.afterExactDedup} → curated ${cur.curated} " +
-      s"(${cur.nearDupClustersRemoved} near-dup cluster members removed)")
+      s"(${cur.nearDupMembersRemoved} near-dup cluster members removed)")
 
     // the same pipeline as a continuous file-watch stream
     val watchDir = new java.io.File(pipeDir, "incoming"); watchDir.mkdirs()

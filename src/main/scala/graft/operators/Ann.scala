@@ -24,6 +24,18 @@ import graft.functions.CosineSimilarityExpr.cosine_sim
   */
 object Ann {
 
+  /** Empty (probe_id, nb, sim) result with the non-empty path's schema:
+    * probe_id typed from the PROBES id column, nb from the corpus's. */
+  private def emptyTopK(corpus: DataFrame, probes: DataFrame,
+      idCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("probe_id", probes.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("nb", corpus.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType))))
+  }
+
   /** Exact cosine top-k for each probe vector. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int = 5): DataFrame = {
@@ -49,19 +61,9 @@ object Ann {
     require(bits % bands == 0, "bits must divide evenly into bands")
     val width = bits / bands
     val mask = (1L << width) - 1
-    // dim inference needs one row; empty corpus → no neighbors for anyone.
-    // The empty result keeps the non-empty path's schema: id columns in
-    // the source idCol's type, sim double.
+    // dim inference needs one row; empty corpus → no neighbors for anyone
     val probe = corpus.select(size(col(vecCol)).as("d")).head(1)
-    if (probe.isEmpty) {
-      val spark = corpus.sparkSession
-      val idType = corpus.schema(idCol).dataType
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("probe_id", idType),
-          org.apache.spark.sql.types.StructField("nb", idType),
-          org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType))))
-    }
+    if (probe.isEmpty) return emptyTopK(corpus, probes, idCol)
     val dim = probe.head.getInt(0)
     val planes = ScalableDedup.hyperplanes(dim, bits, seed)
     def banded(df: DataFrame, id: String, v: String) =
@@ -90,15 +92,8 @@ object Ann {
       nprobe: Int = 4, seed: Long = 42L): DataFrame = {
     import spark.implicits._
     // KMeans.fit cannot train on zero rows; empty corpus → empty result
-    // with the non-empty path's schema (same contract as lshTopK)
-    if (corpus.select(col(idCol)).head(1).isEmpty) {
-      val idType = corpus.schema(idCol).dataType
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("probe_id", idType),
-          org.apache.spark.sql.types.StructField("nb", idType),
-          org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType))))
-    }
+    if (corpus.select(col(idCol)).head(1).isEmpty)
+      return emptyTopK(corpus, probes, idCol)
     val feats = corpus.select(col(idCol).as("nb"),
       VectorFunctions.toDoubleVec(col(vecCol)).as("vb"))
       .withColumn("fv", array_to_vector(col("vb")))

@@ -26,7 +26,7 @@ class CorpusPipelineSpec extends SparkSpecBase {
     assert(s.afterQuality == 4)       // doc 5 gated
     assert(s.afterExactDedup == 3)    // doc 2 deduped (keeper 1)
     assert(s.curated == 2)            // doc 3 clustered with 1, keeper 1 stays
-    assert(s.nearDupClustersRemoved == 1)
+    assert(s.nearDupMembersRemoved == 1)
     val kept = spark.read.parquet(s"$out/corpus")
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L))
