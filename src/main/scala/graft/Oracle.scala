@@ -194,6 +194,16 @@ object Oracle {
         "SELECT event_id, is_outlier, round(CASE WHEN NOT is_outlier THEN value " +
         "WHEN pc IS NOT NULL AND nc IS NOT NULL THEN (pc + nc) / 2 " +
         "ELSE coalesce(pc, nc, value) END, 4) AS value_clean FROM n ORDER BY event_id LIMIT 1000"),
+    "hrv_resample" ->
+      ("WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 5), " +
+        "b AS (SELECT user_id, epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM e GROUP BY 1), " +
+        "ticks AS (SELECT user_id, unnest(range(t0, t1 + 1, 3600000000)) AS tm FROM b), " +
+        "u AS (SELECT user_id, tm, CAST(NULL AS DOUBLE) AS v, 1 AS is_tick FROM ticks " +
+        "UNION ALL SELECT user_id, epoch_us(ts) AS tm, value AS v, 0 AS is_tick FROM e), " +
+        "w AS (SELECT user_id, tm, is_tick, last_value(v IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY tm, is_tick, v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vr FROM u) " +
+        "SELECT user_id AS series_key, make_timestamp(tm) AS ts, vr AS value_resampled " +
+        "FROM w WHERE is_tick = 1 ORDER BY series_key, ts"),
     "hrv_rmssd" ->
       ("WITH d AS (SELECT user_id, value, value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv FROM events) " +
         "SELECT user_id AS series_key, count(value) AS n, round(avg(value), 2) AS mean_nn, round(stddev_samp(value), 2) AS sdnn, " +

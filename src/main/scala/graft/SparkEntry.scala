@@ -95,6 +95,7 @@ object SparkEntry {
     "dedup_embedding" -> (TrainingData.dedupEmbedding _),
     "hrv_rmssd" -> (TrainingData.hrvRmssd _),
     "hrv_clean_interp" -> (TrainingData.hrvCleanInterp _),
+    "hrv_resample" -> (TrainingData.hrvResample _),
     "agg_pivot" -> (TrainingData.aggPivot _),
     "agg_argmax" -> (TrainingData.aggArgmax _)
   )

@@ -122,6 +122,16 @@ object TrainingData {
         round(col("pnn"), 4).as("pnn"))
       .orderBy(col("series_key"))
 
+  /** #70 LOCF resampling to a uniform hourly grid (Hrv.resample
+    * verbatim): per-series tick explode between first and last sample,
+    * union with the samples, one window pass carrying the most recent
+    * value onto each tick — the classic pre-step for spectral analysis of
+    * irregular series. Bounded to a 5-user probe window. */
+  def hrvResample(s: SparkSession, d: String): DataFrame =
+    Hrv.resample(Tables.events(s, d).filter(col("user_id") < 5),
+        col("user_id"), col("ts"), col("value"), stepSeconds = 3600)
+      .orderBy(col("series_key"), col("ts"))
+
   /** #69 TF-IDF term weights (TextAnalysis.tfidf verbatim): term
     * frequency per (doc, term), document frequency per term over the
     * FULL corpus, smoothed idf = ln((N+1)/(df+1)) + 1. Output bounded to
