@@ -41,6 +41,31 @@ object StreamingOps {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Live file-source wiring for the documents corpus: new parquet files
+    * under the path become micro-batches of documents — the deployment
+    * path for continuous corpus ingestion. */
+  def readDocumentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", IntegerType)))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
+  /** Streaming twin of the CorpusPipeline annotation stage: quality
+    * score, language id and rolling fingerprint are stateless Column
+    * maps, so the identical expressions run per micro-batch with no
+    * state store and no watermark — batch/stream results are equal by
+    * construction (asserted in StreamingOpsSpec). */
+  def annotateDocuments(docs: DataFrame): DataFrame =
+    docs.withColumn("quality", graft.functions.TextAnalysis.qualityScore(col("text")))
+      .withColumn("lang_pred", graft.functions.TextAnalysis.langId(col("text")))
+      .withColumn("fp", graft.functions.TextAnalysis.rollingFingerprint(col("text")))
+
   /** Twin of TimeSeries.streamTumbling: 1-hour tumbling count+sum per
     * event_type. */
   def tumbling(events: DataFrame, watermark: String = "1 day"): DataFrame =

@@ -143,4 +143,25 @@ class StreamingOpsSpec extends SparkSpecBase {
     val counts = spark.table("t_late").agg(sum($"c")).collect().head.getLong(0)
     assert(counts == 1) // only event 1's window emitted; the late row never counted
   }
+
+  test("streaming corpus annotation equals the batch annotation row-for-row") {
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog", "en", "s", 36),
+      (2L, "der hund und die katze", "de", "s", 22),
+      (3L, "!!! ??? 123", "und", "s", 11))
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String, String, Int)]
+    val streamed = StreamingOps.annotateDocuments(
+      ms.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val q = streamed.writeStream.format("memory").queryName("t_corpus")
+      .outputMode("append").start()
+    try { ms.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("t_corpus")
+      .select($"doc_id", $"quality", $"lang_pred", $"fp")
+    val want = StreamingOps.annotateDocuments(
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select($"doc_id", $"quality", $"lang_pred", $"fp")
+    assert(got.count() == 3)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
 }
