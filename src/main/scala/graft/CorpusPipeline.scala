@@ -32,6 +32,15 @@ object CorpusPipeline {
   case class CurationSummary(input: Long, afterQuality: Long,
       afterExactDedup: Long, curated: Long, nearDupMembersRemoved: Long)
 
+  /** The shared annotation stage (quality score, language id, rolling
+    * fingerprint) — stateless Column maps. Used by both curate() and the
+    * streaming twin (StreamingOps.annotateDocuments) so batch and stream
+    * cannot drift. */
+  def annotate(docs: DataFrame): DataFrame =
+    docs.withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .withColumn("fp", TextAnalysis.rollingFingerprint(col("text")))
+
   /** Curate a document table (must have `doc_id` long and `text` string).
     *
     * @param minQuality  quality-score gate in [0,1]
@@ -43,11 +52,9 @@ object CorpusPipeline {
       minQuality: Double = 0.2, maxHamming: Int = 3): CurationSummary = {
     require(maxHamming <= 3,
       s"maxHamming must be <= 3 (SimHash 4-band pigeonhole), got $maxHamming")
-    // 1.+2. one-pass annotation, then the quality gate
-    val gated = docs
-      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
-      .withColumn("fp", TextAnalysis.rollingFingerprint(col("text")))
+    // 1.+2. one-pass annotation (shared with the streaming twin), then
+    // the quality gate
+    val gated = annotate(docs)
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .filter(col("quality") >= minQuality)
       .persist()

