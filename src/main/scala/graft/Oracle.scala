@@ -194,6 +194,16 @@ object Oracle {
         "SELECT event_id, is_outlier, round(CASE WHEN NOT is_outlier THEN value " +
         "WHEN pc IS NOT NULL AND nc IS NOT NULL THEN (pc + nc) / 2 " +
         "ELSE coalesce(pc, nc, value) END, 4) AS value_clean FROM n ORDER BY event_id LIMIT 1000"),
+    "hrv_poincare" ->
+      ("WITH p AS (SELECT user_id, value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d, " +
+        "value + lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s FROM events) " +
+        "SELECT user_id AS series_key, round(sqrt(var_samp(d) / 2), 2) AS sd1, round(sqrt(var_samp(s) / 2), 2) AS sd2, " +
+        "round(sqrt(var_samp(s) / 2) / sqrt(var_samp(d) / 2), 2) AS sd_ratio " +
+        "FROM p WHERE d IS NOT NULL GROUP BY user_id ORDER BY series_key"),
+    "agg_corr" ->
+      ("SELECT user_id, round(corr(value, CAST(json_extract(props, '$.k') AS INT)), 4) AS corr_vk, " +
+        "round(covar_samp(value, CAST(json_extract(props, '$.k') AS INT)), 2) AS covar_vk " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
     "hrv_resample" ->
       ("WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 5), " +
         "b AS (SELECT user_id, epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM e GROUP BY 1), " +

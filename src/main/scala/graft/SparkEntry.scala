@@ -96,6 +96,8 @@ object SparkEntry {
     "hrv_rmssd" -> (TrainingData.hrvRmssd _),
     "hrv_clean_interp" -> (TrainingData.hrvCleanInterp _),
     "hrv_resample" -> (TrainingData.hrvResample _),
+    "hrv_poincare" -> (TrainingData.hrvPoincare _),
+    "agg_corr" -> (TrainingData.aggCorr _),
     "agg_pivot" -> (TrainingData.aggPivot _),
     "agg_argmax" -> (TrainingData.aggArgmax _)
   )

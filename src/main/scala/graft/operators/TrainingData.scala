@@ -122,6 +122,32 @@ object TrainingData {
         round(col("pnn"), 4).as("pnn"))
       .orderBy(col("series_key"))
 
+  /** #71 Poincaré-plot descriptors per user (Hrv.poincare verbatim):
+    * SD1/SD2 short/long-term variability from the successive-pair
+    * identity, plus their ratio. Completes the judged HRV block
+    * (time-domain #64, cleaning #68, resampling #70). */
+  def hrvPoincare(s: SparkSession, d: String): DataFrame =
+    Hrv.poincare(Tables.events(s, d),
+        col("user_id"), col("ts"), col("event_id"), col("value"))
+      .select(col("series_key"),
+        round(col("sd1"), 2).as("sd1"),
+        round(col("sd2"), 2).as("sd2"),
+        round(col("sd_ratio"), 2).as("sd_ratio"))
+      .orderBy(col("series_key"))
+
+  /** #72 grouped correlation/covariance between the sample value and the
+    * JSON payload's k field — the bivariate member of the stats family
+    * (#19 covers the univariate moments). Partial+final aggregate,
+    * map-side combinable. */
+  def aggCorr(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("user_id"))
+      .agg(
+        round(corr(col("value"), col("k")), 4).as("corr_vk"),
+        round(covar_samp(col("value"), col("k")), 2).as("covar_vk"))
+      .orderBy(col("user_id"))
+
   /** #70 LOCF resampling to a uniform hourly grid (Hrv.resample
     * verbatim): per-series tick explode between first and last sample,
     * union with the samples, one window pass carrying the most recent
