@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.plans.LatestPerKeyRule
+import graft.plans.{AsofJoinStrategy, LatestPerKeyRule}
 
 /** Session-extension wiring for cluster deployments where the session is
   * built by the platform, not by application code:
@@ -16,5 +16,6 @@ import graft.plans.LatestPerKeyRule
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => LatestPerKeyRule)
+    e.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }

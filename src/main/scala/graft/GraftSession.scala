@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.functions.Aggregates
-import graft.plans.LatestPerKeyRule
+import graft.plans.{AsofJoin, LatestPerKeyRule}
 
 /** One-call session setup for the engine: a user switching to this library
   * gets every engine convention — UTC session time, µs parquet output,
@@ -44,5 +44,6 @@ object GraftSession {
   def enrich(spark: SparkSession): Unit = {
     Aggregates.register(spark)
     LatestPerKeyRule.install(spark)
+    AsofJoin.install(spark)
   }
 }

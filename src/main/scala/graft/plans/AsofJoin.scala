@@ -1,0 +1,201 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge.GraftBridge
+
+/** Native backward as-of join (SURVEY.md §4 names this as the one operator
+  * justifying a custom SparkStrategy): for every left row, the single
+  * latest right row with the same key and `rightTime <= leftTime`,
+  * left-outer (right columns null when no such row exists).
+  *
+  * Why a custom operator instead of the composable forms (§2 #11):
+  *
+  *  - `join + filter + max_by` / `row_number` materializes every
+  *    (left, right) pair inside the time range before reducing — on dense
+  *    series that intermediate is quadratic per key.
+  *  - This exec asks Catalyst for `ClusteredDistribution` on each side's
+  *    keys and `(keys, time)` sort order, then streams BOTH sides once
+  *    per partition: one shuffle per side, O(|L| + |R|) merge, O(1)
+  *    buffered rows (the last matching right row). That plan shape is
+  *    independent of key density — it is the form that survives 100 TB.
+  *
+  * Null semantics match SQL equality: null keys never match; a null right
+  * time never satisfies `rt <= lt`; a null left time matches nothing.
+  * Ties on (key, time): the right row that sorts last wins — pass a
+  * strictly-ordered time (or a composite, e.g. `struct(ts, id)` on both
+  * sides) when exact tie determinism matters.
+  */
+case class AsofJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoin {
+
+  /** Dataset-level API. The right side is re-projected through aliases so
+    * a self-join (both sides deriving from the same scan, hence sharing
+    * expression ids) stays unambiguous.
+    */
+  def apply(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTime: String, rightTime: String): DataFrame = {
+    require(on.nonEmpty, "as-of join requires at least one equality key")
+    val spark = left.sparkSession
+    install(spark)
+    val r = right.select(right.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
+    def resolve(df: DataFrame, name: String): Expression = {
+      val e = GraftBridge.expression(df(name))
+      e match {
+        case a: AttributeReference => a
+        case other => other
+      }
+    }
+    val plan = AsofJoin(
+      GraftBridge.analyzed(left), GraftBridge.analyzed(r),
+      on.map(resolve(left, _)), on.map(resolve(r, _)),
+      resolve(left, leftTime), resolve(r, rightTime))
+    GraftBridge.ofRows(spark, plan)
+  }
+
+  /** Register the planning strategy on a running session (idempotent). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+}
+
+/** Plans the logical AsofJoin to its physical merge exec. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoin(l, r, lk, rk, lt, rt) =>
+      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sorted-merge backward as-of join.
+  *
+  * Children are hash-clustered on their keys (EnsureRequirements makes the
+  * two sides co-partitioned, inserting at most one exchange per side) and
+  * sorted by (keys ASC, time ASC). Each output partition is then a single
+  * forward pass over both sorted iterators, buffering only the latest
+  * key-matching right row.
+  */
+case class AsofJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    require(rightKeys.map(_.dataType) == keyTypes,
+      s"as-of key types differ: $keyTypes vs ${rightKeys.map(_.dataType)}")
+    require(rightTime.dataType == timeType,
+      s"as-of time types differ: $timeType vs ${rightTime.dataType}")
+    val leftOut = left.output
+    val rightOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), leftOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rightOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val nullRight = new GenericInternalRow(rightOut.length)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(output, output)
+
+      new Iterator[InternalRow] {
+        // The right row under the cursor, not yet consumed (key/time
+        // copied out of the projection buffers so they survive advance).
+        private var rRow: InternalRow = _
+        private var rKey: UnsafeRow = _
+        private var rTime: UnsafeRow = _
+        // Latest right row whose key matched some left key already seen.
+        private var lastMatch: InternalRow = _
+        private var lastMatchKey: UnsafeRow = _
+
+        private def loadRight(): Unit =
+          if (rIter.hasNext) {
+            val r = rIter.next()
+            rRow = r.copy()
+            rKey = rKeyProj(rRow).copy()
+            rTime = rTimeProj(rRow).copy()
+          } else { rRow = null; rKey = null; rTime = null }
+
+        loadRight()
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          if (lKey.anyNull) return resultProj(joined(l, nullRight))
+          val lTime = lTimeProj(l)
+          if (lTime.isNullAt(0)) return resultProj(joined(l, nullRight))
+          // Consume right rows ordered no later than (lKey, lTime);
+          // unmatched-able rows (null key/time) sort first and are skipped.
+          var continue = rRow != null
+          while (continue) {
+            if (rKey.anyNull || rTime.isNullAt(0)) loadRight()
+            else {
+              val kc = keyOrd.compare(rKey, lKey)
+              if (kc < 0 || (kc == 0 && timeOrd.compare(rTime, lTime) <= 0)) {
+                if (kc == 0) { lastMatch = rRow; lastMatchKey = rKey }
+                loadRight()
+              } else continue = false
+            }
+            if (rRow == null) continue = false
+          }
+          val matched = lastMatch != null &&
+            keyOrd.compare(lastMatchKey, lKey) == 0
+          resultProj(joined(l, if (matched) lastMatch else nullRight))
+        }
+      }
+    }
+  }
+}

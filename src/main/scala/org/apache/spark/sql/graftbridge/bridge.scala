@@ -16,10 +16,26 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The analyzed logical plan backing a DataFrame — the resolved tree a
+    * custom logical operator composes over. */
+  def analyzed(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Wrap a (resolved) logical plan back into a DataFrame. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** The optimizer rules an extensions instance would inject — lets tests
     * verify extension wiring without a fresh JVM (session extensions are
     * applied only at first session creation). */
   def registeredOptimizerRules(ext: SparkSessionExtensions,
       spark: SparkSession): Seq[Rule[LogicalPlan]] =
     ext.buildOptimizerRules(spark)
+
+  /** The planner strategies an extensions instance would inject (same
+    * test-hook rationale as [[registeredOptimizerRules]]). */
+  def registeredPlannerStrategies(ext: SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
 }

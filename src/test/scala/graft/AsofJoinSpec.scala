@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.AsofJoin
+
+class AsofJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: Long) = timestamp_seconds(lit(s))
+
+  test("backward inclusive match, left outer, null-key/null-time semantics") {
+    val left = Seq(
+      (Some("a"), Some(10L), 1),
+      (Some("a"), Some(20L), 2),
+      (Some("b"), Some(5L), 3),
+      (Some("c"), Some(7L), 4),
+      (None: Option[String], Some(9L), 5),
+      (Some("a"), None: Option[Long], 6))
+      .toDF("k", "t", "lid")
+      .select($"k", timestamp_seconds($"t").as("t"), $"lid")
+    val right = Seq(
+      (Some("a"), Some(10L), "r1"),
+      (Some("a"), Some(15L), "r2"),
+      (Some("b"), Some(6L), "r3"),
+      (Some("a"), None: Option[Long], "rX"),
+      (None: Option[String], Some(1L), "rN"))
+      .toDF("k", "rt", "v")
+      .select($"k", timestamp_seconds($"rt").as("rt"), $"v")
+
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt")
+      .select($"lid", $"v")
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)))).toMap
+
+    assert(out(1) == Some("r1")) // tie rt == t is inclusive
+    assert(out(2) == Some("r2")) // latest of r1/r2
+    assert(out(3) == None)       // only right row for b is later (6 > 5)
+    assert(out(4) == None)       // no right rows for key c
+    assert(out(5) == None)       // null left key never matches
+    assert(out(6) == None)       // null left time matches nothing
+  }
+
+  test("matches the brute-force join+max formulation on events (self as-of)") {
+    val e = Tables.events(spark, sf())
+      .select($"user_id", $"ts", $"event_id", $"value")
+    // each event looks up the latest STRICTLY EARLIER event of the same
+    // user by shifting the probe time back one microsecond
+    val probe = e.select($"user_id", ($"ts" - expr("interval 1 microsecond")).as("pt"),
+      $"event_id".as("lid"))
+    val hist = e.select($"user_id", $"ts".as("rt"), $"event_id".as("rid"))
+
+    val native = AsofJoin(probe, hist, Seq("user_id"), "pt", "rt")
+      .select($"lid", $"rt")
+    val brute = probe.join(hist,
+        probe("user_id") === hist("user_id") && $"rt" <= $"pt", "left_outer")
+      .groupBy($"lid").agg(max($"rt").as("rt"))
+
+    val n = native.orderBy($"lid").collect().map(r => (r.get(0), r.get(1)))
+    val b = brute.orderBy($"lid").collect().map(r => (r.get(0), r.get(1)))
+    assert(n.length == b.length && n.length > 0)
+    assert(n.sameElements(b))
+    // sanity: some rows matched, and the earliest event per user did not
+    assert(n.count(_._2 != null) > 0 && n.count(_._2 == null) > 0)
+  }
+
+  test("plan: native exec, one exchange per side, no nested-loop fallback") {
+    val left = Seq(("a", 10L, 1)).toDF("k", "t", "lid")
+    val right = Seq(("a", 5L, "r")).toDF("k", "rt", "v")
+    val plan = AsofJoin(left, right, Seq("k"), "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan)
+    val exchanges = "(?i)exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("empty right side leaves every left row unmatched") {
+    val left = Seq(("a", 10L, 1), ("b", 20L, 2)).toDF("k", "t", "lid")
+    val right = Seq.empty[(String, Long, String)].toDF("k", "rt", "v")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt").collect()
+    assert(out.length == 2 && out.forall(_.isNullAt(4)))
+  }
+
+  test("multi-column keys cluster and match independently") {
+    val left = Seq(("a", 1, 10L, 1), ("a", 2, 10L, 2)).toDF("k1", "k2", "t", "lid")
+    val right = Seq(("a", 1, 5L, "m1"), ("a", 2, 6L, "m2"), ("a", 2, 11L, "late"))
+      .toDF("k1", "k2", "rt", "v")
+    val out = AsofJoin(left, right, Seq("k1", "k2"), "t", "rt")
+      .select($"lid", $"v").as[(Int, String)].collect().toMap
+    assert(out == Map(1 -> "m1", 2 -> "m2"))
+  }
+}

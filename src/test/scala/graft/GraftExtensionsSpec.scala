@@ -17,6 +17,13 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(rules.contains(graft.plans.LatestPerKeyRule))
   }
 
+  test("GraftExtensions registers the as-of join planner strategy") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val strategies = GraftBridge.registeredPlannerStrategies(ext, spark)
+    assert(strategies.contains(graft.plans.AsofJoinStrategy))
+  }
+
   test("the class is instantiable by name with a no-arg constructor (config contract)") {
     val cls = Class.forName("graft.GraftExtensions")
     val inst = cls.getDeclaredConstructor().newInstance()
