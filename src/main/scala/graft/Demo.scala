@@ -88,6 +88,19 @@ object Demo {
     }.nonEmpty
     println(s"latest-per-key rule rewrote window→aggregate: $rewritten (rows=${latest.count()})")
 
+    // Native as-of join: each event finds its user's latest strictly
+    // earlier event in one sorted-merge pass (no candidate-pair blow-up)
+    val ev = Tables.events(spark, sfDir)
+    val asofOut = graft.plans.AsofJoin(
+      ev.select($"user_id", ($"ts" - expr("interval 1 microsecond")).as("pt"),
+        $"event_id".as("probe_id")),
+      ev.select($"user_id", $"ts".as("prev_ts"), $"event_id".as("prev_id")),
+      Seq("user_id"), "pt", "prev_ts")
+    val withPred = asofOut.filter($"prev_id".isNotNull).count()
+    val native = asofOut.queryExecution.executedPlan.toString.contains("AsofJoin")
+    println(s"native as-of join (planner strategy): $withPred/${asofOut.count()} events " +
+      s"have a predecessor, exec=$native")
+
     val feat = Features.rollingByRows(Tables.events(spark, sfDir),
       $"user_id", $"ts", $"event_id", $"value", n = 5)
     println(s"rolling feature table: ${feat.count()} rows × ${feat.columns.length} cols " +

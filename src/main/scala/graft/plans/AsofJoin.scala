@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCoercion
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
@@ -59,26 +60,50 @@ object AsofJoin {
     require(on.nonEmpty, "as-of join requires at least one equality key")
     val spark = left.sparkSession
     install(spark)
-    val r = right.select(right.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
-    def resolve(df: DataFrame, name: String): Expression = {
-      val e = GraftBridge.expression(df(name))
-      e match {
-        case a: AttributeReference => a
-        case other => other
-      }
-    }
+    // Coerce key/time pairs to a common type up front (analysis-time
+    // behavior, like equi-join coercion) — the exec requires identical
+    // types on both sides.
+    val (l, r0) = coerce(left, right, on :+ leftTime, on :+ rightTime)
+    // Re-alias the right side so self-joins (shared expression ids) stay
+    // unambiguous; resolve through df(name), which handles dotted and
+    // duplicate names positionally, unlike functions.col.
+    val r = r0.select(r0.columns.map(c => r0(c).as(c)).toIndexedSeq: _*)
+    def resolve(df: DataFrame, name: String): Expression =
+      GraftBridge.expression(df(name))
     val plan = AsofJoin(
-      GraftBridge.analyzed(left), GraftBridge.analyzed(r),
-      on.map(resolve(left, _)), on.map(resolve(r, _)),
-      resolve(left, leftTime), resolve(r, rightTime))
+      GraftBridge.analyzed(l), GraftBridge.analyzed(r),
+      on.map(resolve(l, _)), on.map(resolve(r, _)),
+      resolve(l, leftTime), resolve(r, rightTime))
     GraftBridge.ofRows(spark, plan)
   }
 
-  /** Register the planning strategy on a running session (idempotent). */
-  def install(spark: SparkSession): Unit =
+  /** Widen mismatched column pairs to their tightest common type; fail
+    * fast at construction when no lossless widening exists. */
+  private def coerce(left: DataFrame, right: DataFrame,
+      lCols: Seq[String], rCols: Seq[String]): (DataFrame, DataFrame) = {
+    var l = left
+    var r = right
+    lCols.zip(rCols).foreach { case (lc, rc) =>
+      val lt = l.schema(lc).dataType
+      val rt = r.schema(rc).dataType
+      if (lt != rt) {
+        val common = TypeCoercion.findTightestCommonType(lt, rt).getOrElse(
+          throw new IllegalArgumentException(
+            s"as-of join: no common type for $lc ($lt) vs $rc ($rt) — cast explicitly"))
+        if (lt != common) l = l.withColumn(lc, l(lc).cast(common))
+        if (rt != common) r = r.withColumn(rc, r(rc).cast(common))
+      }
+    }
+    (l, r)
+  }
+
+  /** Register the planning strategy on a running session (idempotent;
+    * synchronized so concurrent installs can't drop each other's write). */
+  def install(spark: SparkSession): Unit = spark.experimental.synchronized {
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy
+  }
 }
 
 /** Plans the logical AsofJoin to its physical merge exec. */

@@ -35,12 +35,14 @@ import org.apache.spark.sql.types.IntegerType
 object LatestPerKeyRule extends Rule[LogicalPlan] {
 
   /** Install on a running session (appends to user-provided optimizations;
-    * idempotent). */
-  def install(spark: SparkSession): Unit =
+    * idempotent; synchronized so concurrent installs can't drop each
+    * other's write). */
+  def install(spark: SparkSession): Unit = spark.experimental.synchronized {
     if (!spark.experimental.extraOptimizations.contains(this)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
     }
+  }
 
   private def isRnFilter(cond: Expression, rnId: ExprId): Boolean = cond match {
     case EqualTo(a: AttributeReference, Literal(1, IntegerType)) => a.exprId == rnId

@@ -81,6 +81,20 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(out.length == 2 && out.forall(_.isNullAt(4)))
   }
 
+  test("mismatched key types widen to the common type at construction") {
+    val left = Seq((1, 10L, 1)).toDF("k", "t", "lid") // int key
+    val right = Seq((1L, 5L, "r")).toDF("k", "rt", "v") // long key
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt")
+      .select($"lid", $"v").as[(Int, String)].collect()
+    assert(out.sameElements(Array((1, "r"))))
+    // incompatible pair fails fast with a clear message, not mid-job
+    val bad = Seq(("x", 10L, 1)).toDF("k", "t", "lid")
+    val ex = intercept[IllegalArgumentException] {
+      AsofJoin(bad, right, Seq("k"), "t", "rt")
+    }
+    assert(ex.getMessage.contains("no common type"))
+  }
+
   test("multi-column keys cluster and match independently") {
     val left = Seq(("a", 1, 10L, 1), ("a", 2, 10L, 2)).toDF("k1", "k2", "t", "lid")
     val right = Seq(("a", 1, 5L, "m1"), ("a", 2, 6L, "m2"), ("a", 2, 11L, "late"))
