@@ -11,10 +11,13 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftbridge.GraftBridge
 
-/** Native backward as-of join (SURVEY.md §4 names this as the one operator
+/** Native as-of join (SURVEY.md §4 names this as the one operator
   * justifying a custom SparkStrategy): for every left row, the single
-  * latest right row with the same key and `rightTime <= leftTime`,
-  * left-outer (right columns null when no such row exists).
+  * latest right row with the same key and `rightTime <= leftTime`
+  * (direction "backward", the default) or the earliest with
+  * `rightTime >= leftTime` ("forward"), optionally bounded by a
+  * tolerance on |rightTime − leftTime|; left-outer (right columns null
+  * when no qualifying row exists).
   *
   * Why a custom operator instead of the composable forms (§2 #11):
   *
@@ -39,7 +42,12 @@ case class AsofJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    direction: String,
+    tolerance: Option[Long]) extends BinaryNode {
+  require(AsofJoin.directions(direction),
+    s"as-of direction must be one of ${AsofJoin.directions}, got $direction")
+  require(tolerance.forall(_ >= 0), "as-of tolerance must be >= 0")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -51,12 +59,22 @@ case class AsofJoin(
 
 object AsofJoin {
 
+  val directions: Set[String] = Set("backward", "forward")
+
   /** Dataset-level API. The right side is re-projected through aliases so
     * a self-join (both sides deriving from the same scan, hence sharing
     * expression ids) stays unambiguous.
+    *
+    * @param direction "backward" (latest right with rt <= lt, the default)
+    *                  or "forward" (earliest right with rt >= lt)
+    * @param tolerance max |rt - lt| for a match, in the time column's
+    *                  native unit (microseconds for timestamps); requires a
+    *                  timestamp or integral time column
     */
   def apply(left: DataFrame, right: DataFrame, on: Seq[String],
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     require(on.nonEmpty, "as-of join requires at least one equality key")
     val spark = left.sparkSession
     install(spark)
@@ -64,6 +82,11 @@ object AsofJoin {
     // behavior, like equi-join coercion) — the exec requires identical
     // types on both sides.
     val (l, r0) = coerce(left, right, on :+ leftTime, on :+ rightTime)
+    if (tolerance.isDefined) {
+      val tt = l.schema(leftTime).dataType
+      require(AsofJoinExec.integralTime(tt),
+        s"as-of tolerance requires a timestamp or integral time column, got $tt")
+    }
     // Re-alias the right side so self-joins (shared expression ids) stay
     // unambiguous; resolve through df(name), which handles dotted and
     // duplicate names positionally, unlike functions.col.
@@ -73,7 +96,7 @@ object AsofJoin {
     val plan = AsofJoin(
       GraftBridge.analyzed(l), GraftBridge.analyzed(r),
       on.map(resolve(l, _)), on.map(resolve(r, _)),
-      resolve(l, leftTime), resolve(r, rightTime))
+      resolve(l, leftTime), resolve(r, rightTime), direction, tolerance)
     GraftBridge.ofRows(spark, plan)
   }
 
@@ -109,8 +132,8 @@ object AsofJoin {
 /** Plans the logical AsofJoin to its physical merge exec. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, dir, tol) =>
+      AsofJoinExec(lk, rk, lt, rt, dir, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -123,11 +146,23 @@ object AsofJoinStrategy extends SparkStrategy {
   * forward pass over both sorted iterators, buffering only the latest
   * key-matching right row.
   */
+object AsofJoinExec {
+  import org.apache.spark.sql.types._
+  /** Time types whose physical value is a long/int in native units, which
+    * the tolerance check can subtract. */
+  def integralTime(dt: DataType): Boolean = dt match {
+    case TimestampType | TimestampNTZType | LongType | IntegerType => true
+    case _ => false
+  }
+}
+
 case class AsofJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    direction: String,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -156,12 +191,16 @@ case class AsofJoinExec(
       s"as-of key types differ: $keyTypes vs ${rightKeys.map(_.dataType)}")
     require(rightTime.dataType == timeType,
       s"as-of time types differ: $timeType vs ${rightTime.dataType}")
+    require(tolerance.isEmpty || AsofJoinExec.integralTime(timeType),
+      s"as-of tolerance requires a timestamp or integral time column, got $timeType")
     val leftOut = left.output
     val rightOut = right.output
     val lKeyExprs = leftKeys
     val rKeyExprs = rightKeys
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
+    val forward = direction == "forward"
+    val tol = tolerance
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOut)
@@ -174,15 +213,24 @@ case class AsofJoinExec(
       val joined = new JoinedRow
       val resultProj = UnsafeProjection.create(output, output)
 
+      // native-unit time value, only consulted when tolerance is set (the
+      // require above guarantees an integral representation then)
+      def timeVal(row: UnsafeRow): Long = timeType match {
+        case org.apache.spark.sql.types.IntegerType => row.getInt(0).toLong
+        case _ => row.getLong(0)
+      }
+
       new Iterator[InternalRow] {
         // The right row under the cursor, not yet consumed (key/time
         // copied out of the projection buffers so they survive advance).
         private var rRow: InternalRow = _
         private var rKey: UnsafeRow = _
         private var rTime: UnsafeRow = _
-        // Latest right row whose key matched some left key already seen.
+        // Backward only: latest right row whose key matched a left key
+        // already seen, with its time value for the tolerance check.
         private var lastMatch: InternalRow = _
         private var lastMatchKey: UnsafeRow = _
+        private var lastMatchT: Long = _
 
         private def loadRight(): Unit =
           if (rIter.hasNext) {
@@ -202,23 +250,38 @@ case class AsofJoinExec(
           if (lKey.anyNull) return resultProj(joined(l, nullRight))
           val lTime = lTimeProj(l)
           if (lTime.isNullAt(0)) return resultProj(joined(l, nullRight))
-          // Consume right rows ordered no later than (lKey, lTime);
+          // Consume right rows strictly before the left cursor position —
+          // inclusive of equal times for backward, exclusive for forward;
           // unmatched-able rows (null key/time) sort first and are skipped.
           var continue = rRow != null
           while (continue) {
             if (rKey.anyNull || rTime.isNullAt(0)) loadRight()
             else {
               val kc = keyOrd.compare(rKey, lKey)
-              if (kc < 0 || (kc == 0 && timeOrd.compare(rTime, lTime) <= 0)) {
-                if (kc == 0) { lastMatch = rRow; lastMatchKey = rKey }
+              val tc = if (kc == 0) timeOrd.compare(rTime, lTime) else 0
+              val consume = kc < 0 || (kc == 0 && (if (forward) tc < 0 else tc <= 0))
+              if (consume) {
+                if (kc == 0 && !forward) {
+                  lastMatch = rRow; lastMatchKey = rKey
+                  if (tol.isDefined) lastMatchT = timeVal(rTime)
+                }
                 loadRight()
               } else continue = false
             }
             if (rRow == null) continue = false
           }
-          val matched = lastMatch != null &&
-            keyOrd.compare(lastMatchKey, lKey) == 0
-          resultProj(joined(l, if (matched) lastMatch else nullRight))
+          val rMatch: InternalRow =
+            if (forward) {
+              // cursor row is the earliest key-equal right at/after lTime
+              if (rRow != null && keyOrd.compare(rKey, lKey) == 0 &&
+                  tol.forall(t => timeVal(rTime) - timeVal(lTime) <= t)) rRow
+              else null
+            } else {
+              if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0 &&
+                  tol.forall(t => timeVal(lTime) - lastMatchT <= t)) lastMatch
+              else null
+            }
+          resultProj(joined(l, if (rMatch != null) rMatch else nullRight))
         }
       }
     }

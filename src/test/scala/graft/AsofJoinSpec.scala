@@ -95,6 +95,61 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("no common type"))
   }
 
+  test("forward direction takes the earliest successor, tie inclusive") {
+    val left = Seq(("a", 10L, 1), ("a", 20L, 2), ("b", 5L, 3)).toDF("k", "t", "lid")
+    val right = Seq(("a", 10L, "eq"), ("a", 15L, "mid"), ("b", 4L, "old"))
+      .toDF("k", "rt", "v")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", direction = "forward")
+      .select($"lid", $"v").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toMap
+    assert(out(1) == Some("eq"))  // rt == t is inclusive
+    assert(out(2) == None)        // nothing at/after 20 for key a
+    assert(out(3) == None)        // only right row for b is earlier
+  }
+
+  test("forward matches the brute-force min formulation on events") {
+    val e = Tables.events(spark, sf()).select($"user_id", $"ts", $"event_id")
+    val probe = e.select($"user_id", ($"ts" + expr("interval 1 microsecond")).as("pt"),
+      $"event_id".as("lid"))
+    val hist = e.select($"user_id", $"ts".as("rt"), $"event_id".as("rid"))
+    val native = AsofJoin(probe, hist, Seq("user_id"), "pt", "rt",
+      direction = "forward").select($"lid", $"rt")
+    val brute = probe.join(hist,
+        probe("user_id") === hist("user_id") && $"rt" >= $"pt", "left_outer")
+      .groupBy($"lid").agg(min($"rt").as("rt"))
+    val n = native.orderBy($"lid").collect().map(r => (r.get(0), r.get(1)))
+    val b = brute.orderBy($"lid").collect().map(r => (r.get(0), r.get(1)))
+    assert(n.length == b.length && n.sameElements(b))
+  }
+
+  test("tolerance bounds the lookback/lookahead in native time units") {
+    val left = Seq(("a", 100L, 1), ("a", 200L, 2)).toDF("k", "t", "lid")
+      .select($"k", timestamp_seconds($"t").as("t"), $"lid")
+    val right = Seq(("a", 95L, "near"), ("a", 120L, "far")).toDF("k", "rt", "v")
+      .select($"k", timestamp_seconds($"rt").as("rt"), $"v")
+    // backward, 10s tolerance (micros): t=100 matches rt=95 (5s back);
+    // t=200's latest predecessor rt=120 is 80s back -> dropped
+    val back = AsofJoin(left, right, Seq("k"), "t", "rt",
+        tolerance = Some(10L * 1000000))
+      .select($"lid", $"v").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toMap
+    assert(back == Map(1 -> Some("near"), 2 -> None))
+    // forward, 10s tolerance: t=100's earliest successor rt=120 is 20s
+    // ahead -> dropped; t=200 has no successor at all
+    val fwd = AsofJoin(left, right, Seq("k"), "t", "rt",
+        direction = "forward", tolerance = Some(10L * 1000000))
+      .select($"lid", $"v").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toMap
+    assert(fwd == Map(1 -> None, 2 -> None))
+    // non-integral time type fails fast at construction
+    val strT = Seq(("a", "x", 1)).toDF("k", "t", "lid")
+    val strR = Seq(("a", "y", "v")).toDF("k", "rt", "v")
+    val ex = intercept[IllegalArgumentException] {
+      AsofJoin(strT, strR, Seq("k"), "t", "rt", tolerance = Some(1L))
+    }
+    assert(ex.getMessage.contains("tolerance requires"))
+  }
+
   test("multi-column keys cluster and match independently") {
     val left = Seq(("a", 1, 10L, 1), ("a", 2, 10L, 2)).toDF("k1", "k2", "t", "lid")
     val right = Seq(("a", 1, 5L, "m1"), ("a", 2, 6L, "m2"), ("a", 2, 11L, "late"))
