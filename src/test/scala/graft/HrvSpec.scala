@@ -101,6 +101,32 @@ class HrvSpec extends SparkSpecBase {
     assert(single.length == 1 && single.head.getDouble(2) == 5.0)
   }
 
+  test("resampleAsof matches the union+window form, including exact-tie carry") {
+    // duplicate timestamp at t=4s: larger value (40.0) must carry, and a
+    // null-valued sample at t=6s must be skipped, matching last(ignoreNulls)
+    val df = Seq(
+      (1L, 0L, Some(10.0)), (1L, 3L, Some(30.0)), (1L, 4L, Some(40.0)),
+      (1L, 4L, Some(35.0)), (1L, 6L, None), (1L, 10L, Some(99.0)),
+      (2L, 100L, Some(5.0)))
+      .toDF("user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val asof = Hrv.resampleAsof(df, $"user_id", $"ts", $"value", stepSeconds = 2)
+      .orderBy($"series_key", $"ts").collect().map(r => (r.getLong(0), r.get(1), r.get(2)))
+    val locf = Hrv.resample(df, $"user_id", $"ts", $"value", stepSeconds = 2)
+      .orderBy($"series_key", $"ts").collect().map(r => (r.getLong(0), r.get(1), r.get(2)))
+    assert(asof.sameElements(locf))
+    assert(asof.map(_._3).toSeq.take(6) == Seq(10.0, 10.0, 40.0, 40.0, 40.0, 99.0))
+  }
+
+  test("resampleAsof matches resample on the events table") {
+    val e = Tables.events(spark, sf())
+    val a = Hrv.resampleAsof(e, $"user_id", $"ts", $"value", stepSeconds = 3600)
+      .orderBy($"series_key", $"ts").collect()
+    val l = Hrv.resample(e, $"user_id", $"ts", $"value", stepSeconds = 3600)
+      .orderBy($"series_key", $"ts").collect()
+    assert(a.length == l.length && a.sameElements(l))
+  }
+
   test("full pipeline runs on the events table") {
     val cleaned = Hrv.interpolateOutliers(
       Hrv.flagOutliers(Tables.events(spark, sf()), $"user_id", $"ts", $"event_id",

@@ -156,6 +156,29 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("native as-of join agrees with the brute-force max/min on random series") {
+    // keys with few distinct values and coarse times force duplicates and
+    // ties; compare matched TIMES (unique per left row even under ties)
+    val seriesGen = Gen.listOfN(30,
+      Gen.zip(Gen.oneOf(1L, 2L, 3L), Gen.chooseNum(0L, 20L)))
+    for (((ls, rs), i) <- samples(Gen.zip(seriesGen, seriesGen), n = 5).zipWithIndex) {
+      val left = ls.zipWithIndex.map { case ((k, t), j) => (k, t, j) }
+        .toDF("k", "t", "lid")
+      val right = rs.map { case (k, t) => (k, t, s"v$t") }.toDF("k", "rt", "v")
+      for (dir <- Seq("backward", "forward")) {
+        val native = graft.plans.AsofJoin(left, right, Seq("k"), "t", "rt", dir)
+          .select($"lid", $"rt").orderBy($"lid")
+          .collect().map(r => (r.getInt(0), r.get(1)))
+        val cmp = if (dir == "backward") $"rt" <= $"t" else $"rt" >= $"t"
+        val pick = if (dir == "backward") max($"rt") else min($"rt")
+        val brute = left.join(right, left("k") === right("k") && cmp, "left_outer")
+          .groupBy($"lid").agg(pick.as("rt")).orderBy($"lid")
+          .collect().map(r => (r.getInt(0), r.get(1)))
+        assert(native.sameElements(brute), s"sample $i direction $dir")
+      }
+    }
+  }
+
   test("jaccard is symmetric and 1 on identical token sets") {
     val txtGen = Gen.listOfN(6, Gen.oneOf("w1", "w2", "w3", "w4")).map(_.mkString(" "))
     for ((x, y) <- samples(Gen.zip(txtGen, txtGen))) {
