@@ -52,4 +52,18 @@ class IngestSpec extends SparkSpecBase {
     // partition directories exist on disk (physical layout for pruning)
     assert(new java.io.File(dir, "day=2024-01-01").exists())
   }
+
+  test("ORC source/sink round-trips with partition layout and pushdown") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_orc").toFile.getAbsolutePath + "/out"
+    val df = Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0)).toDF("id", "day", "v")
+    Ingest.writeOrcPartitioned(df, dir, Seq("day"))
+    val back = Ingest.readOrc(spark, dir)
+    assert(back.count() == 2)
+    assert(back.filter($"day" === "2024-01-02").select($"v").collect().map(_.getDouble(0)).toSeq == Seq(2.0))
+    assert(new java.io.File(dir, "day=2024-01-01").exists())
+    // filters reach the ORC scan (same pushdown surface as parquet)
+    val plan = back.filter($"id" === 2L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"), plan)
+  }
 }
