@@ -19,8 +19,8 @@ object AsofMeasure {
     // prune the aggregates or eliminate the join under a bare count()
     def sink(df: org.apache.spark.sql.DataFrame): Long = {
       val d = df.toDF(df.columns.indices.map("c" + _).toIndexedSeq: _*)
-      d.select(avg(xxhash64(d.columns.map(col).toIndexedSeq: _*)).as("h")).first()
-      df.count()
+      d.select(avg(xxhash64(d.columns.map(col).toIndexedSeq: _*)).as("h"),
+        count(lit(1)).as("n")).first().getLong(1)
     }
     def time(label: String)(f: => Long): Unit = {
       (1 to 3).foreach { i =>

@@ -160,9 +160,11 @@ object Hrv {
       .select(col("series_key"),
         explode(sequence(col("t0"), col("t1"), lit(micros))).as("tick_tm"))
       // a tick accepts any sample at or before its instant, so its probe
-      // sorts after every same-instant sample value
+      // must sort at-or-after every same-instant sample value; NaN is
+      // Spark's ordering maximum for doubles (above +Infinity, equal to
+      // itself), so even non-finite samples are consumed inclusively
       .withColumn("pt", struct(col("tick_tm").as("tm"),
-        lit(Double.MaxValue).as("v")))
+        lit(Double.NaN).as("v")))
     val samples = df
       .filter(value.isNotNull)
       .select(key.as("series_key"), unix_micros(ts).as("sample_tm"),

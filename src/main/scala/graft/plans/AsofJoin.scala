@@ -32,9 +32,10 @@ import org.apache.spark.sql.graftbridge.GraftBridge
   *
   * Null semantics match SQL equality: null keys never match; a null right
   * time never satisfies `rt <= lt`; a null left time matches nothing.
-  * Ties on (key, time): the right row that sorts last wins — pass a
-  * strictly-ordered time (or a composite, e.g. `struct(ts, id)` on both
-  * sides) when exact tie determinism matters.
+  * Ties on (key, time): backward takes the duplicate that sorts last,
+  * forward the one that sorts first (the cursor stops at the earliest
+  * qualifying row) — pass a strictly-ordered time (or a composite, e.g.
+  * `struct(ts, id)` on both sides) when exact tie determinism matters.
   */
 case class AsofJoin(
     left: LogicalPlan,
@@ -151,7 +152,8 @@ object AsofJoinExec {
   /** Time types whose physical value is a long/int in native units, which
     * the tolerance check can subtract. */
   def integralTime(dt: DataType): Boolean = dt match {
-    case TimestampType | TimestampNTZType | LongType | IntegerType => true
+    case TimestampType | TimestampNTZType => true
+    case LongType | IntegerType | ShortType | ByteType => true
     case _ => false
   }
 }
@@ -217,6 +219,8 @@ case class AsofJoinExec(
       // require above guarantees an integral representation then)
       def timeVal(row: UnsafeRow): Long = timeType match {
         case org.apache.spark.sql.types.IntegerType => row.getInt(0).toLong
+        case org.apache.spark.sql.types.ShortType => row.getShort(0).toLong
+        case org.apache.spark.sql.types.ByteType => row.getByte(0).toLong
         case _ => row.getLong(0)
       }
 

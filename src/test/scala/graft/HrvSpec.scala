@@ -118,6 +118,17 @@ class HrvSpec extends SparkSpecBase {
     assert(asof.map(_._3).toSeq.take(6) == Seq(10.0, 10.0, 40.0, 40.0, 40.0, 99.0))
   }
 
+  test("resampleAsof consumes non-finite samples at exact tick instants") {
+    // +Infinity at t=2s coincides with a grid tick; the NaN probe sentinel
+    // must still sort at-or-after it so the tick carries the sample
+    val df = Seq((1L, 0L, 1.0), (1L, 2L, Double.PositiveInfinity), (1L, 4L, 7.0))
+      .toDF("user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val got = Hrv.resampleAsof(df, $"user_id", $"ts", $"value", stepSeconds = 2)
+      .orderBy($"ts").collect().map(_.getDouble(2))
+    assert(got.toSeq == Seq(1.0, Double.PositiveInfinity, 7.0))
+  }
+
   test("resampleAsof matches resample on the events table") {
     val e = Tables.events(spark, sf())
     val a = Hrv.resampleAsof(e, $"user_id", $"ts", $"value", stepSeconds = 3600)
