@@ -228,6 +228,11 @@ object Oracle {
       ("SELECT o_orderpriority, CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F, " +
         "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O, " +
         "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P " +
-        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "llm_train_split" ->
+      ("SELECT lang, split, count(*) AS n, round(avg(n_chars), 2) AS avg_chars " +
+        "FROM (SELECT lang, n_chars, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split " +
+        "FROM (SELECT lang, n_chars, ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 AS b FROM documents)) " +
+        "GROUP BY lang, split ORDER BY lang, split")
   )
 }

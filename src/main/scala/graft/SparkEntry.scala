@@ -99,7 +99,8 @@ object SparkEntry {
     "hrv_poincare" -> (TrainingData.hrvPoincare _),
     "agg_corr" -> (TrainingData.aggCorr _),
     "agg_pivot" -> (TrainingData.aggPivot _),
-    "agg_argmax" -> (TrainingData.aggArgmax _)
+    "agg_argmax" -> (TrainingData.aggArgmax _),
+    "llm_train_split" -> (TrainingData.llmTrainSplit _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

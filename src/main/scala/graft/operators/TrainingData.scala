@@ -203,6 +203,26 @@ object TrainingData {
         max(col("n")).as("n_top"))
       .orderBy(col("user_id"))
 
+  /** #73 deterministic stratified train/val/test split: each document is
+    * assigned by a stable hash of its id (md5-derived bucket 0-99 →
+    * 80/10/10), so the assignment is reproducible across engines and
+    * runs, a document's split never changes as the corpus grows (append-
+    * safe), and no shuffle is needed beyond the stats aggregate. The md5
+    * recipe matches DuckDB's `('0x'||substr(md5(id),1,8))::BIGINT`
+    * bit-for-bit (same recipe as the §2.13 token codes). */
+  def llmTrainSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("b",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("b") < 80, lit("train"))
+          .when(col("b") < 90, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 2).as("avg_chars"))
+      .orderBy(col("lang"), col("split"))
+
   /** #65 pivot: order counts per priority × status, fixed column domain
     * (the relational reshape the DataFrame `pivot` API owns). Missing
     * combinations surface as 0, matching the conditional-sum oracle. */

@@ -32,7 +32,8 @@ class GoldenCountsSpec extends SparkSpecBase {
     "dedup_ngram_jaccard" -> 342, "dedup_embedding" -> 56,
     "hrv_rmssd" -> 15, "hrv_clean_interp" -> 1000,
     "agg_pivot" -> 5, "agg_argmax" -> 15, "text_tfidf" -> 738,
-    "hrv_resample" -> 3483, "hrv_poincare" -> 15, "agg_corr" -> 15
+    "hrv_resample" -> 3483, "hrv_poincare" -> 15, "agg_corr" -> 15,
+    "llm_train_split" -> 15
   )
 
   test("every SURVEY §2 query is registered with an oracle") {
