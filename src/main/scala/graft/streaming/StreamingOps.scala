@@ -160,4 +160,21 @@ object StreamingOps {
     * downstream stateful operator. Exposed as the watermarked stream. */
   def withLateness(events: DataFrame, watermark: String = "1 day"): DataFrame =
     events.withWatermark("ts", watermark)
+
+  /** Streaming as-of enrichment: each micro-batch of probes is joined
+    * against a static history with the native sorted-merge as-of
+    * (graft.plans.AsofJoin) inside foreachBatch — the standard shape for
+    * "attach the latest reference state at event time" enrichment where
+    * the history side is a slowly-changing table re-read per batch.
+    * Stream-stream as-of would need event-time-bounded state Spark does
+    * not expose to custom execs; foreachBatch + batch as-of is the
+    * supported, replay-idempotent form (batch id keys the sink).
+    */
+  def asofEnrichStream(probes: DataFrame, history: () => DataFrame,
+      on: Seq[String], probeTime: String, historyTime: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    probes.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.plans.AsofJoin(batch, history(), on, probeTime, historyTime), id)
+      }
 }

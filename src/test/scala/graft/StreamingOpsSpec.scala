@@ -144,6 +144,26 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(counts == 1) // only event 1's window emitted; the late row never counted
   }
 
+  test("streaming as-of enrichment attaches the latest history row per probe") {
+    val history = Seq((1L, 100L, "stateA"), (1L, 500L, "stateB"), (2L, 50L, "stateX"))
+      .toDF("user_id", "hsec", "state")
+      .select($"user_id", timestamp_seconds($"hsec").as("hts"), $"state")
+    val got = scala.collection.mutable.Map.empty[Long, Array[(Long, String)]]
+    val q = StreamingOps.asofEnrichStream(
+      stream().select($"user_id", $"ts", $"event_id"), () => history,
+      Seq("user_id"), "ts", "hts") { (batch, id) =>
+      got(id) = batch.select($"event_id", $"state")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    val all = got.values.flatten.toMap
+    // events at sec 0/600/3700/90000 for user 1: before 100s → null;
+    // stateB took effect at 500s, so every later event carries it;
+    // user 2 at 3800s → stateX
+    assert(all == Map(1L -> null, 2L -> "stateB", 3L -> "stateB",
+      5L -> "stateB", 4L -> "stateX"))
+  }
+
   test("readDocumentsStream reads the real corpus file and annotates it") {
     val streamed = StreamingOps.annotateDocuments(
       StreamingOps.readDocumentsStream(spark, sf()))
