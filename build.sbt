@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses the LAST stdout line of `sbt "runMain
+// graft.Bench"` as JSON (BENCH_r{N}.json "parsed"). Two sbt behaviors
+// break that: the default LoggedOutput strategy prefixes every forked
+// stdout line with "[info] ", and sbt appends a "[success] Total time"
+// line after the run. Send forked stdout through raw and drop the
+// success banner so the bench JSON is the final, bare stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
