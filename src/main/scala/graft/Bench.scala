@@ -77,7 +77,8 @@ object Bench {
     }
     val wall = Seq.fill(3)(concurrentPass()).min
     pool.shutdown(); pool.awaitTermination(10, TimeUnit.SECONDS)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def f4(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
     val sumBest = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val anyFailed = failed.synchronized { failed.nonEmpty }
@@ -85,7 +86,13 @@ object Bench {
       if (anyFailed) (sumBest, "sum-sequential-best (wallclock invalid: failures)")
       else (wall, "suite-wallclock-concurrent")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$value,"unit":"sec","mode":"$mode","threads":$threads,"wall_concurrent":$wall,"sum_best":$sumBest,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The driver only captures the tail of stdout, so the LAST line must be
+    // the compact headline (< 300 chars). The full per-query map still goes
+    // out, but on an earlier stdout line (and stderr for redundancy).
+    val detail = s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(detail)
+    System.err.println(detail)
+    println(s"""{"metric":"total","value":${f4(value)},"unit":"sec","mode":"$mode","threads":$threads,"wall_concurrent":${f4(wall)},"sum_best":${f4(sumBest)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,10 +11,12 @@ import graft.Tables
   *
   * All windows partition by the natural key (user/customer), so every
   * partition's state fits one task and the computation scales horizontally
-  * with the number of keys. The two globally-ordered windows (#23, #29)
-  * are deliberate single-partition exercises over small dimension tables —
-  * at 100 TB one would replace a global rank with a top-k-per-partition +
-  * merge or a range-partitioned sort.
+  * with the number of keys. The two globally-ordered queries (#23, #29)
+  * do NOT single-task-scan the table (the textbook scale-killer): #23
+  * bounds the input first with a distributed top-k, #29 goes through
+  * [[GlobalRank]] — range-bucketed distributed rank with prefix-sum
+  * offsets. Neither plan contains a partition-less `Window` over an
+  * unbounded input (asserted in GlobalRankSpec).
   *
   * Ordering is always (ts, event_id) / (key, tiebreak): FIXTURES.md calls
   * out order ties as the #1 source of oracle mismatches.
@@ -33,16 +35,36 @@ object Windows {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
-  /** #23 global rank + dense_rank (two distinct orderings). */
-  def winRankDense(s: SparkSession, d: String): DataFrame =
-    Tables.customer(s, d)
+  /** #23 global rank + dense_rank (two distinct orderings), LIMIT-bounded
+    * to the top 100 by rank — so the scale-correct plan is distributed
+    * top-k FIRST (TakeOrdered: per-partition partial top-100, tiny merge),
+    * THEN rank the provably-≤100-row set. Both output columns equal their
+    * whole-table values on that set:
+    *
+    *  - `r` ranks a UNIQUE ordering, so ranks 1..100 are exactly the
+    *    top-100 rows;
+    *  - `dr` dense-ranks round(acctbal) DESC, and round is monotone: every
+    *    row outside the top set has acctbal ≤ the 100th acctbal, hence
+    *    round ≤ every top row's round — so all distinct round values
+    *    strictly above any top row's round come from top rows, and the
+    *    dense index over the top set equals the global one.
+    *
+    * The windows that remain are over a GlobalLimit-bounded input — a
+    * fixed 100 rows regardless of data volume, not a single-task scan of
+    * the table (asserted in GlobalRankSpec). The general unbounded case is
+    * [[GlobalRank]], showcased in [[winNtilePctrank]]. */
+  def winRankDense(s: SparkSession, d: String): DataFrame = {
+    val top = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(100)
+    top
       .withColumn("r",
         rank().over(Window.orderBy(col("c_acctbal").desc, col("c_custkey"))).cast("long"))
       .withColumn("dr",
         dense_rank().over(Window.orderBy(round(col("c_acctbal"), 0).desc)).cast("long"))
       .orderBy(col("r"))
-      .limit(100)
+  }
 
   /** #24 successive differences per key (RR-interval delta analogue). */
   def winLagLead(s: SparkSession, d: String): DataFrame = {
@@ -104,13 +126,21 @@ object Windows {
       .limit(500)
   }
 
-  /** #29 quartile bucket + percent_rank over a global ordering. */
+  /** #29 quartile bucket + percent_rank over a global ordering — derived
+    * from a distributed unique-key rank ([[GlobalRank.withRank]]) plus the
+    * total count: pr = (rank-1)/(n-1), ntile by the SQL first-tiles-get-
+    * the-remainder rule ([[GlobalRank.ntileExpr]]). No partition-less
+    * window; the count is a map-side-combinable aggregate. */
   def winNtilePctrank(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables.customer(s, d)
+    val base = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+    // total count as a broadcast 1-row cross join — no separate action
+    val nDf = base.agg(count(lit(1)).as("_n"))
+    GlobalRank.withRank(base, "c_acctbal", desc = false,
+        Seq(col("c_acctbal"), col("c_custkey")), "_rn")
+      .crossJoin(broadcast(nDf))
       .select(col("c_custkey"),
-        ntile(4).over(w).cast("long").as("q"),
-        round(percent_rank().over(w), 6).as("pr"))
+        GlobalRank.ntileExpr(col("_rn"), col("_n"), 4).cast("long").as("q"),
+        round(GlobalRank.percentRank(col("_rn"), col("_n")), 6).as("pr"))
       .orderBy(col("c_custkey"))
       .limit(200)
   }

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GlobalRank, Windows}
+
+/** GlobalRank must (a) exactly reproduce the single-partition window
+  * semantics it replaces, and (b) leave NO partition-less Window in the
+  * judged plans (the round-3 verdict's scale-killer finding). */
+class GlobalRankSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Whether a plan's row count is bounded by a LIMIT reachable through
+    * row-non-increasing operators — such input makes a global window safe
+    * (fixed row count regardless of data volume). */
+  @annotation.tailrec
+  private def limitBounded(p: logical.LogicalPlan): Boolean = p match {
+    case _: logical.GlobalLimit => true
+    case u: logical.Project => limitBounded(u.child)
+    case u: logical.Filter => limitBounded(u.child)
+    case u: logical.Sort => limitBounded(u.child)
+    case w: logical.Window => limitBounded(w.child)
+    case _ => false
+  }
+
+  /** Every logical Window node in the optimized plan with an empty
+    * partition spec over an UNBOUNDED input — the single-task global
+    * window that dies at scale. */
+  private def globalWindows(df: DataFrame): Seq[logical.Window] =
+    df.queryExecution.optimizedPlan.collect {
+      case w: logical.Window if w.partitionSpec.isEmpty && !limitBounded(w.child) => w
+    }
+
+  test("withRank matches rank() on unique keys, asc and desc") {
+    val df = (1 to 500).map(i => ((i * 37) % 500, i.toDouble % 97)).toDF("id", "v")
+    for (desc <- Seq(true, false)) {
+      val order = if (desc) Seq($"v".desc, $"id") else Seq($"v", $"id")
+      val got = GlobalRank.withRank(df, "v", desc, order, "r", buckets = 7)
+        .select($"id", $"r").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val want = df.select($"id", rank().over(Window.orderBy(order: _*)).cast("long").as("r"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == want, s"desc=$desc")
+    }
+  }
+
+  test("withRank handles ties exactly (rank semantics, non-unique order)") {
+    // heavy ties: only 5 distinct values across 200 rows
+    val df = (1 to 200).map(i => (i, (i % 5).toDouble)).toDF("id", "v")
+    val got = GlobalRank.withRank(df, "v", desc = false, Seq($"v"), "r", buckets = 4)
+      .groupBy($"v").agg(min($"r").as("mn"), max($"r").as("mx"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getDouble(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val want = df.select($"v", rank().over(Window.orderBy($"v")).cast("long").as("r"))
+      .groupBy($"v").agg(min($"r").as("mn"), max($"r").as("mx"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getDouble(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+  }
+
+  test("withRank with caller-provided splits (dups and out-of-range ok)") {
+    val df = (1 to 100).map(i => (i, (i % 17).toDouble)).toDF("id", "v")
+    val want = df.select($"id", rank().over(Window.orderBy($"v", $"id")).cast("long").as("r"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // any non-decreasing array is a correct bucketing, even with duplicate
+    // and out-of-domain entries
+    for (sp <- Seq(Array(4.0, 8.0, 12.0), Array(5.0, 5.0, 900.0), Array(-1.0))) {
+      val got = GlobalRank.withRank(df, "v", desc = false, Seq($"v", $"id"), "r",
+          buckets = 4, splits = Some(sp))
+        .select($"id", $"r").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == want, s"splits=${sp.mkString(",")}")
+    }
+  }
+
+  test("withRank on empty input yields empty output with the rank column") {
+    val df = Seq.empty[(Int, Double)].toDF("id", "v")
+    val out = GlobalRank.withRank(df, "v", desc = false, Seq($"v", $"id"), "r")
+    assert(out.columns.toSeq == Seq("id", "v", "r"))
+    assert(out.count() == 0)
+  }
+
+  test("denseRankOfValues matches dense_rank()") {
+    val df = (1 to 300).map(i => (i, ((i * 13) % 23).toDouble)).toDF("id", "v")
+    val got = GlobalRank.denseRankOfValues(df, "v", desc = true, "dr", buckets = 5)
+      .select($"id", $"dr").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = df.select($"id", dense_rank().over(Window.orderBy($"v".desc)).cast("long").as("dr"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("ntileExpr and percentRank match the window builtins for many (n, k)") {
+    for (n <- Seq(1, 2, 3, 4, 5, 7, 8, 40, 41); k <- Seq(1, 3, 4, 7)) {
+      val df = (1 to n).map(i => (i.toLong, i)).toDF("rn", "id")
+      val got = df.select($"id",
+          GlobalRank.ntileExpr($"rn", lit(n.toLong), k).cast("long").as("q"),
+          round(GlobalRank.percentRank($"rn", lit(n.toLong)), 9).as("pr"))
+        .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
+      val w = Window.orderBy($"id")
+      val want = df.select($"id",
+          ntile(k).over(w).cast("long").as("q"),
+          round(percent_rank().over(w), 9).as("pr"))
+        .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == want, s"n=$n k=$k")
+    }
+  }
+
+  test("winRankDense matches its old single-partition-window form on testdata") {
+    val want = {
+      val w1 = Window.orderBy($"c_acctbal".desc, $"c_custkey")
+      val w2 = Window.orderBy(round($"c_acctbal", 0).desc)
+      Tables.customer(spark, sf()).select($"c_custkey", $"c_acctbal")
+        .withColumn("r", rank().over(w1).cast("long"))
+        .withColumn("dr", dense_rank().over(w2).cast("long"))
+        .orderBy($"r").limit(100).collect().map(_.toSeq).toSeq
+    }
+    val got = Windows.winRankDense(spark, sf()).collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("winNtilePctrank matches its old single-partition-window form on testdata") {
+    val want = {
+      val w = Window.orderBy($"c_acctbal", $"c_custkey")
+      Tables.customer(spark, sf()).select($"c_custkey",
+          ntile(4).over(w).cast("long").as("q"),
+          round(percent_rank().over(w), 6).as("pr"))
+        .orderBy($"c_custkey").limit(200).collect().map(_.toSeq).toSeq
+    }
+    val got = Windows.winNtilePctrank(spark, sf()).collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("judged plans contain no unbounded partition-less Window (scale-killer regression)") {
+    for (q <- Seq(Windows.winRankDense _, Windows.winNtilePctrank _)) {
+      val df = q(spark, sf())
+      val bad = globalWindows(df)
+      assert(bad.isEmpty,
+        s"single-partition global Window over unbounded input found:\n${bad.mkString("\n")}\n" +
+          s"in plan:\n${df.queryExecution.optimizedPlan}")
+    }
+    // the detector itself must not be vacuous: the old form MUST trip it
+    val old = Tables.customer(spark, sf()).select($"c_custkey",
+      rank().over(Window.orderBy($"c_acctbal")).as("r"))
+    assert(globalWindows(old).nonEmpty)
+    // and a LIMIT-bounded global window must NOT trip it
+    val boundedW = Tables.customer(spark, sf()).orderBy($"c_acctbal").limit(10)
+      .select($"c_custkey", rank().over(Window.orderBy($"c_acctbal")).as("r"))
+    assert(globalWindows(boundedW).isEmpty)
+  }
+}
