@@ -32,6 +32,9 @@ object CorpusPipeline {
   case class CurationSummary(input: Long, afterQuality: Long,
       afterExactDedup: Long, curated: Long, nearDupMembersRemoved: Long)
 
+  case class AppendSummary(batchInput: Long, afterQuality: Long,
+      newContent: Long, dupOfHistory: Long, accepted: Long)
+
   /** The shared annotation stage (quality score, language id, rolling
     * fingerprint) — stateless Column maps. Used by both curate() and the
     * streaming twin (StreamingOps.annotateDocuments) so batch and stream
@@ -90,6 +93,110 @@ object CorpusPipeline {
             nearDupMembersRemoved = repl.count())
         } finally curated.unpersist()
       } finally exact.unpersist()
+    } finally gated.unpersist()
+  }
+
+  /** Signature-store schema: one row per document ever admitted to the
+    * near-dup stage — (doc_id, content hash, 64-bit SimHash). This is the
+    * ONLY state append-mode curation keeps: at 100 TB you re-cluster
+    * nothing; each new batch joins against ~24 bytes/doc of signatures. */
+  def emptySignatureStore(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("_h", StringType, nullable = false),
+        StructField("sig", LongType, nullable = false))))
+  }
+
+  /** 16-bit band keys of a 64-bit SimHash column (pigeonhole: hamming ≤ 3
+    * shares ≥ 1 of 4 bands). */
+  private def banded(df: DataFrame, keep: Seq[String]): DataFrame =
+    df.select(keep.map(col) :+ explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bits"))): _*)).as("bk"): _*)
+      .select(keep.map(col) :+ col("bk.band") :+ col("bk.bits"): _*)
+
+  /** Append-mode curation: dedup an incoming batch against the HISTORICAL
+    * signature store instead of re-clustering the whole corpus — the
+    * natural 100 TB operating mode (history never re-shuffles; only its
+    * signatures join the new batch on band buckets).
+    *
+    * Matches [[curate]] over the concatenated corpus whenever (a) batch
+    * doc_ids are larger than historical ones (ids grow with time) and
+    * (b) no new doc BRIDGES two previously-distinct history clusters —
+    * append-mode never revokes an already-shipped keeper, which is the
+    * operationally-wanted semantics (asserted against full-corpus
+    * curation in CorpusPipelineSpec).
+    *
+    * Stages: quality gate → exact dedup (within batch, then anti-join on
+    * the store's content hashes) → SimHash near-dup (band equi-join vs
+    * the store AND within the batch; batch clusters touching history are
+    * dropped entirely, remaining clusters keep min doc_id) → outputs
+    * `outDir/accepted` (new curated docs) and `outDir/signatures` (the
+    * grown store). Use a fresh `outDir` per batch: parquet cannot
+    * overwrite the directory the incoming `store` is being read from.
+    */
+  def appendBatch(spark: SparkSession, store: DataFrame, batch: DataFrame,
+      outDir: String, minQuality: Double = 0.2, maxHamming: Int = 3): AppendSummary = {
+    require(maxHamming <= 3,
+      s"maxHamming must be <= 3 (SimHash 4-band pigeonhole), got $maxHamming")
+    val gated = annotate(batch)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .filter(col("quality") >= minQuality)
+      .withColumn("_h", md5(col("text")))
+      .withColumn("sig", ScalableDedup.simhash("toks"))
+      .persist()
+    try {
+      // exact dedup: min-id keeper per content hash inside the batch,
+      // then drop content the store has already seen
+      val keepIds = gated.groupBy(col("_h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val newContent = gated
+        .join(keepIds, Seq("doc_id"), "left_semi")
+        .join(store.select(col("_h")).distinct(), Seq("_h"), "left_anti")
+        .persist()
+      try {
+        // near-dup vs history: band equi-join against the store, exact
+        // hamming recheck — never all-pairs
+        val bNew = banded(newContent.select(col("doc_id"), col("sig")), Seq("doc_id", "sig"))
+        val bOld = banded(store.select(col("doc_id").as("h_id"), col("sig")),
+            Seq("h_id", "sig"))
+          .withColumnRenamed("sig", "h_sig")
+        val dupOfHistory = bNew.join(bOld, Seq("band", "bits"))
+          .filter(bit_count(col("sig").bitwiseXOR(col("h_sig"))) <= maxHamming)
+          .select(col("doc_id")).distinct().persist()
+        try {
+          // near-dup within the batch: cluster ALL new-content docs (a
+          // history-dup can transitively drag its whole batch cluster
+          // into the history cluster, exactly as full-corpus clustering
+          // would), then keep min doc_id of every untouched cluster
+          val pairs = ScalableDedup.simhashCandidates(
+            newContent.select(col("doc_id"), col("toks")), "doc_id", "toks", maxHamming)
+          val comps = DedupClusters.connectedComponents(pairs, "a_id", "b_id")
+            .withColumnRenamed("id", "doc_id")
+          val allComps = newContent.select(col("doc_id"))
+            .join(comps, Seq("doc_id"), "left")
+            .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+          val tainted = allComps.join(dupOfHistory, Seq("doc_id"), "left_semi")
+            .select(col("comp")).distinct()
+          val keepers = allComps.join(tainted, Seq("comp"), "left_anti")
+            .groupBy(col("comp")).agg(min(col("doc_id")).as("doc_id"))
+            .select(col("doc_id"))
+          val accepted = newContent.join(keepers, Seq("doc_id"), "left_semi").persist()
+          try {
+            accepted.drop("toks", "_h", "sig")
+              .write.mode("overwrite").parquet(s"$outDir/accepted")
+            store.union(newContent.select(col("doc_id"), col("_h"), col("sig")))
+              .write.mode("overwrite").parquet(s"$outDir/signatures")
+            AppendSummary(
+              batchInput = batch.count(),
+              afterQuality = gated.count(),
+              newContent = newContent.count(),
+              dupOfHistory = dupOfHistory.count(),
+              accepted = accepted.count())
+          } finally accepted.unpersist()
+        } finally dupOfHistory.unpersist()
+      } finally newContent.unpersist()
     } finally gated.unpersist()
   }
 }

@@ -40,6 +40,10 @@ object Oracle {
       "SELECT o.o_orderkey, e.event_id FROM (SELECT o_orderkey, o_custkey, o_orderdate FROM orders WHERE o_orderkey < 500) o LEFT JOIN LATERAL (SELECT event_id FROM events WHERE user_id = o.o_custkey % 20 AND ts <= TIMESTAMP '2024-01-15' ORDER BY ts DESC LIMIT 1) e ON true ORDER BY o_orderkey",
     "join_cross" ->
       "SELECT r1.r_name AS r1_name, r2.r_name AS r2_name FROM region r1 CROSS JOIN region r2 ORDER BY 1, 2",
+    // the PLAIN join formulation: the engine's salted plan must be
+    // semantically invisible, so the oracle carries no salt at all
+    "join_skew_salted" ->
+      "SELECT o_orderpriority, count(*) AS n, round(sum(l_extendedprice),2) AS rev FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "agg_pricing_summary" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) sum_qty, round(sum(l_extendedprice),2) sum_base, round(sum(l_extendedprice*(1-l_discount)),2) sum_disc, round(avg(l_quantity),6) avg_qty, round(avg(l_extendedprice),4) avg_price, round(avg(l_discount),6) avg_disc, count(*) cnt FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "agg_count_distinct" ->

@@ -31,6 +31,7 @@ object SparkEntry {
     "join_range_theta" -> (Relational.joinRangeTheta _),
     "join_asof" -> (Relational.joinAsof _),
     "join_cross" -> (Relational.joinCross _),
+    "join_skew_salted" -> (Relational.joinSkewSalted _),
     // §2.4 aggregations
     "agg_pricing_summary" -> (Relational.aggPricingSummary _),
     "agg_count_distinct" -> (Relational.aggCountDistinct _),

@@ -4,56 +4,102 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** From near-duplicate candidate PAIRS to duplicate CLUSTERS: connected
-  * components over the pair graph by iterative min-label propagation,
-  * then one keeper per component.
+  * components over the pair graph, then one keeper per component.
   *
-  * Each iteration is a self-describing DataFrame job (edges ⋈ labels →
-  * group-min), so it distributes like any other join/aggregate; lineage is
-  * truncated with localCheckpoint every iteration to keep plans bounded.
-  * Iterations needed = graph diameter, which for dedup clusters (dense
-  * near-clique blobs) is small. This is the standard large-scale dedup
-  * endgame: LSH gives pairs, components give groups, min(id) gives the
-  * canonical keeper.
+  * The algorithm is the alternating large-star/small-star contraction of
+  * Kiveris et al., "Connected Components in MapReduce and Beyond"
+  * (SoCC 2014): each round rewires every node's larger neighbors
+  * (large-star) and then its smaller neighbors (small-star) to the
+  * minimum of the local neighborhood. Both steps preserve connectivity,
+  * edge count never grows, and the edge set converges to a star forest —
+  * every node pointing at its component's minimum id — in O(log n)
+  * rounds, versus O(graph diameter) for plain min-label propagation.
+  * On a 100 TB near-dup graph with chain-shaped components that is the
+  * difference between ~6 shuffle rounds and hundreds.
+  *
+  * Each step is a self-describing DataFrame job (group-min + join), so it
+  * distributes like any other join/aggregate; lineage is truncated with
+  * localCheckpoint every round to keep plans bounded. Convergence is an
+  * EXACT edge-set fixpoint check (two anti-joins), not a checksum.
   */
 object DedupClusters {
 
+  /** One large-star step: for every node u with neighborhood Γ(u) (both
+    * directions) and m = min(Γ(u) ∪ u), rewire each LARGER neighbor
+    * v > u to (v, m). Output oriented (bigger, smaller), no self-loops. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val nb = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = nb.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    nb.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One small-star step on (bigger, smaller)-oriented edges: for every
+    * node u with smaller neighbors S(u) and m = min(S(u)), rewire each
+    * v ∈ S(u), v ≠ m, to (v, m) and keep (u, m). */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val rewired = edges.join(mins, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    rewired.union(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
   /** Connected components of the undirected pair graph.
     * @param pairs candidate pairs, one row per edge
+    * @param maxIter maximum large-star+small-star rounds; the star forest
+    *                is reached in O(log n) rounds, so the default covers
+    *                graphs far beyond any realistic dedup corpus
     * @return (id, component) — component is the smallest id reachable */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** As [[connectedComponents]], also returning the number of rounds the
+    * contraction ran (spec hook for the O(log n) bound). */
+  private[graft] def connectedComponentsWithRounds(pairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 20): (DataFrame, Int) = {
+    val nodes = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // orient (bigger, smaller); self-pairs carry no connectivity
+    var edges = pairs.select(
+        greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
       .localCheckpoint(true)
     var iter = 0
-    var converged = false
-    // labels for a diameter-d graph are final after pass d but only
-    // OBSERVABLY final on pass d+1 (the first no-change pass), so allow
-    // maxIter+1 passes: diameter == maxIter then converges instead of
-    // spuriously throwing
-    while (iter < maxIter + 1 && !converged) {
-      val prop = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("comp"))
-        .union(labels)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint(true)
-      val changed = prop.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).count()
-      labels = prop
-      converged = changed == 0
+    var converged = edges.isEmpty
+    while (iter < maxIter && !converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // exact fixpoint test: both sides are distinct sets, so two empty
+      // anti-joins == set equality (no checksum collision risk)
+      converged =
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty &&
+        edges.join(next, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within maxIter=$maxIter " +
-          "iterations; component labels would be incorrect. The pair graph " +
-          s"has diameter > $maxIter — raise maxIter (iterations needed = " +
-          "graph diameter).")
-    labels
+          "large-star/small-star rounds; component labels would be " +
+          "incorrect. Rounds needed grow with log(component size) — raise " +
+          "maxIter.")
+    // at the fixpoint the edge set is a star forest: (member, root) once
+    // per non-root member; roots and isolated nodes label themselves
+    val labels = nodes
+      .join(edges.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    (labels, iter)
   }
 
   /** One keeper (min id) per duplicate cluster; ids not in any pair are

@@ -161,6 +161,24 @@ object Relational {
       .orderBy(col("r1_name"), col("r2_name"))
   }
 
+  /** #12b skew-hardened fact-fact join: same RESULT as a plain
+    * orders⋈lineitem (judged against the plain-join oracle, which proves
+    * the salting is semantically invisible), but the plan splits every hot
+    * order key across `saltBuckets` tasks — [[SkewJoin.saltedInnerJoin]]
+    * salts the fact side deterministically and replicates the
+    * (small-per-key) orders side once per bucket, so one pathological key
+    * cannot pin a single task at 100 TB. The aggregate on top stays
+    * map-side combinable. */
+  def joinSkewSalted(s: SparkSession, d: String): DataFrame =
+    SkewJoin.saltedInnerJoin(
+        Tables.lineitem(s, d), Tables.orders(s, d),
+        leftKey = "l_orderkey", rightKey = "o_orderkey",
+        tiebreak = "l_linenumber", saltBuckets = 4)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("rev"))
+      .orderBy(col("o_orderpriority"))
+
   /** #13 TPC-H Q1 pricing summary: multi-measure group-by with date filter.
     * Partial aggregation reduces 600k rows to 6 groups before the exchange. */
   def aggPricingSummary(s: SparkSession, d: String): DataFrame =

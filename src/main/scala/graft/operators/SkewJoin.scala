@@ -24,8 +24,13 @@ object SkewJoin {
     require(saltBuckets > 0)
     val salted = left.withColumn("_salt",
       pmod(hash(col(tiebreak)), lit(saltBuckets)))
+    // pin the shuffled-hash strategy: salting only exists for joins whose
+    // right side CANNOT broadcast (a broadcast join has no per-key task
+    // skew to fix, and auto-broadcasting the ×saltBuckets replicated side
+    // would serialize the build on the driver)
     val replicated = right.withColumn("_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
+      .hint("shuffle_hash")
     salted.join(replicated,
         salted(leftKey) === replicated(rightKey) && salted("_salt") === replicated("_salt"))
       .drop("_salt")

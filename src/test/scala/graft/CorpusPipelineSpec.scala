@@ -44,6 +44,72 @@ class CorpusPipelineSpec extends SparkSpecBase {
     assert(s2.input == s2.curated)
   }
 
+  test("append-mode dedup equals full-corpus curation across two batches") {
+    // batch 2 exercises every append path: exact dup of history (16),
+    // near-dup of history (17: same tokens as long2, reordered → SimHash
+    // distance 0 but different content hash), a fresh doc (18), a
+    // within-batch near-dup of it (19), and a low-quality doc (20)
+    val long3 = ("fresh material describing streaming watermarks state stores " +
+      "and session windows for large scale event processing pipelines here")
+    // reordered tokens: same SimHash (distance 0), different content hash —
+    // a guaranteed near-dup that is not an exact dup
+    val long3Near = long3.split(" ").reverse.mkString(" ")
+    val long2Shuffled = long2.split(" ").reverse.mkString(" ")
+    val batch1 = docs
+    val batch2 = Seq(
+      (16L, long2),
+      (17L, long2Shuffled),
+      (18L, long3),
+      (19L, long3Near),
+      (20L, "??? !!! ;;; 000 111")
+    ).toDF("doc_id", "text")
+
+    // full-corpus reference over the union
+    val full = java.nio.file.Files.createTempDirectory("full").toString
+    CorpusPipeline.curate(spark, batch1.union(batch2), full, minQuality = 0.2)
+    val wantIds = spark.read.parquet(s"$full/corpus")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+
+    // incremental: batch 1 against an empty store, batch 2 against the
+    // grown store
+    val out1 = java.nio.file.Files.createTempDirectory("inc1").toString
+    val s1 = CorpusPipeline.appendBatch(spark,
+      CorpusPipeline.emptySignatureStore(spark), batch1, out1, minQuality = 0.2)
+    val out2 = java.nio.file.Files.createTempDirectory("inc2").toString
+    val s2 = CorpusPipeline.appendBatch(spark,
+      spark.read.parquet(s"$out1/signatures"), batch2, out2, minQuality = 0.2)
+
+    val gotIds =
+      spark.read.parquet(s"$out1/accepted").select($"doc_id").collect().map(_.getLong(0)).toSet ++
+      spark.read.parquet(s"$out2/accepted").select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == wantIds)
+    assert(gotIds == Set(1L, 4L, 18L))
+    assert(s1.accepted == 2 && s2.accepted == 1)
+    assert(s2.afterQuality == 4)     // doc 20 gated
+    assert(s2.newContent == 3)       // 16 dropped: content hash already in store
+    assert(s2.dupOfHistory == 1)     // 17 matches history by signature
+    // the store grows by every near-dup-stage doc, keepers or not
+    assert(spark.read.parquet(s"$out2/signatures").count() == s1.newContent + s2.newContent)
+  }
+
+  test("append-mode drops a whole batch cluster that touches history") {
+    // 30 and 31 are near-dups of each other AND of history docs (1 / 3).
+    // Full-corpus clustering would fold both into doc 1's cluster — append
+    // mode must drop BOTH, not elect 31 as a fresh cluster keeper
+    val store0 = java.nio.file.Files.createTempDirectory("st0").toString
+    CorpusPipeline.appendBatch(spark,
+      CorpusPipeline.emptySignatureStore(spark), docs, store0, minQuality = 0.2)
+    val batch = Seq(
+      (30L, long1.split(" ").reverse.mkString(" ")),
+      (31L, long1Near.split(" ").reverse.mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("st1").toString
+    val s = CorpusPipeline.appendBatch(spark,
+      spark.read.parquet(s"$store0/signatures"), batch, out, minQuality = 0.2)
+    assert(s.accepted == 0)
+    assert(spark.read.parquet(s"$out/accepted").count() == 0)
+  }
+
   test("curate runs over the judged documents table") {
     val out = java.nio.file.Files.createTempDirectory("corpusd").toString
     val s = CorpusPipeline.curate(spark, Tables.documents(spark, sf()), out)

@@ -24,20 +24,55 @@ class DedupClustersSpec extends SparkSpecBase {
   }
 
   test("non-convergence within maxIter throws instead of returning wrong labels") {
-    // chain of diameter 6 with maxIter=2 cannot converge
+    // a chain of 8 needs ~log2(8)+1 rounds; maxIter=1 cannot converge
     val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("a", "b")
     val e = intercept[IllegalStateException] {
-      DedupClusters.connectedComponents(pairs, "a", "b", maxIter = 2)
+      DedupClusters.connectedComponents(pairs, "a", "b", maxIter = 1)
     }
     assert(e.getMessage.contains("did not converge"))
   }
 
-  test("diameter == maxIter converges (labels final on the last allowed pass)") {
-    // chain 1-2-3-4: diameter 3; labels final after pass 3, observed on pass 4
-    val pairs = (1L until 4L).map(i => (i, i + 1)).toDF("a", "b")
-    val comps = DedupClusters.connectedComponents(pairs, "a", "b", maxIter = 3)
-      .collect().map(r => r.getLong(1)).distinct
-    assert(comps.toSeq == Seq(1L))
+  test("long chain converges in O(log n) rounds, not O(diameter)") {
+    // worst case for min-label propagation: a 64-node chain (diameter 63).
+    // large-star/small-star must star-ify it in ~log2(64) rounds (+1 to
+    // observe the fixpoint), far under the diameter
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) =
+      DedupClusters.connectedComponentsWithRounds(pairs, "a", "b")
+    assert(labels.collect().map(_.getLong(1)).distinct.toSeq == Seq(1L))
+    assert(rounds <= 9, s"expected O(log n) rounds for a 64-chain, got $rounds")
+  }
+
+  test("self-pairs and singleton components label themselves") {
+    val pairs = Seq((7L, 7L), (1L, 2L)).toDF("a", "b")
+    val comps = DedupClusters.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("random graphs match a driver-side union-find oracle") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val es = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find as the oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.map { id =>
+        // min id in the component = repeatedly-compressed root (roots are
+        // always the min because union always parents the larger root)
+        id -> find(id.toInt).toLong
+      }.toMap
+      val got = DedupClusters.connectedComponents(es.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed=$seed")
+    }
   }
 
   test("keepers and replacement map") {

@@ -10,6 +10,7 @@ class GoldenCountsSpec extends SparkSpecBase {
     "join_broadcast" -> 25, "join_shuffle" -> 20, "join_star_5way" -> 5,
     "join_left_outer" -> 50, "join_semi" -> 150, "join_anti" -> 18,
     "join_range_theta" -> 10, "join_asof" -> 500, "join_cross" -> 25,
+    "join_skew_salted" -> 5,
     "agg_pricing_summary" -> 6, "agg_count_distinct" -> 5, "agg_filtered" -> 15,
     "agg_rollup" -> 10, "agg_cube" -> 24, "agg_grouping_sets" -> 21,
     "agg_stats" -> 5, "agg_percentile" -> 5, "agg_having" -> 50,

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{Relational, TimeSeries, TrainingData}
+
+/** Plan-shape regressions for the audited hot queries: the broadcast /
+  * exchange / pushdown facts that make these plans 100 TB-shaped are
+  * asserted here so a Spark upgrade or refactor cannot silently revert
+  * them to shuffle-heavy or nested-loop forms. String assertions run on
+  * the pre-execution physical plan (same technique as HrvSpec).
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    needle.r.findAllIn(hay).size
+
+  test("join_star_5way: all four joins broadcast, fact side streams once") {
+    val p = plan(Relational.joinStar5Way(spark, sf()))
+    assert(count(p, "BroadcastHashJoin") == 4, s"expected 4 broadcast joins:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), s"a dim fell back to sort-merge:\n$p")
+    // one partial+final aggregate pair, i.e. exactly one hash exchange
+    assert(count(p, "(?i)exchange hashpartitioning") == 1, p)
+  }
+
+  test("join_shuffle: equi-join with partial aggregation, no nested loop") {
+    val p = plan(Relational.joinShuffle(spark, sf()))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // partial + final HashAggregate around the group-by
+    assert(count(p, "HashAggregate") >= 2, s"expected partial aggregation:\n$p")
+  }
+
+  test("join_range_theta: equi-clause drives a hash join, never a cartesian") {
+    val p = plan(Relational.joinRangeTheta(spark, sf()))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range predicate must ride the user_id equi-join as a post-join filter:\n$p")
+  }
+
+  test("stream_session: sessionization reuses ONE user_id exchange") {
+    val p = plan(TimeSeries.streamSession(spark, sf()))
+    val hashEx = count(p, "(?i)exchange hashpartitioning")
+    assert(hashEx == 1,
+      s"windows + session aggregate must share the user_id partitioning, got $hashEx:\n$p")
+  }
+
+  test("text_langid: one scan, one aggregate exchange, no joins") {
+    val p = plan(TrainingData.textLangid(spark, sf()))
+    assert(count(p, "(?i)exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), s"language scoring must be a pure scan+aggregate:\n$p")
+  }
+
+  test("filters and projections reach the parquet scan") {
+    // PushedFilters must LIST the predicates (the header prints even when
+    // the list is empty, so assert content, not presence)
+    val pf = plan(Relational.filterPredicates(spark, sf()))
+    assert("PushedFilters: \\[[^\\]]*IsNotNull".r.findFirstIn(pf).nonEmpty,
+      s"filter not pushed to scan:\n$pf")
+    val ps = plan(Relational.scanProject(spark, sf()))
+    assert("ReadSchema:[^\\n]*l_orderkey".r.findFirstIn(ps).nonEmpty, ps)
+    // projection pruning: the scan must NOT read unprojected wide columns
+    assert(!"ReadSchema:[^\\n]*l_comment".r.findFirstIn(ps).nonEmpty,
+      s"scan reads columns the query never uses:\n$ps")
+  }
+}

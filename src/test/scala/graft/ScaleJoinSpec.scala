@@ -29,6 +29,18 @@ class ScaleJoinSpec extends SparkSpecBase {
     assert(j.count() == 100)
   }
 
+  test("judged join_skew_salted equals the plain-join formulation") {
+    val plain = Tables.lineitem(spark, sf())
+      .join(Tables.orders(spark, sf()), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice"), 2).as("rev"))
+      .orderBy($"o_orderpriority")
+      .collect().map(_.toSeq).toSeq
+    val salted = graft.operators.Relational.joinSkewSalted(spark, sf())
+      .collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+  }
+
   test("bucketed tables sort-merge join with no shuffle exchange") {
     val s = spark.newSession() // isolated conf; default warehouse (gitignored)
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
