@@ -108,14 +108,6 @@ object CorpusPipeline {
         StructField("sig", LongType, nullable = false))))
   }
 
-  /** 16-bit band keys of a 64-bit SimHash column (pigeonhole: hamming ≤ 3
-    * shares ≥ 1 of 4 bands). */
-  private def banded(df: DataFrame, keep: Seq[String]): DataFrame =
-    df.select(keep.map(col) :+ explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bits"))): _*)).as("bk"): _*)
-      .select(keep.map(col) :+ col("bk.band") :+ col("bk.bits"): _*)
-
   /** Append-mode curation: dedup an incoming batch against the HISTORICAL
     * signature store instead of re-clustering the whole corpus — the
     * natural 100 TB operating mode (history never re-shuffles; only its
@@ -140,6 +132,13 @@ object CorpusPipeline {
       outDir: String, minQuality: Double = 0.2, maxHamming: Int = 3): AppendSummary = {
     require(maxHamming <= 3,
       s"maxHamming must be <= 3 (SimHash 4-band pigeonhole), got $maxHamming")
+    // overwrite deletes target files before the union job reads them, so
+    // writing the store onto its own input would silently drop all history
+    val outAbs = new java.io.File(outDir).getAbsolutePath
+    require(!store.inputFiles.exists(_.contains(outAbs)),
+      s"outDir ($outDir) must not be the directory the signature store is " +
+        "read from: overwrite would delete the history before the grown " +
+        "store is written. Use a fresh outDir per batch.")
     val gated = annotate(batch)
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .filter(col("quality") >= minQuality)
@@ -157,10 +156,12 @@ object CorpusPipeline {
         .persist()
       try {
         // near-dup vs history: band equi-join against the store, exact
-        // hamming recheck — never all-pairs
-        val bNew = banded(newContent.select(col("doc_id"), col("sig")), Seq("doc_id", "sig"))
-        val bOld = banded(store.select(col("doc_id").as("h_id"), col("sig")),
-            Seq("h_id", "sig"))
+        // hamming recheck — never all-pairs; both sides band through the
+        // one shared definition in ScalableDedup
+        val bNew = ScalableDedup.simhashBands(
+          newContent.select(col("doc_id"), col("sig")), "sig", Seq("doc_id", "sig"))
+        val bOld = ScalableDedup.simhashBands(
+            store.select(col("doc_id").as("h_id"), col("sig")), "sig", Seq("h_id", "sig"))
           .withColumnRenamed("sig", "h_sig")
         val dupOfHistory = bNew.join(bOld, Seq("band", "bits"))
           .filter(bit_count(col("sig").bitwiseXOR(col("h_sig"))) <= maxHamming)
@@ -169,9 +170,11 @@ object CorpusPipeline {
           // near-dup within the batch: cluster ALL new-content docs (a
           // history-dup can transitively drag its whole batch cluster
           // into the history cluster, exactly as full-corpus clustering
-          // would), then keep min doc_id of every untouched cluster
-          val pairs = ScalableDedup.simhashCandidates(
-            newContent.select(col("doc_id"), col("toks")), "doc_id", "toks", maxHamming)
+          // would), then keep min doc_id of every untouched cluster.
+          // Reuses the persisted `sig` — the SimHash vote runs once per
+          // doc, not once per consumer
+          val pairs = ScalableDedup.simhashCandidatesFromSigs(
+            newContent.select(col("doc_id"), col("sig")), "doc_id", "sig", maxHamming)
           val comps = DedupClusters.connectedComponents(pairs, "a_id", "b_id")
             .withColumnRenamed("id", "doc_id")
           val allComps = newContent.select(col("doc_id"))

@@ -45,6 +45,14 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
+  /** A working-column name not colliding with anything in `df`. */
+  private def fresh(df: DataFrame, base: String): String = {
+    var n = base
+    var i = 0
+    while (df.columns.contains(n)) { i += 1; n = base + i }
+    n
+  }
+
   /** Sampled ascending split points for `primaryCol` — the one driver
     * action. Callers ranking several monotone derivatives of the same
     * column (e.g. a rank on x and a dense rank on round(x)) can reuse one
@@ -89,38 +97,44 @@ object GlobalRank {
     val spark = df.sparkSession
     val b = if (buckets > 0) buckets
       else spark.sessionState.conf.numShufflePartitions
+    // collision-safe working names: the input may legitimately own _b etc.
+    val bC = fresh(df, "_b")
+    val lrC = fresh(df, "_lr")
+    val offC = fresh(df, "_off")
+    val cntC = fresh(df, "_c")
     val bucketed = splits match {
       case Some(sp) =>
-        df.withColumn("_b", bucketExpr(col(primaryCol), sp, desc))
+        df.withColumn(bC, bucketExpr(col(primaryCol), sp, desc))
       case None =>
         // lazy sampled splits: a 1-row aggregate broadcast onto every row.
         // percentile_approx output is non-decreasing, which is all the
         // bucket expression needs (duplicate splits just skip bucket ids)
+        val spC = fresh(df, "_gr_splits")
         val probs = array((1 until b).map(i => lit(i.toDouble / b)): _*)
         val splitsDf = df.agg(
-          percentile_approx(col(primaryCol), probs, lit(1000)).as("_gr_splits"))
+          percentile_approx(col(primaryCol), probs, lit(1000)).as(spC))
         val cnt =
-          if (desc) size(filter(col("_gr_splits"), s => s > col(primaryCol)))
-          else size(filter(col("_gr_splits"), s => s < col(primaryCol)))
+          if (desc) size(filter(col(spC), s => s > col(primaryCol)))
+          else size(filter(col(spC), s => s < col(primaryCol)))
         df.crossJoin(broadcast(splitsDf))
-          .withColumn("_b", cnt.cast("int"))
-          .drop("_gr_splits")
+          .withColumn(bC, cnt.cast("int"))
+          .drop(spC)
     }
     // exclusive prefix sums of the per-bucket counts: counts is at most
     // `buckets` rows by construction, so the self-join is trivially small
     // and stays fully distributed (no global window, no collect)
-    val counts = bucketed.groupBy(col("_b")).agg(count(lit(1)).as("_c"))
+    val counts = bucketed.groupBy(col(bC)).agg(count(lit(1)).as(cntC))
     val offsets = counts.as("x")
-      .join(counts.as("y"), col("y._b") < col("x._b"), "left")
-      .groupBy(col("x._b").as("_b"))
-      .agg(coalesce(sum(col("y._c")), lit(0L)).as("_off"))
-    val w = Window.partitionBy(col("_b")).orderBy(sortCols: _*)
+      .join(counts.as("y"), col(s"y.$bC") < col(s"x.$bC"), "left")
+      .groupBy(col(s"x.$bC").as(bC))
+      .agg(coalesce(sum(col(s"y.$cntC")), lit(0L)).as(offC))
+    val w = Window.partitionBy(col(bC)).orderBy(sortCols: _*)
     bucketed
-      .repartition(splits.map(sp => math.min(b, sp.length + 1)).getOrElse(b), col("_b"))
-      .withColumn("_lr", rank().over(w).cast("long"))
-      .join(broadcast(offsets), Seq("_b"))
-      .withColumn(out, col("_lr") + col("_off"))
-      .drop("_b", "_lr", "_off")
+      .repartition(splits.map(sp => math.min(b, sp.length + 1)).getOrElse(b), col(bC))
+      .withColumn(lrC, rank().over(w).cast("long"))
+      .join(broadcast(offsets), Seq(bC))
+      .withColumn(out, col(lrC) + col(offC))
+      .drop(bC, lrC, offC)
   }
 
   /** Global `dense_rank()` over a single value column, scale-safe: rank

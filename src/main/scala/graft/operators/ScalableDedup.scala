@@ -50,19 +50,29 @@ object ScalableDedup {
             (v, b) -> IF(v > 0, shiftleft(1L, b), 0L)),
           0L, (s, x) -> s | x)""")
 
-  /** SimHash near-dup candidate pairs within a hamming radius. Pairs are
-    * generated per 16-bit signature band (equi-join on the band value →
-    * shuffle-parallel; a pair within hamming≤r, r<4 shares ≥1 of 4 bands
-    * by pigeonhole), then filtered by exact hamming distance. */
-  def simhashCandidates(df: DataFrame, idCol: String, tokensCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming < 4, "4-band pigeonhole guarantee only holds for hamming <= 3")
-    val sig = df.select(col(idCol).as("id"), simhash(tokensCol).as("sig"))
-    val banded = sig.select(col("id"), col("sig"),
-      explode(array((0 until 4).map(b =>
+  /** 16-bit band keys of a 64-bit SimHash column: one output row per
+    * (input row, band 0-3), columns `keep ++ (band, bits)`. THE single
+    * banding definition — every SimHash consumer (within-corpus candidate
+    * pairs, history-vs-batch joins) must band through here so the
+    * pigeonhole layout can never diverge between them. */
+  def simhashBands(df: DataFrame, sigCol: String, keep: Seq[String]): DataFrame =
+    df.select(keep.map(col) :+ explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bits"))): _*)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.bits"))
+          shiftright(col(sigCol), b * 16).bitwiseAND(lit(0xFFFFL)).as("bits"))): _*)).as("bk"): _*)
+      .select(keep.map(col) :+ col("bk.band") :+ col("bk.bits"): _*)
+
+  /** SimHash near-dup candidate pairs within a hamming radius, from
+    * PRECOMPUTED signatures (id, sig): equi-join per 16-bit band (a pair
+    * within hamming≤r, r<4 shares ≥1 of 4 bands by pigeonhole), then
+    * exact hamming filter. Use this form when signatures are already
+    * materialized (e.g. a persisted signature store) — computing the
+    * 64-lane SimHash vote is the dominant CPU cost, so it should run
+    * once per document, not once per consumer. */
+  def simhashCandidatesFromSigs(sigs: DataFrame, idCol: String,
+      sigCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-band pigeonhole guarantee only holds for hamming <= 3")
+    val banded = simhashBands(
+      sigs.select(col(idCol).as("id"), col(sigCol).as("sig")), "sig", Seq("id", "sig"))
     val a = banded.select(col("band"), col("bits"), col("id").as("a_id"), col("sig").as("a_sig"))
     val b = banded.select(col("band"), col("bits"), col("id").as("b_id"), col("sig").as("b_sig"))
     a.join(b, Seq("band", "bits"))
@@ -72,6 +82,14 @@ object ScalableDedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** SimHash near-dup candidate pairs from a token-array column (computes
+    * the signatures, then delegates to [[simhashCandidatesFromSigs]]). */
+  def simhashCandidates(df: DataFrame, idCol: String, tokensCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashCandidatesFromSigs(
+      df.select(col(idCol).as("id"), simhash(tokensCol).as("sig")),
+      "id", "sig", maxHamming)
 
   /** MinHash-LSH near-duplicate candidate pairs on token sets: tokens →
     * binary term-frequency vectors (HashingTF) → banded minhash →

@@ -110,6 +110,17 @@ class CorpusPipelineSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$out/accepted").count() == 0)
   }
 
+  test("appendBatch refuses to overwrite the store it is reading") {
+    val dir = java.nio.file.Files.createTempDirectory("selfow").toString
+    CorpusPipeline.appendBatch(spark,
+      CorpusPipeline.emptySignatureStore(spark), docs, dir, minQuality = 0.2)
+    val store = spark.read.parquet(s"$dir/signatures")
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline.appendBatch(spark, store, docs, dir, minQuality = 0.2)
+    }
+    assert(e.getMessage.contains("fresh outDir"))
+  }
+
   test("curate runs over the judged documents table") {
     val out = java.nio.file.Files.createTempDirectory("corpusd").toString
     val s = CorpusPipeline.curate(spark, Tables.documents(spark, sf()), out)

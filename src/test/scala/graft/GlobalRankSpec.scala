@@ -72,6 +72,19 @@ class GlobalRankSpec extends SparkSpecBase {
     }
   }
 
+  test("withRank preserves caller columns named like its working columns") {
+    // _b participates in the sort — it must survive untouched
+    val df = (1 to 50).map(i => (i, i.toDouble % 7, i * 10)).toDF("id", "v", "_b")
+    val got = GlobalRank.withRank(df, "v", desc = false, Seq($"v", $"_b"), "r", buckets = 3)
+    assert(got.columns.toSeq == Seq("id", "v", "_b", "r"))
+    val want = df.select($"id", $"_b",
+        rank().over(Window.orderBy($"v", $"_b")).cast("long").as("r"))
+      .collect().map(r => r.getInt(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val gotM = got.select($"id", $"_b", $"r")
+      .collect().map(r => r.getInt(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(gotM == want)
+  }
+
   test("withRank on empty input yields empty output with the rank column") {
     val df = Seq.empty[(Int, Double)].toDF("id", "v")
     val out = GlobalRank.withRank(df, "v", desc = false, Seq($"v", $"id"), "r")

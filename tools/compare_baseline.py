@@ -11,14 +11,20 @@ import json, re, signal, sys
 signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # clean exit under `| head`
 
 def main(path):
-    line = None
+    # Bench prints two JSON lines: {"metric":"per_query",...} with the
+    # per-query map, then the compact {"metric":"total",...} headline
+    total_line = detail_line = None
     for l in open(path):
         m = re.search(r'\{"metric":"total".*\}', l)
         if m:
-            line = m.group(0)
-    if not line:
-        sys.exit(f"no bench JSON line found in {path}")
-    bench = json.loads(line)
+            total_line = m.group(0)
+        m = re.search(r'\{"metric":"per_query".*\}', l)
+        if m:
+            detail_line = m.group(0)
+    if not total_line or not detail_line:
+        sys.exit(f"no bench JSON lines found in {path}")
+    bench = json.loads(total_line)
+    bench["queries"] = json.loads(detail_line)["queries"]
     base = {}
     for l in open("BASELINE.md"):
         m = re.match(r"\| `(\w+)` \| ([0-9.]+) \|", l)
