@@ -105,6 +105,10 @@ object GlobalRank {
     val bucketed = splits match {
       case Some(sp) =>
         df.withColumn(bC, bucketExpr(col(primaryCol), sp, desc))
+      case None if b <= 1 =>
+        // degenerate single bucket: an empty probability array would make
+        // percentile_approx return null and null out every bucket id
+        df.withColumn(bC, lit(0))
       case None =>
         // lazy sampled splits: a 1-row aggregate broadcast onto every row.
         // percentile_approx output is non-decreasing, which is all the

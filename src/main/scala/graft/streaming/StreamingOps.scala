@@ -177,4 +177,41 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(graft.plans.AsofJoin(batch, history(), on, probeTime, historyTime), id)
       }
+
+  /** Streaming incremental corpus dedup: each micro-batch of documents is
+    * curated against the signature store grown by all previous batches
+    * ([[graft.CorpusPipeline.appendBatch]] inside foreachBatch). The
+    * near-dup state is the compact signature TABLE (~24 bytes/doc), not
+    * Spark operator state — so restarts are cheap, the store is shared
+    * with batch jobs, and no stream-stream self-join state grows without
+    * bound. Output layout under `stateDir` is generation-per-batch
+    * (`gen=<batchId>/accepted|signatures`); a replayed micro-batch
+    * overwrites its own generation and re-reads the one before it, so the
+    * sink is replay-idempotent (the store dir being read is never the one
+    * written, satisfying appendBatch's self-overwrite guard). */
+  def incrementalDedupStream(docs: DataFrame, stateDir: String,
+      minQuality: Double = 0.2, maxHamming: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val spark = batch.sparkSession
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+      val root = new org.apache.hadoop.fs.Path(stateDir)
+      // latest completed generation strictly before this batch id (replay
+      // of batch N must not read N's own partial output)
+      val prev =
+        if (!fs.exists(root)) None
+        else fs.listStatus(root).toSeq
+          .filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toLong }
+          .filter(_ < id)
+          .sorted.lastOption
+      val store = prev match {
+        case Some(g) => spark.read.parquet(s"$stateDir/gen=$g/signatures")
+        case None => graft.CorpusPipeline.emptySignatureStore(spark)
+      }
+      graft.CorpusPipeline.appendBatch(spark, store, batch,
+        s"$stateDir/gen=$id", minQuality, maxHamming)
+      ()
+    }
 }

@@ -179,6 +179,25 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("GlobalRank.withRank equals rank() for random data, buckets, and order") {
+    import org.apache.spark.sql.expressions.Window
+    val gen = Gen.zip(
+      Gen.listOfN(60, Gen.chooseNum(-50.0, 50.0)),
+      Gen.chooseNum(1, 9),
+      Gen.oneOf(true, false))
+    for ((vs, buckets, desc) <- samples(gen, n = 6)) {
+      val df = vs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "v")
+      val order = if (desc) Seq($"v".desc, $"id") else Seq($"v", $"id")
+      val got = graft.operators.GlobalRank
+        .withRank(df, "v", desc, order, "r", buckets)
+        .select($"id", $"r").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val want = df
+        .select($"id", rank().over(Window.orderBy(order: _*)).cast("long").as("r"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == want, s"buckets=$buckets desc=$desc")
+    }
+  }
+
   test("jaccard is symmetric and 1 on identical token sets") {
     val txtGen = Gen.listOfN(6, Gen.oneOf("w1", "w2", "w3", "w4")).map(_.mkString(" "))
     for ((x, y) <- samples(Gen.zip(txtGen, txtGen))) {

@@ -198,4 +198,38 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(got.count() == 3)
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
   }
+
+  test("incrementalDedupStream over two micro-batches equals full-corpus curation") {
+    val long1 = ("the quick brown fox jumps over the lazy dog again and " +
+      "again today with more useful words attached to make the quality score pass")
+    val long2 = ("completely different content about query engines big " +
+      "shuffles broadcast joins and vectorized scans in a modern analytics stack")
+    val long3 = ("fresh material describing streaming watermarks state stores " +
+      "and session windows for large scale event processing pipelines here")
+    val batch1 = Seq((1L, long1), (2L, long1),
+      (3L, long1.replace("today", "tonight")), (4L, long2))
+    val batch2 = Seq((16L, long2),                                 // exact dup of history
+      (17L, long2.split(" ").reverse.mkString(" ")),               // near-dup of history
+      (18L, long3),                                                // fresh keeper
+      (19L, long3.split(" ").reverse.mkString(" ")))               // near-dup of 18
+
+    val stateDir = java.nio.file.Files.createTempDirectory("incstream").toString
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.incrementalDedupStream(
+      ms.toDF().toDF("doc_id", "text"), stateDir).start()
+    try {
+      ms.addData(batch1: _*); q.processAllAvailable()
+      ms.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val accepted = spark.read.parquet(s"$stateDir/gen=*/accepted")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val full = java.nio.file.Files.createTempDirectory("incfull").toString
+    CorpusPipeline.curate(spark, (batch1 ++ batch2).toDF("doc_id", "text"), full)
+    val want = spark.read.parquet(s"$full/corpus")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted == want)
+    assert(accepted == Set(1L, 4L, 18L))
+  }
 }
