@@ -124,12 +124,21 @@ object CorpusPipeline {
     * the store's content hashes) → SimHash near-dup (band equi-join vs
     * the store AND within the batch; batch clusters touching history are
     * dropped entirely, remaining clusters keep min doc_id) → outputs
-    * `outDir/accepted` (new curated docs) and `outDir/signatures` (the
-    * grown store). Use a fresh `outDir` per batch: parquet cannot
-    * overwrite the directory the incoming `store` is being read from.
+    * `outDir/accepted` (new curated docs) and `outDir/signatures`. Use a
+    * fresh `outDir` per batch: parquet cannot overwrite the directory the
+    * incoming `store` is being read from.
+    *
+    * @param deltaSignatures false (default): `outDir/signatures` is the
+    *        FULL grown store — a self-contained snapshot, older
+    *        generations deletable. true: it holds only THIS batch's new
+    *        signatures, so each generation writes O(batch), not
+    *        O(history) — the right mode for high-frequency streaming
+    *        ingest, where the reader unions the generation deltas
+    *        (see StreamingOps.incrementalDedupStream).
     */
   def appendBatch(spark: SparkSession, store: DataFrame, batch: DataFrame,
-      outDir: String, minQuality: Double = 0.2, maxHamming: Int = 3): AppendSummary = {
+      outDir: String, minQuality: Double = 0.2, maxHamming: Int = 3,
+      deltaSignatures: Boolean = false): AppendSummary = {
     require(maxHamming <= 3,
       s"maxHamming must be <= 3 (SimHash 4-band pigeonhole), got $maxHamming")
     // overwrite deletes target files before the union job reads them, so
@@ -189,7 +198,8 @@ object CorpusPipeline {
           try {
             accepted.drop("toks", "_h", "sig")
               .write.mode("overwrite").parquet(s"$outDir/accepted")
-            store.union(newContent.select(col("doc_id"), col("_h"), col("sig")))
+            val newSigs = newContent.select(col("doc_id"), col("_h"), col("sig"))
+            (if (deltaSignatures) newSigs else store.union(newSigs))
               .write.mode("overwrite").parquet(s"$outDir/signatures")
             AppendSummary(
               batchInput = batch.count(),

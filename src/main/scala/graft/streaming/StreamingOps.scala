@@ -185,10 +185,14 @@ object StreamingOps {
     * Spark operator state — so restarts are cheap, the store is shared
     * with batch jobs, and no stream-stream self-join state grows without
     * bound. Output layout under `stateDir` is generation-per-batch
-    * (`gen=<batchId>/accepted|signatures`); a replayed micro-batch
-    * overwrites its own generation and re-reads the one before it, so the
-    * sink is replay-idempotent (the store dir being read is never the one
-    * written, satisfying appendBatch's self-overwrite guard). */
+    * (`gen=<batchId>/accepted|signatures`), where each generation's
+    * `signatures` holds only THAT batch's new signatures (delta mode:
+    * every micro-batch writes O(batch), never O(history)) and the store
+    * a batch reads is the union of all earlier generations' deltas. A
+    * replayed micro-batch overwrites its own generation and re-reads only
+    * generations strictly before it, so the sink is replay-idempotent
+    * (the dirs being read are never the one written, satisfying
+    * appendBatch's self-overwrite guard). */
   def incrementalDedupStream(docs: DataFrame, stateDir: String,
       minQuality: Double = 0.2, maxHamming: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
@@ -196,22 +200,21 @@ object StreamingOps {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
       val root = new org.apache.hadoop.fs.Path(stateDir)
-      // latest completed generation strictly before this batch id (replay
+      // all completed generations strictly before this batch id (replay
       // of batch N must not read N's own partial output)
       val prev =
-        if (!fs.exists(root)) None
+        if (!fs.exists(root)) Seq.empty[Long]
         else fs.listStatus(root).toSeq
           .filter(_.isDirectory)
           .map(_.getPath.getName)
           .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toLong }
           .filter(_ < id)
-          .sorted.lastOption
-      val store = prev match {
-        case Some(g) => spark.read.parquet(s"$stateDir/gen=$g/signatures")
-        case None => graft.CorpusPipeline.emptySignatureStore(spark)
-      }
+          .sorted
+      val store =
+        if (prev.isEmpty) graft.CorpusPipeline.emptySignatureStore(spark)
+        else spark.read.parquet(prev.map(g => s"$stateDir/gen=$g/signatures"): _*)
       graft.CorpusPipeline.appendBatch(spark, store, batch,
-        s"$stateDir/gen=$id", minQuality, maxHamming)
+        s"$stateDir/gen=$id", minQuality, maxHamming, deltaSignatures = true)
       ()
     }
 }

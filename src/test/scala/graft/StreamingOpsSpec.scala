@@ -231,5 +231,9 @@ class StreamingOpsSpec extends SparkSpecBase {
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(accepted == want)
     assert(accepted == Set(1L, 4L, 18L))
+    // delta layout: each generation holds only ITS batch's new
+    // signatures (O(batch) written per micro-batch, not O(history))
+    assert(spark.read.parquet(s"$stateDir/gen=0/signatures").count() == 3) // 1,3,4
+    assert(spark.read.parquet(s"$stateDir/gen=1/signatures").count() == 3) // 17,18,19
   }
 }
