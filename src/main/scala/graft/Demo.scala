@@ -190,22 +190,27 @@ object Demo {
     println(s"stateful streaming sessions closed in-stream: ${spark.table("demo_sessions").count()}")
 
     // distributed global rank: no single-partition window anywhere
+    // (persisted: the count and the top-row probe are two actions)
     val rankedCustomers = graft.operators.GlobalRank.withRank(
       Tables.customer(spark, sfDir).select($"c_custkey", $"c_acctbal"),
       "c_acctbal", desc = true, Seq($"c_acctbal".desc, $"c_custkey"), "r")
+      .persist()
     println(s"GlobalRank over customers: ${rankedCustomers.count()} rows, " +
       s"top=${rankedCustomers.orderBy($"r").select($"c_custkey", $"r").first()}")
+    rankedCustomers.unpersist()
 
     // append-mode curation: batch 2 dedups against batch 1's signature
-    // store only — the corpus itself is never re-clustered
+    // store only — the corpus itself is never re-clustered. Split by id
+    // threshold, matching appendBatch's ids-grow-with-time contract
     val incDir = java.nio.file.Files.createTempDirectory("graft_demo_inc").toString
     val corpus = Tables.documents(spark, sfDir).limit(500).select($"doc_id", $"text")
+    val cut = 250L
     val s1 = CorpusPipeline.appendBatch(spark,
       CorpusPipeline.emptySignatureStore(spark),
-      corpus.filter($"doc_id" % 2 === 0), s"$incDir/g0")
+      corpus.filter($"doc_id" < cut), s"$incDir/g0")
     val s2 = CorpusPipeline.appendBatch(spark,
       spark.read.parquet(s"$incDir/g0/signatures"),
-      corpus.filter($"doc_id" % 2 === 1), s"$incDir/g1")
+      corpus.filter($"doc_id" >= cut), s"$incDir/g1")
     println(s"incremental dedup: batch1 accepted ${s1.accepted}/${s1.batchInput}, " +
       s"batch2 accepted ${s2.accepted}/${s2.batchInput} " +
       s"(${s2.dupOfHistory} were near-dups of batch1's signature store)")

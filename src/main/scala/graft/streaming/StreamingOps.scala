@@ -192,7 +192,14 @@ object StreamingOps {
     * replayed micro-batch overwrites its own generation and re-reads only
     * generations strictly before it, so the sink is replay-idempotent
     * (the dirs being read are never the one written, satisfying
-    * appendBatch's self-overwrite guard). */
+    * appendBatch's self-overwrite guard).
+    *
+    * Requires a DURABLE `checkpointLocation`: batch ids must continue
+    * across restarts. A genuine replay of batch N can only coexist with
+    * generations ≤ N, so the sink fails fast — instead of silently mixing
+    * two lineages — if it ever sees generations from a future batch id
+    * (the signature of a checkpoint that was deleted while `stateDir`
+    * survived). */
   def incrementalDedupStream(docs: DataFrame, stateDir: String,
       minQuality: Double = 0.2, maxHamming: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
@@ -202,14 +209,19 @@ object StreamingOps {
       val root = new org.apache.hadoop.fs.Path(stateDir)
       // all completed generations strictly before this batch id (replay
       // of batch N must not read N's own partial output)
-      val prev =
+      val gens =
         if (!fs.exists(root)) Seq.empty[Long]
         else fs.listStatus(root).toSeq
           .filter(_.isDirectory)
           .map(_.getPath.getName)
           .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toLong }
-          .filter(_ < id)
-          .sorted
+      require(!gens.exists(_ > id),
+        s"stateDir $stateDir contains generations ${gens.filter(_ > id).sorted.mkString(",")} " +
+          s"from a batch id beyond the current one ($id): the streaming " +
+          "checkpoint was reset while the generation store survived. " +
+          "Refusing to mix lineages — restore the checkpoint or start a " +
+          "fresh stateDir.")
+      val prev = gens.filter(_ < id)
       val store =
         if (prev.isEmpty) graft.CorpusPipeline.emptySignatureStore(spark)
         else spark.read.parquet(prev.map(g => s"$stateDir/gen=$g/signatures"): _*)

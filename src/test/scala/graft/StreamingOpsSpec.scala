@@ -235,5 +235,27 @@ class StreamingOpsSpec extends SparkSpecBase {
     // signatures (O(batch) written per micro-batch, not O(history))
     assert(spark.read.parquet(s"$stateDir/gen=0/signatures").count() == 3) // 1,3,4
     assert(spark.read.parquet(s"$stateDir/gen=1/signatures").count() == 3) // 17,18,19
+
+    // replay idempotency: re-running batch 1 (same input, same gen dir,
+    // store = generations strictly before it) reproduces identical output
+    CorpusPipeline.appendBatch(spark,
+      spark.read.parquet(s"$stateDir/gen=0/signatures"),
+      batch2.toDF("doc_id", "text"), s"$stateDir/gen=1",
+      deltaSignatures = true)
+    val replayed = spark.read.parquet(s"$stateDir/gen=1/accepted")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(replayed == Set(18L))
+    assert(spark.read.parquet(s"$stateDir/gen=1/signatures").count() == 3)
+
+    // lineage guard: a fresh checkpoint (batch ids restarting at 0) with
+    // surviving future generations must fail fast, not mix lineages
+    val ms2 = MemoryStream[(Long, String)]
+    val q2 = StreamingOps.incrementalDedupStream(
+      ms2.toDF().toDF("doc_id", "text"), stateDir).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { ms2.addData(batch1: _*); q2.processAllAvailable() } finally q2.stop()
+    }
+    assert(e.getMessage.contains("Refusing to mix lineages")
+      || Option(e.getCause).exists(_.getMessage.contains("Refusing to mix lineages")))
   }
 }
