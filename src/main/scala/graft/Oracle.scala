@@ -237,6 +237,21 @@ object Oracle {
       ("SELECT lang, split, count(*) AS n, round(avg(n_chars), 2) AS avg_chars " +
         "FROM (SELECT lang, n_chars, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split " +
         "FROM (SELECT lang, n_chars, ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 AS b FROM documents)) " +
-        "GROUP BY lang, split ORDER BY lang, split")
+        "GROUP BY lang, split ORDER BY lang, split"),
+    // the exact regexp chain of graft.functions.Redact, replayed in RE2:
+    // email -> SSN -> card -> phone -> IPv4 (order is part of the contract)
+    "text_pii_redact" ->
+      ("WITH raw AS (SELECT doc_id, text || ' contact agent' || doc_id || '@example.com or 555-867-530' || (doc_id % 10) || ' ssn 123-45-678' || (doc_id % 10) || ' ip 10.0.0.' || (doc_id % 256) AS r FROM documents WHERE doc_id < 200) " +
+        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(r, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}','[EMAIL]','g'), '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b','[SSN]','g'), '\\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\\b','[CARD]','g'), '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b','[PHONE]','g'), '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b','[IP]','g') AS redacted, " +
+        "CAST(len(regexp_extract_all(r,'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) + len(regexp_extract_all(r,'\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) + len(regexp_extract_all(r,'\\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\\b')) + len(regexp_extract_all(r,'\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) + len(regexp_extract_all(r,'\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS pii_hits " +
+        "FROM raw ORDER BY doc_id"),
+    // list-intersect containment (exact) over the same bounded window the
+    // Spark side shingle-joins; filter on the ROUNDED value both sides
+    "text_decontaminate" ->
+      ("WITH c AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text) - 2, 1) + 1), i -> substr(text, i::INT, 3))) AS sh FROM documents WHERE doc_id < 200 AND doc_id % 10 <> 0), " +
+        "b AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text) - 2, 1) + 1), i -> substr(text, i::INT, 3))) AS sh FROM documents WHERE doc_id < 200 AND doc_id % 10 = 0) " +
+        "SELECT c.doc_id, round(max(CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE) / len(c.sh)), 6) AS cont " +
+        "FROM c CROSS JOIN b GROUP BY c.doc_id " +
+        "HAVING round(max(CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE) / len(c.sh)), 6) >= 0.8 ORDER BY c.doc_id")
   )
 }

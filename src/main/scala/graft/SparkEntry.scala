@@ -101,7 +101,9 @@ object SparkEntry {
     "agg_corr" -> (TrainingData.aggCorr _),
     "agg_pivot" -> (TrainingData.aggPivot _),
     "agg_argmax" -> (TrainingData.aggArgmax _),
-    "llm_train_split" -> (TrainingData.llmTrainSplit _)
+    "llm_train_split" -> (TrainingData.llmTrainSplit _),
+    "text_pii_redact" -> (TrainingData.textPiiRedact _),
+    "text_decontaminate" -> (TrainingData.textDecontaminate _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

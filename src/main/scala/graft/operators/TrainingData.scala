@@ -223,6 +223,44 @@ object TrainingData {
       .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 2).as("avg_chars"))
       .orderBy(col("lang"), col("split"))
 
+  /** #75 PII redaction (added round 4): deterministic synthetic PII
+    * (email/phone/SSN/IP derived from doc_id) appended to each document,
+    * then scrubbed by [[graft.functions.Redact]]'s ordered regexp chain —
+    * one codegen'd map pass, no UDF, no shuffle beyond the output sort.
+    * The oracle replays the identical RE2-safe chain in DuckDB, so the
+    * hash compare proves pattern-for-pattern parity. */
+  def textPiiRedact(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Redact
+    val raw = Tables.documents(s, d)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), concat(
+        col("text"),
+        lit(" contact agent"), col("doc_id").cast("string"),
+        lit("@example.com or 555-867-530"), pmod(col("doc_id"), lit(10)).cast("string"),
+        lit(" ssn 123-45-678"), pmod(col("doc_id"), lit(10)).cast("string"),
+        lit(" ip 10.0.0."), pmod(col("doc_id"), lit(256)).cast("string")).as("r"))
+    raw.select(col("doc_id"),
+        Redact.scrub(col("r")).as("redacted"),
+        Redact.piiCount(col("r")).cast("long").as("pii_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** #76 benchmark decontamination (added round 4): flag corpus docs
+    * whose char-3-gram shingles are ≥80% contained in some "benchmark"
+    * doc (every 10th document plays the benchmark). Runs the scalable
+    * explode-shingle equi-join ([[Decontaminate.maxContainment]] — never
+    * all-pairs) on a bounded window, mirroring the list-intersect oracle.
+    * Filter on the ROUNDED value, matching the oracle's HAVING. */
+  def textDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    Decontaminate.maxContainment(corpus, bench, "doc_id", "text", n = 3)
+      .select(col("doc_id"), round(col("containment"), 6).as("cont"))
+      .filter(col("cont") >= 0.8)
+      .orderBy(col("doc_id"))
+  }
+
   /** #65 pivot: order counts per priority × status, fixed column domain
     * (the relational reshape the DataFrame `pivot` API owns). Missing
     * combinations surface as 0, matching the conditional-sum oracle. */
