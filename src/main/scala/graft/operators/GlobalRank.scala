@@ -45,8 +45,9 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
-  /** A working-column name not colliding with anything in `df`. */
-  private def fresh(df: DataFrame, base: String): String = {
+  /** A working-column name not colliding with anything in `df` (shared
+    * with the other operators that add temp columns to caller frames). */
+  private[operators] def fresh(df: DataFrame, base: String): String = {
     var n = base
     var i = 0
     while (df.columns.contains(n)) { i += 1; n = base + i }

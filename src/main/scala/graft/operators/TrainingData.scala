@@ -72,8 +72,8 @@ object TrainingData {
     * in place. All-pairs on the 40-doc probe set; the scale path hashes
     * the same shingles through ScalableDedup.minhashCandidates. */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = expr(
-      "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3)))")
+    // the ONE cross-engine char-3-gram recipe (shared with Decontaminate)
+    val sh = Decontaminate.shingleSet("text", 3)
     val t = Tables.documents(s, d)
       .filter(col("doc_id") < 40)
       .select(col("doc_id"), sh.as("sh"))
