@@ -215,6 +215,17 @@ object Demo {
       s"batch2 accepted ${s2.accepted}/${s2.batchInput} " +
       s"(${s2.dupOfHistory} were near-dups of batch1's signature store)")
 
+    // PII scrubbing + benchmark decontamination (training-data hygiene)
+    val pii = corpus.select(
+      graft.functions.Redact.piiCount(concat($"text",
+        lit(" mail me: someone@example.com"))).as("hits"))
+      .agg(sum($"hits")).collect().head.getLong(0)
+    println(s"PII redaction: $pii synthetic emails detected and scrubbable in one map pass")
+    val contam = graft.operators.Decontaminate.contaminated(
+      corpus.filter($"doc_id" % 10 =!= 0), corpus.filter($"doc_id" % 10 === 0),
+      "doc_id", "text", minContainment = 0.9).count()
+    println(s"decontamination: $contam corpus docs >=90% shingle-contained in the benchmark split")
+
     spark.stop()
   }
 }

@@ -52,6 +52,14 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Join"), s"language scoring must be a pure scan+aggregate:\n$p")
   }
 
+  test("join_skew_salted: shuffled hash join, replicated side never broadcast") {
+    val p = plan(Relational.joinSkewSalted(spark, sf()))
+    assert(p.contains("ShuffledHashJoin"),
+      s"salted join must pin the shuffled-hash strategy:\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"broadcasting the replicated side would serialize the build on the driver:\n$p")
+  }
+
   test("filters and projections reach the parquet scan") {
     // PushedFilters must LIST the predicates (the header prints even when
     // the list is empty, so assert content, not presence)
