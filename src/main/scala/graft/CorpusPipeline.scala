@@ -108,6 +108,46 @@ object CorpusPipeline {
         StructField("sig", LongType, nullable = false))))
   }
 
+  /** Compact the per-generation signature DELTAS of a streaming store
+    * (see StreamingOps.incrementalDedupStream): union every
+    * `gen=g/signatures` with g ≤ `uptoGen` into a single baseline at
+    * `gen=uptoGen/signatures` and drop the older deltas. The reader
+    * contract is preserved — a batch id N still sees exactly the union
+    * of generations < N — while thousands of small delta directories
+    * become one. `accepted` outputs are never touched.
+    *
+    * Crash-safe: the consolidated store is staged (with Spark's _SUCCESS
+    * marker) before any delta is deleted, and a re-run completes an
+    * interrupted compaction from the staged copy. Must not run
+    * concurrently with the stream (take the gap between micro-batches
+    * or a stream stop).
+    */
+  def compactSignatures(spark: SparkSession, stateDir: String, uptoGen: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(s"$stateDir/.compact_upto=$uptoGen")
+    def sigPath(g: Long) = new org.apache.hadoop.fs.Path(s"$stateDir/gen=$g/signatures")
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val gens = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toLong }
+      .filter(g => g <= uptoGen && fs.exists(sigPath(g)))
+    val stagedComplete = fs.exists(staged) &&
+      fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))
+    if (!stagedComplete) {
+      require(gens.nonEmpty, s"no signature generations <= $uptoGen under $stateDir")
+      spark.read.parquet(gens.map(g => sigPath(g).toString): _*)
+        .write.mode("overwrite").parquet(staged.toString)
+    }
+    // deltas are redundant once the staged union is committed; deletion
+    // and the final promote are both idempotent on re-run
+    gens.foreach(g => fs.delete(sigPath(g), true))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stateDir/gen=$uptoGen"))
+    fs.rename(staged, sigPath(uptoGen))
+    ()
+  }
+
   /** Append-mode curation: dedup an incoming batch against the HISTORICAL
     * signature store instead of re-clustering the whole corpus — the
     * natural 100 TB operating mode (history never re-shuffles; only its

@@ -247,6 +247,21 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(replayed == Set(18L))
     assert(spark.read.parquet(s"$stateDir/gen=1/signatures").count() == 3)
 
+    // compaction: gens 0..1 fold into one baseline at gen=1; the reader
+    // union is unchanged and accepted outputs are untouched
+    val beforeUnion = spark.read
+      .parquet(s"$stateDir/gen=0/signatures", s"$stateDir/gen=1/signatures")
+      .collect().map(_.toSeq).toSet
+    CorpusPipeline.compactSignatures(spark, stateDir, uptoGen = 1L)
+    assert(!new java.io.File(s"$stateDir/gen=0/signatures").exists())
+    assert(spark.read.parquet(s"$stateDir/gen=1/signatures")
+      .collect().map(_.toSeq).toSet == beforeUnion)
+    assert(spark.read.parquet(s"$stateDir/gen=0/accepted").count() == 2) // untouched
+    // idempotent re-run (also the crash-recovery path)
+    CorpusPipeline.compactSignatures(spark, stateDir, uptoGen = 1L)
+    assert(spark.read.parquet(s"$stateDir/gen=1/signatures")
+      .collect().map(_.toSeq).toSet == beforeUnion)
+
     // lineage guard: a fresh checkpoint (batch ids restarting at 0) with
     // surviving future generations must fail fast, not mix lineages
     val ms2 = MemoryStream[(Long, String)]
