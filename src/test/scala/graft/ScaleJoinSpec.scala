@@ -41,6 +41,34 @@ class ScaleJoinSpec extends SparkSpecBase {
     assert(salted == plain)
   }
 
+  test("bucketed+sorted table runs a per-key window with no exchange and no sort") {
+    // the SCALE_DEPLOYMENT claim for 100 TB events: bucket by user_id,
+    // sort by (user_id, ts) → win_*/sessionize plans lose BOTH the hash
+    // exchange and the sort
+    val s = spark.newSession()
+    import s.implicits._
+    // Spark ≥3 only propagates a bucketed scan's sort order under this
+    // flag (it requires one file per bucket, which the aligned
+    // repartition below guarantees); the exchange elimination needs no flag
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val ev = (1 to 5000).map(i => (i.toLong % 50, i.toLong, i.toDouble)).toDF("user_id", "ts", "v")
+      // align writer tasks with buckets → one file per bucket, so the scan
+      // reports its sort order and the window needs neither exchange nor sort
+      ev.repartition(4, $"user_id").write.mode("overwrite")
+        .bucketBy(4, "user_id").sortBy("user_id", "ts").saveAsTable("events_b")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts")
+      val q = s.table("events_b").select($"user_id", $"ts", sum($"v").over(w).as("c"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("exchange hashpartitioning"),
+        s"window over bucketed input must not shuffle:\n$plan")
+      assert(!plan.contains("Sort "),
+        s"window over bucket-sorted input must not re-sort:\n$plan")
+      assert(q.count() == 5000)
+    } finally s.sql("DROP TABLE IF EXISTS events_b")
+  }
+
   test("bucketed tables sort-merge join with no shuffle exchange") {
     val s = spark.newSession() // isolated conf; default warehouse (gitignored)
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
