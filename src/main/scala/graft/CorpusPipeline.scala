@@ -20,8 +20,12 @@ import graft.operators.{DedupClusters, ScalableDedup}
   *  4. near-dup removal shuffles on 16-bit SimHash bands
   *     (ScalableDedup.simhashCandidates — candidate pairs from bucket
   *     equi-joins, never all-pairs) and resolves duplicate CLUSTERS with
-  *     min-label propagation (DedupClusters), dropping every non-keeper;
-  *  5. outputs are the curated corpus and a per-language stats rollup.
+  *     large-star/small-star contraction (DedupClusters), dropping every
+  *     non-keeper;
+  *  5. optional hygiene: benchmark decontamination (Decontaminate —
+  *     shingle equi-join) and PII scrubbing (Redact — codegen'd
+  *     regexp chain);
+  *  6. outputs are the curated corpus and a per-language stats rollup.
   *
   * Intermediate stages that feed multiple actions (two writes + the
   * summary counts) are persisted once and unpersisted on exit, so the
@@ -30,7 +34,8 @@ import graft.operators.{DedupClusters, ScalableDedup}
 object CorpusPipeline {
 
   case class CurationSummary(input: Long, afterQuality: Long,
-      afterExactDedup: Long, curated: Long, nearDupMembersRemoved: Long)
+      afterExactDedup: Long, curated: Long, nearDupMembersRemoved: Long,
+      decontaminated: Long = 0L)
 
   case class AppendSummary(batchInput: Long, afterQuality: Long,
       newContent: Long, dupOfHistory: Long, accepted: Long)
@@ -50,9 +55,17 @@ object CorpusPipeline {
     * @param maxHamming  SimHash hamming radius treated as near-duplicate;
     *                    must be ≤ 3 (the 4-band pigeonhole guarantee in
     *                    ScalableDedup.simhashCandidates only holds there)
+    * @param benchmark   optional eval set (doc_id, text): survivors whose
+    *                    char-3-gram shingles are ≥ `minContainment`
+    *                    contained in a benchmark doc are quarantined
+    *                    (Decontaminate — shingle equi-join, no all-pairs)
+    * @param redactPii   scrub emails/SSNs/cards/phones/IPs from the
+    *                    output text (Redact — one codegen'd map pass)
     */
   def curate(spark: SparkSession, docs: DataFrame, outDir: String,
-      minQuality: Double = 0.2, maxHamming: Int = 3): CurationSummary = {
+      minQuality: Double = 0.2, maxHamming: Int = 3,
+      benchmark: Option[DataFrame] = None, minContainment: Double = 0.8,
+      redactPii: Boolean = false): CurationSummary = {
     require(maxHamming <= 3,
       s"maxHamming must be <= 3 (SimHash 4-band pigeonhole), got $maxHamming")
     // 1.+2. one-pass annotation (shared with the streaming twin), then
@@ -75,22 +88,37 @@ object CorpusPipeline {
           exact.select(col("doc_id"), col("toks")), "doc_id", "toks", maxHamming)
         val repl = DedupClusters.replacementMap(pairs, "a_id", "b_id")
           .withColumnRenamed("id", "doc_id")
-        val curated = exact.join(repl, Seq("doc_id"), "left_anti")
-          .drop("toks").persist()
+        val deduped = exact.join(repl, Seq("doc_id"), "left_anti").drop("toks")
+        // 5. optional hygiene: benchmark decontamination, PII scrubbing
+        val decontam = benchmark match {
+          case Some(b) =>
+            deduped.join(
+              graft.operators.Decontaminate
+                .contaminated(deduped, b, "doc_id", "text", 3, minContainment)
+                .select(col("doc_id")),
+              Seq("doc_id"), "left_anti")
+          case None => deduped
+        }
+        val curated = (if (redactPii)
+            decontam.withColumn("text", graft.functions.Redact.scrub(col("text")))
+          else decontam).persist()
         try {
-          // 5. outputs
+          // 6. outputs
           curated.write.mode("overwrite").parquet(s"$outDir/corpus")
           curated.groupBy(col("lang_pred"))
             .agg(count(lit(1)).as("docs"),
               round(avg(col("quality")), 4).as("avg_quality"),
               round(avg(length(col("text"))), 2).as("avg_chars"))
             .write.mode("overwrite").parquet(s"$outDir/lang_stats")
+          val curatedN = curated.count()
+          val dedupedN = if (benchmark.isEmpty) curatedN else deduped.count()
           CurationSummary(
             input = docs.count(),
             afterQuality = gated.count(),
             afterExactDedup = exact.count(),
-            curated = curated.count(),
-            nearDupMembersRemoved = repl.count())
+            curated = curatedN,
+            nearDupMembersRemoved = repl.count(),
+            decontaminated = dedupedN - curatedN)
         } finally curated.unpersist()
       } finally exact.unpersist()
     } finally gated.unpersist()

@@ -35,6 +35,22 @@ class CorpusPipelineSpec extends SparkSpecBase {
     assert(stats.columns.toSeq == Seq("lang_pred", "docs", "avg_quality", "avg_chars"))
   }
 
+  test("curate with a benchmark quarantines contaminated docs and scrubs PII") {
+    val piiDoc = long2 + " reach me at owner@example.net thanks"
+    val docsPii = Seq((1L, long1), (4L, piiDoc)).toDF("doc_id", "text")
+    // benchmark contains doc 1's exact text (containment 1.0 ≥ 0.8)
+    val bench = Seq((900L, long1)).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("hyg").toString
+    val s = CorpusPipeline.curate(spark, docsPii, out, minQuality = 0.2,
+      benchmark = Some(bench), redactPii = true)
+    assert(s.decontaminated == 1)
+    assert(s.curated == 1)
+    val kept = spark.read.parquet(s"$out/corpus").select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept.keySet == Set(4L))
+    assert(kept(4L).contains("[EMAIL]") && !kept(4L).contains("example.net"))
+  }
+
   test("curate is idempotent: curating a curated corpus removes nothing") {
     val out1 = java.nio.file.Files.createTempDirectory("corpus1").toString
     CorpusPipeline.curate(spark, docs, out1, minQuality = 0.2)
