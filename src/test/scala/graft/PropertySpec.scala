@@ -198,6 +198,36 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("decontamination: self-containment is 1.0, containment is within [0,1]") {
+    import graft.operators.Decontaminate
+    val txtGen = Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+      .map(_.mkString(" "))
+    for (texts <- samples(Gen.listOfN(5, txtGen), n = 4)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val cont = Decontaminate.maxContainment(df, df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // every doc matches itself in the benchmark set → containment 1.0
+      assert(df.count() == cont.size)
+      assert(cont.values.forall(_ == 1.0))
+    }
+  }
+
+  test("PII scrub is idempotent and count matches injections for random text") {
+    import graft.functions.Redact
+    val wordGen = Gen.listOfN(8, Gen.oneOf("data", "spark", "rows", "keys")).map(_.mkString(" "))
+    for ((base, k) <- samples(Gen.zip(wordGen, Gen.chooseNum(0, 4)), n = 6)) {
+      val injected = base + (1 to k).map(i => s" u$i@ex$i.org").mkString
+      val row = Seq(injected).toDF("t")
+        .select(Redact.piiCount($"t").cast("long"),
+          Redact.piiCount(Redact.scrub($"t")).cast("long"),
+          Redact.scrub(Redact.scrub($"t")) === Redact.scrub($"t"))
+        .collect().head
+      assert(row.getLong(0) == k.toLong, s"base=$base k=$k")
+      assert(row.getLong(1) == 0L)   // nothing left after one pass
+      assert(row.getBoolean(2))      // idempotent
+    }
+  }
+
   test("jaccard is symmetric and 1 on identical token sets") {
     val txtGen = Gen.listOfN(6, Gen.oneOf("w1", "w2", "w3", "w4")).map(_.mkString(" "))
     for ((x, y) <- samples(Gen.zip(txtGen, txtGen))) {
