@@ -88,7 +88,10 @@ object CorpusPipeline {
           exact.select(col("doc_id"), col("toks")), "doc_id", "toks", maxHamming)
         val repl = DedupClusters.replacementMap(pairs, "a_id", "b_id")
           .withColumnRenamed("id", "doc_id")
-        val deduped = exact.join(repl, Seq("doc_id"), "left_anti").drop("toks")
+        // persisted: with a benchmark it feeds the decontamination
+        // self-join, the anti-join, and the summary count
+        val deduped = exact.join(repl, Seq("doc_id"), "left_anti")
+          .drop("toks").persist()
         // 5. optional hygiene: benchmark decontamination, PII scrubbing
         val decontam = benchmark match {
           case Some(b) =>
@@ -119,7 +122,7 @@ object CorpusPipeline {
             curated = curatedN,
             nearDupMembersRemoved = repl.count(),
             decontaminated = dedupedN - curatedN)
-        } finally curated.unpersist()
+        } finally { curated.unpersist(); deduped.unpersist() }
       } finally exact.unpersist()
     } finally gated.unpersist()
   }
@@ -138,41 +141,76 @@ object CorpusPipeline {
 
   /** Compact the per-generation signature DELTAS of a streaming store
     * (see StreamingOps.incrementalDedupStream): union every
-    * `gen=g/signatures` with g ≤ `uptoGen` into a single baseline at
-    * `gen=uptoGen/signatures` and drop the older deltas. The reader
-    * contract is preserved — a batch id N still sees exactly the union
-    * of generations < N — while thousands of small delta directories
-    * become one. `accepted` outputs are never touched.
+    * `gen=g/signatures` with g ≤ `uptoGen` into a single baseline at the
+    * LOWEST such generation and drop the other deltas. Folding into the
+    * lowest generation keeps the reader contract intact for every batch
+    * id the stream can still replay: any batch N > uptoGen unions
+    * generations < N, which includes the baseline, and a replayed batch
+    * only ever overwrites its OWN generation — never the baseline.
+    * `accepted` outputs are never touched, and generations whose
+    * signatures were folded away are simply skipped by the reader.
     *
-    * Crash-safe: the consolidated store is staged (with Spark's _SUCCESS
-    * marker) before any delta is deleted, and a re-run completes an
-    * interrupted compaction from the staged copy. Must not run
-    * concurrently with the stream (take the gap between micro-batches
-    * or a stream stop).
+    * `uptoGen` must be at most the stream's last COMMITTED batch id
+    * minus one (a batch the stream can never replay); compaction must
+    * not run concurrently with a micro-batch.
+    *
+    * Crash-safe: the consolidated store is staged (Spark _SUCCESS
+    * marker, target generation encoded in the staging directory name)
+    * before any delta is deleted; a re-run WITH THE SAME uptoGen
+    * completes an interrupted compaction, and a run with a different
+    * uptoGen fails fast instead of silently dropping the stranded
+    * signatures.
     */
   def compactSignatures(spark: SparkSession, stateDir: String, uptoGen: Long): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
-    val staged = new org.apache.hadoop.fs.Path(s"$stateDir/.compact_upto=$uptoGen")
     def sigPath(g: Long) = new org.apache.hadoop.fs.Path(s"$stateDir/gen=$g/signatures")
     val root = new org.apache.hadoop.fs.Path(stateDir)
+    val stagedDirs = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(".compact_upto="))
+    val StagedName = """\.compact_upto=(\d+)_into=(\d+)""".r
+    val other = stagedDirs.collect {
+      case StagedName(u, _) if u.toLong != uptoGen => u.toLong
+    }
+    require(other.isEmpty,
+      s"interrupted compaction found for uptoGen=${other.mkString(",")} under " +
+        s"$stateDir — re-run compactSignatures with that uptoGen to complete " +
+        "it before starting a new one (its staged union holds signatures " +
+        "already removed from the generation dirs).")
     val gens = fs.listStatus(root).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toLong }
       .filter(g => g <= uptoGen && fs.exists(sigPath(g)))
-    val stagedComplete = fs.exists(staged) &&
-      fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))
-    if (!stagedComplete) {
-      require(gens.nonEmpty, s"no signature generations <= $uptoGen under $stateDir")
-      spark.read.parquet(gens.map(g => sigPath(g).toString): _*)
-        .write.mode("overwrite").parquet(staged.toString)
+    // resume target comes from the staged name (the generation list may
+    // already be partially deleted); a fresh run targets the lowest gen
+    val resumed = stagedDirs.collectFirst {
+      case n @ StagedName(u, into) if u.toLong == uptoGen =>
+        (new org.apache.hadoop.fs.Path(s"$stateDir/$n"), into.toLong)
     }
-    // deltas are redundant once the staged union is committed; deletion
-    // and the final promote are both idempotent on re-run
-    gens.foreach(g => fs.delete(sigPath(g), true))
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stateDir/gen=$uptoGen"))
-    fs.rename(staged, sigPath(uptoGen))
+    val (staged, into) = resumed match {
+      case Some((p, i)) if fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) =>
+        (p, i)
+      case maybePartial =>
+        // an incomplete staged write means no delta was deleted yet —
+        // rebuild from scratch
+        maybePartial.foreach { case (p, _) => fs.delete(p, true) }
+        require(gens.nonEmpty, s"no signature generations <= $uptoGen under $stateDir")
+        val i = gens.min
+        val p = new org.apache.hadoop.fs.Path(s"$stateDir/.compact_upto=${uptoGen}_into=$i")
+        spark.read.parquet(gens.map(g => sigPath(g).toString): _*)
+          .write.mode("overwrite").parquet(p.toString)
+        (p, i)
+    }
+    // deltas are redundant once the staged union committed; delete the
+    // baseline target's old delta last and promote immediately
+    (gens.filter(_ != into) :+ into).foreach { g =>
+      require(fs.delete(sigPath(g), true) || !fs.exists(sigPath(g)),
+        s"failed to remove ${sigPath(g)}")
+    }
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stateDir/gen=$into"))
+    require(fs.rename(staged, sigPath(into)),
+      s"failed to promote $staged to ${sigPath(into)}")
     ()
   }
 

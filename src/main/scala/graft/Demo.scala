@@ -215,10 +215,12 @@ object Demo {
       s"batch2 accepted ${s2.accepted}/${s2.batchInput} " +
       s"(${s2.dupOfHistory} were near-dups of batch1's signature store)")
 
-    // PII scrubbing + benchmark decontamination (training-data hygiene)
+    // PII scrubbing + benchmark decontamination (training-data hygiene);
+    // count only the EMAIL pattern so the injected count is exact
+    val emailPattern = graft.functions.Redact.patterns.head._1
     val pii = corpus.select(
-      graft.functions.Redact.piiCount(concat($"text",
-        lit(" mail me: someone@example.com"))).as("hits"))
+      regexp_count(concat($"text", lit(" mail me: someone@example.com")),
+        lit(emailPattern)).as("hits"))
       .agg(sum($"hits")).collect().head.getLong(0)
     println(s"PII redaction: $pii synthetic emails detected and scrubbable in one map pass")
     val contam = graft.operators.Decontaminate.contaminated(

@@ -221,7 +221,11 @@ object StreamingOps {
           "checkpoint was reset while the generation store survived. " +
           "Refusing to mix lineages — restore the checkpoint or start a " +
           "fresh stateDir.")
-      val prev = gens.filter(_ < id)
+      // skip generations whose signature deltas were folded into a lower
+      // baseline by CorpusPipeline.compactSignatures (their dirs survive
+      // because they still hold `accepted`)
+      val prev = gens.filter(g => g < id &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/gen=$g/signatures")))
       val store =
         if (prev.isEmpty) graft.CorpusPipeline.emptySignatureStore(spark)
         else spark.read.parquet(prev.map(g => s"$stateDir/gen=$g/signatures"): _*)

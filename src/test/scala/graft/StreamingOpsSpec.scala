@@ -221,46 +221,60 @@ class StreamingOpsSpec extends SparkSpecBase {
     try {
       ms.addData(batch1: _*); q.processAllAvailable()
       ms.addData(batch2: _*); q.processAllAvailable()
+
+      // delta layout: each generation holds only ITS batch's new
+      // signatures (O(batch) written per micro-batch, not O(history))
+      assert(spark.read.parquet(s"$stateDir/gen=0/signatures").count() == 3) // 1,3,4
+      assert(spark.read.parquet(s"$stateDir/gen=1/signatures").count() == 3) // 17,18,19
+
+      // replay idempotency: re-running batch 1 (same input, same gen dir,
+      // store = generations strictly before it) reproduces identical output
+      CorpusPipeline.appendBatch(spark,
+        spark.read.parquet(s"$stateDir/gen=0/signatures"),
+        batch2.toDF("doc_id", "text"), s"$stateDir/gen=1",
+        deltaSignatures = true)
+      val replayed = spark.read.parquet(s"$stateDir/gen=1/accepted")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(replayed == Set(18L))
+      assert(spark.read.parquet(s"$stateDir/gen=1/signatures").count() == 3)
+
+      // compaction between micro-batches: gens 0..1 fold into the LOWEST
+      // generation; the reader union is unchanged, accepted untouched
+      val beforeUnion = spark.read
+        .parquet(s"$stateDir/gen=0/signatures", s"$stateDir/gen=1/signatures")
+        .collect().map(_.toSeq).toSet
+      CorpusPipeline.compactSignatures(spark, stateDir, uptoGen = 1L)
+      assert(!new java.io.File(s"$stateDir/gen=1/signatures").exists())
+      assert(spark.read.parquet(s"$stateDir/gen=0/signatures")
+        .collect().map(_.toSeq).toSet == beforeUnion)
+      assert(spark.read.parquet(s"$stateDir/gen=1/accepted").count() == 1) // untouched
+      // idempotent re-run (also the crash-recovery path)
+      CorpusPipeline.compactSignatures(spark, stateDir, uptoGen = 1L)
+      assert(spark.read.parquet(s"$stateDir/gen=0/signatures")
+        .collect().map(_.toSeq).toSet == beforeUnion)
+
+      // the stream must keep running against the compacted store: a
+      // near-dup of batch-1 history is still caught, fresh text accepted
+      val long4 = ("entirely novel sentences about columnar layouts page " +
+        "indexes and dictionary encoded string blocks for analytics")
+      ms.addData(Seq((26L, long1.split(" ").reverse.mkString(" ")), (27L, long4)): _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$stateDir/gen=2/accepted")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet == Set(27L))
     } finally q.stop()
 
     val accepted = spark.read.parquet(s"$stateDir/gen=*/accepted")
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     val full = java.nio.file.Files.createTempDirectory("incfull").toString
-    CorpusPipeline.curate(spark, (batch1 ++ batch2).toDF("doc_id", "text"), full)
+    CorpusPipeline.curate(spark,
+      (batch1 ++ batch2 ++ Seq((26L, long1.split(" ").reverse.mkString(" ")),
+        (27L, ("entirely novel sentences about columnar layouts page " +
+          "indexes and dictionary encoded string blocks for analytics"))))
+        .toDF("doc_id", "text"), full)
     val want = spark.read.parquet(s"$full/corpus")
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(accepted == want)
-    assert(accepted == Set(1L, 4L, 18L))
-    // delta layout: each generation holds only ITS batch's new
-    // signatures (O(batch) written per micro-batch, not O(history))
-    assert(spark.read.parquet(s"$stateDir/gen=0/signatures").count() == 3) // 1,3,4
-    assert(spark.read.parquet(s"$stateDir/gen=1/signatures").count() == 3) // 17,18,19
-
-    // replay idempotency: re-running batch 1 (same input, same gen dir,
-    // store = generations strictly before it) reproduces identical output
-    CorpusPipeline.appendBatch(spark,
-      spark.read.parquet(s"$stateDir/gen=0/signatures"),
-      batch2.toDF("doc_id", "text"), s"$stateDir/gen=1",
-      deltaSignatures = true)
-    val replayed = spark.read.parquet(s"$stateDir/gen=1/accepted")
-      .select($"doc_id").collect().map(_.getLong(0)).toSet
-    assert(replayed == Set(18L))
-    assert(spark.read.parquet(s"$stateDir/gen=1/signatures").count() == 3)
-
-    // compaction: gens 0..1 fold into one baseline at gen=1; the reader
-    // union is unchanged and accepted outputs are untouched
-    val beforeUnion = spark.read
-      .parquet(s"$stateDir/gen=0/signatures", s"$stateDir/gen=1/signatures")
-      .collect().map(_.toSeq).toSet
-    CorpusPipeline.compactSignatures(spark, stateDir, uptoGen = 1L)
-    assert(!new java.io.File(s"$stateDir/gen=0/signatures").exists())
-    assert(spark.read.parquet(s"$stateDir/gen=1/signatures")
-      .collect().map(_.toSeq).toSet == beforeUnion)
-    assert(spark.read.parquet(s"$stateDir/gen=0/accepted").count() == 2) // untouched
-    // idempotent re-run (also the crash-recovery path)
-    CorpusPipeline.compactSignatures(spark, stateDir, uptoGen = 1L)
-    assert(spark.read.parquet(s"$stateDir/gen=1/signatures")
-      .collect().map(_.toSeq).toSet == beforeUnion)
+    assert(accepted == Set(1L, 4L, 18L, 27L))
 
     // lineage guard: a fresh checkpoint (batch ids restarting at 0) with
     // surviving future generations must fail fast, not mix lineages
