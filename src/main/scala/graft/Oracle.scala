@@ -252,6 +252,14 @@ object Oracle {
         "b AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text) - 2, 1) + 1), i -> substr(text, i::INT, 3))) AS sh FROM documents WHERE doc_id < 200 AND doc_id % 10 = 0) " +
         "SELECT c.doc_id, round(max(CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE) / len(c.sh)), 6) AS cont " +
         "FROM c CROSS JOIN b GROUP BY c.doc_id " +
-        "HAVING round(max(CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE) / len(c.sh)), 6) >= 0.8 ORDER BY c.doc_id")
+        "HAVING round(max(CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE) / len(c.sh)), 6) >= 0.8 ORDER BY c.doc_id"),
+    // deterministic md5-bucket negatives (doc_ids are contiguous 0..N-1,
+    // verified per sf); self-match remaps to the next id
+    "llm_negative_sample" ->
+      ("WITH n AS (SELECT count(*) AS c FROM documents), " +
+        "e AS (SELECT doc_id, k FROM (SELECT doc_id FROM documents WHERE doc_id < 100) CROSS JOIN (SELECT unnest([1,2,3]) AS k)) " +
+        "SELECT doc_id, CAST(k AS BIGINT) AS k, CASE WHEN h = doc_id THEN (h + 1) % c ELSE h END AS neg_id " +
+        "FROM (SELECT doc_id, k, ('0x'||substr(md5(doc_id || '-' || k),1,8))::BIGINT % c AS h, c FROM e CROSS JOIN n) " +
+        "ORDER BY doc_id, k")
   )
 }

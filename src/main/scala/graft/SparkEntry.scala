@@ -103,7 +103,8 @@ object SparkEntry {
     "agg_argmax" -> (TrainingData.aggArgmax _),
     "llm_train_split" -> (TrainingData.llmTrainSplit _),
     "text_pii_redact" -> (TrainingData.textPiiRedact _),
-    "text_decontaminate" -> (TrainingData.textDecontaminate _)
+    "text_decontaminate" -> (TrainingData.textDecontaminate _),
+    "llm_negative_sample" -> (TrainingData.llmNegativeSample _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

