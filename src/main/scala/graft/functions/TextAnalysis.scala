@@ -72,11 +72,19 @@ object TextAnalysis {
   def contentFingerprint(text: Column): Column =
     xxhash64(concat_ws(" ", array_sort(array_distinct(split(text, "\\s+")))))
 
+  /** THE cross-engine 32-bit md5 bucket code: first 8 hex chars of
+    * md5(x) as a long — computable identically in other engines (DuckDB:
+    * `('0x'||substr(md5(x),1,8))::BIGINT`), unlike xxhash64. Every
+    * md5-recipe consumer (token codes, fingerprints, train splits,
+    * negative sampling) derives from this single definition. */
+  def md5Bucket(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
   /** Per-token 32-bit codes derived from md5 — unlike xxhash64 this hash
     * is computable identically in other engines (md5 is standardized), so
     * fingerprints built on it are cross-engine checkable. */
   def md5TokenCodes(tokens: Column): Column =
-    transform(tokens, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    transform(tokens, t => md5Bucket(t))
 
   /** Order-SENSITIVE rolling document fingerprint: polynomial hash
     * acc = (acc*31 + code) mod 1e9+7 over per-token md5-derived codes.
@@ -84,8 +92,7 @@ object TextAnalysis {
     * with the same words in different order collide there but not here. */
   def rollingFingerprint(text: Column): Column =
     aggregate(
-      transform(split(text, " "),
-        t => conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 65536L),
+      transform(split(text, " "), t => md5Bucket(t) % 65536L),
       lit(0L), (acc, x) => (acc * 31L + x) % 1000000007L)
 
   /** 32-bit SimHash over a column holding md5-derived token codes (see

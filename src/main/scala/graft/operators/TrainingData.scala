@@ -213,8 +213,7 @@ object TrainingData {
   def llmTrainSplit(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("b",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 100)
+        TextAnalysis.md5Bucket(col("doc_id").cast("string")) % 100)
       .withColumn("split",
         when(col("b") < 80, lit("train"))
           .when(col("b") < 90, lit("val"))
@@ -263,12 +262,17 @@ object TrainingData {
 
   /** #77 contrastive negative sampling (added round 4): k deterministic
     * pseudo-random negatives per document for embedding-model training
-    * pairs — negatives come from the standard md5-bucket recipe (same as
-    * llm_train_split), so they are reproducible across engines and runs,
-    * append-stable, and require NO shuffle beyond the broadcast corpus
-    * count (doc_ids are contiguous 0..N-1, so a bucket IS a document).
-    * An accidental self-match remaps to the next id. Bounded probe
-    * window keeps judged output stable. */
+    * pairs — negatives come from the standard md5-bucket recipe (same
+    * hash as llm_train_split), so they are reproducible across engines
+    * and runs for a FIXED corpus (the modulus is the live corpus count,
+    * so negatives re-draw when the corpus grows — by design: they must
+    * cover the whole current corpus; llm_train_split is the append-safe
+    * member of the family). Doc_ids are contiguous 0..N-1, so a bucket
+    * IS a document id; an accidental self-match remaps to the next id
+    * (duplicate negatives across a doc's k draws are possible and
+    * harmless — samplers re-draw, they don't guarantee distinctness).
+    * One map pass over the bounded doc_id<100 window plus the broadcast
+    * corpus count; only the output sort shuffles. */
   def llmNegativeSample(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDf = docs.agg(count(lit(1)).as("_c"))
@@ -276,8 +280,8 @@ object TrainingData {
       .crossJoin(broadcast(nDf))
       .select(col("doc_id"), explode(sequence(lit(1), lit(3))).as("k"), col("_c"))
       .withColumn("h",
-        conv(substring(md5(concat(col("doc_id").cast("string"), lit("-"),
-          col("k").cast("string"))), 1, 8), 16, 10).cast("long") % col("_c"))
+        TextAnalysis.md5Bucket(concat(col("doc_id").cast("string"), lit("-"),
+          col("k").cast("string"))) % col("_c"))
       .select(col("doc_id"), col("k").cast("long").as("k"),
         when(col("h") === col("doc_id"), (col("h") + lit(1)) % col("_c"))
           .otherwise(col("h")).as("neg_id"))
