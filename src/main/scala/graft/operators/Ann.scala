@@ -119,4 +119,24 @@ object Ann {
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("nb"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
+
+  /** Hard-negative mining for embedding training: each anchor's k most
+    * similar corpus vectors EXCLUDING likely duplicates/positives
+    * (cosine ≥ `dupCosine`) — the standard upgrade over random negatives
+    * (harder pairs, faster contrastive convergence; the random baseline
+    * is the judged llm_negative_sample). Composed from the ANN tiers:
+    * pass `topK = Ann.bruteForceTopK(...)` at audit scale or a
+    * `lshTopK`/`ivfTopK` result at 100 TB — mining is a filter + re-rank
+    * on ANY (probe_id, nb, sim) frame, so the scale path is whatever the
+    * neighbor search used. Requesting k neighbors from a search capped
+    * at k' can return fewer than k negatives per anchor once duplicates
+    * are dropped; ask the search for k + expected-dup-count. */
+  def hardNegatives(topK: DataFrame, k: Int, dupCosine: Double = 0.95): DataFrame = {
+    require(k > 0, s"hardNegatives requires k > 0, got $k")
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("nb"))
+    topK.filter(col("sim") < dupCosine)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
 }

@@ -54,4 +54,20 @@ class AnnSpec extends SparkSpecBase {
     }.sum / exact.size
     assert(recall > 0.3, s"recall@5 too low: $recall")
   }
+
+  test("hard negatives drop near-duplicates and keep the next-hardest neighbors") {
+    // anchor 1: 100 is a near-copy (cosine ~1), 2..4 progressively farther
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (100L, Seq(0.999, 0.01, 0.0)),  // duplicate of anchor
+      (2L, Seq(0.9, 0.4, 0.0)),
+      (3L, Seq(0.5, 0.8, 0.0)),
+      (4L, Seq(0.0, 1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val probes = vecs.filter($"vec_id" === 1L)
+    val topk = Ann.bruteForceTopK(vecs, probes, "vec_id", "embedding", k = 4)
+    val hard = Ann.hardNegatives(topk, k = 2, dupCosine = 0.98)
+      .select($"nb").collect().map(_.getLong(0)).toSeq
+    assert(hard == Seq(2L, 3L)) // 100 excluded as dup; hardest-first order
+  }
 }
