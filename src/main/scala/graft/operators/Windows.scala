@@ -130,7 +130,14 @@ object Windows {
     * from a distributed unique-key rank ([[GlobalRank.withRank]]) plus the
     * total count: pr = (rank-1)/(n-1), ntile by the SQL first-tiles-get-
     * the-remainder rule ([[GlobalRank.ntileExpr]]). No partition-less
-    * window; the count is a map-side-combinable aggregate. */
+    * window; the count is a map-side-combinable aggregate.
+    *
+    * Plan-shape note: the BroadcastNestedLoopJoins in this plan are NOT
+    * data-scale joins — each attaches a data-volume-INDEPENDENT frame
+    * (the 1-row sampled-splits aggregate, the 1-row total count, and the
+    * ≤`buckets`-row offsets prefix-sum theta self-join). The one
+    * full-data movement is the single bucket-id exchange feeding the
+    * per-bucket window. */
   def winNtilePctrank(s: SparkSession, d: String): DataFrame = {
     val base = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
     // total count as a broadcast 1-row cross join — no separate action
