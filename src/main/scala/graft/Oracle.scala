@@ -66,6 +66,10 @@ object Oracle {
       "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn",
     "win_rank_dense" ->
       "SELECT c_custkey, c_acctbal, rank() OVER (ORDER BY c_acctbal DESC, c_custkey) r, dense_rank() OVER (ORDER BY round(c_acctbal,0) DESC) dr FROM customer ORDER BY r LIMIT 100",
+    // the oracle uses the plain global window; the engine must reproduce
+    // it WITHOUT one (GlobalRank distributed dense rank)
+    "win_dense_rank_global" ->
+      "SELECT o_orderkey, CAST(dense_rank() OVER (ORDER BY round(o_totalprice, -2) DESC) AS BIGINT) AS dr FROM orders ORDER BY o_orderkey LIMIT 500",
     "win_lag_lead" ->
       "SELECT user_id, event_id, round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id),2) dv, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) nxt FROM events ORDER BY user_id, event_id LIMIT 500",
     "win_moving_avg" ->

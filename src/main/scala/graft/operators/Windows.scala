@@ -66,6 +66,23 @@ object Windows {
       .orderBy(col("r"))
   }
 
+  /** #23b (added round 4) UNBOUNDED global dense_rank on the fact table —
+    * unlike #23 there is no LIMIT-by-rank to exploit (output is the first
+    * 500 order keys, whose dense ranks depend on the WHOLE table), so
+    * this genuinely exercises [[GlobalRank.denseRankOfValues]]: rank the
+    * distinct rounded prices (rank == dense index on unique keys, via the
+    * range-bucketed distributed rank) and join the index back. ~5k
+    * distinct values at sf0.1, millions at 100 TB — either way the plan
+    * has no partition-less window over unbounded input. */
+  def winDenseRankGlobal(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), round(col("o_totalprice"), -2).as("_rv"))
+    GlobalRank.denseRankOfValues(base, "_rv", desc = true, "dr")
+      .select(col("o_orderkey"), col("dr"))
+      .orderBy(col("o_orderkey"))
+      .limit(500)
+  }
+
   /** #24 successive differences per key (RR-interval delta analogue). */
   def winLagLead(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

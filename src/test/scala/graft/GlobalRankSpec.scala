@@ -143,7 +143,8 @@ class GlobalRankSpec extends SparkSpecBase {
   }
 
   test("judged plans contain no unbounded partition-less Window (scale-killer regression)") {
-    for (q <- Seq(Windows.winRankDense _, Windows.winNtilePctrank _)) {
+    for (q <- Seq(Windows.winRankDense _, Windows.winNtilePctrank _,
+        Windows.winDenseRankGlobal _)) {
       val df = q(spark, sf())
       val bad = globalWindows(df)
       assert(bad.isEmpty,
