@@ -24,6 +24,13 @@ import graft.functions.CosineSimilarityExpr.cosine_sim
   */
 object Ann {
 
+  /** The shared ranking tail of every tier: keep each probe's k highest-
+    * similarity rows, ties broken by neighbor id (deterministic). */
+  private def topKBySim(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("nb"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
   /** Empty (probe_id, nb, sim) result with the non-empty path's schema:
     * probe_id typed from the PROBES id column, nb from the corpus's. */
   private def emptyTopK(corpus: DataFrame, probes: DataFrame,
@@ -45,8 +52,7 @@ object Ann {
       VectorFunctions.toDoubleVec(col(vecCol)).as("vp"))
     val pairs = broadcast(p).join(c, col("probe_id") =!= col("nb"))
       .select(col("probe_id"), col("nb"), cosine_sim(col("vp"), col("vb")).as("sim"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("nb"))
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    topKBySim(pairs, k)
   }
 
   /** Hyperplane-LSH top-k via banded bucket equi-joins: the signature is
@@ -79,8 +85,7 @@ object Ann {
       .filter(col("probe_id") =!= col("nb"))
       .dropDuplicates("probe_id", "nb")
       .select(col("probe_id"), col("nb"), cosine_sim(col("vp"), col("vb")).as("sim"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("nb"))
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    topKBySim(pairs, k)
   }
 
   /** IVF-Flat top-k: seeded KMeans builds `nlist` centroids; each corpus
@@ -116,8 +121,7 @@ object Ann {
     val pairs = probeLists.join(indexed, Seq("list_id"))
       .filter(col("probe_id") =!= col("nb"))
       .select(col("probe_id"), col("nb"), cosine_sim(col("vp"), col("vb")).as("sim"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("nb"))
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    topKBySim(pairs, k)
   }
 
   /** Hard-negative mining for embedding training: each anchor's k most
@@ -133,10 +137,6 @@ object Ann {
     * are dropped; ask the search for k + expected-dup-count. */
   def hardNegatives(topK: DataFrame, k: Int, dupCosine: Double = 0.95): DataFrame = {
     require(k > 0, s"hardNegatives requires k > 0, got $k")
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("nb"))
-    topK.filter(col("sim") < dupCosine)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .drop("rn")
+    topKBySim(topK.filter(col("sim") < dupCosine), k)
   }
 }

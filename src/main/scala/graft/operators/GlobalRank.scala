@@ -146,11 +146,18 @@ object GlobalRank {
     * the DISTINCT values (where rank == dense index because keys are
     * unique) and equi-join the dense index back onto the rows. The
     * distinct-value table is small relative to data, so AQE turns the
-    * join broadcast when it fits. */
+    * join broadcast when it fits.
+    *
+    * @param valuesFrom optional frame the distinct-value RANKS are drawn
+    *        from when it is wider than the rows being decorated — e.g.
+    *        rank against the whole table but attach ranks only to a
+    *        bounded probe subset, so the join probe side shrinks to the
+    *        subset instead of the full table */
   def denseRankOfValues(df: DataFrame, valueCol: String, desc: Boolean,
       out: String, buckets: Int = 0,
-      splits: Option[Array[Double]] = None): DataFrame = {
-    val distinctVals = df.select(col(valueCol)).distinct()
+      splits: Option[Array[Double]] = None,
+      valuesFrom: Option[DataFrame] = None): DataFrame = {
+    val distinctVals = valuesFrom.getOrElse(df).select(col(valueCol)).distinct()
     val ranked = withRank(distinctVals, valueCol, desc,
       Seq(if (desc) col(valueCol).desc else col(valueCol)), out, buckets, splits)
     df.join(ranked, Seq(valueCol))

@@ -271,8 +271,9 @@ object TrainingData {
     * IS a document id; an accidental self-match remaps to the next id
     * (duplicate negatives across a doc's k draws are possible and
     * harmless — samplers re-draw, they don't guarantee distinctness).
-    * One map pass over the bounded doc_id<100 window plus the broadcast
-    * corpus count; only the output sort shuffles. */
+    * One map pass over the bounded doc_id<100 window; the corpus count
+    * contributes a two-stage aggregate exchange plus its broadcast, and
+    * the output sort is the only row-scaling exchange. */
   def llmNegativeSample(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDf = docs.agg(count(lit(1)).as("_c"))

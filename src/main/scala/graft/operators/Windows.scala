@@ -77,10 +77,13 @@ object Windows {
   def winDenseRankGlobal(s: SparkSession, d: String): DataFrame = {
     val base = Tables.orders(s, d)
       .select(col("o_orderkey"), round(col("o_totalprice"), -2).as("_rv"))
-    GlobalRank.denseRankOfValues(base, "_rv", desc = true, "dr")
+    // ranks come from the WHOLE table; only the 500 output rows probe the
+    // rank join (TakeOrdered first, then decorate — not the reverse)
+    val probe = base.orderBy(col("o_orderkey")).limit(500)
+    GlobalRank.denseRankOfValues(probe, "_rv", desc = true, "dr",
+        valuesFrom = Some(base))
       .select(col("o_orderkey"), col("dr"))
       .orderBy(col("o_orderkey"))
-      .limit(500)
   }
 
   /** #24 successive differences per key (RR-interval delta analogue). */
