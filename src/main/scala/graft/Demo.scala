@@ -62,10 +62,12 @@ object Demo {
     println(s"text analysis: docs=${taRow.get(0)} avgQuality=${taRow.get(1)} avgTokens=${taRow.get(2)}")
 
     val probes = emb.filter($"vec_id" < 3)
-    val brute = Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 3).count()
+    val bruteTopk = Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 6)
+    val brute = bruteTopk.count()
     val ivf = Ann.ivfTopK(spark, emb, probes, "vec_id", "embedding", k = 3,
       nlist = 8, nprobe = 3).count()
-    println(s"ANN: brute-force rows=$brute ivf rows=$ivf")
+    val hard = Ann.hardNegatives(bruteTopk, k = 3, dupCosine = 0.95).count()
+    println(s"ANN: brute-force rows=$brute ivf rows=$ivf hard-negatives rows=$hard")
 
     Aggregates.register(spark)
     val w = org.apache.spark.sql.expressions.Window
