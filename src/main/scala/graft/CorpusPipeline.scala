@@ -248,10 +248,27 @@ object CorpusPipeline {
     require(maxHamming <= 3,
       s"maxHamming must be <= 3 (SimHash 4-band pigeonhole), got $maxHamming")
     // overwrite deletes target files before the union job reads them, so
-    // writing the store onto its own input would silently drop all history
-    val outAbs = new java.io.File(outDir).getAbsolutePath
-    require(!store.inputFiles.exists(_.contains(outAbs)),
-      s"outDir ($outDir) must not be the directory the signature store is " +
+    // writing the store onto its own input would silently drop all history.
+    // Qualify both sides through the Hadoop FileSystem so the guard holds
+    // on cluster filesystems too (hdfs://, s3a:// — a java.io.File round
+    // trip would mangle those into cwd-relative strings and never fire),
+    // and compare URI ancestry, not substrings (/tmp/a is not an ancestor
+    // of /tmp/ab).
+    val hconf = spark.sessionState.newHadoopConf()
+    def qualified(p: String): java.net.URI = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(hconf).makeQualified(path).toUri
+    }
+    val outUri = qualified(outDir)
+    val outPath = outUri.getPath.stripSuffix("/")
+    def underOut(f: String): Boolean = {
+      val u = qualified(f)
+      u.getScheme == outUri.getScheme &&
+        Option(u.getAuthority).getOrElse("") == Option(outUri.getAuthority).getOrElse("") &&
+        (u.getPath == outPath || u.getPath.startsWith(outPath + "/"))
+    }
+    require(!store.inputFiles.exists(underOut),
+      s"outDir ($outDir) must not contain the files the signature store is " +
         "read from: overwrite would delete the history before the grown " +
         "store is written. Use a fresh outDir per batch.")
     val gated = annotate(batch)

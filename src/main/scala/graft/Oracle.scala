@@ -244,11 +244,18 @@ object Oracle {
         "GROUP BY lang, split ORDER BY lang, split"),
     // the exact regexp chain of graft.functions.Redact, replayed in RE2:
     // email -> SSN -> card -> phone -> IPv4 (order is part of the contract)
+    // fold-counting, same as Redact.piiCount: pattern k is counted on the
+    // text already scrubbed by patterns 1..k-1, so overlapping shapes are
+    // never double-counted (exact replacement count, not an upper bound)
     "text_pii_redact" ->
-      ("WITH raw AS (SELECT doc_id, text || ' contact agent' || doc_id || '@example.com or 555-867-530' || (doc_id % 10) || ' ssn 123-45-678' || (doc_id % 10) || ' ip 10.0.0.' || (doc_id % 256) AS r FROM documents WHERE doc_id < 200) " +
-        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(r, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}','[EMAIL]','g'), '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b','[SSN]','g'), '\\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\\b','[CARD]','g'), '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b','[PHONE]','g'), '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b','[IP]','g') AS redacted, " +
-        "CAST(len(regexp_extract_all(r,'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) + len(regexp_extract_all(r,'\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) + len(regexp_extract_all(r,'\\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\\b')) + len(regexp_extract_all(r,'\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) + len(regexp_extract_all(r,'\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS pii_hits " +
-        "FROM raw ORDER BY doc_id"),
+      ("WITH raw AS (SELECT doc_id, text || ' contact agent' || doc_id || '@example.com or 555-867-530' || (doc_id % 10) || ' ssn 123-45-678' || (doc_id % 10) || ' ip 10.0.0.' || (doc_id % 256) AS t0 FROM documents WHERE doc_id < 200), " +
+        "s1 AS (SELECT doc_id, regexp_replace(t0,'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}','[EMAIL]','g') AS t1, len(regexp_extract_all(t0,'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS c1 FROM raw), " +
+        "s2 AS (SELECT doc_id, regexp_replace(t1,'\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b','[SSN]','g') AS t2, c1, len(regexp_extract_all(t1,'\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS c2 FROM s1), " +
+        "s3 AS (SELECT doc_id, regexp_replace(t2,'\\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\\b','[CARD]','g') AS t3, c1, c2, len(regexp_extract_all(t2,'\\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\\b')) AS c3 FROM s2), " +
+        "s4 AS (SELECT doc_id, regexp_replace(t3,'\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b','[PHONE]','g') AS t4, c1, c2, c3, len(regexp_extract_all(t3,'\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS c4 FROM s3) " +
+        "SELECT doc_id, regexp_replace(t4,'\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b','[IP]','g') AS redacted, " +
+        "CAST(c1 + c2 + c3 + c4 + len(regexp_extract_all(t4,'\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS pii_hits " +
+        "FROM s4 ORDER BY doc_id"),
     // list-intersect containment (exact) over the same bounded window the
     // Spark side shingle-joins; filter on the ROUNDED value both sides
     "text_decontaminate" ->

@@ -29,9 +29,13 @@ object Redact {
   def scrub(text: Column): Column =
     patterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
 
-  /** Number of PII hits across all patterns (measured on the RAW text —
-    * for match-rate reporting and redaction-audit sampling). */
+  /** Number of PII hits across all patterns — an exact replacement count:
+    * pattern k is counted on the text already scrubbed by patterns 1..k-1
+    * (the same fold [[scrub]] performs), so a span consumed by an earlier
+    * pattern is never double-counted by a later one (e.g. a phone-shaped
+    * local part inside an email counts once, as EMAIL). */
   def piiCount(text: Column): Column =
-    patterns.map { case (p, _) => regexp_count(text, lit(p)) }
-      .reduce(_ + _)
+    patterns.foldLeft((text, lit(0L))) { case ((t, acc), (p, r)) =>
+      (regexp_replace(t, p, r), acc + regexp_count(t, lit(p)))
+    }._2
 }

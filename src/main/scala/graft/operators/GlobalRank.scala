@@ -160,7 +160,13 @@ object GlobalRank {
     val distinctVals = valuesFrom.getOrElse(df).select(col(valueCol)).distinct()
     val ranked = withRank(distinctVals, valueCol, desc,
       Seq(if (desc) col(valueCol).desc else col(valueCol)), out, buckets, splits)
-    df.join(ranked, Seq(valueCol))
+    // left join + loud failure instead of an inner join: df's values must
+    // be a subset of valuesFrom, and a violation must not silently drop
+    // rows (the error branch costs nothing when the contract holds)
+    df.join(ranked, Seq(valueCol), "left")
+      .withColumn(out, when(col(out).isNull, raise_error(concat(
+          lit(s"denseRankOfValues: value of '$valueCol' absent from valuesFrom: "),
+          col(valueCol).cast("string")))).otherwise(col(out)))
   }
 
   /** `percent_rank` from a unique-key rank column and a total-count

@@ -135,6 +135,11 @@ class CorpusPipelineSpec extends SparkSpecBase {
       CorpusPipeline.appendBatch(spark, store, docs, dir, minQuality = 0.2)
     }
     assert(e.getMessage.contains("fresh outDir"))
+    // ancestry, not substrings: an outDir sharing a string PREFIX with the
+    // store path (".../sig" vs ".../signatures") is a legal target
+    val sib = s"$dir/sig"
+    val s2 = CorpusPipeline.appendBatch(spark, store, docs, sib, minQuality = 0.2)
+    assert(s2.accepted == 0) // the whole batch is already in history
   }
 
   test("curate runs over the judged documents table") {

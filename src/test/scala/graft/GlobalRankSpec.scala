@@ -92,6 +92,33 @@ class GlobalRankSpec extends SparkSpecBase {
     assert(out.count() == 0)
   }
 
+  test("lazy-splits path evaluates the sampled splits once (exchange reuse)") {
+    // rank correctness relies on the bucket-count branch and the rank
+    // branch seeing the SAME percentile_approx splits; with exchange reuse
+    // (on by default) the 1-row splits aggregate is computed once and its
+    // broadcast is shared — pin that so a config/canonicalization
+    // regression is caught instead of producing silently wrong ranks
+    val df = (1 to 400).map(i => (i, (i % 31).toDouble)).toDF("id", "v")
+    val out = GlobalRank.withRank(df, "v", desc = false, Seq($"v", $"id"), "r", buckets = 4)
+    out.collect() // finalize the adaptive plan so stage reuse is visible
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"splits aggregate evaluated more than once (no exchange reuse):\n$p")
+  }
+
+  test("denseRankOfValues fails loudly when a value is absent from valuesFrom") {
+    val df = Seq((1, 5.0), (2, 99.0)).toDF("id", "v")
+    val from = Seq(Tuple1(5.0)).toDF("v")
+    val ok = GlobalRank.denseRankOfValues(df.filter($"v" === 5.0), "v",
+      desc = false, "dr", valuesFrom = Some(from))
+    assert(ok.collect().map(_.getLong(2)).toSeq == Seq(1L))
+    val e = intercept[Exception] {
+      GlobalRank.denseRankOfValues(df, "v", desc = false, "dr",
+        valuesFrom = Some(from)).collect()
+    }
+    assert(e.getMessage.contains("absent from valuesFrom"), e.getMessage)
+  }
+
   test("denseRankOfValues matches dense_rank()") {
     val df = (1 to 300).map(i => (i, ((i * 13) % 23).toDouble)).toDF("id", "v")
     val got = GlobalRank.denseRankOfValues(df, "v", desc = true, "dr", buckets = 5)

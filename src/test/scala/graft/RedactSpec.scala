@@ -36,6 +36,12 @@ class RedactSpec extends SparkSpecBase {
     assert(scrubOne(once) == (once, 0L))
   }
 
+  test("overlapping shapes count once (fold semantics, not raw-text sum)") {
+    // the phone-shaped local part is consumed by the EMAIL replacement, so
+    // it must not ALSO count as a phone hit (scrub replaces it once)
+    assert(scrubOne("reach 555-867-5309@x.com now") == ("reach [EMAIL] now", 1L))
+  }
+
   test("digits embedded in longer runs do not false-positive") {
     // 11-digit run: not a phone (no word boundary alignment)
     assert(scrubOne("id 12345678901 raw")._2 == 0L)
