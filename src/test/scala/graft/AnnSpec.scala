@@ -55,6 +55,53 @@ class AnnSpec extends SparkSpecBase {
     assert(recall > 0.3, s"recall@5 too low: $recall")
   }
 
+  /** Mean recall@5 of `approx` against brute force over the given probes. */
+  private def recallAt5(approx: Map[Long, Seq[Long]], exact: Map[Long, Seq[Long]]): Double =
+    exact.keys.toSeq.map { p =>
+      approx.getOrElse(p, Seq.empty).toSet.intersect(exact(p).toSet).size.toDouble / 5.0
+    }.sum / exact.size
+
+  test("ANN recall grid: LSH bands and IVF nprobe trade candidates for recall") {
+    // Quantified recall so the tiers' tunables are measured, not dead
+    // reckoning. The fixture is the DRIVER's random-embedding table — a
+    // worst case for ANN (no cluster structure, top-5 cosine ~0.4), so
+    // these floors are conservative for real embedding corpora. The grid
+    // lives in DESIGN.md ("ANN recall"); the assertions pin the
+    // documented operating points and the direction of each tunable.
+    // Everything is seeded (hyperplanes, KMeans) → deterministic.
+    val wide = emb.filter($"vec_id" < 20)
+    val exact = topkMap(Ann.bruteForceTopK(emb, wide, "vec_id", "embedding", k = 5))
+
+    val lsh = (for {
+      bits <- Seq(16, 32)
+      bands <- Seq(2, 4, 8)
+    } yield (bits, bands) -> recallAt5(
+      topkMap(Ann.lshTopK(emb, wide, "vec_id", "embedding", k = 5,
+        bits = bits, bands = bands)), exact)).toMap
+    val ivf = (for (nprobe <- Seq(1, 4, 8, 12))
+      yield nprobe -> recallAt5(
+        topkMap(Ann.ivfTopK(spark, emb, wide, "vec_id", "embedding", k = 5,
+          nlist = 16, nprobe = nprobe)), exact)).toMap
+
+    info("LSH recall@5: " + lsh.toSeq.sortBy(_._1).map { case ((b, bd), r) =>
+      f"bits=$b/bands=$bd:$r%.2f" }.mkString(" "))
+    info("IVF recall@5 (nlist=16): " + ivf.toSeq.sortBy(_._1).map { case (np, r) =>
+      f"nprobe=$np:$r%.2f" }.mkString(" "))
+
+    // more/shorter bands → more candidates → recall never degrades
+    assert(lsh((16, 8)) >= lsh((16, 2)) && lsh((32, 8)) >= lsh((32, 2)),
+      s"band recall direction violated: $lsh")
+    // more probed lists → recall never degrades
+    assert(ivf(8) >= ivf(4) && ivf(4) >= ivf(1),
+      s"nprobe recall direction violated: $ivf")
+    // documented operating points (DESIGN.md "ANN recall"): measured
+    // 0.97 / 0.86 / 0.93 on this seeded fixture; floors leave headroom
+    // only below the measurement, never above
+    assert(lsh((16, 8)) >= 0.9, s"lsh bits=16 bands=8 recall ${lsh((16, 8))}")
+    assert(ivf(8) >= 0.8, s"ivf nlist=16 nprobe=8 recall ${ivf(8)}")
+    assert(ivf(12) >= 0.9, s"ivf nlist=16 nprobe=12 recall ${ivf(12)}")
+  }
+
   test("hard negatives drop near-duplicates and keep the next-hardest neighbors") {
     // anchor 1: 100 is a near-copy (cosine ~1), 2..4 progressively farther
     val vecs = Seq(

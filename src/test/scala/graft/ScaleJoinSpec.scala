@@ -41,6 +41,59 @@ class ScaleJoinSpec extends SparkSpecBase {
     assert(salted == plain)
   }
 
+  test("salting balances task inputs on a pathological hot key") {
+    // The 100 TB failure mode, demonstrated rather than asserted: one key
+    // carries 50% of the fact side. A plain shuffled-hash join lands the
+    // whole hot key on ONE task; the salted join spreads it across
+    // saltBuckets tasks. Measured on the join's real output partitions
+    // (spark_partition_id() before any further shuffle), with AQE's
+    // partition coalescing off so small partitions are not merged back
+    // together and the per-task distribution stays observable.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "32")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s.implicits._
+    val n = 20000
+    val hot = n / 2 // key 1 owns half of all rows
+    val left = (1 to n)
+      .map(i => (if (i <= hot) 1L else i.toLong, i.toLong))
+      .toDF("k", "id")
+    val right = (1 to n).map(i => (i.toLong, s"v$i")).toDF("rk", "payload")
+
+    def partitionCounts(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      df.withColumn("_p", spark_partition_id())
+        .groupBy($"_p").count().collect().map(_.getLong(1))
+
+    val plain = left.join(right.hint("shuffle_hash"), $"k" === $"rk")
+    val saltBuckets = 8
+    val salted = SkewJoin.saltedInnerJoin(left, right, "k", "rk", "id", saltBuckets)
+    assert(plain.count() == n.toLong && salted.count() == n.toLong)
+
+    val maxPlain = partitionCounts(plain).max
+    val saltedCounts = partitionCounts(salted)
+    val maxSalted = saltedCounts.max
+    // the plain join's worst task carries at least the whole hot key
+    assert(maxPlain >= hot.toLong,
+      s"fixture must actually straggle the plain join (maxPlain=$maxPlain)")
+    // the salted join's worst task drops by ~the bucket factor. The
+    // guaranteed bound is saltBuckets/2, not saltBuckets: the partitioner
+    // hashes (k, _salt), so two of the hot key's salt cells can land in
+    // the same shuffle partition (they do in this deterministic fixture:
+    // worst task = two ~hot/8 cells + uniform background). Observed
+    // maxPlain=10322 / maxSalted=2825 ≈ 3.7× at saltBuckets=8.
+    assert(maxSalted.toDouble <= maxPlain.toDouble * 3.0 / saltBuckets,
+      s"salting must split the hot key: maxPlain=$maxPlain maxSalted=$maxSalted " +
+        s"counts=${saltedCounts.sorted.reverse.take(8).mkString(",")}")
+    info(s"plain worst task $maxPlain rows; salted worst task $maxSalted rows " +
+      s"(${saltedCounts.length} partitions: " +
+      saltedCounts.sorted.reverse.take(10).mkString(",") + ")")
+    // and the hot key's rows really spread over several tasks, not one
+    assert(saltedCounts.count(_ > hot / (saltBuckets * 2)) >= saltBuckets / 2,
+      s"expected >=${saltBuckets / 2} tasks carrying hot-key slices: " +
+        saltedCounts.sorted.reverse.mkString(","))
+  }
+
   test("bucketed+sorted table runs a per-key window with no exchange and no sort") {
     // the SCALE_DEPLOYMENT claim for 100 TB events: bucket by user_id,
     // sort by (user_id, ts) → win_*/sessionize plans lose BOTH the hash

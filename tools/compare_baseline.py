@@ -1,16 +1,30 @@
 #!/usr/bin/env python3
-"""Compare a Bench JSON line against the per-query table in BASELINE.md.
+"""Compare a Bench JSON line against the DuckDB baseline.
 
-Usage: python3 tools/compare_baseline.py <bench.json or log containing it>
+Usage:
+  python3 tools/compare_baseline.py <bench.json or log containing it>
+  python3 tools/compare_baseline.py <bench.json> --live [--sf DIR] [--oracle FILE]
+
+Default mode reads the stored per-query table in BASELINE.md. With
+--live, DuckDB is RE-MEASURED on this host right now under the identical
+protocol the stored table documents (one connection + per-thread
+cursors, 16-thread pool, warmup + best of 3), so host-load drift moves
+both engines together instead of misreading as an engine regression —
+the stored numbers have misread a 1.5x as a 1.9x before. The oracle SQL
+comes from the file graft.Verify dumps (outDir/oracle_sql.json).
 
 Prints per-query engine/baseline ratios (worst first) and the totals —
 the tuning worklist for a bench round.
 """
-import json, re, signal, sys
+import argparse, json, re, signal, sys, time
 
 signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # clean exit under `| head`
 
-def main(path):
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def read_bench(path):
     # Bench prints two JSON lines: {"metric":"per_query",...} with the
     # per-query map, then the compact {"metric":"total",...} headline
     total_line = detail_line = None
@@ -25,11 +39,73 @@ def main(path):
         sys.exit(f"no bench JSON lines found in {path}")
     bench = json.loads(total_line)
     bench["queries"] = json.loads(detail_line)["queries"]
+    return bench
+
+
+def stored_baseline():
     base = {}
     for l in open("BASELINE.md"):
         m = re.match(r"\| `(\w+)` \| ([0-9.]+) \|", l)
         if m:
             base[m.group(1)] = float(m.group(2))
+    return base, None
+
+
+def live_baseline(sf_dir, oracle_path, threads=16, rounds=3):
+    """Re-run the oracle suite in DuckDB under the BASELINE.md protocol:
+    one connection, per-thread cursors, 16-thread pool, full fetchall,
+    one warmup pass then best-of-`rounds` — returns (per-query best
+    seconds, best concurrent suite wall-clock seconds)."""
+    from concurrent.futures import ThreadPoolExecutor
+    import duckdb
+    oracle = json.load(open(oracle_path))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    def run_one(item):
+        name, sql = item
+        cur = con.cursor()
+        t0 = time.monotonic()
+        cur.execute(sql).fetchall()
+        return name, time.monotonic() - t0
+
+    items = sorted(oracle.items())
+    per_query = {}
+    best_wall = None
+    for r in range(rounds + 1):  # round 0 is the warmup
+        t0 = time.monotonic()
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            timings = list(pool.map(run_one, items))
+        wall = time.monotonic() - t0
+        if r == 0:
+            continue
+        best_wall = wall if best_wall is None else min(best_wall, wall)
+        for name, dt in timings:
+            per_query[name] = min(per_query.get(name, dt), dt)
+    print(f"live DuckDB: {len(items)} queries, {threads} threads, "
+          f"best-of-{rounds} concurrent wall {best_wall:.2f}s on {sf_dir}",
+          file=sys.stderr)
+    return per_query, best_wall
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("bench", help="bench JSON file or log containing it")
+    ap.add_argument("--live", action="store_true",
+                    help="re-measure DuckDB now instead of reading BASELINE.md")
+    ap.add_argument("--sf", default="/root/testdata/sf0.1",
+                    help="parquet table dir for --live (default sf0.1, the bench SF)")
+    ap.add_argument("--oracle", default="/tmp/graft_verify/oracle_sql.json",
+                    help="oracle_sql.json dumped by graft.Verify (for --live)")
+    args = ap.parse_args()
+
+    bench = read_bench(args.bench)
+    if args.live:
+        base, live_wall = live_baseline(args.sf, args.oracle)
+    else:
+        base, live_wall = stored_baseline()
+
     rows = []
     uncovered = []
     for q, t in bench["queries"].items():
@@ -43,7 +119,7 @@ def main(path):
     for r, q, t, b in rows:
         print(f"{r:8.1f} {t:9.3f} {b:10.3f}  {q}")
     if not rows:
-        sys.exit("no queries overlap with the BASELINE.md table")
+        sys.exit("no queries overlap with the baseline set")
     # totals over the covered set only — an uncovered query must not
     # inflate the headline ratio
     total_engine = sum(t for _, _, t, _ in rows)
@@ -51,6 +127,12 @@ def main(path):
     print(f"\ncovered total engine {total_engine:.2f}s vs baseline {total_base:.2f}s "
           f"(ratio {total_engine/total_base:.1f}x); failed={bench.get('failed', [])}"
           + (f"; uncovered={uncovered}" if uncovered else ""))
+    if live_wall is not None:
+        wall = bench.get("wall_concurrent") or bench.get("value")
+        print(f"HEADLINE (same-host, same-protocol): engine concurrent wall "
+              f"{wall:.2f}s vs live DuckDB {live_wall:.2f}s -> "
+              f"{wall / live_wall:.2f}x")
+
 
 if __name__ == "__main__":
-    main(sys.argv[1])
+    main()
