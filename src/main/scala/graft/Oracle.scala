@@ -70,6 +70,10 @@ object Oracle {
     // it WITHOUT one (GlobalRank distributed dense rank)
     "win_dense_rank_global" ->
       "SELECT o_orderkey, CAST(dense_rank() OVER (ORDER BY round(o_totalprice, -2) DESC) AS BIGINT) AS dr FROM orders ORDER BY o_orderkey LIMIT 500",
+    // string-keyed global rank: md5 hex is identical across engines and
+    // ASCII, so binary string order agrees between Spark and DuckDB
+    "win_rank_string_global" ->
+      "SELECT doc_id, CAST(rank() OVER (ORDER BY md5(text), doc_id) AS BIGINT) AS r FROM documents ORDER BY doc_id LIMIT 300",
     "win_lag_lead" ->
       "SELECT user_id, event_id, round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id),2) dv, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) nxt FROM events ORDER BY user_id, event_id LIMIT 500",
     "win_moving_avg" ->

@@ -63,19 +63,48 @@ object GlobalRank {
       .approxQuantile(primaryCol, (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
       .distinct.sorted
 
-  /** Deterministic monotone bucket id for `primary` given ascending split
-    * points: the number of split points strictly on the "sorts-before"
-    * side of the value. Equal values always map to equal buckets. */
+  /** Sampled ascending split points for a STRING `primaryCol` (strings
+    * have no `percentile_approx`, so the sample is explicit): bottom-k of
+    * the DISTINCT values by hash — a uniform sample of the value space —
+    * then every n-th of the sorted sample. ONE driver action, and a
+    * distributed top-k one at that (per-partition partial bottom-k, tiny
+    * merge): nothing here scans or sorts the full data on one task. The
+    * distinct-first step means a heavy-hitter value cannot flood the
+    * sample — and rank ties share a bucket anyway, so sampling the
+    * VALUE space (not the row space) is the balance that matters for the
+    * per-bucket window. Split quality only affects load balance, never
+    * rank values (any ascending array is a correct bucketing). */
+  def stringSplitPoints(df: DataFrame, primaryCol: String, buckets: Int,
+      sampleSize: Int = 4096): Array[String] = {
+    val sample = df.select(col(primaryCol).cast("string").as("_v"))
+      .where(col("_v").isNotNull)
+      .distinct()
+      .orderBy(xxhash64(col("_v")), col("_v")) // deterministic bottom-k
+      .limit(sampleSize)
+      .collect().map(_.getString(0)).sorted
+    if (sample.isEmpty) Array.empty[String]
+    else (1 until buckets)
+      .map(i => sample(math.min(sample.length - 1, (i.toLong * sample.length / buckets).toInt)))
+      .distinct.sorted.toArray
+  }
+
+  /** Deterministic monotone bucket id for `primary` given an ascending
+    * array-literal of split points: the number of split points strictly on
+    * the "sorts-before" side of the value. Equal values always map to
+    * equal buckets. Works for any orderable element type whose Column
+    * comparison matches Spark's sort order (numerics, strings — both
+    * compare the way they sort). */
+  private[operators] def bucketExprOf(primary: Column, arr: Column,
+      desc: Boolean): Column = {
+    val cnt =
+      if (desc) size(filter(arr, s => s > primary))
+      else size(filter(arr, s => s < primary))
+    cnt.cast("int")
+  }
+
   private[operators] def bucketExpr(primary: Column, splits: Array[Double],
       desc: Boolean): Column =
-    if (splits.isEmpty) lit(0)
-    else {
-      val arr = lit(splits)
-      val cnt =
-        if (desc) size(filter(arr, s => s > primary))
-        else size(filter(arr, s => s < primary))
-      cnt.cast("int")
-    }
+    if (splits.isEmpty) lit(0) else bucketExprOf(primary, lit(splits), desc)
 
   /** Adds global `rank()` over `sortCols` as `out` (long, 1-based) without
     * any single-partition window.
@@ -98,11 +127,8 @@ object GlobalRank {
     val spark = df.sparkSession
     val b = if (buckets > 0) buckets
       else spark.sessionState.conf.numShufflePartitions
-    // collision-safe working names: the input may legitimately own _b etc.
+    // collision-safe working name: the input may legitimately own _b etc.
     val bC = fresh(df, "_b")
-    val lrC = fresh(df, "_lr")
-    val offC = fresh(df, "_off")
-    val cntC = fresh(df, "_c")
     val bucketed = splits match {
       case Some(sp) =>
         df.withColumn(bC, bucketExpr(col(primaryCol), sp, desc))
@@ -125,6 +151,35 @@ object GlobalRank {
           .withColumn(bC, cnt.cast("int"))
           .drop(spC)
     }
+    rankBucketed(bucketed, bC, sortCols, out,
+      splits.map(sp => math.min(b, sp.length + 1)).getOrElse(b))
+  }
+
+  /** [[withRank]] for a STRING primary column. The numeric path's lazy
+    * `percentile_approx` sampling doesn't exist for strings, so splits
+    * come from the caller — any ascending array is correct (balance-only
+    * concern); [[stringSplitPoints]] samples them in one distributed
+    * top-k action. Empty splits degrade to a single bucket (correct,
+    * serial — only acceptable for bounded inputs). */
+  def withRankOnStrings(df: DataFrame, primaryCol: String, desc: Boolean,
+      sortCols: Seq[Column], out: String, splits: Array[String]): DataFrame = {
+    val bC = fresh(df, "_b")
+    val bucketed = df.withColumn(bC,
+      if (splits.isEmpty) lit(0)
+      else bucketExprOf(col(primaryCol), array(splits.map(lit(_)): _*), desc))
+    rankBucketed(bucketed, bC, sortCols, out, splits.length + 1)
+  }
+
+  /** Stages 3-4 of the plan in the object scaladoc, shared by the numeric
+    * and string paths: per-bucket counts → exclusive prefix-sum offsets →
+    * one bucket-id repartition → within-bucket window + broadcast offset
+    * join. `bucketed` must carry a non-null int bucket column `bC` that is
+    * monotone in the rank order and constant across rank ties. */
+  private def rankBucketed(bucketed: DataFrame, bC: String,
+      sortCols: Seq[Column], out: String, numParts: Int): DataFrame = {
+    val lrC = fresh(bucketed, "_lr")
+    val offC = fresh(bucketed, "_off")
+    val cntC = fresh(bucketed, "_c")
     // exclusive prefix sums of the per-bucket counts: counts is at most
     // `buckets` rows by construction, so the self-join is trivially small
     // and stays fully distributed (no global window, no collect)
@@ -135,7 +190,7 @@ object GlobalRank {
       .agg(coalesce(sum(col(s"y.$cntC")), lit(0L)).as(offC))
     val w = Window.partitionBy(col(bC)).orderBy(sortCols: _*)
     bucketed
-      .repartition(splits.map(sp => math.min(b, sp.length + 1)).getOrElse(b), col(bC))
+      .repartition(math.max(1, numParts), col(bC))
       .withColumn(lrC, rank().over(w).cast("long"))
       .join(broadcast(offsets), Seq(bC))
       .withColumn(out, col(lrC) + col(offC))
@@ -162,11 +217,16 @@ object GlobalRank {
       Seq(if (desc) col(valueCol).desc else col(valueCol)), out, buckets, splits)
     // left join + loud failure instead of an inner join: df's values must
     // be a subset of valuesFrom, and a violation must not silently drop
-    // rows (the error branch costs nothing when the contract holds)
+    // rows (the error branch costs nothing when the contract holds).
+    // Nulls are unsupported by contract (a null never equi-joins, even
+    // when valuesFrom also holds null) — the coalesce keeps the error
+    // message saying so instead of concat-nulling it to nothing
     df.join(ranked, Seq(valueCol), "left")
       .withColumn(out, when(col(out).isNull, raise_error(concat(
-          lit(s"denseRankOfValues: value of '$valueCol' absent from valuesFrom: "),
-          col(valueCol).cast("string")))).otherwise(col(out)))
+          lit(s"denseRankOfValues: value of '$valueCol' absent from valuesFrom " +
+            "(null values are unsupported): "),
+          coalesce(col(valueCol).cast("string"), lit("NULL")))))
+        .otherwise(col(out)))
   }
 
   /** `percent_rank` from a unique-key rank column and a total-count

@@ -86,6 +86,28 @@ object Windows {
       .orderBy(col("o_orderkey"))
   }
 
+  /** #23c (added round 6) UNBOUNDED global rank on a STRING key — the
+    * document-id/URL/content-hash ordering a curation pipeline needs
+    * (e.g. "position of each doc in the corpus's content-hash order").
+    * Strings have no `percentile_approx`, so the bucketing splits come
+    * from [[GlobalRank.stringSplitPoints]] — one distributed top-k
+    * action sampling the distinct-value space — and the rank itself is
+    * the same range-bucketed plan as the numeric path
+    * ([[GlobalRank.withRankOnStrings]]): no partition-less window, one
+    * bucket-id exchange. Ranks depend on the WHOLE table; only the first
+    * 300 doc ids are emitted. */
+  def winRankStringGlobal(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("_k"))
+    val splits = GlobalRank.stringSplitPoints(base, "_k",
+      s.sessionState.conf.numShufflePartitions)
+    GlobalRank.withRankOnStrings(base, "_k", desc = false,
+        Seq(col("_k"), col("doc_id")), "r", splits)
+      .select(col("doc_id"), col("r"))
+      .orderBy(col("doc_id"))
+      .limit(300)
+  }
+
   /** #24 successive differences per key (RR-interval delta analogue). */
   def winLagLead(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

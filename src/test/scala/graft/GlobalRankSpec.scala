@@ -97,13 +97,76 @@ class GlobalRankSpec extends SparkSpecBase {
     // branch seeing the SAME percentile_approx splits; with exchange reuse
     // (on by default) the 1-row splits aggregate is computed once and its
     // broadcast is shared — pin that so a config/canonicalization
-    // regression is caught instead of producing silently wrong ranks
+    // regression is caught instead of producing silently wrong ranks.
+    // Asserted structurally (count the aggregate nodes actually computing
+    // percentile_approx in the final adaptive plan — one partial+final
+    // pair; reused stages are leaves in PlanNodes.all), not on the plan
+    // rendering, which drifts across Spark versions
     val df = (1 to 400).map(i => (i, (i % 31).toDouble)).toDF("id", "v")
     val out = GlobalRank.withRank(df, "v", desc = false, Seq($"v", $"id"), "r", buckets = 4)
     out.collect() // finalize the adaptive plan so stage reuse is visible
-    val p = out.queryExecution.executedPlan.toString
-    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
-      s"splits aggregate evaluated more than once (no exchange reuse):\n$p")
+    val aggs = PlanNodes.all(out.queryExecution.executedPlan).count {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.aggregateExpressions.exists(_.toString.contains("percentile_approx"))
+      case _ => false
+    }
+    assert(aggs >= 1 && aggs <= 2,
+      s"splits aggregate computed $aggs times (expected one partial+final " +
+        s"pair — exchange/stage reuse regressed):\n${out.queryExecution.executedPlan}")
+  }
+
+  test("withRankOnStrings matches rank() on random string keys (asc and desc)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "Bravo", "charlie", "DELTA", "echo-5", "fox trot",
+      "golf", "hotel", "", "a", "ab", "zz top", "ünïcode", "中文", "0042")
+    for (trial <- 1 to 3) {
+      val df = (1 to 300).map { i =>
+        val k = vocab(rnd.nextInt(vocab.length)) + (if (rnd.nextBoolean()) "" else s"#${rnd.nextInt(9)}")
+        (i, k)
+      }.toDF("id", "k")
+      for (desc <- Seq(false, true)) {
+        val order = if (desc) Seq($"k".desc, $"id") else Seq($"k", $"id")
+        val splits = GlobalRank.stringSplitPoints(df, "k", 5)
+        val got = GlobalRank.withRankOnStrings(df, "k", desc, order, "r", splits)
+          .select($"id", $"r").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val want = df.select($"id", rank().over(Window.orderBy(order: _*)).cast("long").as("r"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        assert(got == want, s"trial=$trial desc=$desc splits=${splits.mkString("|")}")
+      }
+    }
+  }
+
+  test("withRankOnStrings: empty and out-of-domain splits are correct bucketings") {
+    val df = (1 to 80).map(i => (i, s"k${i % 13}")).toDF("id", "k")
+    val want = df.select($"id", rank().over(Window.orderBy($"k", $"id")).cast("long").as("r"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    for (sp <- Seq(Array.empty[String], Array("zzz"), Array("", "k3", "k3", "~~~"))) {
+      val got = GlobalRank.withRankOnStrings(df, "k", desc = false,
+          Seq($"k", $"id"), "r", sp)
+        .select($"id", $"r").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == want, s"splits=${sp.mkString(",")}")
+    }
+  }
+
+  test("stringSplitPoints: ascending, bounded, and hot-key flood-proof") {
+    // one value owns 90% of rows — the distinct-first sample must still
+    // produce splits spread over the OTHER values, not 90% copies
+    val df = ((1 to 900).map(i => (i, "HOT")) ++ (1 to 100).map(i => (i + 900, f"cold$i%03d")))
+      .toDF("id", "k")
+    val sp = GlobalRank.stringSplitPoints(df, "k", 8)
+    assert(sp.length <= 7 && sp.sameElements(sp.sorted))
+    assert(sp.count(_ != "HOT") >= sp.length - 1)
+    assert(sp.exists(_.startsWith("cold")), sp.mkString(","))
+  }
+
+  test("winRankStringGlobal matches its single-partition-window form on testdata") {
+    val want = Tables.documents(spark, sf())
+      .select($"doc_id", md5($"text").as("_k"))
+      .withColumn("r", rank().over(Window.orderBy($"_k", $"doc_id")).cast("long"))
+      .select($"doc_id", $"r")
+      .orderBy($"doc_id").limit(300).collect().map(_.toSeq).toSeq
+    val got = Windows.winRankStringGlobal(spark, sf()).collect().map(_.toSeq).toSeq
+    assert(got == want)
   }
 
   test("denseRankOfValues fails loudly when a value is absent from valuesFrom") {
@@ -171,7 +234,7 @@ class GlobalRankSpec extends SparkSpecBase {
 
   test("judged plans contain no unbounded partition-less Window (scale-killer regression)") {
     for (q <- Seq(Windows.winRankDense _, Windows.winNtilePctrank _,
-        Windows.winDenseRankGlobal _)) {
+        Windows.winDenseRankGlobal _, Windows.winRankStringGlobal _)) {
       val df = q(spark, sf())
       val bad = globalWindows(df)
       assert(bad.isEmpty,
