@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import java.nio.{ByteBuffer, ByteOrder}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,13 +10,16 @@ import org.apache.spark.sql.functions._
   * frame-sample operators.
   *
   * The Spark-side contract — schema, partitioning, batch shape — is real
-  * and tested. The *decoders themselves are STUBS*: this container has no
-  * image/audio codecs, so `decodeFeatures` derives a deterministic fake
-  * feature vector from the bytes (hash-seeded), clearly marked below.
-  * Swapping in a real codec changes only the body of `stubDecode`; the
-  * distributed plumbing (binary columns travel with their partition, the
-  * decoder runs once per row inside mapPartitions with per-partition
-  * library setup, output schema is fixed) is production-shaped.
+  * and tested, and so are two of the decoders: header-simple formats with
+  * pure-JVM parses ship REAL decode paths ([[decodeWav]] for PCM-16 RIFF
+  * WAV, [[decodeBmp]] for uncompressed 24-bit BMP), with matching
+  * encoders so round-trips are testable without codec jars. Formats that
+  * need native codecs (png, mp4, ...) still go through the clearly-marked
+  * [[stubDecode]]; swapping in a real codec changes only that dispatch
+  * arm — the distributed plumbing (binary columns travel with their
+  * partition, the decoder runs once per row inside mapPartitions with
+  * per-partition library setup, output schema is fixed) is
+  * production-shaped either way.
   */
 object Multimodal {
 
@@ -25,11 +30,170 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
       features: Array[Float])
 
+  /** Real decode of a PCM-16 WAV payload: header fields plus sample-space
+    * statistics (the audio analogue of docstats). */
+  case class WavInfo(sampleRate: Int, channels: Int, nSamples: Int,
+      mean: Double, rms: Double, zeroCrossRate: Double, peak: Double)
+
+  /** Real decode of a 24-bit BMP payload: dimensions plus channel means
+    * (the image analogue of docstats). */
+  case class BmpInfo(width: Int, height: Int,
+      meanR: Double, meanG: Double, meanB: Double, meanLuma: Double)
+
+  // ---- WAV (RIFF / fmt / data, PCM 16-bit little-endian) ----
+
+  /** Encode interleaved PCM-16 samples as a standard WAV container —
+    * the inverse of [[decodeWav]], used by tests/demos to synthesize
+    * decodable audio without codec jars. */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int,
+      channels: Int = 1): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0,
+      s"sample count ${samples.length} not a multiple of channels $channels")
+    val dataLen = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Strict PCM-16 WAV parse: walks the RIFF chunk list (even-padded, as
+    * the spec requires) to `fmt ` and `data`, then computes sample stats
+    * in one pass. Malformed or non-PCM-16 input fails LOUDLY — a decoder
+    * that silently fakes features for bytes it cannot read would poison
+    * every downstream similarity/dedup signal. */
+  def decodeWav(bytes: Array[Byte]): WavInfo = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"decodeWav: $msg")
+    if (bytes.length < 44) fail(s"payload too short (${bytes.length} bytes)")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") fail("not a RIFF/WAVE header")
+    var off = 12
+    var fmt: Option[(Int, Int)] = None // (channels, sampleRate)
+    var data: Option[(Int, Int)] = None // (offset, byteLen)
+    while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = ascii(off, 4)
+      val size = buf.getInt(off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) fail(s"chunk '$id' overruns payload")
+      id match {
+        case "fmt " =>
+          if (size < 16) fail(s"fmt chunk too short ($size)")
+          val audioFormat = buf.getShort(off + 8) & 0xffff
+          val bits = buf.getShort(off + 22) & 0xffff
+          if (audioFormat != 1 || bits != 16)
+            fail(s"only PCM-16 supported (format=$audioFormat bits=$bits)")
+          fmt = Some(((buf.getShort(off + 10) & 0xffff), buf.getInt(off + 12)))
+        case "data" => data = Some((off + 8, size))
+        case _ => ()
+      }
+      off += 8 + size + (size & 1) // chunks are even-padded
+    }
+    val (channels, sampleRate) = fmt.getOrElse(fail("no fmt chunk"))
+    val (dOff, dLen) = data.getOrElse(fail("no data chunk"))
+    if (dLen % 2 != 0) fail("odd data length for 16-bit samples")
+    val n = dLen / 2
+    var i = 0
+    var sum = 0.0; var sumSq = 0.0; var peak = 0.0; var crossings = 0
+    var prevNonNeg = true
+    while (i < n) {
+      val s = buf.getShort(dOff + 2 * i).toDouble
+      sum += s; sumSq += s * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      val nonNeg = s >= 0
+      if (i > 0 && nonNeg != prevNonNeg) crossings += 1
+      prevNonNeg = nonNeg
+      i += 1
+    }
+    WavInfo(sampleRate, channels, n,
+      mean = if (n == 0) 0.0 else sum / n,
+      rms = if (n == 0) 0.0 else math.sqrt(sumSq / n),
+      zeroCrossRate = if (n < 2) 0.0 else crossings.toDouble / (n - 1),
+      peak = peak)
+  }
+
+  // ---- BMP (BITMAPINFOHEADER, 24 bpp, uncompressed) ----
+
+  /** Encode an RGB image as a standard bottom-up 24-bit BMP — the inverse
+    * of [[decodeBmp]]. `rgb(x, y)` returns (r, g, b) in 0..255 with y = 0
+    * the TOP row. */
+  def encodeBmp24(width: Int, height: Int,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    val rowSize = ((24 * width + 31) / 32) * 4
+    val dataLen = rowSize * height
+    val buf = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putInt(0).putInt(54) // reserved, pixel-data offset
+    buf.putInt(40).putInt(width).putInt(height) // positive height = bottom-up
+      .putShort(1).putShort(24).putInt(0)       // planes, bpp, BI_RGB
+      .putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (y <- height - 1 to 0 by -1) { // bottom-up row order
+      for (x <- 0 until width) {
+        val (r, g, b) = rgb(x, y)
+        buf.put(b.toByte).put(g.toByte).put(r.toByte) // BGR on disk
+      }
+      var pad = rowSize - 3 * width
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+    }
+    buf.array()
+  }
+
+  /** Strict 24-bit uncompressed BMP parse: header fields plus per-channel
+    * means over the pixel rectangle (row padding skipped, bottom-up or
+    * top-down both handled). Fails loudly on anything else — see
+    * [[decodeWav]] for why. */
+  def decodeBmp(bytes: Array[Byte]): BmpInfo = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"decodeBmp: $msg")
+    if (bytes.length < 54) fail(s"payload too short (${bytes.length} bytes)")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (bytes(0) != 'B' || bytes(1) != 'M') fail("not a BM header")
+    val pixelOff = buf.getInt(10)
+    val dibSize = buf.getInt(14)
+    if (dibSize < 40) fail(s"unsupported DIB header size $dibSize")
+    val width = buf.getInt(18)
+    val rawHeight = buf.getInt(22)
+    val height = math.abs(rawHeight) // negative = top-down; means don't care
+    val bpp = buf.getShort(28) & 0xffff
+    val compression = buf.getInt(30)
+    if (width <= 0 || height == 0) fail(s"bad dimensions ${width}x$rawHeight")
+    if (bpp != 24 || compression != 0)
+      fail(s"only uncompressed 24bpp supported (bpp=$bpp compression=$compression)")
+    val rowSize = ((24 * width + 31) / 32) * 4
+    if (pixelOff < 54 || pixelOff.toLong + rowSize.toLong * height > bytes.length)
+      fail("pixel data overruns payload")
+    var sumR = 0.0; var sumG = 0.0; var sumB = 0.0
+    var y = 0
+    while (y < height) {
+      var x = 0
+      val base = pixelOff + y * rowSize
+      while (x < width) {
+        sumB += bytes(base + 3 * x) & 0xff
+        sumG += bytes(base + 3 * x + 1) & 0xff
+        sumR += bytes(base + 3 * x + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toDouble * height
+    val (mr, mg, mb) = (sumR / n, sumG / n, sumB / n)
+    BmpInfo(width, height, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb)
+  }
+
   /** ======== STUB ========
-    * Deterministic fake decode: a real implementation would decode the
-    * media and run a feature extractor; this derives `dim` floats from a
-    * rolling 64-bit hash of the payload so tests are reproducible without
-    * codecs. Replace this body (only) for production. */
+    * Deterministic fake decode for formats with no pure-JVM parse here
+    * (png, mp4, ...): derives `dim` floats from a rolling 64-bit hash of
+    * the payload so tests are reproducible without codecs. Replace this
+    * body (only) for production. */
   private[multimodal] def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     var h = 1125899906842597L // FNV-ish rolling hash of the payload
     bytes.foreach(b => h = h * 31 + (b & 0xff))
@@ -43,16 +207,38 @@ object Multimodal {
     out
   }
 
-  /** Batch feature extraction over the media column. mapPartitions so any
-    * real decoder initializes its (expensive) native context once per
-    * partition, not once per row — the Scala analogue of a batched pandas
-    * UDF. The operation is a pure map: no shuffle, scales with partitions. */
+  private def pad(xs: Array[Double], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < math.min(dim, xs.length)) { out(i) = xs(i).toFloat; i += 1 }
+    out
+  }
+
+  /** Batch feature extraction over the media column, dispatched on the
+    * format tag: `wav` and `bmp` run the REAL decoders above (leading
+    * features = the decoded stats, zero-padded to `dim`); anything else
+    * takes the stub path. mapPartitions so a real native decoder
+    * initializes its (expensive) context once per partition, not once per
+    * row — the Scala analogue of a batched pandas UDF. The operation is a
+    * pure map: no shuffle, scales with partitions. */
   def decodeFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition decoder setup would go here (native lib handle, model)
-      rows.map(r => MediaFeatures(r.media_id, r.kind, r.media.length.toLong,
-        stubDecode(r.media, dim)))
+      rows.map { r =>
+        val feats = r.format.toLowerCase match {
+          case "wav" =>
+            val w = decodeWav(r.media)
+            pad(Array(w.sampleRate.toDouble, w.channels.toDouble,
+              w.nSamples.toDouble, w.mean, w.rms, w.zeroCrossRate, w.peak), dim)
+          case "bmp" =>
+            val b = decodeBmp(r.media)
+            pad(Array(b.width.toDouble, b.height.toDouble,
+              b.meanR, b.meanG, b.meanB, b.meanLuma), dim)
+          case _ => stubDecode(r.media, dim)
+        }
+        MediaFeatures(r.media_id, r.kind, r.media.length.toLong, feats)
+      }
     }
   }
 
@@ -78,17 +264,34 @@ object Multimodal {
       .withColumn("out_height", ceil(col("height") * scale).cast("int"))
   }
 
-  /** Deterministic synthetic media table for tests/demos (seeded). */
+  /** Deterministic synthetic media table for tests/demos (seeded). Audio
+    * rows are REAL decodable WAVs and image rows REAL decodable BMPs
+    * (via the encoders above); video rows stay opaque bytes on the stub
+    * path. */
   def syntheticMedia(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     val rnd = new scala.util.Random(seed)
     val rows = (0 until n).map { i =>
-      val bytes = new Array[Byte](64 + rnd.nextInt(192))
-      rnd.nextBytes(bytes)
-      val kind = Seq("image", "audio", "video")(i % 3)
-      MediaRow(i.toLong, kind, bytes, Seq("png", "wav", "mp4")(i % 3),
-        width = 2 + rnd.nextInt(1024), height = 2 + rnd.nextInt(1024),
-        sample_rate = 8000 + 100 * rnd.nextInt(80))
+      i % 3 match {
+        case 0 => // image: small real BMP
+          val w = 2 + rnd.nextInt(14)
+          val h = 2 + rnd.nextInt(14)
+          val px = Array.fill(h, w)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+          MediaRow(i.toLong, "image", encodeBmp24(w, h, (x, y) => px(y)(x)),
+            "bmp", w, h, 0)
+        case 1 => // audio: real PCM-16 WAV
+          val rate = 8000 + 100 * rnd.nextInt(80)
+          val samples = Array.fill(64 + rnd.nextInt(192))(
+            (rnd.nextInt(65536) - 32768).toShort)
+          MediaRow(i.toLong, "audio", encodeWavPcm16(samples, rate),
+            "wav", 0, 0, rate)
+        case _ => // video: opaque container bytes (stub decode path)
+          val bytes = new Array[Byte](64 + rnd.nextInt(192))
+          rnd.nextBytes(bytes)
+          MediaRow(i.toLong, "video", bytes, "mp4",
+            width = 2 + rnd.nextInt(1024), height = 2 + rnd.nextInt(1024),
+            sample_rate = 0)
+      }
     }
     spark.createDataset(rows)
   }

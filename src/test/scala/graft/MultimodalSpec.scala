@@ -34,6 +34,81 @@ class MultimodalSpec extends SparkSpecBase {
     assert(arr(1)(0) == 30.toByte)
   }
 
+  test("WAV round-trip: encode → decode matches hand-computed stats") {
+    val samples = Array[Short](1000, -1000, 1000, -1000, 0, 500)
+    val w = Multimodal.decodeWav(Multimodal.encodeWavPcm16(samples, 8000))
+    assert(w.sampleRate == 8000 && w.channels == 1 && w.nSamples == 6)
+    assert(math.abs(w.mean - 500.0 / 6) < 1e-9)
+    assert(math.abs(w.rms - math.sqrt((4 * 1000.0 * 1000 + 500.0 * 500) / 6)) < 1e-9)
+    // sign sequence (0 counts as non-negative): + - + - + + → 4 crossings / 5
+    assert(math.abs(w.zeroCrossRate - 4.0 / 5) < 1e-9)
+    assert(w.peak == 1000.0)
+  }
+
+  test("WAV stereo: channel count and interleaved sample count survive") {
+    val w = Multimodal.decodeWav(
+      Multimodal.encodeWavPcm16(Array[Short](1, 2, 3, 4, 5, 6), 44100, channels = 2))
+    assert(w.sampleRate == 44100 && w.channels == 2 && w.nSamples == 6)
+  }
+
+  test("BMP round-trip: encode → decode matches hand-computed channel means") {
+    // 3x2: width 3 forces a padded row (9 pixel bytes + 3 pad), so the
+    // means only come out right if the decoder skips padding correctly
+    val px = Array(
+      Array((255, 0, 0), (0, 255, 0), (0, 0, 255)),
+      Array((10, 20, 30), (40, 50, 60), (70, 80, 90)))
+    val b = Multimodal.decodeBmp(Multimodal.encodeBmp24(3, 2, (x, y) => px(y)(x)))
+    assert(b.width == 3 && b.height == 2)
+    assert(math.abs(b.meanR - (255 + 10 + 40 + 70) / 6.0) < 1e-9)
+    assert(math.abs(b.meanG - (255 + 20 + 50 + 80) / 6.0) < 1e-9)
+    assert(math.abs(b.meanB - (255 + 30 + 60 + 90) / 6.0) < 1e-9)
+    assert(math.abs(b.meanLuma - (0.299 * b.meanR + 0.587 * b.meanG + 0.114 * b.meanB)) < 1e-9)
+  }
+
+  test("malformed payloads fail loudly, not with fake features") {
+    val junk = Array.tabulate[Byte](100)(_.toByte)
+    val e1 = intercept[IllegalArgumentException](Multimodal.decodeWav(junk))
+    assert(e1.getMessage.contains("RIFF"))
+    val e2 = intercept[IllegalArgumentException](Multimodal.decodeBmp(junk))
+    assert(e2.getMessage.contains("BM header"))
+    // PCM-8 / float WAVs must be rejected, not misparsed
+    val wav = Multimodal.encodeWavPcm16(Array[Short](1, 2), 8000)
+    wav(20) = 3 // audioFormat = IEEE float
+    val e3 = intercept[IllegalArgumentException](Multimodal.decodeWav(wav))
+    assert(e3.getMessage.contains("PCM-16"))
+  }
+
+  test("decodeFeatures dispatches: real stats for wav/bmp, stub for the rest") {
+    val wavBytes = Multimodal.encodeWavPcm16(Array[Short](100, -100, 100, -100), 16000)
+    val bmpBytes = Multimodal.encodeBmp24(2, 2, (_, _) => (10, 20, 30))
+    val mp4Bytes = Array.tabulate[Byte](32)(i => (i * 7).toByte)
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "audio", wavBytes, "wav", 0, 0, 16000),
+      Multimodal.MediaRow(2L, "image", bmpBytes, "bmp", 2, 2, 0),
+      Multimodal.MediaRow(3L, "video", mp4Bytes, "mp4", 8, 8, 0)))
+    val got = Multimodal.decodeFeatures(ds, dim = 8)
+      .collect().map(r => r.media_id -> r.features.toSeq).toMap
+    val w = Multimodal.decodeWav(wavBytes)
+    assert(got(1L) == Seq(16000f, 1f, 4f, w.mean.toFloat, w.rms.toFloat,
+      w.zeroCrossRate.toFloat, w.peak.toFloat, 0f))
+    val b = Multimodal.decodeBmp(bmpBytes)
+    assert(got(2L) == Seq(2f, 2f, 10f, 20f, 30f, b.meanLuma.toFloat, 0f, 0f))
+    assert(got(3L).take(3) != got(2L).take(3)) // stub path, not a decode
+  }
+
+  test("syntheticMedia emits genuinely decodable wav/bmp payloads") {
+    val rows = media.collect()
+    rows.filter(_.format == "wav").foreach { r =>
+      val w = Multimodal.decodeWav(r.media)
+      assert(w.sampleRate == r.sample_rate && w.nSamples >= 64)
+    }
+    rows.filter(_.format == "bmp").foreach { r =>
+      val b = Multimodal.decodeBmp(r.media)
+      assert(b.width == r.width && b.height == r.height)
+    }
+    assert(rows.count(_.format == "wav") == 10 && rows.count(_.format == "bmp") == 10)
+  }
+
   test("resize metadata preserves aspect ratio cap") {
     val df = Seq((1024, 512), (100, 50)).toDF("width", "height")
     val got = Multimodal.resizeMeta(df, maxSide = 256)
