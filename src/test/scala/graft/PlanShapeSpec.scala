@@ -1,8 +1,14 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{FilterExec, InputAdapter, ProjectExec, SortExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
 
-import graft.operators.{Relational, TimeSeries, TrainingData}
+import graft.operators.{Relational, TimeSeries, TrainingData, Windows}
 
 /** Plan-shape regressions for the audited hot queries: the broadcast /
   * exchange / pushdown facts that make these plans 100 TB-shaped are
@@ -58,6 +64,48 @@ class PlanShapeSpec extends SparkSpecBase {
       s"salted join must pin the shuffled-hash strategy:\n$p")
     assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
       s"broadcasting the replicated side would serialize the build on the driver:\n$p")
+  }
+
+  /** Whether `p` is an aggregate whose output is data-volume independent
+    * — empty grouping (1 row) or grouping only on GlobalRank's bucket-id
+    * working columns (≤ buckets rows) — reached through pass-through
+    * nodes. This is the structural form of the "benign nested loops"
+    * claim in Windows.winNtilePctrank's scaladoc. */
+  private def boundedAggRoot(p: SparkPlan): Boolean = p match {
+    case a: BaseAggregateExec =>
+      a.groupingExpressions.isEmpty ||
+        a.groupingExpressions.forall(_.name.startsWith("_b"))
+    case r: ReusedExchangeExec => boundedAggRoot(r.child)
+    case q: QueryStageExec => boundedAggRoot(q.plan)
+    case a: AdaptiveSparkPlanExec => boundedAggRoot(a.executedPlan)
+    case u @ (_: ProjectExec | _: FilterExec | _: SortExec |
+        _: WholeStageCodegenExec | _: InputAdapter |
+        _: BroadcastExchangeExec | _: ShuffleExchangeExec) =>
+      boundedAggRoot(u.children.head)
+    case _ => false
+  }
+
+  test("global-rank queries: every nested-loop build side is a bounded aggregate") {
+    // the "benign BNLJ" claim must survive refactors structurally, not by
+    // comment: each BroadcastNestedLoopJoin in these plans may only build
+    // a 1-row or ≤buckets-row aggregate frame, never table-scale data
+    for (q <- Seq(Windows.winNtilePctrank _, Windows.winDenseRankGlobal _,
+        Windows.winRankStringGlobal _)) {
+      val df = q(spark, sf())
+      val bnljs = PlanNodes.all(df.queryExecution.executedPlan)
+        .collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(bnljs.nonEmpty, "plan shape changed: no BNLJ left to audit " +
+        "(fine if intentional — update this test)")
+      bnljs.foreach { j =>
+        val build = j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
+        }
+        assert(boundedAggRoot(build),
+          s"BNLJ build side is not a bounded aggregate:\n$build\n" +
+            s"in plan:\n${df.queryExecution.executedPlan}")
+      }
+    }
   }
 
   test("filters and projections reach the parquet scan") {
