@@ -260,12 +260,22 @@ object CorpusPipeline {
       path.getFileSystem(hconf).makeQualified(path).toUri
     }
     val outUri = qualified(outDir)
-    val outPath = outUri.getPath.stripSuffix("/")
+    // local file:// paths are additionally canonicalized so a symlinked
+    // outDir (e.g. /tmp -> /private/tmp, while inputFiles reports resolved
+    // paths) cannot slip past the ancestry comparison; getCanonicalPath
+    // resolves the existing prefix and normalizes a not-yet-created tail
+    // lexically, so it is safe on an outDir that does not exist yet
+    def canonPath(u: java.net.URI): String = {
+      val p = u.getPath
+      (if (u.getScheme == "file") new java.io.File(p).getCanonicalPath else p)
+        .stripSuffix("/")
+    }
+    val outPath = canonPath(outUri)
     def underOut(f: String): Boolean = {
       val u = qualified(f)
       u.getScheme == outUri.getScheme &&
         Option(u.getAuthority).getOrElse("") == Option(outUri.getAuthority).getOrElse("") &&
-        (u.getPath == outPath || u.getPath.startsWith(outPath + "/"))
+        { val p = canonPath(u); p == outPath || p.startsWith(outPath + "/") }
     }
     require(!store.inputFiles.exists(underOut),
       s"outDir ($outDir) must not contain the files the signature store is " +

@@ -161,6 +161,37 @@ object StreamingOps {
   def withLateness(events: DataFrame, watermark: String = "1 day"): DataFrame =
     events.withWatermark("ts", watermark)
 
+  /** Streaming twin of the PII hygiene stage (judged text_pii_redact):
+    * the SAME Redact chain as batch — a stateless codegen'd map, so no
+    * state store, no watermark, valid in append mode on any stream.
+    * `pii_hits` is counted on the pre-scrub text, exactly as the batch
+    * form does. */
+  def redactDocuments(docs: DataFrame): DataFrame =
+    docs.withColumn("pii_hits",
+        graft.functions.Redact.piiCount(col("text")).cast("long"))
+      .withColumn("text", graft.functions.Redact.scrub(col("text")))
+
+  /** Streaming benchmark decontamination: each micro-batch is checked
+    * against the STATIC benchmark set with the same shingle equi-join as
+    * batch (graft.operators.Decontaminate) and contaminated rows are
+    * dropped before the sink sees them. foreachBatch, not a streaming
+    * aggregate: per-doc containment needs a per-doc-id aggregation,
+    * which as a direct stream agg would keep every doc's state forever —
+    * per micro-batch it is bounded by the batch. A document's containment
+    * depends only on its OWN shingles and the static benchmark, so
+    * batch-at-a-time evaluation equals whole-corpus evaluation (asserted
+    * in StreamingOpsSpec), unlike dedup, which needs cross-batch state
+    * (incrementalDedupStream). */
+  def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
+      minContainment: Double = 0.8, n: Int = 3)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val quarantined = graft.operators.Decontaminate
+        .contaminated(batch, benchmark, "doc_id", "text", n, minContainment)
+        .select(col("doc_id"))
+      sink(batch.join(quarantined, Seq("doc_id"), "left_anti"), id)
+    }
+
   /** Streaming as-of enrichment: each micro-batch of probes is joined
     * against a static history with the native sorted-merge as-of
     * (graft.plans.AsofJoin) inside foreachBatch — the standard shape for

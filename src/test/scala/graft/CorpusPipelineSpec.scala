@@ -140,6 +140,15 @@ class CorpusPipelineSpec extends SparkSpecBase {
     val sib = s"$dir/sig"
     val s2 = CorpusPipeline.appendBatch(spark, store, docs, sib, minQuality = 0.2)
     assert(s2.accepted == 0) // the whole batch is already in history
+    // a SYMLINK to the store dir must not slip past the guard either
+    // (inputFiles reports resolved paths; the guard canonicalizes file://)
+    val link = java.nio.file.Paths.get(
+      java.nio.file.Files.createTempDirectory("lnk").toString, "alias")
+    java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(dir))
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusPipeline.appendBatch(spark, store, docs, link.toString, minQuality = 0.2)
+    }
+    assert(e2.getMessage.contains("fresh outDir"))
   }
 
   test("curate runs over the judged documents table") {

@@ -199,6 +199,58 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
   }
 
+  test("streaming PII redaction equals the batch Redact chain row-for-row") {
+    val docs = Seq(
+      (1L, "mail me at a.b@example.com or 555-123-4567"),
+      (2L, "ssn 123-45-6789 card 1111-2222-3333-4444 ip 10.0.0.1"),
+      (3L, "nothing sensitive here"))
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val streamed = StreamingOps.redactDocuments(ms.toDF().toDF("doc_id", "text"))
+    val q = streamed.writeStream.format("memory").queryName("t_redact")
+      .outputMode("append").start()
+    try { ms.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("t_redact")
+    val want = StreamingOps.redactDocuments(docs.toDF("doc_id", "text"))
+    assert(got.count() == 3)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    val r1 = got.filter($"doc_id" === 1L).select($"text").as[String].head()
+    assert(r1.contains("[EMAIL]") && r1.contains("[PHONE]"), r1)
+    assert(got.filter($"doc_id" === 2L).select($"pii_hits").as[Long].head() == 3L)
+  }
+
+  test("streaming decontamination equals batch over the union of micro-batches") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contained → drop
+      (2L, "completely unrelated words about query engines"))
+    val batch2 = Seq(
+      (3L, "quick brown fox jumps"), // substring of a bench doc → drop
+      (4L, "yet another clean document holding different text"))
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = StreamingOps.decontaminateStream(
+        ms.toDF().toDF("doc_id", "text"), bench)(
+        (clean, _) => acc.synchronized {
+          acc ++= clean.select($"doc_id").as[Long].collect(); () })
+      .start()
+    try {
+      ms.addData(batch1: _*); q.processAllAvailable()
+      ms.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val corpus = (batch1 ++ batch2).toDF("doc_id", "text")
+    val wantIds = corpus.join(
+        graft.operators.Decontaminate
+          .contaminated(corpus, bench, "doc_id", "text", 3, 0.8)
+          .select($"doc_id"),
+        Seq("doc_id"), "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(acc.toSet == wantIds)
+    assert(wantIds == Set(2L, 4L)) // the fixture must actually drop 1 and 3
+  }
+
   test("incrementalDedupStream over two micro-batches equals full-corpus curation") {
     val long1 = ("the quick brown fox jumps over the lazy dog again and " +
       "again today with more useful words attached to make the quality score pass")
