@@ -265,12 +265,31 @@ object CorpusPipeline {
     // paths) cannot slip past the ancestry comparison; getCanonicalPath
     // resolves the existing prefix and normalizes a not-yet-created tail
     // lexically, so it is safe on an outDir that does not exist yet
+    // outDir is canonicalized in full — it is exactly the side a symlink
+    // arrives on (e.g. /tmp -> /private/tmp) and there is only one of it
+    val outPath = (if (outUri.getScheme == "file")
+        new java.io.File(outUri.getPath).getCanonicalPath
+      else outUri.getPath).stripSuffix("/")
+    // the store's input files are canonicalized via their parent dir,
+    // memoized: canonicalization costs one syscall per path component and
+    // a mature store can have tens of thousands of part files sharing a
+    // handful of directories (the part files themselves are plain files
+    // parquet wrote, never symlinks — the dirs carry any symlinked prefix)
+    val canonDirCache = scala.collection.mutable.HashMap.empty[String, String]
     def canonPath(u: java.net.URI): String = {
-      val p = u.getPath
-      (if (u.getScheme == "file") new java.io.File(p).getCanonicalPath else p)
-        .stripSuffix("/")
+      val p = u.getPath.stripSuffix("/")
+      if (u.getScheme != "file") p
+      else {
+        val f = new java.io.File(p)
+        Option(f.getParent) match {
+          case None => f.getCanonicalPath.stripSuffix("/")
+          case Some(dir) =>
+            val cd = canonDirCache.getOrElseUpdate(dir,
+              new java.io.File(dir).getCanonicalPath.stripSuffix("/"))
+            s"$cd/${f.getName}"
+        }
+      }
     }
-    val outPath = canonPath(outUri)
     def underOut(f: String): Boolean = {
       val u = qualified(f)
       u.getScheme == outUri.getScheme &&

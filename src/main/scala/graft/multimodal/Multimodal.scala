@@ -83,7 +83,9 @@ object Multimodal {
     while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val id = ascii(off, 4)
       val size = buf.getInt(off + 4)
-      if (size < 0 || off + 8 + size > bytes.length) fail(s"chunk '$id' overruns payload")
+      // Long arithmetic: a near-Int.MaxValue declared size must trip this
+      // guard, not wrap negative and crash the stats loop uncontrolled
+      if (size < 0 || off + 8L + size > bytes.length) fail(s"chunk '$id' overruns payload")
       id match {
         case "fmt " =>
           if (size < 16) fail(s"fmt chunk too short ($size)")
@@ -162,15 +164,22 @@ object Multimodal {
     if (dibSize < 40) fail(s"unsupported DIB header size $dibSize")
     val width = buf.getInt(18)
     val rawHeight = buf.getInt(22)
-    val height = math.abs(rawHeight) // negative = top-down; means don't care
+    // Long abs: math.abs(Int.MinValue) stays negative and would skip the
+    // pixel loop silently, returning fake zero stats
+    val heightL = math.abs(rawHeight.toLong)
     val bpp = buf.getShort(28) & 0xffff
     val compression = buf.getInt(30)
-    if (width <= 0 || height == 0) fail(s"bad dimensions ${width}x$rawHeight")
+    if (width <= 0 || heightL == 0 || heightL > Int.MaxValue)
+      fail(s"bad dimensions ${width}x$rawHeight")
+    val height = heightL.toInt // negative raw = top-down; means don't care
     if (bpp != 24 || compression != 0)
       fail(s"only uncompressed 24bpp supported (bpp=$bpp compression=$compression)")
-    val rowSize = ((24 * width + 31) / 32) * 4
-    if (pixelOff < 54 || pixelOff.toLong + rowSize.toLong * height > bytes.length)
+    // Long arithmetic: 24 * a crafted ~89M width wraps Int and would
+    // shrink rowSize past the bounds check into a raw AIOOBE
+    val rowSizeL = (24L * width + 31) / 32 * 4
+    if (pixelOff < 54 || pixelOff + rowSizeL * height > bytes.length)
       fail("pixel data overruns payload")
+    val rowSize = rowSizeL.toInt // fits: the payload bound above passed
     var sumR = 0.0; var sumG = 0.0; var sumB = 0.0
     var y = 0
     while (y < height) {
@@ -226,7 +235,9 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition decoder setup would go here (native lib handle, model)
       rows.map { r =>
-        val feats = r.format.toLowerCase match {
+        // null-safe: a missing format tag takes the stub path, as the
+        // pre-dispatch implementation did for every row
+        val feats = Option(r.format).map(_.toLowerCase).getOrElse("") match {
           case "wav" =>
             val w = decodeWav(r.media)
             pad(Array(w.sampleRate.toDouble, w.channels.toDouble,

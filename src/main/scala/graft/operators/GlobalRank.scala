@@ -160,13 +160,23 @@ object GlobalRank {
     * come from the caller — any ascending array is correct (balance-only
     * concern); [[stringSplitPoints]] samples them in one distributed
     * top-k action. Empty splits degrade to a single bucket (correct,
-    * serial — only acceptable for bounded inputs). */
+    * serial — only acceptable for bounded inputs).
+    *
+    * Null keys fail LOUDLY: a null never compares, so it would silently
+    * land in bucket 0 — which under `desc` holds the TOP values, where
+    * the window's nulls-last order would assign it a plausible-looking
+    * but wrong global rank. */
   def withRankOnStrings(df: DataFrame, primaryCol: String, desc: Boolean,
       sortCols: Seq[Column], out: String, splits: Array[String]): DataFrame = {
     val bC = fresh(df, "_b")
-    val bucketed = df.withColumn(bC,
+    val bucket =
       if (splits.isEmpty) lit(0)
-      else bucketExprOf(col(primaryCol), array(splits.map(lit(_)): _*), desc))
+      else bucketExprOf(col(primaryCol), array(splits.map(lit(_)): _*), desc)
+    val bucketed = df.withColumn(bC,
+      when(col(primaryCol).isNull, raise_error(lit(
+          s"withRankOnStrings: null in '$primaryCol' (null keys have no " +
+            "defined rank position; filter or coalesce them first)")))
+        .otherwise(bucket))
     rankBucketed(bucketed, bC, sortCols, out, splits.length + 1)
   }
 

@@ -186,10 +186,15 @@ object StreamingOps {
       minContainment: Double = 0.8, n: Int = 3)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      val quarantined = graft.operators.Decontaminate
-        .contaminated(batch, benchmark, "doc_id", "text", n, minContainment)
-        .select(col("doc_id"))
-      sink(batch.join(quarantined, Seq("doc_id"), "left_anti"), id)
+      // the batch feeds both the shingle join and the anti-join probe —
+      // persist so the micro-batch source is read once, not twice
+      val b = batch.persist()
+      try {
+        val quarantined = graft.operators.Decontaminate
+          .contaminated(b, benchmark, "doc_id", "text", n, minContainment)
+          .select(col("doc_id"))
+        sink(b.join(quarantined, Seq("doc_id"), "left_anti"), id)
+      } finally { b.unpersist(); () }
     }
 
   /** Streaming as-of enrichment: each micro-batch of probes is joined

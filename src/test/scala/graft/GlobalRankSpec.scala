@@ -148,6 +148,15 @@ class GlobalRankSpec extends SparkSpecBase {
     }
   }
 
+  test("withRankOnStrings fails loudly on null keys (no silent bucket-0 rank)") {
+    val df = Seq((1, "a"), (2, null), (3, "c")).toDF("id", "k")
+    val e = intercept[Exception] {
+      GlobalRank.withRankOnStrings(df, "k", desc = true,
+        Seq($"k".desc, $"id"), "r", Array("b")).collect()
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
+  }
+
   test("stringSplitPoints: ascending, bounded, and hot-key flood-proof") {
     // one value owns 90% of rows — the distinct-first sample must still
     // produce splits spread over the OTHER values, not 90% copies

@@ -78,6 +78,38 @@ class MultimodalSpec extends SparkSpecBase {
     assert(e3.getMessage.contains("PCM-16"))
   }
 
+  test("crafted size/dimension fields trip the loud guards, not raw overflows") {
+    // WAV data chunk declaring a near-Int.MaxValue size: must be the
+    // contractual IllegalArgumentException, not an uncontrolled
+    // IndexOutOfBounds from wrapped Int arithmetic
+    val wav = Multimodal.encodeWavPcm16(Array[Short](1, 2, 3, 4), 8000)
+    val wbuf = java.nio.ByteBuffer.wrap(wav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wbuf.putInt(40, 0x7ffffff0) // data chunk size field
+    val e1 = intercept[IllegalArgumentException](Multimodal.decodeWav(wav))
+    assert(e1.getMessage.contains("overruns"))
+    // BMP height = Int.MinValue: abs stays negative in Int — must fail,
+    // not skip the pixel loop and return fake zero stats
+    val bmp = Multimodal.encodeBmp24(2, 2, (_, _) => (1, 2, 3))
+    val bbuf = java.nio.ByteBuffer.wrap(bmp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bbuf.putInt(22, Int.MinValue)
+    val e2 = intercept[IllegalArgumentException](Multimodal.decodeBmp(bmp))
+    assert(e2.getMessage.contains("bad dimensions"))
+    // BMP width where 24*width wraps Int: the row-size bound must hold
+    val bmp2 = Multimodal.encodeBmp24(2, 2, (_, _) => (1, 2, 3))
+    val bbuf2 = java.nio.ByteBuffer.wrap(bmp2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bbuf2.putInt(18, 178956971)
+    val e3 = intercept[IllegalArgumentException](Multimodal.decodeBmp(bmp2))
+    assert(e3.getMessage.contains("overruns"))
+  }
+
+  test("a null format tag takes the stub path instead of an executor NPE") {
+    val bytes = Array.tabulate[Byte](16)(_.toByte)
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(9L, "video", bytes, null, 0, 0, 0)))
+    val got = Multimodal.decodeFeatures(ds, dim = 4).collect()
+    assert(got.length == 1 && got.head.features.length == 4)
+  }
+
   test("decodeFeatures dispatches: real stats for wav/bmp, stub for the rest") {
     val wavBytes = Multimodal.encodeWavPcm16(Array[Short](100, -100, 100, -100), 16000)
     val bmpBytes = Multimodal.encodeBmp24(2, 2, (_, _) => (10, 20, 30))

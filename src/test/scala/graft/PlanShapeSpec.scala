@@ -73,8 +73,11 @@ class PlanShapeSpec extends SparkSpecBase {
     * claim in Windows.winNtilePctrank's scaladoc. */
   private def boundedAggRoot(p: SparkPlan): Boolean = p match {
     case a: BaseAggregateExec =>
+      // exactly GlobalRank.fresh's bucket-column names ("_b", "_b1", ...):
+      // a looser prefix would also accept table-scale columns that merely
+      // start with _b and quietly void the audit
       a.groupingExpressions.isEmpty ||
-        a.groupingExpressions.forall(_.name.startsWith("_b"))
+        a.groupingExpressions.forall(_.name.matches("_b\\d*"))
     case r: ReusedExchangeExec => boundedAggRoot(r.child)
     case q: QueryStageExec => boundedAggRoot(q.plan)
     case a: AdaptiveSparkPlanExec => boundedAggRoot(a.executedPlan)
