@@ -180,6 +180,58 @@ object GlobalRank {
     rankBucketed(bucketed, bC, sortCols, out, splits.length + 1)
   }
 
+  /** [[withRankOnStrings]] with LAZY sampled splits — the string analogue
+    * of the numeric path's `percentile_approx` subtree, ZERO driver
+    * actions: bottom-k of the distinct values by hash (a uniform
+    * value-space sample a heavy-hitter key cannot flood; the limit is a
+    * distributed top-k) collapses to a sorted array in a 1-row aggregate,
+    * broadcast onto every row by a cross join (computed once — the
+    * exchange is reused across the count and rank branches, pinned in
+    * GlobalRankSpec for the numeric twin), and the every-n-th split
+    * points are read from the array inside the bucket expression. Split
+    * quality only moves load balance, never rank values. Null keys fail
+    * loudly, as in [[withRankOnStrings]]. */
+  def withRankStringSampled(df: DataFrame, primaryCol: String, desc: Boolean,
+      sortCols: Seq[Column], out: String, buckets: Int = 0,
+      sampleSize: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    val b = if (buckets > 0) buckets
+      else spark.sessionState.conf.numShufflePartitions
+    val bC = fresh(df, "_b")
+    val nullGuard = raise_error(lit(
+      s"global string rank: null in '$primaryCol' (null keys have no " +
+        "defined rank position; filter or coalesce them first)"))
+    if (b <= 1)
+      return rankBucketed(
+        df.withColumn(bC,
+          when(col(primaryCol).isNull, nullGuard).otherwise(lit(0))),
+        bC, sortCols, out, 1)
+    val spC = fresh(df, "_gr_ssplits")
+    val sampleDf = df.select(col(primaryCol).cast("string").as(spC))
+      .where(col(spC).isNotNull)
+      .distinct()
+      .orderBy(xxhash64(col(spC)), col(spC))
+      .limit(sampleSize)
+      .agg(sort_array(collect_list(col(spC))).as(spC))
+    val arr = col(spC)
+    // positions 1-based: min(len-1, i*len/b) + 1, i = 1..b-1 (same rule as
+    // stringSplitPoints); the greatest() keeps element_at legal on the
+    // empty-sample row, whose branch the size()=0 guard never selects
+    val splitArr = array_distinct(transform(sequence(lit(1), lit(b - 1)),
+      i => element_at(arr,
+        greatest(lit(1), least(size(arr),
+          floor((i * size(arr)) / lit(b)).cast("int") + 1)))))
+    val cnt =
+      if (desc) size(filter(splitArr, s => s > col(primaryCol)))
+      else size(filter(splitArr, s => s < col(primaryCol)))
+    val bucketed = df.crossJoin(broadcast(sampleDf))
+      .withColumn(bC,
+        when(col(primaryCol).isNull, nullGuard)
+          .otherwise(when(size(arr) === 0, lit(0)).otherwise(cnt).cast("int")))
+      .drop(spC)
+    rankBucketed(bucketed, bC, sortCols, out, b)
+  }
+
   /** Stages 3-4 of the plan in the object scaladoc, shared by the numeric
     * and string paths: per-bucket counts → exclusive prefix-sum offsets →
     * one bucket-id repartition → within-bucket window + broadcast offset

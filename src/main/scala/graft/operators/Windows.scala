@@ -90,19 +90,19 @@ object Windows {
     * document-id/URL/content-hash ordering a curation pipeline needs
     * (e.g. "position of each doc in the corpus's content-hash order").
     * Strings have no `percentile_approx`, so the bucketing splits come
-    * from [[GlobalRank.stringSplitPoints]] — one distributed top-k
-    * action sampling the distinct-value space — and the rank itself is
-    * the same range-bucketed plan as the numeric path
-    * ([[GlobalRank.withRankOnStrings]]): no partition-less window, one
-    * bucket-id exchange. Ranks depend on the WHOLE table; only the first
-    * 300 doc ids are emitted. */
+    * from a lazy bottom-k-by-hash sample of the distinct-value space
+    * ([[GlobalRank.withRankStringSampled]] — a 1-row broadcast aggregate
+    * inside the plan, ZERO driver actions, same shape as the numeric
+    * path): no partition-less window, one bucket-id exchange. Ranks
+    * depend on the WHOLE table; only the first 300 doc ids are
+    * emitted. Callers with domain-known splits use
+    * [[GlobalRank.withRankOnStrings]] + [[GlobalRank.stringSplitPoints]]
+    * instead. */
   def winRankStringGlobal(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
       .select(col("doc_id"), md5(col("text")).as("_k"))
-    val splits = GlobalRank.stringSplitPoints(base, "_k",
-      s.sessionState.conf.numShufflePartitions)
-    GlobalRank.withRankOnStrings(base, "_k", desc = false,
-        Seq(col("_k"), col("doc_id")), "r", splits)
+    GlobalRank.withRankStringSampled(base, "_k", desc = false,
+        Seq(col("_k"), col("doc_id")), "r")
       .select(col("doc_id"), col("r"))
       .orderBy(col("doc_id"))
       .limit(300)

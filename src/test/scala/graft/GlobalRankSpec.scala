@@ -148,6 +148,35 @@ class GlobalRankSpec extends SparkSpecBase {
     }
   }
 
+  test("withRankStringSampled (lazy splits) matches rank() on random string keys") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("kiwi", "Apple", "banana", "CHERRY", "date-9", "élan",
+      "", "x", "xy", "zz top", "中文字", "0042", "fig#")
+    for (trial <- 1 to 3) {
+      val df = (1 to 250).map { i =>
+        (i, vocab(rnd.nextInt(vocab.length)) + (if (rnd.nextBoolean()) "" else s"~${rnd.nextInt(7)}"))
+      }.toDF("id", "k")
+      for ((desc, buckets) <- Seq((false, 5), (true, 3), (false, 1))) {
+        val order = if (desc) Seq($"k".desc, $"id") else Seq($"k", $"id")
+        val got = GlobalRank.withRankStringSampled(df, "k", desc, order, "r",
+            buckets = buckets, sampleSize = 64)
+          .select($"id", $"r").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val want = df.select($"id", rank().over(Window.orderBy(order: _*)).cast("long").as("r"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        assert(got == want, s"trial=$trial desc=$desc buckets=$buckets")
+      }
+    }
+  }
+
+  test("withRankStringSampled fails loudly on null keys too") {
+    val df = Seq((1, "a"), (2, null), (3, "c")).toDF("id", "k")
+    val e = intercept[Exception] {
+      GlobalRank.withRankStringSampled(df, "k", desc = false,
+        Seq($"k", $"id"), "r", buckets = 4).collect()
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
+  }
+
   test("withRankOnStrings fails loudly on null keys (no silent bucket-0 rank)") {
     val df = Seq((1, "a"), (2, null), (3, "c")).toDF("id", "k")
     val e = intercept[Exception] {

@@ -51,6 +51,14 @@ class IngestSpec extends SparkSpecBase {
     assert(back.filter($"day" === "2024-01-01").count() == 1)
     // partition directories exist on disk (physical layout for pruning)
     assert(new java.io.File(dir, "day=2024-01-01").exists())
+    // and pruning actually HAPPENS: the filtered scan lists the day
+    // predicate under PartitionFilters (directory-level skip, the thing
+    // that makes a date filter read 1/1000th of a 100 TB table)
+    val plan = back.filter($"day" === "2024-01-01")
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*day[^\\]]*2024-01-01".r
+        .findFirstIn(plan).nonEmpty,
+      s"day filter must prune partitions at the scan:\n$plan")
   }
 
   test("ORC source/sink round-trips with partition layout and pushdown") {
