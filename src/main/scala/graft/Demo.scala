@@ -133,6 +133,9 @@ object Demo {
     val media = Multimodal.syntheticMedia(spark, 12)
     val feats = Multimodal.decodeFeatures(media, dim = 8)
     println(s"multimodal: decoded ${feats.count()} media rows → ${feats.first().features.length}-dim features")
+    val frames = Multimodal.wavFrameFeatures(media, frameSize = 32, stride = 16)
+    println(s"audio frames: ${frames.count()} frames from the real WAV rows " +
+      s"(sample rms=${math.round(frames.first().rms)})")
 
     // end-to-end reference pipeline: raw CSV export → quarantine → clean →
     // rolling + HRV feature tables (see graft.Pipeline)

@@ -65,12 +65,10 @@ object Multimodal {
     buf.array()
   }
 
-  /** Strict PCM-16 WAV parse: walks the RIFF chunk list (even-padded, as
-    * the spec requires) to `fmt ` and `data`, then computes sample stats
-    * in one pass. Malformed or non-PCM-16 input fails LOUDLY — a decoder
-    * that silently fakes features for bytes it cannot read would poison
-    * every downstream similarity/dedup signal. */
-  def decodeWav(bytes: Array[Byte]): WavInfo = {
+  /** Validated PCM-16 WAV container layout: (sampleRate, channels,
+    * byte offset of the sample data, number of 16-bit samples). Shared
+    * by [[decodeWav]] and [[wavFrameFeatures]]. */
+  private[multimodal] def wavLayout(bytes: Array[Byte]): (Int, Int, Int, Int) = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"decodeWav: $msg")
     if (bytes.length < 44) fail(s"payload too short (${bytes.length} bytes)")
@@ -84,7 +82,7 @@ object Multimodal {
       val id = ascii(off, 4)
       val size = buf.getInt(off + 4)
       // Long arithmetic: a near-Int.MaxValue declared size must trip this
-      // guard, not wrap negative and crash the stats loop uncontrolled
+      // guard, not wrap negative and crash the read loops uncontrolled
       if (size < 0 || off + 8L + size > bytes.length) fail(s"chunk '$id' overruns payload")
       id match {
         case "fmt " =>
@@ -102,7 +100,17 @@ object Multimodal {
     val (channels, sampleRate) = fmt.getOrElse(fail("no fmt chunk"))
     val (dOff, dLen) = data.getOrElse(fail("no data chunk"))
     if (dLen % 2 != 0) fail("odd data length for 16-bit samples")
-    val n = dLen / 2
+    (sampleRate, channels, dOff, dLen / 2)
+  }
+
+  /** Strict PCM-16 WAV parse: walks the RIFF chunk list (even-padded, as
+    * the spec requires) to `fmt ` and `data`, then computes sample stats
+    * in one pass. Malformed or non-PCM-16 input fails LOUDLY — a decoder
+    * that silently fakes features for bytes it cannot read would poison
+    * every downstream similarity/dedup signal. */
+  def decodeWav(bytes: Array[Byte]): WavInfo = {
+    val (sampleRate, channels, dOff, n) = wavLayout(bytes)
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     var i = 0
     var sum = 0.0; var sumSq = 0.0; var peak = 0.0; var crossings = 0
     var prevNonNeg = true
@@ -249,6 +257,50 @@ object Multimodal {
           case _ => stubDecode(r.media, dim)
         }
         MediaFeatures(r.media_id, r.kind, r.media.length.toLong, feats)
+      }
+    }
+  }
+
+  /** One audio analysis frame: per-frame energy and zero-cross rate —
+    * the features voice-activity detection / segmentation build on. */
+  case class FrameFeatures(media_id: Long, frame_idx: Int,
+      start_sample: Long, rms: Double, zero_cross_rate: Double)
+
+  /** Frame-level features over PCM-16 WAV rows: parse the container once
+    * per row, then slide a `frameSize`-sample window every `stride`
+    * samples, computing RMS and zero-cross rate per frame directly from
+    * the payload bytes (no sample array materialized). Non-WAV rows are
+    * skipped. A pure flatMap: no shuffle, output ≈ nSamples/stride rows
+    * per doc, scales with partitions — downstream windows/aggregations
+    * (e.g. "longest silence run per file") then partition by media_id. */
+  def wavFrameFeatures(media: Dataset[MediaRow], frameSize: Int,
+      stride: Int): Dataset[FrameFeatures] = {
+    require(frameSize > 0 && stride > 0,
+      s"frameSize and stride must be positive (got $frameSize, $stride)")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      if (!Option(r.format).exists(_.equalsIgnoreCase("wav"))) Iterator.empty
+      else {
+        val (_, _, dOff, n) = wavLayout(r.media)
+        val buf = ByteBuffer.wrap(r.media).order(ByteOrder.LITTLE_ENDIAN)
+        val frames = if (n < frameSize) 0 else (n - frameSize) / stride + 1
+        (0 until frames).iterator.map { f =>
+          val base = dOff + 2 * f * stride
+          var i = 0
+          var sumSq = 0.0; var crossings = 0; var prevNonNeg = true
+          while (i < frameSize) {
+            val s = buf.getShort(base + 2 * i).toDouble
+            sumSq += s * s
+            val nonNeg = s >= 0
+            if (i > 0 && nonNeg != prevNonNeg) crossings += 1
+            prevNonNeg = nonNeg
+            i += 1
+          }
+          FrameFeatures(r.media_id, f, f.toLong * stride,
+            rms = math.sqrt(sumSq / frameSize),
+            zero_cross_rate =
+              if (frameSize < 2) 0.0 else crossings.toDouble / (frameSize - 1))
+        }
       }
     }
   }

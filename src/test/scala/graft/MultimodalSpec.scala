@@ -141,6 +141,25 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows.count(_.format == "wav") == 10 && rows.count(_.format == "bmp") == 10)
   }
 
+  test("wavFrameFeatures: hand-computed per-frame energy and zero crossings") {
+    // 4 silent samples, 4 at +1000, 4 alternating ±1000 → frames of 4 / stride 4
+    val samples = Array[Short](0, 0, 0, 0, 1000, 1000, 1000, 1000,
+      1000, -1000, 1000, -1000)
+    val wav = Multimodal.encodeWavPcm16(samples, 8000)
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(7L, "audio", wav, "wav", 0, 0, 8000),
+      Multimodal.MediaRow(8L, "video", Array[Byte](1, 2, 3), "mp4", 0, 0, 0)))
+    val got = Multimodal.wavFrameFeatures(ds, frameSize = 4, stride = 4)
+      .collect().sortBy(_.frame_idx)
+    assert(got.forall(_.media_id == 7L) && got.length == 3) // mp4 row skipped
+    assert(got.map(_.start_sample).toSeq == Seq(0L, 4L, 8L))
+    assert(got(0).rms == 0.0 && got(0).zero_cross_rate == 0.0)
+    assert(got(1).rms == 1000.0 && got(1).zero_cross_rate == 0.0)
+    assert(got(2).rms == 1000.0 && math.abs(got(2).zero_cross_rate - 1.0) < 1e-9)
+    // overlapping frames: stride 2 over 12 samples → 5 frames
+    assert(Multimodal.wavFrameFeatures(ds, frameSize = 4, stride = 2).count() == 5)
+  }
+
   test("resize metadata preserves aspect ratio cap") {
     val df = Seq((1024, 512), (100, 50)).toDF("width", "height")
     val got = Multimodal.resizeMeta(df, maxSide = 256)
