@@ -197,6 +197,23 @@ class GlobalRankSpec extends SparkSpecBase {
     assert(sp.exists(_.startsWith("cold")), sp.mkString(","))
   }
 
+  test("sampled string splits balance buckets on hash-distributed keys") {
+    // the load-balance claim, demonstrated: on ~uniform keys (md5 hex,
+    // the judged query's domain) the sampled splits spread rows evenly —
+    // every bucket populated, worst bucket within 2x of the mean
+    val df = spark.range(4000).select($"id".cast("int").as("id"),
+      md5($"id".cast("string")).as("k"))
+    val buckets = 8
+    val sp = GlobalRank.stringSplitPoints(df, "k", buckets)
+    assert(sp.length == buckets - 1, sp.mkString(","))
+    val keys = df.select($"k").as[String].collect()
+    val counts = keys.groupBy(k => sp.count(_ < k)).map(_._2.length)
+    assert(counts.size == buckets, s"empty buckets: ${counts.mkString(",")}")
+    val mean = keys.length.toDouble / buckets
+    assert(counts.max <= 2 * mean,
+      s"worst bucket ${counts.max} vs mean $mean: ${counts.mkString(",")}")
+  }
+
   test("winRankStringGlobal matches its single-partition-window form on testdata") {
     val want = Tables.documents(spark, sf())
       .select($"doc_id", md5($"text").as("_k"))

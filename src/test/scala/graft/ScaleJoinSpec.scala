@@ -94,6 +94,44 @@ class ScaleJoinSpec extends SparkSpecBase {
         saltedCounts.sorted.reverse.mkString(","))
   }
 
+  test("AQE skew-join splits the hot partition without salting") {
+    // the runtime alternative to SkewJoin.saltedInnerJoin: AQE detects the
+    // oversized shuffle partition after the map stage and splits it, so
+    // the hot key's probe rows land on several tasks. Demonstrated on the
+    // same hot-key fixture as the salting test: after execution the join
+    // output must show the hot key spread over >1 task and the adaptive
+    // plan must carry the skew markers. (Salting remains the choice when
+    // the engine must GUARANTEE balance — e.g. a build side too big to
+    // replicate per split is not AQE-splittable — see SCALE_DEPLOYMENT.)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    import s.implicits._
+    val n = 20000
+    val hot = n / 2
+    val left = (1 to n).map(i => (if (i <= hot) 1L else i.toLong, i.toLong))
+      .toDF("k", "id")
+    val right = (1 to n).map(i => (i.toLong, s"v$i")).toDF("rk", "payload")
+    val joined = left.join(right, $"k" === $"rk")
+      .withColumn("_p", spark_partition_id())
+    // collect THIS dataframe so its own adaptive plan finalizes (a
+    // count()/filter() would execute a different QueryExecution)
+    val rows = joined.collect()
+    assert(rows.length == n)
+    val hotTasks = rows.filter(_.getLong(0) == 1L).map(_.getInt(4)).distinct.length
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true") || plan.toLowerCase.contains("skewed"),
+      s"AQE did not mark the join skewed:\n$plan")
+    assert(hotTasks > 1,
+      s"hot key still on one task ($hotTasks) despite AQE skew split:\n$plan")
+  }
+
   test("bucketed+sorted table runs a per-key window with no exchange and no sort") {
     // the SCALE_DEPLOYMENT claim for 100 TB events: bucket by user_id,
     // sort by (user_id, ts) → win_*/sessionize plans lose BOTH the hash
