@@ -136,6 +136,8 @@ object Demo {
     val frames = Multimodal.wavFrameFeatures(media, frameSize = 32, stride = 16)
     println(s"audio frames: ${frames.count()} frames from the real WAV rows " +
       s"(sample rms=${math.round(frames.first().rms)})")
+    println(s"image aHash: ${Multimodal.imageAHashes(media).count()} signatures, " +
+      s"${Multimodal.imageNearDups(media).count()} near-dup pairs (random images)")
 
     // end-to-end reference pipeline: raw CSV export → quarantine → clean →
     // rolling + HRV feature tables (see graft.Pipeline)

@@ -157,11 +157,10 @@ object Multimodal {
     buf.array()
   }
 
-  /** Strict 24-bit uncompressed BMP parse: header fields plus per-channel
-    * means over the pixel rectangle (row padding skipped, bottom-up or
-    * top-down both handled). Fails loudly on anything else — see
-    * [[decodeWav]] for why. */
-  def decodeBmp(bytes: Array[Byte]): BmpInfo = {
+  /** Validated 24-bit BMP layout: (width, height, pixel-data offset, row
+    * stride in bytes, bottomUp storage order). Shared by [[decodeBmp]]
+    * and [[bmpAHash]]. */
+  private[multimodal] def bmpLayout(bytes: Array[Byte]): (Int, Int, Int, Int, Boolean) = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"decodeBmp: $msg")
     if (bytes.length < 54) fail(s"payload too short (${bytes.length} bytes)")
@@ -173,13 +172,13 @@ object Multimodal {
     val width = buf.getInt(18)
     val rawHeight = buf.getInt(22)
     // Long abs: math.abs(Int.MinValue) stays negative and would skip the
-    // pixel loop silently, returning fake zero stats
+    // pixel loops silently, returning fake zero stats
     val heightL = math.abs(rawHeight.toLong)
     val bpp = buf.getShort(28) & 0xffff
     val compression = buf.getInt(30)
     if (width <= 0 || heightL == 0 || heightL > Int.MaxValue)
       fail(s"bad dimensions ${width}x$rawHeight")
-    val height = heightL.toInt // negative raw = top-down; means don't care
+    val height = heightL.toInt // negative raw = top-down
     if (bpp != 24 || compression != 0)
       fail(s"only uncompressed 24bpp supported (bpp=$bpp compression=$compression)")
     // Long arithmetic: 24 * a crafted ~89M width wraps Int and would
@@ -187,7 +186,15 @@ object Multimodal {
     val rowSizeL = (24L * width + 31) / 32 * 4
     if (pixelOff < 54 || pixelOff + rowSizeL * height > bytes.length)
       fail("pixel data overruns payload")
-    val rowSize = rowSizeL.toInt // fits: the payload bound above passed
+    (width, height, pixelOff, rowSizeL.toInt, rawHeight > 0)
+  }
+
+  /** Strict 24-bit uncompressed BMP parse: header fields plus per-channel
+    * means over the pixel rectangle (row padding skipped, bottom-up or
+    * top-down both handled). Fails loudly on anything else — see
+    * [[decodeWav]] for why. */
+  def decodeBmp(bytes: Array[Byte]): BmpInfo = {
+    val (width, height, pixelOff, rowSize, _) = bmpLayout(bytes)
     var sumR = 0.0; var sumG = 0.0; var sumB = 0.0
     var y = 0
     while (y < height) {
@@ -205,6 +212,74 @@ object Multimodal {
     val (mr, mg, mb) = (sumR / n, sumG / n, sumB / n)
     BmpInfo(width, height, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb)
   }
+
+  /** 64-bit perceptual average-hash (aHash) of a 24-bit BMP: mean luma
+    * over an 8×8 block grid, bit b set when block b's mean luma exceeds
+    * the mean of the (populated) block means. Orientation-normalized:
+    * bottom-up and top-down payloads of the same image hash identically.
+    * Images smaller than 8px on a side leave some blocks empty (bit 0 —
+    * deterministic). Near-identical images differ in a few bits, so
+    * near-dup pairs come from the SAME banded-hamming machinery as text
+    * ([[imageNearDups]]) — never an all-pairs comparison. */
+  def bmpAHash(bytes: Array[Byte]): Long = {
+    val (w, h, off, rowSize, bottomUp) = bmpLayout(bytes)
+    val sums = new Array[Double](64)
+    val cnts = new Array[Long](64)
+    var sy = 0
+    while (sy < h) {
+      val iy = if (bottomUp) h - 1 - sy else sy // image-space row
+      val by = (iy.toLong * 8 / h).toInt
+      val base = off + sy * rowSize
+      var x = 0
+      while (x < w) {
+        val blk = by * 8 + (x.toLong * 8 / w).toInt
+        val b = bytes(base + 3 * x) & 0xff
+        val g = bytes(base + 3 * x + 1) & 0xff
+        val r = bytes(base + 3 * x + 2) & 0xff
+        sums(blk) += 0.299 * r + 0.587 * g + 0.114 * b
+        cnts(blk) += 1
+        x += 1
+      }
+      sy += 1
+    }
+    var meanOfMeans = 0.0
+    var populated = 0
+    var i = 0
+    while (i < 64) {
+      if (cnts(i) > 0) { meanOfMeans += sums(i) / cnts(i); populated += 1 }
+      i += 1
+    }
+    meanOfMeans /= math.max(populated, 1)
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (cnts(i) > 0 && sums(i) / cnts(i) > meanOfMeans) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Per-image aHash signatures for the BMP rows of a media table:
+    * (media_id, sig) — the image analogue of the text SimHash signature
+    * store. A pure map; non-BMP rows are skipped. */
+  def imageAHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      if (Option(r.format).exists(_.equalsIgnoreCase("bmp")))
+        Some((r.media_id, bmpAHash(r.media)))
+      else None
+    }.toDF("media_id", "sig")
+  }
+
+  /** Near-duplicate image pairs within an aHash hamming radius, found by
+    * the same 16-bit-band equi-join as text near-dup (pigeonhole: any
+    * pair within hamming ≤ 3 shares a band) — candidate pairs scale with
+    * bucket sizes, never all-pairs. Output: (a_id, b_id, hamming). */
+  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    graft.operators.ScalableDedup.simhashCandidatesFromSigs(
+      imageAHashes(media), "media_id", "sig", maxHamming)
+      .withColumnRenamed("a_id", "a_media_id")
+      .withColumnRenamed("b_id", "b_media_id")
 
   /** ======== STUB ========
     * Deterministic fake decode for formats with no pure-JVM parse here

@@ -160,6 +160,47 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.wavFrameFeatures(ds, frameSize = 4, stride = 2).count() == 5)
   }
 
+  test("bmpAHash: block structure, orientation invariance, noise tolerance") {
+    // A: left half dark, right half bright → exactly the right-half bits
+    val a = Multimodal.encodeBmp24(16, 16,
+      (x, _) => if (x < 8) (0, 0, 0) else (255, 255, 255))
+    val hashA = Multimodal.bmpAHash(a)
+    val wantA = (0 until 64).filter(i => i % 8 >= 4).map(1L << _).sum
+    assert(hashA == wantA, f"A=$hashA%016x want=$wantA%016x")
+    // B: A with a couple of flipped pixels → hamming ≤ 3 of A
+    val b = Multimodal.encodeBmp24(16, 16, (x, y) =>
+      if ((x, y) == (2, 2)) (200, 200, 200)
+      else if (x < 8) (0, 0, 0) else (255, 255, 255))
+    assert(java.lang.Long.bitCount(hashA ^ Multimodal.bmpAHash(b)) <= 3)
+    // C: top half bright → orthogonal structure, far from A
+    val c = Multimodal.encodeBmp24(16, 16,
+      (_, y) => if (y < 8) (255, 255, 255) else (0, 0, 0))
+    assert(java.lang.Long.bitCount(hashA ^ Multimodal.bmpAHash(c)) > 3)
+    // top-down storage of A (negative height, rows in image order) must
+    // hash identically — orientation normalization
+    val rowSize = ((24 * 16 + 31) / 32) * 4
+    val td = a.clone()
+    java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, -16)
+    for (y <- 0 until 16) // reverse the stored row order
+      System.arraycopy(a, 54 + (15 - y) * rowSize, td, 54 + y * rowSize, rowSize)
+    assert(Multimodal.bmpAHash(td) == hashA)
+  }
+
+  test("imageNearDups pairs the near-identical images, not the different one") {
+    def img(f: (Int, Int) => (Int, Int, Int)) = Multimodal.encodeBmp24(16, 16, f)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", img((x, _) => if (x < 8) (0, 0, 0) else (255, 255, 255)), "bmp", 16, 16, 0),
+      Multimodal.MediaRow(2L, "image", img((x, y) =>
+        if ((x, y) == (1, 1)) (50, 50, 50)
+        else if (x < 8) (0, 0, 0) else (255, 255, 255)), "bmp", 16, 16, 0),
+      Multimodal.MediaRow(3L, "image", img((_, y) => if (y < 8) (255, 255, 255) else (0, 0, 0)), "bmp", 16, 16, 0),
+      Multimodal.MediaRow(4L, "audio", Multimodal.encodeWavPcm16(Array[Short](1, 2), 8000), "wav", 0, 0, 8000))
+    val pairs = Multimodal.imageNearDups(spark.createDataset(rows), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
+
   test("resize metadata preserves aspect ratio cap") {
     val df = Seq((1024, 512), (100, 50)).toDF("width", "height")
     val got = Multimodal.resizeMeta(df, maxSide = 256)
