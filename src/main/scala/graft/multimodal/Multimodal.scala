@@ -393,8 +393,54 @@ object Multimodal {
       .otherwise(array().cast("array<binary>"))
   }
 
-  /** Resize metadata after a (stub) spatial downscale: the metadata math
-    * is real; the pixel transform would live in the decoder. */
+  /** REAL spatial downscale of a 24-bit BMP: box-filter average of the
+    * source pixels mapping to each target pixel, re-encoded bottom-up.
+    * Target dimensions follow the same cap rule as [[resizeMeta]]
+    * (`ceil(dim * maxSide / maxDim)`, aspect preserved); payloads
+    * already within `maxSide` return unchanged. A pure byte→byte
+    * function, so it runs inside the same mapPartitions batch shape as
+    * [[decodeFeatures]] — no shuffle, scales with partitions. */
+  def bmpResize(bytes: Array[Byte], maxSide: Int): Array[Byte] = {
+    require(maxSide > 0, s"maxSide must be positive, got $maxSide")
+    val (w, h, off, rowSize, bottomUp) = bmpLayout(bytes)
+    if (math.max(w, h) <= maxSide) return bytes
+    val scale = maxSide.toDouble / math.max(w, h)
+    val ow = math.max(1, math.ceil(w * scale).toInt)
+    val oh = math.max(1, math.ceil(h * scale).toInt)
+    val sumR = new Array[Double](ow * oh)
+    val sumG = new Array[Double](ow * oh)
+    val sumB = new Array[Double](ow * oh)
+    val cnt = new Array[Long](ow * oh)
+    var sy = 0
+    while (sy < h) {
+      val iy = if (bottomUp) h - 1 - sy else sy // image-space row
+      val ty = (iy.toLong * oh / h).toInt
+      val base = off + sy * rowSize
+      var x = 0
+      while (x < w) {
+        val t = ty * ow + (x.toLong * ow / w).toInt
+        sumB(t) += bytes(base + 3 * x) & 0xff
+        sumG(t) += bytes(base + 3 * x + 1) & 0xff
+        sumR(t) += bytes(base + 3 * x + 2) & 0xff
+        cnt(t) += 1
+        x += 1
+      }
+      sy += 1
+    }
+    // every target pixel receives >=1 source pixel because ow <= w and
+    // oh <= h make the index maps surjective
+    encodeBmp24(ow, oh, (x, y) => {
+      val t = y * ow + x
+      (math.round(sumR(t) / cnt(t)).toInt,
+        math.round(sumG(t) / cnt(t)).toInt,
+        math.round(sumB(t) / cnt(t)).toInt)
+    })
+  }
+
+  /** Resize metadata for a planned downscale — the Column-only form for
+    * metadata-bearing tables; the actual pixel transform for BMP rows is
+    * [[bmpResize]] (other formats would plug a codec into the same
+    * shape). */
   def resizeMeta(df: DataFrame, maxSide: Int): DataFrame = {
     val scale = least(lit(1.0),
       lit(maxSide.toDouble) / greatest(col("width"), col("height")))

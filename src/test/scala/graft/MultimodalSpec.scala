@@ -201,6 +201,28 @@ class MultimodalSpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L)), pairs.toString)
   }
 
+  test("bmpResize: box-filter downscale with exact means, aspect cap, no-op") {
+    // 16x16 half/half → 8: each 2x2 source box is uniform, so the target
+    // pixels are exact
+    val a = Multimodal.encodeBmp24(16, 16,
+      (x, _) => if (x < 8) (10, 20, 30) else (200, 210, 220))
+    val small = Multimodal.bmpResize(a, 8)
+    val info = Multimodal.decodeBmp(small)
+    assert(info.width == 8 && info.height == 8)
+    assert(math.abs(info.meanR - (10 + 200) / 2.0) < 1e-9)
+    assert(math.abs(info.meanB - (30 + 220) / 2.0) < 1e-9)
+    // structure survives: aHash of the resized image stays near the original
+    assert(java.lang.Long.bitCount(
+      Multimodal.bmpAHash(a) ^ Multimodal.bmpAHash(small)) <= 3)
+    // odd dims follow resizeMeta's ceil rule: 15x10 capped at 7 → 7x5
+    val odd = Multimodal.bmpResize(
+      Multimodal.encodeBmp24(15, 10, (_, _) => (1, 2, 3)), 7)
+    val oi = Multimodal.decodeBmp(odd)
+    assert(oi.width == 7 && oi.height == 5)
+    // already small → unchanged payload
+    assert(Multimodal.bmpResize(small, 8) eq small)
+  }
+
   test("resize metadata preserves aspect ratio cap") {
     val df = Seq((1024, 512), (100, 50)).toDF("width", "height")
     val got = Multimodal.resizeMeta(df, maxSide = 256)
