@@ -70,7 +70,7 @@ object Multimodal {
     * by [[decodeWav]] and [[wavFrameFeatures]]. */
   private[multimodal] def wavLayout(bytes: Array[Byte]): (Int, Int, Int, Int) = {
     def fail(msg: String): Nothing =
-      throw new IllegalArgumentException(s"decodeWav: $msg")
+      throw new IllegalArgumentException(s"invalid WAV: $msg")
     if (bytes.length < 44) fail(s"payload too short (${bytes.length} bytes)")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
@@ -99,6 +99,7 @@ object Multimodal {
     }
     val (channels, sampleRate) = fmt.getOrElse(fail("no fmt chunk"))
     val (dOff, dLen) = data.getOrElse(fail("no data chunk"))
+    if (channels == 0) fail("zero channels")
     if (dLen % 2 != 0) fail("odd data length for 16-bit samples")
     (sampleRate, channels, dOff, dLen / 2)
   }
@@ -162,7 +163,7 @@ object Multimodal {
     * and [[bmpAHash]]. */
   private[multimodal] def bmpLayout(bytes: Array[Byte]): (Int, Int, Int, Int, Boolean) = {
     def fail(msg: String): Nothing =
-      throw new IllegalArgumentException(s"decodeBmp: $msg")
+      throw new IllegalArgumentException(s"invalid BMP: $msg")
     if (bytes.length < 54) fail(s"payload too short (${bytes.length} bytes)")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     if (bytes(0) != 'B' || bytes(1) != 'M') fail("not a BM header")
@@ -213,47 +214,77 @@ object Multimodal {
     BmpInfo(width, height, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb)
   }
 
-  /** 64-bit perceptual average-hash (aHash) of a 24-bit BMP: mean luma
-    * over an 8×8 block grid, bit b set when block b's mean luma exceeds
-    * the mean of the (populated) block means. Orientation-normalized:
-    * bottom-up and top-down payloads of the same image hash identically.
-    * Images smaller than 8px on a side leave some blocks empty (bit 0 —
-    * deterministic). Near-identical images differ in a few bits, so
-    * near-dup pairs come from the SAME banded-hamming machinery as text
-    * ([[imageNearDups]]) — never an all-pairs comparison. */
-  def bmpAHash(bytes: Array[Byte]): Long = {
-    val (w, h, off, rowSize, bottomUp) = bmpLayout(bytes)
-    val sums = new Array[Double](64)
-    val cnts = new Array[Long](64)
-    var sy = 0
-    while (sy < h) {
-      val iy = if (bottomUp) h - 1 - sy else sy // image-space row
-      val by = (iy.toLong * 8 / h).toInt
-      val base = off + sy * rowSize
-      var x = 0
-      while (x < w) {
-        val blk = by * 8 + (x.toLong * 8 / w).toInt
-        val b = bytes(base + 3 * x) & 0xff
-        val g = bytes(base + 3 * x + 1) & 0xff
-        val r = bytes(base + 3 * x + 2) & 0xff
-        sums(blk) += 0.299 * r + 0.587 * g + 0.114 * b
-        cnts(blk) += 1
-        x += 1
+  /** Per-channel box means of the pixel rectangle over a gw×gh grid in
+    * image-space orientation (bottom-up and top-down payloads produce
+    * the same grid) — the one shared pixel loop behind [[bmpAHash]] and
+    * [[bmpResize]], so the hash and the resize can never disagree about
+    * image content. Cell (bx,by) covers source ranges
+    * `[bx*w/gw, (bx+1)*w/gw)` (forced non-empty, so a grid larger than
+    * the image replicates pixels instead of leaving holes). Returns
+    * (meanR, meanG, meanB) arrays indexed `by*gw + bx`; every cell is
+    * populated by construction. */
+  private def boxGrid(bytes: Array[Byte], w: Int, h: Int, off: Int,
+      rowSize: Int, bottomUp: Boolean, gw: Int,
+      gh: Int): (Array[Double], Array[Double], Array[Double]) = {
+    val sumR = new Array[Double](gw * gh)
+    val sumG = new Array[Double](gw * gh)
+    val sumB = new Array[Double](gw * gh)
+    val cnt = new Array[Long](gw * gh)
+    var by = 0
+    while (by < gh) {
+      val y0 = (by.toLong * h / gh).toInt
+      val y1 = math.min(h, math.max(((by + 1).toLong * h / gh).toInt, y0 + 1))
+      var iy = y0
+      while (iy < y1) {
+        val sy = if (bottomUp) h - 1 - iy else iy // stored row of image row iy
+        val base = off + sy * rowSize
+        var bx = 0
+        while (bx < gw) {
+          val x0 = (bx.toLong * w / gw).toInt
+          val x1 = math.min(w, math.max(((bx + 1).toLong * w / gw).toInt, x0 + 1))
+          val t = by * gw + bx
+          var x = x0
+          while (x < x1) {
+            sumB(t) += bytes(base + 3 * x) & 0xff
+            sumG(t) += bytes(base + 3 * x + 1) & 0xff
+            sumR(t) += bytes(base + 3 * x + 2) & 0xff
+            cnt(t) += 1
+            x += 1
+          }
+          bx += 1
+        }
+        iy += 1
       }
-      sy += 1
+      by += 1
     }
-    var meanOfMeans = 0.0
-    var populated = 0
     var i = 0
-    while (i < 64) {
-      if (cnts(i) > 0) { meanOfMeans += sums(i) / cnts(i); populated += 1 }
+    while (i < gw * gh) {
+      sumR(i) /= cnt(i); sumG(i) /= cnt(i); sumB(i) /= cnt(i)
       i += 1
     }
-    meanOfMeans /= math.max(populated, 1)
+    (sumR, sumG, sumB)
+  }
+
+  /** 64-bit perceptual average-hash (aHash) of a 24-bit BMP: mean luma
+    * over an 8×8 block grid, bit b set when block b's mean luma exceeds
+    * the mean of the block means. Orientation-normalized: bottom-up and
+    * top-down payloads of the same image hash identically. Images
+    * smaller than 8px on a side replicate pixels into the grid
+    * ([[boxGrid]]), so every block carries signal and tiny images still
+    * hash by content — no always-zero bits that would make unrelated
+    * thumbnails look hamming-close. Near-identical images differ in a
+    * few bits, so near-dup pairs come from the SAME banded-hamming
+    * machinery as text ([[imageNearDups]]) — never an all-pairs
+    * comparison. */
+  def bmpAHash(bytes: Array[Byte]): Long = {
+    val (w, h, off, rowSize, bottomUp) = bmpLayout(bytes)
+    val (mr, mg, mb) = boxGrid(bytes, w, h, off, rowSize, bottomUp, 8, 8)
+    val luma = Array.tabulate(64)(i => 0.299 * mr(i) + 0.587 * mg(i) + 0.114 * mb(i))
+    val meanOfMeans = luma.sum / 64
     var hash = 0L
-    i = 0
+    var i = 0
     while (i < 64) {
-      if (cnts(i) > 0 && sums(i) / cnts(i) > meanOfMeans) hash |= 1L << i
+      if (luma(i) > meanOfMeans) hash |= 1L << i
       i += 1
     }
     hash
@@ -261,7 +292,9 @@ object Multimodal {
 
   /** Per-image aHash signatures for the BMP rows of a media table:
     * (media_id, sig) — the image analogue of the text SimHash signature
-    * store. A pure map; non-BMP rows are skipped. */
+    * store, and the frame to persist for repeated/appended dedup runs
+    * (the ~16 bytes/image signature is the only state, exactly like
+    * CorpusPipeline's text store). A pure map; non-BMP rows skipped. */
   def imageAHashes(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
@@ -271,15 +304,27 @@ object Multimodal {
     }.toDF("media_id", "sig")
   }
 
+  /** [[imageNearDups]] over PRECOMPUTED signatures (media_id, sig) — use
+    * this form when the signature store is materialized, mirroring
+    * ScalableDedup.simhashCandidatesFromSigs' contract. Output columns:
+    * (a_media_id, b_media_id, hamming). */
+  def imageNearDupsFromSigs(sigs: DataFrame, maxHamming: Int = 3): DataFrame =
+    graft.operators.ScalableDedup.simhashCandidatesFromSigs(
+      sigs, "media_id", "sig", maxHamming)
+      .withColumnRenamed("a_id", "a_media_id")
+      .withColumnRenamed("b_id", "b_media_id")
+
   /** Near-duplicate image pairs within an aHash hamming radius, found by
     * the same 16-bit-band equi-join as text near-dup (pigeonhole: any
     * pair within hamming ≤ 3 shares a band) — candidate pairs scale with
-    * bucket sizes, never all-pairs. Output: (a_id, b_id, hamming). */
+    * bucket sizes, never all-pairs. The signature frame is persisted
+    * before the band self-join consumes it twice, so the full per-image
+    * decode runs once (the ContextCleaner drops the cache when the plan
+    * is collected); pipelines that dedup repeatedly should materialize
+    * [[imageAHashes]] themselves and call [[imageNearDupsFromSigs]].
+    * Output columns: (a_media_id, b_media_id, hamming). */
   def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
-    graft.operators.ScalableDedup.simhashCandidatesFromSigs(
-      imageAHashes(media), "media_id", "sig", maxHamming)
-      .withColumnRenamed("a_id", "a_media_id")
-      .withColumnRenamed("b_id", "b_media_id")
+    imageNearDupsFromSigs(imageAHashes(media).persist(), maxHamming)
 
   /** ======== STUB ========
     * Deterministic fake decode for formats with no pure-JVM parse here
@@ -342,12 +387,16 @@ object Multimodal {
       start_sample: Long, rms: Double, zero_cross_rate: Double)
 
   /** Frame-level features over PCM-16 WAV rows: parse the container once
-    * per row, then slide a `frameSize`-sample window every `stride`
-    * samples, computing RMS and zero-cross rate per frame directly from
-    * the payload bytes (no sample array materialized). Non-WAV rows are
-    * skipped. A pure flatMap: no shuffle, output ≈ nSamples/stride rows
-    * per doc, scales with partitions — downstream windows/aggregations
-    * (e.g. "longest silence run per file") then partition by media_id. */
+    * per row, then slide a window of `frameSize` sample-FRAMES (one
+    * frame = one sample per channel, so positions are real time for any
+    * channel count) every `stride` sample-frames, computing RMS over
+    * all channels and zero-cross rate PER CHANNEL (averaged) directly
+    * from the payload bytes — interleaved neighbors are different
+    * channels, and counting sign flips across them would read constant
+    * stereo DC as maximum-frequency activity. Non-WAV rows are skipped.
+    * A pure flatMap: no shuffle, output ≈ nFrames/stride rows per doc,
+    * scales with partitions — downstream windows/aggregations (e.g.
+    * "longest silence run per file") then partition by media_id. */
   def wavFrameFeatures(media: Dataset[MediaRow], frameSize: Int,
       stride: Int): Dataset[FrameFeatures] = {
     require(frameSize > 0 && stride > 0,
@@ -356,25 +405,34 @@ object Multimodal {
     media.flatMap { r =>
       if (!Option(r.format).exists(_.equalsIgnoreCase("wav"))) Iterator.empty
       else {
-        val (_, _, dOff, n) = wavLayout(r.media)
+        val (_, channels, dOff, n) = wavLayout(r.media)
         val buf = ByteBuffer.wrap(r.media).order(ByteOrder.LITTLE_ENDIAN)
-        val frames = if (n < frameSize) 0 else (n - frameSize) / stride + 1
+        val totalFrames = n / channels
+        val frames =
+          if (totalFrames < frameSize) 0 else (totalFrames - frameSize) / stride + 1
         (0 until frames).iterator.map { f =>
-          val base = dOff + 2 * f * stride
+          val base = dOff + 2 * f * stride * channels
+          var sumSq = 0.0
+          var crossings = 0
+          val prevNonNeg = new Array[Boolean](channels)
           var i = 0
-          var sumSq = 0.0; var crossings = 0; var prevNonNeg = true
           while (i < frameSize) {
-            val s = buf.getShort(base + 2 * i).toDouble
-            sumSq += s * s
-            val nonNeg = s >= 0
-            if (i > 0 && nonNeg != prevNonNeg) crossings += 1
-            prevNonNeg = nonNeg
+            var c = 0
+            while (c < channels) {
+              val s = buf.getShort(base + 2 * (i * channels + c)).toDouble
+              sumSq += s * s
+              val nonNeg = s >= 0
+              if (i > 0 && nonNeg != prevNonNeg(c)) crossings += 1
+              prevNonNeg(c) = nonNeg
+              c += 1
+            }
             i += 1
           }
           FrameFeatures(r.media_id, f, f.toLong * stride,
-            rms = math.sqrt(sumSq / frameSize),
+            rms = math.sqrt(sumSq / (frameSize.toLong * channels)),
             zero_cross_rate =
-              if (frameSize < 2) 0.0 else crossings.toDouble / (frameSize - 1))
+              if (frameSize < 2) 0.0
+              else crossings.toDouble / (channels.toLong * (frameSize - 1)))
         }
       }
     }
@@ -407,33 +465,10 @@ object Multimodal {
     val scale = maxSide.toDouble / math.max(w, h)
     val ow = math.max(1, math.ceil(w * scale).toInt)
     val oh = math.max(1, math.ceil(h * scale).toInt)
-    val sumR = new Array[Double](ow * oh)
-    val sumG = new Array[Double](ow * oh)
-    val sumB = new Array[Double](ow * oh)
-    val cnt = new Array[Long](ow * oh)
-    var sy = 0
-    while (sy < h) {
-      val iy = if (bottomUp) h - 1 - sy else sy // image-space row
-      val ty = (iy.toLong * oh / h).toInt
-      val base = off + sy * rowSize
-      var x = 0
-      while (x < w) {
-        val t = ty * ow + (x.toLong * ow / w).toInt
-        sumB(t) += bytes(base + 3 * x) & 0xff
-        sumG(t) += bytes(base + 3 * x + 1) & 0xff
-        sumR(t) += bytes(base + 3 * x + 2) & 0xff
-        cnt(t) += 1
-        x += 1
-      }
-      sy += 1
-    }
-    // every target pixel receives >=1 source pixel because ow <= w and
-    // oh <= h make the index maps surjective
+    val (mr, mg, mb) = boxGrid(bytes, w, h, off, rowSize, bottomUp, ow, oh)
     encodeBmp24(ow, oh, (x, y) => {
       val t = y * ow + x
-      (math.round(sumR(t) / cnt(t)).toInt,
-        math.round(sumG(t) / cnt(t)).toInt,
-        math.round(sumB(t) / cnt(t)).toInt)
+      (math.round(mr(t)).toInt, math.round(mg(t)).toInt, math.round(mb(t)).toInt)
     })
   }
 

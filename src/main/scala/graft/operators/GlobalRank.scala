@@ -144,11 +144,8 @@ object GlobalRank {
         val probs = array((1 until b).map(i => lit(i.toDouble / b)): _*)
         val splitsDf = df.agg(
           percentile_approx(col(primaryCol), probs, lit(1000)).as(spC))
-        val cnt =
-          if (desc) size(filter(col(spC), s => s > col(primaryCol)))
-          else size(filter(col(spC), s => s < col(primaryCol)))
         df.crossJoin(broadcast(splitsDf))
-          .withColumn(bC, cnt.cast("int"))
+          .withColumn(bC, bucketExprOf(col(primaryCol), col(spC), desc))
           .drop(spC)
     }
     rankBucketed(bucketed, bC, sortCols, out,
@@ -221,9 +218,7 @@ object GlobalRank {
       i => element_at(arr,
         greatest(lit(1), least(size(arr),
           floor((i * size(arr)) / lit(b)).cast("int") + 1)))))
-    val cnt =
-      if (desc) size(filter(splitArr, s => s > col(primaryCol)))
-      else size(filter(splitArr, s => s < col(primaryCol)))
+    val cnt = bucketExprOf(col(primaryCol), splitArr, desc)
     val bucketed = df.crossJoin(broadcast(sampleDf))
       .withColumn(bC,
         when(col(primaryCol).isNull, nullGuard)

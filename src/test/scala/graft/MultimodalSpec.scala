@@ -160,6 +160,38 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.wavFrameFeatures(ds, frameSize = 4, stride = 2).count() == 5)
   }
 
+  test("wavFrameFeatures is channel-aware: constant stereo DC is zero activity") {
+    // interleaved L=+1000 / R=-1000: framing the raw interleaved stream
+    // would flip sign at every step and read pure DC as max-frequency
+    val stereo = Array.tabulate[Short](32)(i => if (i % 2 == 0) 1000 else -1000)
+    val wav = Multimodal.encodeWavPcm16(stereo, 8000, channels = 2)
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "audio", wav, "wav", 0, 0, 8000)))
+    val got = Multimodal.wavFrameFeatures(ds, frameSize = 8, stride = 8)
+      .collect().sortBy(_.frame_idx)
+    assert(got.length == 2) // 16 sample-frames / 8 per window
+    got.foreach { fr =>
+      assert(fr.rms == 1000.0 && fr.zero_cross_rate == 0.0, fr.toString)
+    }
+  }
+
+  test("tiny images hash by content, not by empty-block coincidence") {
+    // 2x2 vertical vs horizontal split: with holes in the grid these
+    // would collide within hamming<=4; with pixel replication they are
+    // orthogonal structures far apart
+    val v = Multimodal.encodeBmp24(2, 2,
+      (x, _) => if (x == 0) (0, 0, 0) else (255, 255, 255))
+    val hz = Multimodal.encodeBmp24(2, 2,
+      (_, y) => if (y == 0) (255, 255, 255) else (0, 0, 0))
+    assert(java.lang.Long.bitCount(
+      Multimodal.bmpAHash(v) ^ Multimodal.bmpAHash(hz)) > 3)
+    // and replication preserves structure: the 2x2 vertical split hashes
+    // exactly like the 16x16 image with the same left-dark/right-bright form
+    val big = Multimodal.encodeBmp24(16, 16,
+      (x, _) => if (x < 8) (0, 0, 0) else (255, 255, 255))
+    assert(Multimodal.bmpAHash(v) == Multimodal.bmpAHash(big))
+  }
+
   test("bmpAHash: block structure, orientation invariance, noise tolerance") {
     // A: left half dark, right half bright → exactly the right-half bits
     val a = Multimodal.encodeBmp24(16, 16,
