@@ -138,6 +138,8 @@ object Demo {
       s"(sample rms=${math.round(frames.first().rms)})")
     println(s"image aHash: ${Multimodal.imageAHashes(media).count()} signatures, " +
       s"${Multimodal.imageNearDups(media).count()} near-dup pairs (random images)")
+    println(s"audio fingerprints: ${Multimodal.audioHashes(media).count()} signatures, " +
+      s"${Multimodal.audioNearDups(media).count()} near-dup pairs (random clips)")
 
     // end-to-end reference pipeline: raw CSV export → quarantine → clean →
     // rolling + HRV feature tables (see graft.Pipeline)

@@ -304,11 +304,12 @@ object Multimodal {
     }.toDF("media_id", "sig")
   }
 
-  /** [[imageNearDups]] over PRECOMPUTED signatures (media_id, sig) — use
-    * this form when the signature store is materialized, mirroring
-    * ScalableDedup.simhashCandidatesFromSigs' contract. Output columns:
-    * (a_media_id, b_media_id, hamming). */
-  def imageNearDupsFromSigs(sigs: DataFrame, maxHamming: Int = 3): DataFrame =
+  /** Near-dup pairs over PRECOMPUTED 64-bit media signatures
+    * (media_id, sig) — aHash, energy fingerprint, or any other 64-bit
+    * perceptual hash. Use this form when the signature store is
+    * materialized, mirroring ScalableDedup.simhashCandidatesFromSigs'
+    * contract. Output columns: (a_media_id, b_media_id, hamming). */
+  def mediaNearDupsFromSigs(sigs: DataFrame, maxHamming: Int = 3): DataFrame =
     graft.operators.ScalableDedup.simhashCandidatesFromSigs(
       sigs, "media_id", "sig", maxHamming)
       .withColumnRenamed("a_id", "a_media_id")
@@ -321,10 +322,10 @@ object Multimodal {
     * before the band self-join consumes it twice, so the full per-image
     * decode runs once (the ContextCleaner drops the cache when the plan
     * is collected); pipelines that dedup repeatedly should materialize
-    * [[imageAHashes]] themselves and call [[imageNearDupsFromSigs]].
+    * [[imageAHashes]] themselves and call [[mediaNearDupsFromSigs]].
     * Output columns: (a_media_id, b_media_id, hamming). */
   def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
-    imageNearDupsFromSigs(imageAHashes(media).persist(), maxHamming)
+    mediaNearDupsFromSigs(imageAHashes(media).persist(), maxHamming)
 
   /** ======== STUB ========
     * Deterministic fake decode for formats with no pure-JVM parse here
@@ -437,6 +438,67 @@ object Multimodal {
       }
     }
   }
+
+  /** 64-bit audio fingerprint of a PCM-16 WAV: RMS energy over 65 equal
+    * time segments, bit i set when segment i+1 is louder than segment i —
+    * the classic energy-delta fingerprint, robust to volume scaling
+    * direction-wise and to small noise. Segments are ranges of
+    * sample-FRAMES (channel-aware), forced non-empty for very short
+    * clips by replication, mirroring [[boxGrid]]'s rule. With
+    * [[audioNearDups]] this closes the near-dup story across
+    * modalities: text (SimHash/MinHash), images (aHash), embeddings
+    * (LSH), audio (this). */
+  def wavEnergyHash(bytes: Array[Byte]): Long = {
+    val (_, channels, dOff, n) = wavLayout(bytes)
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val total = n / channels // sample-frames
+    if (total == 0) return 0L
+    val seg = new Array[Double](65)
+    var k = 0
+    while (k < 65) {
+      val f0 = (k.toLong * total / 65).toInt
+      val f1 = math.min(total, math.max(((k + 1).toLong * total / 65).toInt, f0 + 1))
+      var sumSq = 0.0
+      var f = f0
+      while (f < f1) {
+        var c = 0
+        while (c < channels) {
+          val s = buf.getShort(dOff + 2 * (f * channels + c)).toDouble
+          sumSq += s * s
+          c += 1
+        }
+        f += 1
+      }
+      seg(k) = math.sqrt(sumSq / ((f1 - f0).toLong * channels))
+      k += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (seg(i + 1) > seg(i)) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Per-clip energy fingerprints for the WAV rows of a media table:
+    * (media_id, sig) — persist this frame as the audio signature store
+    * for repeated/appended dedup runs. A pure map; non-WAV rows
+    * skipped. */
+  def audioHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      if (Option(r.format).exists(_.equalsIgnoreCase("wav")))
+        Some((r.media_id, wavEnergyHash(r.media)))
+      else None
+    }.toDF("media_id", "sig")
+  }
+
+  /** Near-duplicate audio pairs within an energy-fingerprint hamming
+    * radius — same banded-hamming machinery as text and images, never
+    * all-pairs. Output columns: (a_media_id, b_media_id, hamming). */
+  def audioNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    mediaNearDupsFromSigs(audioHashes(media).persist(), maxHamming)
 
   /** Frame sampling: slice the payload into fixed-size frames with a
     * stride, as an array<binary> column — pure Column expressions, no

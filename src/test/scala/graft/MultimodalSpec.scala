@@ -255,6 +255,40 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.bmpResize(small, 8) eq small)
   }
 
+  test("wavEnergyHash: silence/ramp extremes, noise tolerance, channel awareness") {
+    def wav(samples: Array[Short], ch: Int = 1) =
+      Multimodal.encodeWavPcm16(samples, 8000, ch)
+    // constant tone: every segment equally loud → no rising deltas → 0
+    assert(Multimodal.wavEnergyHash(wav(Array.fill[Short](130)(500))) == 0L)
+    // strictly rising amplitude: every delta rises → all 64 bits set
+    val ramp = Array.tabulate[Short](130)(i => (10 + i * 50).toShort)
+    assert(Multimodal.wavEnergyHash(wav(ramp)) == -1L)
+    // small noise: fingerprint moves a few bits at most
+    val noisy = ramp.clone(); noisy(64) = (noisy(64) + 40).toShort
+    assert(java.lang.Long.bitCount(
+      Multimodal.wavEnergyHash(wav(ramp)) ^ Multimodal.wavEnergyHash(wav(noisy))) <= 3)
+    // falling ramp: the opposite profile, far from the rising one
+    assert(java.lang.Long.bitCount(
+      Multimodal.wavEnergyHash(wav(ramp)) ^ Multimodal.wavEnergyHash(wav(ramp.reverse))) > 32)
+    // stereo: duplicating the mono stream into both channels keeps the
+    // energy profile, so the fingerprint is unchanged
+    val stereo = ramp.flatMap(s => Array(s, s))
+    assert(Multimodal.wavEnergyHash(wav(stereo, ch = 2)) ==
+      Multimodal.wavEnergyHash(wav(ramp)))
+  }
+
+  test("audioNearDups pairs near-identical clips via the shared banded join") {
+    val ramp = Array.tabulate[Short](260)(i => (10 + i * 25).toShort)
+    val noisy = ramp.clone(); noisy(100) = (noisy(100) + 30).toShort
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", Multimodal.encodeWavPcm16(ramp, 8000), "wav", 0, 0, 8000),
+      Multimodal.MediaRow(2L, "audio", Multimodal.encodeWavPcm16(noisy, 8000), "wav", 0, 0, 8000),
+      Multimodal.MediaRow(3L, "audio", Multimodal.encodeWavPcm16(ramp.reverse, 8000), "wav", 0, 0, 8000))
+    val pairs = Multimodal.audioNearDups(spark.createDataset(rows), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
+
   test("resize metadata preserves aspect ratio cap") {
     val df = Seq((1024, 512), (100, 50)).toDF("width", "height")
     val got = Multimodal.resizeMeta(df, maxSide = 256)
