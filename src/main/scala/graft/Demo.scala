@@ -140,6 +140,9 @@ object Demo {
       s"${Multimodal.imageNearDups(media).count()} near-dup pairs (random images)")
     println(s"audio fingerprints: ${Multimodal.audioHashes(media).count()} signatures, " +
       s"${Multimodal.audioNearDups(media).count()} near-dup pairs (random clips)")
+    val mediaOut = java.nio.file.Files.createTempDirectory("graft_demo_media").toString
+    val mSum = graft.multimodal.MediaPipeline.curate(spark, media, mediaOut, maxSide = 256)
+    println(s"media curation: $mSum")
 
     // end-to-end reference pipeline: raw CSV export → quarantine → clean →
     // rolling + HRV feature tables (see graft.Pipeline)

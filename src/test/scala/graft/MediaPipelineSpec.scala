@@ -1,0 +1,60 @@
+package graft
+
+import graft.multimodal.{MediaPipeline, Multimodal}
+
+class MediaPipelineSpec extends SparkSpecBase {
+
+  private def bmp(f: (Int, Int) => (Int, Int, Int), side: Int = 16) =
+    Multimodal.encodeBmp24(side, side, f)
+
+  test("curate validates, downscales, dedups per modality, and quarantines") {
+    val ramp = Array.tabulate[Short](260)(i => (10 + i * 25).toShort)
+    val rampNoisy = ramp.clone(); rampNoisy(100) = (rampNoisy(100) + 30).toShort
+    val rows = Seq(
+      // near-dup image pair → keeper 1, drop 2
+      Multimodal.MediaRow(1L, "image",
+        bmp((x, _) => if (x < 8) (0, 0, 0) else (255, 255, 255)), "bmp", 16, 16, 0),
+      Multimodal.MediaRow(2L, "image",
+        bmp((x, y) => if ((x, y) == (1, 1)) (40, 40, 40)
+          else if (x < 8) (0, 0, 0) else (255, 255, 255)), "bmp", 16, 16, 0),
+      // orthogonal image → kept
+      Multimodal.MediaRow(3L, "image",
+        bmp((_, y) => if (y < 8) (255, 255, 255) else (0, 0, 0)), "bmp", 16, 16, 0),
+      // near-dup audio pair → keeper 4, drop 5
+      Multimodal.MediaRow(4L, "audio",
+        Multimodal.encodeWavPcm16(ramp, 8000), "wav", 0, 0, 8000),
+      Multimodal.MediaRow(5L, "audio",
+        Multimodal.encodeWavPcm16(rampNoisy, 8000), "wav", 0, 0, 8000),
+      // corrupt wav → quarantined, not crashed and not faked
+      Multimodal.MediaRow(6L, "audio",
+        Array.tabulate[Byte](80)(_.toByte), "wav", 0, 0, 8000),
+      // opaque format → passes through on the stub path
+      Multimodal.MediaRow(7L, "video",
+        Array.tabulate[Byte](64)(i => (i * 3).toByte), "mp4", 8, 8, 0),
+      // oversized diagonal-gradient image → downscaled to the cap, kept
+      Multimodal.MediaRow(8L, "image",
+        bmp((x, y) => (x * 4 % 256, y * 4 % 256, (x + y) * 2 % 256), side = 64),
+        "bmp", 64, 64, 0))
+    val out = java.nio.file.Files.createTempDirectory("media_cur").toString
+    val s = MediaPipeline.curate(spark,
+      spark.createDataset(rows)(org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]),
+      out, maxSide = 32, maxHamming = 3)
+    assert(s == MediaPipeline.MediaCurationSummary(
+      input = 8, decodable = 7, nearDupRemoved = 2, curated = 5), s.toString)
+    val curated = spark.read.parquet(s"$out/curated")
+    import spark.implicits._
+    assert(curated.select($"media_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L, 7L, 8L))
+    // the oversized image was REALLY downscaled: payload decodes at 32px
+    // and the metadata columns moved with it
+    val r8 = curated.filter($"media_id" === 8L)
+      .select($"media", $"width", $"height").head()
+    val info = Multimodal.decodeBmp(r8.getAs[Array[Byte]](0))
+    assert(info.width == 32 && info.height == 32)
+    assert(r8.getInt(1) == 32 && r8.getInt(2) == 32)
+    // the quarantine names the corrupt row with a real decoder error
+    val q = spark.read.parquet(s"$out/quarantine").collect()
+    assert(q.length == 1 && q.head.getLong(0) == 6L &&
+      q.head.getString(2).contains("RIFF"), q.mkString(","))
+  }
+}
