@@ -248,58 +248,11 @@ object CorpusPipeline {
     require(maxHamming <= 3,
       s"maxHamming must be <= 3 (SimHash 4-band pigeonhole), got $maxHamming")
     // overwrite deletes target files before the union job reads them, so
-    // writing the store onto its own input would silently drop all history.
-    // Qualify both sides through the Hadoop FileSystem so the guard holds
-    // on cluster filesystems too (hdfs://, s3a:// — a java.io.File round
-    // trip would mangle those into cwd-relative strings and never fire),
-    // and compare URI ancestry, not substrings (/tmp/a is not an ancestor
-    // of /tmp/ab).
-    val hconf = spark.sessionState.newHadoopConf()
-    def qualified(p: String): java.net.URI = {
-      val path = new org.apache.hadoop.fs.Path(p)
-      path.getFileSystem(hconf).makeQualified(path).toUri
-    }
-    val outUri = qualified(outDir)
-    // local file:// paths are additionally canonicalized so a symlinked
-    // outDir (e.g. /tmp -> /private/tmp, while inputFiles reports resolved
-    // paths) cannot slip past the ancestry comparison; getCanonicalPath
-    // resolves the existing prefix and normalizes a not-yet-created tail
-    // lexically, so it is safe on an outDir that does not exist yet
-    // outDir is canonicalized in full — it is exactly the side a symlink
-    // arrives on (e.g. /tmp -> /private/tmp) and there is only one of it
-    val outPath = (if (outUri.getScheme == "file")
-        new java.io.File(outUri.getPath).getCanonicalPath
-      else outUri.getPath).stripSuffix("/")
-    // the store's input files are canonicalized via their parent dir,
-    // memoized: canonicalization costs one syscall per path component and
-    // a mature store can have tens of thousands of part files sharing a
-    // handful of directories (the part files themselves are plain files
-    // parquet wrote, never symlinks — the dirs carry any symlinked prefix)
-    val canonDirCache = scala.collection.mutable.HashMap.empty[String, String]
-    def canonPath(u: java.net.URI): String = {
-      val p = u.getPath.stripSuffix("/")
-      if (u.getScheme != "file") p
-      else {
-        val f = new java.io.File(p)
-        Option(f.getParent) match {
-          case None => f.getCanonicalPath.stripSuffix("/")
-          case Some(dir) =>
-            val cd = canonDirCache.getOrElseUpdate(dir,
-              new java.io.File(dir).getCanonicalPath.stripSuffix("/"))
-            s"$cd/${f.getName}"
-        }
-      }
-    }
-    def underOut(f: String): Boolean = {
-      val u = qualified(f)
-      u.getScheme == outUri.getScheme &&
-        Option(u.getAuthority).getOrElse("") == Option(outUri.getAuthority).getOrElse("") &&
-        { val p = canonPath(u); p == outPath || p.startsWith(outPath + "/") }
-    }
-    require(!store.inputFiles.exists(underOut),
-      s"outDir ($outDir) must not contain the files the signature store is " +
-        "read from: overwrite would delete the history before the grown " +
-        "store is written. Use a fresh outDir per batch.")
+    // writing the store onto its own input would silently drop all
+    // history — the shared guard (scheme/authority + canonicalized
+    // ancestry comparison) fails fast instead (graft.PathGuard)
+    PathGuard.requireDisjoint(spark, store.inputFiles.toSeq, outDir,
+      "signature store")
     val gated = annotate(batch)
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .filter(col("quality") >= minQuality)

@@ -25,14 +25,17 @@ object MediaPipeline {
   case class MediaCurationSummary(input: Long, decodable: Long,
       nearDupRemoved: Long, curated: Long)
 
+  case class MediaAppendSummary(batchInput: Long, decodable: Long,
+      newContent: Long, dupOfHistory: Long, accepted: Long)
+
   case class MediaQuarantine(media_id: Long, format: String, error: String)
 
-  def curate(spark: SparkSession, media: org.apache.spark.sql.Dataset[MediaRow],
-      outDir: String, maxSide: Int = 512, maxHamming: Int = 3): MediaCurationSummary = {
-    import spark.implicits._
-    // 1. strict validation + real BMP downscale, one pass; a failed
-    // decode is data (quarantine row), not an exception
-    val checked = media.mapPartitions { rows =>
+  /** One decode-bounded validation + downscale pass: (row', ok, error).
+    * A failed decode is data (a quarantine row), not an exception. */
+  private def validateAndResize(media: org.apache.spark.sql.Dataset[MediaRow],
+      maxSide: Int): org.apache.spark.sql.Dataset[(MediaRow, Boolean, String)] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
       rows.map { r =>
         val fmt = Option(r.format).map(_.toLowerCase).getOrElse("")
         try {
@@ -54,7 +57,24 @@ object MediaPipeline {
           case e: IllegalArgumentException => (r, false, e.getMessage)
         }
       }
-    }.persist() // feeds the quarantine write, both signature passes, and counts
+    }
+  }
+
+  /** Per-modality perceptual signatures: (media_id, sig, modality) —
+    * image aHash and audio energy fingerprints; opaque formats carry no
+    * perceptual signature. */
+  private def perceptualSigs(media: org.apache.spark.sql.Dataset[MediaRow]) = {
+    import org.apache.spark.sql.functions.lit
+    Multimodal.imageAHashes(media).withColumn("modality", lit("image"))
+      .union(Multimodal.audioHashes(media).withColumn("modality", lit("audio")))
+  }
+
+  def curate(spark: SparkSession, media: org.apache.spark.sql.Dataset[MediaRow],
+      outDir: String, maxSide: Int = 512, maxHamming: Int = 3): MediaCurationSummary = {
+    import spark.implicits._
+    // 1. strict validation + real BMP downscale, one pass
+    val checked = validateAndResize(media, maxSide)
+      .persist() // feeds the quarantine write, both signature passes, and counts
     try {
       checked.filter(!_._2)
         .map(t => MediaQuarantine(t._1.media_id, t._1.format, t._3))
@@ -78,6 +98,119 @@ object MediaPipeline {
             curated = curated.count())
         } finally { curated.unpersist(); () }
       } finally { good.unpersist(); () }
+    } finally { checked.unpersist(); () }
+  }
+
+  /** Media signature-store schema: one row per media item ever admitted —
+    * (media_id, payload md5, perceptual modality + 64-bit sig; opaque
+    * formats carry a null sig and participate only in exact dedup). This
+    * is the ONLY state append-mode media curation keeps: at 100 TB you
+    * re-hash nothing; each new batch joins against ~50 bytes/item. */
+  def emptyMediaSignatureStore(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("media_id", LongType, nullable = false),
+        StructField("_h", StringType, nullable = false),
+        StructField("modality", StringType, nullable = true),
+        StructField("sig", LongType, nullable = true))))
+  }
+
+  /** Append-mode media curation — dedup an incoming batch against the
+    * HISTORICAL signature store instead of re-hashing the whole corpus,
+    * mirroring CorpusPipeline.appendBatch's semantics: exact dedup
+    * (within batch, then anti-join on the store's payload hashes) →
+    * per-modality banded near-dup vs the store AND within the batch
+    * (batch clusters touching history are dropped entirely; remaining
+    * clusters keep min media_id) → `outDir/accepted`, `outDir/quarantine`
+    * and `outDir/signatures` (full grown store, or only this batch's
+    * rows with `deltaSignatures` — the streaming-ingest mode where the
+    * reader unions generation deltas). Use a fresh outDir per batch. */
+  def appendBatch(spark: SparkSession, store: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.Dataset[MediaRow], outDir: String,
+      maxSide: Int = 512, maxHamming: Int = 3,
+      deltaSignatures: Boolean = false): MediaAppendSummary = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.PathGuard.requireDisjoint(spark, store.inputFiles.toSeq, outDir,
+      "media signature store")
+    val checked = validateAndResize(batch, maxSide).persist()
+    try {
+      checked.filter(!_._2)
+        .map(t => MediaQuarantine(t._1.media_id, t._1.format, t._3))
+        .toDF().write.mode("overwrite").parquet(s"$outDir/quarantine")
+      val withH = checked.filter(_._2).map(_._1).toDF()
+        .withColumn("_h", md5(col("media"))).persist()
+      try {
+        // exact dedup: min-id keeper per payload hash inside the batch,
+        // then drop payloads the store has already seen
+        val keepIds = withH.groupBy(col("_h"))
+          .agg(min(col("media_id")).as("media_id")).select(col("media_id"))
+        val newContent = withH
+          .join(keepIds, Seq("media_id"), "left_semi")
+          .join(store.select(col("_h")).distinct(), Seq("_h"), "left_anti")
+          .persist()
+        try {
+          val newSigs = perceptualSigs(
+            newContent.drop("_h").as[MediaRow]).persist()
+          try {
+            // near-dup vs history: per-modality band equi-join against
+            // the store's perceptual signatures, exact hamming recheck
+            val bNew = graft.operators.ScalableDedup.simhashBands(
+              newSigs, "sig", Seq("media_id", "modality", "sig"))
+            val bOld = graft.operators.ScalableDedup.simhashBands(
+                store.filter(col("sig").isNotNull)
+                  .select(col("media_id").as("h_id"), col("modality"), col("sig")),
+                "sig", Seq("h_id", "modality", "sig"))
+              .withColumnRenamed("sig", "h_sig")
+            val dupOfHistory = bNew.join(bOld, Seq("modality", "band", "bits"))
+              .filter(bit_count(col("sig").bitwiseXOR(col("h_sig"))) <= maxHamming)
+              .select(col("media_id")).distinct().persist()
+            try {
+              // within-batch clusters per modality; a history-dup drags
+              // its whole batch cluster into the history cluster
+              val pairs = Seq("image", "audio").map { m =>
+                graft.operators.ScalableDedup.simhashCandidatesFromSigs(
+                  newSigs.filter(col("modality") === m)
+                    .select(col("media_id"), col("sig")),
+                  "media_id", "sig", maxHamming)
+              }.reduce(_ union _)
+              val comps = graft.operators.DedupClusters
+                .connectedComponents(pairs, "a_id", "b_id")
+                .withColumnRenamed("id", "media_id")
+              val allComps = newContent.select(col("media_id"))
+                .join(comps, Seq("media_id"), "left")
+                .select(col("media_id"),
+                  coalesce(col("comp"), col("media_id")).as("comp"))
+              val tainted = allComps
+                .join(dupOfHistory, Seq("media_id"), "left_semi")
+                .select(col("comp")).distinct()
+              val keepers = allComps.join(tainted, Seq("comp"), "left_anti")
+                .groupBy(col("comp")).agg(min(col("media_id")).as("media_id"))
+                .select(col("media_id"))
+              val accepted = newContent
+                .join(keepers, Seq("media_id"), "left_semi").persist()
+              try {
+                accepted.drop("_h")
+                  .write.mode("overwrite").parquet(s"$outDir/accepted")
+                // the store grows with every distinct-payload item, kept
+                // or dropped — exactly like the text store
+                val newStoreRows = newContent.select(col("media_id"), col("_h"))
+                  .join(newSigs.select(col("media_id"), col("modality"), col("sig")),
+                    Seq("media_id"), "left")
+                (if (deltaSignatures) newStoreRows
+                 else store.unionByName(newStoreRows))
+                  .write.mode("overwrite").parquet(s"$outDir/signatures")
+                MediaAppendSummary(
+                  batchInput = checked.count(),
+                  decodable = withH.count(),
+                  newContent = newContent.count(),
+                  dupOfHistory = dupOfHistory.count(),
+                  accepted = accepted.count())
+              } finally { accepted.unpersist(); () }
+            } finally { dupOfHistory.unpersist(); () }
+          } finally { newSigs.unpersist(); () }
+        } finally { newContent.unpersist(); () }
+      } finally { withH.unpersist(); () }
     } finally { checked.unpersist(); () }
   }
 }

@@ -57,4 +57,49 @@ class MediaPipelineSpec extends SparkSpecBase {
     assert(q.length == 1 && q.head.getLong(0) == 6L &&
       q.head.getString(2).contains("RIFF"), q.mkString(","))
   }
+
+  test("append-mode media dedup against the signature store") {
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+    val imgA = bmp((x, _) => if (x < 8) (0, 0, 0) else (255, 255, 255))
+    val imgANoisy = bmp((x, y) => if ((x, y) == (1, 1)) (40, 40, 40)
+      else if (x < 8) (0, 0, 0) else (255, 255, 255))
+    val imgOrtho = bmp((_, y) => if (y < 8) (255, 255, 255) else (0, 0, 0))
+    val ramp = Array.tabulate[Short](260)(i => (10 + i * 25).toShort)
+    val rampNoisy = ramp.clone(); rampNoisy(100) = (rampNoisy(100) + 30).toShort
+    val mp4 = Array.tabulate[Byte](64)(i => (i * 3).toByte)
+    val batch1 = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", imgA, "bmp", 16, 16, 0),
+      Multimodal.MediaRow(2L, "audio",
+        Multimodal.encodeWavPcm16(ramp, 8000), "wav", 0, 0, 8000),
+      Multimodal.MediaRow(3L, "video", mp4, "mp4", 8, 8, 0)))(enc)
+    val out1 = java.nio.file.Files.createTempDirectory("media_a1").toString
+    val s1 = MediaPipeline.appendBatch(spark,
+      MediaPipeline.emptyMediaSignatureStore(spark), batch1, out1)
+    assert(s1 == MediaPipeline.MediaAppendSummary(3, 3, 3, 0, 3), s1.toString)
+
+    val store = spark.read.parquet(s"$out1/signatures")
+    val batch2 = spark.createDataset(Seq(
+      Multimodal.MediaRow(11L, "image", imgA, "bmp", 16, 16, 0), // exact dup
+      Multimodal.MediaRow(12L, "image", imgANoisy, "bmp", 16, 16, 0), // near-dup of history
+      Multimodal.MediaRow(13L, "image", imgOrtho, "bmp", 16, 16, 0), // fresh
+      Multimodal.MediaRow(14L, "audio",
+        Multimodal.encodeWavPcm16(rampNoisy, 8000), "wav", 0, 0, 8000), // near-dup of history
+      Multimodal.MediaRow(15L, "video", mp4, "mp4", 8, 8, 0)))(enc) // exact dup (opaque)
+    val out2 = java.nio.file.Files.createTempDirectory("media_a2").toString
+    val s2 = MediaPipeline.appendBatch(spark, store, batch2, out2)
+    assert(s2 == MediaPipeline.MediaAppendSummary(
+      batchInput = 5, decodable = 5, newContent = 3,
+      dupOfHistory = 2, accepted = 1), s2.toString)
+    assert(spark.read.parquet(s"$out2/accepted")
+      .select($"media_id").as[Long].collect().toSeq == Seq(13L))
+    // the grown store holds history + every distinct-payload batch item
+    assert(spark.read.parquet(s"$out2/signatures").count() == store.count() + 3)
+    // and refuses to overwrite its own input (shared PathGuard)
+    val e = intercept[IllegalArgumentException] {
+      MediaPipeline.appendBatch(spark, spark.read.parquet(s"$out2/signatures"),
+        batch1, out2)
+    }
+    assert(e.getMessage.contains("fresh outDir"))
+  }
 }
