@@ -228,6 +228,68 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("WAV round-trips arbitrary PCM: decoded stats equal direct computation") {
+    import graft.multimodal.Multimodal
+    val gen = for {
+      ch <- Gen.oneOf(1, 2, 3)
+      n <- Gen.chooseNum(1, 40)
+      xs <- Gen.listOfN(n * ch, Gen.chooseNum(Short.MinValue, Short.MaxValue))
+      rate <- Gen.chooseNum(1, 192000)
+    } yield (xs.map(_.toShort).toArray, rate, ch)
+    for ((samples0, rate, ch) <- samples(gen)) {
+      val w = Multimodal.decodeWav(Multimodal.encodeWavPcm16(samples0, rate, ch))
+      assert(w.sampleRate == rate && w.channels == ch && w.nSamples == samples0.length)
+      val mean = samples0.map(_.toDouble).sum / samples0.length
+      val rms = math.sqrt(samples0.map(s => s.toDouble * s).sum / samples0.length)
+      assert(math.abs(w.mean - mean) < 1e-6 && math.abs(w.rms - rms) < 1e-6)
+      assert(w.peak == samples0.map(s => math.abs(s.toDouble)).max)
+    }
+  }
+
+  test("BMP round-trips arbitrary images: decoded channel means are exact") {
+    import graft.multimodal.Multimodal
+    val gen = for {
+      w <- Gen.chooseNum(1, 23)
+      h <- Gen.chooseNum(1, 23)
+      px <- Gen.listOfN(w * h,
+        Gen.zip(Gen.chooseNum(0, 255), Gen.chooseNum(0, 255), Gen.chooseNum(0, 255)))
+    } yield (w, h, px.toArray)
+    for ((w, h, px) <- samples(gen)) {
+      val info = Multimodal.decodeBmp(
+        Multimodal.encodeBmp24(w, h, (x, y) => px(y * w + x)))
+      assert(info.width == w && info.height == h)
+      val n = (w * h).toDouble
+      assert(math.abs(info.meanR - px.map(_._1).sum / n) < 1e-9)
+      assert(math.abs(info.meanG - px.map(_._2).sum / n) < 1e-9)
+      assert(math.abs(info.meanB - px.map(_._3).sum / n) < 1e-9)
+      // the perceptual hash is a pure function of the pixels
+      val bytes = Multimodal.encodeBmp24(w, h, (x, y) => px(y * w + x))
+      assert(Multimodal.bmpAHash(bytes) == Multimodal.bmpAHash(bytes.clone()))
+    }
+  }
+
+  test("bmpResize never upscales and preserves the global mean approximately") {
+    import graft.multimodal.Multimodal
+    val gen = for {
+      w <- Gen.chooseNum(9, 31)
+      h <- Gen.chooseNum(9, 31)
+      px <- Gen.listOfN(w * h,
+        Gen.zip(Gen.chooseNum(0, 255), Gen.chooseNum(0, 255), Gen.chooseNum(0, 255)))
+    } yield (w, h, px.toArray)
+    for ((w, h, px) <- samples(gen)) {
+      val orig = Multimodal.encodeBmp24(w, h, (x, y) => px(y * w + x))
+      val out = Multimodal.decodeBmp(Multimodal.bmpResize(orig, 8))
+      assert(math.max(out.width, out.height) <= 8)
+      assert(out.width == math.ceil(w * 8.0 / math.max(w, h)).toInt)
+      assert(out.height == math.ceil(h * 8.0 / math.max(w, h)).toInt)
+      // box means resample the image, so the global mean moves only by
+      // rounding and uneven box sizes — bound it loosely
+      val in = Multimodal.decodeBmp(orig)
+      assert(math.abs(in.meanLuma - out.meanLuma) < 32.0,
+        s"${in.meanLuma} vs ${out.meanLuma} at ${w}x$h")
+    }
+  }
+
   test("jaccard is symmetric and 1 on identical token sets") {
     val txtGen = Gen.listOfN(6, Gen.oneOf("w1", "w2", "w3", "w4")).map(_.mkString(" "))
     for ((x, y) <- samples(Gen.zip(txtGen, txtGen))) {
