@@ -68,6 +68,9 @@ object CorpusPipeline {
       redactPii: Boolean = false): CurationSummary = {
     require(maxHamming <= 3,
       s"maxHamming must be <= 3 (SimHash 4-band pigeonhole), got $maxHamming")
+    // overwrite must never delete the files the input is read from
+    // (refresh-in-place would recompute over deleted sources)
+    PathGuard.requireDisjoint(spark, docs.inputFiles.toSeq, outDir, "input corpus")
     // 1.+2. one-pass annotation (shared with the streaming twin), then
     // the quality gate
     val gated = annotate(docs)
@@ -253,6 +256,7 @@ object CorpusPipeline {
     // ancestry comparison) fails fast instead (graft.PathGuard)
     PathGuard.requireDisjoint(spark, store.inputFiles.toSeq, outDir,
       "signature store")
+    PathGuard.requireDisjoint(spark, batch.inputFiles.toSeq, outDir, "input batch")
     val gated = annotate(batch)
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .filter(col("quality") >= minQuality)
@@ -281,24 +285,14 @@ object CorpusPipeline {
           .filter(bit_count(col("sig").bitwiseXOR(col("h_sig"))) <= maxHamming)
           .select(col("doc_id")).distinct().persist()
         try {
-          // near-dup within the batch: cluster ALL new-content docs (a
-          // history-dup can transitively drag its whole batch cluster
-          // into the history cluster, exactly as full-corpus clustering
-          // would), then keep min doc_id of every untouched cluster.
+          // near-dup within the batch: cluster/taint/keep via the shared
+          // append-mode keeper selection (DedupClusters.appendKeepers).
           // Reuses the persisted `sig` — the SimHash vote runs once per
           // doc, not once per consumer
           val pairs = ScalableDedup.simhashCandidatesFromSigs(
             newContent.select(col("doc_id"), col("sig")), "doc_id", "sig", maxHamming)
-          val comps = DedupClusters.connectedComponents(pairs, "a_id", "b_id")
-            .withColumnRenamed("id", "doc_id")
-          val allComps = newContent.select(col("doc_id"))
-            .join(comps, Seq("doc_id"), "left")
-            .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
-          val tainted = allComps.join(dupOfHistory, Seq("doc_id"), "left_semi")
-            .select(col("comp")).distinct()
-          val keepers = allComps.join(tainted, Seq("comp"), "left_anti")
-            .groupBy(col("comp")).agg(min(col("doc_id")).as("doc_id"))
-            .select(col("doc_id"))
+          val keepers = DedupClusters.appendKeepers(
+            newContent, "doc_id", pairs, "a_id", "b_id", dupOfHistory)
           val accepted = newContent.join(keepers, Seq("doc_id"), "left_semi").persist()
           try {
             accepted.drop("toks", "_h", "sig")

@@ -30,31 +30,39 @@ object MediaPipeline {
 
   case class MediaQuarantine(media_id: Long, format: String, error: String)
 
-  /** One decode-bounded validation + downscale pass: (row', ok, error).
-    * A failed decode is data (a quarantine row), not an exception. */
+  /** One decode-bounded validation + downscale pass:
+    * (row', ok, error, md5-of-ORIGINAL-payload). A failed decode — or a
+    * null payload — is data (a quarantine row), not an exception. The
+    * exact-dedup hash is taken BEFORE the downscale, so the same
+    * ingested payload dedups identically whatever maxSide the run used. */
   private def validateAndResize(media: org.apache.spark.sql.Dataset[MediaRow],
-      maxSide: Int): org.apache.spark.sql.Dataset[(MediaRow, Boolean, String)] = {
+      maxSide: Int): org.apache.spark.sql.Dataset[(MediaRow, Boolean, String, String)] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5") // per partition
       rows.map { r =>
-        val fmt = Option(r.format).map(_.toLowerCase).getOrElse("")
-        try {
-          val out = fmt match {
-            case "wav" =>
-              Multimodal.wavLayout(r.media) // validate only
-              r
-            case "bmp" =>
-              val resized = Multimodal.bmpResize(r.media, maxSide)
-              if (resized eq r.media) r
-              else {
-                val (w2, h2, _, _, _) = Multimodal.bmpLayout(resized)
-                r.copy(media = resized, width = w2, height = h2)
-              }
-            case _ => r // opaque formats pass through (stub decode path)
+        if (r.media == null) (r, false, "null media payload", "")
+        else {
+          val h = md.digest(r.media).map("%02x".format(_)).mkString
+          val fmt = Option(r.format).map(_.toLowerCase).getOrElse("")
+          try {
+            val out = fmt match {
+              case "wav" =>
+                Multimodal.wavLayout(r.media) // validate only
+                r
+              case "bmp" =>
+                val resized = Multimodal.bmpResize(r.media, maxSide)
+                if (resized eq r.media) r
+                else {
+                  val (w2, h2, _, _, _) = Multimodal.bmpLayout(resized)
+                  r.copy(media = resized, width = w2, height = h2)
+                }
+              case _ => r // opaque formats pass through (stub decode path)
+            }
+            (out, true, "", h)
+          } catch {
+            case e: IllegalArgumentException => (r, false, e.getMessage, h)
           }
-          (out, true, "")
-        } catch {
-          case e: IllegalArgumentException => (r, false, e.getMessage)
         }
       }
     }
@@ -72,6 +80,14 @@ object MediaPipeline {
   def curate(spark: SparkSession, media: org.apache.spark.sql.Dataset[MediaRow],
       outDir: String, maxSide: Int = 512, maxHamming: Int = 3): MediaCurationSummary = {
     import spark.implicits._
+    // parameter + path validation BEFORE any write: a bad argument must
+    // not leave a half-overwritten outDir, and overwrite must never
+    // delete the files the input itself is read from
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in 0..3 (4-band pigeonhole), got $maxHamming")
+    require(maxSide > 0, s"maxSide must be positive, got $maxSide")
+    graft.PathGuard.requireDisjoint(spark, media.inputFiles.toSeq, outDir,
+      "input media")
     // 1. strict validation + real BMP downscale, one pass
     val checked = validateAndResize(media, maxSide)
       .persist() // feeds the quarantine write, both signature passes, and counts
@@ -131,15 +147,23 @@ object MediaPipeline {
       deltaSignatures: Boolean = false): MediaAppendSummary = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in 0..3 (4-band pigeonhole), got $maxHamming")
+    require(maxSide > 0, s"maxSide must be positive, got $maxSide")
     graft.PathGuard.requireDisjoint(spark, store.inputFiles.toSeq, outDir,
       "media signature store")
+    graft.PathGuard.requireDisjoint(spark, batch.inputFiles.toSeq, outDir,
+      "input batch")
     val checked = validateAndResize(batch, maxSide).persist()
     try {
       checked.filter(!_._2)
         .map(t => MediaQuarantine(t._1.media_id, t._1.format, t._3))
         .toDF().write.mode("overwrite").parquet(s"$outDir/quarantine")
-      val withH = checked.filter(_._2).map(_._1).toDF()
-        .withColumn("_h", md5(col("media"))).persist()
+      // _h is the md5 of the ORIGINAL payload (computed in the validate
+      // pass), so identical ingested bytes dedup whatever maxSide is
+      val withH = checked.filter(_._2)
+        .map(t => (t._1, t._4)).toDF("r", "_h")
+        .select(col("r.*"), col("_h")).persist()
       try {
         // exact dedup: min-id keeper per payload hash inside the batch,
         // then drop payloads the store has already seen
@@ -174,19 +198,8 @@ object MediaPipeline {
                     .select(col("media_id"), col("sig")),
                   "media_id", "sig", maxHamming)
               }.reduce(_ union _)
-              val comps = graft.operators.DedupClusters
-                .connectedComponents(pairs, "a_id", "b_id")
-                .withColumnRenamed("id", "media_id")
-              val allComps = newContent.select(col("media_id"))
-                .join(comps, Seq("media_id"), "left")
-                .select(col("media_id"),
-                  coalesce(col("comp"), col("media_id")).as("comp"))
-              val tainted = allComps
-                .join(dupOfHistory, Seq("media_id"), "left_semi")
-                .select(col("comp")).distinct()
-              val keepers = allComps.join(tainted, Seq("comp"), "left_anti")
-                .groupBy(col("comp")).agg(min(col("media_id")).as("media_id"))
-                .select(col("media_id"))
+              val keepers = graft.operators.DedupClusters.appendKeepers(
+                newContent, "media_id", pairs, "a_id", "b_id", dupOfHistory)
               val accepted = newContent
                 .join(keepers, Seq("media_id"), "left_semi").persist()
               try {

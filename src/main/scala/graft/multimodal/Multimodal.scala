@@ -439,25 +439,39 @@ object Multimodal {
     }
   }
 
-  /** 64-bit audio fingerprint of a PCM-16 WAV: RMS energy over 65 equal
-    * time segments, bit i set when segment i+1 is louder than segment i —
-    * the classic energy-delta fingerprint, robust to volume scaling
-    * direction-wise and to small noise. Segments are ranges of
-    * sample-FRAMES (channel-aware), forced non-empty for very short
-    * clips by replication, mirroring [[boxGrid]]'s rule. With
-    * [[audioNearDups]] this closes the near-dup story across
-    * modalities: text (SimHash/MinHash), images (aHash), embeddings
-    * (LSH), audio (this). */
+  /** 64-bit audio fingerprint of a PCM-16 WAV, three fields:
+    *
+    *  - bits 0-27: RISING indicators — RMS energy over 29 equal time
+    *    segments, bit i set when segment i+1 is louder than segment i;
+    *  - bits 28-55: FALLING indicators over the same segments (bit 28+i
+    *    set when segment i+1 is quieter) — rising alone cannot tell a
+    *    monotone-falling clip from a flat one (both are "never rising");
+    *  - bits 56-63: clip loudness as a THERMOMETER code of log2(1+rms)
+    *    (k low-to-high bits set), so hamming distance is monotone in
+    *    loudness difference and a silence clip does not collide with an
+    *    unrelated constant tone — direction bits alone are all-zero for
+    *    EVERY flat clip, the same always-zero-bits trap the aHash grid
+    *    replication avoids for tiny images. Doubling the volume moves
+    *    the thermometer by ≤1 bit.
+    *
+    * Segments are ranges of sample-FRAMES (channel-aware), forced
+    * non-empty for very short clips by replication, mirroring
+    * [[boxGrid]]'s rule. With [[audioNearDups]] this closes the near-dup
+    * story across modalities: text (SimHash/MinHash), images (aHash),
+    * embeddings (LSH), audio (this). */
   def wavEnergyHash(bytes: Array[Byte]): Long = {
     val (_, channels, dOff, n) = wavLayout(bytes)
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val total = n / channels // sample-frames
     if (total == 0) return 0L
-    val seg = new Array[Double](65)
+    val segs = 29
+    val seg = new Array[Double](segs)
+    var globalSumSq = 0.0
+    var globalCnt = 0L
     var k = 0
-    while (k < 65) {
-      val f0 = (k.toLong * total / 65).toInt
-      val f1 = math.min(total, math.max(((k + 1).toLong * total / 65).toInt, f0 + 1))
+    while (k < segs) {
+      val f0 = (k.toLong * total / segs).toInt
+      val f1 = math.min(total, math.max(((k + 1).toLong * total / segs).toInt, f0 + 1))
       var sumSq = 0.0
       var f = f0
       while (f < f1) {
@@ -470,13 +484,24 @@ object Multimodal {
         f += 1
       }
       seg(k) = math.sqrt(sumSq / ((f1 - f0).toLong * channels))
+      globalSumSq += sumSq
+      globalCnt += (f1 - f0).toLong * channels
       k += 1
     }
     var hash = 0L
     var i = 0
-    while (i < 64) {
+    while (i < segs - 1) {
       if (seg(i + 1) > seg(i)) hash |= 1L << i
+      if (seg(i + 1) < seg(i)) hash |= 1L << (28 + i)
       i += 1
+    }
+    // thermometer loudness: log2(1+rms) ranges 0..~15 for 16-bit PCM
+    val rms = math.sqrt(globalSumSq / globalCnt)
+    val level = math.min(8, (math.log1p(rms) / math.log(2.0) / 1.875).toInt)
+    var j = 0
+    while (j < level) {
+      hash |= 1L << (56 + j)
+      j += 1
     }
     hash
   }

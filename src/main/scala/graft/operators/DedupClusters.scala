@@ -115,4 +115,33 @@ object DedupClusters {
     comps.select(col("id"), col("comp").as("keeper"))
       .filter(col("id") =!= col("keeper"))
   }
+
+  /** Append-mode keeper selection, shared by the text and media
+    * pipelines: cluster ALL the batch's items (a history-dup can
+    * transitively drag its whole batch cluster into the history
+    * cluster, exactly as full-corpus clustering would), drop every
+    * cluster containing a history duplicate ENTIRELY, and keep min id
+    * of each untouched cluster (singletons keep themselves).
+    *
+    * @param ids         one row per batch item — a single id column
+    *                    named `idCol`
+    * @param pairs       within-batch near-dup candidate pairs
+    *                    (`aCol`, `bCol`)
+    * @param historyDups ids that near-duplicate some HISTORY item — a
+    *                    single `idCol` column
+    * @return the ids to accept, as a single `idCol` column
+    */
+  def appendKeepers(ids: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, historyDups: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val allComps = ids.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("comp"))
+    val tainted = allComps.join(historyDups, Seq(idCol), "left_semi")
+      .select(col("comp")).distinct()
+    allComps.join(tainted, Seq("comp"), "left_anti")
+      .groupBy(col("comp")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+  }
 }

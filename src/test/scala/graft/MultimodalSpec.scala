@@ -258,11 +258,23 @@ class MultimodalSpec extends SparkSpecBase {
   test("wavEnergyHash: silence/ramp extremes, noise tolerance, channel awareness") {
     def wav(samples: Array[Short], ch: Int = 1) =
       Multimodal.encodeWavPcm16(samples, 8000, ch)
-    // constant tone: every segment equally loud → no rising deltas → 0
-    assert(Multimodal.wavEnergyHash(wav(Array.fill[Short](130)(500))) == 0L)
-    // strictly rising amplitude: every delta rises → all 64 bits set
+    val rise28 = (1L << 28) - 1
+    val dir56 = (1L << 56) - 1
+    // true silence: flat profile at zero loudness → 0
+    assert(Multimodal.wavEnergyHash(wav(Array.fill[Short](130)(0))) == 0L)
+    // constant tone: no direction bits, but the loudness thermometer
+    // keeps it FAR from silence (a flat loud clip is not a flat silent
+    // one) — log2(501)/1.875 ≈ 4.78 → 4 thermometer bits
+    val tone = Multimodal.wavEnergyHash(wav(Array.fill[Short](130)(500)))
+    assert((tone & dir56) == 0L && java.lang.Long.bitCount(tone) == 4, tone.toString)
+    // strictly rising amplitude: every rising bit set, no falling bits
     val ramp = Array.tabulate[Short](130)(i => (10 + i * 50).toShort)
-    assert(Multimodal.wavEnergyHash(wav(ramp)) == -1L)
+    val rh = Multimodal.wavEnergyHash(wav(ramp))
+    assert((rh & rise28) == rise28 && ((rh >> 28) & rise28) == 0L)
+    // the falling clip carries the falling field — flat and falling
+    // profiles must not share a fingerprint
+    val fh = Multimodal.wavEnergyHash(wav(ramp.reverse))
+    assert(((fh >> 28) & rise28) == rise28 && (fh & rise28) == 0L)
     // small noise: fingerprint moves a few bits at most
     val noisy = ramp.clone(); noisy(64) = (noisy(64) + 40).toShort
     assert(java.lang.Long.bitCount(
@@ -283,7 +295,13 @@ class MultimodalSpec extends SparkSpecBase {
     val rows = Seq(
       Multimodal.MediaRow(1L, "audio", Multimodal.encodeWavPcm16(ramp, 8000), "wav", 0, 0, 8000),
       Multimodal.MediaRow(2L, "audio", Multimodal.encodeWavPcm16(noisy, 8000), "wav", 0, 0, 8000),
-      Multimodal.MediaRow(3L, "audio", Multimodal.encodeWavPcm16(ramp.reverse, 8000), "wav", 0, 0, 8000))
+      Multimodal.MediaRow(3L, "audio", Multimodal.encodeWavPcm16(ramp.reverse, 8000), "wav", 0, 0, 8000),
+      // flat clips at different levels: both have zero delta bits, and
+      // the loudness thermometer must keep them from pairing
+      Multimodal.MediaRow(4L, "audio",
+        Multimodal.encodeWavPcm16(Array.fill[Short](260)(0), 8000), "wav", 0, 0, 8000),
+      Multimodal.MediaRow(5L, "audio",
+        Multimodal.encodeWavPcm16(Array.fill[Short](260)(800), 8000), "wav", 0, 0, 8000))
     val pairs = Multimodal.audioNearDups(spark.createDataset(rows), maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), pairs.toString)
