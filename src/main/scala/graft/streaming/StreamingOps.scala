@@ -240,33 +240,68 @@ object StreamingOps {
       minQuality: Double = 0.2, maxHamming: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val spark = batch.sparkSession
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
-      val root = new org.apache.hadoop.fs.Path(stateDir)
-      // all completed generations strictly before this batch id (replay
-      // of batch N must not read N's own partial output)
-      val gens =
-        if (!fs.exists(root)) Seq.empty[Long]
-        else fs.listStatus(root).toSeq
-          .filter(_.isDirectory)
-          .map(_.getPath.getName)
-          .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toLong }
-      require(!gens.exists(_ > id),
-        s"stateDir $stateDir contains generations ${gens.filter(_ > id).sorted.mkString(",")} " +
-          s"from a batch id beyond the current one ($id): the streaming " +
-          "checkpoint was reset while the generation store survived. " +
-          "Refusing to mix lineages — restore the checkpoint or start a " +
-          "fresh stateDir.")
-      // skip generations whose signature deltas were folded into a lower
-      // baseline by CorpusPipeline.compactSignatures (their dirs survive
-      // because they still hold `accepted`)
-      val prev = gens.filter(g => g < id &&
-        fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/gen=$g/signatures")))
-      val store =
-        if (prev.isEmpty) graft.CorpusPipeline.emptySignatureStore(spark)
-        else spark.read.parquet(prev.map(g => s"$stateDir/gen=$g/signatures"): _*)
+      val store = readGenerationStore(spark, stateDir, id)
+        .getOrElse(graft.CorpusPipeline.emptySignatureStore(spark))
       graft.CorpusPipeline.appendBatch(spark, store, batch,
         s"$stateDir/gen=$id", minQuality, maxHamming, deltaSignatures = true)
+      ()
+    }
+
+  /** The union of all generation signature deltas strictly before batch
+    * `id` under `stateDir` (None when there are none) — the shared
+    * reader for the generation-per-batch store layout (see
+    * [[incrementalDedupStream]]'s scaladoc): a replayed batch re-reads
+    * only generations before its own, compacted-away deltas are
+    * skipped, and generations from a FUTURE batch id fail fast (the
+    * signature of a checkpoint reset while the store survived). */
+  private def readGenerationStore(spark: SparkSession, stateDir: String,
+      id: Long): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    // all completed generations strictly before this batch id (replay
+    // of batch N must not read N's own partial output)
+    val gens =
+      if (!fs.exists(root)) Seq.empty[Long]
+      else fs.listStatus(root).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toLong }
+    require(!gens.exists(_ > id),
+      s"stateDir $stateDir contains generations ${gens.filter(_ > id).sorted.mkString(",")} " +
+        s"from a batch id beyond the current one ($id): the streaming " +
+        "checkpoint was reset while the generation store survived. " +
+        "Refusing to mix lineages — restore the checkpoint or start a " +
+        "fresh stateDir.")
+    // skip generations whose signature deltas were folded into a lower
+    // baseline by CorpusPipeline.compactSignatures (their dirs survive
+    // because they still hold `accepted`)
+    val prev = gens.filter(g => g < id &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/gen=$g/signatures")))
+    if (prev.isEmpty) None
+    else Some(spark.read.parquet(prev.map(g => s"$stateDir/gen=$g/signatures"): _*))
+  }
+
+  /** Streaming incremental MEDIA dedup — the multimodal twin of
+    * [[incrementalDedupStream]]: each micro-batch of media rows (the
+    * MediaRow schema: media_id, kind, media binary, format, width,
+    * height, sample_rate) is validated, downscaled, and deduplicated
+    * against the signature store grown by all previous batches
+    * (graft.multimodal.MediaPipeline.appendBatch inside foreachBatch,
+    * delta signatures — every micro-batch writes O(batch)). Same
+    * generation-per-batch layout, same replay idempotence, same
+    * future-generation fail-fast; CorpusPipeline.compactSignatures
+    * works on this store unchanged (the layout is identical). */
+  def incrementalMediaDedupStream(media: DataFrame, stateDir: String,
+      maxSide: Int = 512, maxHamming: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    media.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val spark = batch.sparkSession
+      val store = readGenerationStore(spark, stateDir, id)
+        .getOrElse(graft.multimodal.MediaPipeline.emptyMediaSignatureStore(spark))
+      val rows = batch.as[graft.multimodal.Multimodal.MediaRow](
+        org.apache.spark.sql.Encoders.product[graft.multimodal.Multimodal.MediaRow])
+      graft.multimodal.MediaPipeline.appendBatch(spark, store, rows,
+        s"$stateDir/gen=$id", maxSide, maxHamming, deltaSignatures = true)
       ()
     }
 }

@@ -251,6 +251,36 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(wantIds == Set(2L, 4L)) // the fixture must actually drop 1 and 3
   }
 
+  test("incremental MEDIA dedup stream drops cross-batch near-duplicates") {
+    import graft.multimodal.Multimodal
+    def bmp(f: (Int, Int) => (Int, Int, Int)) = Multimodal.encodeBmp24(16, 16, f)
+    val imgA = bmp((x, _) => if (x < 8) (0, 0, 0) else (255, 255, 255))
+    val imgANoisy = bmp((x, y) => if ((x, y) == (1, 1)) (40, 40, 40)
+      else if (x < 8) (0, 0, 0) else (255, 255, 255))
+    val imgOrtho = bmp((_, y) => if (y < 8) (255, 255, 255) else (0, 0, 0))
+    val stateDir = java.nio.file.Files.createTempDirectory("incmedia").toString
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Array[Byte], String, Int, Int, Int)]
+    val q = StreamingOps.incrementalMediaDedupStream(
+      ms.toDF().toDF("media_id", "kind", "media", "format",
+        "width", "height", "sample_rate"), stateDir).start()
+    try {
+      ms.addData((1L, "image", imgA, "bmp", 16, 16, 0))
+      q.processAllAvailable()
+      ms.addData(
+        (11L, "image", imgANoisy, "bmp", 16, 16, 0), // near-dup of history
+        (12L, "image", imgOrtho, "bmp", 16, 16, 0))  // fresh keeper
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(s"$stateDir/gen=0/accepted")
+      .select($"media_id").as[Long].collect().toSeq == Seq(1L))
+    assert(spark.read.parquet(s"$stateDir/gen=1/accepted")
+      .select($"media_id").as[Long].collect().toSeq == Seq(12L))
+    // delta layout: each generation stores only its own batch's rows
+    assert(spark.read.parquet(s"$stateDir/gen=0/signatures").count() == 1)
+    assert(spark.read.parquet(s"$stateDir/gen=1/signatures").count() == 2)
+  }
+
   test("incrementalDedupStream over two micro-batches equals full-corpus curation") {
     val long1 = ("the quick brown fox jumps over the lazy dog again and " +
       "again today with more useful words attached to make the quality score pass")
