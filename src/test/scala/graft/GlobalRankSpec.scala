@@ -168,6 +168,25 @@ class GlobalRankSpec extends SparkSpecBase {
     }
   }
 
+  test("string lazy-splits sample evaluates once (stage reuse, structural)") {
+    // same contract as the numeric twin: the count branch and the rank
+    // branch must see the SAME sampled splits — with exchange/stage
+    // reuse the bottom-k sample aggregate is computed once (one
+    // partial+final collect_list pair in the final adaptive plan)
+    val df = (1 to 300).map(i => (i, s"k${(i * 7) % 40}")).toDF("id", "k")
+    val out = GlobalRank.withRankStringSampled(df, "k", desc = false,
+      Seq($"k", $"id"), "r", buckets = 4, sampleSize = 64)
+    out.collect()
+    val aggs = PlanNodes.all(out.queryExecution.executedPlan).count {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.aggregateExpressions.exists(_.toString.contains("collect_list"))
+      case _ => false
+    }
+    assert(aggs >= 1 && aggs <= 2,
+      s"splits sample computed $aggs times (stage reuse regressed):\n" +
+        out.queryExecution.executedPlan)
+  }
+
   test("withRankStringSampled fails loudly on null keys too") {
     val df = Seq((1, "a"), (2, null), (3, "c")).toDF("id", "k")
     val e = intercept[Exception] {
