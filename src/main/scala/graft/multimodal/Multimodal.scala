@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media (image/audio/video) as opaque binary
   * columns with typed metadata, plus batch decode / feature-extract /
-  * frame-sample operators.
+  * resize / frame-sample operators, per-frame audio features, and
+  * perceptual near-dup signatures (image aHash, audio energy
+  * fingerprint) feeding the same banded-hamming join as text dedup.
   *
   * The Spark-side contract — schema, partitioning, batch shape — is real
   * and tested, and so are two of the decoders: header-simple formats with
