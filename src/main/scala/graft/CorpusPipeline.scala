@@ -66,11 +66,16 @@ object CorpusPipeline {
       minQuality: Double = 0.2, maxHamming: Int = 3,
       benchmark: Option[DataFrame] = None, minContainment: Double = 0.8,
       redactPii: Boolean = false): CurationSummary = {
-    require(maxHamming <= 3,
-      s"maxHamming must be <= 3 (SimHash 4-band pigeonhole), got $maxHamming")
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in 0..3 (SimHash 4-band pigeonhole), got $maxHamming")
     // overwrite must never delete the files the input is read from
-    // (refresh-in-place would recompute over deleted sources)
-    PathGuard.requireDisjoint(spark, docs.inputFiles.toSeq, outDir, "input corpus")
+    // (refresh-in-place would recompute over deleted sources). Only the
+    // CONCRETE write targets are guarded — keeping e.g. raw input under
+    // `$outDir/raw` beside the curated output is a legal layout.
+    PathGuard.requireDisjointFromAll(spark, docs.inputFiles.toSeq,
+      Seq(s"$outDir/corpus", s"$outDir/lang_stats"), "input corpus",
+      "Curate into a directory whose corpus/lang_stats subdirs do not " +
+        "hold the input.")
     // 1.+2. one-pass annotation (shared with the streaming twin), then
     // the quality gate
     val gated = annotate(docs)
@@ -248,8 +253,8 @@ object CorpusPipeline {
   def appendBatch(spark: SparkSession, store: DataFrame, batch: DataFrame,
       outDir: String, minQuality: Double = 0.2, maxHamming: Int = 3,
       deltaSignatures: Boolean = false): AppendSummary = {
-    require(maxHamming <= 3,
-      s"maxHamming must be <= 3 (SimHash 4-band pigeonhole), got $maxHamming")
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in 0..3 (SimHash 4-band pigeonhole), got $maxHamming")
     // overwrite deletes target files before the union job reads them, so
     // writing the store onto its own input would silently drop all
     // history — the shared guard (scheme/authority + canonicalized

@@ -19,20 +19,35 @@ import org.apache.spark.sql.SparkSession
 object PathGuard {
 
   /** Throws IllegalArgumentException when any of `inputFiles` lives under
-    * `outDir`. `what` names the store for the error message. */
+    * `outDir`. `what` names the store for the error message; `hint` tells
+    * the caller how to fix their layout (append-store wording by
+    * default — pass a curate-appropriate hint from curate paths). */
   def requireDisjoint(spark: SparkSession, inputFiles: Seq[String],
-      outDir: String, what: String): Unit = {
+      outDir: String, what: String,
+      hint: String = "Use a fresh outDir per batch."): Unit =
+    requireDisjointFromAll(spark, inputFiles, Seq(outDir), what, hint)
+
+  /** [[requireDisjoint]] against several write targets in one pass (each
+    * input file is qualified/canonicalized once, not once per target) —
+    * for curate-style jobs that overwrite specific SUBDIRS of an output
+    * root and must not reject inputs living elsewhere under that root. */
+  def requireDisjointFromAll(spark: SparkSession, inputFiles: Seq[String],
+      targets: Seq[String], what: String, hint: String): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
     def qualified(p: String): java.net.URI = {
       val path = new org.apache.hadoop.fs.Path(p)
       path.getFileSystem(hconf).makeQualified(path).toUri
     }
-    val outUri = qualified(outDir)
-    // outDir is canonicalized in full — it is exactly the side a symlink
-    // arrives on (e.g. /tmp -> /private/tmp) and there is only one of it
-    val outPath = (if (outUri.getScheme == "file")
-        new java.io.File(outUri.getPath).getCanonicalPath
-      else outUri.getPath).stripSuffix("/")
+    // targets are canonicalized in full — they are exactly the side a
+    // symlink arrives on (e.g. /tmp -> /private/tmp) and there are few
+    case class Target(uri: java.net.URI, path: String, raw: String)
+    val outs = targets.map { t =>
+      val u = qualified(t)
+      val p = (if (u.getScheme == "file")
+          new java.io.File(u.getPath).getCanonicalPath
+        else u.getPath).stripSuffix("/")
+      Target(u, p, t)
+    }
     val canonDirCache = scala.collection.mutable.HashMap.empty[String, String]
     def canonPath(u: java.net.URI): String = {
       val p = u.getPath.stripSuffix("/")
@@ -48,15 +63,21 @@ object PathGuard {
         }
       }
     }
-    def underOut(f: String): Boolean = {
+    def underTarget(f: String): Option[Target] = {
       val u = qualified(f)
-      u.getScheme == outUri.getScheme &&
-        Option(u.getAuthority).getOrElse("") == Option(outUri.getAuthority).getOrElse("") &&
-        { val p = canonPath(u); p == outPath || p.startsWith(outPath + "/") }
+      lazy val p = canonPath(u)
+      outs.find(o =>
+        u.getScheme == o.uri.getScheme &&
+          Option(u.getAuthority).getOrElse("") ==
+            Option(o.uri.getAuthority).getOrElse("") &&
+          (p == o.path || p.startsWith(o.path + "/")))
     }
-    require(!inputFiles.exists(underOut),
-      s"outDir ($outDir) must not contain the files the $what is read " +
-        "from: overwrite would delete the history before the grown " +
-        "store is written. Use a fresh outDir per batch.")
+    inputFiles.iterator.flatMap(f => underTarget(f).map(t => (f, t)))
+      .take(1).foreach { case (_, t) =>
+        throw new IllegalArgumentException(
+          s"the $what is read from files under the write target " +
+            s"(${t.raw}): mode(\"overwrite\") deletes those files before " +
+            s"the job that reads them runs. $hint")
+      }
   }
 }

@@ -30,20 +30,41 @@ object MediaPipeline {
 
   case class MediaQuarantine(media_id: Long, format: String, error: String)
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of `bytes` — byte-identical to Spark's `md5()` output
+    * for a digest, without the per-byte format-string parse a
+    * `"%02x".format` chain would pay on every row. */
+  private def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = HexDigits(b >> 4)
+      out(i * 2 + 1) = HexDigits(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** One decode-bounded validation + downscale pass:
     * (row', ok, error, md5-of-ORIGINAL-payload). A failed decode — or a
     * null payload — is data (a quarantine row), not an exception. The
     * exact-dedup hash is taken BEFORE the downscale, so the same
-    * ingested payload dedups identically whatever maxSide the run used. */
+    * ingested payload dedups identically whatever maxSide the run used;
+    * only the append path consumes it, so [[curate]] passes
+    * `withHash = false` and skips the full-payload md5 entirely. */
   private def validateAndResize(media: org.apache.spark.sql.Dataset[MediaRow],
-      maxSide: Int): org.apache.spark.sql.Dataset[(MediaRow, Boolean, String, String)] = {
+      maxSide: Int, withHash: Boolean): org.apache.spark.sql.Dataset[(MediaRow, Boolean, String, String)] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      val md = java.security.MessageDigest.getInstance("MD5") // per partition
+      val md = if (withHash)
+        java.security.MessageDigest.getInstance("MD5") // per partition
+      else null
       rows.map { r =>
         if (r.media == null) (r, false, "null media payload", "")
         else {
-          val h = md.digest(r.media).map("%02x".format(_)).mkString
+          val h = if (withHash) hex(md.digest(r.media)) else ""
           val fmt = Option(r.format).map(_.toLowerCase).getOrElse("")
           try {
             val out = fmt match {
@@ -86,10 +107,15 @@ object MediaPipeline {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming must be in 0..3 (4-band pigeonhole), got $maxHamming")
     require(maxSide > 0, s"maxSide must be positive, got $maxSide")
-    graft.PathGuard.requireDisjoint(spark, media.inputFiles.toSeq, outDir,
-      "input media")
-    // 1. strict validation + real BMP downscale, one pass
-    val checked = validateAndResize(media, maxSide)
+    // only the CONCRETE write targets are guarded — raw media kept under
+    // e.g. `$outDir/raw` beside the curated output is a legal layout
+    graft.PathGuard.requireDisjointFromAll(spark, media.inputFiles.toSeq,
+      Seq(s"$outDir/curated", s"$outDir/quarantine"), "input media",
+      "Curate into a directory whose curated/quarantine subdirs do not " +
+        "hold the input.")
+    // 1. strict validation + real BMP downscale, one pass (no payload
+    // hashing — full-corpus curation dedups perceptually, not exactly)
+    val checked = validateAndResize(media, maxSide, withHash = false)
       .persist() // feeds the quarantine write, both signature passes, and counts
     try {
       checked.filter(!_._2)
@@ -117,18 +143,60 @@ object MediaPipeline {
     } finally { checked.unpersist(); () }
   }
 
+  /** Version stamp of the media signature-store encoding. Bump whenever
+    * the meaning of `_h` or `sig` changes — signatures are persisted
+    * state, and joining a batch hashed one way against history hashed
+    * another way mis-dedups SILENTLY (spurious near-dup hits, missed
+    * exact dups), which is why [[appendBatch]] refuses version-less or
+    * mismatched stores instead of proceeding.
+    *
+    * v2: `_h` = md5 of the ORIGINAL (pre-downscale) payload; audio `sig`
+    * = 28 rising / 28 falling / 8 thermometer bits (Multimodal
+    * .audioFingerprint). Stores written before versioning (post-resize
+    * md5, 64 energy-delta bits) have no `sig_v` column and must be
+    * rebuilt by re-ingesting their corpus. */
+  val SignatureVersion = 2
+
   /** Media signature-store schema: one row per media item ever admitted —
     * (media_id, payload md5, perceptual modality + 64-bit sig; opaque
-    * formats carry a null sig and participate only in exact dedup). This
-    * is the ONLY state append-mode media curation keeps: at 100 TB you
-    * re-hash nothing; each new batch joins against ~50 bytes/item. */
+    * formats carry a null sig and participate only in exact dedup),
+    * stamped with [[SignatureVersion]]. This is the ONLY state
+    * append-mode media curation keeps: at 100 TB you re-hash nothing;
+    * each new batch joins against ~50 bytes/item. */
   def emptyMediaSignatureStore(spark: SparkSession): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("media_id", LongType, nullable = false),
         StructField("_h", StringType, nullable = false),
         StructField("modality", StringType, nullable = true),
-        StructField("sig", LongType, nullable = true))))
+        StructField("sig", LongType, nullable = true),
+        StructField("sig_v", IntegerType, nullable = false))))
+  }
+
+  /** Fail fast on a signature store whose encodings this code cannot
+    * join against: no `sig_v` column (pre-versioning store) or any row
+    * stamped with a different version (partially-migrated store). The
+    * content check is one column-pruned scan that parquet min/max stats
+    * short-circuit when — as always for intact stores — `sig_v` is
+    * constant. */
+  private def requireStoreVersion(store: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(store.columns.contains("sig_v"),
+      "media signature store has no sig_v column: it was written before " +
+        "store versioning, when _h was the post-resize md5 and audio sigs " +
+        "used a different bit layout. Joining it against batches hashed " +
+        s"the v$SignatureVersion way would mis-dedup silently — rebuild " +
+        "the store by re-ingesting its corpus.")
+    // null-safe: a delta-union where only SOME generations carry sig_v
+    // surfaces as null rows, which are just as alien as a wrong number
+    val alien = store.select(col("sig_v"))
+      .filter(!(col("sig_v") <=> org.apache.spark.sql.functions.lit(SignatureVersion)))
+      .limit(1)
+    require(alien.isEmpty,
+      s"media signature store contains rows with sig_v != $SignatureVersion " +
+        s"(e.g. ${alien.collect().headOption.map(_.get(0)).getOrElse("?")}): " +
+        "mixed-version stores mis-dedup silently — rebuild the store by " +
+        "re-ingesting its corpus.")
   }
 
   /** Append-mode media curation — dedup an incoming batch against the
@@ -154,7 +222,8 @@ object MediaPipeline {
       "media signature store")
     graft.PathGuard.requireDisjoint(spark, batch.inputFiles.toSeq, outDir,
       "input batch")
-    val checked = validateAndResize(batch, maxSide).persist()
+    requireStoreVersion(store)
+    val checked = validateAndResize(batch, maxSide, withHash = true).persist()
     try {
       checked.filter(!_._2)
         .map(t => MediaQuarantine(t._1.media_id, t._1.format, t._3))
@@ -210,6 +279,7 @@ object MediaPipeline {
                 val newStoreRows = newContent.select(col("media_id"), col("_h"))
                   .join(newSigs.select(col("media_id"), col("modality"), col("sig")),
                     Seq("media_id"), "left")
+                  .withColumn("sig_v", lit(SignatureVersion))
                 (if (deltaSignatures) newStoreRows
                  else store.unionByName(newStoreRows))
                   .write.mode("overwrite").parquet(s"$outDir/signatures")

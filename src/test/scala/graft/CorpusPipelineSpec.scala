@@ -156,4 +156,31 @@ class CorpusPipelineSpec extends SparkSpecBase {
     val s = CorpusPipeline.curate(spark, Tables.documents(spark, sf()), out)
     assert(s.curated > 0 && s.curated <= s.input)
   }
+
+  test("curate guards only its write targets, not the whole output root") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("corpusroot").toString
+    // raw input kept under the same root, BESIDE corpus/ and lang_stats/,
+    // is a legal layout the guard must not reject
+    docs.write.parquet(s"$out/raw")
+    val s = CorpusPipeline.curate(spark, spark.read.parquet(s"$out/raw"), out)
+    assert(s.curated > 0)
+    // input under an actual write target still fails fast
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline.curate(spark, spark.read.parquet(s"$out/corpus"), out)
+    }
+    assert(e.getMessage.contains("corpus"), e.getMessage)
+    // hamming radius validation matches the media twin: negative radii
+    // would silently disable near-dup removal, so they are rejected
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusPipeline.curate(spark, docs, out, maxHamming = -1)
+    }
+    assert(e2.getMessage.contains("0..3"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      CorpusPipeline.appendBatch(spark,
+        CorpusPipeline.emptySignatureStore(spark), docs,
+        java.nio.file.Files.createTempDirectory("nh").toString, maxHamming = -1)
+    }
+    assert(e3.getMessage.contains("0..3"), e3.getMessage)
+  }
 }

@@ -102,4 +102,66 @@ class MediaPipelineSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("fresh outDir"))
   }
+
+  test("appendBatch refuses version-less and mixed-version signature stores") {
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+    val batch = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image",
+        bmp((x, _) => if (x < 8) (0, 0, 0) else (255, 255, 255)),
+        "bmp", 16, 16, 0)))(enc)
+    // a store persisted before versioning has no sig_v column at all —
+    // its _h/audio-sig encodings are incompatible, so fail fast
+    val out = java.nio.file.Files.createTempDirectory("media_v0").toString
+    val versionless = MediaPipeline.emptyMediaSignatureStore(spark).drop("sig_v")
+    val e = intercept[IllegalArgumentException] {
+      MediaPipeline.appendBatch(spark, versionless, batch, out)
+    }
+    assert(e.getMessage.contains("sig_v"), e.getMessage)
+    // rows stamped with a different version are just as alien
+    val stale = Seq((9L, "00" * 16, "image", 5L, 1))
+      .toDF("media_id", "_h", "modality", "sig", "sig_v")
+    val e2 = intercept[IllegalArgumentException] {
+      MediaPipeline.appendBatch(spark, stale, batch, out)
+    }
+    assert(e2.getMessage.contains(
+      s"sig_v != ${MediaPipeline.SignatureVersion}"), e2.getMessage)
+    // and so are null stamps (a delta-union where only some generations
+    // carry the column)
+    val nulled = Seq((9L, "00" * 16, "image", Some(5L), Option.empty[Int]))
+      .toDF("media_id", "_h", "modality", "sig", "sig_v")
+    val e3 = intercept[IllegalArgumentException] {
+      MediaPipeline.appendBatch(spark, nulled, batch, out)
+    }
+    assert(e3.getMessage.contains(
+      s"sig_v != ${MediaPipeline.SignatureVersion}"), e3.getMessage)
+    // the store appendBatch itself writes passes its own check
+    val s = MediaPipeline.appendBatch(spark,
+      MediaPipeline.emptyMediaSignatureStore(spark), batch, out)
+    assert(s.accepted == 1)
+    val out2 = java.nio.file.Files.createTempDirectory("media_v2").toString
+    val s2 = MediaPipeline.appendBatch(spark,
+      spark.read.parquet(s"$out/signatures"), batch, out2)
+    assert(s2.accepted == 0) // exact dup of history, store version accepted
+  }
+
+  test("curate guards only its write targets, not the whole output root") {
+    val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+    val rows = Seq(Multimodal.MediaRow(1L, "image",
+      bmp((x, _) => if (x < 8) (0, 0, 0) else (255, 255, 255)),
+      "bmp", 16, 16, 0))
+    val out = java.nio.file.Files.createTempDirectory("media_root").toString
+    // keeping the raw input under the same root, BESIDE curated/ and
+    // quarantine/, is a legal layout the guard must not reject
+    spark.createDataset(rows)(enc).write.parquet(s"$out/raw")
+    val raw = spark.read.parquet(s"$out/raw").as[Multimodal.MediaRow](enc)
+    val s = MediaPipeline.curate(spark, raw, out)
+    assert(s.curated == 1)
+    // input under an actual write target still fails fast
+    val clash = spark.read.parquet(s"$out/curated").as[Multimodal.MediaRow](enc)
+    val e = intercept[IllegalArgumentException] {
+      MediaPipeline.curate(spark, clash, out)
+    }
+    assert(e.getMessage.contains("curated"), e.getMessage)
+  }
 }
