@@ -144,6 +144,17 @@ object Demo {
     val mSum = graft.multimodal.MediaPipeline.curate(spark, media, mediaOut, maxSide = 256)
     println(s"media curation: $mSum")
 
+    // physical layout levers: range-sorted files (disjoint per-file key
+    // ranges feed row-group skipping) and small-file compaction
+    val layDir = java.nio.file.Files.createTempDirectory("graft_demo_lay").toString
+    val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_extendedprice")
+    graft.sources.Layout.saveRangeSorted(li, s"$layDir/sorted", 8, Seq("l_orderkey"))
+    li.repartition(48).write.parquet(s"$layDir/frag")
+    val nOut = graft.sources.Layout.compact(spark, s"$layDir/frag", s"$layDir/tight")
+    val (fragB, fragN) = graft.sources.Layout.parquetFootprint(spark, s"$layDir/frag")
+    println(s"layout: range-sorted into 8 files; compacted $fragN files " +
+      s"(${fragB / 1024} KiB) -> $nOut")
+
     // end-to-end reference pipeline: raw CSV export → quarantine → clean →
     // rolling + HRV feature tables (see graft.Pipeline)
     val pipeDir = java.nio.file.Files.createTempDirectory("graft_demo_pipe").toFile

@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Physical table layout for the 100 TB tier — the writer-side half of
+  * scan and join efficiency. Three levers, each exercised by LayoutSpec
+  * against the plans/files it claims to shape:
+  *
+  *  1. '''Bucketing''' ([[saveBucketed]]): co-partition + co-sort two
+  *     fact tables on their join keys ONCE at write time, and every
+  *     later equi-join or aggregation on those keys reads both sides
+  *     with ZERO Exchange — the shuffle is prepaid. At 100 TB a
+  *     repeated fact-fact join is dominated by its shuffle; bucketing
+  *     amortizes it across every downstream job.
+  *  2. '''Range-sorted files''' ([[saveRangeSorted]]): globally
+  *     range-partition and sort so each output file covers a DISJOINT
+  *     key range; the pushed-down filter then skips whole row groups on
+  *     parquet footer min/max, so a non-matching file contributes zero
+  *     data-page reads (the skipping is row-group-granular — plain
+  *     parquet has no planner-level file pruning on data columns; that
+  *     is what table formats add on top).
+  *  3. '''Compaction''' ([[compact]]): fold the thousands of KB-sized
+  *     files a streaming sink accumulates into ~`targetBytes` files —
+  *     per-file open, footer read, and task-scheduling overhead make a
+  *     million-file table scan-bound on metadata, not data.
+  */
+object Layout {
+
+  /** Save `df` as a managed parquet table bucketed AND sorted on `keys`.
+    *
+    * Both sides of a later join must use the same `numBuckets` (Spark
+    * only aligns equal bucket counts). The sort makes per-bucket files
+    * merge-joinable without a re-sort when each bucket holds one file.
+    * Size `numBuckets` like shuffle partitions: total table bytes /
+    * target partition size (~128-256 MB compressed). */
+  def saveBucketed(df: DataFrame, table: String, keys: Seq[String],
+      numBuckets: Int): Unit = {
+    require(keys.nonEmpty, "bucketing needs at least one key column")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    df.write
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Write `dir` as `numFiles` parquet files, each covering a disjoint
+    * `sortCols` range (repartitionByRange samples split points, then an
+    * in-partition sort orders rows for row-group stats). Reads that
+    * filter on a `sortCols` prefix skip all row groups outside the
+    * matching range on footer min/max alone — LayoutSpec asserts the
+    * per-file ranges really are disjoint and that a point-filter scan
+    * emits at most one file's worth of rows. */
+  def saveRangeSorted(df: DataFrame, dir: String, numFiles: Int,
+      sortCols: Seq[String]): Unit = {
+    require(sortCols.nonEmpty, "range layout needs at least one sort column")
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Total bytes and file count of the parquet data files under `dir`
+    * (driver-side metadata listing — no data read). */
+  def parquetFootprint(spark: SparkSession, dir: String): (Long, Int) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(path, true)
+    var bytes = 0L
+    var files = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        bytes += f.getLen; files += 1
+      }
+    }
+    (bytes, files)
+  }
+
+  /** Compact the parquet files under `inDir` into ~`targetBytes` output
+    * files at `outDir`, returning the output file count. The count
+    * comes from the CURRENT on-disk (compressed) size, and the fold is
+    * a `coalesce` — task-merge only, no shuffle: compaction of a 100 TB
+    * tail must not re-shuffle the data it is defragmenting. Layout
+    * properties that depend on one-file-per-range ([[saveRangeSorted]])
+    * do not survive arbitrary coalescing — re-run the range writer
+    * instead of compacting when file-level pruning matters more than
+    * file count. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    // neither dir may contain the other: overwrite of outDir must not
+    // delete input files, and output landing INSIDE inDir would be
+    // double-read by every later scan of inDir
+    graft.PathGuard.requireDisjoint(spark, Seq(inDir), outDir,
+      "compaction input", hint = "Compact into a separate directory, " +
+        "then swap it in.")
+    graft.PathGuard.requireDisjoint(spark, Seq(outDir), inDir,
+      "compaction output", hint = "Compact into a directory outside the " +
+        "input, then swap it in.")
+    val (bytes, files) = parquetFootprint(spark, inDir)
+    require(files > 0, s"no parquet files under $inDir")
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).coalesce(n)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
+}
