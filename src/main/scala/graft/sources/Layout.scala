@@ -38,7 +38,25 @@ object Layout {
       numBuckets: Int): Unit = {
     require(keys.nonEmpty, "bucketing needs at least one key column")
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
-    df.write
+    val spark = df.sparkSession
+    // overwriting a table whose files feed this very read would delete
+    // them first (Spark's own check only catches catalog-level reads,
+    // not a path read of the same location)
+    if (spark.catalog.tableExists(table)) {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).location
+      graft.PathGuard.requireDisjoint(spark, df.inputFiles.toSeq,
+        loc.toString, "bucketed-save input",
+        hint = "Save to a different table, then swap names.")
+    }
+    // align writer tasks with buckets (same murmur3-mod partitioning
+    // bucketBy uses): each task holds exactly one bucket → one file per
+    // bucket. Without this, every input partition writes a file into
+    // every bucket it touches (partitions × buckets files), and Spark
+    // only exposes the bucket sort order to downstream plans when each
+    // bucket is a single file.
+    df.repartition(numBuckets, keys.map(col): _*)
+      .write
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
@@ -57,6 +75,11 @@ object Layout {
       sortCols: Seq[String]): Unit = {
     require(sortCols.nonEmpty, "range layout needs at least one sort column")
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    // "re-layout in place" (input under dir) would delete the input
+    // before the job reads it — same guard as every overwrite writer here
+    graft.PathGuard.requireDisjoint(df.sparkSession, df.inputFiles.toSeq,
+      dir, "range-layout input",
+      hint = "Write the new layout to a sibling directory, then swap it in.")
     df.repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(dir)
@@ -80,14 +103,20 @@ object Layout {
   }
 
   /** Compact the parquet files under `inDir` into ~`targetBytes` output
-    * files at `outDir`, returning the output file count. The count
-    * comes from the CURRENT on-disk (compressed) size, and the fold is
-    * a `coalesce` — task-merge only, no shuffle: compaction of a 100 TB
-    * tail must not re-shuffle the data it is defragmenting. Layout
-    * properties that depend on one-file-per-range ([[saveRangeSorted]])
-    * do not survive arbitrary coalescing — re-run the range writer
-    * instead of compacting when file-level pruning matters more than
-    * file count. */
+    * files at `outDir`, returning the MEASURED output file count. The
+    * target count comes from the on-disk (compressed) size of exactly
+    * the files the scan will read (`inputFiles` — for a streaming-sink
+    * directory this respects `_spark_metadata` and excludes orphans
+    * from crashed batches), and the fold is a `coalesce` — task-merge
+    * only, no shuffle: compaction of a 100 TB tail must not re-shuffle
+    * the data it is defragmenting. `coalesce` can only REDUCE
+    * parallelism, so an input already at or below the target file count
+    * is copied, not split. Caveats: layout properties that depend on
+    * one-file-per-range ([[saveRangeSorted]]) do not survive arbitrary
+    * coalescing — re-run the range writer instead when pruning matters
+    * more than file count; and the output is a PLAIN directory (a
+    * streaming sink's exactly-once `_spark_metadata` log is not carried
+    * over — stop the stream before swapping the compacted copy in). */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
@@ -100,11 +129,15 @@ object Layout {
     graft.PathGuard.requireDisjoint(spark, Seq(outDir), inDir,
       "compaction output", hint = "Compact into a directory outside the " +
         "input, then swap it in.")
-    val (bytes, files) = parquetFootprint(spark, inDir)
-    require(files > 0, s"no parquet files under $inDir")
+    val read = spark.read.parquet(inDir)
+    val inFiles = read.inputFiles
+    require(inFiles.nonEmpty, s"no readable parquet files under $inDir")
+    val fs = new org.apache.hadoop.fs.Path(inDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = inFiles.iterator
+      .map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(inDir).coalesce(n)
-      .write.mode("overwrite").parquet(outDir)
-    n
+    read.coalesce(n).write.mode("overwrite").parquet(outDir)
+    parquetFootprint(spark, outDir)._2
   }
 }

@@ -40,6 +40,20 @@ class LayoutSpec extends SparkSpecBase {
       assert(!pa.toLowerCase.contains("exchange hashpartitioning"),
         s"bucketed group-by must not shuffle:\n$pa")
       assert(a.count() == 97)
+      // the writer aligned tasks with buckets: one file per bucket (the
+      // precondition for bucket-sort propagation, and the difference
+      // between 8 files and partitions x buckets files)
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("lay_left")).location
+      val (_, bucketFiles) = Layout.parquetFootprint(spark, loc.toString)
+      assert(bucketFiles == 8, s"expected one file per bucket, got $bucketFiles")
+      // re-saving a table from its own files fails fast instead of
+      // deleting the input mid-read
+      val e = intercept[IllegalArgumentException] {
+        Layout.saveBucketed(
+          spark.read.parquet(loc.toString), "lay_left", Seq("k"), 8)
+      }
+      assert(e.getMessage.contains("bucketed-save input"), e.getMessage)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS lay_left")
@@ -55,6 +69,10 @@ class LayoutSpec extends SparkSpecBase {
     val dir = java.nio.file.Files.createTempDirectory("lay_range").toString + "/t"
     Layout.saveRangeSorted(df, dir, 8, Seq("k"))
     val read = spark.read.parquet(dir)
+    // "re-layout in place" is refused, not silently destructive
+    intercept[IllegalArgumentException] {
+      Layout.saveRangeSorted(read, dir, 8, Seq("k"))
+    }
     // every file covers a disjoint k-range — the property row-group
     // min/max skipping needs to zero out non-matching files
     val ranges = read.groupBy(input_file_name().as("f"))
@@ -101,10 +119,14 @@ class LayoutSpec extends SparkSpecBase {
     val (_, tightFiles) = Layout.parquetFootprint(spark, s"$base/tight")
     assert(n == 1 && tightFiles == 1, s"n=$n files=$tightFiles")
     assert(spark.read.parquet(s"$base/tight").count() == 5000)
-    // a target smaller than the data re-splits instead of folding to one
+    // a smaller target keeps more files — and the return value is the
+    // MEASURED output count (coalesce cannot split, so the on-disk
+    // count, not the byte-arithmetic estimate, is the truth)
     val (bytes, _) = Layout.parquetFootprint(spark, s"$base/frag")
     val n2 = Layout.compact(spark, s"$base/frag", s"$base/tight2", bytes / 3)
-    assert(n2 >= 3, s"n2=$n2")
+    val (_, tight2Files) = Layout.parquetFootprint(spark, s"$base/tight2")
+    assert(n2 == tight2Files, s"returned $n2, on disk $tight2Files")
+    assert(n2 >= 2 && n2 < 64, s"n2=$n2")
     assert(spark.read.parquet(s"$base/tight2").count() == 5000)
     // neither direction of nesting is a legal compaction layout
     intercept[IllegalArgumentException] {

@@ -13,9 +13,16 @@ trait SparkSpecBase extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     // managed tables (LayoutSpec's bucketed saves) land in a throwaway
     // warehouse, not ./spark-warehouse inside the repo
-    .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    .config("spark.sql.warehouse.dir", SparkSpecBase.warehouseDir)
     .getOrCreate()
 
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+}
+
+object SparkSpecBase {
+  // one temp warehouse per JVM — getOrCreate only honors the config on
+  // the first session anyway, so per-suite temp dirs would just strand
+  // empty directories
+  lazy val warehouseDir: String =
+    java.nio.file.Files.createTempDirectory("graft_wh").toString
 }
