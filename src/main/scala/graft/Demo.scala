@@ -68,6 +68,12 @@ object Demo {
       nlist = 8, nprobe = 3).count()
     val hard = Ann.hardNegatives(bruteTopk, k = 3, dupCosine = 0.95).count()
     println(s"ANN: brute-force rows=$brute ivf rows=$ivf hard-negatives rows=$hard")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_demo_ivf").toString + "/idx"
+    Ann.buildIvfIndex(spark, emb, "vec_id", "embedding", idxDir, nlist = 8)
+    val served = Ann.ivfTopKIndexed(spark, idxDir, probes, "vec_id", "embedding",
+      k = 3, nprobe = 3).count()
+    println(s"ANN index: built once at $idxDir, served rows=$served " +
+      "(scan pruned to probed list partitions)")
 
     Aggregates.register(spark)
     val w = org.apache.spark.sql.expressions.Window

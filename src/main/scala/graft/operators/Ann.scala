@@ -139,4 +139,81 @@ object Ann {
     require(k > 0, s"hardNegatives requires k > 0, got $k")
     topKBySim(topK.filter(col("sim") < dupCosine), k)
   }
+
+  /** Build and PERSIST an IVF-Flat index at `dir`, so serving never
+    * re-clusters: [[ivfTopK]] fits KMeans per call, which is fine for a
+    * one-shot audit and wrong for a 100 TB corpus served repeatedly.
+    *
+    * Layout: `dir/centroids` (`nlist` rows — the broadcastable routing
+    * table) and `dir/lists` — every corpus vector under its nearest
+    * centroid, `partitionBy("list_id")`, so a probe batch's scan prunes
+    * to the probed lists' partitions and never touches the rest.
+    *
+    * `fitFraction` < 1 fits the clustering on a seeded sample — at
+    * 100 TB the KMeans fit must not scan the corpus; assignment of ALL
+    * rows is still one broadcast-model map pass. */
+  def buildIvfIndex(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, dir: String, nlist: Int = 16,
+      fitFraction: Double = 1.0, seed: Long = 42L): Unit = {
+    import spark.implicits._
+    require(nlist > 0, s"nlist must be positive, got $nlist")
+    require(fitFraction > 0 && fitFraction <= 1,
+      s"fitFraction must be in (0,1], got $fitFraction")
+    graft.PathGuard.requireDisjoint(spark, corpus.inputFiles.toSeq, dir,
+      "index input", hint = "Build the index outside the corpus directory.")
+    val feats = corpus.select(col(idCol).as("nb"),
+      VectorFunctions.toDoubleVec(col(vecCol)).as("vb"))
+      .withColumn("fv", array_to_vector(col("vb")))
+    require(feats.head(1).nonEmpty, "cannot build an IVF index on an empty corpus")
+    val fitOn =
+      if (fitFraction >= 1.0) feats
+      else {
+        val s = feats.sample(withReplacement = false, fitFraction, seed)
+        // a sample that misses every row cannot seed the clustering
+        if (s.head(1).isEmpty) feats else s
+      }
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("fv").fit(fitOn)
+    model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
+      .toDF("list_id", "cv")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    model.transform(feats)
+      .select(col("nb"), col("vb"), col("prediction").as("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/lists")
+  }
+
+  /** Serve probes against a [[buildIvfIndex]] index: broadcast the
+    * centroid routing table, pick each probe's `nprobe` nearest lists,
+    * and join against ONLY those lists — the `isin` filter on the
+    * partition column prunes the scan to the probed partitions (the
+    * probed-list ids are collected driver-side first; that set is
+    * bounded by `nlist`, not by data volume). */
+  def ivfTopKIndexed(spark: SparkSession, dir: String, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int = 5, nprobe: Int = 4): DataFrame = {
+    require(k > 0 && nprobe > 0, s"k and nprobe must be positive, got $k/$nprobe")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val p = probes.select(col(idCol).as("probe_id"),
+      VectorFunctions.toDoubleVec(col(vecCol)).as("vp"))
+    val wc = Window.partitionBy(col("probe_id")).orderBy(col("cdist"), col("list_id"))
+    val probeLists = p.crossJoin(broadcast(centroids))
+      .withColumn("cdist", aggregate(zip_with(col("vp"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (s, x) => s + x))
+      .withColumn("rn", row_number().over(wc)).filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("vp"), col("list_id"))
+    // nlist-bounded driver-side set → static partition pruning on lists
+    val needed = probeLists.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (needed.isEmpty) {
+      val empty = spark.read.parquet(s"$dir/lists")
+      return emptyTopK(empty.withColumnRenamed("nb", idCol), probes.select(
+        col(idCol)), idCol)
+    }
+    val lists = spark.read.parquet(s"$dir/lists")
+      .filter(col("list_id").isin(needed: _*))
+    val pairs = probeLists.join(lists, Seq("list_id"))
+      .filter(col("probe_id") =!= col("nb"))
+      .select(col("probe_id"), col("nb"), cosine_sim(col("vp"), col("vb")).as("sim"))
+    topKBySim(pairs, k)
+  }
 }

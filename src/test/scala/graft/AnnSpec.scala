@@ -102,6 +102,40 @@ class AnnSpec extends SparkSpecBase {
     assert(ivf(12) >= 0.9, s"ivf nlist=16 nprobe=12 recall ${ivf(12)}")
   }
 
+  test("persisted IVF index equals brute force at full probe and prunes partitions") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE wraps materialized subtrees in QueryStageExec leaves; a plain
+    // collect stops there, so descend explicitly
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
+    Ann.buildIvfIndex(spark, emb, "vec_id", "embedding", dir, nlist = 8)
+    val exact = topkMap(Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5))
+    // probing EVERY list makes the index exhaustive: exactly brute force
+    val full = topkMap(Ann.ivfTopKIndexed(spark, dir, probes, "vec_id",
+      "embedding", k = 5, nprobe = 8))
+    assert(full == exact, "nprobe=nlist must equal brute force")
+    // the served approximation matches the per-call ivfTopK recall band
+    val approx = topkMap(Ann.ivfTopKIndexed(spark, dir, probes, "vec_id",
+      "embedding", k = 5, nprobe = 4))
+    assert(recallAt5(approx, exact) > 0.3, s"recall: ${recallAt5(approx, exact)}")
+    // one probe at nprobe=1 reads ONE list partition, not the index
+    val one = Ann.ivfTopKIndexed(spark, dir, emb.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 5, nprobe = 1)
+    one.collect()
+    val scans = allScans(one.queryExecution.executedPlan)
+    val listScan = scans.find(_.metadata("Location").contains("/lists"))
+      .getOrElse(fail(s"no lists scan among: ${scans.map(_.metadata("Location"))}"))
+    assert(listScan.metrics("numPartitions").value == 1,
+      s"expected 1 of 8 list partitions read, got " +
+        s"${listScan.metrics("numPartitions").value}")
+  }
+
   test("hard negatives drop near-duplicates and keep the next-hardest neighbors") {
     // anchor 1: 100 is a near-copy (cosine ~1), 2..4 progressively farther
     val vecs = Seq(
