@@ -146,6 +146,8 @@ object Demo {
       s"${Multimodal.imageNearDups(media).count()} near-dup pairs (random images)")
     println(s"audio fingerprints: ${Multimodal.audioHashes(media).count()} signatures, " +
       s"${Multimodal.audioNearDups(media).count()} near-dup pairs (random clips)")
+    println(s"video fingerprints: ${Multimodal.videoHashes(media).count()} signatures " +
+      s"from real AVI decode, ${Multimodal.videoFrameHashes(media).count()} frame hashes")
     val mediaOut = java.nio.file.Files.createTempDirectory("graft_demo_media").toString
     val mSum = graft.multimodal.MediaPipeline.curate(spark, media, mediaOut, maxSide = 256)
     println(s"media curation: $mSum")

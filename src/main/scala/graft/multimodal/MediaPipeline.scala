@@ -13,9 +13,10 @@ import Multimodal.MediaRow
   *     mapPartitions pass (errors become quarantine ROWS, not job
   *     failures — a single corrupt payload must not kill a 100 TB job);
   *  2. near-dup candidates come from the banded-hamming equi-join per
-  *     modality (image aHash, audio energy fingerprint — signatures from
-  *     DIFFERENT modalities never meet, their hamming distance is
-  *     meaningless), never an all-pairs comparison;
+  *     modality (image aHash, audio energy fingerprint, video
+  *     majority-vote frame hash — signatures from DIFFERENT modalities
+  *     never meet, their hamming distance is meaningless), never an
+  *     all-pairs comparison;
   *  3. duplicate clusters resolve with the same large-star/small-star
   *     contraction as text dedup (DedupClusters), keeping min media_id;
   *  4. outputs are `outDir/curated` and `outDir/quarantine`.
@@ -71,6 +72,9 @@ object MediaPipeline {
               case "wav" =>
                 Multimodal.wavLayout(r.media) // validate only
                 r
+              case "avi" =>
+                Multimodal.aviLayout(r.media) // validate only
+                r
               case "bmp" =>
                 val resized = Multimodal.bmpResize(r.media, maxSide)
                 if (resized eq r.media) r
@@ -90,12 +94,13 @@ object MediaPipeline {
   }
 
   /** Per-modality perceptual signatures: (media_id, sig, modality) —
-    * image aHash and audio energy fingerprints; opaque formats carry no
-    * perceptual signature. */
+    * image aHash, audio energy fingerprint, video majority-vote frame
+    * hash; opaque formats carry no perceptual signature. */
   private def perceptualSigs(media: org.apache.spark.sql.Dataset[MediaRow]) = {
     import org.apache.spark.sql.functions.lit
     Multimodal.imageAHashes(media).withColumn("modality", lit("image"))
       .union(Multimodal.audioHashes(media).withColumn("modality", lit("audio")))
+      .union(Multimodal.videoHashes(media).withColumn("modality", lit("video")))
   }
 
   def curate(spark: SparkSession, media: org.apache.spark.sql.Dataset[MediaRow],
@@ -126,6 +131,7 @@ object MediaPipeline {
         // 2.+3. near-dup clusters per modality, one replacement map
         val pairs = Multimodal.imageNearDups(good, maxHamming)
           .union(Multimodal.audioNearDups(good, maxHamming))
+          .union(Multimodal.videoNearDups(good, maxHamming))
         val repl = graft.operators.DedupClusters
           .replacementMap(pairs, "a_media_id", "b_media_id")
           .withColumnRenamed("id", "media_id")
@@ -261,7 +267,7 @@ object MediaPipeline {
             try {
               // within-batch clusters per modality; a history-dup drags
               // its whole batch cluster into the history cluster
-              val pairs = Seq("image", "audio").map { m =>
+              val pairs = Seq("image", "audio", "video").map { m =>
                 graft.operators.ScalableDedup.simhashCandidatesFromSigs(
                   newSigs.filter(col("modality") === m)
                     .select(col("media_id"), col("sig")),

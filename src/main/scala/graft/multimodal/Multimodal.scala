@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
   * fingerprint) feeding the same banded-hamming join as text dedup.
   *
   * The Spark-side contract — schema, partitioning, batch shape — is real
-  * and tested, and so are two of the decoders: header-simple formats with
-  * pure-JVM parses ship REAL decode paths ([[decodeWav]] for PCM-16 RIFF
-  * WAV, [[decodeBmp]] for uncompressed 24-bit BMP), with matching
-  * encoders so round-trips are testable without codec jars. Formats that
-  * need native codecs (png, mp4, ...) still go through the clearly-marked
+  * and tested, and so are the decoders for every modality: header-simple
+  * formats with pure-JVM parses ship REAL decode paths ([[decodeWav]]
+  * for PCM-16 RIFF WAV, [[decodeBmp]] for uncompressed 24-bit BMP,
+  * [[decodeAvi]] for uncompressed-DIB AVI video), with matching encoders
+  * so round-trips are testable without codec jars. Formats that need
+  * native codecs (png, mp4, ...) still go through the clearly-marked
   * [[stubDecode]]; swapping in a real codec changes only that dispatch
   * arm — the distributed plumbing (binary columns travel with their
   * partition, the decoder runs once per row inside mapPartitions with
@@ -41,6 +42,12 @@ object Multimodal {
     * (the image analogue of docstats). */
   case class BmpInfo(width: Int, height: Int,
       meanR: Double, meanG: Double, meanB: Double, meanLuma: Double)
+
+  /** Real decode of an uncompressed-DIB AVI payload: dimensions, frame
+    * count, frame interval, and mean luma across frames (the video
+    * analogue of docstats). */
+  case class AviInfo(width: Int, height: Int, frames: Int,
+      microsPerFrame: Int, meanLuma: Double)
 
   // ---- WAV (RIFF / fmt / data, PCM 16-bit little-endian) ----
 
@@ -280,7 +287,16 @@ object Multimodal {
     * comparison. */
   def bmpAHash(bytes: Array[Byte]): Long = {
     val (w, h, off, rowSize, bottomUp) = bmpLayout(bytes)
-    val (mr, mg, mb) = boxGrid(bytes, w, h, off, rowSize, bottomUp, 8, 8)
+    ahashOfGrid(boxGrid(bytes, w, h, off, rowSize, bottomUp, 8, 8))
+  }
+
+  /** The aHash tail shared by [[bmpAHash]] and the per-frame video hash:
+    * bit b set when block b's mean luma exceeds the mean of the block
+    * means. One definition, so an image and a video frame with the same
+    * pixels hash identically. */
+  private def ahashOfGrid(
+      grid: (Array[Double], Array[Double], Array[Double])): Long = {
+    val (mr, mg, mb) = grid
     val luma = Array.tabulate(64)(i => 0.299 * mr(i) + 0.587 * mg(i) + 0.114 * mb(i))
     val meanOfMeans = luma.sum / 64
     var hash = 0L
@@ -377,6 +393,10 @@ object Multimodal {
             val b = decodeBmp(r.media)
             pad(Array(b.width.toDouble, b.height.toDouble,
               b.meanR, b.meanG, b.meanB, b.meanLuma), dim)
+          case "avi" =>
+            val a = decodeAvi(r.media)
+            pad(Array(a.width.toDouble, a.height.toDouble, a.frames.toDouble,
+              a.microsPerFrame.toDouble, a.meanLuma), dim)
           case _ => stubDecode(r.media, dim)
         }
         MediaFeatures(r.media_id, r.kind, r.media.length.toLong, feats)
@@ -527,6 +547,224 @@ object Multimodal {
   def audioNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
     mediaNearDupsFromSigs(audioHashes(media).persist(), maxHamming)
 
+  // ---- AVI (RIFF 'AVI ', single uncompressed 24-bit DIB video stream) ----
+
+  /** Encode frames as a standard uncompressed-DIB AVI — the inverse of
+    * [[decodeAvi]]. Each frame is `rgb(frameIdx)(x, y) = (r, g, b)` with
+    * y = 0 the TOP row; frames share `width`×`height`. The container is
+    * the same RIFF chunk grammar as WAV and each frame the same
+    * bottom-up padded BGR pixel array as BMP, which is what makes a
+    * pure-JVM video codec tractable here. */
+  def encodeAviDib(width: Int, height: Int,
+      rgb: Seq[(Int, Int) => (Int, Int, Int)], fps: Int = 10): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(rgb.nonEmpty, "an AVI needs at least one frame")
+    require(fps > 0, s"fps must be positive, got $fps")
+    val rowSize = ((24 * width + 31) / 32) * 4
+    val frameLen = rowSize * height
+    val nFrames = rgb.length
+    val hdrlLen = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val moviLen = 4 + nFrames * (8 + frameLen)
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val buf = ByteBuffer.allocate(8 + riffLen).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String) = buf.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); buf.putInt(riffLen); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(hdrlLen); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps) // dwMicroSecPerFrame
+      .putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+      .putInt(nFrames).putInt(0).putInt(1) // totalFrames, initialFrames, streams
+      .putInt(frameLen).putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+    fourcc("LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    buf.putInt(0).putShort(0).putShort(0).putInt(0) // flags, priority, language, initialFrames
+      .putInt(1).putInt(fps) // scale, rate → fps frames/sec
+      .putInt(0).putInt(nFrames).putInt(frameLen).putInt(0).putInt(0) // start, length, bufSize, quality, sampleSize
+      .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort) // rcFrame
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER, bottom-up
+      .putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+      .putInt(frameLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(moviLen); fourcc("movi")
+    rgb.foreach { frame =>
+      fourcc("00db"); buf.putInt(frameLen)
+      for (y <- height - 1 to 0 by -1) { // bottom-up row order, like BMP
+        for (x <- 0 until width) {
+          val (r, g, b) = frame(x, y)
+          buf.put(b.toByte).put(g.toByte).put(r.toByte)
+        }
+        var pad = rowSize - 3 * width
+        while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      }
+    }
+    buf.array()
+  }
+
+  /** Validated uncompressed-DIB AVI layout: (width, height,
+    * microsPerFrame, row stride in bytes, per-frame pixel-data offsets).
+    * Walks the RIFF lists (hdrl → avih + strl/strf for the format,
+    * movi → the '00db' frame chunks) with the same loud-failure +
+    * overflow-guard discipline as [[wavLayout]]/[[bmpLayout]]. Shared by
+    * [[decodeAvi]] and the per-frame hashes. */
+  private[multimodal] def aviLayout(bytes: Array[Byte]): (Int, Int, Int, Int, Array[Int]) = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"invalid AVI: $msg")
+    if (bytes.length < 12) fail(s"payload too short (${bytes.length} bytes)")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "AVI ") fail("not a RIFF/AVI header")
+    var avih: Option[(Int, Int, Int, Int)] = None // (usPerFrame, frames, w, h)
+    var strfOk = false
+    val frameOffs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // one chunk walker for every nesting level, bounds-checked per level
+    def walk(from: Int, until: Int)(onChunk: (String, Int, Int) => Unit): Unit = {
+      var off = from
+      while (off + 8 <= until) {
+        val id = ascii(off, 4)
+        val size = buf.getInt(off + 4)
+        if (size < 0 || off + 8L + size > until) fail(s"chunk '$id' overruns payload")
+        onChunk(id, off + 8, size)
+        off += 8 + size + (size & 1) // chunks are even-padded
+      }
+    }
+    walk(12, bytes.length) { (id, dataOff, size) =>
+      if (id == "LIST" && size >= 4) ascii(dataOff, 4) match {
+        case "hdrl" =>
+          walk(dataOff + 4, dataOff + size) { (hid, hOff, hSize) =>
+            hid match {
+              case "avih" =>
+                if (hSize < 40) fail(s"avih chunk too short ($hSize)")
+                avih = Some((buf.getInt(hOff), buf.getInt(hOff + 16),
+                  buf.getInt(hOff + 32), buf.getInt(hOff + 36)))
+              case "LIST" if hSize >= 4 && ascii(hOff, 4) == "strl" =>
+                walk(hOff + 4, hOff + hSize) { (sid, sOff, sSize) =>
+                  if (sid == "strf") {
+                    if (sSize < 40) fail(s"strf chunk too short ($sSize)")
+                    val bpp = buf.getShort(sOff + 14) & 0xffff
+                    val compression = buf.getInt(sOff + 16)
+                    if (bpp != 24 || compression != 0)
+                      fail(s"only uncompressed 24bpp supported (bpp=$bpp " +
+                        s"compression=$compression)")
+                    strfOk = true
+                  }
+                }
+              case _ => ()
+            }
+          }
+        case "movi" =>
+          walk(dataOff + 4, dataOff + size) { (mid, mOff, _) =>
+            if (mid == "00db") { frameOffs += mOff; () }
+            else fail(s"unsupported movi chunk '$mid' (only raw DIB '00db')")
+          }
+        case _ => ()
+      }
+    }
+    val (usPerFrame, declFrames, width, height) =
+      avih.getOrElse(fail("no avih header"))
+    if (!strfOk) fail("no strf stream format")
+    if (width <= 0 || height <= 0 || height > Int.MaxValue / 4 / width)
+      fail(s"bad dimensions ${width}x$height")
+    // Long arithmetic, same trap as bmpLayout: 24 * a crafted width must
+    // not wrap into a rowSize that passes the per-frame bounds check
+    val rowSizeL = (24L * width + 31) / 32 * 4
+    if (rowSizeL * height > Int.MaxValue) fail(s"frame too large ${width}x$height")
+    val frameLen = (rowSizeL * height).toInt
+    if (frameOffs.isEmpty) fail("no frames")
+    if (frameOffs.length != declFrames)
+      fail(s"avih declares $declFrames frames, movi holds ${frameOffs.length}")
+    frameOffs.foreach { o =>
+      if (o + frameLen.toLong > bytes.length) fail("frame data overruns payload")
+      if (buf.getInt(o - 4) != frameLen)
+        fail(s"frame chunk size ${buf.getInt(o - 4)} != expected $frameLen")
+    }
+    (width, height, usPerFrame, rowSizeL.toInt, frameOffs.toArray)
+  }
+
+  /** Strict uncompressed-DIB AVI parse: container fields plus mean luma
+    * across ALL frames. Fails loudly on anything else — see [[decodeWav]]
+    * for why. */
+  def decodeAvi(bytes: Array[Byte]): AviInfo = {
+    val (w, h, usPerFrame, rowSize, frameOffs) = aviLayout(bytes)
+    var lumaSum = 0.0
+    frameOffs.foreach { off =>
+      val (mr, mg, mb) = boxGrid(bytes, w, h, off, rowSize, bottomUp = true, 1, 1)
+      lumaSum += 0.299 * mr(0) + 0.587 * mg(0) + 0.114 * mb(0)
+    }
+    AviInfo(w, h, frameOffs.length, usPerFrame, lumaSum / frameOffs.length)
+  }
+
+  /** 64-bit perceptual video fingerprint: per-frame 8×8 aHash over up to
+    * nine evenly-sampled frames, folded by strict per-bit MAJORITY vote —
+    * robust to a corrupted/edited frame or two (the frame outvoted), while
+    * a genuinely different video flips many bits in most frames. Shares
+    * [[ahashOfGrid]] with images, so the signature space is the familiar
+    * banded-hamming one and [[videoNearDups]] rides the same machinery as
+    * every other modality. */
+  def aviFingerprint(bytes: Array[Byte]): Long = {
+    val (w, h, _, rowSize, frameOffs) = aviLayout(bytes)
+    val n = frameOffs.length
+    val sampled =
+      if (n <= 9) frameOffs
+      else Array.tabulate(9)(i => frameOffs((i.toLong * (n - 1) / 8).toInt))
+    val counts = new Array[Int](64)
+    sampled.foreach { off =>
+      val fh = ahashOfGrid(boxGrid(bytes, w, h, off, rowSize, bottomUp = true, 8, 8))
+      var b = 0
+      while (b < 64) {
+        if ((fh & (1L << b)) != 0) counts(b) += 1
+        b += 1
+      }
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 > sampled.length) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  /** Per-frame aHashes of an AVI row set, every `step`-th frame:
+    * (media_id, frame_idx, sig) — frame-granular near-dup / content
+    * search, and the REAL frame-sampling path for video (the byte-slicing
+    * [[frameSample]] Column form stays for fixed-layout payloads). A pure
+    * flatMap; non-AVI rows skipped. */
+  def videoFrameHashes(media: Dataset[MediaRow], step: Int = 1): DataFrame = {
+    require(step > 0, s"step must be positive, got $step")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      if (!Option(r.format).exists(_.equalsIgnoreCase("avi"))) Iterator.empty
+      else {
+        val (w, h, _, rowSize, frameOffs) = aviLayout(r.media)
+        (0 until frameOffs.length by step).iterator.map { i =>
+          (r.media_id, i, ahashOfGrid(
+            boxGrid(r.media, w, h, frameOffs(i), rowSize, bottomUp = true, 8, 8)))
+        }
+      }
+    }.toDF("media_id", "frame_idx", "sig")
+  }
+
+  /** Per-video fingerprints for the AVI rows of a media table:
+    * (media_id, sig) — the video signature store, exactly like
+    * [[imageAHashes]] and [[audioHashes]]. A pure map; non-AVI rows
+    * skipped. */
+  def videoHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      if (Option(r.format).exists(_.equalsIgnoreCase("avi")))
+        Some((r.media_id, aviFingerprint(r.media)))
+      else None
+    }.toDF("media_id", "sig")
+  }
+
+  /** Near-duplicate video pairs within a fingerprint hamming radius —
+    * same banded-hamming machinery as text, images, audio and
+    * embeddings. Output columns: (a_media_id, b_media_id, hamming). */
+  def videoNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    mediaNearDupsFromSigs(videoHashes(media).persist(), maxHamming)
+
   /** Frame sampling: slice the payload into fixed-size frames with a
     * stride, as an array<binary> column — pure Column expressions, no
     * decode needed for container formats with fixed frame layout. */
@@ -573,9 +811,10 @@ object Multimodal {
   }
 
   /** Deterministic synthetic media table for tests/demos (seeded). Audio
-    * rows are REAL decodable WAVs and image rows REAL decodable BMPs
-    * (via the encoders above); video rows stay opaque bytes on the stub
-    * path. */
+    * rows are REAL decodable WAVs, image rows REAL decodable BMPs, and
+    * half the video rows REAL decodable uncompressed-DIB AVIs (via the
+    * encoders above); the other video rows stay opaque mp4 bytes so the
+    * stub dispatch path keeps coverage too. */
   def syntheticMedia(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     val rnd = new scala.util.Random(seed)
@@ -593,6 +832,15 @@ object Multimodal {
             (rnd.nextInt(65536) - 32768).toShort)
           MediaRow(i.toLong, "audio", encodeWavPcm16(samples, rate),
             "wav", 0, 0, rate)
+        case _ if (i / 3) % 2 == 0 => // video: real uncompressed-DIB AVI
+          val w = 2 + rnd.nextInt(14)
+          val h = 2 + rnd.nextInt(14)
+          val nf = 2 + rnd.nextInt(6)
+          val frames = Seq.fill(nf) {
+            val px = Array.fill(h, w)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+            (x: Int, y: Int) => px(y)(x)
+          }
+          MediaRow(i.toLong, "video", encodeAviDib(w, h, frames), "avi", w, h, 0)
         case _ => // video: opaque container bytes (stub decode path)
           val bytes = new Array[Byte](64 + rnd.nextInt(192))
           rnd.nextBytes(bytes)

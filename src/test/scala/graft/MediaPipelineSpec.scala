@@ -145,6 +145,55 @@ class MediaPipelineSpec extends SparkSpecBase {
     assert(s2.accepted == 0) // exact dup of history, store version accepted
   }
 
+  test("video rows dedup per modality and corrupt AVIs quarantine") {
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+    val rnd = new scala.util.Random(5)
+    // a "shot": static scene + per-frame noise, like real video
+    def shot(): Array[Array[Array[(Int, Int, Int)]]] = {
+      val scene = Array.fill(8, 8)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      Array.fill(5)(scene.map(_.map { case (r, g, b) =>
+        def j(v: Int) = math.max(0, math.min(255, v + rnd.nextInt(5) - 2))
+        (j(r), j(g), j(b))
+      }))
+    }
+    def enc8(fs: Array[Array[Array[(Int, Int, Int)]]]) =
+      Multimodal.encodeAviDib(8, 8, fs.toSeq.map(px => (x: Int, y: Int) => px(y)(x)))
+    val a = shot()
+    val aTweaked = a.map(_.map(_.clone())).clone()
+    aTweaked(1) = Array.fill(8, 8)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", enc8(a), "avi", 8, 8, 0),
+      Multimodal.MediaRow(2L, "video", enc8(aTweaked), "avi", 8, 8, 0), // near-dup → dropped
+      Multimodal.MediaRow(3L, "video", enc8(shot()), "avi", 8, 8, 0),   // fresh → kept
+      Multimodal.MediaRow(4L, "video",
+        Array.tabulate[Byte](120)(_.toByte), "avi", 8, 8, 0))           // corrupt → quarantined
+    val out = java.nio.file.Files.createTempDirectory("media_vid").toString
+    val s = MediaPipeline.curate(spark,
+      spark.createDataset(rows)(enc), out, maxHamming = 3)
+    assert(s == MediaPipeline.MediaCurationSummary(
+      input = 4, decodable = 3, nearDupRemoved = 1, curated = 2), s.toString)
+    assert(spark.read.parquet(s"$out/curated")
+      .select($"media_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    val q = spark.read.parquet(s"$out/quarantine").collect()
+    assert(q.length == 1 && q.head.getLong(0) == 4L &&
+      q.head.getString(2).contains("RIFF"), q.mkString(","))
+    // append mode: a near-dup of a historical video is dropped
+    val out1 = java.nio.file.Files.createTempDirectory("media_vap1").toString
+    MediaPipeline.appendBatch(spark,
+      MediaPipeline.emptyMediaSignatureStore(spark),
+      spark.createDataset(rows.take(1))(enc), out1)
+    val out2 = java.nio.file.Files.createTempDirectory("media_vap2").toString
+    val s2 = MediaPipeline.appendBatch(spark,
+      spark.read.parquet(s"$out1/signatures"),
+      spark.createDataset(Seq(
+        Multimodal.MediaRow(11L, "video", enc8(aTweaked), "avi", 8, 8, 0)))(enc),
+      out2)
+    assert(s2 == MediaPipeline.MediaAppendSummary(
+      batchInput = 1, decodable = 1, newContent = 1,
+      dupOfHistory = 1, accepted = 0), s2.toString)
+  }
+
   test("curate guards only its write targets, not the whole output root") {
     val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
     val rows = Seq(Multimodal.MediaRow(1L, "image",

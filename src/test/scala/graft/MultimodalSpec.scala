@@ -128,7 +128,7 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got(3L).take(3) != got(2L).take(3)) // stub path, not a decode
   }
 
-  test("syntheticMedia emits genuinely decodable wav/bmp payloads") {
+  test("syntheticMedia emits genuinely decodable wav/bmp/avi payloads") {
     val rows = media.collect()
     rows.filter(_.format == "wav").foreach { r =>
       val w = Multimodal.decodeWav(r.media)
@@ -138,7 +138,108 @@ class MultimodalSpec extends SparkSpecBase {
       val b = Multimodal.decodeBmp(r.media)
       assert(b.width == r.width && b.height == r.height)
     }
+    rows.filter(_.format == "avi").foreach { r =>
+      val a = Multimodal.decodeAvi(r.media)
+      assert(a.width == r.width && a.height == r.height && a.frames >= 2)
+    }
     assert(rows.count(_.format == "wav") == 10 && rows.count(_.format == "bmp") == 10)
+    assert(rows.count(_.format == "avi") == 5 && rows.count(_.format == "mp4") == 5)
+  }
+
+  test("AVI round-trip: encode → decode matches dimensions, frames, luma") {
+    // 2 frames, 3x2 (padded rows, same trap as the BMP round-trip)
+    val f0 = Array(
+      Array((255, 0, 0), (0, 255, 0), (0, 0, 255)),
+      Array((10, 20, 30), (40, 50, 60), (70, 80, 90)))
+    val f1 = Array(
+      Array((0, 0, 0), (0, 0, 0), (0, 0, 0)),
+      Array((255, 255, 255), (255, 255, 255), (255, 255, 255)))
+    val avi = Multimodal.encodeAviDib(3, 2,
+      Seq((x, y) => f0(y)(x), (x, y) => f1(y)(x)), fps = 5)
+    val a = Multimodal.decodeAvi(avi)
+    assert(a.width == 3 && a.height == 2 && a.frames == 2)
+    assert(a.microsPerFrame == 200000)
+    // mean luma across frames = avg(frame0 luma, frame1 luma), both
+    // hand-computable from the channel means
+    def luma(px: Array[Array[(Int, Int, Int)]]): Double = {
+      val flat = px.flatten
+      val (r, g, b) = (flat.map(_._1).sum / 6.0, flat.map(_._2).sum / 6.0,
+        flat.map(_._3).sum / 6.0)
+      0.299 * r + 0.587 * g + 0.114 * b
+    }
+    assert(math.abs(a.meanLuma - (luma(f0) + luma(f1)) / 2) < 1e-9)
+  }
+
+  /** A "shot" like real video: one base scene, tiny per-frame noise —
+    * frame aHash bits are stable across the shot, which is exactly what
+    * the majority vote exploits (uncorrelated random frames would sit at
+    * the vote boundary on many bits and defeat ANY per-frame scheme). */
+  private def shot(rnd: scala.util.Random, nFrames: Int): Array[Array[Array[(Int, Int, Int)]]] = {
+    val scene = Array.fill(8, 8)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+    Array.fill(nFrames)(scene.map(_.map { case (r, g, b) =>
+      def j(v: Int) = math.max(0, math.min(255, v + rnd.nextInt(5) - 2))
+      (j(r), j(g), j(b))
+    }))
+  }
+
+  private def encShot(fs: Array[Array[Array[(Int, Int, Int)]]]) =
+    Multimodal.encodeAviDib(8, 8, fs.toSeq.map(px => (x: Int, y: Int) => px(y)(x)))
+
+  test("AVI fingerprint: majority vote survives an edited frame, not a recut") {
+    val rnd = new scala.util.Random(7)
+    val base = shot(rnd, 5)
+    val orig = Multimodal.aviFingerprint(encShot(base))
+    // identical payload → identical fingerprint
+    assert(Multimodal.aviFingerprint(encShot(base)) == orig)
+    // one fully-replaced frame is outvoted by the other four
+    val edited = base.map(_.map(_.clone())).clone()
+    edited(2) = Array.fill(8, 8)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+    val editedFp = Multimodal.aviFingerprint(encShot(edited))
+    assert(java.lang.Long.bitCount(orig ^ editedFp) <= 3,
+      s"edited-frame hamming ${java.lang.Long.bitCount(orig ^ editedFp)}")
+    // a different video is far away
+    val otherFp = Multimodal.aviFingerprint(encShot(shot(rnd, 5)))
+    assert(java.lang.Long.bitCount(orig ^ otherFp) > 10,
+      s"unrelated hamming ${java.lang.Long.bitCount(orig ^ otherFp)}")
+  }
+
+  test("videoFrameHashes samples frames; videoNearDups pairs near-identical videos") {
+    val rnd = new scala.util.Random(11)
+    val frames = shot(rnd, 6)
+    def enc(fs: Array[Array[Array[(Int, Int, Int)]]]) = encShot(fs)
+    val tweaked = frames.map(_.map(_.clone())).clone()
+    tweaked(3) = Array.fill(8, 8)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+    val unrelated = shot(rnd, 6)
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", enc(frames), "avi", 8, 8, 0),
+      Multimodal.MediaRow(2L, "video", enc(tweaked), "avi", 8, 8, 0),
+      Multimodal.MediaRow(3L, "video", enc(unrelated), "avi", 8, 8, 0),
+      Multimodal.MediaRow(4L, "video", Array[Byte](1, 2, 3), "mp4", 0, 0, 0)))
+    // every 2nd frame of each AVI row; the mp4 row is skipped
+    val fh = Multimodal.videoFrameHashes(ds, step = 2).collect()
+    assert(fh.map(_.getLong(0)).distinct.sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(fh.count(_.getLong(0) == 1L) == 3) // frames 0, 2, 4
+    val pairs = Multimodal.videoNearDups(ds)
+      .select($"a_media_id", $"b_media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("malformed AVI payloads fail loudly, not with fake features") {
+    val junk = Array.tabulate[Byte](100)(_.toByte)
+    val e1 = intercept[IllegalArgumentException](Multimodal.decodeAvi(junk))
+    assert(e1.getMessage.contains("RIFF"))
+    // a truncated movi list must trip the bounds walk, not overrun
+    val avi = Multimodal.encodeAviDib(4, 4, Seq((_, _) => (1, 2, 3)))
+    val cut = avi.take(avi.length - 10)
+    val e2 = intercept[IllegalArgumentException](Multimodal.decodeAvi(cut))
+    assert(e2.getMessage.contains("overruns"), e2.getMessage)
+    // frame-count mismatch between avih and movi is a loud failure
+    val lying = avi.clone()
+    val buf = java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(48, 7) // avih dwTotalFrames (RIFF 12 + LIST hdr 12 + avih hdr 8 + 16)
+    val e3 = intercept[IllegalArgumentException](Multimodal.decodeAvi(lying))
+    assert(e3.getMessage.contains("declares"), e3.getMessage)
   }
 
   test("wavFrameFeatures: hand-computed per-frame energy and zero crossings") {

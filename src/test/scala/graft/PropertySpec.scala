@@ -268,6 +268,38 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("AVI round-trips arbitrary frame stacks; corruption fails contractually") {
+    import graft.multimodal.Multimodal
+    val gen = for {
+      w <- Gen.chooseNum(1, 12)
+      h <- Gen.chooseNum(1, 12)
+      nf <- Gen.chooseNum(1, 5)
+      frames <- Gen.listOfN(nf, Gen.listOfN(w * h,
+        Gen.zip(Gen.chooseNum(0, 255), Gen.chooseNum(0, 255), Gen.chooseNum(0, 255))))
+      fps <- Gen.chooseNum(1, 60)
+    } yield (w, h, frames.map(_.toArray), fps)
+    for ((w, h, frames, fps) <- samples(gen)) {
+      val bytes = Multimodal.encodeAviDib(w, h,
+        frames.map(px => (x: Int, y: Int) => px(y * w + x)), fps)
+      val a = Multimodal.decodeAvi(bytes)
+      assert(a.width == w && a.height == h && a.frames == frames.length)
+      assert(a.microsPerFrame == 1000000 / fps)
+      // the fingerprint is a pure function of the payload
+      assert(Multimodal.aviFingerprint(bytes) ==
+        Multimodal.aviFingerprint(bytes.clone()))
+      // single-byte corruption anywhere either still decodes or fails
+      // with the contractual IllegalArgumentException — never an
+      // uncontrolled index/negative-size crash
+      val rnd = new scala.util.Random(w * 31 + h)
+      (0 until 8).foreach { _ =>
+        val m = bytes.clone()
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        try { Multimodal.decodeAvi(m); () }
+        catch { case _: IllegalArgumentException => () }
+      }
+    }
+  }
+
   test("bmpResize never upscales and preserves the global mean approximately") {
     import graft.multimodal.Multimodal
     val gen = for {
