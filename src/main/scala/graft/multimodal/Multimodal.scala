@@ -603,12 +603,15 @@ object Multimodal {
   }
 
   /** Validated uncompressed-DIB AVI layout: (width, height,
-    * microsPerFrame, row stride in bytes, per-frame pixel-data offsets).
-    * Walks the RIFF lists (hdrl → avih + strl/strf for the format,
-    * movi → the '00db' frame chunks) with the same loud-failure +
-    * overflow-guard discipline as [[wavLayout]]/[[bmpLayout]]. Shared by
-    * [[decodeAvi]] and the per-frame hashes. */
-  private[multimodal] def aviLayout(bytes: Array[Byte]): (Int, Int, Int, Int, Array[Int]) = {
+    * microsPerFrame, row stride in bytes, per-frame pixel-data offsets,
+    * bottomUp storage order — strf biHeight < 0 is the spec's top-down
+    * marker, handled like [[bmpLayout]] so a top-down copy of a video
+    * hashes identically to its bottom-up twin). Walks the RIFF lists
+    * (hdrl → avih + strl/strf for the format, movi → the '00db' frame
+    * chunks) with the same loud-failure + overflow-guard discipline as
+    * [[wavLayout]]/[[bmpLayout]]; avih and strf dimensions must agree.
+    * Shared by [[decodeAvi]] and the per-frame hashes. */
+  private[multimodal] def aviLayout(bytes: Array[Byte]): (Int, Int, Int, Int, Array[Int], Boolean) = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"invalid AVI: $msg")
     if (bytes.length < 12) fail(s"payload too short (${bytes.length} bytes)")
@@ -616,7 +619,7 @@ object Multimodal {
     def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
     if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "AVI ") fail("not a RIFF/AVI header")
     var avih: Option[(Int, Int, Int, Int)] = None // (usPerFrame, frames, w, h)
-    var strfOk = false
+    var strf: Option[(Int, Int)] = None // (biWidth, biHeight — raw, sign = orientation)
     val frameOffs = scala.collection.mutable.ArrayBuffer.empty[Int]
     // one chunk walker for every nesting level, bounds-checked per level
     def walk(from: Int, until: Int)(onChunk: (String, Int, Int) => Unit): Unit = {
@@ -647,7 +650,7 @@ object Multimodal {
                     if (bpp != 24 || compression != 0)
                       fail(s"only uncompressed 24bpp supported (bpp=$bpp " +
                         s"compression=$compression)")
-                    strfOk = true
+                    strf = Some((buf.getInt(sOff + 4), buf.getInt(sOff + 8)))
                   }
                 }
               case _ => ()
@@ -663,7 +666,13 @@ object Multimodal {
     }
     val (usPerFrame, declFrames, width, height) =
       avih.getOrElse(fail("no avih header"))
-    if (!strfOk) fail("no strf stream format")
+    val (strfW, strfHRaw) = strf.getOrElse(fail("no strf stream format"))
+    // strf is the authoritative pixel format; its dims must agree with
+    // avih (sign of biHeight excepted — that is the orientation marker)
+    val strfHL = math.abs(strfHRaw.toLong) // abs(Int.MinValue) trap, as in bmpLayout
+    if (strfW != width || strfHL != height)
+      fail(s"strf dimensions ${strfW}x$strfHRaw disagree with avih ${width}x$height")
+    val bottomUp = strfHRaw > 0
     if (width <= 0 || height <= 0 || height > Int.MaxValue / 4 / width)
       fail(s"bad dimensions ${width}x$height")
     // Long arithmetic, same trap as bmpLayout: 24 * a crafted width must
@@ -679,17 +688,17 @@ object Multimodal {
       if (buf.getInt(o - 4) != frameLen)
         fail(s"frame chunk size ${buf.getInt(o - 4)} != expected $frameLen")
     }
-    (width, height, usPerFrame, rowSizeL.toInt, frameOffs.toArray)
+    (width, height, usPerFrame, rowSizeL.toInt, frameOffs.toArray, bottomUp)
   }
 
   /** Strict uncompressed-DIB AVI parse: container fields plus mean luma
     * across ALL frames. Fails loudly on anything else — see [[decodeWav]]
     * for why. */
   def decodeAvi(bytes: Array[Byte]): AviInfo = {
-    val (w, h, usPerFrame, rowSize, frameOffs) = aviLayout(bytes)
+    val (w, h, usPerFrame, rowSize, frameOffs, bottomUp) = aviLayout(bytes)
     var lumaSum = 0.0
     frameOffs.foreach { off =>
-      val (mr, mg, mb) = boxGrid(bytes, w, h, off, rowSize, bottomUp = true, 1, 1)
+      val (mr, mg, mb) = boxGrid(bytes, w, h, off, rowSize, bottomUp, 1, 1)
       lumaSum += 0.299 * mr(0) + 0.587 * mg(0) + 0.114 * mb(0)
     }
     AviInfo(w, h, frameOffs.length, usPerFrame, lumaSum / frameOffs.length)
@@ -703,14 +712,14 @@ object Multimodal {
     * banded-hamming one and [[videoNearDups]] rides the same machinery as
     * every other modality. */
   def aviFingerprint(bytes: Array[Byte]): Long = {
-    val (w, h, _, rowSize, frameOffs) = aviLayout(bytes)
+    val (w, h, _, rowSize, frameOffs, bottomUp) = aviLayout(bytes)
     val n = frameOffs.length
     val sampled =
       if (n <= 9) frameOffs
       else Array.tabulate(9)(i => frameOffs((i.toLong * (n - 1) / 8).toInt))
     val counts = new Array[Int](64)
     sampled.foreach { off =>
-      val fh = ahashOfGrid(boxGrid(bytes, w, h, off, rowSize, bottomUp = true, 8, 8))
+      val fh = ahashOfGrid(boxGrid(bytes, w, h, off, rowSize, bottomUp, 8, 8))
       var b = 0
       while (b < 64) {
         if ((fh & (1L << b)) != 0) counts(b) += 1
@@ -737,10 +746,10 @@ object Multimodal {
     media.flatMap { r =>
       if (!Option(r.format).exists(_.equalsIgnoreCase("avi"))) Iterator.empty
       else {
-        val (w, h, _, rowSize, frameOffs) = aviLayout(r.media)
+        val (w, h, _, rowSize, frameOffs, bottomUp) = aviLayout(r.media)
         (0 until frameOffs.length by step).iterator.map { i =>
           (r.media_id, i, ahashOfGrid(
-            boxGrid(r.media, w, h, frameOffs(i), rowSize, bottomUp = true, 8, 8)))
+            boxGrid(r.media, w, h, frameOffs(i), rowSize, bottomUp, 8, 8)))
         }
       }
     }.toDF("media_id", "frame_idx", "sig")

@@ -88,6 +88,46 @@ object Ann {
     topKBySim(pairs, k)
   }
 
+  /** Corpus-side feature frame for KMeans: (nb, vb array, fv vector). */
+  private def kmeansFeats(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("nb"),
+      VectorFunctions.toDoubleVec(col(vecCol)).as("vb"))
+      .withColumn("fv", array_to_vector(col("vb")))
+
+  /** Broadcastable centroid routing table (list_id, cv) of a fitted
+    * model — the single definition both the per-call and persisted IVF
+    * paths write/read, so their routing cannot diverge. */
+  private def centroidTable(spark: SparkSession,
+      model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
+      .toDF("list_id", "cv")
+  }
+
+  /** Route each probe to its `nprobe` nearest centroids (euclidean, as
+    * in IVF): (probe_id, vp, list_id) — shared by [[ivfTopK]] and
+    * [[ivfTopKIndexed]]. */
+  private def probeRouting(probes: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, nprobe: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"),
+      VectorFunctions.toDoubleVec(col(vecCol)).as("vp"))
+    val wc = Window.partitionBy(col("probe_id")).orderBy(col("cdist"), col("list_id"))
+    p.crossJoin(broadcast(centroids))
+      .withColumn("cdist", aggregate(zip_with(col("vp"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (s, x) => s + x))
+      .withColumn("rn", row_number().over(wc)).filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("vp"), col("list_id"))
+  }
+
+  /** The ranked tail shared by both IVF paths: candidates from the
+    * routed lists, self excluded, cosine top-k. */
+  private def ivfRank(probeLists: DataFrame, lists: DataFrame, k: Int): DataFrame =
+    topKBySim(probeLists.join(lists, Seq("list_id"))
+      .filter(col("probe_id") =!= col("nb"))
+      .select(col("probe_id"), col("nb"), cosine_sim(col("vp"), col("vb")).as("sim")), k)
+
   /** IVF-Flat top-k: seeded KMeans builds `nlist` centroids; each corpus
     * vector lives in its nearest centroid's list; a probe searches the
     * `nprobe` nearest lists. Centroid assignment for probes happens against
@@ -95,33 +135,16 @@ object Ann {
   def ivfTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int = 5, nlist: Int = 16,
       nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    import spark.implicits._
     // KMeans.fit cannot train on zero rows; empty corpus → empty result
     if (corpus.select(col(idCol)).head(1).isEmpty)
       return emptyTopK(corpus, probes, idCol)
-    val feats = corpus.select(col(idCol).as("nb"),
-      VectorFunctions.toDoubleVec(col(vecCol)).as("vb"))
-      .withColumn("fv", array_to_vector(col("vb")))
+    val feats = kmeansFeats(corpus, idCol, vecCol)
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv").fit(feats)
     val indexed = model.transform(feats)
       .select(col("nb"), col("vb"), col("prediction").as("list_id"))
-    // Broadcastable centroid table: (list_id, centroid vector).
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
-      .toDF("list_id", "cv")
-    val p = probes.select(col(idCol).as("probe_id"),
-      VectorFunctions.toDoubleVec(col(vecCol)).as("vp"))
-    // Each probe picks its nprobe nearest centroids (euclidean, as in IVF).
-    val wc = Window.partitionBy(col("probe_id")).orderBy(col("cdist"), col("list_id"))
-    val probeLists = p.crossJoin(broadcast(centroids))
-      .withColumn("cdist", aggregate(zip_with(col("vp"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (s, x) => s + x))
-      .withColumn("rn", row_number().over(wc)).filter(col("rn") <= nprobe)
-      .select(col("probe_id"), col("vp"), col("list_id"))
-    val pairs = probeLists.join(indexed, Seq("list_id"))
-      .filter(col("probe_id") =!= col("nb"))
-      .select(col("probe_id"), col("nb"), cosine_sim(col("vp"), col("vb")).as("sim"))
-    topKBySim(pairs, k)
+    val probeLists = probeRouting(probes, idCol, vecCol,
+      centroidTable(spark, model), nprobe)
+    ivfRank(probeLists, indexed, k)
   }
 
   /** Hard-negative mining for embedding training: each anchor's k most
@@ -155,15 +178,12 @@ object Ann {
   def buildIvfIndex(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, dir: String, nlist: Int = 16,
       fitFraction: Double = 1.0, seed: Long = 42L): Unit = {
-    import spark.implicits._
     require(nlist > 0, s"nlist must be positive, got $nlist")
     require(fitFraction > 0 && fitFraction <= 1,
       s"fitFraction must be in (0,1], got $fitFraction")
     graft.PathGuard.requireDisjoint(spark, corpus.inputFiles.toSeq, dir,
       "index input", hint = "Build the index outside the corpus directory.")
-    val feats = corpus.select(col(idCol).as("nb"),
-      VectorFunctions.toDoubleVec(col(vecCol)).as("vb"))
-      .withColumn("fv", array_to_vector(col("vb")))
+    val feats = kmeansFeats(corpus, idCol, vecCol)
     require(feats.head(1).nonEmpty, "cannot build an IVF index on an empty corpus")
     val fitOn =
       if (fitFraction >= 1.0) feats
@@ -174,9 +194,7 @@ object Ann {
       }
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("fv").fit(fitOn)
-    model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
-      .toDF("list_id", "cv")
+    centroidTable(spark, model)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     model.transform(feats)
       .select(col("nb"), col("vb"), col("prediction").as("list_id"))
@@ -188,19 +206,28 @@ object Ann {
     * and join against ONLY those lists — the `isin` filter on the
     * partition column prunes the scan to the probed partitions (the
     * probed-list ids are collected driver-side first; that set is
-    * bounded by `nlist`, not by data volume). */
+    * bounded by `nlist`, not by data volume). Probe dimension is
+    * validated against the index: a stale index under a re-dimensioned
+    * embedding column must error, not silently route every probe to
+    * null-distance lists and return null-sim "neighbors". */
   def ivfTopKIndexed(spark: SparkSession, dir: String, probes: DataFrame,
       idCol: String, vecCol: String, k: Int = 5, nprobe: Int = 4): DataFrame = {
     require(k > 0 && nprobe > 0, s"k and nprobe must be positive, got $k/$nprobe")
     val centroids = spark.read.parquet(s"$dir/centroids")
-    val p = probes.select(col(idCol).as("probe_id"),
-      VectorFunctions.toDoubleVec(col(vecCol)).as("vp"))
-    val wc = Window.partitionBy(col("probe_id")).orderBy(col("cdist"), col("list_id"))
-    val probeLists = p.crossJoin(broadcast(centroids))
-      .withColumn("cdist", aggregate(zip_with(col("vp"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (s, x) => s + x))
-      .withColumn("rn", row_number().over(wc)).filter(col("rn") <= nprobe)
-      .select(col("probe_id"), col("vp"), col("list_id"))
+    // both dim probes are 1-row lookups (the centroid table is nlist rows)
+    val indexDim = centroids.select(size(col("cv"))).head.getInt(0)
+    probes.select(size(VectorFunctions.toDoubleVec(col(vecCol)))).head(1)
+      .foreach { r =>
+        require(r.getInt(0) == indexDim,
+          s"probe vectors are ${r.getInt(0)}-dim but the index at $dir was " +
+            s"built over $indexDim-dim embeddings — rebuild the index for " +
+            "the new embedding space.")
+      }
+    // persisted: routing feeds the driver-side list collect AND the
+    // final join (the ContextCleaner drops the cache when the plan is
+    // collected, same pattern as imageNearDups)
+    val probeLists = probeRouting(probes, idCol, vecCol, centroids, nprobe)
+      .persist()
     // nlist-bounded driver-side set → static partition pruning on lists
     val needed = probeLists.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -211,9 +238,6 @@ object Ann {
     }
     val lists = spark.read.parquet(s"$dir/lists")
       .filter(col("list_id").isin(needed: _*))
-    val pairs = probeLists.join(lists, Seq("list_id"))
-      .filter(col("probe_id") =!= col("nb"))
-      .select(col("probe_id"), col("nb"), cosine_sim(col("vp"), col("vb")).as("sim"))
-    topKBySim(pairs, k)
+    ivfRank(probeLists, lists, k)
   }
 }

@@ -149,25 +149,16 @@ class MediaPipelineSpec extends SparkSpecBase {
     import spark.implicits._
     val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
     val rnd = new scala.util.Random(5)
-    // a "shot": static scene + per-frame noise, like real video
-    def shot(): Array[Array[Array[(Int, Int, Int)]]] = {
-      val scene = Array.fill(8, 8)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
-      Array.fill(5)(scene.map(_.map { case (r, g, b) =>
-        def j(v: Int) = math.max(0, math.min(255, v + rnd.nextInt(5) - 2))
-        (j(r), j(g), j(b))
-      }))
-    }
-    def enc8(fs: Array[Array[Array[(Int, Int, Int)]]]) =
-      Multimodal.encodeAviDib(8, 8, fs.toSeq.map(px => (x: Int, y: Int) => px(y)(x)))
-    val a = shot()
+    import MediaFixtures.{shot, encShot, randomFrame}
+    val a = shot(rnd, 5)
     val aTweaked = a.map(_.map(_.clone())).clone()
-    aTweaked(1) = Array.fill(8, 8)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+    aTweaked(1) = randomFrame(rnd)
     val rows = Seq(
-      Multimodal.MediaRow(1L, "video", enc8(a), "avi", 8, 8, 0),
-      Multimodal.MediaRow(2L, "video", enc8(aTweaked), "avi", 8, 8, 0), // near-dup → dropped
-      Multimodal.MediaRow(3L, "video", enc8(shot()), "avi", 8, 8, 0),   // fresh → kept
+      Multimodal.MediaRow(1L, "video", encShot(a), "avi", 8, 8, 0),
+      Multimodal.MediaRow(2L, "video", encShot(aTweaked), "avi", 8, 8, 0), // near-dup → dropped
+      Multimodal.MediaRow(3L, "video", encShot(shot(rnd, 5)), "avi", 8, 8, 0), // fresh → kept
       Multimodal.MediaRow(4L, "video",
-        Array.tabulate[Byte](120)(_.toByte), "avi", 8, 8, 0))           // corrupt → quarantined
+        Array.tabulate[Byte](120)(_.toByte), "avi", 8, 8, 0))              // corrupt → quarantined
     val out = java.nio.file.Files.createTempDirectory("media_vid").toString
     val s = MediaPipeline.curate(spark,
       spark.createDataset(rows)(enc), out, maxHamming = 3)
@@ -187,7 +178,7 @@ class MediaPipelineSpec extends SparkSpecBase {
     val s2 = MediaPipeline.appendBatch(spark,
       spark.read.parquet(s"$out1/signatures"),
       spark.createDataset(Seq(
-        Multimodal.MediaRow(11L, "video", enc8(aTweaked), "avi", 8, 8, 0)))(enc),
+        Multimodal.MediaRow(11L, "video", encShot(aTweaked), "avi", 8, 8, 0)))(enc),
       out2)
     assert(s2 == MediaPipeline.MediaAppendSummary(
       batchInput = 1, decodable = 1, newContent = 1,

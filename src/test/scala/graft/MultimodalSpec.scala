@@ -170,20 +170,7 @@ class MultimodalSpec extends SparkSpecBase {
     assert(math.abs(a.meanLuma - (luma(f0) + luma(f1)) / 2) < 1e-9)
   }
 
-  /** A "shot" like real video: one base scene, tiny per-frame noise —
-    * frame aHash bits are stable across the shot, which is exactly what
-    * the majority vote exploits (uncorrelated random frames would sit at
-    * the vote boundary on many bits and defeat ANY per-frame scheme). */
-  private def shot(rnd: scala.util.Random, nFrames: Int): Array[Array[Array[(Int, Int, Int)]]] = {
-    val scene = Array.fill(8, 8)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
-    Array.fill(nFrames)(scene.map(_.map { case (r, g, b) =>
-      def j(v: Int) = math.max(0, math.min(255, v + rnd.nextInt(5) - 2))
-      (j(r), j(g), j(b))
-    }))
-  }
-
-  private def encShot(fs: Array[Array[Array[(Int, Int, Int)]]]) =
-    Multimodal.encodeAviDib(8, 8, fs.toSeq.map(px => (x: Int, y: Int) => px(y)(x)))
+  import MediaFixtures.{shot, encShot, randomFrame}
 
   test("AVI fingerprint: majority vote survives an edited frame, not a recut") {
     val rnd = new scala.util.Random(7)
@@ -193,7 +180,7 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.aviFingerprint(encShot(base)) == orig)
     // one fully-replaced frame is outvoted by the other four
     val edited = base.map(_.map(_.clone())).clone()
-    edited(2) = Array.fill(8, 8)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+    edited(2) = randomFrame(rnd)
     val editedFp = Multimodal.aviFingerprint(encShot(edited))
     assert(java.lang.Long.bitCount(orig ^ editedFp) <= 3,
       s"edited-frame hamming ${java.lang.Long.bitCount(orig ^ editedFp)}")
@@ -203,17 +190,37 @@ class MultimodalSpec extends SparkSpecBase {
       s"unrelated hamming ${java.lang.Long.bitCount(orig ^ otherFp)}")
   }
 
+  test("a top-down AVI hashes identically to its bottom-up twin") {
+    val rnd = new scala.util.Random(13)
+    val frames = shot(rnd, 3)
+    val up = encShot(frames)
+    // the SAME image content stored top-down: rows pre-flipped so the
+    // stored byte order is top-first, then strf biHeight negated (the
+    // spec's top-down marker)
+    val down = encShot(frames.map(_.reverse))
+    val buf = java.nio.ByteBuffer.wrap(down).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(180, -8) // strf biHeight (RIFF 12 + hdrl 12 + avih 64 + strl 12 + strh 64 + strf hdr 8 + 8)
+    assert(Multimodal.aviFingerprint(down) == Multimodal.aviFingerprint(up),
+      "orientation must be normalized, like bmpAHash")
+    assert(Multimodal.decodeAvi(down).meanLuma == Multimodal.decodeAvi(up).meanLuma)
+    // strf/avih dimension disagreement is a loud failure, not a misread
+    val bad = encShot(frames)
+    java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(176, 9) // strf biWidth
+    val e = intercept[IllegalArgumentException](Multimodal.decodeAvi(bad))
+    assert(e.getMessage.contains("disagree"), e.getMessage)
+  }
+
   test("videoFrameHashes samples frames; videoNearDups pairs near-identical videos") {
     val rnd = new scala.util.Random(11)
     val frames = shot(rnd, 6)
-    def enc(fs: Array[Array[Array[(Int, Int, Int)]]]) = encShot(fs)
     val tweaked = frames.map(_.map(_.clone())).clone()
-    tweaked(3) = Array.fill(8, 8)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+    tweaked(3) = randomFrame(rnd)
     val unrelated = shot(rnd, 6)
     val ds = spark.createDataset(Seq(
-      Multimodal.MediaRow(1L, "video", enc(frames), "avi", 8, 8, 0),
-      Multimodal.MediaRow(2L, "video", enc(tweaked), "avi", 8, 8, 0),
-      Multimodal.MediaRow(3L, "video", enc(unrelated), "avi", 8, 8, 0),
+      Multimodal.MediaRow(1L, "video", encShot(frames), "avi", 8, 8, 0),
+      Multimodal.MediaRow(2L, "video", encShot(tweaked), "avi", 8, 8, 0),
+      Multimodal.MediaRow(3L, "video", encShot(unrelated), "avi", 8, 8, 0),
       Multimodal.MediaRow(4L, "video", Array[Byte](1, 2, 3), "mp4", 0, 0, 0)))
     // every 2nd frame of each AVI row; the mp4 row is skipped
     val fh = Multimodal.videoFrameHashes(ds, step = 2).collect()
