@@ -201,28 +201,55 @@ object Ann {
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/lists")
   }
 
+  /** Validate `df`'s vector dimension against the index's centroid
+    * table (both probes are 1-row lookups). A stale index under a
+    * re-dimensioned embedding column must error, not silently route
+    * every vector to null-distance lists. */
+  private def requireIndexDim(centroids: DataFrame, df: DataFrame,
+      vecCol: String, dir: String, what: String): Unit = {
+    val indexDim = centroids.select(size(col("cv"))).head.getInt(0)
+    df.select(size(VectorFunctions.toDoubleVec(col(vecCol)))).head(1)
+      .foreach { r =>
+        require(r.getInt(0) == indexDim,
+          s"$what vectors are ${r.getInt(0)}-dim but the index at $dir was " +
+            s"built over $indexDim-dim embeddings — rebuild the index for " +
+            "the new embedding space.")
+      }
+  }
+
+  /** Grow a [[buildIvfIndex]] index with new vectors WITHOUT refitting:
+    * each new vector is assigned to its nearest EXISTING centroid
+    * (broadcast routing, nprobe = 1 — the same routing serving uses) and
+    * appended to that list's partition. History never re-shuffles —
+    * the incremental mode the text/media signature stores already have.
+    * Caveats: ids are the caller's contract (appending an id twice
+    * yields duplicate candidates), and centroids do not move — if the
+    * appended data's distribution drifts from the fitted corpus, list
+    * sizes skew and recall erodes; rebuild when appended mass rivals
+    * the fitted mass. */
+  def appendToIvfIndex(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, dir: String): Unit = {
+    graft.PathGuard.requireDisjoint(spark, corpus.inputFiles.toSeq, dir,
+      "appended vectors", hint = "Append from outside the index directory.")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    requireIndexDim(centroids, corpus, vecCol, dir, "appended")
+    probeRouting(corpus, idCol, vecCol, centroids, nprobe = 1)
+      .select(col("probe_id").as("nb"), col("vp").as("vb"), col("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$dir/lists")
+  }
+
   /** Serve probes against a [[buildIvfIndex]] index: broadcast the
     * centroid routing table, pick each probe's `nprobe` nearest lists,
     * and join against ONLY those lists — the `isin` filter on the
     * partition column prunes the scan to the probed partitions (the
     * probed-list ids are collected driver-side first; that set is
     * bounded by `nlist`, not by data volume). Probe dimension is
-    * validated against the index: a stale index under a re-dimensioned
-    * embedding column must error, not silently route every probe to
-    * null-distance lists and return null-sim "neighbors". */
+    * validated against the index — see [[requireIndexDim]]. */
   def ivfTopKIndexed(spark: SparkSession, dir: String, probes: DataFrame,
       idCol: String, vecCol: String, k: Int = 5, nprobe: Int = 4): DataFrame = {
     require(k > 0 && nprobe > 0, s"k and nprobe must be positive, got $k/$nprobe")
     val centroids = spark.read.parquet(s"$dir/centroids")
-    // both dim probes are 1-row lookups (the centroid table is nlist rows)
-    val indexDim = centroids.select(size(col("cv"))).head.getInt(0)
-    probes.select(size(VectorFunctions.toDoubleVec(col(vecCol)))).head(1)
-      .foreach { r =>
-        require(r.getInt(0) == indexDim,
-          s"probe vectors are ${r.getInt(0)}-dim but the index at $dir was " +
-            s"built over $indexDim-dim embeddings — rebuild the index for " +
-            "the new embedding space.")
-      }
+    requireIndexDim(centroids, probes, vecCol, dir, "probe")
     // persisted: routing feeds the driver-side list collect AND the
     // final join (the ContextCleaner drops the cache when the plan is
     // collected, same pattern as imageNearDups)

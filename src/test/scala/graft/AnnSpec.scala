@@ -136,6 +136,34 @@ class AnnSpec extends SparkSpecBase {
         s"${listScan.metrics("numPartitions").value}")
   }
 
+  test("appendToIvfIndex grows the index without refit; full probe stays exact") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfgrow").toString + "/idx"
+    // build on the first half only, append the second half
+    Ann.buildIvfIndex(spark, emb.filter($"vec_id" < 250), "vec_id", "embedding",
+      dir, nlist = 8)
+    Ann.appendToIvfIndex(spark, emb.filter($"vec_id" >= 250), "vec_id",
+      "embedding", dir)
+    // probing every list is exhaustive over the UNION, so it must equal
+    // brute force over the full corpus — appended vectors included
+    val exact = topkMap(Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5))
+    val grown = topkMap(Ann.ivfTopKIndexed(spark, dir, probes, "vec_id",
+      "embedding", k = 5, nprobe = 8))
+    assert(grown == exact, "grown index at nprobe=nlist must equal brute force")
+    // appended vectors are reachable at partial probe too
+    val approx = topkMap(Ann.ivfTopKIndexed(spark, dir, probes, "vec_id",
+      "embedding", k = 5, nprobe = 4))
+    assert(approx.values.flatten.exists(_ >= 250L),
+      "no appended vector ever surfaces as a neighbor")
+    // dimension drift errors instead of returning null-sim rows
+    import org.apache.spark.sql.functions.{array, lit}
+    val bad = spark.range(1).select($"id".as("vec_id"),
+      array(lit(0.1), lit(0.2)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Ann.appendToIvfIndex(spark, bad, "vec_id", "embedding", dir)
+    }
+    assert(e.getMessage.contains("rebuild the index"), e.getMessage)
+  }
+
   test("hard negatives drop near-duplicates and keep the next-hardest neighbors") {
     // anchor 1: 100 is a near-copy (cosine ~1), 2..4 progressively farther
     val vecs = Seq(
