@@ -21,18 +21,25 @@ object PathGuard {
   /** Throws IllegalArgumentException when any of `inputFiles` lives under
     * `outDir`. `what` names the store for the error message; `hint` tells
     * the caller how to fix their layout (append-store wording by
-    * default — pass a curate-appropriate hint from curate paths). */
+    * default — pass a curate-appropriate hint from curate paths);
+    * `reason` states the hazard (overwrite deletion by default — an
+    * append-mode caller's hazard is self-duplication, not deletion). */
   def requireDisjoint(spark: SparkSession, inputFiles: Seq[String],
       outDir: String, what: String,
-      hint: String = "Use a fresh outDir per batch."): Unit =
-    requireDisjointFromAll(spark, inputFiles, Seq(outDir), what, hint)
+      hint: String = "Use a fresh outDir per batch.",
+      reason: String = DefaultReason): Unit =
+    requireDisjointFromAll(spark, inputFiles, Seq(outDir), what, hint, reason)
+
+  private val DefaultReason =
+    "mode(\"overwrite\") deletes those files before the job that reads them runs."
 
   /** [[requireDisjoint]] against several write targets in one pass (each
     * input file is qualified/canonicalized once, not once per target) —
     * for curate-style jobs that overwrite specific SUBDIRS of an output
     * root and must not reject inputs living elsewhere under that root. */
   def requireDisjointFromAll(spark: SparkSession, inputFiles: Seq[String],
-      targets: Seq[String], what: String, hint: String): Unit = {
+      targets: Seq[String], what: String, hint: String,
+      reason: String = DefaultReason): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
     def qualified(p: String): java.net.URI = {
       val path = new org.apache.hadoop.fs.Path(p)
@@ -76,8 +83,7 @@ object PathGuard {
       .take(1).foreach { case (_, t) =>
         throw new IllegalArgumentException(
           s"the $what is read from files under the write target " +
-            s"(${t.raw}): mode(\"overwrite\") deletes those files before " +
-            s"the job that reads them runs. $hint")
+            s"(${t.raw}): $reason $hint")
       }
   }
 }

@@ -218,23 +218,61 @@ object Ann {
   }
 
   /** Grow a [[buildIvfIndex]] index with new vectors WITHOUT refitting:
-    * each new vector is assigned to its nearest EXISTING centroid
-    * (broadcast routing, nprobe = 1 — the same routing serving uses) and
-    * appended to that list's partition. History never re-shuffles —
-    * the incremental mode the text/media signature stores already have.
-    * Caveats: ids are the caller's contract (appending an id twice
-    * yields duplicate candidates), and centroids do not move — if the
-    * appended data's distribution drifts from the fitted corpus, list
+    * each ROW is assigned to its nearest EXISTING centroid by a
+    * map-only argmin over the centroid table embedded as a literal
+    * (nlist × dim doubles in the plan — tiny next to any real batch; no
+    * crossJoin, no shuffle, and per-row like build-time assignment, so
+    * duplicate ids append duplicate rows rather than collapsing) and
+    * appended to that list's partition. History never re-shuffles.
+    *
+    * Every appended row is dimension-checked IN the plan (wrong-dim or
+    * null vectors fail the job before anything persists — a corrupted
+    * index outlives any one bad query), and the id column's type must
+    * match the index's. Caveats: the in-place `mode("append")` write is
+    * NOT replay-idempotent — retrying a batch whose success was not
+    * acknowledged duplicates its rows (unlike the generation-per-batch
+    * text/media signature stores; wrap appends in that layout for
+    * streaming ingest, or rebuild on doubt). Centroids do not move — if
+    * the appended distribution drifts from the fitted corpus, list
     * sizes skew and recall erodes; rebuild when appended mass rivals
     * the fitted mass. */
   def appendToIvfIndex(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, dir: String): Unit = {
     graft.PathGuard.requireDisjoint(spark, corpus.inputFiles.toSeq, dir,
-      "appended vectors", hint = "Append from outside the index directory.")
+      "appended vectors", hint = "Append from outside the index directory.",
+      reason = "mode(\"append\") would re-append every historical row to " +
+        "itself, duplicating the index.")
+    val lists = spark.read.parquet(s"$dir/lists")
+    val idType = corpus.schema(idCol).dataType
+    require(idType == lists.schema("nb").dataType,
+      s"id column '$idCol' is $idType but the index at $dir stores " +
+        s"${lists.schema("nb").dataType} ids — mixed id types would write " +
+        "schema-incompatible files into the lists.")
     val centroids = spark.read.parquet(s"$dir/centroids")
-    requireIndexDim(centroids, corpus, vecCol, dir, "appended")
-    probeRouting(corpus, idCol, vecCol, centroids, nprobe = 1)
-      .select(col("probe_id").as("nb"), col("vp").as("vb"), col("list_id"))
+      .orderBy(col("list_id"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val indexDim = centroids.head._2.length
+    val cLit = typedLit(centroids.toSeq)
+    // per-row argmin over the literal: fold (bestList, bestDist) across
+    // centroids — one codegen'd projection, no shuffle
+    val assign = aggregate(cLit,
+      struct(lit(-1).as("best"), lit(Double.MaxValue).as("d")),
+      (acc, c) => {
+        val d = aggregate(zip_with(col("vb"), c.getField("_2"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (s, x) => s + x)
+        when(d < acc.getField("d"),
+          struct(c.getField("_1").as("best"), d.as("d"))).otherwise(acc)
+      }).getField("best")
+    corpus.select(col(idCol).as("nb"),
+      VectorFunctions.toDoubleVec(col(vecCol)).as("vb"))
+      .withColumn("vb",
+        when(size(col("vb")) === lit(indexDim), col("vb"))
+          .otherwise(raise_error(concat(
+            lit("appended vector dim "),
+            coalesce(size(col("vb")).cast("string"), lit("NULL")),
+            lit(s" != index dim $indexDim at $dir — rebuild the index for " +
+              "the new embedding space.")))))
+      .withColumn("list_id", assign)
       .write.mode("append").partitionBy("list_id").parquet(s"$dir/lists")
   }
 

@@ -154,14 +154,36 @@ class AnnSpec extends SparkSpecBase {
       "embedding", k = 5, nprobe = 4))
     assert(approx.values.flatten.exists(_ >= 250L),
       "no appended vector ever surfaces as a neighbor")
-    // dimension drift errors instead of returning null-sim rows
+    // duplicate ids in one batch append BOTH rows (per-row assignment,
+    // not per-id routing — parity with build-time model.transform)
+    val before = spark.read.parquet(s"$dir/lists").count()
+    val dup = emb.filter($"vec_id" === 0L)
+      .union(emb.filter($"vec_id" === 0L))
+    Ann.appendToIvfIndex(spark, dup, "vec_id", "embedding", dir)
+    assert(spark.read.parquet(s"$dir/lists").count() == before + 2)
+    // dimension drift errors instead of persisting corrupt rows — the
+    // check is per-ROW in the plan (raised at execution), so a mixed
+    // batch cannot slip a bad row past a first-row probe
     import org.apache.spark.sql.functions.{array, lit}
-    val bad = spark.range(1).select($"id".as("vec_id"),
-      array(lit(0.1), lit(0.2)).as("embedding"))
-    val e = intercept[IllegalArgumentException] {
+    val bad = emb.filter($"vec_id" === 1L).select($"vec_id", $"embedding")
+      .union(spark.range(1).select(($"id" + 9000L).as("vec_id"),
+        array(lit(0.1), lit(0.2)).as("embedding").cast("array<double>")))
+    val rowsBefore = spark.read.parquet(s"$dir/lists").count()
+    val e = intercept[Exception] {
       Ann.appendToIvfIndex(spark, bad, "vec_id", "embedding", dir)
     }
-    assert(e.getMessage.contains("rebuild the index"), e.getMessage)
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("!= index dim"), chain(e))
+    assert(spark.read.parquet(s"$dir/lists").count() == rowsBefore,
+      "a failed append must not persist rows")
+    // and a mismatched id TYPE is refused before any write
+    val intIds = emb.filter($"vec_id" === 2L)
+      .select($"vec_id".cast("int").as("vec_id"), $"embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.appendToIvfIndex(spark, intIds, "vec_id", "embedding", dir)
+    }
+    assert(e2.getMessage.contains("mixed id types"), e2.getMessage)
   }
 
   test("hard negatives drop near-duplicates and keep the next-hardest neighbors") {
