@@ -27,4 +27,10 @@ object VectorFunctions {
 
   /** Cosine similarity dot(a,b) / (|a|·|b|). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared euclidean distance — the IVF centroid-routing metric (one
+    * definition, shared by serving and append assignment in
+    * graft.operators.Ann so the two can never diverge). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 }

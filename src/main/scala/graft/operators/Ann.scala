@@ -115,8 +115,7 @@ object Ann {
       VectorFunctions.toDoubleVec(col(vecCol)).as("vp"))
     val wc = Window.partitionBy(col("probe_id")).orderBy(col("cdist"), col("list_id"))
     p.crossJoin(broadcast(centroids))
-      .withColumn("cdist", aggregate(zip_with(col("vp"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (s, x) => s + x))
+      .withColumn("cdist", VectorFunctions.sqDist(col("vp"), col("cv")))
       .withColumn("rn", row_number().over(wc)).filter(col("rn") <= nprobe)
       .select(col("probe_id"), col("vp"), col("list_id"))
   }
@@ -225,17 +224,22 @@ object Ann {
     * duplicate ids append duplicate rows rather than collapsing) and
     * appended to that list's partition. History never re-shuffles.
     *
-    * Every appended row is dimension-checked IN the plan (wrong-dim or
-    * null vectors fail the job before anything persists — a corrupted
-    * index outlives any one bad query), and the id column's type must
-    * match the index's. Caveats: the in-place `mode("append")` write is
-    * NOT replay-idempotent — retrying a batch whose success was not
-    * acknowledged duplicates its rows (unlike the generation-per-batch
-    * text/media signature stores; wrap appends in that layout for
-    * streaming ingest, or rebuild on doubt). Centroids do not move — if
-    * the appended distribution drifts from the fitted corpus, list
-    * sizes skew and recall erodes; rebuild when appended mass rivals
-    * the fitted mass. */
+    * Every appended row is validated IN the plan: wrong-dim vectors,
+    * null vectors, AND vectors whose elements poison the distance
+    * (null/NaN — the argmin fold would return its -1 seed and the row
+    * would land in a partition no probe ever routes to) fail the job —
+    * a corrupted index outlives any one bad query. The id column's type
+    * must match the index's. Caveats: "nothing persists on failure"
+    * holds under the default v1 file committer (job-level commit);
+    * v2/direct cloud committers can leave already-committed task output
+    * behind — stage the append elsewhere and move it if running those.
+    * The in-place `mode("append")` write is NOT replay-idempotent —
+    * retrying a batch whose success was not acknowledged duplicates its
+    * rows (unlike the generation-per-batch text/media signature stores;
+    * wrap appends in that layout for streaming ingest, or rebuild on
+    * doubt). Centroids do not move — if the appended distribution
+    * drifts from the fitted corpus, list sizes skew and recall erodes;
+    * rebuild when appended mass rivals the fitted mass. */
   def appendToIvfIndex(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, dir: String): Unit = {
     graft.PathGuard.requireDisjoint(spark, corpus.inputFiles.toSeq, dir,
@@ -243,7 +247,8 @@ object Ann {
       reason = "mode(\"append\") would re-append every historical row to " +
         "itself, duplicating the index.")
     val lists = spark.read.parquet(s"$dir/lists")
-    val idType = corpus.schema(idCol).dataType
+    // resolve through col() — case-insensitive, like every other entry point
+    val idType = corpus.select(col(idCol)).schema.head.dataType
     require(idType == lists.schema("nb").dataType,
       s"id column '$idCol' is $idType but the index at $dir stores " +
         s"${lists.schema("nb").dataType} ids — mixed id types would write " +
@@ -254,12 +259,13 @@ object Ann {
     val indexDim = centroids.head._2.length
     val cLit = typedLit(centroids.toSeq)
     // per-row argmin over the literal: fold (bestList, bestDist) across
-    // centroids — one codegen'd projection, no shuffle
+    // centroids — one codegen'd projection, no shuffle. A null/NaN
+    // element poisons every distance, `d < acc.d` is never true, and
+    // the fold returns its -1 seed — caught by the guard below.
     val assign = aggregate(cLit,
       struct(lit(-1).as("best"), lit(Double.MaxValue).as("d")),
       (acc, c) => {
-        val d = aggregate(zip_with(col("vb"), c.getField("_2"),
-          (a, b) => (a - b) * (a - b)), lit(0.0), (s, x) => s + x)
+        val d = VectorFunctions.sqDist(col("vb"), c.getField("_2"))
         when(d < acc.getField("d"),
           struct(c.getField("_1").as("best"), d.as("d"))).otherwise(acc)
       }).getField("best")
@@ -272,7 +278,11 @@ object Ann {
             coalesce(size(col("vb")).cast("string"), lit("NULL")),
             lit(s" != index dim $indexDim at $dir — rebuild the index for " +
               "the new embedding space.")))))
-      .withColumn("list_id", assign)
+      .withColumn("list_id",
+        when(assign >= 0, assign).otherwise(raise_error(
+          lit("appended vector has null/NaN elements — no centroid " +
+            "distance is defined, refusing to write it into an " +
+            "unreachable list partition."))))
       .write.mode("append").partitionBy("list_id").parquet(s"$dir/lists")
   }
 

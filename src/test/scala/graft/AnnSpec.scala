@@ -175,8 +175,20 @@ class AnnSpec extends SparkSpecBase {
     def chain(t: Throwable): String =
       if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
     assert(chain(e).contains("!= index dim"), chain(e))
+    // local tests run the default v1 committer: job-level commit, so
+    // the failed job leaves nothing behind (doc scopes the claim so)
     assert(spark.read.parquet(s"$dir/lists").count() == rowsBefore,
       "a failed append must not persist rows")
+    // a right-SIZED vector with a NaN element poisons every centroid
+    // distance — it must fail, not land in an unreachable -1 partition
+    val poisoned = spark.range(1).select(($"id" + 9100L).as("vec_id"),
+      array((0 until 64).map(i =>
+        if (i == 7) lit(Double.NaN) else lit(0.01 * i)): _*).as("embedding"))
+    val e3 = intercept[Exception] {
+      Ann.appendToIvfIndex(spark, poisoned, "vec_id", "embedding", dir)
+    }
+    assert(chain(e3).contains("null/NaN"), chain(e3))
+    assert(spark.read.parquet(s"$dir/lists").count() == rowsBefore)
     // and a mismatched id TYPE is refused before any write
     val intIds = emb.filter($"vec_id" === 2L)
       .select($"vec_id".cast("int").as("vec_id"), $"embedding")
