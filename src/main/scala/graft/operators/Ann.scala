@@ -195,9 +195,14 @@ object Ann {
       .setFeaturesCol("fv").fit(fitOn)
     centroidTable(spark, model)
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    // generation-per-batch layout, like the text/media signature
+    // stores: the base build is gen=0; each append OVERWRITES only its
+    // own gen=<g> subtree (replay-idempotent). Readers discover
+    // (gen, list_id) partitions and still prune on list_id alone.
     model.transform(feats)
       .select(col("nb"), col("vb"), col("prediction").as("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/lists")
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$dir/lists/gen=0")
   }
 
   /** Validate `df`'s vector dimension against the index's centroid
@@ -229,23 +234,25 @@ object Ann {
     * (null/NaN — the argmin fold would return its -1 seed and the row
     * would land in a partition no probe ever routes to) fail the job —
     * a corrupted index outlives any one bad query. The id column's type
-    * must match the index's. Caveats: "nothing persists on failure"
-    * holds under the default v1 file committer (job-level commit);
-    * v2/direct cloud committers can leave already-committed task output
-    * behind — stage the append elsewhere and move it if running those.
-    * The in-place `mode("append")` write is NOT replay-idempotent —
-    * retrying a batch whose success was not acknowledged duplicates its
-    * rows (unlike the generation-per-batch text/media signature stores;
-    * wrap appends in that layout for streaming ingest, or rebuild on
-    * doubt). Centroids do not move — if the appended distribution
-    * drifts from the fitted corpus, list sizes skew and recall erodes;
-    * rebuild when appended mass rivals the fitted mass. */
+    * must match the index's.
+    *
+    * REPLAY-IDEMPOTENT: each batch writes (overwrite) only its own
+    * `gen=<generation>` subtree — retrying generation g replaces g's
+    * rows instead of duplicating them, the same generation-per-batch
+    * contract as the text/media signature stores. `generation` must be
+    * ≥ 1 (gen=0 is the base build), unique per batch, and is the
+    * caller's idempotence key (a streaming foreachBatch passes
+    * batchId + 1). Centroids do not move — if the appended
+    * distribution drifts from the fitted corpus, list sizes skew and
+    * recall erodes; rebuild when appended mass rivals the fitted
+    * mass. */
   def appendToIvfIndex(spark: SparkSession, corpus: DataFrame, idCol: String,
-      vecCol: String, dir: String): Unit = {
+      vecCol: String, dir: String, generation: Long): Unit = {
+    require(generation >= 1,
+      s"generation must be >= 1 (gen=0 is the base build), got $generation")
     graft.PathGuard.requireDisjoint(spark, corpus.inputFiles.toSeq, dir,
       "appended vectors", hint = "Append from outside the index directory.",
-      reason = "mode(\"append\") would re-append every historical row to " +
-        "itself, duplicating the index.")
+      reason = "overwriting a generation would delete input it is read from.")
     val lists = spark.read.parquet(s"$dir/lists")
     // resolve through col() — case-insensitive, like every other entry point
     val idType = corpus.select(col(idCol)).schema.head.dataType
@@ -283,7 +290,8 @@ object Ann {
           lit("appended vector has null/NaN elements — no centroid " +
             "distance is defined, refusing to write it into an " +
             "unreachable list partition."))))
-      .write.mode("append").partitionBy("list_id").parquet(s"$dir/lists")
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$dir/lists/gen=$generation")
   }
 
   /** Serve probes against a [[buildIvfIndex]] index: broadcast the

@@ -292,6 +292,24 @@ object StreamingOps {
     * generation-per-batch layout, same replay idempotence, same
     * future-generation fail-fast; CorpusPipeline.compactSignatures
     * works on this store unchanged (the layout is identical). */
+  /** Streaming embedding ingest into a persisted IVF index
+    * ([[graft.operators.Ann.buildIvfIndex]] wrote the base as gen=0):
+    * each micro-batch is centroid-assigned map-only and written as
+    * generation `batchId + 1` (Ann.appendToIvfIndex inside
+    * foreachBatch) — a replayed batch OVERWRITES its own generation,
+    * so the sink is replay-idempotent, the same contract as
+    * [[incrementalDedupStream]]'s signature store. Requires a durable
+    * `checkpointLocation` (batch ids must continue across restarts).
+    * Centroids never move: rebuild the index when the streamed mass
+    * rivals the fitted mass. */
+  def annIndexIngestStream(vectors: DataFrame, idCol: String, vecCol: String,
+      indexDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      graft.operators.Ann.appendToIvfIndex(batch.sparkSession, batch,
+        idCol, vecCol, indexDir, generation = id + 1)
+      ()
+    }
+
   def incrementalMediaDedupStream(media: DataFrame, stateDir: String,
       maxSide: Int = 512, maxHamming: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     media.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>

@@ -142,7 +142,7 @@ class AnnSpec extends SparkSpecBase {
     Ann.buildIvfIndex(spark, emb.filter($"vec_id" < 250), "vec_id", "embedding",
       dir, nlist = 8)
     Ann.appendToIvfIndex(spark, emb.filter($"vec_id" >= 250), "vec_id",
-      "embedding", dir)
+      "embedding", dir, generation = 1)
     // probing every list is exhaustive over the UNION, so it must equal
     // brute force over the full corpus — appended vectors included
     val exact = topkMap(Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5))
@@ -159,8 +159,13 @@ class AnnSpec extends SparkSpecBase {
     val before = spark.read.parquet(s"$dir/lists").count()
     val dup = emb.filter($"vec_id" === 0L)
       .union(emb.filter($"vec_id" === 0L))
-    Ann.appendToIvfIndex(spark, dup, "vec_id", "embedding", dir)
+    Ann.appendToIvfIndex(spark, dup, "vec_id", "embedding", dir, generation = 2)
     assert(spark.read.parquet(s"$dir/lists").count() == before + 2)
+    // REPLAYING a generation overwrites it instead of duplicating — the
+    // idempotence contract streaming ingest relies on
+    Ann.appendToIvfIndex(spark, dup, "vec_id", "embedding", dir, generation = 2)
+    assert(spark.read.parquet(s"$dir/lists").count() == before + 2,
+      "a replayed generation must replace its rows, not append them again")
     // dimension drift errors instead of persisting corrupt rows — the
     // check is per-ROW in the plan (raised at execution), so a mixed
     // batch cannot slip a bad row past a first-row probe
@@ -170,7 +175,7 @@ class AnnSpec extends SparkSpecBase {
         array(lit(0.1), lit(0.2)).as("embedding").cast("array<double>")))
     val rowsBefore = spark.read.parquet(s"$dir/lists").count()
     val e = intercept[Exception] {
-      Ann.appendToIvfIndex(spark, bad, "vec_id", "embedding", dir)
+      Ann.appendToIvfIndex(spark, bad, "vec_id", "embedding", dir, generation = 3)
     }
     def chain(t: Throwable): String =
       if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
@@ -185,7 +190,7 @@ class AnnSpec extends SparkSpecBase {
       array((0 until 64).map(i =>
         if (i == 7) lit(Double.NaN) else lit(0.01 * i)): _*).as("embedding"))
     val e3 = intercept[Exception] {
-      Ann.appendToIvfIndex(spark, poisoned, "vec_id", "embedding", dir)
+      Ann.appendToIvfIndex(spark, poisoned, "vec_id", "embedding", dir, generation = 4)
     }
     assert(chain(e3).contains("null/NaN"), chain(e3))
     assert(spark.read.parquet(s"$dir/lists").count() == rowsBefore)
@@ -193,7 +198,7 @@ class AnnSpec extends SparkSpecBase {
     val intIds = emb.filter($"vec_id" === 2L)
       .select($"vec_id".cast("int").as("vec_id"), $"embedding")
     val e2 = intercept[IllegalArgumentException] {
-      Ann.appendToIvfIndex(spark, intIds, "vec_id", "embedding", dir)
+      Ann.appendToIvfIndex(spark, intIds, "vec_id", "embedding", dir, generation = 5)
     }
     assert(e2.getMessage.contains("mixed id types"), e2.getMessage)
   }

@@ -251,6 +251,43 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(wantIds == Set(2L, 4L)) // the fixture must actually drop 1 and 3
   }
 
+  test("streaming ANN ingest grows the index; full probe stays exact") {
+    import graft.operators.Ann
+    val emb = Tables.embeddings(spark, sf())
+    val dir = java.nio.file.Files.createTempDirectory("annstream").toString + "/idx"
+    Ann.buildIvfIndex(spark, emb.filter($"vec_id" < 250), "vec_id",
+      "embedding", dir, nlist = 8)
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.annIndexIngestStream(
+      ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", dir).start()
+    def rows(lo: Long, hi: Long) = emb
+      .filter($"vec_id" >= lo && $"vec_id" < hi)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble)))
+    try {
+      ms.addData(rows(250, 375).toSeq)
+      q.processAllAvailable()
+      ms.addData(rows(375, 500).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // two generations landed beside the base build
+    assert(new java.io.File(s"$dir/lists").listFiles()
+      .map(_.getName).count(_.startsWith("gen=")) == 3)
+    // probing every list over the grown index is exhaustive: it must
+    // equal brute force over the full corpus, streamed vectors included
+    val probes = emb.filter($"vec_id" < 5)
+    def topkMap(df: DataFrame) = df.select($"probe_id", $"nb", $"sim")
+      .collect().groupBy(_.getLong(0))
+      .map { case (p, rs) =>
+        p -> rs.sortBy(r => (-r.getDouble(2), r.getLong(1))).map(_.getLong(1)).toSeq
+      }
+    val exact = topkMap(Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5))
+    val served = topkMap(Ann.ivfTopKIndexed(spark, dir, probes, "vec_id",
+      "embedding", k = 5, nprobe = 8))
+    assert(served == exact, "streamed index at nprobe=nlist must equal brute force")
+  }
+
   test("incremental MEDIA dedup stream drops cross-batch near-duplicates") {
     import graft.multimodal.Multimodal
     def bmp(f: (Int, Int) => (Int, Int, Int)) = Multimodal.encodeBmp24(16, 16, f)
