@@ -199,10 +199,29 @@ object Ann {
     // stores: the base build is gen=0; each append OVERWRITES only its
     // own gen=<g> subtree (replay-idempotent). Readers discover
     // (gen, list_id) partitions and still prune on list_id alone.
+    // A REBUILD must clear the whole lists tree first: surviving
+    // gen>=1 subtrees were routed by the centroids being replaced and
+    // would serve wrong-list rows forever.
+    val listsPath = new org.apache.hadoop.fs.Path(s"$dir/lists")
+    val fs = listsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(listsPath)) { fs.delete(listsPath, true); () }
     model.transform(feats)
       .select(col("nb"), col("vb"), col("prediction").as("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$dir/lists/gen=0")
+  }
+
+  /** Generation numbers under `$dir/lists` (the gen=N child dirs).
+    * Empty for a flat pre-generation layout; fails when no lists tree
+    * exists at all. Driver-side listing of IMMEDIATE children only —
+    * O(generations), not O(files). Shared with the streaming ingest
+    * sink's checkpoint-reset lineage guard. */
+  private[graft] def indexGenerations(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/lists")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"no IVF index at $dir — run buildIvfIndex first.")
+    fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toLong }
   }
 
   /** Validate `df`'s vector dimension against the index's centroid
@@ -253,7 +272,16 @@ object Ann {
     graft.PathGuard.requireDisjoint(spark, corpus.inputFiles.toSeq, dir,
       "appended vectors", hint = "Append from outside the index directory.",
       reason = "overwriting a generation would delete input it is read from.")
-    val lists = spark.read.parquet(s"$dir/lists")
+    // a pre-generation-layout index (lists/list_id=... at the top) cannot
+    // take gen=N siblings — partition discovery rejects mixed depths and
+    // the whole tree becomes unreadable; fail with a migration path
+    require(indexGenerations(spark, dir).nonEmpty,
+      s"the index at $dir uses the flat pre-generation lists layout " +
+        "(lists/list_id=...): appending gen subtrees beside it would make " +
+        "the tree unreadable. Rebuild the index with buildIvfIndex.")
+    // schema lookup against the BOUNDED base generation, not a full
+    // multi-generation file listing on every (possibly streamed) append
+    val lists = spark.read.parquet(s"$dir/lists/gen=0")
     // resolve through col() — case-insensitive, like every other entry point
     val idType = corpus.select(col(idCol)).schema.head.dataType
     require(idType == lists.schema("nb").dataType,
@@ -285,11 +313,17 @@ object Ann {
             coalesce(size(col("vb")).cast("string"), lit("NULL")),
             lit(s" != index dim $indexDim at $dir — rebuild the index for " +
               "the new embedding space.")))))
+      // alias the fold once: the guard predicate and the value would
+      // otherwise each evaluate the nlist×dim argmin per row
+      // (higher-order functions are not codegen'd; CollapseProject
+      // keeps non-cheap multi-referenced aliases in their own project)
+      .withColumn("_assign", assign)
       .withColumn("list_id",
-        when(assign >= 0, assign).otherwise(raise_error(
+        when(col("_assign") >= 0, col("_assign")).otherwise(raise_error(
           lit("appended vector has null/NaN elements — no centroid " +
             "distance is defined, refusing to write it into an " +
             "unreachable list partition."))))
+      .drop("_assign")
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$dir/lists/gen=$generation")
   }

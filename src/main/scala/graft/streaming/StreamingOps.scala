@@ -292,24 +292,6 @@ object StreamingOps {
     * generation-per-batch layout, same replay idempotence, same
     * future-generation fail-fast; CorpusPipeline.compactSignatures
     * works on this store unchanged (the layout is identical). */
-  /** Streaming embedding ingest into a persisted IVF index
-    * ([[graft.operators.Ann.buildIvfIndex]] wrote the base as gen=0):
-    * each micro-batch is centroid-assigned map-only and written as
-    * generation `batchId + 1` (Ann.appendToIvfIndex inside
-    * foreachBatch) — a replayed batch OVERWRITES its own generation,
-    * so the sink is replay-idempotent, the same contract as
-    * [[incrementalDedupStream]]'s signature store. Requires a durable
-    * `checkpointLocation` (batch ids must continue across restarts).
-    * Centroids never move: rebuild the index when the streamed mass
-    * rivals the fitted mass. */
-  def annIndexIngestStream(vectors: DataFrame, idCol: String, vecCol: String,
-      indexDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    vectors.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      graft.operators.Ann.appendToIvfIndex(batch.sparkSession, batch,
-        idCol, vecCol, indexDir, generation = id + 1)
-      ()
-    }
-
   def incrementalMediaDedupStream(media: DataFrame, stateDir: String,
       maxSide: Int = 512, maxHamming: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     media.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
@@ -320,6 +302,36 @@ object StreamingOps {
         org.apache.spark.sql.Encoders.product[graft.multimodal.Multimodal.MediaRow])
       graft.multimodal.MediaPipeline.appendBatch(spark, store, rows,
         s"$stateDir/gen=$id", maxSide, maxHamming, deltaSignatures = true)
+      ()
+    }
+
+  /** Streaming embedding ingest into a persisted IVF index
+    * ([[graft.operators.Ann.buildIvfIndex]] wrote the base as gen=0):
+    * each micro-batch is centroid-assigned map-only and written as
+    * generation `batchId + 1` (Ann.appendToIvfIndex inside
+    * foreachBatch) — a replayed batch OVERWRITES its own generation,
+    * so the sink is replay-idempotent, the same contract as
+    * [[incrementalDedupStream]]'s signature store, with the same
+    * checkpoint-reset fail-fast: generations beyond the current batch
+    * id mean the checkpoint was deleted while the index survived, and
+    * the sink refuses to mix lineages. Requires a durable
+    * `checkpointLocation` (batch ids must continue across restarts).
+    * Centroids never move: rebuild the index when the streamed mass
+    * rivals the fitted mass. */
+  def annIndexIngestStream(vectors: DataFrame, idCol: String, vecCol: String,
+      indexDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val spark = batch.sparkSession
+      val beyond = graft.operators.Ann.indexGenerations(spark, indexDir)
+        .filter(_ > id + 1)
+      require(beyond.isEmpty,
+        s"index at $indexDir contains generations ${beyond.sorted.mkString(",")} " +
+          s"beyond this batch's (batch $id writes gen ${id + 1}): the " +
+          "streaming checkpoint was reset while the index survived. " +
+          "Refusing to mix lineages — restore the checkpoint or rebuild " +
+          "the index.")
+      graft.operators.Ann.appendToIvfIndex(spark, batch,
+        idCol, vecCol, indexDir, generation = id + 1)
       ()
     }
 }

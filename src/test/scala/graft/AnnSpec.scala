@@ -201,6 +201,25 @@ class AnnSpec extends SparkSpecBase {
       Ann.appendToIvfIndex(spark, intIds, "vec_id", "embedding", dir, generation = 5)
     }
     assert(e2.getMessage.contains("mixed id types"), e2.getMessage)
+    // an index persisted in the FLAT pre-generation layout is refused
+    // with a migration message — gen subtrees beside list_id=... dirs
+    // would make the whole tree unreadable to partition discovery
+    val flat = java.nio.file.Files.createTempDirectory("ivfflat").toString + "/idx"
+    spark.range(4).select($"id".as("nb"),
+      array(lit(0.5)).as("vb"), ($"id" % 2).cast("int").as("list_id"))
+      .write.partitionBy("list_id").parquet(s"$flat/lists")
+    val e4 = intercept[IllegalArgumentException] {
+      Ann.appendToIvfIndex(spark, emb.limit(1), "vec_id", "embedding",
+        flat, generation = 1)
+    }
+    assert(e4.getMessage.contains("flat pre-generation"), e4.getMessage)
+    // REBUILDING in place clears every appended generation: surviving
+    // gen>=1 rows were assigned by the centroids just deleted
+    Ann.buildIvfIndex(spark, emb, "vec_id", "embedding", dir, nlist = 8)
+    val genDirs = new java.io.File(s"$dir/lists").listFiles()
+      .map(_.getName).filter(_.startsWith("gen=")).toSeq
+    assert(genDirs == Seq("gen=0"), genDirs.mkString(","))
+    assert(spark.read.parquet(s"$dir/lists").count() == 500)
   }
 
   test("hard negatives drop near-duplicates and keep the next-hardest neighbors") {

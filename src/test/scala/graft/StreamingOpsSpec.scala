@@ -286,6 +286,21 @@ class StreamingOpsSpec extends SparkSpecBase {
     val served = topkMap(Ann.ivfTopKIndexed(spark, dir, probes, "vec_id",
       "embedding", k = 5, nprobe = 8))
     assert(served == exact, "streamed index at nprobe=nlist must equal brute force")
+
+    // a reset checkpoint over a surviving index fails fast instead of
+    // silently overwriting gen=1 and mixing lineages (same contract as
+    // the dedup streams): a fresh stream restarts batch ids at 0 while
+    // gens 1..2 from the run above survive in the index
+    val ms2 = MemoryStream[(Long, Seq[Double])]
+    val q2 = StreamingOps.annIndexIngestStream(
+      ms2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", dir).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { ms2.addData(rows(0, 1).toSeq); q2.processAllAvailable() }
+      finally q2.stop()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("Refusing to mix lineages"), chain(e))
   }
 
   test("incremental MEDIA dedup stream drops cross-batch near-duplicates") {
