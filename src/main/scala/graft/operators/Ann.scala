@@ -173,7 +173,14 @@ object Ann {
     *
     * `fitFraction` < 1 fits the clustering on a seeded sample — at
     * 100 TB the KMeans fit must not scan the corpus; assignment of ALL
-    * rows is still one broadcast-model map pass. */
+    * rows is still one broadcast-model map pass.
+    *
+    * REBUILDING in place is DESTRUCTIVE to appended generations: the
+    * whole lists tree is cleared (old assignments were routed by the
+    * centroids being replaced), so `corpus` must be the FULL data the
+    * rebuilt index should serve — base plus everything ever appended or
+    * streamed. A surviving streaming checkpoint will NOT re-emit
+    * already-committed batches. */
   def buildIvfIndex(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, dir: String, nlist: Int = 16,
       fitFraction: Double = 1.0, seed: Long = 42L): Unit = {
@@ -193,18 +200,20 @@ object Ann {
       }
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("fv").fit(fitOn)
-    centroidTable(spark, model)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
     // generation-per-batch layout, like the text/media signature
     // stores: the base build is gen=0; each append OVERWRITES only its
     // own gen=<g> subtree (replay-idempotent). Readers discover
     // (gen, list_id) partitions and still prune on list_id alone.
-    // A REBUILD must clear the whole lists tree first: surviving
-    // gen>=1 subtrees were routed by the centroids being replaced and
-    // would serve wrong-list rows forever.
+    // REBUILD ordering: clear the old lists tree BEFORE the new
+    // centroids commit — every crash state is then loud ("no IVF
+    // index" / unreadable lists), never new centroids silently routing
+    // over generations assigned by the old ones. (delete on a missing
+    // path is a no-op, no exists probe needed)
     val listsPath = new org.apache.hadoop.fs.Path(s"$dir/lists")
-    val fs = listsPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(listsPath)) { fs.delete(listsPath, true); () }
+    listsPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(listsPath, true)
+    centroidTable(spark, model)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
     model.transform(feats)
       .select(col("nb"), col("vb"), col("prediction").as("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
@@ -221,7 +230,15 @@ object Ann {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(p), s"no IVF index at $dir — run buildIvfIndex first.")
     fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
-      .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toLong }
+      .collect { case s if s.startsWith("gen=") =>
+        val num = s.stripPrefix("gen=")
+        // a stray gen=1.bak must name itself, not die as a raw
+        // NumberFormatException with no path context
+        require(num.nonEmpty && num.forall(_.isDigit),
+          s"unrecognized directory '$s' under $dir/lists — only " +
+            "gen=<number> subtrees belong to the index layout.")
+        num.toLong
+      }
   }
 
   /** Validate `df`'s vector dimension against the index's centroid
@@ -266,7 +283,8 @@ object Ann {
     * recall erodes; rebuild when appended mass rivals the fitted
     * mass. */
   def appendToIvfIndex(spark: SparkSession, corpus: DataFrame, idCol: String,
-      vecCol: String, dir: String, generation: Long): Unit = {
+      vecCol: String, dir: String, generation: Long,
+      knownGenerations: Option[Seq[Long]] = None): Unit = {
     require(generation >= 1,
       s"generation must be >= 1 (gen=0 is the base build), got $generation")
     graft.PathGuard.requireDisjoint(spark, corpus.inputFiles.toSeq, dir,
@@ -274,8 +292,10 @@ object Ann {
       reason = "overwriting a generation would delete input it is read from.")
     // a pre-generation-layout index (lists/list_id=... at the top) cannot
     // take gen=N siblings — partition discovery rejects mixed depths and
-    // the whole tree becomes unreadable; fail with a migration path
-    require(indexGenerations(spark, dir).nonEmpty,
+    // the whole tree becomes unreadable; fail with a migration path.
+    // knownGenerations lets the streaming sink reuse its own listing
+    // instead of a second per-batch listStatus.
+    require(knownGenerations.getOrElse(indexGenerations(spark, dir)).nonEmpty,
       s"the index at $dir uses the flat pre-generation lists layout " +
         "(lists/list_id=...): appending gen subtrees beside it would make " +
         "the tree unreadable. Rebuild the index with buildIvfIndex.")

@@ -267,12 +267,8 @@ object StreamingOps {
         .filter(_.isDirectory)
         .map(_.getPath.getName)
         .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toLong }
-    require(!gens.exists(_ > id),
-      s"stateDir $stateDir contains generations ${gens.filter(_ > id).sorted.mkString(",")} " +
-        s"from a batch id beyond the current one ($id): the streaming " +
-        "checkpoint was reset while the generation store survived. " +
-        "Refusing to mix lineages — restore the checkpoint or start a " +
-        "fresh stateDir.")
+    requireNoFutureGenerations(gens, maxLegal = id, what = s"stateDir $stateDir",
+      recovery = "restore the checkpoint or start a fresh stateDir.")
     // skip generations whose signature deltas were folded into a lower
     // baseline by CorpusPipeline.compactSignatures (their dirs survive
     // because they still hold `accepted`)
@@ -280,6 +276,25 @@ object StreamingOps {
       fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/gen=$g/signatures")))
     if (prev.isEmpty) None
     else Some(spark.read.parquet(prev.map(g => s"$stateDir/gen=$g/signatures"): _*))
+  }
+
+  /** The checkpoint-reset lineage guard shared by every
+    * generation-per-batch sink: generations beyond the highest one the
+    * current batch may legally touch mean the checkpoint was deleted
+    * while the store survived. KNOWN BLIND SPOT: when the surviving
+    * store holds ONLY generations the current batch may touch (e.g. a
+    * one-batch run's store seen by a fresh stream's batch 0), a reset
+    * is indistinguishable from a legitimate replay and the old rows are
+    * overwritten — lineage detection needs at least one generation
+    * beyond the legal window. Keep checkpoints durable. */
+  private def requireNoFutureGenerations(gens: Seq[Long], maxLegal: Long,
+      what: String, recovery: String): Unit = {
+    val beyond = gens.filter(_ > maxLegal)
+    require(beyond.isEmpty,
+      s"$what contains generations ${beyond.sorted.mkString(",")} from a " +
+        s"batch id beyond the current one (max legal gen $maxLegal): the " +
+        "streaming checkpoint was reset while the generation store " +
+        s"survived. Refusing to mix lineages — $recovery")
   }
 
   /** Streaming incremental MEDIA dedup — the multimodal twin of
@@ -311,27 +326,27 @@ object StreamingOps {
     * generation `batchId + 1` (Ann.appendToIvfIndex inside
     * foreachBatch) — a replayed batch OVERWRITES its own generation,
     * so the sink is replay-idempotent, the same contract as
-    * [[incrementalDedupStream]]'s signature store, with the same
-    * checkpoint-reset fail-fast: generations beyond the current batch
-    * id mean the checkpoint was deleted while the index survived, and
-    * the sink refuses to mix lineages. Requires a durable
-    * `checkpointLocation` (batch ids must continue across restarts).
-    * Centroids never move: rebuild the index when the streamed mass
+    * [[incrementalDedupStream]]'s signature store, enforced by the
+    * shared [[requireNoFutureGenerations]] guard (see its scaladoc for
+    * the one-generation blind spot — keep the checkpoint durable;
+    * batch ids must continue across restarts). Rebuilding the index
+    * while the stream's checkpoint survives strands already-committed
+    * batches (see buildIvfIndex's rebuild note). Centroids never move:
+    * rebuild — with base PLUS streamed data — when the streamed mass
     * rivals the fitted mass. */
   def annIndexIngestStream(vectors: DataFrame, idCol: String, vecCol: String,
       indexDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vectors.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val spark = batch.sparkSession
-      val beyond = graft.operators.Ann.indexGenerations(spark, indexDir)
-        .filter(_ > id + 1)
-      require(beyond.isEmpty,
-        s"index at $indexDir contains generations ${beyond.sorted.mkString(",")} " +
-          s"beyond this batch's (batch $id writes gen ${id + 1}): the " +
-          "streaming checkpoint was reset while the index survived. " +
-          "Refusing to mix lineages — restore the checkpoint or rebuild " +
-          "the index.")
+      // one listing per batch: the guard and the append's layout check
+      // share it via knownGenerations
+      val gens = graft.operators.Ann.indexGenerations(spark, indexDir)
+      requireNoFutureGenerations(gens, maxLegal = id + 1,
+        what = s"index at $indexDir",
+        recovery = "restore the checkpoint or rebuild the index.")
       graft.operators.Ann.appendToIvfIndex(spark, batch,
-        idCol, vecCol, indexDir, generation = id + 1)
+        idCol, vecCol, indexDir, generation = id + 1,
+        knownGenerations = Some(gens))
       ()
     }
 }
