@@ -18,6 +18,29 @@ import org.apache.spark.sql.SparkSession
   */
 object PathGuard {
 
+  /** The `gen=<number>` child directories of `dir`, validated: a stray
+    * `gen=1.bak` — or an overflowing all-digit name — fails with a
+    * message naming itself instead of a bare NumberFormatException with
+    * no path context. Non-gen children are ignored; a missing dir is
+    * empty. Shared by every generation-per-batch store (text/media
+    * signature deltas, the ANN index lists). */
+  def generationDirs(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case s if s.startsWith("gen=") =>
+        val num = s.stripPrefix("gen=")
+        // ASCII digits only, and short enough that toLong cannot
+        // overflow (19-digit strings can exceed Long.MaxValue)
+        require(num.nonEmpty && num.length <= 18 &&
+          num.forall(c => c >= '0' && c <= '9'),
+          s"unrecognized directory '$s' under $dir — only gen=<number> " +
+            "subtrees belong to a generation store.")
+        num.toLong
+      }
+  }
+
   /** Throws IllegalArgumentException when any of `inputFiles` lives under
     * `outDir`. `what` names the store for the error message; `hint` tells
     * the caller how to fix their layout (append-store wording by

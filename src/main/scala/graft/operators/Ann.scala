@@ -210,8 +210,13 @@ object Ann {
     // over generations assigned by the old ones. (delete on a missing
     // path is a no-op, no exists probe needed)
     val listsPath = new org.apache.hadoop.fs.Path(s"$dir/lists")
-    listsPath.getFileSystem(spark.sessionState.newHadoopConf())
-      .delete(listsPath, true)
+    val listsFs = listsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // delete can return false WITHOUT throwing (e.g. a non-removable
+    // child): a failed clear must abort before the centroid commit, or
+    // the new centroids would silently route over old-lineage lists
+    require(listsFs.delete(listsPath, true) || !listsFs.exists(listsPath),
+      s"failed to clear $listsPath for rebuild — old generations would " +
+        "survive under the new centroids.")
     centroidTable(spark, model)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     model.transform(feats)
@@ -229,16 +234,7 @@ object Ann {
     val p = new org.apache.hadoop.fs.Path(s"$dir/lists")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(p), s"no IVF index at $dir — run buildIvfIndex first.")
-    fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
-      .collect { case s if s.startsWith("gen=") =>
-        val num = s.stripPrefix("gen=")
-        // a stray gen=1.bak must name itself, not die as a raw
-        // NumberFormatException with no path context
-        require(num.nonEmpty && num.forall(_.isDigit),
-          s"unrecognized directory '$s' under $dir/lists — only " +
-            "gen=<number> subtrees belong to the index layout.")
-        num.toLong
-      }
+    graft.PathGuard.generationDirs(spark, s"$dir/lists")
   }
 
   /** Validate `df`'s vector dimension against the index's centroid

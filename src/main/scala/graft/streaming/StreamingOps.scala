@@ -258,15 +258,11 @@ object StreamingOps {
       id: Long): Option[DataFrame] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
-    val root = new org.apache.hadoop.fs.Path(stateDir)
     // all completed generations strictly before this batch id (replay
-    // of batch N must not read N's own partial output)
-    val gens =
-      if (!fs.exists(root)) Seq.empty[Long]
-      else fs.listStatus(root).toSeq
-        .filter(_.isDirectory)
-        .map(_.getPath.getName)
-        .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toLong }
+    // of batch N must not read N's own partial output); the shared
+    // validated parser names a stray gen=N.bak instead of dying as a
+    // raw NumberFormatException
+    val gens = graft.PathGuard.generationDirs(spark, stateDir)
     requireNoFutureGenerations(gens, maxLegal = id, what = s"stateDir $stateDir",
       recovery = "restore the checkpoint or start a fresh stateDir.")
     // skip generations whose signature deltas were folded into a lower

@@ -220,6 +220,16 @@ class AnnSpec extends SparkSpecBase {
       .map(_.getName).filter(_.startsWith("gen=")).toSeq
     assert(genDirs == Seq("gen=0"), genDirs.mkString(","))
     assert(spark.read.parquet(s"$dir/lists").count() == 500)
+    // a stray non-numeric gen dir names ITSELF in the failure, not a
+    // bare NumberFormatException with no path context
+    val stray = new java.io.File(s"$dir/lists/gen=1.bak")
+    assert(stray.mkdir())
+    val e5 = intercept[IllegalArgumentException] {
+      Ann.appendToIvfIndex(spark, emb.limit(1), "vec_id", "embedding",
+        dir, generation = 1)
+    }
+    assert(e5.getMessage.contains("gen=1.bak"), e5.getMessage)
+    assert(stray.delete())
   }
 
   test("hard negatives drop near-duplicates and keep the next-hardest neighbors") {
