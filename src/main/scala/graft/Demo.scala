@@ -69,11 +69,14 @@ object Demo {
     val hard = Ann.hardNegatives(bruteTopk, k = 3, dupCosine = 0.95).count()
     println(s"ANN: brute-force rows=$brute ivf rows=$ivf hard-negatives rows=$hard")
     val idxDir = java.nio.file.Files.createTempDirectory("graft_demo_ivf").toString + "/idx"
-    Ann.buildIvfIndex(spark, emb, "vec_id", "embedding", idxDir, nlist = 8)
+    Ann.buildIvfIndex(spark, emb.filter($"vec_id" < 400), "vec_id", "embedding",
+      idxDir, nlist = 8)
+    Ann.appendToIvfIndex(spark, emb.filter($"vec_id" >= 400), "vec_id",
+      "embedding", idxDir, generation = 1)
     val served = Ann.ivfTopKIndexed(spark, idxDir, probes, "vec_id", "embedding",
       k = 3, nprobe = 3).count()
-    println(s"ANN index: built once at $idxDir, served rows=$served " +
-      "(scan pruned to probed list partitions)")
+    println(s"ANN index: built once + grown by one generation at $idxDir, " +
+      s"served rows=$served (scan pruned to probed list partitions)")
 
     Aggregates.register(spark)
     val w = org.apache.spark.sql.expressions.Window
