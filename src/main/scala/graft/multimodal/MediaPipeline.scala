@@ -86,7 +86,11 @@ object MediaPipeline {
             }
             (out, true, "", h)
           } catch {
-            case e: IllegalArgumentException => (r, false, e.getMessage, h)
+            // NonFatal, not just IllegalArgumentException: the quarantine
+            // contract is "one bad payload never kills the job", and a
+            // decoder defect surfacing as AIOOBE/BufferUnderflow must land
+            // in quarantine like a validation failure would
+            case scala.util.control.NonFatal(e) => (r, false, e.toString, h)
           }
         }
       }
@@ -158,7 +162,7 @@ object MediaPipeline {
     *
     * v2: `_h` = md5 of the ORIGINAL (pre-downscale) payload; audio `sig`
     * = 28 rising / 28 falling / 8 thermometer bits (Multimodal
-    * .audioFingerprint). Stores written before versioning (post-resize
+    * .wavEnergyHash). Stores written before versioning (post-resize
     * md5, 64 energy-delta bits) have no `sig_v` column and must be
     * rebuilt by re-ingesting their corpus. */
   val SignatureVersion = 2

@@ -194,6 +194,12 @@ object Multimodal {
     // Long arithmetic: 24 * a crafted ~89M width wraps Int and would
     // shrink rowSize past the bounds check into a raw AIOOBE
     val rowSizeL = (24L * width + 31) / 32 * 4
+    // Cap before the bounds check: rowSizeL*height can overflow Long for a
+    // crafted width~Int.MaxValue × height>1.4e9 header, wrapping negative and
+    // sliding past the overrun check into a raw AIOOBE in the pixel loops.
+    // Division form so the cap itself cannot overflow (rowSizeL ≥ 4 always);
+    // bytes.length can never exceed Int.MaxValue, so the cap loses nothing.
+    if (height > Int.MaxValue / rowSizeL) fail(s"frame too large ${width}x$height")
     if (pixelOff < 54 || pixelOff + rowSizeL * height > bytes.length)
       fail("pixel data overruns payload")
     (width, height, pixelOff, rowSizeL.toInt, rawHeight > 0)

@@ -100,6 +100,15 @@ class MultimodalSpec extends SparkSpecBase {
     bbuf2.putInt(18, 178956971)
     val e3 = intercept[IllegalArgumentException](Multimodal.decodeBmp(bmp2))
     assert(e3.getMessage.contains("overruns"))
+    // width~Int.MaxValue × height 1.5e9: rowSizeL*height overflows LONG
+    // (9.7e18 > Long.MaxValue), wrapping negative past the overrun check —
+    // the division-form frame cap must trip instead of a raw AIOOBE
+    val bmp3 = Multimodal.encodeBmp24(2, 2, (_, _) => (1, 2, 3))
+    val bbuf3 = java.nio.ByteBuffer.wrap(bmp3).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bbuf3.putInt(18, Int.MaxValue)
+    bbuf3.putInt(22, 1500000000)
+    val e4 = intercept[IllegalArgumentException](Multimodal.decodeBmp(bmp3))
+    assert(e4.getMessage.contains("frame too large"))
   }
 
   test("a null format tag takes the stub path instead of an executor NPE") {
