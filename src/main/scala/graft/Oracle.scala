@@ -26,6 +26,10 @@ object Oracle {
       "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_name",
     "join_shuffle" ->
       "SELECT o_orderkey, round(sum(l_extendedprice),2) AS rev FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey ORDER BY rev DESC, o_orderkey LIMIT 20",
+    // the PLAIN join formulation: bucketing is a layout lever and must be
+    // semantically invisible, so the oracle never sees the bucketed tables
+    "join_bucketed" ->
+      "SELECT o_orderkey, o_orderpriority, round(sum(l_extendedprice),2) AS rev FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey, o_orderpriority ORDER BY rev DESC, o_orderkey LIMIT 20",
     "join_star_5way" ->
       "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)),2) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name",
     "join_left_outer" ->
@@ -38,6 +42,10 @@ object Oracle {
       "SELECT a.event_id AS a_id, b.event_id AS b_id FROM events a JOIN events b ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE AND a.event_id <> b.event_id ORDER BY a_id, b_id LIMIT 200",
     "join_asof" ->
       "SELECT o.o_orderkey, e.event_id FROM (SELECT o_orderkey, o_custkey, o_orderdate FROM orders WHERE o_orderkey < 500) o LEFT JOIN LATERAL (SELECT event_id FROM events WHERE user_id = o.o_custkey % 20 AND ts <= TIMESTAMP '2024-01-15' ORDER BY ts DESC LIMIT 1) e ON true ORDER BY o_orderkey",
+    // DuckDB 1.0 speaks ASOF natively — the one judged query planned by
+    // the engine's custom SparkStrategy (graft.plans.AsofJoin)
+    "join_asof_native" ->
+      "SELECT p.event_id AS purchase_id, p.user_id AS user_id, c.click_id AS click_id FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY purchase_id",
     "join_cross" ->
       "SELECT r1.r_name AS r1_name, r2.r_name AS r2_name FROM region r1 CROSS JOIN region r2 ORDER BY 1, 2",
     // the PLAIN join formulation: the engine's salted plan must be

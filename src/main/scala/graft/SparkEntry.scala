@@ -24,12 +24,14 @@ object SparkEntry {
     // §2.3 joins
     "join_broadcast" -> (Relational.joinBroadcast _),
     "join_shuffle" -> (Relational.joinShuffle _),
+    "join_bucketed" -> (Relational.joinBucketed _),
     "join_star_5way" -> (Relational.joinStar5Way _),
     "join_left_outer" -> (Relational.joinLeftOuter _),
     "join_semi" -> (Relational.joinSemi _),
     "join_anti" -> (Relational.joinAnti _),
     "join_range_theta" -> (Relational.joinRangeTheta _),
     "join_asof" -> (Relational.joinAsof _),
+    "join_asof_native" -> (Relational.joinAsofNative _),
     "join_cross" -> (Relational.joinCross _),
     "join_skew_salted" -> (Relational.joinSkewSalted _),
     // §2.4 aggregations

@@ -68,6 +68,46 @@ object Relational {
       .orderBy(col("rev").desc, col("o_orderkey"))
       .limit(20)
 
+  /** #5b the same fact-fact join with the shuffle PREPAID by layout:
+    * both sides bucketed+sorted on the order key at write time
+    * ([[graft.sources.Layout.saveBucketed]]), so the judged join+agg
+    * reads the bucketed scans in place — zero Exchange anywhere in the
+    * join or the bucket-key aggregation (asserted in PlanShapeSpec).
+    * This is a user's first 100 TB cost lever: a repeated fact-fact
+    * join is dominated by its shuffle, and bucketing amortizes that
+    * shuffle across every downstream job. The layout must be
+    * semantically INVISIBLE, so the oracle is the plain join on the
+    * raw tables (the `join_skew_salted` pattern). The write happens
+    * once per JVM per sf-dir PATH (the table name carries a hash of
+    * the path, so repeat runs inside one Verify/Bench JVM reuse the
+    * layout; a fresh JVM rewrites it — data regenerated in place
+    * mid-JVM would NOT be picked up, which the driver never does);
+    * `hint("merge")` pins the sort-merge form the 100 TB plan takes
+    * instead of letting tiny test data broadcast. */
+  def joinBucketed(s: SparkSession, d: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(d.hashCode)
+    val ot = s"graft_bkt_orders_$tag"
+    val lt = s"graft_bkt_lineitem_$tag"
+    // project to exactly the join/agg columns before the write — the
+    // prepaid layout should carry only what downstream reads
+    if (!s.catalog.tableExists(ot))
+      graft.sources.Layout.saveBucketed(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        ot, Seq("o_orderkey"), numBuckets = 8)
+    if (!s.catalog.tableExists(lt))
+      graft.sources.Layout.saveBucketed(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
+        lt, Seq("l_orderkey"), numBuckets = 8)
+    // o_orderpriority is functionally dependent on o_orderkey, so the
+    // group-by clusters on the bucket key and rides the layout too
+    s.table(ot).hint("merge")
+      .join(s.table(lt).hint("merge"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("rev"))
+      .orderBy(col("rev").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   /** #6 5-table star join (TPC-H Q5 shape): the region filter prunes before
     * the join, dims broadcast, and only customer⋈orders⋈lineitem shuffles. */
   def joinStar5Way(s: SparkSession, d: String): DataFrame =
@@ -151,6 +191,29 @@ object Relational {
     o.join(latest, col("uid") === col("user_id"), "left_outer")
       .select(col("o_orderkey"), col("event_id"))
       .orderBy(col("o_orderkey"))
+  }
+
+  /** #11b as-of join, native exec: every purchase event looks up the
+    * latest click by the same user at or before the purchase time. Unlike
+    * [[joinAsof]]'s fixed cutoff (reducible to one `max_by` aggregate),
+    * each left row here carries its OWN cutoff, which is exactly the case
+    * the custom sorted-merge operator exists for
+    * ([[graft.plans.AsofJoin]]): one hash exchange per side, both sides
+    * streamed once per partition in (key, time) order, O(1) buffered
+    * state — no per-key row explosion, the shape that survives 100 TB.
+    * The click side is pre-reduced to one row per (user_id, ts) so the
+    * backward tie rule can never see two candidate rows at the same
+    * instant — result is deterministic for the oracle hash at any SF. */
+  def joinAsofNative(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("c_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    graft.plans.AsofJoin(purchases, clicks, Seq("user_id"), "ts", "c_ts")
+      .select(col("purchase_id"), purchases("user_id"), col("click_id"))
+      .orderBy(col("purchase_id"))
   }
 
   /** #12 small cartesian product (explicit crossJoin). */

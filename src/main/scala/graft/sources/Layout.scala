@@ -48,6 +48,26 @@ object Layout {
       graft.PathGuard.requireDisjoint(spark, df.inputFiles.toSeq,
         loc.toString, "bucketed-save input",
         hint = "Save to a different table, then swap names.")
+    } else {
+      // Orphaned managed location: with the default in-memory catalog a
+      // previous JVM's table FILES survive under the warehouse dir while
+      // its catalog entry does not, and saveAsTable refuses to create a
+      // table over a non-empty location (LOCATION_ALREADY_EXISTS). The
+      // orphan is unreachable by any query (no catalog entry) and sits in
+      // the managed warehouse this very save targets, so reclaiming it is
+      // the overwrite the caller asked for — guarded against the input
+      // living inside it, exactly like the catalog-visible branch above.
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(ident))
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) {
+        graft.PathGuard.requireDisjoint(spark, df.inputFiles.toSeq,
+          loc.toString, "bucketed-save input",
+          hint = "Save to a different table, then swap names.")
+        fs.delete(loc, true)
+        ()
+      }
     }
     // align writer tasks with buckets (same murmur3-mod partitioning
     // bucketBy uses): each task holds exactly one bucket → one file per

@@ -7,9 +7,11 @@ class GoldenCountsSpec extends SparkSpecBase {
 
   private val expected: Map[String, Long] = Map(
     "scan_project" -> 100, "filter_predicates" -> 433, "filter_like_null" -> 39,
-    "join_broadcast" -> 25, "join_shuffle" -> 20, "join_star_5way" -> 5,
+    "join_broadcast" -> 25, "join_shuffle" -> 20, "join_bucketed" -> 20,
+    "join_star_5way" -> 5,
     "join_left_outer" -> 50, "join_semi" -> 150, "join_anti" -> 18,
-    "join_range_theta" -> 10, "join_asof" -> 500, "join_cross" -> 25,
+    "join_range_theta" -> 10, "join_asof" -> 500, "join_asof_native" -> 202,
+    "join_cross" -> 25,
     "join_skew_salted" -> 5,
     "agg_pricing_summary" -> 6, "agg_count_distinct" -> 5, "agg_filtered" -> 15,
     "agg_rollup" -> 10, "agg_cube" -> 24, "agg_grouping_sets" -> 21,

@@ -62,6 +62,30 @@ class LayoutSpec extends SparkSpecBase {
     }
   }
 
+  test("saveBucketed reclaims an orphaned managed location from a dead JVM") {
+    import spark.implicits._
+    // the in-memory catalog dies with its JVM but the warehouse files do
+    // not: simulate the survivor by planting files at the table's default
+    // location with NO catalog entry — the exact state a second Verify run
+    // finds, where a plain saveAsTable dies with LOCATION_ALREADY_EXISTS
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier("lay_orphan")
+    val loc = new java.io.File(
+      new java.net.URI(spark.sessionState.catalog.defaultTablePath(ident).toString))
+    assert(!spark.catalog.tableExists("lay_orphan"))
+    loc.mkdirs()
+    val stale = new java.io.File(loc, "part-stale.parquet")
+    java.nio.file.Files.write(stale.toPath, Array[Byte](1, 2, 3))
+    try {
+      val df = (1 to 100).map(i => (i.toLong % 7, i.toLong)).toDF("k", "v")
+      Layout.saveBucketed(df, "lay_orphan", Seq("k"), 4)
+      assert(spark.table("lay_orphan").count() == 100)
+      assert(!stale.exists(), "orphaned files must be reclaimed, not merged into")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lay_orphan")
+      ()
+    }
+  }
+
   test("range-sorted files carry disjoint ranges and prune row groups") {
     import spark.implicits._
     val n = 10000

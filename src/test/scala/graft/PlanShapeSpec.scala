@@ -39,6 +39,26 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(count(p, "HashAggregate") >= 2, s"expected partial aggregation:\n$p")
   }
 
+  test("join_bucketed: the join and bucket-key aggregation shuffle NOTHING") {
+    val p = plan(Relational.joinBucketed(spark, sf()))
+    assert(p.contains("SortMergeJoin"), s"expected the bucketed sort-merge form:\n$p")
+    // the entire point of the layout: zero hash exchange for the join AND
+    // the group-by (only the final global sort may range-exchange)
+    assert(count(p, "(?i)exchange hashpartitioning") == 0,
+      s"bucketed join/agg must not shuffle:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"tiny-data broadcast leaked in:\n$p")
+    // both scans carry the bucket spec
+    assert(count(p, "SelectedBucketsCount") == 2, s"expected 2 bucketed scans:\n$p")
+  }
+
+  test("join_asof_native: planned by the custom sorted-merge exec, no row explosion") {
+    val p = plan(Relational.joinAsofNative(spark, sf()))
+    assert(p.contains("AsofJoin"), s"custom exec missing:\n$p")
+    // the whole point vs join+filter+max_by: no pair materialization
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
   test("join_range_theta: equi-clause drives a hash join, never a cartesian") {
     val p = plan(Relational.joinRangeTheta(spark, sf()))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
