@@ -82,6 +82,10 @@ object Oracle {
     // ASCII, so binary string order agrees between Spark and DuckDB
     "win_rank_string_global" ->
       "SELECT doc_id, CAST(rank() OVER (ORDER BY md5(text), doc_id) AS BIGINT) AS r FROM documents ORDER BY doc_id LIMIT 300",
+    // plain-window formulation: the engine's counts-only rank (value
+    // table + weighted prefix sums, no per-row window) must be invisible
+    "win_rank_value_global" ->
+      "SELECT event_id, CAST(rank() OVER (ORDER BY value) AS BIGINT) AS r FROM events ORDER BY event_id LIMIT 500",
     "win_lag_lead" ->
       "SELECT user_id, event_id, round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id),2) dv, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) nxt FROM events ORDER BY user_id, event_id LIMIT 500",
     "win_moving_avg" ->

@@ -49,6 +49,7 @@ object SparkEntry {
     "win_rank_dense" -> (Windows.winRankDense _),
     "win_dense_rank_global" -> (Windows.winDenseRankGlobal _),
     "win_rank_string_global" -> (Windows.winRankStringGlobal _),
+    "win_rank_value_global" -> (Windows.winRankValueGlobal _),
     "win_lag_lead" -> (Windows.winLagLead _),
     "win_moving_avg" -> (Windows.winMovingAvg _),
     "win_cumsum" -> (Windows.winCumsum _),

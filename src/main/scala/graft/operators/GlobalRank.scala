@@ -36,6 +36,15 @@ import org.apache.spark.sql.functions._
   * count because equal sort keys share a bucket. `dense_rank` does NOT
   * decompose that way — use [[denseRankOfValues]] (rank the distinct
   * value table, where rank == dense index, and join back).
+  *
+  * HEAVY-HITTER CAVEAT (row path): ties must share a bucket, so a value
+  * owning 50 % of the rows sends 50 % of the data through one bucket's
+  * window task — correct, but serialized on that task. When the rank's
+  * ORDER BY is exactly the value column, use [[rankOfValues]] instead:
+  * it computes the same rank values from per-value counts (the hot value
+  * collapses to one aggregate row; no window ever sees the hot mass).
+  * Only a rank with tiebreak columns beyond the value genuinely needs
+  * the row path under skew.
   * `percent_rank`/`ntile` derive from a unique-key rank plus the total
   * count ([[percentRank]], [[ntileExpr]] — count as a broadcast 1-row
   * cross join, so no extra action).
@@ -123,7 +132,12 @@ object GlobalRank {
     */
   def withRank(df: DataFrame, primaryCol: String, desc: Boolean,
       sortCols: Seq[Column], out: String, buckets: Int = 0,
-      splits: Option[Array[Double]] = None): DataFrame = {
+      splits: Option[Array[Double]] = None): DataFrame =
+    withRankImpl(df, primaryCol, desc, sortCols, out, buckets, splits, None)
+
+  private def withRankImpl(df: DataFrame, primaryCol: String, desc: Boolean,
+      sortCols: Seq[Column], out: String, buckets: Int,
+      splits: Option[Array[Double]], weight: Option[String]): DataFrame = {
     val spark = df.sparkSession
     val b = if (buckets > 0) buckets
       else spark.sessionState.conf.numShufflePartitions
@@ -149,7 +163,7 @@ object GlobalRank {
           .drop(spC)
     }
     rankBucketed(bucketed, bC, sortCols, out,
-      splits.map(sp => math.min(b, sp.length + 1)).getOrElse(b))
+      splits.map(sp => math.min(b, sp.length + 1)).getOrElse(b), weight)
   }
 
   /** [[withRank]] for a STRING primary column. The numeric path's lazy
@@ -190,7 +204,13 @@ object GlobalRank {
     * loudly, as in [[withRankOnStrings]]. */
   def withRankStringSampled(df: DataFrame, primaryCol: String, desc: Boolean,
       sortCols: Seq[Column], out: String, buckets: Int = 0,
-      sampleSize: Int = 4096): DataFrame = {
+      sampleSize: Int = 4096): DataFrame =
+    withRankStringSampledImpl(df, primaryCol, desc, sortCols, out, buckets,
+      sampleSize, None)
+
+  private def withRankStringSampledImpl(df: DataFrame, primaryCol: String,
+      desc: Boolean, sortCols: Seq[Column], out: String, buckets: Int,
+      sampleSize: Int, weight: Option[String]): DataFrame = {
     val spark = df.sparkSession
     val b = if (buckets > 0) buckets
       else spark.sessionState.conf.numShufflePartitions
@@ -202,7 +222,7 @@ object GlobalRank {
       return rankBucketed(
         df.withColumn(bC,
           when(col(primaryCol).isNull, nullGuard).otherwise(lit(0))),
-        bC, sortCols, out, 1)
+        bC, sortCols, out, 1, weight)
     val spC = fresh(df, "_gr_ssplits")
     val sampleDf = df.select(col(primaryCol).cast("string").as(spC))
       .where(col(spC).isNotNull)
@@ -224,7 +244,7 @@ object GlobalRank {
         when(col(primaryCol).isNull, nullGuard)
           .otherwise(when(size(arr) === 0, lit(0)).otherwise(cnt).cast("int")))
       .drop(spC)
-    rankBucketed(bucketed, bC, sortCols, out, b)
+    rankBucketed(bucketed, bC, sortCols, out, b, weight)
   }
 
   /** Stages 3-4 of the plan in the object scaladoc, shared by the numeric
@@ -233,25 +253,99 @@ object GlobalRank {
     * join. `bucketed` must carry a non-null int bucket column `bC` that is
     * monotone in the rank order and constant across rank ties. */
   private def rankBucketed(bucketed: DataFrame, bC: String,
-      sortCols: Seq[Column], out: String, numParts: Int): DataFrame = {
+      sortCols: Seq[Column], out: String, numParts: Int,
+      weight: Option[String] = None): DataFrame = {
     val lrC = fresh(bucketed, "_lr")
     val offC = fresh(bucketed, "_off")
     val cntC = fresh(bucketed, "_c")
-    // exclusive prefix sums of the per-bucket counts: counts is at most
+    // exclusive prefix sums of the per-bucket masses: counts is at most
     // `buckets` rows by construction, so the self-join is trivially small
-    // and stays fully distributed (no global window, no collect)
-    val counts = bucketed.groupBy(col(bC)).agg(count(lit(1)).as(cntC))
+    // and stays fully distributed (no global window, no collect). With a
+    // weight column each bucketed row stands for `weight` original rows
+    // (the counts-only heavy-hitter path — see [[rankOfValues]]).
+    val mass = weight.map(wc => sum(col(wc))).getOrElse(count(lit(1)))
+    val counts = bucketed.groupBy(col(bC)).agg(mass.as(cntC))
     val offsets = counts.as("x")
       .join(counts.as("y"), col(s"y.$bC") < col(s"x.$bC"), "left")
       .groupBy(col(s"x.$bC").as(bC))
       .agg(coalesce(sum(col(s"y.$cntC")), lit(0L)).as(offC))
     val w = Window.partitionBy(col(bC)).orderBy(sortCols: _*)
+    // weighted form: bucketed rows are UNIQUE in the sort order (one row
+    // per distinct value by [[rankOfValues]]'s construction), so rank()
+    // degenerates to row position and the weighted rank is 1 + the
+    // exclusive running weight sum — SQL rank semantics ("1 + count of
+    // rows sorting strictly before") recovered from aggregates alone
+    val localRank = weight match {
+      case None => rank().over(w).cast("long")
+      case Some(wc) =>
+        coalesce(sum(col(wc))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + lit(1L)
+    }
     bucketed
       .repartition(math.max(1, numParts), col(bC))
-      .withColumn(lrC, rank().over(w).cast("long"))
+      .withColumn(lrC, localRank)
       .join(broadcast(offsets), Seq(bC))
       .withColumn(out, col(lrC) + col(offC))
       .drop(bC, lrC, offC)
+  }
+
+  /** Global `rank()` over a SINGLE value column, heavy-hitter-safe: SQL
+    * rank ties share one rank value, so when the ORDER BY is exactly the
+    * value column no row ever needs a per-row window — rank(v) = 1 +
+    * count of rows whose value sorts strictly before v, recoverable from
+    * aggregates alone. The plan: per-value counts (map-side combinable —
+    * a value owning 50 % of the data collapses to ONE row in the partial
+    * aggregate), then the bucketed machinery runs over the VALUE TABLE
+    * with the counts as weights (each window task holds one row per
+    * distinct value in its bucket, bounded by value cardinality, NEVER by
+    * row skew), then an equi-join attaches the rank back to the rows.
+    *
+    * This is the special case [[withRank]] cannot exploit: with tiebreak
+    * sort columns beyond the value, ranks are per-row distinct and the
+    * hot value's rows genuinely need an in-value ordering — there the
+    * row-path window applies (and a hot KEY means a hot bucket; see the
+    * scaladoc above). Use THIS form whenever the rank is on the bare
+    * value — corpus position by score, priority by count — and the key
+    * distribution is untrusted.
+    *
+    * The join back is a plain equi-join: AQE broadcasts the value table
+    * when it fits and splits skewed probe partitions otherwise
+    * (skew-join applies to joins; a window's hot partition cannot be
+    * split — that asymmetry is the whole point of this decomposition).
+    *
+    * Works for numeric AND string value columns (strings take the lazy
+    * sampled-split path). Null values fail loudly — a null has no
+    * defined rank position. */
+  def rankOfValues(df: DataFrame, valueCol: String, desc: Boolean,
+      out: String, buckets: Int = 0,
+      splits: Option[Array[Double]] = None): DataFrame = {
+    val cntC = fresh(df, "_vw")
+    val guarded = when(col(valueCol).isNull, raise_error(lit(
+        s"rankOfValues: null in '$valueCol' (null values have no defined " +
+          "rank position; filter or coalesce them first)")))
+      .otherwise(col(valueCol)).as(valueCol)
+    val counts = df.select(guarded).groupBy(col(valueCol))
+      .agg(count(lit(1)).as(cntC))
+    val order = Seq(if (desc) col(valueCol).desc else col(valueCol).asc)
+    val isString = df.schema(valueCol).dataType ==
+      org.apache.spark.sql.types.StringType
+    val ranked =
+      if (isString)
+        withRankStringSampledImpl(counts, valueCol, desc, order, out,
+          buckets, sampleSize = 4096, weight = Some(cntC))
+      else
+        withRankImpl(counts, valueCol, desc, order, out, buckets, splits,
+          weight = Some(cntC))
+    // left join + loud failure, same contract as [[denseRankOfValues]]:
+    // counts derive from df itself, so a missing rank can only mean a
+    // NONDETERMINISTIC input (the frame is scanned by both the counts
+    // branch and this probe side) — that must not silently null the rank
+    df.join(ranked.drop(cntC), Seq(valueCol), "left")
+      .withColumn(out, when(col(out).isNull, raise_error(concat(
+          lit(s"rankOfValues: value of '$valueCol' missing from the counts " +
+            "table — the input is nondeterministic across scans: "),
+          col(valueCol).cast("string"))))
+        .otherwise(col(out)))
   }
 
   /** Global `dense_rank()` over a single value column, scale-safe: rank

@@ -108,6 +108,26 @@ object Windows {
       .limit(300)
   }
 
+  /** #23d (added round 7) global `rank()` on a bare VALUE column through
+    * the counts-only heavy-hitter-safe path
+    * ([[GlobalRank.rankOfValues]]): rank ties share one rank value, so
+    * the rank is recovered from per-value counts + the bucketed prefix
+    * machinery over the VALUE TABLE — no window task ever holds more
+    * than its bucket's distinct values, no matter how skewed the value
+    * distribution (a 50 %-hot value collapses to one aggregate row;
+    * pinned by metric in GlobalRankSpec). The row path ([[winRankDense]]
+    * etc.) keeps ties correct by sending all tied rows through one
+    * bucket — this form exists precisely so untrusted key distributions
+    * cannot serialize a task. Ranks depend on the whole table; the
+    * first 500 event ids are emitted. */
+  def winRankValueGlobal(s: SparkSession, d: String): DataFrame =
+    GlobalRank.rankOfValues(
+        Tables.events(s, d).select(col("event_id"), col("value")),
+        "value", desc = false, "r")
+      .select(col("event_id"), col("r"))
+      .orderBy(col("event_id"))
+      .limit(500)
+
   /** #24 successive differences per key (RR-interval delta analogue). */
   def winLagLead(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

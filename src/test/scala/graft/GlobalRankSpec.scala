@@ -243,6 +243,76 @@ class GlobalRankSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("rankOfValues matches rank() under a 50%-hot value, and its window never sees the hot mass") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // AQE buries subtrees inside materialized query stages — a plain
+    // collect() stops at the stage boundary, so recurse through them
+    def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      Seq(p).collect(pf) ++ kids.flatMap(collectAll(_)(pf))
+    }
+    // one value owns half the rows — the row-path's hot-bucket hazard
+    val n = 20000
+    val rows = (1 to n).map { i =>
+      val v = if (i % 2 == 0) 42.0 else (i % 199).toDouble
+      (i.toLong, v)
+    }
+    val df = rows.toDF("id", "v")
+    for (desc <- Seq(false, true)) {
+      val got = GlobalRank.rankOfValues(df, "v", desc, "r", buckets = 8)
+      val order = if (desc) $"v".desc else $"v".asc
+      val want = df.withColumn("r", rank().over(Window.orderBy(order)).cast("long"))
+      assert(got.select($"id", $"r").except(want.select($"id", $"r")).count() == 0
+        && got.count() == n, s"desc=$desc rank values diverge from the plain window")
+      // the structural heavy-hitter claim: every Window in the plan runs
+      // over the AGGREGATED value table, so its input is one row per
+      // distinct value (~101 here), never the 10,000-row hot mass
+      val executed = got.select($"id", $"r")
+      executed.collect()
+      val windows = collectAll(executed.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(windows.nonEmpty, "expected the bucketed window over the value table")
+      windows.foreach { w =>
+        val aggs = w.children.flatMap(collectAll(_) { case a: BaseAggregateExec => a })
+        assert(aggs.nonEmpty, s"window input must be the per-value aggregate:\n$w")
+        val rowsIn = aggs.map(_.metrics("numOutputRows").value).min
+        assert(rowsIn <= 200,
+          s"window saw $rowsIn rows — the hot mass leaked into a window task")
+      }
+    }
+  }
+
+  test("rankOfValues on a hot STRING value matches rank() too") {
+    val rows = (1 to 4000).map { i =>
+      val v = if (i % 2 == 0) "dup" else s"k${i % 173}%03d"
+      (i.toLong, v)
+    }
+    val df = rows.toDF("id", "v")
+    val got = GlobalRank.rankOfValues(df, "v", desc = false, "r", buckets = 6)
+    val want = df.withColumn("r", rank().over(Window.orderBy($"v")).cast("long"))
+    assert(got.select($"id", $"r").except(want.select($"id", $"r")).count() == 0
+      && got.count() == 4000)
+  }
+
+  test("rankOfValues fails loudly on null values") {
+    val df = Seq((1L, Some(1.0)), (2L, None: Option[Double])).toDF("id", "v")
+    val e = intercept[Exception] {
+      GlobalRank.rankOfValues(df, "v", desc = false, "r", buckets = 4).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("rankOfValues"),
+      s"expected the loud null guard, got: $e")
+  }
+
   test("denseRankOfValues fails loudly when a value is absent from valuesFrom") {
     val df = Seq((1, 5.0), (2, 99.0)).toDF("id", "v")
     val from = Seq(Tuple1(5.0)).toDF("v")

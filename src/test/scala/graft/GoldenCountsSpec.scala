@@ -18,6 +18,7 @@ class GoldenCountsSpec extends SparkSpecBase {
     "agg_stats" -> 5, "agg_percentile" -> 5, "agg_having" -> 50,
     "win_rank_topk_per_group" -> 449, "win_rank_dense" -> 100,
     "win_dense_rank_global" -> 500, "win_rank_string_global" -> 300,
+    "win_rank_value_global" -> 500,
     "win_lag_lead" -> 500, "win_moving_avg" -> 500, "win_cumsum" -> 500,
     "win_range_time" -> 500, "win_first_last" -> 500, "win_ntile_pctrank" -> 150,
     "sort_multi" -> 100, "topk_global" -> 10,
