@@ -34,6 +34,19 @@ import org.apache.spark.sql.SparkSession
   * back to `sum_best` — where a failed query's time-to-exception still
   * undercounts, but each query is at least attempted in isolation — and
   * the "failed" list names the casualties.
+  *
+  * **Load sentinel** (`calib` in the headline): host noise moves BOTH
+  * engines, and a loaded driver host once made a 4 s engine read as
+  * 23 s in the stored artifact. Two fixed, data-independent probes are
+  * timed immediately before and after the concurrent passes — a
+  * single-core JVM arithmetic loop (pure CPU contention) and a
+  * constant `spark.range` aggregate (the dispatch/codegen floor every
+  * tiny query pays). Min-of-3 each, so a stray GC cannot false-alarm
+  * but sustained load still shows. Idle-host nominals are pinned in
+  * BASELINE.md ("Load sentinel" section); a slow `value` with calib at
+  * nominal is an engine regression, a slow `value` with calib inflated
+  * is the host — distinguishable from the artifact alone, no re-run
+  * needed.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -64,6 +77,24 @@ object Bench {
       runOne(name)
       (System.nanoTime() - t0) / 1e9
     }
+    // Load-sentinel probes (see scaladoc). The work constants are part of
+    // the artifact's meaning — changing them invalidates the BASELINE.md
+    // nominals, so bump that section together with any edit here.
+    def calibJvm(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0L; var acc = 0L
+      while (i < 200000000L) { acc += i ^ (i >>> 7); i += 1 }
+      if (acc == 42L) System.err.println("") // keep the loop observable
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibSpark(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 5000000L, 1L, 8)
+        .selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calib(): (Double, Double) =
+      (Seq.fill(3)(calibJvm()).min, Seq.fill(3)(calibSpark()).min)
     names.foreach(timeOne) // warmup, untimed
     val passes = Seq.fill(3)(names.map(n => n -> timeOne(n)).toMap)
     val results = names.map(n => n -> passes.map(_(n)).min)
@@ -75,7 +106,9 @@ object Bench {
       Await.result(Future.sequence(names.map(n => Future(runOne(n)))), Duration.Inf)
       (System.nanoTime() - t0) / 1e9
     }
+    val (jvmPre, sparkPre) = calib()
     val wall = Seq.fill(3)(concurrentPass()).min
+    val (jvmPost, sparkPost) = calib()
     pool.shutdown(); pool.awaitTermination(10, TimeUnit.SECONDS)
     def f4(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f4(v) }
@@ -92,7 +125,8 @@ object Bench {
     val detail = s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(detail)
     System.err.println(detail)
-    println(s"""{"metric":"total","value":${f4(value)},"unit":"sec","mode":"$mode","threads":$threads,"wall_concurrent":${f4(wall)},"sum_best":${f4(sumBest)},"failed":$failedJson,"sf":"$sfDir"}""")
+    val calibJson = s"""{"jvm_pre":${f4(jvmPre)},"jvm_post":${f4(jvmPost)},"spark_pre":${f4(sparkPre)},"spark_post":${f4(sparkPost)}}"""
+    println(s"""{"metric":"total","value":${f4(value)},"unit":"sec","mode":"$mode","threads":$threads,"wall_concurrent":${f4(wall)},"sum_best":${f4(sumBest)},"calib":$calibJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
