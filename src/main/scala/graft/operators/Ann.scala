@@ -344,6 +344,73 @@ object Ann {
       .parquet(s"$dir/lists/gen=$generation")
   }
 
+  /** Health report of a persisted IVF index — the numbers that decide
+    * WHEN to rebuild, so "rebuild when appended mass rivals the fitted
+    * mass" ([[appendToIvfIndex]]) is a checkable threshold instead of
+    * advice. All driver-side state is bounded by construction:
+    * generations × nlist aggregate rows, never data volume.
+    *
+    * @param fittedRows   rows placed by the KMeans fit (gen=0)
+    * @param appendedRows rows assigned to FROZEN centroids (gen>=1) —
+    *                     the mass whose distribution the clustering has
+    *                     never seen
+    * @param maxListRows  largest list (over all generations summed)
+    * @param meanListRows totalRows / nlist — empty lists count, a
+    *                     drifted corpus concentrates mass and starves
+    *                     the rest
+    * @param listSkew     maxListRows / meanListRows; 1.0 = perfectly
+    *                     balanced. Serving cost of a probe scales with
+    *                     the SIZES of its probed lists, so skew is the
+    *                     cost-erosion number even when recall holds
+    * @param rebuildRecommended appendedRows >= fittedRows and the index
+    *                     is non-empty — the documented rebuild rule
+    *                     (an all-appended index, fit having seen
+    *                     nothing, recommends hardest of all) */
+  case class IvfIndexStats(
+      nlist: Int,
+      generations: Seq[Long],
+      fittedRows: Long,
+      appendedRows: Long,
+      maxListRows: Long,
+      meanListRows: Double,
+      listSkew: Double,
+      rebuildRecommended: Boolean)
+
+  /** Compute [[IvfIndexStats]] for the index at `dir`. One distributed
+    * aggregate over the lists tree (partition columns only — no vector
+    * data is deserialized) plus a 1-row centroid count. */
+  def indexStats(spark: SparkSession, dir: String): IvfIndexStats = {
+    val gens = indexGenerations(spark, dir)
+    require(gens.nonEmpty,
+      s"the index at $dir uses the flat pre-generation lists layout — " +
+        "stats (like appends) need the generation layout; rebuild with " +
+        "buildIvfIndex.")
+    val nlist = spark.read.parquet(s"$dir/centroids").count().toInt
+    // (gen, list_id) are partition columns — this aggregate reads no
+    // vector bytes, and its output is gens × nlist rows, bounded
+    val perGenList = spark.read.parquet(s"$dir/lists")
+      // partition-value inference may type gen/list_id as int OR long
+      // depending on the values present — pin them
+      .groupBy(col("gen").cast("long").as("gen"),
+        col("list_id").cast("int").as("list_id"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val fitted = perGenList.collect { case (0L, _, n) => n }.sum
+    val appended = perGenList.collect { case (g, _, n) if g >= 1 => n }.sum
+    val perList = perGenList.groupBy(_._2).map { case (_, rs) => rs.map(_._3).sum }
+    val maxList = if (perList.isEmpty) 0L else perList.max
+    val mean = (fitted + appended).toDouble / nlist
+    IvfIndexStats(
+      nlist = nlist,
+      generations = gens.sorted,
+      fittedRows = fitted,
+      appendedRows = appended,
+      maxListRows = maxList,
+      meanListRows = mean,
+      listSkew = if (mean > 0) maxList / mean else 0.0,
+      rebuildRecommended = appended >= fitted && fitted + appended > 0)
+  }
+
   /** Serve probes against a [[buildIvfIndex]] index: broadcast the
     * centroid routing table, pick each probe's `nprobe` nearest lists,
     * and join against ONLY those lists — the `isin` filter on the
