@@ -75,6 +75,16 @@ object MediaPipeline {
               case "avi" =>
                 Multimodal.aviLayout(r.media) // validate only
                 r
+              case "png" =>
+                // real PNG downscale (alpha averaged, not dropped); the
+                // resize's full decode IS the validation — a corrupt PNG
+                // quarantines here, not mid-dedup — and it bounds the
+                // later aHash decode to maxSide, like the BMP arm.
+                // pngLayout for dims is header+CRC only, no re-inflate.
+                val resized = Multimodal.pngResize(r.media, maxSide)
+                val (pw, ph, _, _) = Multimodal.pngLayout(resized)
+                if ((resized eq r.media) && r.width == pw && r.height == ph) r
+                else r.copy(media = resized, width = pw, height = ph)
               case "bmp" =>
                 val resized = Multimodal.bmpResize(r.media, maxSide)
                 if (resized eq r.media) r
@@ -162,7 +172,12 @@ object MediaPipeline {
     *
     * v2: `_h` = md5 of the ORIGINAL (pre-downscale) payload; audio `sig`
     * = 28 rising / 28 falling / 8 thermometer bits (Multimodal
-    * .wavEnergyHash). Stores written before versioning (post-resize
+    * .wavEnergyHash). Round 7 extended image-sig COVERAGE to PNG rows
+    * (same aHash encoding over the same pixel grid — a BMP and a PNG of
+    * identical pixels carry identical sigs, so no version bump: stores
+    * built earlier merely lack sigs for their PNG items, which then
+    * dedup exact-only against new batches, a miss, never a mis-match).
+    * Stores written before versioning (post-resize
     * md5, 64 energy-delta bits) have no `sig_v` column and must be
     * rebuilt by re-ingesting their corpus. */
   val SignatureVersion = 2

@@ -12,17 +12,19 @@ import org.apache.spark.sql.functions._
   * fingerprint) feeding the same banded-hamming join as text dedup.
   *
   * The Spark-side contract — schema, partitioning, batch shape — is real
-  * and tested, and so are the decoders for every modality: header-simple
-  * formats with pure-JVM parses ship REAL decode paths ([[decodeWav]]
-  * for PCM-16 RIFF WAV, [[decodeBmp]] for uncompressed 24-bit BMP,
-  * [[decodeAvi]] for uncompressed-DIB AVI video), with matching encoders
-  * so round-trips are testable without codec jars. Formats that need
-  * native codecs (png, mp4, ...) still go through the clearly-marked
-  * [[stubDecode]]; swapping in a real codec changes only that dispatch
-  * arm — the distributed plumbing (binary columns travel with their
-  * partition, the decoder runs once per row inside mapPartitions with
-  * per-partition library setup, output schema is fixed) is
-  * production-shaped either way.
+  * and tested, and so are the decoders for every modality: pure-JVM
+  * parses ship REAL decode paths ([[decodeWav]] for PCM-16 RIFF WAV,
+  * [[decodeBmp]] for uncompressed 24-bit BMP, [[decodePng]] for 8-bit
+  * non-interlaced truecolor PNG — zlib via `java.util.zip.Inflater`,
+  * all five scanline filters, CRC-verified chunks — and [[decodeAvi]]
+  * for uncompressed-DIB AVI video), with matching encoders so
+  * round-trips are testable without codec jars. Formats that genuinely
+  * need native codecs (mp4, jpeg, ...) still go through the
+  * clearly-marked [[stubDecode]]; swapping in a real codec changes only
+  * that dispatch arm — the distributed plumbing (binary columns travel
+  * with their partition, the decoder runs once per row inside
+  * mapPartitions with per-partition library setup, output schema is
+  * fixed) is production-shaped either way.
   */
 object Multimodal {
 
@@ -314,17 +316,25 @@ object Multimodal {
     hash
   }
 
-  /** Per-image aHash signatures for the BMP rows of a media table:
-    * (media_id, sig) — the image analogue of the text SimHash signature
-    * store, and the frame to persist for repeated/appended dedup runs
-    * (the ~16 bytes/image signature is the only state, exactly like
-    * CorpusPipeline's text store). A pure map; non-BMP rows skipped. */
+  /** Per-image aHash signatures for the BMP and PNG rows of a media
+    * table: (media_id, sig) — the image analogue of the text SimHash
+    * signature store, and the frame to persist for repeated/appended
+    * dedup runs (the ~16 bytes/image signature is the only state,
+    * exactly like CorpusPipeline's text store). Both containers hash
+    * through the same grid ([[bmpAHash]]/[[pngAHash]]), so a BMP and a
+    * PNG of the same pixels are near-dups of each other. A pure map;
+    * other formats skipped. Like every real decoder here, a CORRUPT or
+    * out-of-subset payload under a bmp/png tag fails the job loudly —
+    * route untrusted corpora through MediaPipeline.curate, whose
+    * validation pass quarantines such rows first. */
   def imageAHashes(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      if (Option(r.format).exists(_.equalsIgnoreCase("bmp")))
-        Some((r.media_id, bmpAHash(r.media)))
-      else None
+      Option(r.format).map(_.toLowerCase) match {
+        case Some("bmp") => Some((r.media_id, bmpAHash(r.media)))
+        case Some("png") => Some((r.media_id, pngAHash(r.media)))
+        case _ => None
+      }
     }.toDF("media_id", "sig")
   }
 
@@ -351,11 +361,341 @@ object Multimodal {
   def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
     mediaNearDupsFromSigs(imageAHashes(media).persist(), maxHamming)
 
+  // ---- PNG (8-bit non-interlaced truecolor, RGB / RGBA) ----
+
+  /** Real decode of an 8-bit non-interlaced truecolor PNG payload:
+    * dimensions, channel count (3 = RGB, 4 = RGBA), channel means and
+    * luma — the PNG arm of the image docstats. Means describe color
+    * content like [[BmpInfo]]'s; alpha, when present, is visible via
+    * `channels`. */
+  case class PngInfo(width: Int, height: Int, channels: Int,
+      meanR: Double, meanG: Double, meanB: Double, meanLuma: Double)
+
+  /** Chunk walk + IHDR validation of a PNG payload: verifies the
+    * signature, every chunk's declared length AND its CRC-32 (over
+    * type+data, as the spec defines — a flipped payload bit fails here,
+    * not as garbage pixels), and the IHDR constraints this pure-JVM
+    * decoder supports: bit depth 8, color type 2 (RGB) or 6 (RGBA),
+    * no interlace. Ancillary chunks (tEXt, pHYs, ...) are skipped.
+    * Returns (width, height, channels, concatenated IDAT bytes). Fails
+    * loudly on anything else — see [[decodeWav]] for why. */
+  private[multimodal] def pngLayout(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"invalid PNG: $msg")
+    if (bytes.length < 8 + 25) fail(s"payload too short (${bytes.length} bytes)")
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (!bytes.take(8).sameElements(sig)) fail("not a PNG signature")
+    val buf = ByteBuffer.wrap(bytes) // PNG is big-endian, ByteBuffer's default
+    var off = 8
+    var ihdr: Option[(Int, Int, Int)] = None
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawIdat = false
+    var ended = false
+    while (!ended) {
+      if (off + 8 > bytes.length) fail("truncated chunk header")
+      val len = buf.getInt(off)
+      if (len < 0) fail(s"negative chunk length $len")
+      val typ = new String(bytes, off + 4, 4, "US-ASCII")
+      if (off + 12L + len > bytes.length) fail(s"chunk '$typ' overruns payload")
+      val crc = new java.util.zip.CRC32
+      crc.update(bytes, off + 4, 4 + len)
+      if (crc.getValue.toInt != buf.getInt(off + 8 + len))
+        fail(s"chunk '$typ' CRC mismatch")
+      typ match {
+        case "IHDR" =>
+          if (ihdr.isDefined) fail("duplicate IHDR")
+          if (len != 13) fail(s"IHDR length $len != 13")
+          val w = buf.getInt(off + 8)
+          val h = buf.getInt(off + 12)
+          val bitDepth = bytes(off + 16) & 0xff
+          val colorType = bytes(off + 17) & 0xff
+          val compression = bytes(off + 18) & 0xff
+          val filterMethod = bytes(off + 19) & 0xff
+          val interlace = bytes(off + 20) & 0xff
+          if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
+          if (bitDepth != 8 || (colorType != 2 && colorType != 6))
+            fail("only 8-bit truecolor RGB/RGBA supported " +
+              s"(bitDepth=$bitDepth colorType=$colorType)")
+          if (compression != 0 || filterMethod != 0)
+            fail(s"nonstandard compression/filter method $compression/$filterMethod")
+          if (interlace != 0) fail("interlaced PNG unsupported")
+          val channels = if (colorType == 2) 3 else 4
+          // cap the raw scanline stream (1 + w*channels) * h like
+          // bmpLayout's frame cap — division form so the cap itself
+          // cannot overflow on crafted dimensions
+          val rowL = 1L + w.toLong * channels
+          if (rowL > Int.MaxValue || h > Int.MaxValue / rowL)
+            fail(s"frame too large ${w}x$h")
+          ihdr = Some((w, h, channels))
+        case "IDAT" =>
+          if (ihdr.isEmpty) fail("IDAT before IHDR")
+          idat.write(bytes, off + 8, len)
+          sawIdat = true
+        case "IEND" =>
+          if (len != 0) fail(s"IEND carries $len data bytes")
+          ended = true
+        case _ => () // ancillary chunk
+      }
+      off += 12 + len
+    }
+    if (off != bytes.length) fail("trailing bytes after IEND")
+    val (w, h, ch) = ihdr.getOrElse(fail("no IHDR"))
+    if (!sawIdat) fail("no IDAT")
+    (w, h, ch, idat.toByteArray)
+  }
+
+  /** Inflate + per-scanline unfilter: (width, height, channels, pixel
+    * plane) with top-down rows of `channels` bytes per pixel in stored
+    * RGB(A) order. All five PNG filter types are handled; the zlib
+    * stream must inflate to EXACTLY the scanline size — short, long, or
+    * corrupt streams fail loudly instead of yielding partial pixels. */
+  private[graft] def decodePngPixels(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"invalid PNG: $msg")
+    val (w, h, channels, idatBytes) = pngLayout(bytes)
+    val rowBytes = w * channels
+    val raw = new Array[Byte]((1 + rowBytes) * h)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idatBytes)
+      var n = 0
+      while (n < raw.length && !inf.finished()) {
+        val k = try inf.inflate(raw, n, raw.length - n)
+          catch { case e: java.util.zip.DataFormatException =>
+            fail(s"corrupt zlib stream: ${e.getMessage}") }
+        n += k
+        if (k == 0 && !inf.finished())
+          fail("zlib stream truncated")
+      }
+      if (n < raw.length) fail(s"scanline data $n bytes, expected ${raw.length}")
+      if (!inf.finished()) {
+        // all scanlines read but the stream goes on — a wrong-sized image
+        val extra = try inf.inflate(new Array[Byte](1))
+          catch { case e: java.util.zip.DataFormatException =>
+            fail(s"corrupt zlib trailer: ${e.getMessage}") }
+        if (extra > 0 || !inf.finished())
+          fail("zlib stream longer than the scanline data")
+      }
+    } finally inf.end()
+    val out = new Array[Byte](rowBytes * h)
+    val bpp = channels
+    var y = 0
+    while (y < h) {
+      val src = (1 + rowBytes) * y
+      val dst = rowBytes * y
+      val ft = raw(src) & 0xff
+      var i = 0
+      while (i < rowBytes) {
+        val x = raw(src + 1 + i) & 0xff
+        val a = if (i >= bpp) out(dst + i - bpp) & 0xff else 0 // left
+        val b = if (y > 0) out(dst - rowBytes + i) & 0xff else 0 // up
+        val c = if (y > 0 && i >= bpp) out(dst - rowBytes + i - bpp) & 0xff else 0 // up-left
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => // Paeth predictor
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case other => fail(s"unknown filter type $other on row $y")
+        }
+        out(dst + i) = (v & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    (w, h, channels, out)
+  }
+
+  /** Strict PNG parse + decode to image stats: dimensions, channel
+    * count, per-channel means over the pixel rectangle. Fails loudly on
+    * anything [[pngLayout]]/[[decodePngPixels]] reject. */
+  def decodePng(bytes: Array[Byte]): PngInfo = {
+    val (w, h, ch, px) = decodePngPixels(bytes)
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    val n = w * h
+    var i = 0
+    while (i < n) {
+      val o = i * ch
+      sr += px(o) & 0xff; sg += px(o + 1) & 0xff; sb += px(o + 2) & 0xff
+      i += 1
+    }
+    val mr = sr / n; val mg = sg / n; val mb = sb / n
+    PngInfo(w, h, ch, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb)
+  }
+
+  /** 64-bit aHash of a PNG — the RGB(A) plane repacked into the BGR row
+    * layout [[boxGrid]] reads, so a PNG and a BMP holding identical
+    * pixels hash IDENTICALLY and near-dup detection works across the
+    * two containers (alpha is ignored, as the hash describes color). */
+  def pngAHash(bytes: Array[Byte]): Long = {
+    val (w, h, ch, px) = decodePngPixels(bytes)
+    val bgr = new Array[Byte](3 * w * h)
+    val n = w * h
+    var i = 0
+    while (i < n) {
+      val s = i * ch; val d = i * 3
+      bgr(d) = px(s + 2); bgr(d + 1) = px(s + 1); bgr(d + 2) = px(s)
+      i += 1
+    }
+    ahashOfGrid(boxGrid(bgr, w, h, 0, 3 * w, bottomUp = false, 8, 8))
+  }
+
+  /** REAL spatial downscale of a supported PNG: box-filter average of
+    * the source pixels mapping to each target pixel, channel count
+    * preserved (RGBA alpha is averaged exactly like the color planes —
+    * nothing is dropped), re-encoded through [[encodePng]]'s chunk
+    * writer. Same cap rule as [[bmpResize]]; payloads already within
+    * `maxSide` return unchanged. The PNG arm of the curation pipeline's
+    * size bound. */
+  def pngResize(bytes: Array[Byte], maxSide: Int): Array[Byte] = {
+    require(maxSide > 0, s"maxSide must be positive, got $maxSide")
+    val (w, h, ch, px) = decodePngPixels(bytes)
+    if (math.max(w, h) <= maxSide) return bytes
+    val scale = maxSide.toDouble / math.max(w, h)
+    val ow = math.max(1, math.ceil(w * scale).toInt)
+    val oh = math.max(1, math.ceil(h * scale).toInt)
+    // channel-generic box means (boxGrid reads 3-channel BGR rows; the
+    // alpha plane needs the same treatment, so the loop lives here) —
+    // identical cell ranges to boxGrid, so BMP and PNG resizes of the
+    // same pixels agree
+    val sums = new Array[Double](ow * oh * ch)
+    val cnt = new Array[Long](ow * oh)
+    var by = 0
+    while (by < oh) {
+      val y0 = (by.toLong * h / oh).toInt
+      val y1 = math.min(h, math.max(((by + 1).toLong * h / oh).toInt, y0 + 1))
+      var iy = y0
+      while (iy < y1) {
+        var bx = 0
+        while (bx < ow) {
+          val x0 = (bx.toLong * w / ow).toInt
+          val x1 = math.min(w, math.max(((bx + 1).toLong * w / ow).toInt, x0 + 1))
+          val t = by * ow + bx
+          var x = x0
+          while (x < x1) {
+            val s = (iy * w + x) * ch
+            var c = 0
+            while (c < ch) { sums(t * ch + c) += px(s + c) & 0xff; c += 1 }
+            cnt(t) += 1
+            x += 1
+          }
+          bx += 1
+        }
+        iy += 1
+      }
+      by += 1
+    }
+    encodePngPlane(ow, oh, ch, (x, y) => {
+      val t = y * ow + x
+      Array.tabulate(ch)(c => math.round(sums(t * ch + c) / cnt(t)).toInt)
+    })
+  }
+
+  /** Encode RGB pixels as an 8-bit truecolor PNG — the inverse of
+    * [[decodePng]], used by tests/demos to synthesize decodable images
+    * without codec jars. Each scanline uses filter type `y % 5`, so a
+    * round-trip exercises EVERY unfilter arm of the decoder (None, Sub,
+    * Up, Average, Paeth), not just the trivial one. */
+  def encodePng(width: Int, height: Int,
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    encodePngPlane(width, height, 3, (x, y) => {
+      val (r, g, b) = px(x, y); Array(r, g, b)
+    })
+
+  /** [[encodePng]] with an alpha channel (color type 6, RGBA). */
+  def encodePngRgba(width: Int, height: Int,
+      px: (Int, Int) => (Int, Int, Int, Int)): Array[Byte] =
+    encodePngPlane(width, height, 4, (x, y) => {
+      val (r, g, b, a) = px(x, y); Array(r, g, b, a)
+    })
+
+  private def encodePngPlane(width: Int, height: Int, channels: Int,
+      px: (Int, Int) => Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    val rowBytes = width * channels
+    val plane = new Array[Byte](rowBytes * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = px(x, y)
+        var c = 0
+        while (c < channels) {
+          plane(y * rowBytes + x * channels + c) = (v(c) & 0xff).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    // filtered scanlines: filter y % 5 (see encodePng scaladoc)
+    val raw = new Array[Byte]((1 + rowBytes) * height)
+    val bpp = channels
+    y = 0
+    while (y < height) {
+      val ft = y % 5
+      raw((1 + rowBytes) * y) = ft.toByte
+      var i = 0
+      while (i < rowBytes) {
+        val cur = plane(y * rowBytes + i) & 0xff
+        val a = if (i >= bpp) plane(y * rowBytes + i - bpp) & 0xff else 0
+        val b = if (y > 0) plane((y - 1) * rowBytes + i) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) plane((y - 1) * rowBytes + i - bpp) & 0xff else 0
+        val f = ft match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - (a + b) / 2
+          case _ =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw((1 + rowBytes) * y + 1 + i) = (f & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    val zout = new java.io.ByteArrayOutputStream()
+    try {
+      defl.setInput(raw)
+      defl.finish()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+    } finally defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val hdr = ByteBuffer.allocate(8)
+      hdr.putInt(data.length)
+      hdr.put(typ.getBytes("US-ASCII"))
+      out.write(hdr.array(), 0, 8)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes("US-ASCII"))
+      crc.update(data)
+      out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array(), 0, 4)
+    }
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+    ihdr.put(8.toByte).put((if (channels == 3) 2 else 6).toByte)
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** ======== STUB ========
     * Deterministic fake decode for formats with no pure-JVM parse here
-    * (png, mp4, ...): derives `dim` floats from a rolling 64-bit hash of
-    * the payload so tests are reproducible without codecs. Replace this
-    * body (only) for production. */
+    * (mp4 and other codec-bound containers): derives `dim` floats from a
+    * rolling 64-bit hash of the payload so tests are reproducible
+    * without codecs. Replace this body (only) for production. */
   private[multimodal] def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     var h = 1125899906842597L // FNV-ish rolling hash of the payload
     bytes.foreach(b => h = h * 31 + (b & 0xff))
@@ -377,8 +717,10 @@ object Multimodal {
   }
 
   /** Batch feature extraction over the media column, dispatched on the
-    * format tag: `wav` and `bmp` run the REAL decoders above (leading
-    * features = the decoded stats, zero-padded to `dim`); anything else
+    * format tag: `wav`, `bmp`, `png` and `avi` run the REAL decoders
+    * above (leading features = the decoded stats, zero-padded to `dim`;
+    * corrupt payloads under those tags fail loudly — curate first for
+    * quarantine semantics); anything else
     * takes the stub path. mapPartitions so a real native decoder
     * initializes its (expensive) context once per partition, not once per
     * row — the Scala analogue of a batched pandas UDF. The operation is a
@@ -403,6 +745,10 @@ object Multimodal {
             val a = decodeAvi(r.media)
             pad(Array(a.width.toDouble, a.height.toDouble, a.frames.toDouble,
               a.microsPerFrame.toDouble, a.meanLuma), dim)
+          case "png" =>
+            val p = decodePng(r.media)
+            pad(Array(p.width.toDouble, p.height.toDouble, p.channels.toDouble,
+              p.meanR, p.meanG, p.meanB, p.meanLuma), dim)
           case _ => stubDecode(r.media, dim)
         }
         MediaFeatures(r.media_id, r.kind, r.media.length.toLong, feats)

@@ -185,6 +185,35 @@ class MediaPipelineSpec extends SparkSpecBase {
       dupOfHistory = 1, accepted = 0), s2.toString)
   }
 
+  test("PNG rows validate, quarantine, and near-dup across containers") {
+    import spark.implicits._
+    def img(f: (Int, Int) => (Int, Int, Int)) = f
+    val base = img((x, _) => if (x < 8) (0, 0, 0) else (255, 255, 255))
+    val tweak = img((x, y) => if ((x, y) == (1, 1)) (40, 40, 40) else base(x, y))
+    val goodPng = Multimodal.encodePng(16, 16, base)
+    val corrupt = goodPng.clone()
+    corrupt(goodPng.length - 15) = (corrupt(goodPng.length - 15) ^ 0x40).toByte
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", goodPng, "png", 16, 16, 0),
+      // same pixels in a BMP container → near-dup ACROSS containers
+      Multimodal.MediaRow(2L, "image", Multimodal.encodeBmp24(16, 16, base),
+        "bmp", 16, 16, 0),
+      // tweaked PNG → near-dup within the container
+      Multimodal.MediaRow(3L, "image", Multimodal.encodePng(16, 16, tweak),
+        "png", 16, 16, 0),
+      // flipped payload byte → quarantined with the CRC error, not crashed
+      Multimodal.MediaRow(4L, "image", corrupt, "png", 16, 16, 0))
+    val out = java.nio.file.Files.createTempDirectory("media_png").toString + "/out"
+    val s = MediaPipeline.curate(spark, spark.createDataset(rows), out)
+    assert(s == MediaPipeline.MediaCurationSummary(
+      input = 4, decodable = 3, nearDupRemoved = 2, curated = 1), s.toString)
+    assert(spark.read.parquet(s"$out/curated")
+      .select($"media_id").as[Long].collect().toSeq == Seq(1L))
+    val q = spark.read.parquet(s"$out/quarantine").collect()
+    assert(q.length == 1 && q.head.getLong(0) == 4L &&
+      q.head.getString(2).contains("CRC"), q.mkString(","))
+  }
+
   test("curate guards only its write targets, not the whole output root") {
     val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
     val rows = Seq(Multimodal.MediaRow(1L, "image",

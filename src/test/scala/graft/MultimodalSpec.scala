@@ -111,6 +111,81 @@ class MultimodalSpec extends SparkSpecBase {
     assert(e4.getMessage.contains("frame too large"))
   }
 
+  test("PNG round-trips: stats, RGBA channels, cross-container aHash identity") {
+    val px = Array(
+      Array((255, 255, 255), (10, 20, 30), (40, 50, 60)),
+      Array((70, 80, 90), (255, 0, 0), (0, 0, 255)))
+    val bytes = Multimodal.encodePng(3, 2, (x, y) => px(y)(x))
+    val p = Multimodal.decodePng(bytes)
+    assert(p.width == 3 && p.height == 2 && p.channels == 3)
+    assert(math.abs(p.meanR - (255 + 10 + 40 + 70 + 255 + 0) / 6.0) < 1e-9)
+    assert(math.abs(p.meanG - (255 + 20 + 50 + 80 + 0 + 0) / 6.0) < 1e-9)
+    assert(math.abs(p.meanB - (255 + 30 + 60 + 90 + 0 + 255) / 6.0) < 1e-9)
+    // RGBA: channel count visible, alpha ignored by the color means
+    val rgba = Multimodal.encodePngRgba(3, 2, (x, y) => {
+      val (r, g, b) = px(y)(x); (r, g, b, 128)
+    })
+    val p4 = Multimodal.decodePng(rgba)
+    assert(p4.channels == 4 && math.abs(p4.meanR - p.meanR) < 1e-9
+      && math.abs(p4.meanLuma - p.meanLuma) < 1e-9)
+    // a PNG and a BMP of the same pixels hash IDENTICALLY — near-dup
+    // detection is container-blind for images
+    val bmp = Multimodal.encodeBmp24(3, 2, (x, y) => px(y)(x))
+    assert(Multimodal.pngAHash(bytes) == Multimodal.bmpAHash(bmp))
+    assert(Multimodal.pngAHash(rgba) == Multimodal.bmpAHash(bmp))
+  }
+
+  test("pngResize: box downscale preserves means and channel count, no-op within cap") {
+    val big = Multimodal.encodePng(20, 10, (x, y) => (x * 12, y * 25, 128))
+    assert(Multimodal.pngResize(big, 32) eq big) // within cap: unchanged
+    val small = Multimodal.pngResize(big, 8)
+    val p = Multimodal.decodePng(small)
+    assert(p.width == 8 && p.height == 4 && p.channels == 3)
+    val orig = Multimodal.decodePng(big)
+    assert(math.abs(p.meanR - orig.meanR) < 8, s"${p.meanR} vs ${orig.meanR}")
+    assert(math.abs(p.meanG - orig.meanG) < 8, s"${p.meanG} vs ${orig.meanG}")
+    // RGBA: alpha plane is averaged, not dropped
+    val bigA = Multimodal.encodePngRgba(20, 10, (x, y) => (x * 12, y * 25, 128, 200))
+    val smallA = Multimodal.decodePngPixels(Multimodal.pngResize(bigA, 8))
+    assert(smallA._3 == 4)
+    val (sw, sh, sch, spx) = smallA
+    (0 until sw * sh).foreach(i => assert((spx(i * sch + 3) & 0xff) == 200))
+  }
+
+  test("corrupt PNGs fail loudly at the violated guard, never as garbage pixels") {
+    def patchIhdr(bytes: Array[Byte], dataOff: Int, v: Byte): Array[Byte] = {
+      // IHDR layout: sig 8 | len@8 | 'IHDR'@12 | data@16..28 | crc@29
+      val m = bytes.clone()
+      m(16 + dataOff) = v
+      val crc = new java.util.zip.CRC32
+      crc.update(m, 12, 4 + 13)
+      java.nio.ByteBuffer.wrap(m).putInt(29, crc.getValue.toInt)
+      m
+    }
+    val good = Multimodal.encodePng(4, 3, (x, y) => (x * 40, y * 60, 128))
+    // not a PNG at all
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.decodePng(Array.tabulate[Byte](64)(_.toByte)))
+    assert(e1.getMessage.contains("signature"))
+    // flipped payload byte → the chunk CRC catches it
+    val flipped = good.clone()
+    flipped(good.length - 15) = (flipped(good.length - 15) ^ 0x40).toByte
+    val e2 = intercept[IllegalArgumentException](Multimodal.decodePng(flipped))
+    assert(e2.getMessage.contains("CRC mismatch"))
+    // interlaced and 16-bit declared in a CRC-consistent header
+    val e3 = intercept[IllegalArgumentException](
+      Multimodal.decodePng(patchIhdr(good, 12, 1)))
+    assert(e3.getMessage.contains("interlaced"))
+    val e4 = intercept[IllegalArgumentException](
+      Multimodal.decodePng(patchIhdr(good, 8, 16)))
+    assert(e4.getMessage.contains("truecolor"))
+    // a WRONG-SIZED image (height lies): zlib stream length disagrees
+    val e5 = intercept[IllegalArgumentException](
+      Multimodal.decodePng(patchIhdr(good, 7, 9)))
+    assert(e5.getMessage.contains("zlib") || e5.getMessage.contains("scanline"),
+      e5.getMessage)
+  }
+
   test("a null format tag takes the stub path instead of an executor NPE") {
     val bytes = Array.tabulate[Byte](16)(_.toByte)
     val ds = spark.createDataset(Seq(
@@ -123,10 +198,12 @@ class MultimodalSpec extends SparkSpecBase {
     val wavBytes = Multimodal.encodeWavPcm16(Array[Short](100, -100, 100, -100), 16000)
     val bmpBytes = Multimodal.encodeBmp24(2, 2, (_, _) => (10, 20, 30))
     val mp4Bytes = Array.tabulate[Byte](32)(i => (i * 7).toByte)
+    val pngBytes = Multimodal.encodePng(2, 2, (_, _) => (10, 20, 30))
     val ds = spark.createDataset(Seq(
       Multimodal.MediaRow(1L, "audio", wavBytes, "wav", 0, 0, 16000),
       Multimodal.MediaRow(2L, "image", bmpBytes, "bmp", 2, 2, 0),
-      Multimodal.MediaRow(3L, "video", mp4Bytes, "mp4", 8, 8, 0)))
+      Multimodal.MediaRow(3L, "video", mp4Bytes, "mp4", 8, 8, 0),
+      Multimodal.MediaRow(4L, "image", pngBytes, "png", 2, 2, 0)))
     val got = Multimodal.decodeFeatures(ds, dim = 8)
       .collect().map(r => r.media_id -> r.features.toSeq).toMap
     val w = Multimodal.decodeWav(wavBytes)
@@ -135,6 +212,8 @@ class MultimodalSpec extends SparkSpecBase {
     val b = Multimodal.decodeBmp(bmpBytes)
     assert(got(2L) == Seq(2f, 2f, 10f, 20f, 30f, b.meanLuma.toFloat, 0f, 0f))
     assert(got(3L).take(3) != got(2L).take(3)) // stub path, not a decode
+    val p = Multimodal.decodePng(pngBytes)
+    assert(got(4L) == Seq(2f, 2f, 3f, 10f, 20f, 30f, p.meanLuma.toFloat, 0f))
   }
 
   test("syntheticMedia emits genuinely decodable wav/bmp/avi payloads") {

@@ -268,6 +268,47 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("PNG round-trips arbitrary images EXACTLY; corruption fails contractually") {
+    import graft.multimodal.Multimodal
+    // heights >= 5 exercise every filter arm (the encoder cycles y % 5)
+    val gen = for {
+      w <- Gen.chooseNum(1, 23)
+      h <- Gen.chooseNum(5, 23)
+      alpha <- Gen.oneOf(true, false)
+      px <- Gen.listOfN(w * h, Gen.zip(Gen.chooseNum(0, 255),
+        Gen.chooseNum(0, 255), Gen.chooseNum(0, 255), Gen.chooseNum(0, 255)))
+    } yield (w, h, alpha, px.toArray)
+    for ((w, h, alpha, px) <- samples(gen)) {
+      val bytes =
+        if (alpha) Multimodal.encodePngRgba(w, h, (x, y) => px(y * w + x))
+        else Multimodal.encodePng(w, h,
+          (x, y) => { val (r, g, b, _) = px(y * w + x); (r, g, b) })
+      // PNG is lossless: the decoded plane equals the input byte-for-byte
+      val (dw, dh, ch, plane) = Multimodal.decodePngPixels(bytes)
+      assert(dw == w && dh == h && ch == (if (alpha) 4 else 3))
+      var i = 0
+      while (i < w * h) {
+        val (r, g, b, a) = px(i)
+        assert((plane(i * ch) & 0xff) == r && (plane(i * ch + 1) & 0xff) == g
+          && (plane(i * ch + 2) & 0xff) == b)
+        if (alpha) assert((plane(i * ch + 3) & 0xff) == a)
+        i += 1
+      }
+      // the perceptual hash is a pure function of the pixels
+      assert(Multimodal.pngAHash(bytes) == Multimodal.pngAHash(bytes.clone()))
+      // single-byte corruption anywhere either still decodes or fails
+      // with the contractual IllegalArgumentException — never an
+      // uncontrolled index/negative-size/inflater crash
+      val rnd = new scala.util.Random(w * 31 + h)
+      (0 until 8).foreach { _ =>
+        val m = bytes.clone()
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        try { Multimodal.decodePng(m); () }
+        catch { case _: IllegalArgumentException => () }
+      }
+    }
+  }
+
   test("AVI round-trips arbitrary frame stacks; corruption fails contractually") {
     import graft.multimodal.Multimodal
     val gen = for {
