@@ -77,6 +77,10 @@ object Demo {
       k = 3, nprobe = 3).count()
     println(s"ANN index: built once + grown by one generation at $idxDir, " +
       s"served rows=$served (scan pruned to probed list partitions)")
+    val ist = Ann.indexStats(spark, idxDir)
+    println(f"ANN index stats: fitted=${ist.fittedRows} appended=${ist.appendedRows} " +
+      f"listSkew=${ist.listSkew}%.2f rebuildRecommended=${ist.rebuildRecommended} " +
+      "(the scaladoc's rebuild rule as a checkable flag)")
 
     Aggregates.register(spark)
     val w = org.apache.spark.sql.expressions.Window
@@ -147,6 +151,16 @@ object Demo {
       s"(sample rms=${math.round(frames.first().rms)})")
     println(s"image aHash: ${Multimodal.imageAHashes(media).count()} signatures, " +
       s"${Multimodal.imageNearDups(media).count()} near-dup pairs (random images)")
+    // real PNG codec: lossless round-trip, and the aHash is container-blind
+    val pngDemo = Multimodal.encodePng(16, 9,
+      (x, y) => (x * 16, y * 28, (x + y) * 10))
+    val pngInfo = Multimodal.decodePng(pngDemo)
+    val bmpTwin = Multimodal.encodeBmp24(16, 9,
+      (x, y) => (x * 16, y * 28, (x + y) * 10))
+    println(f"PNG codec: ${pngInfo.width}x${pngInfo.height} ch=${pngInfo.channels} " +
+      f"meanLuma=${pngInfo.meanLuma}%.1f; aHash equals its BMP twin: " +
+      s"${Multimodal.pngAHash(pngDemo) == Multimodal.bmpAHash(bmpTwin)} " +
+      "(near-dup is container-blind)")
     println(s"audio fingerprints: ${Multimodal.audioHashes(media).count()} signatures, " +
       s"${Multimodal.audioNearDups(media).count()} near-dup pairs (random clips)")
     println(s"video fingerprints: ${Multimodal.videoHashes(media).count()} signatures " +
@@ -232,6 +246,13 @@ object Demo {
     println(s"GlobalRank over customers: ${rankedCustomers.count()} rows, " +
       s"top=${rankedCustomers.orderBy($"r").select($"c_custkey", $"r").first()}")
     rankedCustomers.unpersist()
+    // heavy-hitter-safe rank on a bare value: computed from per-value
+    // counts — no window task ever holds a hot value's row mass
+    val rov = graft.operators.GlobalRank.rankOfValues(
+      Tables.events(spark, sfDir).select($"event_id", $"value"),
+      "value", desc = false, "r")
+    println(s"rankOfValues over events: ${rov.count()} rows ranked via the " +
+      "counts-only path (hot values collapse to one aggregate row)")
 
     // append-mode curation: batch 2 dedups against batch 1's signature
     // store only — the corpus itself is never re-clustered. Split by id

@@ -18,6 +18,10 @@ object Oracle {
   val sql: Map[String, String] = Map(
     "scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS net_price FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price LIMIT 100",
+    // plain-table formulation: the engine reads its range-sorted
+    // re-layout (row-group pruning), which must be semantically invisible
+    "scan_range_pruned" ->
+      "SELECT l_orderkey, count(*) AS n, round(sum(l_quantity),2) AS qty FROM lineitem WHERE l_orderkey BETWEEN 300 AND 600 GROUP BY l_orderkey ORDER BY l_orderkey",
     "filter_predicates" ->
       "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R') AND NOT l_linestatus = 'O' ORDER BY l_orderkey, l_linenumber, l_quantity",
     "filter_like_null" ->

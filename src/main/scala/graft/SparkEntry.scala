@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 scans
     "scan_project" -> (Relational.scanProject _),
+    "scan_range_pruned" -> (Relational.scanRangePruned _),
     // §2.2 filters
     "filter_predicates" -> (Relational.filterPredicates _),
     "filter_like_null" -> (Relational.filterLikeNull _),

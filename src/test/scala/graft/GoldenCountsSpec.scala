@@ -6,7 +6,8 @@ package graft
 class GoldenCountsSpec extends SparkSpecBase {
 
   private val expected: Map[String, Long] = Map(
-    "scan_project" -> 100, "filter_predicates" -> 433, "filter_like_null" -> 39,
+    "scan_project" -> 100, "scan_range_pruned" -> 296,
+    "filter_predicates" -> 433, "filter_like_null" -> 39,
     "join_broadcast" -> 25, "join_shuffle" -> 20, "join_bucketed" -> 20,
     "join_star_5way" -> 5,
     "join_left_outer" -> 50, "join_semi" -> 150, "join_anti" -> 18,

@@ -39,6 +39,20 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(count(p, "HashAggregate") >= 2, s"expected partial aggregation:\n$p")
   }
 
+  test("scan_range_pruned: the BETWEEN reaches the re-laid scan as a pushed filter") {
+    val df = Relational.scanRangePruned(spark, sf())
+    df.collect()
+    val scans = PlanNodes.all(df.queryExecution.executedPlan)
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty, "no file scan in the plan")
+    val pushed = scans.head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_orderkey,300)")
+      && pushed.contains("LessThanOrEqual(l_orderkey,600)"),
+      s"BETWEEN not pushed to the range-sorted scan: $pushed")
+    // the row-group skip itself (scan emits ≤ one file's rows) is proven
+    // in LayoutSpec on a fixture with known per-file ranges
+  }
+
   test("join_bucketed: the join and bucket-key aggregation shuffle NOTHING") {
     val p = plan(Relational.joinBucketed(spark, sf()))
     assert(p.contains("SortMergeJoin"), s"expected the bucketed sort-merge form:\n$p")
@@ -57,6 +71,10 @@ class PlanShapeSpec extends SparkSpecBase {
     // the whole point vs join+filter+max_by: no pair materialization
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    // ONE exchange per side: the right-hand user_id repartition serves
+    // both the dedup aggregate (subset rule) and the exec's clustering
+    assert(count(p, "(?i)exchange hashpartitioning") == 2,
+      s"expected exactly 2 hash exchanges (one per side):\n$p")
   }
 
   test("join_range_theta: equi-clause drives a hash join, never a cartesian") {
@@ -113,7 +131,7 @@ class PlanShapeSpec extends SparkSpecBase {
     // comment: each BroadcastNestedLoopJoin in these plans may only build
     // a 1-row or ≤buckets-row aggregate frame, never table-scale data
     for (q <- Seq(Windows.winNtilePctrank _, Windows.winDenseRankGlobal _,
-        Windows.winRankStringGlobal _)) {
+        Windows.winRankStringGlobal _, Windows.winRankValueGlobal _)) {
       val df = q(spark, sf())
       val bnljs = PlanNodes.all(df.queryExecution.executedPlan)
         .collect { case j: BroadcastNestedLoopJoinExec => j }
