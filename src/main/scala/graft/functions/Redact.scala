@@ -29,13 +29,22 @@ object Redact {
   def scrub(text: Column): Column =
     patterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
 
-  /** Number of PII hits across all patterns — an exact replacement count:
-    * pattern k is counted on the text already scrubbed by patterns 1..k-1
-    * (the same fold [[scrub]] performs), so a span consumed by an earlier
-    * pattern is never double-counted by a later one (e.g. a phone-shaped
-    * local part inside an email counts once, as EMAIL). */
+  /** Every placeholder token, as one alternation — the piece
+    * [[piiCount]] counts. */
+  private val Marker = "\\[(?:EMAIL|SSN|CARD|PHONE|IP)\\]"
+
+  /** Number of PII hits across all patterns — an exact replacement
+    * count with O(k) regex passes, not the O(k²) of counting pattern k
+    * on a re-derived 1..k-1 prefix chain: every replacement inserts
+    * exactly one placeholder token, later passes never rewrite a
+    * placeholder (no digits, no `@`), and a placeholder cannot form
+    * ACROSS an insertion boundary (each token's only `[` is its first
+    * character), so hits = tokens in the scrubbed text minus tokens the
+    * input already carried. The earlier-pattern-wins rule is inherited
+    * from the [[scrub]] fold itself (a phone-shaped local part inside
+    * an email still counts once, as EMAIL) — semantics identical to the
+    * stepwise count, pinned against it in RedactSpec. */
   def piiCount(text: Column): Column =
-    patterns.foldLeft((text, lit(0L))) { case ((t, acc), (p, r)) =>
-      (regexp_replace(t, p, r), acc + regexp_count(t, lit(p)))
-    }._2
+    (regexp_count(scrub(text), lit(Marker)) -
+      regexp_count(text, lit(Marker))).cast("long")
 }

@@ -46,4 +46,28 @@ class RedactSpec extends SparkSpecBase {
     // 11-digit run: not a phone (no word boundary alignment)
     assert(scrubOne("id 12345678901 raw")._2 == 0L)
   }
+
+  test("token-count form equals the stepwise fold, even on placeholder-bearing input") {
+    // piiCount counts inserted placeholders (O(k) passes); pin it
+    // against the stepwise prefix-chain count it replaced, across every
+    // shape, overlap, and a text that ALREADY contains literal tokens
+    def stepwise(text: org.apache.spark.sql.Column) =
+      Redact.patterns.foldLeft((text, lit(0L))) { case ((t, acc), (p, r)) =>
+        (regexp_replace(t, p, r), acc + regexp_count(t, lit(p)))
+      }._2
+    val texts = Seq(
+      "mail a@b.cc ssn 123-45-6789 card 1234-5678-9012-3456 call 555-867-5309 ip 1.2.3.4",
+      "reach 555-867-5309@x.com now",
+      "prior [EMAIL] token stays uncounted, x@y.zz counts",
+      "[IP] [CARD] nothing else",
+      "nothing at all")
+    val got = texts.toDF("t")
+      .select(Redact.piiCount($"t").cast("long"), stepwise($"t").cast("long"))
+      .collect()
+    got.zip(texts).foreach { case (r, t) =>
+      assert(r.getLong(0) == r.getLong(1), s"divergence on '$t': ${r.toSeq}")
+    }
+    // sanity on the literal-token line: only the real email counted
+    assert(got(2).getLong(0) == 1L)
+  }
 }
