@@ -46,8 +46,7 @@ object Relational {
     * the marker file commits AFTER the write so a crashed write
     * rewrites instead of serving partial files. */
   def scanRangePruned(s: SparkSession, d: String): DataFrame = {
-    val dir = new java.io.File(rangeLayoutRoot,
-      s"lineitem_${java.lang.Integer.toHexString(d.hashCode)}")
+    val dir = new java.io.File(rangeLayoutRoot, s"lineitem_${pathTag(d)}")
     val done = new java.io.File(dir, "_graft_layout_done")
     if (!done.exists()) {
       graft.sources.Layout.saveRangeSorted(
@@ -69,6 +68,13 @@ object Relational {
     * the data it marks. */
   private lazy val rangeLayoutRoot: java.io.File =
     java.nio.file.Files.createTempDirectory("graft_range_layout").toFile
+
+  /** Dataset-path tag naming the per-JVM layout copies of
+    * [[scanRangePruned]] and [[joinBucketed]] — a PATH hash, so repeat
+    * runs inside one JVM reuse the layout and distinct sf dirs get
+    * distinct copies. */
+  private def pathTag(d: String): String =
+    java.lang.Integer.toHexString(d.hashCode)
 
   /** #2 conjunctive predicates (BETWEEN / IN / NOT) — all pushed to the
     * parquet reader as data filters. */
@@ -123,9 +129,8 @@ object Relational {
     * `hint("merge")` pins the sort-merge form the 100 TB plan takes
     * instead of letting tiny test data broadcast. */
   def joinBucketed(s: SparkSession, d: String): DataFrame = {
-    val tag = java.lang.Integer.toHexString(d.hashCode)
-    val ot = s"graft_bkt_orders_$tag"
-    val lt = s"graft_bkt_lineitem_$tag"
+    val ot = s"graft_bkt_orders_${pathTag(d)}"
+    val lt = s"graft_bkt_lineitem_${pathTag(d)}"
     // project to exactly the join/agg columns before the write — the
     // prepaid layout should carry only what downstream reads
     if (!s.catalog.tableExists(ot))

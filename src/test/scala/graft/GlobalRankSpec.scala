@@ -244,22 +244,8 @@ class GlobalRankSpec extends SparkSpecBase {
   }
 
   test("rankOfValues matches rank() under a 50%-hot value, and its window never sees the hot mass") {
-    import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    // AQE buries subtrees inside materialized query stages — a plain
-    // collect() stops at the stage boundary, so recurse through them
-    def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case r: ReusedExchangeExec => Seq(r.child)
-        case other => other.children
-      }
-      Seq(p).collect(pf) ++ kids.flatMap(collectAll(_)(pf))
-    }
     // one value owns half the rows — the row-path's hot-bucket hazard
     val n = 20000
     val rows = (1 to n).map { i =>
@@ -278,12 +264,12 @@ class GlobalRankSpec extends SparkSpecBase {
       // distinct value (~101 here), never the 10,000-row hot mass
       val executed = got.select($"id", $"r")
       executed.collect()
-      val windows = collectAll(executed.queryExecution.executedPlan) {
-        case w: WindowExec => w
-      }
+      val windows = PlanNodes.allThroughReuse(executed.queryExecution.executedPlan)
+        .collect { case w: WindowExec => w }
       assert(windows.nonEmpty, "expected the bucketed window over the value table")
       windows.foreach { w =>
-        val aggs = w.children.flatMap(collectAll(_) { case a: BaseAggregateExec => a })
+        val aggs = w.children.flatMap(c => PlanNodes.allThroughReuse(c)
+          .collect { case a: BaseAggregateExec => a })
         assert(aggs.nonEmpty, s"window input must be the per-value aggregate:\n$w")
         val rowsIn = aggs.map(_.metrics("numOutputRows").value).min
         assert(rowsIn <= 200,

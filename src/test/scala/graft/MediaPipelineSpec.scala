@@ -187,9 +187,10 @@ class MediaPipelineSpec extends SparkSpecBase {
 
   test("PNG rows validate, quarantine, and near-dup across containers") {
     import spark.implicits._
-    def img(f: (Int, Int) => (Int, Int, Int)) = f
-    val base = img((x, _) => if (x < 8) (0, 0, 0) else (255, 255, 255))
-    val tweak = img((x, y) => if ((x, y) == (1, 1)) (40, 40, 40) else base(x, y))
+    val base: (Int, Int) => (Int, Int, Int) =
+      (x, _) => if (x < 8) (0, 0, 0) else (255, 255, 255)
+    val tweak: (Int, Int) => (Int, Int, Int) =
+      (x, y) => if ((x, y) == (1, 1)) (40, 40, 40) else base(x, y)
     val goodPng = Multimodal.encodePng(16, 16, base)
     val corrupt = goodPng.clone()
     corrupt(goodPng.length - 15) = (corrupt(goodPng.length - 15) ^ 0x40).toByte

@@ -18,4 +18,20 @@ object PlanNodes {
     }
     p +: kids.flatMap(all)
   }
+
+  /** [[all]] plus descent THROUGH `ReusedExchangeExec` into the shared
+    * subtree it references — for assertions about what a consumer's
+    * INPUT contains (a reused exchange still feeds it those nodes), as
+    * opposed to the evaluate-once counting [[all]] serves. Nodes of a
+    * shared subtree can therefore appear more than once. */
+  def allThroughReuse(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        Seq(r.child)
+      case other => other.children
+    }
+    p +: kids.flatMap(allThroughReuse)
+  }
 }
