@@ -50,6 +50,14 @@ object Oracle {
     // the engine's custom SparkStrategy (graft.plans.AsofJoin)
     "join_asof_native" ->
       "SELECT p.event_id AS purchase_id, p.user_id AS user_id, c.click_id AS click_id FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY purchase_id",
+    // filters chosen so BOTH sides contribute orphan rows (left-only
+    // nations < 10, right-only >= 15); counts pre-aggregated per key
+    "join_full_outer" ->
+      "SELECT coalesce(c.k, s.k) AS k, coalesce(nc, 0) AS nc, coalesce(ns, 0) AS ns FROM (SELECT c_nationkey k, count(*) nc FROM customer WHERE c_nationkey < 15 GROUP BY 1) c FULL JOIN (SELECT s_nationkey k, count(*) ns FROM supplier WHERE s_nationkey >= 10 GROUP BY 1) s ON c.k = s.k ORDER BY k",
+    // the NAIVE theta-join formulation: the engine's temporal bucketing
+    // (IntervalJoin.overlapSelfJoin) must be semantically invisible
+    "join_interval_bucketed" ->
+      "WITH e AS (SELECT event_id, ts AS st, ts + INTERVAL 60 MINUTE AS en FROM events WHERE user_id < 3) SELECT a.event_id a_id, b.event_id b_id FROM e a JOIN e b ON a.event_id < b.event_id AND a.st <= b.en AND b.st <= a.en ORDER BY a_id, b_id",
     "join_cross" ->
       "SELECT r1.r_name AS r1_name, r2.r_name AS r2_name FROM region r1 CROSS JOIN region r2 ORDER BY 1, 2",
     // the PLAIN join formulation: the engine's salted plan must be
@@ -72,6 +80,9 @@ object Oracle {
       "SELECT event_type, round(stddev_samp(value),6) sd, round(var_samp(value),6) vr, round(min(value),2) mn, round(max(value),2) mx FROM events GROUP BY event_type ORDER BY event_type",
     "agg_percentile" ->
       "SELECT event_type, round(quantile_cont(value, 0.5),6) med, round(quantile_cont(value, 0.95),6) p95 FROM events GROUP BY event_type ORDER BY event_type",
+    // numeric sort BEFORE the string render (lexicographic would corrupt)
+    "agg_array_sorted" ->
+      "SELECT o_custkey, array_to_string(list_sort(array_agg(o_orderkey)), ',') AS ids FROM orders WHERE o_orderkey < 1000 GROUP BY o_custkey ORDER BY o_custkey",
     "agg_having" ->
       "SELECT o_custkey, count(*) c FROM orders GROUP BY o_custkey HAVING count(*) > 5 ORDER BY c DESC, o_custkey LIMIT 50",
     "win_rank_topk_per_group" ->
@@ -112,8 +123,12 @@ object Oracle {
       "SELECT count(*) AS c FROM (SELECT c_nationkey FROM customer UNION ALL SELECT s_nationkey FROM supplier)",
     "set_intersect" ->
       "SELECT c_nationkey k FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY k",
+    "set_intersect_all" ->
+      "SELECT c_nationkey k FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY k",
     "set_except" ->
       "SELECT c_nationkey k FROM customer EXCEPT SELECT s_nationkey FROM supplier ORDER BY k",
+    "set_except_all" ->
+      "SELECT c_nationkey k FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier ORDER BY k",
     "fn_string" ->
       "SELECT c_custkey, upper(c_name) u, substring(c_name, 10, 9) tail, length(c_name) ln, concat(c_name, '-', c_mktsegment) cc, replace(c_name,'Customer','Cust') rp FROM customer ORDER BY c_custkey LIMIT 100",
     "fn_regexp" ->
@@ -122,6 +137,8 @@ object Oracle {
       "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) y, CAST(month(o_orderdate) AS INT) m, date_trunc('month', o_orderdate) mt, o_orderdate + INTERVAL 30 DAY due FROM orders ORDER BY o_orderkey LIMIT 200",
     "fn_math" ->
       "SELECT l_orderkey, l_linenumber, round(sqrt(l_extendedprice),6) sq, round(ln(l_extendedprice),6) lg, abs(l_discount - 0.05) ab, CAST(ceil(l_quantity) AS BIGINT) ce, CAST(floor(l_quantity) AS BIGINT) fl, CAST(l_quantity AS INT) % 7 md FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount, l_quantity LIMIT 200",
+    "fn_bitwise" ->
+      "SELECT l_orderkey, l_linenumber, l_orderkey & 255 AS bnd, l_orderkey | 15 AS orr, xor(l_orderkey, l_partkey) AS xr, l_orderkey << 2 AS shl, l_orderkey >> 3 AS shr FROM lineitem ORDER BY l_orderkey, l_linenumber, xr LIMIT 200",
     "fn_case_coalesce" ->
       "SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END bucket, coalesce(nullif(o_orderstatus,'O'), 'OPEN') st FROM orders ORDER BY o_orderkey LIMIT 200",
     "fn_json" ->
@@ -188,6 +205,16 @@ object Oracle {
     "text_fingerprint" ->
       ("SELECT doc_id, list_reduce(list_transform(string_split(text, ' '), tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT % 65536), " +
         "(a, b) -> (a * 31 + b) % 1000000007) AS fp FROM documents ORDER BY doc_id LIMIT 300"),
+    // winnowing (MOSS): k=4-gram md5 codes, w=5 window minima, DISTINCT
+    // minima summarized per doc (count + sum — the set is a list cell).
+    // Full windows only: last k-gram position is n-3, last full-window
+    // start is n-3-4. sum(BIGINT) is HUGEINT in DuckDB → cast.
+    "text_winnow_fingerprint" ->
+      ("WITH h AS (SELECT doc_id, i AS pos, ('0x'||substr(md5(substr(text, i::INT, 4)),1,8))::BIGINT AS hv, len(text) AS n " +
+        "FROM (SELECT doc_id, text, unnest(range(1, greatest(len(text)-3,0)+1)) AS i FROM documents WHERE doc_id < 50)), " +
+        "w AS (SELECT doc_id, pos, n, min(hv) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin FROM h), " +
+        "sel AS (SELECT DISTINCT doc_id, wmin FROM w WHERE pos <= n - 3 - 4) " +
+        "SELECT doc_id, count(*) AS n_fp, CAST(sum(wmin) AS BIGINT) AS fp_sum FROM sel GROUP BY doc_id ORDER BY doc_id"),
     "text_tfidf" ->
       ("WITH terms AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents), " +
         "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2), " +
@@ -257,6 +284,9 @@ object Oracle {
         "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O, " +
         "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P " +
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // rounding happens on the wide aggregate BEFORE the melt, both sides
+    "agg_unpivot" ->
+      "SELECT l_returnflag, metric, val FROM (SELECT l_returnflag, round(sum(l_quantity),2) AS qty, round(sum(l_extendedprice),2) AS price FROM lineitem GROUP BY 1) UNPIVOT (val FOR metric IN (qty, price)) ORDER BY l_returnflag, metric",
     "llm_train_split" ->
       ("SELECT lang, split, count(*) AS n, round(avg(n_chars), 2) AS avg_chars " +
         "FROM (SELECT lang, n_chars, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split " +

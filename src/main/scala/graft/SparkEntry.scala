@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Relational, Windows, Scalars, TimeSeries, LlmOps, TrainingData}
+import graft.operators.{Relational, Windows, Scalars, TimeSeries, LlmOps, TrainingData, IntervalJoin}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,9 +28,11 @@ object SparkEntry {
     "join_bucketed" -> (Relational.joinBucketed _),
     "join_star_5way" -> (Relational.joinStar5Way _),
     "join_left_outer" -> (Relational.joinLeftOuter _),
+    "join_full_outer" -> (Relational.joinFullOuter _),
     "join_semi" -> (Relational.joinSemi _),
     "join_anti" -> (Relational.joinAnti _),
     "join_range_theta" -> (Relational.joinRangeTheta _),
+    "join_interval_bucketed" -> (IntervalJoin.joinIntervalBucketed _),
     "join_asof" -> (Relational.joinAsof _),
     "join_asof_native" -> (Relational.joinAsofNative _),
     "join_cross" -> (Relational.joinCross _),
@@ -45,6 +47,7 @@ object SparkEntry {
     "agg_stats" -> (Relational.aggStats _),
     "agg_percentile" -> (Relational.aggPercentile _),
     "agg_having" -> (Relational.aggHaving _),
+    "agg_array_sorted" -> (Relational.aggArraySorted _),
     // §2.5 windows
     "win_rank_topk_per_group" -> (Windows.winRankTopkPerGroup _),
     "win_rank_dense" -> (Windows.winRankDense _),
@@ -64,12 +67,15 @@ object SparkEntry {
     "set_union" -> (Relational.setUnion _),
     "set_union_all" -> (Relational.setUnionAll _),
     "set_intersect" -> (Relational.setIntersect _),
+    "set_intersect_all" -> (Relational.setIntersectAll _),
     "set_except" -> (Relational.setExcept _),
+    "set_except_all" -> (Relational.setExceptAll _),
     // §2.8 scalar functions
     "fn_string" -> (Scalars.fnString _),
     "fn_regexp" -> (Scalars.fnRegexp _),
     "fn_date" -> (Scalars.fnDate _),
     "fn_math" -> (Scalars.fnMath _),
+    "fn_bitwise" -> (Scalars.fnBitwise _),
     "fn_case_coalesce" -> (Scalars.fnCaseCoalesce _),
     "fn_json" -> (Scalars.fnJson _),
     "fn_array" -> (Scalars.fnArray _),
@@ -96,6 +102,7 @@ object SparkEntry {
     "text_tokencount" -> (TrainingData.textTokencount _),
     "text_langid" -> (TrainingData.textLangid _),
     "text_fingerprint" -> (TrainingData.textFingerprint _),
+    "text_winnow_fingerprint" -> (TrainingData.textWinnowFingerprint _),
     "text_tfidf" -> (TrainingData.textTfidf _),
     "dedup_simhash" -> (TrainingData.dedupSimhash _),
     "dedup_ngram_jaccard" -> (TrainingData.dedupNgramJaccard _),
@@ -106,6 +113,7 @@ object SparkEntry {
     "hrv_poincare" -> (TrainingData.hrvPoincare _),
     "agg_corr" -> (TrainingData.aggCorr _),
     "agg_pivot" -> (TrainingData.aggPivot _),
+    "agg_unpivot" -> (TrainingData.aggUnpivot _),
     "agg_argmax" -> (TrainingData.aggArgmax _),
     "llm_train_split" -> (TrainingData.llmTrainSplit _),
     "text_pii_redact" -> (TrainingData.textPiiRedact _),

@@ -181,6 +181,29 @@ object Relational {
       .limit(50)
   }
 
+  /** #7b FULL OUTER join: per-nation customer vs supplier counts with
+    * deliberately mismatched filters, so BOTH sides contribute orphan
+    * rows (left-only nations < 10, right-only ≥ 15). Both inputs are
+    * aggregated to one row per key BEFORE the join — the eager-agg shape
+    * of [[joinLeftOuter]] — so at 100 TB the outer join moves |keys|
+    * rows, not |rows|, per side. Unmatched sides surface as nulls and
+    * are normalized by coalesce exactly as the SQL formulation does. */
+  def joinFullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .filter(col("c_nationkey") < 15)
+      .groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("nc"))
+    val sup = Tables.supplier(s, d)
+      .filter(col("s_nationkey") >= 10)
+      .groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("ns"))
+    c.join(sup, col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("k"),
+        coalesce(col("nc"), lit(0L)).as("nc"),
+        coalesce(col("ns"), lit(0L)).as("ns"))
+      .orderBy(col("k"))
+  }
+
   /** #8 EXISTS → left semi join (no row multiplication, build side only
     * needs the key column). */
   def joinSemi(s: SparkSession, d: String): DataFrame =
@@ -428,6 +451,38 @@ object Relational {
     Tables.customer(s, d).select(col("c_nationkey").as("k"))
       .except(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
       .orderBy(col("k"))
+
+  /** #34b INTERSECT ALL (multiset): each shared nation key appears
+    * min(customer-count, supplier-count) times. Catalyst rewrites to a
+    * count-and-replicate aggregate join — no row-level distinct pass. */
+  def setIntersectAll(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("k"))
+      .intersectAll(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+      .orderBy(col("k"))
+
+  /** #35b EXCEPT ALL (multiset difference): nation keys with customer
+    * multiplicity minus supplier multiplicity. */
+  def setExceptAll(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("k"))
+      .exceptAll(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+      .orderBy(col("k"))
+
+  /** #21b ordered collect: per-customer sorted order-key list, rendered
+    * as a joined string (the judged artifact must be scalar — list cells
+    * stringify differently across engines). `collect_list` gathers in
+    * arbitrary (partition) order, so the in-plan `array_sort` is what
+    * makes the result deterministic; the numeric sort happens BEFORE the
+    * cast to string (lexicographic "10" < "9" would corrupt it after).
+    * Per-group state is the group's own rows only — safe wherever a
+    * group fits a task, the same contract as any collect_list. */
+  def aggArraySorted(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 1000)
+      .groupBy(col("o_custkey"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col("o_orderkey"))), _.cast("string")),
+        ",").as("ids"))
+      .orderBy(col("o_custkey"))
 
   /** #56 correlated scalar subquery — written in SQL so Catalyst's
     * decorrelation rewrites it to an aggregate + join (no per-row

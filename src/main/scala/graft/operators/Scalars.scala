@@ -63,6 +63,23 @@ object Scalars {
         col("l_extendedprice"), col("l_discount"), col("l_quantity"))
       .limit(200)
 
+  /** #39b bitwise AND / OR / XOR / shifts — the band-assignment and
+    * hash-mixing primitives every LSH/fingerprint operator leans on
+    * ([[graft.operators.ScalableDedup]], SimHash), judged here on their
+    * own. All codegen'd long arithmetic; int literals promote to long on
+    * both engines. The deterministic order needs `xr` as a tiebreak:
+    * (l_orderkey, l_linenumber) is not unique in this data. */
+  def fnBitwise(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").bitwiseAND(lit(255)).as("bnd"),
+        col("l_orderkey").bitwiseOR(lit(15)).as("orr"),
+        col("l_orderkey").bitwiseXOR(col("l_partkey")).as("xr"),
+        shiftleft(col("l_orderkey"), 2).as("shl"),
+        shiftright(col("l_orderkey"), 3).as("shr"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("xr"))
+      .limit(200)
+
   /** #40 CASE WHEN ladder + coalesce + nullif. */
   def fnCaseCoalesce(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)

@@ -303,4 +303,67 @@ object TrainingData {
         coalesce(col("P"), lit(0L)).as("P"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** #65b unpivot (melt): the inverse reshape of [[aggPivot]] — wide
+    * per-flag measure columns back to (metric, value) rows, the standard
+    * step before feeding a generic metric store or long-format training
+    * table. `Dataset.unpivot` expands in-plan (one Expand node, no
+    * shuffle beyond the feeding aggregate); rounding happens on the wide
+    * aggregate BEFORE the melt so both engines unpivot identical values. */
+  def aggUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("qty"),
+        round(sum(col("l_extendedprice")), 2).as("price"))
+      .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price")),
+        "metric", "val")
+      .orderBy(col("l_returnflag"), col("metric"))
+
+  /** #61b winnowing fingerprint (the MOSS scheme: Schleimer/Wilkerson/
+    * Aiken 2003): k-gram hashes (k=4) → per-window minimum over w=5
+    * consecutive positions → the DISTINCT set of window minima is the
+    * document's fingerprint. Guarantees every shared substring of length
+    * ≥ w+k-1 contributes at least one shared fingerprint, at ~2/(w+1)
+    * the density of full shingling — the sub-linear sketch used for
+    * plagiarism/near-dup detection over code and text corpora. Judged
+    * summary: fingerprint count + sum per document (the set itself is a
+    * list cell, which the hash gate cannot compare).
+    *
+    * Scale shape: explode is a flatMap (no shuffle), the window is
+    * per-document (partitionBy doc_id), and the final aggregate is
+    * map-side combinable — one shuffle on doc_id end to end. Documents
+    * shorter than w+k-1 = 8 chars have no full window and drop out,
+    * identically in both engines. */
+  def textWinnowFingerprint(s: SparkSession, d: String): DataFrame =
+    winnowFingerprints(
+        Tables.documents(s, d).filter(col("doc_id") < 50), "doc_id", "text")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), sum(col("fp")).as("fp_sum"))
+      .orderBy(col("doc_id"))
+
+  /** The winnowing core behind [[textWinnowFingerprint]]: the DISTINCT
+    * (idCol, fp) fingerprint set of each document — one row per selected
+    * k-gram hash. Texts shorter than w+k-1 chars have no full window and
+    * produce no rows. Reusable as the candidate-pair key for
+    * fingerprint-overlap dedup (equi-join two fingerprint sets on `fp`,
+    * the same banding shape as [[graft.operators.ScalableDedup]]). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = length(col(textCol))
+    val positions = when(n >= k, sequence(lit(1), n - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    val winMin = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    docs
+      .select(col(idCol), col(textCol), n.as("n"))
+      .withColumn("pos", explode(positions))
+      .select(col(idCol), col("n"), col("pos"),
+        TextAnalysis.md5Bucket(expr(s"substring($textCol, pos, $k)")).as("hv"))
+      .withColumn("wmin", min(col("hv")).over(winMin))
+      // keep only full windows: last k-gram position is n-k+1, so the
+      // last full-window start is n-k+1-(w-1)
+      .filter(col("pos") <= col("n") - (k - 1) - (w - 1))
+      .select(col(idCol), col("wmin").as("fp")).distinct()
+  }
 }

@@ -10,13 +10,16 @@ class GoldenCountsSpec extends SparkSpecBase {
     "filter_predicates" -> 433, "filter_like_null" -> 39,
     "join_broadcast" -> 25, "join_shuffle" -> 20, "join_bucketed" -> 20,
     "join_star_5way" -> 5,
-    "join_left_outer" -> 50, "join_semi" -> 150, "join_anti" -> 18,
-    "join_range_theta" -> 10, "join_asof" -> 500, "join_asof_native" -> 202,
+    "join_left_outer" -> 50, "join_full_outer" -> 21,
+    "join_semi" -> 150, "join_anti" -> 18,
+    "join_range_theta" -> 10, "join_interval_bucketed" -> 36,
+    "join_asof" -> 500, "join_asof_native" -> 202,
     "join_cross" -> 25,
     "join_skew_salted" -> 5,
     "agg_pricing_summary" -> 6, "agg_count_distinct" -> 5, "agg_filtered" -> 15,
     "agg_rollup" -> 10, "agg_cube" -> 24, "agg_grouping_sets" -> 21,
     "agg_stats" -> 5, "agg_percentile" -> 5, "agg_having" -> 50,
+    "agg_array_sorted" -> 150,
     "win_rank_topk_per_group" -> 449, "win_rank_dense" -> 100,
     "win_dense_rank_global" -> 500, "win_rank_string_global" -> 300,
     "win_rank_value_global" -> 500,
@@ -24,7 +27,9 @@ class GoldenCountsSpec extends SparkSpecBase {
     "win_range_time" -> 500, "win_first_last" -> 500, "win_ntile_pctrank" -> 150,
     "sort_multi" -> 100, "topk_global" -> 10,
     "set_union" -> 25, "set_union_all" -> 1, "set_intersect" -> 10, "set_except" -> 15,
+    "set_intersect_all" -> 10, "set_except_all" -> 140,
     "fn_string" -> 100, "fn_regexp" -> 200, "fn_date" -> 200, "fn_math" -> 200,
+    "fn_bitwise" -> 200,
     "fn_case_coalesce" -> 200, "fn_json" -> 500, "fn_array" -> 200,
     "fn_explode_wordcount" -> 31,
     "stream_tumbling" -> 868, "stream_sliding" -> 979, "stream_session" -> 946,
@@ -34,10 +39,11 @@ class GoldenCountsSpec extends SparkSpecBase {
     "llm_minhash_jaccard" -> 763,
     "subq_scalar_corr" -> 48, "subq_in" -> 193,
     "text_quality" -> 300, "text_tokencount" -> 5, "text_langid" -> 10,
-    "text_fingerprint" -> 300, "dedup_simhash" -> 100,
+    "text_fingerprint" -> 300, "text_winnow_fingerprint" -> 50,
+    "dedup_simhash" -> 100,
     "dedup_ngram_jaccard" -> 342, "dedup_embedding" -> 56,
     "hrv_rmssd" -> 15, "hrv_clean_interp" -> 1000,
-    "agg_pivot" -> 5, "agg_argmax" -> 15, "text_tfidf" -> 738,
+    "agg_pivot" -> 5, "agg_unpivot" -> 6, "agg_argmax" -> 15, "text_tfidf" -> 738,
     "hrv_resample" -> 3483, "hrv_poincare" -> 15, "agg_corr" -> 15,
     "llm_train_split" -> 15,
     "text_pii_redact" -> 200, "text_decontaminate" -> 150,

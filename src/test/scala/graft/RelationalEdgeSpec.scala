@@ -37,6 +37,32 @@ class RelationalEdgeSpec extends SparkSpecBase {
     assert(a.except(b).collect().map(_.getInt(0)).toSeq == Seq(3))
   }
 
+  test("full outer join preserves orphans on BOTH sides") {
+    val left = Seq((1, "a"), (2, "b")).toDF("k", "lv")
+    val right = Seq((2, "x"), (3, "y")).toDF("rk", "rv")
+    val got = left.join(right, $"k" === $"rk", "full_outer")
+      .select(coalesce($"k", $"rk").as("k"), $"lv", $"rv")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1, "a", null), (2, "b", "x"), (3, null, "y")))
+  }
+
+  test("intersectAll/exceptAll keep multiset multiplicities") {
+    val a = Seq(1, 1, 1, 2, 3).toDF("v")
+    val b = Seq(1, 1, 2, 2).toDF("v")
+    // min(3,2)=2 ones, min(1,2)=1 two, 3 absent from b
+    assert(a.intersectAll(b).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 1, 2))
+    // 3-2=1 one, 1-2→0 twos, 3 survives
+    assert(a.exceptAll(b).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+  }
+
+  test("unpivot is the inverse reshape of pivot") {
+    val wide = Seq(("g1", 1.0, 10.0), ("g2", 2.0, 20.0)).toDF("g", "qty", "price")
+    val long = wide.unpivot(Array($"g"), Array($"qty", $"price"), "metric", "val")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(long == Set(("g1", "qty", 1.0), ("g1", "price", 10.0),
+      ("g2", "qty", 2.0), ("g2", "price", 20.0)))
+  }
+
   test("rollup emits per-group, subtotal and grand-total rows") {
     val df = Seq(("x", "p", 1), ("x", "q", 2), ("y", "p", 4)).toDF("a", "b", "v")
     val got = df.rollup($"a", $"b").agg(sum($"v").as("s"))
