@@ -139,6 +139,8 @@ object Oracle {
       "SELECT l_orderkey, l_linenumber, round(sqrt(l_extendedprice),6) sq, round(ln(l_extendedprice),6) lg, abs(l_discount - 0.05) ab, CAST(ceil(l_quantity) AS BIGINT) ce, CAST(floor(l_quantity) AS BIGINT) fl, CAST(l_quantity AS INT) % 7 md FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount, l_quantity LIMIT 200",
     "fn_bitwise" ->
       "SELECT l_orderkey, l_linenumber, l_orderkey & 255 AS bnd, l_orderkey | 15 AS orr, xor(l_orderkey, l_partkey) AS xr, l_orderkey << 2 AS shl, l_orderkey >> 3 AS shr FROM lineitem ORDER BY l_orderkey, l_linenumber, xr LIMIT 200",
+    "fn_binhex" ->
+      "SELECT c_custkey, to_base64(CAST(c_name AS BLOB)) b64, hex(c_custkey) hx, md5(c_name) h5 FROM customer ORDER BY c_custkey LIMIT 100",
     "fn_case_coalesce" ->
       "SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END bucket, coalesce(nullif(o_orderstatus,'O'), 'OPEN') st FROM orders ORDER BY o_orderkey LIMIT 200",
     "fn_json" ->
@@ -175,6 +177,8 @@ object Oracle {
       "SELECT o_orderkey, o_totalprice FROM orders o WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey LIMIT 100",
     "subq_in" ->
       "SELECT p_partkey FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45) ORDER BY p_partkey LIMIT 200",
+    "subq_not_in" ->
+      "SELECT p_partkey FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49) ORDER BY p_partkey LIMIT 200",
     // §2.13 training-data pipeline (round 2). Cross-engine hash parity
     // notes: token codes come from md5 (standardized) not xxhash64
     // (Spark-only); DuckDB regexp_replace needs the 'g' flag to match
@@ -205,6 +209,21 @@ object Oracle {
     "text_fingerprint" ->
       ("SELECT doc_id, list_reduce(list_transform(string_split(text, ' '), tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT % 65536), " +
         "(a, b) -> (a * 31 + b) % 1000000007) AS fp FROM documents ORDER BY doc_id LIMIT 300"),
+    // winnow-fingerprint near-dup: stop-fingerprints (>10 docs) dropped,
+    // containment = shared / min(|A|,|B|) on the UNROUNDED integer-ratio
+    // double (bit-identical across engines); rounded value only displayed
+    "dedup_winnow" ->
+      ("WITH h AS (SELECT doc_id, i AS pos, ('0x'||substr(md5(substr(text, i::INT, 4)),1,8))::BIGINT AS hv, len(text) AS n " +
+        "FROM (SELECT doc_id, text, unnest(range(1, greatest(len(text)-3,0)+1)) AS i FROM documents WHERE doc_id < 120)), " +
+        "w AS (SELECT doc_id, pos, n, min(hv) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin FROM h), " +
+        "sel0 AS (SELECT DISTINCT doc_id, wmin FROM w WHERE pos <= n - 3 - 4), " +
+        "df AS (SELECT wmin, count(*) AS ndocs FROM sel0 GROUP BY 1), " +
+        "sel AS (SELECT s.doc_id, s.wmin FROM sel0 s JOIN df USING (wmin) WHERE df.ndocs <= 10), " +
+        "cnt AS (SELECT doc_id, count(*) c FROM sel GROUP BY 1), " +
+        "p AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) shared FROM sel a JOIN sel b ON a.wmin = b.wmin AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT p.a_id, p.b_id, CAST(p.shared AS BIGINT) AS shared, round(CAST(p.shared AS DOUBLE)/least(ca.c, cb.c), 6) AS sim " +
+        "FROM p JOIN cnt ca ON ca.doc_id = p.a_id JOIN cnt cb ON cb.doc_id = p.b_id " +
+        "WHERE CAST(p.shared AS DOUBLE)/least(ca.c, cb.c) >= 0.5 ORDER BY a_id, b_id"),
     // winnowing (MOSS): k=4-gram md5 codes, w=5 window minima, DISTINCT
     // minima summarized per doc (count + sum — the set is a list cell).
     // Full windows only: last k-gram position is n-3, last full-window

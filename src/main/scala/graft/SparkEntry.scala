@@ -76,6 +76,7 @@ object SparkEntry {
     "fn_date" -> (Scalars.fnDate _),
     "fn_math" -> (Scalars.fnMath _),
     "fn_bitwise" -> (Scalars.fnBitwise _),
+    "fn_binhex" -> (Scalars.fnBinhex _),
     "fn_case_coalesce" -> (Scalars.fnCaseCoalesce _),
     "fn_json" -> (Scalars.fnJson _),
     "fn_array" -> (Scalars.fnArray _),
@@ -97,6 +98,7 @@ object SparkEntry {
     // §2.11 subqueries
     "subq_scalar_corr" -> (Relational.subqScalarCorr _),
     "subq_in" -> (Relational.subqIn _),
+    "subq_not_in" -> (Relational.subqNotIn _),
     // §2.13 training-data pipeline
     "text_quality" -> (TrainingData.textQuality _),
     "text_tokencount" -> (TrainingData.textTokencount _),
@@ -106,6 +108,7 @@ object SparkEntry {
     "text_tfidf" -> (TrainingData.textTfidf _),
     "dedup_simhash" -> (TrainingData.dedupSimhash _),
     "dedup_ngram_jaccard" -> (TrainingData.dedupNgramJaccard _),
+    "dedup_winnow" -> (TrainingData.dedupWinnow _),
     "dedup_embedding" -> (TrainingData.dedupEmbedding _),
     "hrv_rmssd" -> (TrainingData.hrvRmssd _),
     "hrv_clean_interp" -> (TrainingData.hrvCleanInterp _),

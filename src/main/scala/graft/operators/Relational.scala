@@ -503,4 +503,19 @@ object Relational {
              WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
              ORDER BY p_partkey LIMIT 200""")
   }
+
+  /** #57b NOT IN subquery — a genuinely different physical operator from
+    * #9's NOT EXISTS: NOT IN is null-aware (one null in the subquery
+    * annuls EVERY row; a null probe never matches), so Catalyst plans a
+    * null-aware anti join rather than a plain left anti. Single-column
+    * NOT IN takes Spark's optimized NAAJ path (broadcast build with a
+    * one-time null check) instead of the general
+    * condition-per-row fallback. */
+  def subqNotIn(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("part")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql("""SELECT p_partkey FROM part
+             WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)
+             ORDER BY p_partkey LIMIT 200""")
+  }
 }

@@ -91,6 +91,20 @@ object Scalars {
       .orderBy(col("o_orderkey"))
       .limit(200)
 
+  /** #40b binary encodings: base64 / hex / md5 over string payloads —
+    * the serialization surface the multimodal binary columns ride on
+    * ([[graft.multimodal.Multimodal]] payloads travel as base64 in JSON
+    * sidecars, signatures as hex). Both engines emit uppercase
+    * no-leading-zero hex for integers and RFC 4648 base64. */
+  def fnBinhex(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        base64(col("c_name").cast("binary")).as("b64"),
+        hex(col("c_custkey")).as("hx"),
+        md5(col("c_name").cast("binary")).as("h5"))
+      .orderBy(col("c_custkey"))
+      .limit(100)
+
   /** #41 JSON field extraction from a string column. */
   def fnJson(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)

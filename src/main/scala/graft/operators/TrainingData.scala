@@ -341,6 +341,46 @@ object TrainingData {
       .agg(count(lit(1)).as("n_fp"), sum(col("fp")).as("fp_sum"))
       .orderBy(col("doc_id"))
 
+  /** #63b winnow-fingerprint near-dup pairs: document pairs whose
+    * fingerprint CONTAINMENT (shared fingerprints / smaller set) clears
+    * 0.5, after dropping stop-fingerprints (those in > 10 docs — common
+    * k-grams like "the " would otherwise pair everything with
+    * everything, the same reason shingle joins drop stop shingles). The
+    * whole pipeline is equi-joins and aggregates — candidate pairs come
+    * from the fingerprint equi-join, never an all-pairs product, which
+    * is what makes winnowing the sub-linear dedup path at corpus scale:
+    * fingerprints are ~2/(w+1) the density of full shingles and the
+    * stop-fingerprint cap bounds every join key's fan-out. The ratio
+    * filter runs on the UNROUNDED integer-ratio double (bit-identical
+    * across engines); the rounded value is only displayed. */
+  def dedupWinnow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sel0 = winnowFingerprints(
+      Tables.documents(s, d).filter(col("doc_id") < 120), "doc_id", "text")
+    val stop = sel0.groupBy(col("fp")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") <= 10)
+    // the per-doc kept-fingerprint count rides along as a window over
+    // the stop-filtered rows instead of a separate aggregate + two
+    // attach joins: the stop join broadcasts (≤ one row per distinct
+    // fingerprint), preserving sel0's doc_id partitioning, so the
+    // count window adds no exchange — and the expensive
+    // explode+window fingerprint lineage is computed twice (the two
+    // self-join sides), not five times
+    val sel = sel0.join(stop, "fp").select(col("doc_id"), col("fp"))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    sel.select(col("doc_id").as("a_id"), col("fp"), col("c").as("ca"))
+      .join(sel.select(col("doc_id").as("b_id"), col("fp").as("b_fp"), col("c").as("cb")),
+        col("fp") === col("b_fp") && col("a_id") < col("b_id"))
+      // ca/cb are constant per doc — max() just carries them through
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared"), max(col("ca")).as("ca"), max(col("cb")).as("cb"))
+      .withColumn("rawsim", col("shared").cast("double") / least(col("ca"), col("cb")))
+      .filter(col("rawsim") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("shared"),
+        round(col("rawsim"), 6).as("sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** The winnowing core behind [[textWinnowFingerprint]]: the DISTINCT
     * (idCol, fp) fingerprint set of each document — one row per selected
     * k-gram hash. Texts shorter than w+k-1 chars have no full window and

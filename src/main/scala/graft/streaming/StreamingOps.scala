@@ -197,6 +197,33 @@ object StreamingOps {
       } finally { b.unpersist(); () }
     }
 
+  /** Streaming twin of the time-bounded join family (batch
+    * `join_range_theta` / `join_interval_bucketed`): a WATERMARKED
+    * stream-stream inner join — each purchase pairs with the same
+    * user's clicks in the preceding `window`. This is the one join
+    * Structured Streaming runs with bounded state natively: the
+    * watermark on both sides plus the two-sided time constraint lets
+    * the state store evict rows older than `watermark`, so state is
+    * O(traffic within the watermark horizon), not O(stream). The
+    * equi key (user_id) hash-partitions both sides — the same
+    * cluster-parallel shape as the batch form; without it Spark would
+    * have to broadcast-retain one whole side. */
+  def intervalJoinStream(purchases: DataFrame, clicks: DataFrame,
+      window: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+        col("ts").as("c_ts"))
+    p.join(c,
+        col("user_id") === col("c_uid")
+          && col("c_ts") <= col("p_ts")
+          && col("c_ts") >= col("p_ts") - expr(s"interval $window"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** Streaming as-of enrichment: each micro-batch of probes is joined
     * against a static history with the native sorted-merge as-of
     * (graft.plans.AsofJoin) inside foreachBatch — the standard shape for

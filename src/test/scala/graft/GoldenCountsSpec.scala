@@ -29,7 +29,7 @@ class GoldenCountsSpec extends SparkSpecBase {
     "set_union" -> 25, "set_union_all" -> 1, "set_intersect" -> 10, "set_except" -> 15,
     "set_intersect_all" -> 10, "set_except_all" -> 140,
     "fn_string" -> 100, "fn_regexp" -> 200, "fn_date" -> 200, "fn_math" -> 200,
-    "fn_bitwise" -> 200,
+    "fn_bitwise" -> 200, "fn_binhex" -> 100,
     "fn_case_coalesce" -> 200, "fn_json" -> 500, "fn_array" -> 200,
     "fn_explode_wordcount" -> 31,
     "stream_tumbling" -> 868, "stream_sliding" -> 979, "stream_session" -> 946,
@@ -37,11 +37,11 @@ class GoldenCountsSpec extends SparkSpecBase {
     "llm_exact_dedup" -> 500, "llm_dedup_keep_first" -> 75, "llm_docstats" -> 5,
     "llm_ngrams" -> 30, "llm_cosine_topk" -> 50, "llm_knn_label" -> 10,
     "llm_minhash_jaccard" -> 763,
-    "subq_scalar_corr" -> 48, "subq_in" -> 193,
+    "subq_scalar_corr" -> 48, "subq_in" -> 193, "subq_not_in" -> 98,
     "text_quality" -> 300, "text_tokencount" -> 5, "text_langid" -> 10,
     "text_fingerprint" -> 300, "text_winnow_fingerprint" -> 50,
     "dedup_simhash" -> 100,
-    "dedup_ngram_jaccard" -> 342, "dedup_embedding" -> 56,
+    "dedup_ngram_jaccard" -> 342, "dedup_winnow" -> 108, "dedup_embedding" -> 56,
     "hrv_rmssd" -> 15, "hrv_clean_interp" -> 1000,
     "agg_pivot" -> 5, "agg_unpivot" -> 6, "agg_argmax" -> 15, "text_tfidf" -> 738,
     "hrv_resample" -> 3483, "hrv_poincare" -> 15, "agg_corr" -> 15,

@@ -96,6 +96,17 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Join"), s"language scoring must be a pure scan+aggregate:\n$p")
   }
 
+  test("subq_not_in: null-aware anti join, not a per-row nested-loop filter") {
+    val p = plan(Relational.subqNotIn(spark, sf()))
+    // single-column NOT IN takes Spark's optimized NAAJ path: a broadcast
+    // left-anti hash join with a one-time null check on the build side —
+    // the general fallback is a BroadcastNestedLoopJoin re-testing the
+    // (key = x OR key IS NULL) condition per probe row
+    assert(p.contains("LeftAnti"), s"expected an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"NOT IN fell back to the nested-loop form:\n$p")
+  }
+
   test("join_skew_salted: shuffled hash join, replicated side never broadcast") {
     val p = plan(Relational.joinSkewSalted(spark, sf()))
     assert(p.contains("ShuffledHashJoin"),

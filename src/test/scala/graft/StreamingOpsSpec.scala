@@ -144,6 +144,38 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(counts == 1) // only event 1's window emitted; the late row never counted
   }
 
+  test("watermarked stream-stream interval join matches the batch join") {
+    implicit val ctx = spark.sqlContext
+    // times start at 1000s — a row AT the initial watermark 0 is late,
+    // as in the stateful-sessions fixture. Pairs form only within the
+    // preceding 30 min for the same user.
+    val pRows = Seq((10L, 2000L, 1L, "purchase", 0.0), (11L, 5000L, 1L, "purchase", 0.0),
+      (12L, 2500L, 2L, "purchase", 0.0))
+    val cRows = Seq((1L, 1000L, 1L, "click", 0.0), (2L, 1900L, 1L, "click", 0.0),
+      (3L, 4900L, 1L, "click", 0.0), (4L, 2400L, 2L, "click", 0.0),
+      (5L, 2400L, 3L, "click", 0.0))
+    val pm = MemoryStream[(Long, Long, Long, String, Double)]
+    val cm = MemoryStream[(Long, Long, Long, String, Double)]
+    pm.addData(pRows: _*); cm.addData(cRows: _*)
+    val got = runStream(
+        StreamingOps.intervalJoinStream(eventsDF(pm.toDF()), eventsDF(cm.toDF())),
+        "t_ivj", "append")
+      .select($"purchase_id", $"click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch reference over the same rows, same predicate
+    val p = eventsDF(pRows.toDF()).select($"event_id".as("purchase_id"), $"user_id", $"ts".as("p_ts"))
+    val c = eventsDF(cRows.toDF()).select($"event_id".as("click_id"), $"user_id".as("c_uid"), $"ts".as("c_ts"))
+    val batch = p.join(c, $"user_id" === $"c_uid"
+        && $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("interval 30 minutes"))
+      .select($"purchase_id", $"click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch)
+    // the fixture exercises both bounds: click 1 (1000s) is inside
+    // purchase 10's (2000s) window, click 3 (4900s) is AFTER purchase 10
+    // and inside purchase 11's; user 3's click pairs with nothing
+    assert(got == Set((10L, 1L), (10L, 2L), (11L, 3L), (12L, 4L)))
+  }
+
   test("streaming as-of enrichment attaches the latest history row per probe") {
     val history = Seq((1L, 100L, "stateA"), (1L, 500L, "stateB"), (2L, 50L, "stateX"))
       .toDF("user_id", "hsec", "state")
