@@ -119,11 +119,11 @@ object Bench {
       if (anyFailed) (sumBest, "sum-sequential-best (wallclock invalid: failures)")
       else (wall, "suite-wallclock-concurrent")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // The driver only captures the tail of stdout, so the LAST line must be
-    // the compact headline (< 300 chars). The full per-query map still goes
-    // out, but on an earlier stdout line (and stderr for redundancy).
+    // The driver captures only the tail of stdout, and round 7's artifact
+    // lost the headline because the multi-KB per-query detail line crowded
+    // it out. Detail goes to stderr ONLY; stdout carries the one compact
+    // headline line and nothing else.
     val detail = s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(detail)
     System.err.println(detail)
     val calibJson = s"""{"jvm_pre":${f4(jvmPre)},"jvm_post":${f4(jvmPost)},"spark_pre":${f4(sparkPre)},"spark_post":${f4(sparkPost)}}"""
     println(s"""{"metric":"total","value":${f4(value)},"unit":"sec","mode":"$mode","threads":$threads,"wall_concurrent":${f4(wall)},"sum_best":${f4(sumBest)},"calib":$calibJson,"failed":$failedJson,"sf":"$sfDir"}""")

@@ -22,14 +22,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the legacy
-    * flag and truncate to microseconds — the same ns→µs truncation DuckDB
-    * applies on read, so both engines see identical timestamp values. */
+  /** `events.ts` has drifted across testdata generations — parquet
+    * TIMESTAMP(NANOS) originally (which Spark's reader rejects outright,
+    * PARQUET_TYPE_ILLEGAL, hence the legacy nanos-as-long flag), then
+    * TIMESTAMP(MICROS) without tz (read as TIMESTAMP_NTZ) after the
+    * 2026-08-13 regen. Branch on the schema the reader actually resolves so
+    * one upstream writer change can't break every downstream query again:
+    *   - LongType (nanosAsLong): truncate ns→µs, same as DuckDB's read.
+    *   - TimestampNTZType: cast to session-tz timestamp; the pinned UTC
+    *     session makes the values identical to DuckDB's naive read.
+    *   - TimestampType: already what every operator expects.
+    */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet-resolved type $other; expected " +
+          "LongType (legacy nanos), TimestampNTZType, or TimestampType")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

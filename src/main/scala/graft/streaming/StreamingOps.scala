@@ -22,23 +22,34 @@ import org.apache.spark.sql.types._
 object StreamingOps {
 
   /** Live file-source wiring for the events table: `readStream` over the
-    * parquet directory with the same ns→µs timestamp handling as the batch
-    * loader (streaming sources require an explicit schema, so `ts` is
-    * declared as raw nanos and converted). New files appearing under the
-    * path become micro-batches — the deployment path for the ingestor. */
+    * parquet directory with the same timestamp-drift handling as the batch
+    * loader (Tables.events). Streaming sources require an explicit schema,
+    * so the physical `ts` encoding is resolved once from the existing
+    * files' footers (a driver-side metadata read, no data scan) and the
+    * matching conversion applied — TIMESTAMP(NANOS) as raw longs ns→µs,
+    * TIMESTAMP(MICROS)-ntz cast to session-tz, native timestamp as-is.
+    * New files appearing under the path become micro-batches — the
+    * deployment path for the ingestor. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType =
+      spark.read.option("pathGlobFilter", "events.parquet").parquet(dir)
+        .schema("ts").dataType
     val schema = StructType(Seq(
       StructField("event_id", LongType),
-      StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw nanos
+      StructField("ts", tsType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Live file-source wiring for the documents corpus: parquet files

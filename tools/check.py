@@ -50,8 +50,14 @@ def main(sfdir, outdir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    try:
+        errors = json.load(open(f"{outdir}/errors.json"))
+    except FileNotFoundError:
+        errors = {}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if name in errors:
+            print(f"ERR  {name}: {errors[name][:200]}"); n_fail += 1; continue
         spark_df = load_spark(outdir, name)
         if spark_df is None:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue

@@ -24,19 +24,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def read_bench(path):
-    # Bench prints two JSON lines: {"metric":"per_query",...} with the
-    # per-query map, then the compact {"metric":"total",...} headline
+def read_bench(path, extra_paths=()):
+    # Bench prints the compact {"metric":"total",...} headline on stdout
+    # (the driver tail-captures stdout, so it must stay alone and small)
+    # and the {"metric":"per_query",...} map on stderr — pass the stderr
+    # log as an extra positional file to get per-query ratios.
     total_line = detail_line = None
-    for l in open(path):
-        m = re.search(r'\{"metric":"total".*\}', l)
-        if m:
-            total_line = m.group(0)
-        m = re.search(r'\{"metric":"per_query".*\}', l)
-        if m:
-            detail_line = m.group(0)
+    for p in (path,) + tuple(extra_paths):
+        for l in open(p):
+            m = re.search(r'\{"metric":"total".*\}', l)
+            if m:
+                total_line = m.group(0)
+            m = re.search(r'\{"metric":"per_query".*\}', l)
+            if m:
+                detail_line = m.group(0)
     if not total_line or not detail_line:
-        sys.exit(f"no bench JSON lines found in {path}")
+        sys.exit(f"no bench JSON lines found in {path} (+{len(extra_paths)} extra)")
     bench = json.loads(total_line)
     bench["queries"] = json.loads(detail_line)["queries"]
     return bench
@@ -92,6 +95,8 @@ def live_baseline(sf_dir, oracle_path, threads=16, rounds=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("bench", help="bench JSON file or log containing it")
+    ap.add_argument("extra", nargs="*",
+                    help="additional log files (e.g. the stderr log with the per_query line)")
     ap.add_argument("--live", action="store_true",
                     help="re-measure DuckDB now instead of reading BASELINE.md")
     ap.add_argument("--sf", default="/root/testdata/sf0.1",
@@ -100,7 +105,7 @@ def main():
                     help="oracle_sql.json dumped by graft.Verify (for --live)")
     args = ap.parse_args()
 
-    bench = read_bench(args.bench)
+    bench = read_bench(args.bench, args.extra)
     if args.live:
         base, live_wall = live_baseline(args.sf, args.oracle)
     else:
