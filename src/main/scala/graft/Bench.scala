@@ -98,12 +98,19 @@ object Bench {
     names.foreach(timeOne) // warmup, untimed
     val passes = Seq.fill(3)(names.map(n => n -> timeOne(n)).toMap)
     val results = names.map(n => n -> passes.map(_(n)).min)
-    // Concurrent suite passes: all queries in flight on a bounded pool.
+    // Concurrent suite passes: all queries in flight on a bounded pool,
+    // submitted longest-first (LPT scheduling) using the sequential
+    // measurements just taken. Under FIFO alphabetical submission the
+    // multi-stage heavyweights (dedup_winnow ~1.1 s, the global ranks
+    // ~0.9 s) could start in the last pool slot and extend the tail by
+    // their full length; longest-first bounds the wall near
+    // max(total/threads, longest chain) — classic makespan scheduling.
+    val lptOrder = results.sortBy(-_._2).map(_._1)
     val pool = Executors.newFixedThreadPool(threads)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     def concurrentPass(): Double = {
       val t0 = System.nanoTime()
-      Await.result(Future.sequence(names.map(n => Future(runOne(n)))), Duration.Inf)
+      Await.result(Future.sequence(lptOrder.map(n => Future(runOne(n)))), Duration.Inf)
       (System.nanoTime() - t0) / 1e9
     }
     val (jvmPre, sparkPre) = calib()
