@@ -85,6 +85,8 @@ object Oracle {
       "SELECT o_custkey, array_to_string(list_sort(array_agg(o_orderkey)), ',') AS ids FROM orders WHERE o_orderkey < 1000 GROUP BY o_custkey ORDER BY o_custkey",
     "agg_having" ->
       "SELECT o_custkey, count(*) c FROM orders GROUP BY o_custkey HAVING count(*) > 5 ORDER BY c DESC, o_custkey LIMIT 50",
+    "agg_bool" ->
+      "SELECT l_returnflag, l_linestatus, bool_and(l_quantity > 1.0) AS all_multi_qty, bool_or(l_discount > 0.09) AS any_deep_discount, count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "win_rank_topk_per_group" ->
       "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn",
     "win_rank_dense" ->
@@ -101,6 +103,10 @@ object Oracle {
     // table + weighted prefix sums, no per-row window) must be invisible
     "win_rank_value_global" ->
       "SELECT event_id, CAST(rank() OVER (ORDER BY value) AS BIGINT) AS r FROM events ORDER BY event_id LIMIT 500",
+    // explicit unbounded-both-ways frame on BOTH sides: the default
+    // growing frame would NULL the first two rows per partition
+    "win_nth_value" ->
+      "SELECT DISTINCT o_custkey, nth_value(o_totalprice, 3) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_price FROM orders WHERE o_custkey < 500 QUALIFY third_price IS NOT NULL ORDER BY o_custkey",
     "win_lag_lead" ->
       "SELECT user_id, event_id, round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id),2) dv, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) nxt FROM events ORDER BY user_id, event_id LIMIT 500",
     "win_moving_avg" ->
@@ -247,6 +253,12 @@ object Oracle {
         "s AS (SELECT doc_id, list_reduce(list_transform(range(32), b -> CASE WHEN 2 * len(list_filter(codes, c -> ((c >> b) & 1) = 1)) > len(codes) " +
         "THEN (1::BIGINT << b) ELSE 0::BIGINT END), (a, b) -> a | b) AS sig FROM t) " +
         "SELECT doc_id, sig, CAST(bit_count(sig) AS INT) AS nbits FROM s ORDER BY doc_id"),
+    // DuckDB levenshtein returns BIGINT; Spark's is INT — cast to match
+    "dedup_levenshtein" ->
+      ("WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 40) " +
+        "SELECT * FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "CAST(levenshtein(a.text, b.text) AS INT) AS dist " +
+        "FROM t a JOIN t b ON a.doc_id < b.doc_id) WHERE dist <= 100 ORDER BY a_id, b_id"),
     "dedup_ngram_jaccard" ->
       ("WITH t AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text) - 1, 2)), i -> substr(text, i::INT, 3))) AS sh " +
         "FROM documents WHERE doc_id < 40) SELECT * FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +

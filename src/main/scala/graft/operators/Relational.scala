@@ -412,6 +412,19 @@ object Relational {
       .orderBy(col("c").desc, col("o_custkey"))
       .limit(50)
 
+  /** #21c boolean aggregates per group: `bool_and` / `bool_or` — the
+    * data-quality assertion shape ("does EVERY row in this partition
+    * satisfy the invariant, does ANY row violate it"), map-side
+    * combinable like any algebraic aggregate. */
+  def aggBool(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        bool_and(col("l_quantity") > 1.0).as("all_multi_qty"),
+        bool_or(col("l_discount") > 0.09).as("any_deep_discount"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
   /** #30 multi-key mixed-direction sort + limit → TakeOrderedAndProject
     * (per-partition top-k, no global sort materialized). */
   def sortMulti(s: SparkSession, d: String): DataFrame =

@@ -106,6 +106,27 @@ object TrainingData {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** #63c edit-distance (Levenshtein) near-dup pairs over a bounded
+    * probe window — the character-level member of the dedup family,
+    * catching transposition/typo-level duplicates that set-based
+    * Jaccard scores as distant. Built on the codegen'd `levenshtein`
+    * expression; all-pairs only on the ≤40-doc broadcast probe set
+    * (the 100 TB path blocks candidates through
+    * ScalableDedup.minhashCandidates first, then scores ONLY the
+    * candidate pairs with this same expression). */
+  def dedupLevenshtein(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("text"))
+    val a = t.select(col("doc_id").as("a_id"), col("text").as("ta"))
+    val b = t.select(col("doc_id").as("b_id"), col("text").as("tb"))
+    broadcast(a).join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("ta"), col("tb")).as("dist"))
+      .filter(col("dist") <= 100)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** #64 time-domain HRV feature block per user over the event stream
     * (Hrv.timeDomain verbatim): count, mean, SDNN, RMSSD, pNN50 — the
     * reference's signature feature computation, oracle-checked. */

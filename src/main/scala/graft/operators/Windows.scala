@@ -139,6 +139,25 @@ object Windows {
       .limit(500)
   }
 
+  /** #24b positional pick inside a full window frame: each customer's
+    * third-ever order price via `nth_value` over an explicit
+    * unbounded-both-ways ROWS frame (the default growing frame would
+    * make the first two rows NULL — the classic nth_value trap).
+    * Tie-safe ordering by (o_orderdate, o_orderkey); one row per
+    * customer that actually has ≥3 orders. */
+  def winNthValue(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 500)
+      .select(col("o_custkey"),
+        nth_value(col("o_totalprice"), 3).over(w).as("third_price"))
+      .filter(col("third_price").isNotNull)
+      .distinct()
+      .orderBy(col("o_custkey"))
+  }
+
   /** #25 5-row moving average per key. */
   def winMovingAvg(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
