@@ -283,6 +283,33 @@ object Demo {
       "doc_id", "text", minContainment = 0.9).count()
     println(s"decontamination: $contam corpus docs >=90% shingle-contained in the benchmark split")
 
+    // HLL sketch lifecycle (round 8): per-source sketches persisted as a
+    // binary column, then a distinct-doc count answered from the stored
+    // sketches alone — no rescan of the corpus
+    val hllDir = java.nio.file.Files.createTempDirectory("graft_demo_hll").toString
+    Tables.documents(spark, sfDir).groupBy($"source")
+      .agg(graft.functions.Hll.hllSketch($"text").as("sk"))
+      .write.mode("overwrite").parquet(hllDir)
+    val fromSketches = spark.read.parquet(hllDir)
+      .agg(graft.functions.Hll.hllMerge($"sk")).collect().head.getLong(0)
+    val exactDocs = Tables.documents(spark, sfDir)
+      .select(countDistinct($"text")).collect().head.getLong(0)
+    println(s"HLL: distinct texts from persisted per-source sketches = $fromSketches " +
+      s"(exact $exactDocs, ${graft.functions.Hll.M}-register sketch, no corpus rescan)")
+
+    // real media decode (round 8): a synthesized JPEG and a structurally
+    // valid MP4 run the REAL codec paths inside decodeFeatures
+    val jpgPixels = Array.tabulate[Byte](32 * 24 * 3)(i => (i % 251).toByte)
+    val jpgRow = Multimodal.MediaRow(900L, "image",
+      graft.multimodal.Jpeg.encodeJpeg(jpgPixels, 32, 24), "jpeg", 32, 24, 0)
+    val mp4Row = Multimodal.MediaRow(901L, "video",
+      graft.multimodal.Mp4.encodeMp4Minimal(640, 360, 5000, 120), "mp4", 640, 360, 0)
+    val mediaFeats = Multimodal.decodeFeatures(
+      spark.createDataset(Seq(jpgRow, mp4Row)), dim = 8).collect()
+      .map(f => f.media_id -> f.features.take(4).mkString("[", ", ", "]")).toMap
+    println(s"jpeg decode features (w,h,comps,meanR): ${mediaFeats(900L)}")
+    println(s"mp4 container features (w,h,durSec,tracks): ${mediaFeats(901L)}")
+
     spark.stop()
   }
 }
