@@ -107,6 +107,10 @@ object Oracle {
     // growing frame would NULL the first two rows per partition
     "win_nth_value" ->
       "SELECT DISTINCT o_custkey, nth_value(o_totalprice, 3) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_price FROM orders WHERE o_custkey < 500 QUALIFY third_price IS NOT NULL ORDER BY o_custkey",
+    // plain-window oracle; the engine's distributed counts-path cume_dist
+    // (no single-partition window) must be invisible
+    "win_cume_dist" ->
+      "SELECT event_id, round(cume_dist() OVER (ORDER BY value), 6) AS cd FROM events ORDER BY event_id LIMIT 500",
     "win_lag_lead" ->
       "SELECT user_id, event_id, round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id),2) dv, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) nxt FROM events ORDER BY user_id, event_id LIMIT 500",
     "win_moving_avg" ->
@@ -259,6 +263,11 @@ object Oracle {
         "SELECT * FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
         "CAST(levenshtein(a.text, b.text) AS INT) AS dist " +
         "FROM t a JOIN t b ON a.doc_id < b.doc_id) WHERE dist <= 100 ORDER BY a_id, b_id"),
+    // DuckDB length() is BIGINT; Spark's is INT — cast to match
+    "text_normalize" ->
+      ("SELECT doc_id, norm, CAST(length(norm) AS INT) AS n_norm FROM " +
+        "(SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm " +
+        "FROM documents WHERE doc_id < 200) ORDER BY doc_id"),
     "dedup_ngram_jaccard" ->
       ("WITH t AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text) - 1, 2)), i -> substr(text, i::INT, 3))) AS sh " +
         "FROM documents WHERE doc_id < 40) SELECT * FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +

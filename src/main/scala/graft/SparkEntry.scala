@@ -57,6 +57,7 @@ object SparkEntry {
     "win_rank_value_global" -> (Windows.winRankValueGlobal _),
     "win_lag_lead" -> (Windows.winLagLead _),
     "win_nth_value" -> (Windows.winNthValue _),
+    "win_cume_dist" -> (Windows.winCumeDist _),
     "win_moving_avg" -> (Windows.winMovingAvg _),
     "win_cumsum" -> (Windows.winCumsum _),
     "win_range_time" -> (Windows.winRangeTime _),
@@ -111,6 +112,7 @@ object SparkEntry {
     "dedup_simhash" -> (TrainingData.dedupSimhash _),
     "dedup_ngram_jaccard" -> (TrainingData.dedupNgramJaccard _),
     "dedup_levenshtein" -> (TrainingData.dedupLevenshtein _),
+    "text_normalize" -> (TrainingData.textNormalize _),
     "dedup_winnow" -> (TrainingData.dedupWinnow _),
     "dedup_embedding" -> (TrainingData.dedupEmbedding _),
     "hrv_rmssd" -> (TrainingData.hrvRmssd _),

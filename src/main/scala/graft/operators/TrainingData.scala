@@ -47,6 +47,21 @@ object TrainingData {
       .agg(count(lit(1)).as("c"))
       .orderBy(col("lang"), col("pred"))
 
+  /** #60b corpus text normalization — the canonicalization pass every
+    * training-data pipeline runs before hashing/dedup: lowercase,
+    * strip non-alphanumerics (keeping spaces), collapse whitespace
+    * runs, trim. Pure codegen'd expression chain, one map pass, no
+    * shuffle beyond the output sort. */
+  def textNormalize(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), norm.as("norm"))
+      .withColumn("n_norm", length(col("norm")))
+      .orderBy(col("doc_id"))
+  }
+
   /** #61 order-sensitive rolling fingerprint per document
     * (TextAnalysis.rollingFingerprint verbatim). */
   def textFingerprint(s: SparkSession, d: String): DataFrame =

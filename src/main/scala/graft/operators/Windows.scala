@@ -158,6 +158,27 @@ object Windows {
       .orderBy(col("o_custkey"))
   }
 
+  /** #23e global `cume_dist` WITHOUT a single-partition window:
+    * cume_dist(v) = rows(value <= v) / n = (ascending tie-min rank − 1
+    * + tie count) / n. The rank comes from GlobalRank's counts-only
+    * path (per-value counts + weighted prefix sums — no window task
+    * ever holds a hot value's row mass), the tie count from the same
+    * distributed per-value aggregate, and n rides a broadcast 1-row
+    * cross join. The oracle uses the plain global window; this
+    * distributed form must be invisible. */
+  def winCumeDist(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+    val counts = ev.groupBy(col("value")).agg(count(lit(1)).as("_c"))
+    val nDf = ev.agg(count(lit(1)).as("_n"))
+    GlobalRank.rankOfValues(ev, "value", desc = false, "_r")
+      .join(counts, Seq("value"))
+      .crossJoin(broadcast(nDf))
+      .select(col("event_id"),
+        round((col("_r") - lit(1L) + col("_c")).cast("double") / col("_n"), 6).as("cd"))
+      .orderBy(col("event_id"))
+      .limit(500)
+  }
+
   /** #25 5-row moving average per key. */
   def winMovingAvg(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

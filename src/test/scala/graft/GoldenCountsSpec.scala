@@ -24,7 +24,7 @@ class GoldenCountsSpec extends SparkSpecBase {
     "win_rank_topk_per_group" -> 449, "win_rank_dense" -> 100,
     "win_dense_rank_global" -> 500, "win_rank_string_global" -> 300,
     "win_rank_value_global" -> 500,
-    "win_lag_lead" -> 500, "win_nth_value" -> 149, "win_moving_avg" -> 500, "win_cumsum" -> 500,
+    "win_lag_lead" -> 500, "win_nth_value" -> 149, "win_cume_dist" -> 500, "win_moving_avg" -> 500, "win_cumsum" -> 500,
     "win_range_time" -> 500, "win_first_last" -> 500, "win_ntile_pctrank" -> 150,
     "sort_multi" -> 100, "topk_global" -> 10,
     "set_union" -> 25, "set_union_all" -> 1, "set_intersect" -> 10, "set_except" -> 15,
@@ -42,7 +42,7 @@ class GoldenCountsSpec extends SparkSpecBase {
     "text_quality" -> 300, "text_tokencount" -> 5, "text_langid" -> 10,
     "text_fingerprint" -> 300, "text_winnow_fingerprint" -> 50,
     "dedup_simhash" -> 100,
-    "dedup_ngram_jaccard" -> 342, "dedup_levenshtein" -> 6, "dedup_winnow" -> 108, "dedup_embedding" -> 56,
+    "dedup_ngram_jaccard" -> 342, "dedup_levenshtein" -> 6, "text_normalize" -> 200, "dedup_winnow" -> 108, "dedup_embedding" -> 56,
     "hrv_rmssd" -> 15, "hrv_clean_interp" -> 1000,
     "agg_pivot" -> 5, "agg_unpivot" -> 6, "agg_argmax" -> 15, "text_tfidf" -> 738,
     "hrv_resample" -> 3483, "hrv_poincare" -> 15, "agg_corr" -> 15,
