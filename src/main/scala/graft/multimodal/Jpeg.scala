@@ -166,7 +166,13 @@ object Jpeg {
         nbits -= 8
       }
     }
-    def flush(): Unit = if (nbits > 0) put(0x7f, 7 - ((nbits + 7) % 8) + 7) // pad with 1s
+    /** Pad the current byte with 1-bits (T.81 F.1.2.3) — required before
+      * every restart marker and at scan end. */
+    def align(): Unit = {
+      val r = nbits % 8
+      if (r != 0) put((1 << (8 - r)) - 1, 8 - r)
+    }
+    def flush(): Unit = align()
   }
 
   private def scaleQ(base: Array[Int], quality: Int): Array[Int] = {
@@ -204,7 +210,8 @@ object Jpeg {
   /** Encode interleaved RGB (3 bytes/pixel, row-major) — or grayscale
     * when channels == 1 — as a baseline JFIF JPEG. */
   def encodeJpeg(pixels: Array[Byte], width: Int, height: Int,
-      channels: Int = 3, quality: Int = 85): Array[Byte] = {
+      channels: Int = 3, quality: Int = 85,
+      restartInterval: Int = 0): Array[Byte] = {
     require(channels == 1 || channels == 3, s"channels must be 1 or 3, got $channels")
     require(pixels.length == width * height * channels,
       s"pixel buffer ${pixels.length} != $width*$height*$channels")
@@ -243,6 +250,8 @@ object Jpeg {
     if (channels == 3) {
       dht(0, 1, DcChromBits, DcChromVals); dht(1, 1, AcChromBits, AcChromVals)
     }
+    // DRI (restart interval in MCUs) — emitted only when requested
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
     // SOS
     marker(0xda); u16(6 + 2 * channels); out.write(channels)
     out.write(1); out.write(0x00)
@@ -310,8 +319,17 @@ object Jpeg {
       if (lastNz < 63) { val ei = acIdx(0x00); bw.put(acCodes(ei), acLens(ei)) }
     }
     val bw8 = (width + 7) / 8; val bh8 = (height + 7) / 8
-    for (by <- 0 until bh8; bx <- 0 until bw8; comp <- 0 until channels)
-      encodeBlock(comp, bx, by)
+    var mcu = 0 // 4:4:4 — one MCU per 8x8 block position
+    for (by <- 0 until bh8; bx <- 0 until bw8) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // byte-align (1-padded), emit RSTn (n cycles 0-7), reset DC preds
+        bw.align()
+        out.write(0xff); out.write(0xd0 + ((mcu / restartInterval - 1) % 8))
+        java.util.Arrays.fill(prevDc, 0)
+      }
+      for (comp <- 0 until channels) encodeBlock(comp, bx, by)
+      mcu += 1
+    }
     bw.flush()
     marker(0xd9) // EOI
     out.toByteArray

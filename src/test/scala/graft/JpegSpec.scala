@@ -109,6 +109,24 @@ class JpegSpec extends AnyFunSuite {
     assert(maxAbsDiff(src, rgb) <= 48, s"max error ${maxAbsDiff(src, rgb)}")
   }
 
+  test("restart markers (DRI/RSTn) round-trip and reset DC prediction") {
+    val (w, h) = (64, 40) // 8x5 = 40 MCUs -> 9 RST markers at interval 4
+    val src = gradient(w, h)
+    val jpg = Jpeg.encodeJpeg(src, w, h, quality = 95, restartInterval = 4)
+    // the stream must actually contain DRI and RSTn markers
+    def hasMarker(m: Int): Boolean =
+      jpg.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+    assert(hasMarker(0xdd), "DRI segment missing")
+    assert((0xd0 to 0xd7).exists(hasMarker), "no RSTn in entropy stream")
+    val (dw, dh, _, rgb) = Jpeg.decodePixels(jpg)
+    assert(dw == w && dh == h)
+    assert(maxAbsDiff(src, rgb) <= 24, s"max error ${maxAbsDiff(src, rgb)}")
+    // and the JDK's independent decoder agrees the stream is legal
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assume(img != null, "JDK has no JPEG reader in this environment")
+    assert(img.getWidth == w && img.getHeight == h)
+  }
+
   test("corrupt payloads fail loudly, not silently") {
     intercept[IllegalArgumentException](Jpeg.decodePixels(Array[Byte](1, 2, 3)))
     val good = Jpeg.encodeJpeg(gradient(16, 16), 16, 16)
