@@ -263,6 +263,15 @@ object Oracle {
         "SELECT * FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
         "CAST(levenshtein(a.text, b.text) AS INT) AS dist " +
         "FROM t a JOIN t b ON a.doc_id < b.doc_id) WHERE dist <= 100 ORDER BY a_id, b_id"),
+    // oracle uses the plain global running-sum window; the engine's
+    // bucketed prefix-sum runningTotal must match it invisibly.
+    // len(list) is BIGINT in DuckDB vs Spark size() INT — cast tokens
+    "llm_pack_sequences" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS tokens FROM documents), " +
+        "c AS (SELECT doc_id, tokens, sum(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
+        "SELECT doc_id, tokens, CAST(floor((cum - tokens) / 256.0) AS BIGINT) AS chunk, " +
+        "CAST(cum - tokens - CAST(floor((cum - tokens) / 256.0) AS BIGINT) * 256 AS BIGINT) AS offset " +
+        "FROM c ORDER BY doc_id LIMIT 500"),
     // DuckDB length() is BIGINT; Spark's is INT — cast to match
     "text_normalize" ->
       ("SELECT doc_id, norm, CAST(length(norm) AS INT) AS n_norm FROM " +

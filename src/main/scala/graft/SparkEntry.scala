@@ -113,6 +113,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (TrainingData.dedupNgramJaccard _),
     "dedup_levenshtein" -> (TrainingData.dedupLevenshtein _),
     "text_normalize" -> (TrainingData.textNormalize _),
+    "llm_pack_sequences" -> (TrainingData.llmPackSequences _),
     "dedup_winnow" -> (TrainingData.dedupWinnow _),
     "dedup_embedding" -> (TrainingData.dedupEmbedding _),
     "hrv_rmssd" -> (TrainingData.hrvRmssd _),

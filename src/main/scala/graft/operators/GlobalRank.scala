@@ -289,6 +289,61 @@ object GlobalRank {
       .drop(bC, lrC, offC)
   }
 
+  /** Global INCLUSIVE running total of `valueCol` in the ascending order
+    * of a UNIQUE `orderCol` — `sum(v) OVER (ORDER BY o)` without the
+    * single-partition window that form plans as. Same decomposition as
+    * the rank family: range-bucket rows by sampled splits of `orderCol`,
+    * per-bucket inclusive window sums (each task holds only its bucket),
+    * exclusive bucket offsets from the tiny theta-join prefix sum over
+    * per-bucket totals, local + offset = global.
+    *
+    * The backbone of sequence packing (cut a corpus ordered by doc id at
+    * token-budget boundaries: chunk = floor((cum − tokens) / budget)) and
+    * of any global cumulative metric at scale.
+    *
+    * `orderCol` must be unique (ties make ROWS-frame cumsums
+    * order-dependent) and non-null (fails loudly, same contract as the
+    * rank family). */
+  def runningTotal(df: DataFrame, orderCol: String, valueCol: String,
+      out: String, buckets: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val b = if (buckets > 0) buckets
+      else spark.sessionState.conf.numShufflePartitions
+    val bC = fresh(df, "_b")
+    val guarded = when(col(orderCol).isNull, raise_error(lit(
+        s"runningTotal: null in '$orderCol' (a null has no position in " +
+          "the running order; filter it first)")))
+      .otherwise(col(orderCol))
+    val bucketed =
+      if (b <= 1) df.withColumn(bC, lit(0))
+      else {
+        val spC = fresh(df, "_rt_splits")
+        val probs = array((1 until b).map(i => lit(i.toDouble / b)): _*)
+        val splitsDf = df.agg(
+          percentile_approx(col(orderCol), probs, lit(1000)).as(spC))
+        df.crossJoin(broadcast(splitsDf))
+          .withColumn(bC, bucketExprOf(guarded, col(spC), desc = false))
+          .drop(spC)
+      }
+    val offC = fresh(df, "_off")
+    val totC = fresh(df, "_t")
+    val lrC = fresh(df, "_lc")
+    val totals = bucketed.groupBy(col(bC))
+      .agg(sum(col(valueCol)).as(totC))
+    val offsets = totals.as("x")
+      .join(totals.as("y"), col(s"y.$bC") < col(s"x.$bC"), "left")
+      .groupBy(col(s"x.$bC").as(bC))
+      .agg(coalesce(sum(col(s"y.$totC")), lit(0L)).as(offC))
+    val w = Window.partitionBy(col(bC)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed
+      .repartition(math.max(1, b), col(bC))
+      .withColumn(lrC, sum(col(valueCol)).over(w))
+      .join(broadcast(offsets), Seq(bC))
+      .withColumn(out, col(lrC) + col(offC))
+      .drop(bC, lrC, offC)
+  }
+
   /** Global `rank()` over a SINGLE value column, heavy-hitter-safe: SQL
     * rank ties share one rank value, so when the ORDER BY is exactly the
     * value column no row ever needs a per-row window — rank(v) = 1 +

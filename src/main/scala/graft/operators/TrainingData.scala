@@ -296,6 +296,28 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** #78 sequence packing (added round 8): the GPT-style pre-tokenization
+    * packing pass — concatenate documents in corpus order and cut at a
+    * fixed token budget; each doc gets the chunk it STARTS in
+    * (chunk = floor(exclusive-prefix-tokens / budget)) plus its offset
+    * inside that chunk. The global running total comes from
+    * [[GlobalRank.runningTotal]]'s bucketed prefix sums — no
+    * single-partition window anywhere (the oracle's plain
+    * `sum() OVER (ORDER BY)` must be matched invisibly). */
+  def llmPackSequences(s: SparkSession, d: String): DataFrame = {
+    val budget = 256
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("tokens"))
+    GlobalRank.runningTotal(docs, "doc_id", "tokens", "_cum")
+      .select(col("doc_id"), col("tokens"),
+        floor((col("_cum") - col("tokens")).cast("double") / budget)
+          .cast("long").as("chunk"),
+        (col("_cum") - col("tokens") - floor((col("_cum") - col("tokens"))
+          .cast("double") / budget).cast("long") * budget).cast("long").as("offset"))
+      .orderBy(col("doc_id"))
+      .limit(500)
+  }
+
   /** #77 contrastive negative sampling (added round 4): k deterministic
     * pseudo-random negatives per document for embedding-model training
     * pairs — negatives come from the standard md5-bucket recipe (same

@@ -362,6 +362,43 @@ class GlobalRankSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("runningTotal equals the single-partition window cumsum") {
+    val ev = Tables.events(spark, sf()).select($"event_id", $"value")
+    val got = GlobalRank.runningTotal(
+      ev.select($"event_id", lit(1L).as("one")), "event_id", "one", "cum")
+    // constant weights: cum(event_id) must equal the 1-based position
+    val ordered = got.orderBy($"event_id").collect()
+    assert(ordered.length == 1000)
+    val ids = ordered.map(r => r.getAs[Long]("event_id"))
+    ordered.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("cum") == i + 1L,
+        s"event ${ids(i)} cum=${r.getAs[Long]("cum")} expected ${i + 1}") }
+    // real weights: spot-check against a driver-side running sum
+    val docs = Tables.documents(spark, sf())
+      .select($"doc_id", length($"text").cast("long").as("w"))
+    val rt = GlobalRank.runningTotal(docs, "doc_id", "w", "cum")
+      .orderBy($"doc_id").collect()
+    var acc = 0L
+    rt.foreach { r =>
+      acc += r.getAs[Long]("w")
+      assert(r.getAs[Long]("cum") == acc, s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("runningTotal plans without a single-partition window and nulls fail loudly") {
+    val docs = Tables.documents(spark, sf())
+      .select($"doc_id", length($"text").cast("long").as("w"))
+    val rt = GlobalRank.runningTotal(docs, "doc_id", "w", "cum")
+    assert(globalWindows(rt).isEmpty,
+      s"runningTotal planned a global window:\n${rt.queryExecution.optimizedPlan}")
+    val withNull = docs.withColumn("doc_id",
+      when($"doc_id" === 3L, lit(null)).otherwise($"doc_id"))
+    val e = intercept[Exception] {
+      GlobalRank.runningTotal(withNull, "doc_id", "w", "cum").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("runningTotal"))
+  }
+
   test("judged plans contain no unbounded partition-less Window (scale-killer regression)") {
     for (q <- Seq(Windows.winRankDense _, Windows.winNtilePctrank _,
         Windows.winDenseRankGlobal _, Windows.winRankStringGlobal _)) {

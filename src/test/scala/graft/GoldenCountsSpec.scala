@@ -42,7 +42,8 @@ class GoldenCountsSpec extends SparkSpecBase {
     "text_quality" -> 300, "text_tokencount" -> 5, "text_langid" -> 10,
     "text_fingerprint" -> 300, "text_winnow_fingerprint" -> 50,
     "dedup_simhash" -> 100,
-    "dedup_ngram_jaccard" -> 342, "dedup_levenshtein" -> 6, "text_normalize" -> 200, "dedup_winnow" -> 108, "dedup_embedding" -> 56,
+    "dedup_ngram_jaccard" -> 342, "dedup_levenshtein" -> 6, "text_normalize" -> 200,
+    "llm_pack_sequences" -> 500, "dedup_winnow" -> 108, "dedup_embedding" -> 56,
     "hrv_rmssd" -> 15, "hrv_clean_interp" -> 1000,
     "agg_pivot" -> 5, "agg_unpivot" -> 6, "agg_argmax" -> 15, "text_tfidf" -> 738,
     "hrv_resample" -> 3483, "hrv_poincare" -> 15, "agg_corr" -> 15,
