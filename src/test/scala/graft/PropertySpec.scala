@@ -363,6 +363,68 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("HLL union is commutative, associative, idempotent; estimate is monotone") {
+    import graft.functions.Hll
+    val batchGen = Gen.listOfN(300, Gen.chooseNum(0L, 2000L))
+    for ((xs, ys, zs) <- samples(Gen.zip(batchGen, batchGen, batchGen), n = 4)) {
+      def sketch(vs: Seq[Long]): Array[Byte] = {
+        val r = new Array[Byte](Hll.M)
+        // same style of mixing as the production path (any uniform 64-bit
+        // hash is admissible per the scaladoc contract)
+        vs.foreach(v => Hll.addHash(r, scala.util.hashing.byteswap64(v)))
+        r
+      }
+      def u(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+        Hll.unionInPlace(a.clone(), b)
+      val (a, b, c) = (sketch(xs), sketch(ys), sketch(zs))
+      assert(java.util.Arrays.equals(u(a, b), u(b, a)), "commutative")
+      assert(java.util.Arrays.equals(u(u(a, b), c), u(a, u(b, c))), "associative")
+      assert(java.util.Arrays.equals(u(a, a), a.clone()), "idempotent")
+      // merging can only grow the estimate (registers are maxed)
+      assert(Hll.estimate(u(a, b)) >= Hll.estimate(a))
+      // union of sketches == sketch of union (lossless merge)
+      assert(java.util.Arrays.equals(u(a, b), sketch(xs ++ ys)))
+    }
+  }
+
+  test("JPEG round-trip error is bounded for random piecewise-flat images") {
+    import graft.multimodal.Jpeg
+    val gen = for {
+      w <- Gen.chooseNum(8, 40)
+      h <- Gen.chooseNum(8, 40)
+      base <- Gen.chooseNum(16, 239)
+    } yield (w, h, base)
+    for ((w, h, base) <- samples(gen, n = 6)) {
+      // flat blocks with a mild gradient: JPEG's best case, so the bound
+      // is tight and a broken coefficient path cannot hide
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; ch <- 0 until 3)
+        px((y * w + x) * 3 + ch) = (base + (x / 8) * 2 + (y / 8) * 2 + ch).toByte
+      val (dw, dh, _, rgb) = Jpeg.decodePixels(Jpeg.encodeJpeg(px, w, h, quality = 95))
+      assert(dw == w && dh == h)
+      var m = 0
+      for (i <- px.indices)
+        m = math.max(m, math.abs((px(i) & 0xff) - (rgb(i) & 0xff)))
+      assert(m <= 16, s"max error $m at ${w}x$h base=$base")
+    }
+  }
+
+  test("MP4 writer/parser round-trips random geometry and sample counts") {
+    import graft.multimodal.Mp4
+    val gen = for {
+      w <- Gen.chooseNum(16, 4096)
+      h <- Gen.chooseNum(16, 2160)
+      dur <- Gen.chooseNum(100L, 3600000L)
+      n <- Gen.chooseNum(1, 5000)
+    } yield (w, h, dur, n)
+    for ((w, h, dur, n) <- samples(gen, n = 8)) {
+      val info = Mp4.parseMp4(Mp4.encodeMp4Minimal(w, h, dur, n))
+      val t = info.tracks.head
+      assert(t.width == w && t.height == h && t.nSamples == n)
+      assert(math.abs(info.durationSeconds - dur / 1000.0) < 1e-9)
+    }
+  }
+
   test("jaccard is symmetric and 1 on identical token sets") {
     val txtGen = Gen.listOfN(6, Gen.oneOf("w1", "w2", "w3", "w4")).map(_.mkString(" "))
     for ((x, y) <- samples(Gen.zip(txtGen, txtGen))) {
