@@ -318,6 +318,33 @@ object TrainingData {
       .limit(500)
   }
 
+  /** Materialized form of #78: assemble each packed chunk's text in doc
+    * order — the actual training-sequence table a tokenizer consumes.
+    * Docs are never split: a doc belongs to the chunk its first token
+    * lands in, so a chunk can overrun the budget by at most one doc
+    * (greedy sequential packing with document-boundary preservation,
+    * the common pre-tokenization choice). Per-chunk state is bounded by
+    * the budget plus one doc, so the ordered collect is safe at any
+    * corpus size; the chunk id itself comes from the distributed
+    * running total, so there is no global window anywhere. */
+  def packChunks(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val withTok = docs.select(col(idCol), col(textCol),
+      size(split(col(textCol), " ")).as("_tok"))
+    GlobalRank.runningTotal(withTok, idCol, "_tok", "_cum")
+      .withColumn("chunk",
+        floor((col("_cum") - col("_tok")).cast("double") / budget).cast("long"))
+      .groupBy(col("chunk"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col(idCol), col(textCol)))),
+          x => x.getField(textCol)), " ").as("text"),
+        sum(col("_tok")).as("tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("chunk"))
+  }
+
   /** #77 contrastive negative sampling (added round 4): k deterministic
     * pseudo-random negatives per document for embedding-model training
     * pairs — negatives come from the standard md5-bucket recipe (same
