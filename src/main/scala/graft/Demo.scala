@@ -297,6 +297,16 @@ object Demo {
     println(s"HLL: distinct texts from persisted per-source sketches = $fromSketches " +
       s"(exact $exactDocs, ${graft.functions.Hll.M}-register sketch, no corpus rescan)")
 
+    // sequence packing (round 8): cut the corpus into ~256-token training
+    // chunks on the distributed running total, then materialize the texts
+    val packed = graft.operators.TrainingData.packChunks(
+      Tables.documents(spark, sfDir).select($"doc_id", $"text"),
+      "doc_id", "text", budget = 256)
+    val pk = packed.agg(count(lit(1)), sum($"n_docs"), round(avg($"tokens"), 1))
+      .collect().head
+    println(s"sequence packing: ${pk.getLong(0)} chunks over ${pk.getLong(1)} docs, " +
+      s"avg ${pk.get(2)} tokens/chunk (budget 256, docs never split)")
+
     // real media decode (round 8): a synthesized JPEG and a structurally
     // valid MP4 run the REAL codec paths inside decodeFeatures
     val jpgPixels = Array.tabulate[Byte](32 * 24 * 3)(i => (i % 251).toByte)
