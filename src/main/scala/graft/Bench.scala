@@ -56,9 +56,12 @@ object Bench {
     // serialize, 32 → scheduler contention); cap the default there
     val threads = sys.env.get("SPARK_GRAFT_BENCH_THREADS").map(_.toInt)
       .getOrElse(math.min(cpus.toInt, 16))
+    // tunable for probes; default = cpus (the scale-appropriate setting —
+    // AQE coalesces the tiny ones at this SF, see BASELINE.md round 8)
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
