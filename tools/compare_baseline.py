@@ -2,8 +2,12 @@
 """Compare a Bench JSON line against the DuckDB baseline.
 
 Usage:
-  python3 tools/compare_baseline.py <bench.json or log containing it>
-  python3 tools/compare_baseline.py <bench.json> --live [--sf DIR] [--oracle FILE]
+  python3 tools/compare_baseline.py <stdout.log> [<stderr.log> ...]
+  python3 tools/compare_baseline.py <stdout.log> <stderr.log> --live [--sf DIR] [--oracle FILE]
+
+Bench prints the compact headline on stdout and the per-query detail
+line on stderr (the driver tail-captures stdout) — pass both logs to
+get per-query ratios.
 
 Default mode reads the stored per-query table in BASELINE.md. With
 --live, DuckDB is RE-MEASURED on this host right now under the identical
