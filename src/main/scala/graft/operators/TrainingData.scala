@@ -135,10 +135,15 @@ object TrainingData {
       .select(col("doc_id"), col("text"))
     val a = t.select(col("doc_id").as("a_id"), col("text").as("ta"))
     val b = t.select(col("doc_id").as("b_id"), col("text").as("tb"))
+    // the 3-arg bounded form early-exits the DP once the distance
+    // provably exceeds the threshold (returns -1 then) — O(k·min(n,m))
+    // instead of O(n·m) per pair, the difference that matters when the
+    // candidate-pair volume is real; exact distance is preserved for
+    // every kept pair
     broadcast(a).join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        levenshtein(col("ta"), col("tb")).as("dist"))
-      .filter(col("dist") <= 100)
+        levenshtein(col("ta"), col("tb"), 100).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= 100)
       .orderBy(col("a_id"), col("b_id"))
   }
 
