@@ -75,4 +75,38 @@ class IngestSpec extends SparkSpecBase {
     val plan = back.filter($"id" === 2L).queryExecution.executedPlan.toString
     assert("PushedFilters: \\[[^\\]]*id".r.findFirstIn(plan).isDefined, plan)
   }
+
+  test("media directory ingestion sniffs formats by magic bytes, not extension") {
+    import spark.implicits._
+    import graft.multimodal.{Jpeg, Mp4, Multimodal}
+    val dir = Files.createTempDirectory("graft_media").toFile.getAbsolutePath
+    def put(name: String, bytes: Array[Byte]): Unit =
+      Files.write(java.nio.file.Paths.get(dir, name), bytes)
+    // every file carries a LYING extension — only the magic may be trusted
+    put("a.dat", Multimodal.encodeWavPcm16(Array.fill[Short](64)(1000), 8000))
+    put("b.wav", Multimodal.encodeBmp24(4, 4, (_, _) => (10, 20, 30)))
+    put("c.bmp", Jpeg.encodeJpeg(Array.fill[Byte](8 * 8 * 3)(100.toByte), 8, 8))
+    put("d.jpg", Mp4.encodeMp4Minimal(64, 48, 1000, 10))
+    put("e.mp4", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
+    val rows = Ingest.readMediaDirectory(spark, dir).collect()
+      .map(r => new java.io.File(r.getAs[String]("path")).getName ->
+        (r.getAs[String]("format"), r.getAs[String]("kind"))).toMap
+    assert(rows("a.dat") == ("wav", "audio"))
+    assert(rows("b.wav") == ("bmp", "image"))
+    assert(rows("c.bmp") == ("jpeg", "image"))
+    assert(rows("d.jpg") == ("mp4", "video"))
+    assert(rows("e.mp4") == ("bin", "binary"))
+    // ids are deterministic path hashes; payloads survive byte-exact
+    val again = Ingest.readMediaDirectory(spark, dir).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Long]("media_id")).toMap
+    Ingest.readMediaDirectory(spark, dir).collect().foreach { r =>
+      assert(again(r.getAs[String]("path")) == r.getAs[Long]("media_id")) }
+    val wav = Ingest.readMediaDirectory(spark, dir, glob = "a.dat").collect()
+    assert(wav.length == 1)
+    val decoded = Multimodal.decodeWav(wav.head.getAs[Array[Byte]]("media"))
+    assert(decoded.sampleRate == 8000 && decoded.nSamples == 64)
+    // the size guard filters oversize payloads instead of reading them
+    assert(Ingest.readMediaDirectory(spark, dir, maxBytes = 16).collect()
+      .map(r => new java.io.File(r.getAs[String]("path")).getName).toSet == Set("e.mp4"))
+  }
 }
