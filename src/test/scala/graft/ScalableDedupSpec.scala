@@ -74,4 +74,28 @@ class ScalableDedupSpec extends SparkSpecBase {
     val pairs = ScalableDedup.minhashCandidates(d, "doc_id", "toks").collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
+
+  test("blocked levenshtein near-dup is sound and agrees with the probe form") {
+    // LSH blocking is probabilistic in RECALL (the documented trade) but
+    // must be SOUND: every blocked pair is a true bounded-distance pair
+    // with the exact same distance the all-pairs probe computes, and
+    // under the fixed seed the blocking is deterministic
+    val docs = Tables.documents(spark, sf()).filter($"doc_id" < 40)
+      .select($"doc_id", $"text")
+    def run() = ScalableDedup
+      .levenshteinNearDup(docs, "doc_id", "text", maxDist = 100,
+        maxJaccardDistance = 0.9, numHashTables = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val blocked = run()
+    val allPairs = graft.operators.TrainingData
+      .dedupLevenshtein(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked.subsetOf(allPairs), s"unsound: ${blocked -- allPairs}")
+    // the 40-doc window's near-dups overlap heavily in token sets, so
+    // blocking at 0.9 distance must recover a real share of them
+    assert(blocked.nonEmpty && blocked.size * 2 >= allPairs.size,
+      s"recall collapsed: ${blocked.size}/${allPairs.size}")
+    assert(blocked.forall { case (a, b, dd) => a < b && dd >= 0 && dd <= 100 })
+    assert(run() == blocked, "seeded blocking must be deterministic")
+  }
 }
