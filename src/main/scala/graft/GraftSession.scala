@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.Aggregates
+import graft.functions.{Aggregates, Hll}
 import graft.plans.{AsofJoin, LatestPerKeyRule}
 
 /** One-call session setup for the engine: a user switching to this library
@@ -43,6 +43,7 @@ object GraftSession {
     * (idempotent): custom aggregates + optimizer rules. */
   def enrich(spark: SparkSession): Unit = {
     Aggregates.register(spark)
+    Hll.register(spark) // graft_hll / graft_hll_sketch / graft_hll_merge
     LatestPerKeyRule.install(spark)
     AsofJoin.install(spark)
   }

@@ -14,6 +14,10 @@ class GraftSessionSpec extends SparkSpecBase {
     // the rule is installed exactly once
     assert(spark.experimental.extraOptimizations
       .count(_ == graft.plans.LatestPerKeyRule) == 1)
+    // the HLL family is callable from SQL after enrich
+    val h = spark.range(0, 1000)
+      .selectExpr("graft_hll(id) AS a").collect().head.getLong(0)
+    assert(math.abs(h - 1000.0) / 1000.0 < 0.05, s"graft_hll estimate $h")
   }
 
   test("configure applies the engine conventions to the session") {
