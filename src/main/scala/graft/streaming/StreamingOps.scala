@@ -84,6 +84,22 @@ object StreamingOps {
       .agg(count(lit(1)).as("c"), round(sum(col("value")), 2).as("s"))
       .select(col("w.start").as("wstart"), col("event_type"), col("c"), col("s"))
 
+  /** Streaming approximate distinct users per hourly window on the
+    * hand-built HLL aggregate (functions/Hll): the state store holds ONE
+    * 4 KB register buffer per open window — bounded however many
+    * distinct users flow through — where exact streaming countDistinct
+    * would have to hold every user id in state. The buffer serializes
+    * through TypedImperativeAggregate's serialize/deserialize, so
+    * checkpoint/restore and cross-batch merge are the same lossless
+    * register-max union the batch path uses. */
+  def approxDistinctPerWindow(events: DataFrame,
+      watermark: String = "1 day"): DataFrame = {
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.Hll.hll(col("user_id")).as("approx_users"))
+      .select(col("w.start").as("wstart"), col("approx_users"))
+  }
+
   /** Twin of TimeSeries.streamSliding: 60-minute windows sliding every 30
     * minutes — window() assigns each event to both overlapping windows,
     * which is exactly the explode-candidates plan the batch form uses. */

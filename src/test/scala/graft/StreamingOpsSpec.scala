@@ -48,6 +48,25 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(got == batch)
   }
 
+  test("streaming HLL distinct-per-window equals the batch estimate exactly") {
+    // the register-max union is deterministic, so the streaming estimate
+    // must EQUAL the batch aggregate over the same rows, window for window
+    val got = runStream(StreamingOps.approxDistinctPerWindow(stream()),
+        "t_hll", "complete")
+      .collect().map(r => r.getTimestamp(0).getTime / 1000 -> r.getLong(1)).toMap
+    val batch = eventsDF(rows.toDF())
+      .groupBy(date_trunc("hour", $"ts").as("wstart"))
+      .agg(graft.functions.Hll.hll($"user_id").as("a"))
+      .collect().map(r => r.getTimestamp(0).getTime / 1000 -> r.getLong(1)).toMap
+    assert(got == batch)
+    // and at this tiny cardinality the estimate is exact
+    val exact = eventsDF(rows.toDF())
+      .groupBy(date_trunc("hour", $"ts").as("wstart"))
+      .agg(countDistinct($"user_id").as("e"))
+      .collect().map(r => r.getTimestamp(0).getTime / 1000 -> r.getLong(1)).toMap
+    assert(got == exact)
+  }
+
   test("streaming sliding assigns each event to two windows") {
     val got = runStream(StreamingOps.sliding(stream()), "t_slide", "complete")
     assert(got.agg(sum($"c")).collect().head.getLong(0) == rows.size * 2)
