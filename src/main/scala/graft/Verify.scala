@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -17,12 +17,22 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir, SparkEntry.queries, SparkEntry.oracleSql)
+    spark.stop()
+  }
+
+  /** Dump every query's result + the oracle SQL + explicit error
+    * artifacts. Factored out of main so the failure-visibility contract
+    * is testable: a query that throws MUST leave `<out>/<name>._error`
+    * and an `errors.json` row — round 7 proved that a silent skip lets
+    * the correctness gate omit the row and a broken query read as
+    * "not checked" instead of "failed". Returns the error map. */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      oracleSql: Map[String, String]): Map[String, String] = {
     new java.io.File(outDir).mkdirs()
-    // A query that throws must leave an explicit error artifact — round 7
-    // proved that a silent skip lets the correctness gate omit the row and
-    // a broken query read as "not checked" instead of "failed".
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -45,14 +55,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     System.err.println(
-      s"[verify] ${SparkEntry.queries.size - errors.size}/${SparkEntry.queries.size} dumped, ${errors.size} failed")
-    spark.stop()
+      s"[verify] ${queries.size - errors.size}/${queries.size} dumped, ${errors.size} failed")
+    errors.toMap
   }
 }
