@@ -21,16 +21,29 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
+    val metrics = new StringBuilder
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       sb.append(s"\n========== $name ==========\n")
       try {
         val df = fn(spark, sfDir)
-        sb.append(df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
+        val formatted = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        sb.append(formatted)
+        // structural plan metrics — diffable across rounds: a broadcast
+        // that silently became a shuffle, or a new global window, shows
+        // up as a one-line JSON diff instead of a 3000-line plan diff
+        def n(re: String): Int = re.r.findAllIn(formatted).length
+        metrics.append(
+          s"""{"query":"$name","exchanges":${n("""\(\d+\) Exchange""")},""" +
+            s""""broadcasts":${n("""\(\d+\) BroadcastExchange""")},""" +
+            s""""windows":${n("""\(\d+\) Window""")},""" +
+            s""""sorts":${n("""\(\d+\) Sort""")},""" +
+            s""""bnlj":${n("BroadcastNestedLoopJoin")}}""" + "\n")
       } catch { case e: Throwable => sb.append(s"ERROR: ${e.getMessage}\n") }
     }
     Files.writeString(Paths.get(out), sb.toString)
-    println(s"wrote $out")
+    Files.writeString(Paths.get(out + ".metrics.jsonl"), metrics.toString)
+    println(s"wrote $out and ${out}.metrics.jsonl")
     spark.stop()
   }
 }

@@ -401,7 +401,9 @@ class GlobalRankSpec extends SparkSpecBase {
 
   test("judged plans contain no unbounded partition-less Window (scale-killer regression)") {
     for (q <- Seq(Windows.winRankDense _, Windows.winNtilePctrank _,
-        Windows.winDenseRankGlobal _, Windows.winRankStringGlobal _)) {
+        Windows.winDenseRankGlobal _, Windows.winRankStringGlobal _,
+        Windows.winCumeDist _,
+        graft.operators.TrainingData.llmPackSequences _)) {
       val df = q(spark, sf())
       val bad = globalWindows(df)
       assert(bad.isEmpty,
