@@ -159,22 +159,24 @@ object Windows {
   }
 
   /** #23e global `cume_dist` WITHOUT a single-partition window:
-    * cume_dist(v) = rows(value <= v) / n = (ascending tie-min rank − 1
-    * + tie count) / n. The rank comes from GlobalRank's counts-only
-    * path (per-value counts + weighted prefix sums — no window task
-    * ever holds a hot value's row mass), the tie count from the same
-    * distributed per-value aggregate, and n rides a broadcast 1-row
-    * cross join. The oracle uses the plain global window; this
-    * distributed form must be invisible. */
+    * cume_dist(v) = rows(value <= v) / n, and rows(<= v) is exactly the
+    * inclusive weighted prefix sum of the per-value counts in value
+    * order — one [[GlobalRank.runningTotal]] over the DISTINCT-value
+    * table (bounded by value cardinality, never by row skew; a value
+    * owning half the data is ONE row there), then an equi-join attaches
+    * the cumulative count back to the rows and a broadcast 1-row total
+    * divides. The oracle uses the plain global window; this distributed
+    * form must be invisible. */
   def winCumeDist(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("event_id"), col("value"))
     val counts = ev.groupBy(col("value")).agg(count(lit(1)).as("_c"))
+    val cum = GlobalRank.runningTotal(counts, "value", "_c", "_cum")
+      .select(col("value"), col("_cum"))
     val nDf = ev.agg(count(lit(1)).as("_n"))
-    GlobalRank.rankOfValues(ev, "value", desc = false, "_r")
-      .join(counts, Seq("value"))
+    ev.join(cum, Seq("value"))
       .crossJoin(broadcast(nDf))
       .select(col("event_id"),
-        round((col("_r") - lit(1L) + col("_c")).cast("double") / col("_n"), 6).as("cd"))
+        round(col("_cum").cast("double") / col("_n"), 6).as("cd"))
       .orderBy(col("event_id"))
       .limit(500)
   }
