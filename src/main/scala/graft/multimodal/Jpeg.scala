@@ -14,7 +14,8 @@ import java.io.ByteArrayOutputStream
   * restart intervals (DRI / RSTn), byte-stuffing removal. Progressive
   * (SOF2) and arithmetic coding are rejected with a clear error.
   *
-  * Encoder: baseline 4:4:4 (and 1-component grayscale) with the Annex K
+  * Encoder: baseline 4:4:4 / 4:2:2 / 4:2:0 (box-averaged chroma) and
+  * 1-component grayscale, with the Annex K
   * example quantization/Huffman tables, libjpeg-style quality scaling —
   * enough to synthesize decodable fixtures anywhere and to round-trip
   * against the decoder within quantization error. The encoder exists so
@@ -209,10 +210,18 @@ object Jpeg {
 
   /** Encode interleaved RGB (3 bytes/pixel, row-major) — or grayscale
     * when channels == 1 — as a baseline JFIF JPEG. */
+  /** `lumaH`/`lumaV` select chroma subsampling (luma sampling factors;
+    * chroma is always 1×1): (1,1) = 4:4:4, (2,1) = 4:2:2, (2,2) = 4:2:0.
+    * Chroma samples are box averages of the covered luma pixels. */
   def encodeJpeg(pixels: Array[Byte], width: Int, height: Int,
       channels: Int = 3, quality: Int = 85,
-      restartInterval: Int = 0): Array[Byte] = {
+      restartInterval: Int = 0,
+      lumaH: Int = 1, lumaV: Int = 1): Array[Byte] = {
     require(channels == 1 || channels == 3, s"channels must be 1 or 3, got $channels")
+    require(lumaH >= 1 && lumaH <= 2 && lumaV >= 1 && lumaV <= 2,
+      s"luma sampling factors must be 1 or 2, got ${lumaH}x$lumaV")
+    require(channels == 3 || (lumaH == 1 && lumaV == 1),
+      "grayscale has no chroma to subsample")
     require(pixels.length == width * height * channels,
       s"pixel buffer ${pixels.length} != $width*$height*$channels")
     val qLum = scaleQ(QLumBase, quality)
@@ -234,7 +243,7 @@ object Jpeg {
     // SOF0
     marker(0xc0); u16(8 + 3 * channels); out.write(8); u16(height); u16(width)
     out.write(channels)
-    out.write(1); out.write(0x11); out.write(0) // Y 1x1, qtable 0
+    out.write(1); out.write(lumaH << 4 | lumaV); out.write(0) // Y sampling, qtable 0
     if (channels == 3) {
       out.write(2); out.write(0x11); out.write(1)
       out.write(3); out.write(0x11); out.write(1)
@@ -281,12 +290,20 @@ object Jpeg {
         }
       }
     }
-    def encodeBlock(comp: Int, bx: Int, by: Int): Unit = {
+    // chroma plane value at chroma coords: box average of the covered
+    // luma-resolution pixels (the standard downsampling filter)
+    def chromaSample(comp: Int, cx: Int, cy: Int): Double = {
+      var sum = 0.0
+      for (j <- 0 until lumaV; i <- 0 until lumaH)
+        sum += sample(comp, cx * lumaH + i, cy * lumaV + j)
+      sum / (lumaH * lumaV)
+    }
+    def encodeBlockF(comp: Int, f: (Int, Int) => Double, px0: Int, py0: Int): Unit = {
       val isLum = comp == 0
       val q = if (isLum) qLum else qChrom
       val block = new Array[Double](64)
       for (y <- 0 until 8; x <- 0 until 8)
-        block(y * 8 + x) = sample(comp, bx * 8 + x, by * 8 + y) - 128.0
+        block(y * 8 + x) = f(px0 + x, py0 + y) - 128.0
       val coef = fdct(block)
       val zz = new Array[Int](64)
       for (i <- 0 until 64) {
@@ -318,16 +335,25 @@ object Jpeg {
       }
       if (lastNz < 63) { val ei = acIdx(0x00); bw.put(acCodes(ei), acLens(ei)) }
     }
-    val bw8 = (width + 7) / 8; val bh8 = (height + 7) / 8
-    var mcu = 0 // 4:4:4 — one MCU per 8x8 block position
-    for (by <- 0 until bh8; bx <- 0 until bw8) {
+    val mcuW = 8 * lumaH; val mcuH = 8 * lumaV
+    val mcusX = (width + mcuW - 1) / mcuW
+    val mcusY = (height + mcuH - 1) / mcuH
+    var mcu = 0
+    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         // byte-align (1-padded), emit RSTn (n cycles 0-7), reset DC preds
         bw.align()
         out.write(0xff); out.write(0xd0 + ((mcu / restartInterval - 1) % 8))
         java.util.Arrays.fill(prevDc, 0)
       }
-      for (comp <- 0 until channels) encodeBlock(comp, bx, by)
+      // interleaved MCU: lumaH×lumaV Y blocks, then one Cb and one Cr
+      // block at chroma (1×1) resolution
+      for (bv <- 0 until lumaV; bh <- 0 until lumaH)
+        encodeBlockF(0, sample(0, _, _), (mx * lumaH + bh) * 8, (my * lumaV + bv) * 8)
+      if (channels == 3) {
+        encodeBlockF(1, chromaSample(1, _, _), mx * 8, my * 8)
+        encodeBlockF(2, chromaSample(2, _, _), mx * 8, my * 8)
+      }
       mcu += 1
     }
     bw.flush()

@@ -127,6 +127,23 @@ class JpegSpec extends AnyFunSuite {
     assert(img.getWidth == w && img.getHeight == h)
   }
 
+  test("4:2:0 and 4:2:2 chroma subsampling round-trip through our decoder") {
+    val (w, h) = (52, 38) // non-multiple of every MCU size
+    val src = gradient(w, h)
+    for ((lh, lv, label) <- Seq((2, 2, "4:2:0"), (2, 1, "4:2:2"))) {
+      val jpg = Jpeg.encodeJpeg(src, w, h, quality = 95, lumaH = lh, lumaV = lv)
+      val (dw, dh, n, rgb) = Jpeg.decodePixels(jpg)
+      assert(dw == w && dh == h && n == 3, label)
+      // chroma varies slowly on the gradient card, so averaged-then-
+      // replicated chroma costs only a few code values beyond 4:4:4
+      assert(maxAbsDiff(src, rgb) <= 40, s"$label max error ${maxAbsDiff(src, rgb)}")
+      // the JDK's independent decoder agrees the subsampled stream is legal
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+      assume(img != null, "JDK has no JPEG reader in this environment")
+      assert(img.getWidth == w && img.getHeight == h, label)
+    }
+  }
+
   test("corrupt payloads fail loudly, not silently") {
     intercept[IllegalArgumentException](Jpeg.decodePixels(Array[Byte](1, 2, 3)))
     val good = Jpeg.encodeJpeg(gradient(16, 16), 16, 16)
