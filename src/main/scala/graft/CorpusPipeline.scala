@@ -149,7 +149,9 @@ object CorpusPipeline {
       .packChunks(curated, "doc_id", "text", budget)
     chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
     val back = spark.read.parquet(s"$outDir/chunks")
-    (back.count(), back.agg(sum(col("n_docs"))).collect().head.getLong(0))
+    // sum over zero rows is NULL — an empty curated corpus packs to (0,0)
+    (back.count(), back.agg(coalesce(sum(col("n_docs")), lit(0L)))
+      .collect().head.getLong(0))
   }
 
   /** Signature-store schema: one row per document ever admitted to the

@@ -32,12 +32,14 @@ object Explain {
         // structural plan metrics — diffable across rounds: a broadcast
         // that silently became a shuffle, or a new global window, shows
         // up as a one-line JSON diff instead of a 3000-line plan diff
+        // (?![A-Za-z]) pins the node NAME: "Window" must not also count
+        // WindowGroupLimit, nor "Sort" count SortMergeJoin/SortAggregate
         def n(re: String): Int = re.r.findAllIn(formatted).length
         metrics.append(
-          s"""{"query":"$name","exchanges":${n("""\(\d+\) Exchange""")},""" +
-            s""""broadcasts":${n("""\(\d+\) BroadcastExchange""")},""" +
-            s""""windows":${n("""\(\d+\) Window""")},""" +
-            s""""sorts":${n("""\(\d+\) Sort""")},""" +
+          s"""{"query":"$name","exchanges":${n("""\(\d+\) Exchange(?![A-Za-z])""")},""" +
+            s""""broadcasts":${n("""\(\d+\) BroadcastExchange(?![A-Za-z])""")},""" +
+            s""""windows":${n("""\(\d+\) Window(?![A-Za-z])""")},""" +
+            s""""sorts":${n("""\(\d+\) Sort(?![A-Za-z])""")},""" +
             s""""bnlj":${n("BroadcastNestedLoopJoin")}}""" + "\n")
       } catch { case e: Throwable => sb.append(s"ERROR: ${e.getMessage}\n") }
     }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, If, IsNull, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 import org.apache.spark.sql.{Column, SparkSession}
@@ -143,7 +143,14 @@ object Hll {
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression = copy(child = c.head)
   }
 
-  private def hash64(e: Expression): Expression = XxHash64(Seq(e), 42L)
+  /** Null-safe 64-bit hash: XxHash64 SKIPS null children (returning the
+    * bare seed), which would make every null row hash to one constant
+    * value and count as a distinct element. count(DISTINCT) semantics —
+    * which graft_hll mirrors — exclude nulls, so nulls must yield a null
+    * hash that update() then skips. */
+  private def hash64(e: Expression): Expression =
+    If(IsNull(e), Literal.create(null, org.apache.spark.sql.types.LongType),
+      XxHash64(Seq(e), 42L))
 
   import org.apache.spark.sql.graftbridge.GraftBridge
 
@@ -154,9 +161,17 @@ object Hll {
     GraftBridge.column(HllSketchAgg(hash64(GraftBridge.expression(c))).toAggregateExpression())
   def hllMerge(c: Column): Column =
     GraftBridge.column(HllMergeAgg(GraftBridge.expression(c)).toAggregateExpression())
-  /** Scalar estimate of one persisted sketch (no aggregation). */
+  /** Scalar estimate of one persisted sketch (no aggregation). Null
+    * sketches (e.g. outer-join misses) yield null; a binary of the wrong
+    * width fails loudly instead of mis-estimating garbage. */
   def hllEstimate(c: Column): Column = {
-    val f = org.apache.spark.sql.functions.udf((b: Array[Byte]) => estimate(b))
+    val f = org.apache.spark.sql.functions.udf((b: Array[Byte]) =>
+      if (b == null) None
+      else {
+        require(b.length == M,
+          s"hllEstimate: sketch must be $M bytes, got ${b.length}")
+        Some(estimate(b))
+      })
     f(c)
   }
 

@@ -429,6 +429,41 @@ object Jpeg {
   private case class Component(id: Int, h: Int, v: Int, qId: Int,
       var dcT: Int = 0, var acT: Int = 0)
 
+  /** Cheap capability sniff for the feature dispatch: SOI present and the
+    * first frame marker is one this decoder handles (baseline SOF0/SOF1,
+    * Huffman). Progressive (SOF2), hierarchical, arithmetic-coded, and
+    * 12-bit streams — all spec-VALID JPEGs this decoder does not cover —
+    * return false so callers can route them to a stub instead of failing
+    * a whole curation job on one crawl image. Corrupt/truncated payloads
+    * also return false here; decodePixels stays the loud path. */
+  def looksDecodable(bytes: Array[Byte]): Boolean = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return false
+    def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    var pos = 2
+    while (pos + 2 <= bytes.length) {
+      if ((bytes(pos) & 0xff) != 0xff) return false
+      var mo = pos + 1
+      while (mo < bytes.length && (bytes(mo) & 0xff) == 0xff) mo += 1
+      if (mo >= bytes.length) return false
+      val m = bytes(mo) & 0xff
+      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+        // a frame marker: decodable iff baseline Huffman 8-bit
+        return (m == 0xc0 || m == 0xc1) &&
+          mo + 4 < bytes.length && (bytes(mo + 3) & 0xff) == 8
+      }
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos = mo + 1
+      else if (m == 0xd9 || m == 0xda) return false // ended before any SOF
+      else {
+        if (mo + 3 > bytes.length) return false
+        val len = u16(mo + 1)
+        if (len < 2 || mo + 1 + len > bytes.length) return false
+        pos = mo + 1 + len
+      }
+    }
+    false
+  }
+
   /** Decode a baseline JPEG to (width, height, nComponents, RGB bytes) —
     * grayscale replicates Y into all three channels. */
   private[graft] def decodePixels(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
@@ -445,14 +480,26 @@ object Jpeg {
     var restartInterval = 0
     var sosAt = -1
     while (sosAt < 0) {
-      if (pos + 4 > bytes.length) fail("truncated before SOS")
+      if (pos + 2 > bytes.length) fail("truncated before SOS")
       if ((bytes(pos) & 0xff) != 0xff) fail(f"expected marker at $pos, got ${bytes(pos)}%02x")
-      val m = bytes(pos + 1) & 0xff
-      val len = u16(pos + 2)
-      m match {
+      // T.81 B.1.1.2: any number of 0xFF fill bytes may pad before the
+      // marker code — skip them instead of misreading one as a marker
+      var mo = pos + 1
+      while (mo < bytes.length && (bytes(mo) & 0xff) == 0xff) mo += 1
+      if (mo >= bytes.length) fail("truncated before SOS")
+      val m = bytes(mo) & 0xff
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        pos = mo + 1 // TEM / stray RSTn: segment-less, no length field
+      } else {
+        val p = mo - 1 // p+1 = marker code, p+2..3 = segment length
+        if (p + 4 > bytes.length) fail("truncated before SOS")
+        val len = u16(p + 2)
+        if (len < 2 || p + 2 + len > bytes.length)
+          fail(f"segment for marker $m%02x overruns payload")
+        m match {
         case 0xdb => // DQT — possibly several tables in one segment
-          var o = pos + 4
-          while (o < pos + 2 + len) {
+          var o = p + 4
+          while (o < p + 2 + len) {
             val prec = (bytes(o) & 0xff) >> 4; val id = bytes(o) & 0x0f
             if (prec != 0) fail("16-bit quant tables unsupported (baseline)")
             val q = new Array[Int](64)
@@ -460,8 +507,8 @@ object Jpeg {
             qTables(id) = q; o += 65
           }
         case 0xc4 => // DHT — possibly several tables in one segment
-          var o = pos + 4
-          while (o < pos + 2 + len) {
+          var o = p + 4
+          while (o < p + 2 + len) {
             val clazz = (bytes(o) & 0xff) >> 4; val id = bytes(o) & 0x0f
             val bits = new Array[Int](17)
             var n = 0
@@ -473,12 +520,12 @@ object Jpeg {
             o += 17 + n
           }
         case 0xc0 | 0xc1 => // SOF0/1 baseline
-          if ((bytes(pos + 4) & 0xff) != 8) fail("only 8-bit precision supported")
-          height = u16(pos + 5); width = u16(pos + 7)
-          val n = bytes(pos + 9) & 0xff
+          if ((bytes(p + 4) & 0xff) != 8) fail("only 8-bit precision supported")
+          height = u16(p + 5); width = u16(p + 7)
+          val n = bytes(p + 9) & 0xff
           if (n != 1 && n != 3) fail(s"unsupported component count $n")
           comps = (0 until n).map { i =>
-            val o = pos + 10 + 3 * i
+            val o = p + 10 + 3 * i
             val hv = bytes(o + 1) & 0xff
             Component(bytes(o) & 0xff, hv >> 4, hv & 0x0f, bytes(o + 2) & 0xff)
           }.toArray
@@ -488,22 +535,23 @@ object Jpeg {
           }
         case 0xc2 => fail("progressive JPEG (SOF2) unsupported — baseline only")
         case 0xc9 | 0xca | 0xcb => fail("arithmetic coding unsupported")
-        case 0xdd => restartInterval = u16(pos + 4)
+        case 0xdd => restartInterval = u16(p + 4)
         case 0xda => // SOS
-          val ns = bytes(pos + 4) & 0xff
+          val ns = bytes(p + 4) & 0xff
           for (i <- 0 until ns) {
-            val cid = bytes(pos + 5 + 2 * i) & 0xff
-            val tt = bytes(pos + 6 + 2 * i) & 0xff
+            val cid = bytes(p + 5 + 2 * i) & 0xff
+            val tt = bytes(p + 6 + 2 * i) & 0xff
             comps.find(_.id == cid).getOrElse(fail(s"SOS names unknown component $cid"))
               .dcT = tt >> 4
             comps.find(_.id == cid).get.acT = tt & 0x0f
           }
-          sosAt = pos + 2 + len
+          sosAt = p + 2 + len
         case 0xd9 => fail("EOI before SOS")
         case _ => // APPn / COM / others: skip
+        }
+        pos = p + 2 + len
+        if (sosAt >= 0) pos = sosAt
       }
-      pos += 2 + len
-      if (sosAt >= 0) pos = sosAt
     }
     if (comps == null) fail("missing SOF before SOS")
     val hMax = comps.map(_.h).max; val vMax = comps.map(_.v).max

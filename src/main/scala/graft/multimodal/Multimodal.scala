@@ -751,7 +751,12 @@ object Multimodal {
             val p = decodePng(r.media)
             pad(Array(p.width.toDouble, p.height.toDouble, p.channels.toDouble,
               p.meanR, p.meanG, p.meanB, p.meanLuma), dim)
-          case "jpg" | "jpeg" =>
+          case "jpg" | "jpeg" if Jpeg.looksDecodable(r.media) =>
+            // spec-valid JPEGs OUTSIDE the baseline-Huffman subset
+            // (progressive, arithmetic, 12-bit — common in web crawls)
+            // and payloads whose marker stream doesn't parse route to
+            // the stub instead of killing the job; Jpeg.decodeJpeg
+            // itself stays the loud path for direct callers
             val j = Jpeg.decodeJpeg(r.media)
             pad(Array(j.width.toDouble, j.height.toDouble, j.components.toDouble,
               j.meanR, j.meanG, j.meanB, j.meanLuma), dim)

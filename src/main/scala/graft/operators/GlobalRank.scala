@@ -314,15 +314,18 @@ object GlobalRank {
         s"runningTotal: null in '$orderCol' (a null has no position in " +
           "the running order; filter it first)")))
       .otherwise(col(orderCol))
+    // the guard must fire on EVERY branch — replacing orderCol with its
+    // guarded form keeps the degenerate single-bucket path loud too
+    val g = df.withColumn(orderCol, guarded)
     val bucketed =
-      if (b <= 1) df.withColumn(bC, lit(0))
+      if (b <= 1) g.withColumn(bC, lit(0))
       else {
         val spC = fresh(df, "_rt_splits")
         val probs = array((1 until b).map(i => lit(i.toDouble / b)): _*)
         val splitsDf = df.agg(
           percentile_approx(col(orderCol), probs, lit(1000)).as(spC))
-        df.crossJoin(broadcast(splitsDf))
-          .withColumn(bC, bucketExprOf(guarded, col(spC), desc = false))
+        g.crossJoin(broadcast(splitsDf))
+          .withColumn(bC, bucketExprOf(col(orderCol), col(spC), desc = false))
           .drop(spC)
       }
     val offC = fresh(df, "_off")

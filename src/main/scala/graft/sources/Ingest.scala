@@ -149,6 +149,12 @@ object Ingest {
         kind.as("kind"),
         col("content").as("media"),
         col("format"),
+        // dimension/rate metadata is unknown until decode — zeros keep
+        // the row `.as[Multimodal.MediaRow]`-compatible (the extra
+        // path/n_bytes columns are dropped by the encoder's by-name bind)
+        lit(0).as("width"),
+        lit(0).as("height"),
+        lit(0).as("sample_rate"),
         col("path"),
         col("length").as("n_bytes"))
   }

@@ -32,9 +32,14 @@ object StreamingOps {
     * deployment path for the ingestor. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the directory may not hold events.parquet YET (the ingestor
+    // deployment starts the stream first) — fall back to the current
+    // writer's encoding (µs TIMESTAMP_NTZ since the 2026-08-13 regen)
+    // instead of failing at stream definition time
     val tsType =
-      spark.read.option("pathGlobFilter", "events.parquet").parquet(dir)
+      try spark.read.option("pathGlobFilter", "events.parquet").parquet(dir)
         .schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => TimestampNTZType }
     val schema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", tsType),

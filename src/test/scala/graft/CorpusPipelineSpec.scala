@@ -49,6 +49,14 @@ class CorpusPipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("toTrainingChunks over an empty curated corpus returns (0, 0)") {
+    val out = java.nio.file.Files.createTempDirectory("corpus_empty").toString
+    // a batch where nothing survives the quality gate
+    val junk = Seq((1L, "!!! ;;; ??? 123")).toDF("doc_id", "text")
+    CorpusPipeline.curate(spark, junk, out, minQuality = 0.2)
+    assert(CorpusPipeline.toTrainingChunks(spark, out, budget = 64) == ((0L, 0L)))
+  }
+
   test("curate with a benchmark quarantines contaminated docs and scrubs PII") {
     val piiDoc = long2 + " reach me at owner@example.net thanks"
     val docsPii = Seq((1L, long1), (4L, piiDoc)).toDF("doc_id", "text")

@@ -397,6 +397,11 @@ class GlobalRankSpec extends SparkSpecBase {
       GlobalRank.runningTotal(withNull, "doc_id", "w", "cum").collect()
     }
     assert(e.getMessage != null && e.getMessage.contains("runningTotal"))
+    // the degenerate single-bucket branch must be just as loud
+    val e1 = intercept[Exception] {
+      GlobalRank.runningTotal(withNull, "doc_id", "w", "cum", buckets = 1).collect()
+    }
+    assert(e1.getMessage != null && e1.getMessage.contains("runningTotal"))
   }
 
   test("judged plans contain no unbounded partition-less Window (scale-killer regression)") {

@@ -74,6 +74,20 @@ class HllSpec extends SparkSpecBase {
     assert(relErr(a, exact) < 0.05)
   }
 
+  test("nulls are excluded, matching count(DISTINCT) semantics") {
+    val df = Seq(Some("a"), Some("b"), None, None).toDF("v")
+    val row = df.agg(Hll.hll($"v").as("h"), countDistinct($"v").as("e"))
+      .collect().head
+    assert(row.getLong(0) == 2L && row.getLong(1) == 2L,
+      s"hll=${row.getLong(0)} exact=${row.getLong(1)}")
+    // estimate of a persisted null sketch is null, wrong width fails loudly
+    val withNull = Seq(Tuple1(Option.empty[Array[Byte]])).toDF("sk")
+    assert(withNull.select(Hll.hllEstimate($"sk")).collect().head.isNullAt(0))
+    val bad = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("sk")
+    val e = intercept[Exception](bad.select(Hll.hllEstimate($"sk")).collect())
+    assert(e.getMessage != null)
+  }
+
   test("map-side combine shape: partial aggregation present in the plan") {
     val plan = Tables.events(spark, sf())
       .groupBy($"event_type").agg(Hll.hll($"user_id"))

@@ -108,5 +108,14 @@ class IngestSpec extends SparkSpecBase {
     // the size guard filters oversize payloads instead of reading them
     assert(Ingest.readMediaDirectory(spark, dir, maxBytes = 16).collect()
       .map(r => new java.io.File(r.getAs[String]("path")).getName).toSet == Set("e.mp4"))
+    // the advertised hand-off actually typechecks: rows bind to MediaRow
+    // (extra path/n_bytes columns are dropped by the by-name encoder)
+    val asRows = Ingest.readMediaDirectory(spark, dir)
+      .as[Multimodal.MediaRow].collect()
+    assert(asRows.length == 5 && asRows.forall(_.width == 0))
+    val feats = Multimodal.decodeFeatures(
+      Ingest.readMediaDirectory(spark, dir, glob = "a.dat")
+        .as[Multimodal.MediaRow]).collect()
+    assert(feats.length == 1 && feats.head.features(0) == 8000.0f) // real WAV decode
   }
 }

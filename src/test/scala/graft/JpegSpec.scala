@@ -144,6 +144,26 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("fill bytes before markers are legal; capability sniff routes right") {
+    val good = Jpeg.encodeJpeg(gradient(16, 16), 16, 16)
+    // inject 0xFF fill padding between SOI and the first segment
+    // (T.81 B.1.1.2 allows any number of fill bytes)
+    val padded = good.take(2) ++ Array.fill[Byte](3)(0xff.toByte) ++ good.drop(2)
+    val (w, h, _, _) = Jpeg.decodePixels(padded)
+    assert(w == 16 && h == 16)
+    assert(Jpeg.looksDecodable(good) && Jpeg.looksDecodable(padded))
+    // a progressive (SOF2) stream is VALID jpeg we cannot decode: the
+    // sniff must say no (so the feature dispatch stubs instead of dying)
+    val progressive = good.clone()
+    val sofAt = progressive.sliding(2).indexWhere(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc0)
+    progressive(sofAt + 1) = 0xc2.toByte
+    assert(!Jpeg.looksDecodable(progressive))
+    intercept[IllegalArgumentException](Jpeg.decodePixels(progressive))
+    assert(!Jpeg.looksDecodable(Array[Byte](1, 2, 3)))
+    assert(!Jpeg.looksDecodable(good.take(6))) // truncated before any SOF
+  }
+
   test("corrupt payloads fail loudly, not silently") {
     intercept[IllegalArgumentException](Jpeg.decodePixels(Array[Byte](1, 2, 3)))
     val good = Jpeg.encodeJpeg(gradient(16, 16), 16, 16)

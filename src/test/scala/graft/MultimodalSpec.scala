@@ -194,6 +194,23 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got.length == 1 && got.head.features.length == 4)
   }
 
+  test("a non-baseline JPEG under the jpeg tag stubs instead of killing the job") {
+    import graft.multimodal.Jpeg
+    val good = Jpeg.encodeJpeg(Array.fill[Byte](8 * 8 * 3)(99.toByte), 8, 8)
+    val progressive = good.clone()
+    val sofAt = progressive.sliding(2).indexWhere(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc0)
+    progressive(sofAt + 1) = 0xc2.toByte
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", good, "jpeg", 8, 8, 0),
+      Multimodal.MediaRow(2L, "image", progressive, "jpeg", 8, 8, 0)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val got = Multimodal.decodeFeatures(ds, dim = 8).collect()
+      .map(f => f.media_id -> f.features).toMap
+    assert(got(1L)(0) == 8.0f && got(1L)(1) == 8.0f) // real decode
+    assert(got(2L)(0) != 8.0f || got(2L)(1) != 8.0f) // stub hash path
+  }
+
   test("decodeFeatures dispatches: real stats for wav/bmp, stub for the rest") {
     val wavBytes = Multimodal.encodeWavPcm16(Array[Short](100, -100, 100, -100), 16000)
     val bmpBytes = Multimodal.encodeBmp24(2, 2, (_, _) => (10, 20, 30))
