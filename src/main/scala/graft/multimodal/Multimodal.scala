@@ -334,9 +334,31 @@ object Multimodal {
       Option(r.format).map(_.toLowerCase) match {
         case Some("bmp") => Some((r.media_id, bmpAHash(r.media)))
         case Some("png") => Some((r.media_id, pngAHash(r.media)))
+        // baseline-decodable JPEGs join the same grid (a JPEG and a PNG
+        // of the same pixels are near-dups); non-baseline JPEG payloads
+        // are skipped like any other unhashable format — lossy
+        // quantization never flips enough aHash bits to matter at the
+        // hamming radii used here
+        case Some("jpg") | Some("jpeg") if Jpeg.looksDecodable(r.media) =>
+          Some((r.media_id, jpegAHash(r.media)))
         case _ => None
       }
     }.toDF("media_id", "sig")
+  }
+
+  /** aHash of a baseline JPEG through the SAME grid as bmp/png — decode
+    * to RGB, reorder to the grid's BGR convention, hash. */
+  def jpegAHash(bytes: Array[Byte]): Long = {
+    val (w, h, _, rgb) = Jpeg.decodePixels(bytes)
+    val bgr = new Array[Byte](3 * w * h)
+    val n = w * h
+    var i = 0
+    while (i < n) {
+      val s = i * 3; val d = i * 3
+      bgr(d) = rgb(s + 2); bgr(d + 1) = rgb(s + 1); bgr(d + 2) = rgb(s)
+      i += 1
+    }
+    ahashOfGrid(boxGrid(bgr, w, h, 0, 3 * w, bottomUp = false, 8, 8))
   }
 
   /** Near-dup pairs over PRECOMPUTED 64-bit media signatures

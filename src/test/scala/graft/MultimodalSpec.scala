@@ -194,6 +194,34 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got.length == 1 && got.head.features.length == 4)
   }
 
+  test("a JPEG and a BMP of the same pixels are cross-container near-dups") {
+    import graft.multimodal.Jpeg
+    val (w, h) = (32, 32)
+    // structured image (not noise): JPEG quantization must not flip
+    // enough aHash bits to break the pairing
+    val px = Array.tabulate(h, w)((y, x) =>
+      if ((x / 8 + y / 8) % 2 == 0) (220, 220, 220) else (30, 30, 30))
+    val bmp = Multimodal.encodeBmp24(w, h, (x, y) => px(y)(x))
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      rgb(o) = px(y)(x)._1.toByte; rgb(o + 1) = px(y)(x)._2.toByte
+      rgb(o + 2) = px(y)(x)._3.toByte
+    }
+    val jpg = Jpeg.encodeJpeg(rgb, w, h, quality = 90)
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", bmp, "bmp", w, h, 0),
+      Multimodal.MediaRow(2L, "image", jpg, "jpeg", w, h, 0)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val sigs = Multimodal.imageAHashes(ds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs.keySet == Set(1L, 2L))
+    val hamming = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
+    assert(hamming <= 3, s"cross-container hamming $hamming")
+    val pairs = Multimodal.imageNearDups(ds, maxHamming = 3).collect()
+    assert(pairs.length == 1)
+  }
+
   test("a non-baseline JPEG under the jpeg tag stubs instead of killing the job") {
     import graft.multimodal.Jpeg
     val good = Jpeg.encodeJpeg(Array.fill[Byte](8 * 8 * 3)(99.toByte), 8, 8)
