@@ -22,6 +22,11 @@ object Oracle {
     // re-layout (row-group pruning), which must be semantically invisible
     "scan_range_pruned" ->
       "SELECT l_orderkey, count(*) AS n, round(sum(l_quantity),2) AS qty FROM lineitem WHERE l_orderkey BETWEEN 300 AND 600 GROUP BY l_orderkey ORDER BY l_orderkey",
+    // plain-table formulation: the engine reads its date-partitioned
+    // re-layout (directory-level pruning), which must be semantically
+    // invisible — the oracle filters the raw timestamps directly
+    "scan_partition_pruned" ->
+      "SELECT event_type, count(*) AS n, round(sum(value),2) AS total FROM events WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-15' GROUP BY event_type ORDER BY event_type",
     "filter_predicates" ->
       "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R') AND NOT l_linestatus = 'O' ORDER BY l_orderkey, l_linenumber, l_quantity",
     "filter_like_null" ->
@@ -155,6 +160,10 @@ object Oracle {
       "SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END bucket, coalesce(nullif(o_orderstatus,'O'), 'OPEN') st FROM orders ORDER BY o_orderkey LIMIT 200",
     "fn_json" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) k FROM events ORDER BY event_id LIMIT 500",
+    // missing-key contract: json_extract_string of an absent key is NULL
+    // in DuckDB exactly as from_json's absent struct field is in Spark
+    "fn_json_struct" ->
+      "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) k, coalesce(json_extract_string(props, '$.tag'), 'untagged') tag FROM events ORDER BY event_id LIMIT 500",
     "fn_array" ->
       "SELECT doc_id, len(string_split(text, ' ')) n_words, string_split(text,' ')[1] first_word FROM documents ORDER BY doc_id LIMIT 200",
     "fn_explode_wordcount" ->

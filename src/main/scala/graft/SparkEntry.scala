@@ -19,6 +19,7 @@ object SparkEntry {
     // §2.1 scans
     "scan_project" -> (Relational.scanProject _),
     "scan_range_pruned" -> (Relational.scanRangePruned _),
+    "scan_partition_pruned" -> (Relational.scanPartitionPruned _),
     // §2.2 filters
     "filter_predicates" -> (Relational.filterPredicates _),
     "filter_like_null" -> (Relational.filterLikeNull _),
@@ -82,6 +83,7 @@ object SparkEntry {
     "fn_binhex" -> (Scalars.fnBinhex _),
     "fn_case_coalesce" -> (Scalars.fnCaseCoalesce _),
     "fn_json" -> (Scalars.fnJson _),
+    "fn_json_struct" -> (Scalars.fnJsonStruct _),
     "fn_array" -> (Scalars.fnArray _),
     "fn_explode_wordcount" -> (Scalars.fnExplodeWordcount _),
     // §2.9 time-series / streaming (batch forms)

@@ -143,6 +143,47 @@ object Hll {
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression = copy(child = c.head)
   }
 
+  /** Estimate + width check for the scalar decode path — one call target
+    * for both the interpreted and codegen'd arms of [[HllEstimate]]. */
+  def estimateChecked(b: Array[Byte]): Long = {
+    require(b.length == M,
+      s"graft_hll_estimate: sketch must be $M bytes, got ${b.length}")
+    estimate(b)
+  }
+
+  /** Native scalar decode of one persisted sketch (no aggregation):
+    * `graft_hll_estimate(sketch) → bigint`. A codegen'd Catalyst
+    * expression — not a UDF — so the sketch-decode path keeps Catalyst
+    * visibility (null propagation, constant folding, whole-stage
+    * codegen) like every other function here. Null sketches (outer-join
+    * misses) yield null; a binary of the wrong width fails loudly
+    * instead of mis-estimating garbage. */
+  case class HllEstimate(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case BinaryType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires a binary sketch argument, got ${other.catalogString}")
+      }
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_hll_estimate"
+    override def nullSafeEval(input: Any): Any =
+      estimateChecked(input.asInstanceOf[Array[Byte]])
+    override def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.functions.Hll.estimateChecked($b)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Null-safe 64-bit hash: XxHash64 SKIPS null children (returning the
     * bare seed), which would make every null row hash to one constant
     * value and count as a distinct element. count(DISTINCT) semantics —
@@ -161,28 +202,34 @@ object Hll {
     GraftBridge.column(HllSketchAgg(hash64(GraftBridge.expression(c))).toAggregateExpression())
   def hllMerge(c: Column): Column =
     GraftBridge.column(HllMergeAgg(GraftBridge.expression(c)).toAggregateExpression())
-  /** Scalar estimate of one persisted sketch (no aggregation). Null
-    * sketches (e.g. outer-join misses) yield null; a binary of the wrong
-    * width fails loudly instead of mis-estimating garbage. */
-  def hllEstimate(c: Column): Column = {
-    val f = org.apache.spark.sql.functions.udf((b: Array[Byte]) =>
-      if (b == null) None
-      else {
-        require(b.length == M,
-          s"hllEstimate: sketch must be $M bytes, got ${b.length}")
-        Some(estimate(b))
-      })
-    f(c)
+  /** Scalar estimate of one persisted sketch (see [[HllEstimate]]). */
+  def hllEstimate(c: Column): Column =
+    GraftBridge.column(HllEstimate(GraftBridge.expression(c)))
+
+  /** Exactly-one-argument guard for the SQL builders: these functions
+    * hash ONE column; silently dropping extra arguments would hand back
+    * a plausible but wrong distinct count (graft_hll(a, b) estimating
+    * over `a` alone). Fails at analysis time like a built-in. */
+  private def one(fn: String, args: Seq[Expression]): Expression = {
+    if (args.length != 1) throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> fn, "expectedNum" -> "1",
+        "actualNum" -> args.length.toString, "docroot" -> "-"))
+    args.head
   }
 
-  /** SQL registration: graft_hll, graft_hll_sketch, graft_hll_merge. */
+  /** SQL registration: graft_hll, graft_hll_sketch, graft_hll_merge,
+    * graft_hll_estimate. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_hll",
-      (args: Seq[Expression]) => HllCountDistinct(hash64(args.head)), "built-in")
+      (args: Seq[Expression]) => HllCountDistinct(hash64(one("graft_hll", args))), "built-in")
     reg.createOrReplaceTempFunction("graft_hll_sketch",
-      (args: Seq[Expression]) => HllSketchAgg(hash64(args.head)), "built-in")
+      (args: Seq[Expression]) => HllSketchAgg(hash64(one("graft_hll_sketch", args))), "built-in")
     reg.createOrReplaceTempFunction("graft_hll_merge",
-      (args: Seq[Expression]) => HllMergeAgg(args.head), "built-in")
+      (args: Seq[Expression]) => HllMergeAgg(one("graft_hll_merge", args)), "built-in")
+    reg.createOrReplaceTempFunction("graft_hll_estimate",
+      (args: Seq[Expression]) => HllEstimate(one("graft_hll_estimate", args)), "built-in")
   }
 }

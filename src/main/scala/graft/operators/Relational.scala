@@ -62,6 +62,40 @@ object Relational {
       .orderBy(col("l_orderkey"))
   }
 
+  /** #1c scan over the HIVE-PARTITIONED layout ([[graft.sources.Ingest
+    * .writePartitioned]]): events re-laid as a `event_date=YYYY-MM-DD/`
+    * directory tree, so the date filter prunes whole directories at
+    * PLANNING time (`PartitionFilters` on the scan — no footer, let
+    * alone data, is read for the other ~24 days). This is the third and
+    * most common writer-side 100 TB lever after bucketing
+    * ([[joinBucketed]]) and range-sort ([[scanRangePruned]]): a date
+    * partition turns a full-corpus scan into a scan of just the queried
+    * days. Judged against the PLAIN-table oracle — like the other two
+    * layouts, the re-layout must be semantically INVISIBLE. Same
+    * per-JVM lifetime/marker protocol as [[scanRangePruned]]; the write
+    * repartitions by the partition column first so each date directory
+    * gets ONE file instead of one per upstream task (the small-files
+    * guard that matters at a million partitions). */
+  def scanPartitionPruned(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(rangeLayoutRoot, s"events_bydate_${pathTag(d)}")
+    val done = new java.io.File(dir, "_graft_layout_done")
+    if (!done.exists()) {
+      graft.sources.Ingest.writePartitioned(
+        Tables.events(s, d)
+          .select(col("ts"), col("event_type"), col("value"))
+          .withColumn("event_date", to_date(col("ts")))
+          .repartition(col("event_date")),
+        dir.toString, Seq("event_date"))
+      done.createNewFile()
+      ()
+    }
+    s.read.parquet(dir.toString)
+      .filter(col("event_date").between("2024-01-10", "2024-01-15"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-process root for [[scanRangePruned]]'s re-layouts: created
     * lazily once per JVM, so concurrent processes write disjoint
     * directories and no marker file outlives the process that wrote

@@ -113,6 +113,26 @@ object Scalars {
       .orderBy(col("event_id"))
       .limit(500)
 
+  /** #41b structured JSON parsing: `from_json` with an EXPLICIT schema
+    * into a struct — the other half of the JSON surface next to #41's
+    * single-key `get_json_object`, and the first thing a pipeline does
+    * to a JSON column at scale (one parse, many field reads, schema
+    * enforced at the boundary instead of per-extraction). The schema
+    * deliberately includes a key absent from the data (`tag`) to pin
+    * the missing-key contract: absent field → NULL, handled here with
+    * `coalesce`. All codegen'd (`JsonToStructs` + struct field access —
+    * no UDF). */
+  def fnJsonStruct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT, tag STRING")).as("j"))
+      .select(col("event_id"),
+        col("j.k").as("k"),
+        coalesce(col("j.tag"), lit("untagged")).as("tag"))
+      .orderBy(col("event_id"))
+      .limit(500)
+
   /** #42 split → array; size; first element (1-based element_at). */
   def fnArray(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

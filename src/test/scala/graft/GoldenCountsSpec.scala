@@ -7,6 +7,7 @@ class GoldenCountsSpec extends SparkSpecBase {
 
   private val expected: Map[String, Long] = Map(
     "scan_project" -> 100, "scan_range_pruned" -> 296,
+    "scan_partition_pruned" -> 5,
     "filter_predicates" -> 433, "filter_like_null" -> 39,
     "join_broadcast" -> 25, "join_shuffle" -> 20, "join_bucketed" -> 20,
     "join_star_5way" -> 5,
@@ -31,7 +32,8 @@ class GoldenCountsSpec extends SparkSpecBase {
     "set_intersect_all" -> 10, "set_except_all" -> 140,
     "fn_string" -> 100, "fn_regexp" -> 200, "fn_date" -> 200, "fn_math" -> 200,
     "fn_bitwise" -> 200, "fn_binhex" -> 100,
-    "fn_case_coalesce" -> 200, "fn_json" -> 500, "fn_array" -> 200,
+    "fn_case_coalesce" -> 200, "fn_json" -> 500, "fn_json_struct" -> 500,
+    "fn_array" -> 200,
     "fn_explode_wordcount" -> 31,
     "stream_tumbling" -> 868, "stream_sliding" -> 979, "stream_session" -> 946,
     "stream_dedup" -> 1, "stream_late_filter" -> 1,

@@ -88,6 +88,33 @@ class HllSpec extends SparkSpecBase {
     assert(e.getMessage != null)
   }
 
+  test("graft_hll_estimate: native expression, SQL round-trip, arity guard") {
+    Hll.register(spark)
+    Tables.events(spark, sf()).createOrReplaceTempView("hll_events")
+    // decode of a persisted sketch equals the merge-of-one estimate
+    val viaExpr = spark.sql(
+      """SELECT graft_hll_estimate(sk) FROM
+        |  (SELECT graft_hll_sketch(user_id) AS sk FROM hll_events)
+        |""".stripMargin).collect().head.getLong(0)
+    val direct = spark.sql("SELECT graft_hll(user_id) FROM hll_events")
+      .collect().head.getLong(0)
+    assert(viaExpr == direct, s"expr=$viaExpr direct=$direct")
+    // the decode path is a native expression, never a UDF
+    val plan = Tables.events(spark, sf())
+      .groupBy($"event_type").agg(Hll.hllSketch($"user_id").as("sk"))
+      .select(Hll.hllEstimate($"sk"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      plan.take(2000))
+    // extra arguments fail at analysis time instead of being dropped
+    for (fn <- Seq("graft_hll", "graft_hll_sketch", "graft_hll_merge",
+        "graft_hll_estimate")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql(s"SELECT $fn(user_id, event_type) FROM hll_events").collect())
+      assert(e.getMessage.contains("1"), s"$fn: ${e.getMessage}")
+    }
+  }
+
   test("map-side combine shape: partial aggregation present in the plan") {
     val plan = Tables.events(spark, sf())
       .groupBy($"event_type").agg(Hll.hll($"user_id"))

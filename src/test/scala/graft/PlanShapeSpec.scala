@@ -53,6 +53,30 @@ class PlanShapeSpec extends SparkSpecBase {
     // in LayoutSpec on a fixture with known per-file ranges
   }
 
+  test("scan_partition_pruned: the date filter prunes directories at planning time") {
+    val df = Relational.scanPartitionPruned(spark, sf())
+    df.collect()
+    val scans = PlanNodes.all(df.queryExecution.executedPlan)
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty, "no file scan in the plan")
+    val scan = scans.head
+    // the BETWEEN must land in PartitionFilters (planner-level directory
+    // pruning), not merely PushedFilters (reader-level row-group skipping)
+    val pf = scan.partitionFilters.map(_.sql).mkString(";")
+    assert(pf.contains("event_date") &&
+      (pf.contains(">=") || pf.contains("2024-01-10")),
+      s"date predicate not a partition filter: $pf")
+    // and it must actually prune: the 6 queried days < the ~30 on disk
+    val read = scan.selectedPartitions.partitionCount
+    val total = {
+      val dirs = new java.io.File(scan.relation.location.rootPaths.head.toUri)
+        .listFiles().count(_.getName.startsWith("event_date="))
+      dirs
+    }
+    assert(read < total && read > 0,
+      s"expected a pruned read, got $read of $total partitions")
+  }
+
   test("join_bucketed: the join and bucket-key aggregation shuffle NOTHING") {
     val p = plan(Relational.joinBucketed(spark, sf()))
     assert(p.contains("SortMergeJoin"), s"expected the bucketed sort-merge form:\n$p")
