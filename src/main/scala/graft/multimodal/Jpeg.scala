@@ -385,13 +385,25 @@ object Jpeg {
     }
     def bit(): Int = { if (nbits == 0) fill(); nbits -= 1; (acc >>> nbits) & 1 }
     def bits(n: Int): Int = { var v = 0; var i = 0; while (i < n) { v = (v << 1) | bit(); i += 1 }; v }
-    /** Consume an expected RSTn at an MCU boundary; returns true if found. */
-    def restart(): Boolean = {
+    /** Consume the RSTn expected at this MCU boundary; returns true only
+      * if the next marker is a restart marker with sequence number
+      * `expected` (0-7). The only legal bytes before a marker are 0xFF
+      * fill (T.81 B.1.1.2) — scanning past arbitrary garbage, or
+      * accepting any RSTn regardless of sequence, would let a corrupted
+      * or dropped restart interval decode misaligned MCU data silently
+      * instead of failing loudly like every other malformed-stream case
+      * in this decoder. */
+    def restart(expected: Int): Boolean = {
       align()
-      // scan to the marker (encoder already byte-aligned before RST)
-      while (pos + 1 < bytes.length && !((bytes(pos) & 0xff) == 0xff &&
-        (bytes(pos + 1) & 0xff) >= 0xd0 && (bytes(pos + 1) & 0xff) <= 0xd7)) pos += 1
-      if (pos + 1 < bytes.length) { pos += 2; true } else false
+      // skip legal 0xFF fill bytes only (a fill byte is an 0xFF followed
+      // by another 0xFF; 0xFF followed by anything else starts a marker)
+      while (pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff &&
+        (bytes(pos + 1) & 0xff) == 0xff) pos += 1
+      if (pos + 1 >= bytes.length || (bytes(pos) & 0xff) != 0xff) return false
+      val m = bytes(pos + 1) & 0xff
+      if (m < 0xd0 || m > 0xd7) return false
+      pos += 2
+      m - 0xd0 == expected
     }
   }
 
@@ -566,7 +578,9 @@ object Jpeg {
     var mcu = 0
     for (my <- 0 until mcusY; mx <- 0 until mcusX) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        if (!br.restart()) fail(s"missing restart marker at MCU $mcu")
+        // sequence number cycles 0-7 per T.81 E.1.4 (encoder at :346)
+        if (!br.restart((mcu / restartInterval - 1) % 8))
+          fail(s"missing or out-of-sequence restart marker at MCU $mcu")
         java.util.Arrays.fill(prevDc, 0)
       }
       for (ci <- comps.indices; bv <- 0 until comps(ci).v; bh <- 0 until comps(ci).h) {

@@ -338,9 +338,13 @@ object Multimodal {
         // of the same pixels are near-dups); non-baseline JPEG payloads
         // are skipped like any other unhashable format — lossy
         // quantization never flips enough aHash bits to matter at the
-        // hamming radii used here
+        // hamming radii used here. looksDecodable sniffs only up to the
+        // first SOF, so corrupt entropy/DHT/SOS data can still throw in
+        // the decoder — such rows are SKIPPED like undecodable formats
+        // (one bad crawl image must not fail the signature job).
         case Some("jpg") | Some("jpeg") if Jpeg.looksDecodable(r.media) =>
-          Some((r.media_id, jpegAHash(r.media)))
+          try Some((r.media_id, jpegAHash(r.media)))
+          catch { case _: IllegalArgumentException => None }
         case _ => None
       }
     }.toDF("media_id", "sig")
@@ -777,22 +781,36 @@ object Multimodal {
             // spec-valid JPEGs OUTSIDE the baseline-Huffman subset
             // (progressive, arithmetic, 12-bit — common in web crawls)
             // and payloads whose marker stream doesn't parse route to
-            // the stub instead of killing the job; Jpeg.decodeJpeg
-            // itself stays the loud path for direct callers
-            val j = Jpeg.decodeJpeg(r.media)
-            pad(Array(j.width.toDouble, j.height.toDouble, j.components.toDouble,
-              j.meanR, j.meanG, j.meanB, j.meanLuma), dim)
+            // the stub instead of killing the job. looksDecodable only
+            // sniffs markers up to the first SOF, so a payload with
+            // corrupt entropy data or DHT/SOS segments can pass it and
+            // still throw inside the decoder — catch and stub, keeping
+            // Jpeg.decodeJpeg itself the loud path for direct callers.
+            try {
+              val j = Jpeg.decodeJpeg(r.media)
+              pad(Array(j.width.toDouble, j.height.toDouble, j.components.toDouble,
+                j.meanR, j.meanG, j.meanB, j.meanLuma), dim)
+            } catch {
+              case _: IllegalArgumentException => stubDecode(r.media, dim)
+            }
           case "mp4" if Mp4.looksLikeMp4(r.media) =>
             // real ISO-BMFF container parse (dimensions, duration, sample
             // counts — the curation metadata); FRAME decode stays stubbed,
             // codec-bound. Payloads without a leading ftyp box (opaque
-            // synthetic bytes) keep the legacy stub path below.
-            val m = Mp4.parseMp4(r.media)
-            val v = m.tracks.find(_.kind == "video")
-            pad(Array(v.map(_.width.toDouble).getOrElse(0.0),
-              v.map(_.height.toDouble).getOrElse(0.0),
-              m.durationSeconds, m.tracks.size.toDouble,
-              v.map(_.nSamples.toDouble).getOrElse(0.0)), dim)
+            // synthetic bytes) keep the legacy stub path below, and —
+            // since looksLikeMp4 validates only the leading ftyp — a
+            // payload with malformed INNER boxes falls back to the stub
+            // too instead of killing a 100 TB curation job.
+            try {
+              val m = Mp4.parseMp4(r.media)
+              val v = m.tracks.find(_.kind == "video")
+              pad(Array(v.map(_.width.toDouble).getOrElse(0.0),
+                v.map(_.height.toDouble).getOrElse(0.0),
+                m.durationSeconds, m.tracks.size.toDouble,
+                v.map(_.nSamples.toDouble).getOrElse(0.0)), dim)
+            } catch {
+              case _: IllegalArgumentException => stubDecode(r.media, dim)
+            }
           case _ => stubDecode(r.media, dim)
         }
         MediaFeatures(r.media_id, r.kind, r.media.length.toLong, feats)

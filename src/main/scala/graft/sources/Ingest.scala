@@ -114,10 +114,14 @@ object Ingest {
     * take the stub path downstream instead of failing the load.
     *
     * `binaryFile` is scan-parallel like any file source (one task per
-    * file group) and prunes on the path glob; `maxBytesPerFile` guards
-    * a single pathological object from OOMing an executor — oversize
-    * files are FILTERED (with the limit recorded in the plan via the
-    * source option), not read. */
+    * file group) and prunes on the path glob; `maxBytes` guards a
+    * single pathological object from OOMing an executor — the `length`
+    * filter is PUSHED DOWN to the binaryFile source (length is one of
+    * its pushdown columns), so oversize file CONTENT is never read
+    * into memory. The drop is not silent: [[oversizeFiles]] lists
+    * exactly the excluded files (path + length, content never read) so
+    * a load can count/record its quarantine side, mirroring
+    * [[partitionValid]]'s (valid, bad) contract for text rows. */
   def readMediaDirectory(spark: SparkSession, dir: String,
       glob: String = "*", maxBytes: Long = 64L * 1024 * 1024): DataFrame = {
     val sniff = {
@@ -158,4 +162,16 @@ object Ingest {
         col("path"),
         col("length").as("n_bytes"))
   }
+
+  /** The files [[readMediaDirectory]] EXCLUDES under the same `glob` and
+    * `maxBytes`: (path, n_bytes), content never read (pruned column +
+    * pushed length filter). Count or persist this alongside the media
+    * load so the oversize drop is recorded, not silent. */
+  def oversizeFiles(spark: SparkSession, dir: String,
+      glob: String = "*", maxBytes: Long = 64L * 1024 * 1024): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .filter(col("length") > maxBytes)
+      .select(col("path"), col("length").as("n_bytes"))
 }

@@ -108,6 +108,16 @@ class IngestSpec extends SparkSpecBase {
     // the size guard filters oversize payloads instead of reading them
     assert(Ingest.readMediaDirectory(spark, dir, maxBytes = 16).collect()
       .map(r => new java.io.File(r.getAs[String]("path")).getName).toSet == Set("e.mp4"))
+    // ... and the drop is not silent: oversizeFiles lists EXACTLY the
+    // excluded files (the complement under the same limit)
+    val dropped = Ingest.oversizeFiles(spark, dir, maxBytes = 16).collect()
+      .map(r => new java.io.File(r.getAs[String]("path")).getName).toSet
+    assert(dropped == Set("a.dat", "b.wav", "c.bmp", "d.jpg"), dropped)
+    // length reaches the binaryFile scan as a data filter (content of a
+    // non-matching file is never materialized)
+    val ovPlan = Ingest.oversizeFiles(spark, dir, maxBytes = 16)
+      .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*length".r.findFirstIn(ovPlan).isDefined, ovPlan)
     // the advertised hand-off actually typechecks: rows bind to MediaRow
     // (extra path/n_bytes columns are dropped by the by-name encoder)
     val asRows = Ingest.readMediaDirectory(spark, dir)

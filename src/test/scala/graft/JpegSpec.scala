@@ -127,6 +127,28 @@ class JpegSpec extends AnyFunSuite {
     assert(img.getWidth == w && img.getHeight == h)
   }
 
+  test("corrupted restart intervals fail loudly: wrong RSTn sequence or garbage") {
+    val (w, h) = (64, 40)
+    val src = gradient(w, h)
+    val jpg = Jpeg.encodeJpeg(src, w, h, quality = 95, restartInterval = 4)
+    val sosAt = jpg.sliding(2).indexWhere(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda)
+    var rstAt = sosAt + 2
+    while (!((jpg(rstAt) & 0xff) == 0xff &&
+      (jpg(rstAt + 1) & 0xff) >= 0xd0 && (jpg(rstAt + 1) & 0xff) <= 0xd7)) rstAt += 1
+    // a dropped interval shows up as an out-of-sequence RSTn (T.81 E.1.4):
+    // decoding must fail, not silently resync on misaligned MCU data
+    val outOfSeq = jpg.clone()
+    outOfSeq(rstAt + 1) =
+      (0xd0 + ((jpg(rstAt + 1) & 0xff) - 0xd0 + 3) % 8).toByte
+    val e1 = intercept[IllegalArgumentException](Jpeg.decodePixels(outOfSeq))
+    assert(e1.getMessage.contains("restart"), e1.getMessage)
+    // garbage bytes before the marker: only 0xFF fill is legal there
+    val garbage = jpg.take(rstAt) ++ Array[Byte](0x12, 0x34) ++ jpg.drop(rstAt)
+    val e2 = intercept[IllegalArgumentException](Jpeg.decodePixels(garbage))
+    assert(e2.getMessage.contains("restart"), e2.getMessage)
+  }
+
   test("4:2:0 and 4:2:2 chroma subsampling round-trip through our decoder") {
     val (w, h) = (52, 38) // non-multiple of every MCU size
     val src = gradient(w, h)

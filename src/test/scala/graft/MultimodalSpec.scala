@@ -239,6 +239,39 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got(2L)(0) != 8.0f || got(2L)(1) != 8.0f) // stub hash path
   }
 
+  test("corrupt-past-the-sniff payloads stub/skip instead of failing the job") {
+    import graft.multimodal.Jpeg
+    // a baseline JPEG whose ENTROPY data is corrupt: looksDecodable only
+    // sniffs markers up to the first SOF, so this passes the guard and
+    // throws inside the decoder — the curation contract is stub, not crash
+    val good = Jpeg.encodeJpeg(
+      Array.tabulate[Byte](64 * 40 * 3)(i => (i % 251).toByte), 64, 40,
+      quality = 95, restartInterval = 4)
+    val sosAt = good.sliding(2).indexWhere(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda)
+    var rstAt = sosAt + 2
+    while (!((good(rstAt) & 0xff) == 0xff &&
+      (good(rstAt + 1) & 0xff) >= 0xd0 && (good(rstAt + 1) & 0xff) <= 0xd7)) rstAt += 1
+    val corrupt = good.clone()
+    corrupt(rstAt + 1) = (0xd0 + ((good(rstAt + 1) & 0xff) - 0xd0 + 3) % 8).toByte
+    assert(Jpeg.looksDecodable(corrupt), "corruption must be past the sniff")
+    intercept[IllegalArgumentException](Jpeg.decodeJpeg(corrupt)) // loud direct path
+    // an MP4 whose leading ftyp is fine but whose inner boxes overrun
+    val badMp4 = java.nio.ByteBuffer.allocate(32)
+      .putInt(16).put("ftypisom".getBytes("US-ASCII")).putInt(0)
+      .putInt(0x7fffffff).put("moov".getBytes("US-ASCII")).array()
+    assert(graft.multimodal.Mp4.looksLikeMp4(badMp4))
+    intercept[IllegalArgumentException](graft.multimodal.Mp4.parseMp4(badMp4))
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", corrupt, "jpeg", 64, 40, 0),
+      Multimodal.MediaRow(2L, "video", badMp4, "mp4", 0, 0, 0)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val got = Multimodal.decodeFeatures(ds, dim = 8).collect() // must not throw
+    assert(got.length == 2 && got.forall(_.features.length == 8))
+    // the signature job SKIPS the undecodable row rather than dying
+    assert(Multimodal.imageAHashes(ds).collect().isEmpty)
+  }
+
   test("decodeFeatures dispatches: real stats for wav/bmp, stub for the rest") {
     val wavBytes = Multimodal.encodeWavPcm16(Array[Short](100, -100, 100, -100), 16000)
     val bmpBytes = Multimodal.encodeBmp24(2, 2, (_, _) => (10, 20, 30))
