@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   * [[decodeBmp]] for uncompressed 24-bit BMP, [[decodePng]] for 8-bit
   * non-interlaced truecolor PNG — zlib via `java.util.zip.Inflater`,
   * all five scanline filters, CRC-verified chunks — and [[decodeAvi]]
-  * for uncompressed-DIB AVI video, baseline JPEG via [[Jpeg]], ISO-BMFF
+  * for AVI video: uncompressed DIB, or Motion-JPEG whose frames decode
+  * per-frame through [[Jpeg]]; baseline JPEG via [[Jpeg]], ISO-BMFF
   * MP4 container metadata via [[Mp4]]), with matching encoders so
   * round-trips are testable without codec jars. Only codec-bound FRAME
   * data (H.264/AAC inside mp4) still goes through the clearly-marked
@@ -961,7 +962,8 @@ object Multimodal {
   def audioNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
     mediaNearDupsFromSigs(audioHashes(media).persist(), maxHamming)
 
-  // ---- AVI (RIFF 'AVI ', single uncompressed 24-bit DIB video stream) ----
+  // ---- AVI (RIFF 'AVI ', one video stream: uncompressed 24-bit DIB
+  //      or Motion-JPEG, whose frames decode through Jpeg) ----
 
   /** Encode frames as a standard uncompressed-DIB AVI — the inverse of
     * [[decodeAvi]]. Each frame is `rgb(frameIdx)(x, y) = (r, g, b)` with
@@ -1016,16 +1018,77 @@ object Multimodal {
     buf.array()
   }
 
-  /** Validated uncompressed-DIB AVI layout: (width, height,
-    * microsPerFrame, row stride in bytes, per-frame pixel-data offsets,
-    * bottomUp storage order — strf biHeight < 0 is the spec's top-down
-    * marker, handled like [[bmpLayout]] so a top-down copy of a video
-    * hashes identically to its bottom-up twin). Walks the RIFF lists
-    * (hdrl → avih + strl/strf for the format, movi → the '00db' frame
-    * chunks) with the same loud-failure + overflow-guard discipline as
-    * [[wavLayout]]/[[bmpLayout]]; avih and strf dimensions must agree.
-    * Shared by [[decodeAvi]] and the per-frame hashes. */
-  private[multimodal] def aviLayout(bytes: Array[Byte]): (Int, Int, Int, Int, Array[Int], Boolean) = {
+  /** Encode pre-compressed JPEG images as a Motion-JPEG AVI — each
+    * frame of `jpegFrames` (one complete baseline JPEG, e.g. from
+    * [[Jpeg.encodeJpeg]]) becomes one '00dc' chunk; `width`/`height`
+    * must match the JPEG dimensions (asserted against frame 0). The
+    * MJPEG twin of [[encodeAviDib]], and the test/fixture source for
+    * the real per-frame video decode path. */
+  def encodeAviMjpeg(width: Int, height: Int,
+      jpegFrames: Seq[Array[Byte]], fps: Int = 10): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(jpegFrames.nonEmpty, "an AVI needs at least one frame")
+    require(fps > 0, s"fps must be positive, got $fps")
+    val f0 = Jpeg.decodeJpeg(jpegFrames.head)
+    require(f0.width == width && f0.height == height,
+      s"frame 0 is ${f0.width}x${f0.height}, declared ${width}x$height")
+    val maxLen = jpegFrames.map(_.length).max
+    val hdrlLen = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val moviLen = 4 + jpegFrames.map(f => 8 + f.length + (f.length & 1)).sum
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val buf = ByteBuffer.allocate(8 + riffLen).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String) = buf.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); buf.putInt(riffLen); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(hdrlLen); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps) // dwMicroSecPerFrame
+      .putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+      .putInt(jpegFrames.length).putInt(0).putInt(1) // totalFrames, initialFrames, streams
+      .putInt(maxLen).putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+    fourcc("LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("MJPG")
+    buf.putInt(0).putShort(0).putShort(0).putInt(0) // flags, priority, language, initialFrames
+      .putInt(1).putInt(fps) // scale, rate → fps frames/sec
+      .putInt(0).putInt(jpegFrames.length).putInt(maxLen).putInt(0).putInt(0) // start, length, bufSize, quality, sampleSize
+      .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort) // rcFrame
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER
+      .putShort(1).putShort(24).putInt(MjpgFourcc) // planes, bpp, biCompression
+      .putInt(maxLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(moviLen); fourcc("movi")
+    jpegFrames.foreach { f =>
+      fourcc("00dc"); buf.putInt(f.length); buf.put(f)
+      if ((f.length & 1) == 1) buf.put(0.toByte) // even padding
+    }
+    buf.array()
+  }
+
+  /** `MJPG` as the little-endian biCompression fourcc. */
+  private val MjpgFourcc =
+    ('M'.toInt) | ('J'.toInt << 8) | ('P'.toInt << 16) | ('G'.toInt << 24)
+
+  /** Validated AVI video layout, two codecs:
+    *  - `dib`: uncompressed 24-bit bottom-up BGR frames in '00db' chunks
+    *    (fixed `rowSize`/frame length; `bottomUp` from strf biHeight's
+    *    sign, handled like [[bmpLayout]] so a top-down copy hashes
+    *    identically to its bottom-up twin);
+    *  - `mjpg`: Motion-JPEG — each '00dc' chunk is one complete baseline
+    *    JPEG image, decoded per-frame by [[Jpeg]] (the one real
+    *    video-frame codec here; `rowSize`/`bottomUp` are meaningless and
+    *    zeroed).
+    * `frames` holds (data offset, size) per frame — fixed size for dib,
+    * per-chunk for mjpg. Walks the RIFF lists (hdrl → avih + strl/strf
+    * for the format, movi → frame chunks) with the same loud-failure +
+    * overflow-guard discipline as [[wavLayout]]/[[bmpLayout]]; avih and
+    * strf dimensions must agree. Shared by [[decodeAvi]] and the
+    * per-frame hashes. */
+  private[multimodal] case class AviLayout(width: Int, height: Int,
+      microsPerFrame: Int, codec: String, rowSize: Int, bottomUp: Boolean,
+      frames: Array[(Int, Int)])
+
+  private[multimodal] def aviLayout(bytes: Array[Byte]): AviLayout = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"invalid AVI: $msg")
     if (bytes.length < 12) fail(s"payload too short (${bytes.length} bytes)")
@@ -1033,8 +1096,8 @@ object Multimodal {
     def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
     if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "AVI ") fail("not a RIFF/AVI header")
     var avih: Option[(Int, Int, Int, Int)] = None // (usPerFrame, frames, w, h)
-    var strf: Option[(Int, Int)] = None // (biWidth, biHeight — raw, sign = orientation)
-    val frameOffs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var strf: Option[(Int, Int, String)] = None // (biWidth, biHeight raw, codec)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     // one chunk walker for every nesting level, bounds-checked per level
     def walk(from: Int, until: Int)(onChunk: (String, Int, Int) => Unit): Unit = {
       var off = from
@@ -1061,26 +1124,35 @@ object Multimodal {
                     if (sSize < 40) fail(s"strf chunk too short ($sSize)")
                     val bpp = buf.getShort(sOff + 14) & 0xffff
                     val compression = buf.getInt(sOff + 16)
-                    if (bpp != 24 || compression != 0)
-                      fail(s"only uncompressed 24bpp supported (bpp=$bpp " +
-                        s"compression=$compression)")
-                    strf = Some((buf.getInt(sOff + 4), buf.getInt(sOff + 8)))
+                    val codec =
+                      if (compression == 0 && bpp == 24) "dib"
+                      else if (compression == MjpgFourcc) "mjpg"
+                      else fail(s"only uncompressed 24bpp DIB or MJPG " +
+                        s"supported (bpp=$bpp compression=$compression)")
+                    strf = Some((buf.getInt(sOff + 4), buf.getInt(sOff + 8), codec))
                   }
                 }
               case _ => ()
             }
           }
         case "movi" =>
-          walk(dataOff + 4, dataOff + size) { (mid, mOff, _) =>
-            if (mid == "00db") { frameOffs += mOff; () }
-            else fail(s"unsupported movi chunk '$mid' (only raw DIB '00db')")
+          // hdrl precedes movi in a legal AVI, so the codec is known here
+          val codec = strf.map(_._3)
+            .getOrElse(fail("movi list before strf stream format"))
+          walk(dataOff + 4, dataOff + size) { (mid, mOff, mSize) =>
+            (codec, mid) match {
+              case ("dib", "00db") => frames += ((mOff, mSize)); ()
+              case ("mjpg", "00dc") => frames += ((mOff, mSize)); ()
+              case _ => fail(s"unsupported movi chunk '$mid' for codec " +
+                s"'$codec' (dib reads raw '00db', mjpg compressed '00dc')")
+            }
           }
         case _ => ()
       }
     }
     val (usPerFrame, declFrames, width, height) =
       avih.getOrElse(fail("no avih header"))
-    val (strfW, strfHRaw) = strf.getOrElse(fail("no strf stream format"))
+    val (strfW, strfHRaw, codec) = strf.getOrElse(fail("no strf stream format"))
     // strf is the authoritative pixel format; its dims must agree with
     // avih (sign of biHeight excepted — that is the orientation marker)
     val strfHL = math.abs(strfHRaw.toLong) // abs(Int.MinValue) trap, as in bmpLayout
@@ -1089,33 +1161,67 @@ object Multimodal {
     val bottomUp = strfHRaw > 0
     if (width <= 0 || height <= 0 || height > Int.MaxValue / 4 / width)
       fail(s"bad dimensions ${width}x$height")
-    // Long arithmetic, same trap as bmpLayout: 24 * a crafted width must
-    // not wrap into a rowSize that passes the per-frame bounds check
-    val rowSizeL = (24L * width + 31) / 32 * 4
-    if (rowSizeL * height > Int.MaxValue) fail(s"frame too large ${width}x$height")
-    val frameLen = (rowSizeL * height).toInt
-    if (frameOffs.isEmpty) fail("no frames")
-    if (frameOffs.length != declFrames)
-      fail(s"avih declares $declFrames frames, movi holds ${frameOffs.length}")
-    frameOffs.foreach { o =>
-      if (o + frameLen.toLong > bytes.length) fail("frame data overruns payload")
-      if (buf.getInt(o - 4) != frameLen)
-        fail(s"frame chunk size ${buf.getInt(o - 4)} != expected $frameLen")
+    if (frames.isEmpty) fail("no frames")
+    if (frames.length != declFrames)
+      fail(s"avih declares $declFrames frames, movi holds ${frames.length}")
+    if (codec == "dib") {
+      // Long arithmetic, same trap as bmpLayout: 24 * a crafted width must
+      // not wrap into a rowSize that passes the per-frame bounds check
+      val rowSizeL = (24L * width + 31) / 32 * 4
+      if (rowSizeL * height > Int.MaxValue) fail(s"frame too large ${width}x$height")
+      val frameLen = (rowSizeL * height).toInt
+      frames.foreach { case (o, sz) =>
+        if (o + frameLen.toLong > bytes.length) fail("frame data overruns payload")
+        if (sz != frameLen)
+          fail(s"frame chunk size $sz != expected $frameLen")
+      }
+      AviLayout(width, height, usPerFrame, codec, rowSizeL.toInt, bottomUp,
+        frames.toArray)
+    } else {
+      // every MJPEG frame must at least open as a JPEG (SOI marker); the
+      // frame decoder validates the rest per-frame
+      frames.foreach { case (o, sz) =>
+        if (sz < 4 || (bytes(o) & 0xff) != 0xff || (bytes(o + 1) & 0xff) != 0xd8)
+          fail("MJPG frame does not start with a JPEG SOI marker")
+      }
+      AviLayout(width, height, usPerFrame, codec, 0, bottomUp = false,
+        frames.toArray)
     }
-    (width, height, usPerFrame, rowSizeL.toInt, frameOffs.toArray, bottomUp)
   }
 
-  /** Strict uncompressed-DIB AVI parse: container fields plus mean luma
-    * across ALL frames. Fails loudly on anything else — see [[decodeWav]]
-    * for why. */
-  def decodeAvi(bytes: Array[Byte]): AviInfo = {
-    val (w, h, usPerFrame, rowSize, frameOffs, bottomUp) = aviLayout(bytes)
-    var lumaSum = 0.0
-    frameOffs.foreach { off =>
-      val (mr, mg, mb) = boxGrid(bytes, w, h, off, rowSize, bottomUp, 1, 1)
-      lumaSum += 0.299 * mr(0) + 0.587 * mg(0) + 0.114 * mb(0)
+  /** One frame's bytes, sliced out of the payload. */
+  private def frameSlice(bytes: Array[Byte], frame: (Int, Int)): Array[Byte] =
+    java.util.Arrays.copyOfRange(bytes, frame._1, frame._1 + frame._2)
+
+  /** 8×8 aHash of one AVI frame — DIB frames through [[boxGrid]], MJPEG
+    * frames through the JPEG decoder and [[jpegAHash]]'s shared grid, so
+    * an MJPEG video frame and a standalone JPEG/BMP/PNG of the same
+    * pixels land in the SAME signature space. */
+  private def aviFrameHash(bytes: Array[Byte], l: AviLayout, i: Int): Long =
+    if (l.codec == "mjpg") jpegAHash(frameSlice(bytes, l.frames(i)))
+    else ahashOfGrid(boxGrid(bytes, l.width, l.height, l.frames(i)._1,
+      l.rowSize, l.bottomUp, 8, 8))
+
+  /** Mean luma of one AVI frame (decode path of [[decodeAvi]]). */
+  private def aviFrameLuma(bytes: Array[Byte], l: AviLayout, i: Int): Double =
+    if (l.codec == "mjpg") Jpeg.decodeJpeg(frameSlice(bytes, l.frames(i))).meanLuma
+    else {
+      val (mr, mg, mb) = boxGrid(bytes, l.width, l.height, l.frames(i)._1,
+        l.rowSize, l.bottomUp, 1, 1)
+      0.299 * mr(0) + 0.587 * mg(0) + 0.114 * mb(0)
     }
-    AviInfo(w, h, frameOffs.length, usPerFrame, lumaSum / frameOffs.length)
+
+  /** Strict AVI parse (uncompressed DIB or MJPEG): container fields plus
+    * mean luma across ALL frames — MJPEG frames really decode through
+    * [[Jpeg]]. Fails loudly on anything else — see [[decodeWav]] for
+    * why. */
+  def decodeAvi(bytes: Array[Byte]): AviInfo = {
+    val l = aviLayout(bytes)
+    var lumaSum = 0.0
+    var i = 0
+    while (i < l.frames.length) { lumaSum += aviFrameLuma(bytes, l, i); i += 1 }
+    AviInfo(l.width, l.height, l.frames.length, l.microsPerFrame,
+      lumaSum / l.frames.length)
   }
 
   /** 64-bit perceptual video fingerprint: per-frame 8×8 aHash over up to
@@ -1126,14 +1232,14 @@ object Multimodal {
     * banded-hamming one and [[videoNearDups]] rides the same machinery as
     * every other modality. */
   def aviFingerprint(bytes: Array[Byte]): Long = {
-    val (w, h, _, rowSize, frameOffs, bottomUp) = aviLayout(bytes)
-    val n = frameOffs.length
+    val l = aviLayout(bytes)
+    val n = l.frames.length
     val sampled =
-      if (n <= 9) frameOffs
-      else Array.tabulate(9)(i => frameOffs((i.toLong * (n - 1) / 8).toInt))
+      if (n <= 9) Array.range(0, n)
+      else Array.tabulate(9)(i => (i.toLong * (n - 1) / 8).toInt)
     val counts = new Array[Int](64)
-    sampled.foreach { off =>
-      val fh = ahashOfGrid(boxGrid(bytes, w, h, off, rowSize, bottomUp, 8, 8))
+    sampled.foreach { i =>
+      val fh = aviFrameHash(bytes, l, i)
       var b = 0
       while (b < 64) {
         if ((fh & (1L << b)) != 0) counts(b) += 1
@@ -1160,10 +1266,9 @@ object Multimodal {
     media.flatMap { r =>
       if (!Option(r.format).exists(_.equalsIgnoreCase("avi"))) Iterator.empty
       else {
-        val (w, h, _, rowSize, frameOffs, bottomUp) = aviLayout(r.media)
-        (0 until frameOffs.length by step).iterator.map { i =>
-          (r.media_id, i, ahashOfGrid(
-            boxGrid(r.media, w, h, frameOffs(i), rowSize, bottomUp, 8, 8)))
+        val l = aviLayout(r.media)
+        (0 until l.frames.length by step).iterator.map { i =>
+          (r.media_id, i, aviFrameHash(r.media, l, i))
         }
       }
     }.toDF("media_id", "frame_idx", "sig")

@@ -398,6 +398,52 @@ class MultimodalSpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("MJPEG AVI: frames really decode through the JPEG codec") {
+    import graft.multimodal.Jpeg
+    val (w, h) = (32, 32)
+    def card(shift: Int): Array[Byte] = {
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        val v = if (((x + shift) / 8 + y / 8) % 2 == 0) 220 else 30
+        rgb(o) = v.toByte; rgb(o + 1) = v.toByte; rgb(o + 2) = v.toByte
+      }
+      rgb
+    }
+    val j0 = Jpeg.encodeJpeg(card(0), w, h, quality = 90)
+    val j1 = Jpeg.encodeJpeg(card(4), w, h, quality = 90)
+    val avi = Multimodal.encodeAviMjpeg(w, h, Seq(j0, j1), fps = 5)
+    // container parse + REAL per-frame decode: meanLuma is the average of
+    // the two frames' decoded luma, not a stub
+    val info = Multimodal.decodeAvi(avi)
+    assert(info.width == w && info.height == h && info.frames == 2)
+    val expected = (Jpeg.decodeJpeg(j0).meanLuma + Jpeg.decodeJpeg(j1).meanLuma) / 2
+    assert(math.abs(info.meanLuma - expected) < 1e-9)
+    // per-frame hashes equal the SAME frames hashed as standalone JPEGs —
+    // an MJPEG video frame lands in the image signature space
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", avi, "avi", w, h, 0)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val fh = Multimodal.videoFrameHashes(ds).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(fh.keySet == Set(0, 1))
+    assert(fh(0) == Multimodal.jpegAHash(j0))
+    assert(fh(1) == Multimodal.jpegAHash(j1))
+    // fingerprint is deterministic and far from an unrelated DIB video
+    assert(Multimodal.aviFingerprint(avi) == Multimodal.aviFingerprint(avi.clone()))
+    // a frame that is not a JPEG under the MJPG codec fails loudly
+    val notJpeg = avi.clone()
+    val moviAt = {
+      var i = 12
+      while (!(notJpeg(i) == '0' && notJpeg(i + 1) == '0' &&
+        notJpeg(i + 2) == 'd' && notJpeg(i + 3) == 'c')) i += 1
+      i
+    }
+    notJpeg(moviAt + 8) = 0 // clobber the frame's SOI marker
+    val e = intercept[IllegalArgumentException](Multimodal.decodeAvi(notJpeg))
+    assert(e.getMessage.contains("SOI"), e.getMessage)
+  }
+
   test("malformed AVI payloads fail loudly, not with fake features") {
     val junk = Array.tabulate[Byte](100)(_.toByte)
     val e1 = intercept[IllegalArgumentException](Multimodal.decodeAvi(junk))
