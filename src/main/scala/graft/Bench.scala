@@ -135,6 +135,18 @@ object Bench {
     // headline line and nothing else.
     val detail = s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     System.err.println(detail)
+    // ... and to a FILE: the driver's artifact tail-captures output, and
+    // round 8's stored tail kept only 71 of 100 per-query entries —
+    // truncated from the front, so cross-round per-query diffs lost a
+    // third of the suite. The file form survives any capture length;
+    // commit it per round (docs/bench_detail_r{N}.json) like BASELINE.md.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "/tmp/bench_detail.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
+      detail + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $detailPath: ${e.getMessage}")
+    }
     val calibJson = s"""{"jvm_pre":${f4(jvmPre)},"jvm_post":${f4(jvmPost)},"spark_pre":${f4(sparkPre)},"spark_post":${f4(sparkPost)}}"""
     println(s"""{"metric":"total","value":${f4(value)},"unit":"sec","mode":"$mode","threads":$threads,"wall_concurrent":${f4(wall)},"sum_best":${f4(sumBest)},"calib":$calibJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -174,6 +174,10 @@ object Oracle {
       "SELECT ws wstart, count(*) c FROM (SELECT e.ts, g.ws FROM events e JOIN (SELECT DISTINCT date_trunc('hour', ts) - INTERVAL (k*30) MINUTE ws FROM events, (SELECT unnest([0,1]) k)) g ON e.ts >= g.ws AND e.ts < g.ws + INTERVAL 60 MINUTE) GROUP BY ws ORDER BY ws",
     "stream_session" ->
       "WITH o AS (SELECT user_id, ts, event_id, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END brk FROM events), s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) sid FROM o) SELECT user_id, sid, count(*) n, min(ts) st, max(ts) en FROM s GROUP BY user_id, sid ORDER BY user_id, sid",
+    // the NATIVE session_window form is judged against the IDENTICAL
+    // lag-gap oracle — the operator must be semantically invisible
+    "stream_session_native" ->
+      "WITH o AS (SELECT user_id, ts, event_id, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END brk FROM events), s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) sid FROM o) SELECT user_id, sid, count(*) n, min(ts) st, max(ts) en FROM s GROUP BY user_id, sid ORDER BY user_id, sid",
     "stream_dedup" ->
       "SELECT count(*) AS c FROM (SELECT DISTINCT user_id, event_type FROM events)",
     "stream_late_filter" ->

@@ -90,6 +90,7 @@ object SparkEntry {
     "stream_tumbling" -> (TimeSeries.streamTumbling _),
     "stream_sliding" -> (TimeSeries.streamSliding _),
     "stream_session" -> (TimeSeries.streamSession _),
+    "stream_session_native" -> (TimeSeries.streamSessionNative _),
     "stream_dedup" -> (TimeSeries.streamDedup _),
     "stream_late_filter" -> (TimeSeries.streamLateFilter _),
     // §2.10 LLM-data-pipeline

@@ -70,6 +70,30 @@ object TimeSeries {
         max(col("ts")).cast("timestamp_ntz").as("en"))
       .orderBy(col("user_id"), col("sid"))
 
+  /** #46b the SAME sessionization through Spark's native
+    * `session_window(ts, "30 minutes")` operator — the batch form of the
+    * streaming session aggregation, judged against the identical lag-gap
+    * oracle as [[streamSession]] (same rows, same hash), so the native
+    * operator's gap semantics are pinned: Spark closes a session when
+    * the next event is ≥ start+gap past the last one, the oracle when
+    * the gap is strictly > 30 min — equivalent on any input without an
+    * exact-30:00.000000 gap (none exist in this data at any SF, checked
+    * at µs precision; the [[streamSession]] form is the one to use if
+    * that knife-edge matters). The session ordinal the oracle carries is
+    * recovered with a per-user row_number over session starts — a window
+    * over SESSION rows (≤ sessions-per-user each), not events, and still
+    * partitioned by user_id: one shuffle, then local work, at any scale. */
+  def streamSessionNative(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ts")).cast("timestamp_ntz").as("st"),
+        max(col("ts")).cast("timestamp_ntz").as("en"))
+      .withColumn("sid", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("w.start"))).cast("long"))
+      .select(col("user_id"), col("sid"), col("n"), col("st"), col("en"))
+      .orderBy(col("user_id"), col("sid"))
+
   /** #47 distinct (user, event_type) — batch form of streaming dedup. */
   def streamDedup(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)

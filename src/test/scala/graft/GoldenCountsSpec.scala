@@ -36,6 +36,7 @@ class GoldenCountsSpec extends SparkSpecBase {
     "fn_array" -> 200,
     "fn_explode_wordcount" -> 31,
     "stream_tumbling" -> 868, "stream_sliding" -> 979, "stream_session" -> 946,
+    "stream_session_native" -> 946,
     "stream_dedup" -> 1, "stream_late_filter" -> 1,
     "llm_exact_dedup" -> 500, "llm_dedup_keep_first" -> 75, "llm_docstats" -> 5,
     "llm_ngrams" -> 30, "llm_cosine_topk" -> 50, "llm_knn_label" -> 10,

@@ -114,6 +114,17 @@ class PlanShapeSpec extends SparkSpecBase {
       s"windows + session aggregate must share the user_id partitioning, got $hashEx:\n$p")
   }
 
+  test("stream_session_native: MergingSessions merge on ONE user_id exchange") {
+    val p = plan(TimeSeries.streamSessionNative(spark, sf()))
+    assert(p.contains("MergingSessions"),
+      s"native session-window operator missing from the plan:\n$p")
+    // partial agg → one user_id exchange → sort → MergingSessions → final
+    // agg → ordinal window, all on the SAME partitioning (only the final
+    // presentation orderBy may range-exchange)
+    assert(count(p, "(?i)exchange hashpartitioning") == 1,
+      s"session merge + ordinal window must share the user_id exchange:\n$p")
+  }
+
   test("text_langid: one scan, one aggregate exchange, no joins") {
     val p = plan(TrainingData.textLangid(spark, sf()))
     assert(count(p, "(?i)exchange hashpartitioning") == 1, p)
