@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   *     a bucket boundary);
   *  3. per-bucket row counts via a map-side-combinable aggregate (shuffle
   *     payload = `buckets` rows, data-volume independent) and exclusive
-  *     prefix sums via a tiny counts⋈counts self-join — all lazy, no
-  *     second driver action, no partition-less window anywhere;
+  *     prefix sums via a window over that ≤ buckets-row counts frame
+  *     (single-partition, but bounded by BUCKET COUNT, never data
+  *     volume) — all lazy, no second driver action, no partition-less
+  *     window over row-scale data anywhere;
   *  4. hash-repartition on the bucket id, rank inside each bucket with
   *     `Window.partitionBy(bucket)` (the repartition satisfies the
   *     window's ClusteredDistribution, so EnsureRequirements adds no
@@ -258,17 +260,23 @@ object GlobalRank {
     val lrC = fresh(bucketed, "_lr")
     val offC = fresh(bucketed, "_off")
     val cntC = fresh(bucketed, "_c")
-    // exclusive prefix sums of the per-bucket masses: counts is at most
-    // `buckets` rows by construction, so the self-join is trivially small
-    // and stays fully distributed (no global window, no collect). With a
-    // weight column each bucketed row stands for `weight` original rows
-    // (the counts-only heavy-hitter path — see [[rankOfValues]]).
+    // exclusive prefix sums of the per-bucket masses via a window over
+    // the COUNTS frame: counts is at most `buckets` rows by construction
+    // (bucket ids live in [0, buckets)), so the single-partition window
+    // is data-volume INDEPENDENT — one task over ≤ buckets rows at any
+    // scale, the same bounded-input exemption the plan audit
+    // (PlanShapeSpec.boundedAggRoot) codifies. The window replaces the
+    // previous counts⋈counts theta-join + re-aggregate: two fewer
+    // stages per rank query, identical offsets. With a weight column
+    // each bucketed row stands for `weight` original rows (the
+    // counts-only heavy-hitter path — see [[rankOfValues]]).
     val mass = weight.map(wc => sum(col(wc))).getOrElse(count(lit(1)))
     val counts = bucketed.groupBy(col(bC)).agg(mass.as(cntC))
-    val offsets = counts.as("x")
-      .join(counts.as("y"), col(s"y.$bC") < col(s"x.$bC"), "left")
-      .groupBy(col(s"x.$bC").as(bC))
-      .agg(coalesce(sum(col(s"y.$cntC")), lit(0L)).as(offC))
+    val wOff = Window.orderBy(col(bC))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn(offC, coalesce(sum(col(cntC)).over(wOff), lit(0L)))
+      .select(col(bC), col(offC))
     val w = Window.partitionBy(col(bC)).orderBy(sortCols: _*)
     // weighted form: bucketed rows are UNIQUE in the sort order (one row
     // per distinct value by [[rankOfValues]]'s construction), so rank()
@@ -294,8 +302,8 @@ object GlobalRank {
     * single-partition window that form plans as. Same decomposition as
     * the rank family: range-bucket rows by sampled splits of `orderCol`,
     * per-bucket inclusive window sums (each task holds only its bucket),
-    * exclusive bucket offsets from the tiny theta-join prefix sum over
-    * per-bucket totals, local + offset = global.
+    * exclusive bucket offsets from a bounded window prefix sum over the
+    * ≤ b-row per-bucket totals, local + offset = global.
     *
     * The backbone of sequence packing (cut a corpus ordered by doc id at
     * token-budget boundaries: chunk = floor((cum − tokens) / budget)) and
@@ -333,10 +341,15 @@ object GlobalRank {
     val lrC = fresh(df, "_lc")
     val totals = bucketed.groupBy(col(bC))
       .agg(sum(col(valueCol)).as(totC))
-    val offsets = totals.as("x")
-      .join(totals.as("y"), col(s"y.$bC") < col(s"x.$bC"), "left")
-      .groupBy(col(s"x.$bC").as(bC))
-      .agg(coalesce(sum(col(s"y.$totC")), lit(0L)).as(offC))
+    // exclusive bucket offsets via a window over the ≤ b-row totals frame
+    // — single-partition but bounded by bucket count, never data volume
+    // (same replacement as rankBucketed's: two fewer stages than the
+    // totals⋈totals theta-join + re-aggregate it supersedes)
+    val wOff = Window.orderBy(col(bC))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn(offC, coalesce(sum(col(totC)).over(wOff), lit(0L)))
+      .select(col(bC), col(offC))
     val w = Window.partitionBy(col(bC)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     bucketed

@@ -172,7 +172,10 @@ object Windows {
     val counts = ev.groupBy(col("value")).agg(count(lit(1)).as("_c"))
     val cum = GlobalRank.runningTotal(counts, "value", "_c", "_cum")
       .select(col("value"), col("_cum"))
-    val nDf = ev.agg(count(lit(1)).as("_n"))
+    // total row count = sum of the per-value counts — read from the value
+    // table (whose groupBy exchange the main pipeline already computes,
+    // so ReuseExchange serves both) instead of re-scanning the fact table
+    val nDf = counts.agg(sum(col("_c")).as("_n"))
     ev.join(cum, Seq("value"))
       .crossJoin(broadcast(nDf))
       .select(col("event_id"),

@@ -13,12 +13,26 @@ import graft.operators.{GlobalRank, Windows}
 class GlobalRankSpec extends SparkSpecBase {
   import spark.implicits._
 
-  /** Whether a plan's row count is bounded by a LIMIT reachable through
-    * row-non-increasing operators — such input makes a global window safe
-    * (fixed row count regardless of data volume). */
+  /** Whether a plan's row count is bounded independently of data volume,
+    * reachable through row-non-increasing operators — such input makes a
+    * global window safe (fixed row count regardless of data volume).
+    * Two bounded shapes exist in the judged plans:
+    *  - a LIMIT;
+    *  - an Aggregate grouping ONLY on GlobalRank's bucket-id working
+    *    columns (exactly `_b`, `_b1`, ... — the same rule as
+    *    PlanShapeSpec.boundedAggRoot): its output is ≤ buckets rows by
+    *    construction, which is what makes the offsets prefix-sum window
+    *    inside rankBucketed/runningTotal a bounded one-task step, not a
+    *    scale-killer. A looser name test would quietly void this audit. */
   @annotation.tailrec
   private def limitBounded(p: logical.LogicalPlan): Boolean = p match {
     case _: logical.GlobalLimit => true
+    case a: logical.Aggregate =>
+      a.groupingExpressions.nonEmpty && a.groupingExpressions.forall {
+        case ne: org.apache.spark.sql.catalyst.expressions.NamedExpression =>
+          ne.name.matches("_b\\d*")
+        case _ => false
+      }
     case u: logical.Project => limitBounded(u.child)
     case u: logical.Filter => limitBounded(u.child)
     case u: logical.Sort => limitBounded(u.child)

@@ -60,9 +60,10 @@ def stored_baseline():
 
 def live_baseline(sf_dir, oracle_path, threads=16, rounds=3):
     """Re-run the oracle suite in DuckDB under the BASELINE.md protocol:
-    one connection, per-thread cursors, 16-thread pool, full fetchall,
-    one warmup pass then best-of-`rounds` — returns (per-query best
-    seconds, best concurrent suite wall-clock seconds)."""
+    one connection, per-thread cursors, a pool of `threads` workers
+    (matched to the engine headline's thread count for a like-for-like
+    wall), full fetchall, one warmup pass then best-of-`rounds` —
+    returns (per-query best seconds, best concurrent suite wall)."""
     from concurrent.futures import ThreadPoolExecutor
     import duckdb
     oracle = json.load(open(oracle_path))
@@ -111,7 +112,10 @@ def main():
 
     bench = read_bench(args.bench, args.extra)
     if args.live:
-        base, live_wall = live_baseline(args.sf, args.oracle)
+        # identical-protocol rule: DuckDB gets the same pool width the
+        # engine's headline was measured with (16 before round 9, 24 after)
+        base, live_wall = live_baseline(args.sf, args.oracle,
+                                        threads=int(bench.get("threads", 16)))
     else:
         base, live_wall = stored_baseline()
 
