@@ -1233,13 +1233,19 @@ object Multimodal {
     * every other modality. */
   def aviFingerprint(bytes: Array[Byte]): Long = {
     val l = aviLayout(bytes)
-    val n = l.frames.length
-    val sampled =
-      if (n <= 9) Array.range(0, n)
-      else Array.tabulate(9)(i => (i.toLong * (n - 1) / 8).toInt)
+    majorityVote(sampleNine(l.frames.length).map(aviFrameHash(bytes, l, _)))
+  }
+
+  /** Up to nine evenly-spaced indices over [0, n). */
+  private def sampleNine(n: Int): Array[Int] =
+    if (n <= 9) Array.range(0, n)
+    else Array.tabulate(9)(i => (i.toLong * (n - 1) / 8).toInt)
+
+  /** Strict per-bit majority fold of 64-bit frame hashes (shared by the
+    * AVI and MP4 video fingerprints). */
+  private def majorityVote(hashes: Array[Long]): Long = {
     val counts = new Array[Int](64)
-    sampled.foreach { i =>
-      val fh = aviFrameHash(bytes, l, i)
+    hashes.foreach { fh =>
       var b = 0
       while (b < 64) {
         if ((fh & (1L << b)) != 0) counts(b) += 1
@@ -1249,41 +1255,87 @@ object Multimodal {
     var hash = 0L
     var b = 0
     while (b < 64) {
-      if (counts(b) * 2 > sampled.length) hash |= 1L << b
+      if (counts(b) * 2 > hashes.length) hash |= 1L << b
       b += 1
     }
     hash
   }
 
-  /** Per-frame aHashes of an AVI row set, every `step`-th frame:
-    * (media_id, frame_idx, sig) — frame-granular near-dup / content
-    * search, and the REAL frame-sampling path for video (the byte-slicing
-    * [[frameSample]] Column form stays for fixed-layout payloads). A pure
-    * flatMap; non-AVI rows skipped. */
+  /** The Motion-JPEG sample ranges of an MP4 payload, when its first
+    * video track's codec is MJPEG ('jpeg'/'mjpa'/'mjpb' — every sample
+    * a complete JPEG image). None for other codecs (frame data stays
+    * codec-bound) and for payloads whose boxes don't parse — the
+    * signature jobs SKIP such rows rather than dying, same contract as
+    * [[imageAHashes]]' jpeg arm. */
+  private def mp4MjpegFrames(bytes: Array[Byte]): Option[Array[(Long, Int)]] =
+    if (!Mp4.looksLikeMp4(bytes)) None
+    else try Mp4.videoSampleTable(bytes) match {
+      case Some((codec, samples))
+          if Set("jpeg", "mjpa", "mjpb")(codec.toLowerCase.trim) =>
+        Some(samples)
+      case _ => None
+    } catch { case _: IllegalArgumentException => None }
+
+  /** aHash of one MP4 MJPEG sample through the shared image grid. */
+  private def mp4FrameHash(bytes: Array[Byte], s: (Long, Int)): Long =
+    jpegAHash(java.util.Arrays.copyOfRange(bytes, s._1.toInt, s._1.toInt + s._2))
+
+  /** Majority-vote fingerprint of an MJPEG MP4 (the [[aviFingerprint]]
+    * twin). Throws on non-MJPEG codecs — callers route via
+    * [[mp4MjpegFrames]] first. */
+  def mp4MjpegFingerprint(bytes: Array[Byte]): Long = {
+    val samples = mp4MjpegFrames(bytes).getOrElse(throw new IllegalArgumentException(
+      "mp4MjpegFingerprint: payload has no decodable MJPEG video track"))
+    majorityVote(sampleNine(samples.length).map(i => mp4FrameHash(bytes, samples(i))))
+  }
+
+  /** Per-frame aHashes of the decodable video rows, every `step`-th
+    * frame: (media_id, frame_idx, sig) — frame-granular near-dup /
+    * content search, and the REAL frame-sampling path for video (the
+    * byte-slicing [[frameSample]] Column form stays for fixed-layout
+    * payloads). AVI rows (DIB or MJPEG) decode via [[aviLayout]]; MP4
+    * rows whose video codec is Motion-JPEG decode via the sample table
+    * ([[Mp4.videoSampleTable]]) — all frames land in the shared image
+    * signature space. Other rows (incl. codec-bound H.264 MP4s) are
+    * skipped. A pure flatMap. */
   def videoFrameHashes(media: Dataset[MediaRow], step: Int = 1): DataFrame = {
     require(step > 0, s"step must be positive, got $step")
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      if (!Option(r.format).exists(_.equalsIgnoreCase("avi"))) Iterator.empty
-      else {
-        val l = aviLayout(r.media)
-        (0 until l.frames.length by step).iterator.map { i =>
-          (r.media_id, i, aviFrameHash(r.media, l, i))
-        }
+      Option(r.format).map(_.toLowerCase) match {
+        case Some("avi") =>
+          val l = aviLayout(r.media)
+          (0 until l.frames.length by step).iterator.map { i =>
+            (r.media_id, i, aviFrameHash(r.media, l, i))
+          }
+        case Some("mp4") =>
+          mp4MjpegFrames(r.media) match {
+            case Some(samples) =>
+              (0 until samples.length by step).iterator.map { i =>
+                (r.media_id, i, mp4FrameHash(r.media, samples(i)))
+              }
+            case None => Iterator.empty
+          }
+        case _ => Iterator.empty
       }
     }.toDF("media_id", "frame_idx", "sig")
   }
 
-  /** Per-video fingerprints for the AVI rows of a media table:
-    * (media_id, sig) — the video signature store, exactly like
-    * [[imageAHashes]] and [[audioHashes]]. A pure map; non-AVI rows
-    * skipped. */
+  /** Per-video fingerprints for the decodable video rows of a media
+    * table: (media_id, sig) — the video signature store, exactly like
+    * [[imageAHashes]] and [[audioHashes]]. AVI rows always fingerprint;
+    * MP4 rows fingerprint when their video codec is Motion-JPEG and are
+    * skipped otherwise (codec-bound). A pure map. */
   def videoHashes(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      if (Option(r.format).exists(_.equalsIgnoreCase("avi")))
-        Some((r.media_id, aviFingerprint(r.media)))
-      else None
+      Option(r.format).map(_.toLowerCase) match {
+        case Some("avi") => Some((r.media_id, aviFingerprint(r.media)))
+        case Some("mp4") => mp4MjpegFrames(r.media).map(samples =>
+          (r.media_id, majorityVote(
+            sampleNine(samples.length).map(i => mp4FrameHash(r.media, samples(i))))))
+        case _ => None
+      }
     }.toDF("media_id", "sig")
   }
 

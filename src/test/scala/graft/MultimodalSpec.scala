@@ -444,6 +444,55 @@ class MultimodalSpec extends SparkSpecBase {
     assert(e.getMessage.contains("SOI"), e.getMessage)
   }
 
+  test("MJPEG MP4: sample table resolves frames, hashes match the AVI twin") {
+    import graft.multimodal.{Jpeg, Mp4}
+    val (w, h) = (24, 16)
+    def frame(seed: Int): Array[Byte] = {
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        val v = if (((x + seed) / 8 + y / 8) % 2 == 0) 200 else 40
+        rgb(o) = v.toByte; rgb(o + 1) = v.toByte; rgb(o + 2) = v.toByte
+      }
+      Jpeg.encodeJpeg(rgb, w, h, quality = 90)
+    }
+    val j = Seq(frame(0), frame(8), frame(16))
+    val mp4 = Mp4.encodeMp4Mjpeg(w, h, j)
+    // the sample table hands back exactly the three JPEG payloads
+    val Some((codec, samples)) = Mp4.videoSampleTable(mp4)
+    assert(codec == "jpeg" && samples.length == 3)
+    samples.zip(j).foreach { case ((off, sz), orig) =>
+      assert(sz == orig.length)
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(mp4, off.toInt, off.toInt + sz), orig))
+    }
+    // ... and parseMp4 still reports the container metadata
+    val info = Mp4.parseMp4(mp4)
+    assert(info.tracks.head.codec == "jpeg" && info.tracks.head.nSamples == 3)
+    // frame hashes via the MP4 path equal the SAME frames in an MJPEG AVI
+    // and as standalone JPEGs — one signature space across containers
+    val avi = Multimodal.encodeAviMjpeg(w, h, j, fps = 5)
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", mp4, "mp4", w, h, 0),
+      Multimodal.MediaRow(2L, "video", avi, "avi", w, h, 0),
+      Multimodal.MediaRow(3L, "video", Array[Byte](1, 2, 3), "mp4", 0, 0, 0)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val fh = Multimodal.videoFrameHashes(ds).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(fh.keySet.map(_._1) == Set(1L, 2L)) // opaque mp4 row skipped
+    for (i <- 0 until 3) {
+      assert(fh((1L, i)) == Multimodal.jpegAHash(j(i)))
+      assert(fh((1L, i)) == fh((2L, i)))
+    }
+    // fingerprints agree across containers too, and videoNearDups pairs them
+    assert(Multimodal.mp4MjpegFingerprint(mp4) ==
+      Multimodal.aviFingerprint(avi))
+    val pairs = Multimodal.videoNearDups(ds)
+      .select($"a_media_id", $"b_media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("malformed AVI payloads fail loudly, not with fake features") {
     val junk = Array.tabulate[Byte](100)(_.toByte)
     val e1 = intercept[IllegalArgumentException](Multimodal.decodeAvi(junk))
