@@ -182,6 +182,16 @@ object Oracle {
       "SELECT count(*) AS c FROM (SELECT DISTINCT user_id, event_type FROM events)",
     "stream_late_filter" ->
       "SELECT count(*) c FROM events WHERE ts < (SELECT max(ts) FROM events) - INTERVAL 1 DAY",
+    "ts_funnel" ->
+      "WITH w1 AS (SELECT user_id, event_type, ts, min(CASE WHEN event_type='view' THEN ts END) OVER (PARTITION BY user_id) AS t_view FROM events), w2 AS (SELECT *, min(CASE WHEN event_type='click' AND ts > t_view THEN ts END) OVER (PARTITION BY user_id) AS t_click FROM w1), w3 AS (SELECT *, min(CASE WHEN event_type='purchase' AND ts > t_click THEN ts END) OVER (PARTITION BY user_id) AS t_purchase FROM w2) SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click, min(t_purchase) AS t_purchase FROM w3 GROUP BY user_id HAVING min(t_view) IS NOT NULL ORDER BY user_id",
+    "win_gaps_islands" ->
+      "WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), r AS (SELECT user_id, day, row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM d) SELECT user_id, CAST(min(day) AS TIMESTAMP) AS island_start, CAST(max(day) AS TIMESTAMP) AS island_end, count(*) AS n_days FROM r GROUP BY user_id, day - CAST(rn AS INTEGER) ORDER BY user_id, island_start",
+    "ts_retention_cohort" ->
+      "WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort FROM events GROUP BY user_id), a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events) SELECT CAST(f.cohort AS TIMESTAMP) AS cohort, CAST((a.wk - f.cohort)/7 AS INT) AS week_n, count(DISTINCT a.user_id) AS n_users FROM a JOIN f USING(user_id) GROUP BY 1,2 ORDER BY 1,2",
+    "agg_histogram" ->
+      "SELECT event_type, CAST(floor(value/50) AS INT) AS bin, count(*) AS c, round(avg(value),2) AS mean_v FROM events GROUP BY 1,2 ORDER BY 1,2",
+    "agg_mode" ->
+      "WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1,2), r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_type) AS rn FROM c) SELECT user_id, event_type AS mode_type, c AS n FROM r WHERE rn=1 ORDER BY user_id",
     "llm_exact_dedup" ->
       "SELECT md5(text) h, count(*) c, min(doc_id) keeper FROM documents GROUP BY md5(text) ORDER BY h",
     "llm_dedup_keep_first" ->

@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Relational, Windows, Scalars, TimeSeries, LlmOps, TrainingData, IntervalJoin}
+import graft.operators.{Relational, Windows, Scalars, TimeSeries, LlmOps, TrainingData, IntervalJoin, Analytics}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -93,6 +93,12 @@ object SparkEntry {
     "stream_session_native" -> (TimeSeries.streamSessionNative _),
     "stream_dedup" -> (TimeSeries.streamDedup _),
     "stream_late_filter" -> (TimeSeries.streamLateFilter _),
+    // §2.9/§2.4/§2.5 product analytics (added round 9)
+    "ts_funnel" -> (Analytics.tsFunnel _),
+    "win_gaps_islands" -> (Analytics.winGapsIslands _),
+    "ts_retention_cohort" -> (Analytics.tsRetentionCohort _),
+    "agg_histogram" -> (Analytics.aggHistogram _),
+    "agg_mode" -> (Analytics.aggMode _),
     // §2.10 LLM-data-pipeline
     "llm_exact_dedup" -> (LlmOps.llmExactDedup _),
     "llm_dedup_keep_first" -> (LlmOps.llmDedupKeepFirst _),
