@@ -27,6 +27,11 @@ object Oracle {
     // invisible — the oracle filters the raw timestamps directly
     "scan_partition_pruned" ->
       "SELECT event_type, count(*) AS n, round(sum(value),2) AS total FROM events WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-15' GROUP BY event_type ORDER BY event_type",
+    // plain-table formulation: the engine reads its Z-ordered re-layout
+    // (two-dimensional row-group pruning), which must be semantically
+    // invisible — the oracle filters the raw columns directly
+    "scan_zorder_pruned" ->
+      "SELECT event_type, count(*) AS n, round(sum(value),2) AS total FROM events WHERE user_id BETWEEN 3 AND 9 AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-18' GROUP BY event_type ORDER BY event_type",
     "filter_predicates" ->
       "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R') AND NOT l_linestatus = 'O' ORDER BY l_orderkey, l_linenumber, l_quantity",
     "filter_like_null" ->

@@ -20,6 +20,7 @@ object SparkEntry {
     "scan_project" -> (Relational.scanProject _),
     "scan_range_pruned" -> (Relational.scanRangePruned _),
     "scan_partition_pruned" -> (Relational.scanPartitionPruned _),
+    "scan_zorder_pruned" -> (Relational.scanZorderPruned _),
     // §2.2 filters
     "filter_predicates" -> (Relational.filterPredicates _),
     "filter_like_null" -> (Relational.filterLikeNull _),

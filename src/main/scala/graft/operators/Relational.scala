@@ -96,6 +96,40 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** #1d scan over the Z-ORDERED layout ([[graft.sources.Layout
+    * .saveZOrdered]]): events re-clustered on the Morton curve of
+    * (user_id, day), so a filter over BOTH dimensions prunes row groups
+    * on parquet footer min/max for each — the fourth writer-side layout
+    * lever, covering the query shape the other three cannot: a range-sort
+    * on user_id leaves every file spanning all 30 days, a date partition
+    * leaves every directory spanning all users; the z-layout bounds each
+    * file to a compact (user, day) rectangle (LayoutSpec asserts the
+    * rectangles and that the judged filter's rectangle intersects a
+    * strict minority of files). Judged against the PLAIN-table oracle —
+    * the re-layout must be semantically INVISIBLE. Same per-JVM
+    * lifetime/marker protocol as [[scanRangePruned]]. */
+  def scanZorderPruned(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(rangeLayoutRoot, s"events_zorder_${pathTag(d)}")
+    val done = new java.io.File(dir, "_graft_layout_done")
+    if (!done.exists()) {
+      graft.sources.Layout.saveZOrdered(
+        Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            col("event_type"), col("value")),
+        dir.toString, numFiles = 8,
+        col("user_id"), unix_date(col("day")))
+      done.createNewFile()
+      ()
+    }
+    s.read.parquet(dir.toString)
+      .filter(col("user_id").between(3, 9) &&
+        col("day").between(lit("2024-01-08").cast("date"),
+          lit("2024-01-18").cast("date")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-process root for [[scanRangePruned]]'s re-layouts: created
     * lazily once per JVM, so concurrent processes write disjoint
     * directories and no marker file outlives the process that wrote

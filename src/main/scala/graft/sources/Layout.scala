@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Physical table layout for the 100 TB tier — the writer-side half of
-  * scan and join efficiency. Three levers, each exercised by LayoutSpec
-  * against the plans/files it claims to shape:
+  * scan and join efficiency. Four levers, each exercised by LayoutSpec
+  * against the plans/files it claims to shape (plus [[saveZOrdered]]'s
+  * two-dimensional variant of lever 2, see its scaladoc):
   *
   *  1. '''Bucketing''' ([[saveBucketed]]): co-partition + co-sort two
   *     fact tables on their join keys ONCE at write time, and every
@@ -102,6 +103,29 @@ object Layout {
       hint = "Write the new layout to a sibling directory, then swap it in.")
     df.repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Write `dir` as `numFiles` parquet files clustered on the Z-order
+    * (Morton) curve of TWO key columns ([[graft.functions.ZOrder]]):
+    * each file covers a contiguous z-range, i.e. a compact rectangle in
+    * (a, b) space, so parquet footer min/max prunes row groups on
+    * filters over EITHER or BOTH columns — the multi-dimensional
+    * counterpart of [[saveRangeSorted]], whose single sort column leaves
+    * the second dimension at full range in every file. `zKeyA`/`zKeyB`
+    * must be long-castable (dates: pass `unix_date(c)`); the z-value is
+    * a transient clustering key, dropped before the write. */
+  def saveZOrdered(df: DataFrame, dir: String, numFiles: Int,
+      zKeyA: org.apache.spark.sql.Column,
+      zKeyB: org.apache.spark.sql.Column): Unit = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    graft.PathGuard.requireDisjoint(df.sparkSession, df.inputFiles.toSeq,
+      dir, "z-order layout input",
+      hint = "Write the new layout to a sibling directory, then swap it in.")
+    df.withColumn("_graft_z", graft.functions.ZValueExpr.z_value(zKeyA, zKeyB))
+      .repartitionByRange(numFiles, col("_graft_z"))
+      .sortWithinPartitions(col("_graft_z"))
+      .drop("_graft_z")
       .write.mode("overwrite").parquet(dir)
   }
 
