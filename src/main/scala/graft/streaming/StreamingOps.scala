@@ -180,6 +180,83 @@ object StreamingOps {
       }
   }
 
+  /** Streaming funnel state for one user (epoch millis;
+    * `Long.MaxValue` = stage not reached). The pending pools hold the
+    * only events whose eligibility can still CHANGE: a stage-k event
+    * with ts ≤ the stage-(k−1) minimum becomes eligible if an
+    * admissible late event lowers that minimum — and admissible means
+    * ts ≥ watermark, so pools are pruned to (wm, min] each batch and
+    * state stays bounded by the watermark horizon, not the stream. */
+  case class FunnelState(minView: Long, pendingClicks: Seq[Long],
+      minClick: Long, pendingPurchases: Seq[Long], minPurchase: Long)
+
+  /** Current funnel progress for one user (Update-mode row). */
+  case class FunnelRow(user_id: Long, t_view: Option[Timestamp],
+      t_click: Option[Timestamp], t_purchase: Option[Timestamp])
+
+  /** Twin of Analytics.tsFunnel: per-user ordered view → click →
+    * purchase funnel as arbitrary stateful processing
+    * (mapGroupsWithState, Update mode — each batch re-emits a user's
+    * current stage timestamps; downstream keeps the latest row per
+    * user).
+    *
+    * Correctness under reordering: each stage minimum only ever
+    * DECREASES, and a decrease can only be caused by an event with
+    * ts ≥ watermark. So a stage-k candidate below the stage-(k−1)
+    * minimum is kept only while its ts > watermark (the pending pool);
+    * once the watermark passes it, no admissible earlier-stage event
+    * can slide beneath it and it is pruned. Per-user state is three
+    * longs plus pools bounded by the user's events inside the
+    * watermark horizon — the structure that lets this run forever. */
+  def statefulFunnel(events: DataFrame,
+      watermark: String = "1 day"): Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val NoTs = Long.MaxValue
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("event_type"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Timestamp, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelRow](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp, String)],
+            state: GroupState[FunnelState]) =>
+          val s0 = state.getOption.getOrElse(
+            FunnelState(NoTs, Nil, NoTs, Nil, NoTs))
+          var minView = s0.minView
+          var clicks = s0.pendingClicks
+          var minClick = s0.minClick
+          var purchases = s0.pendingPurchases
+          var minPurchase = s0.minPurchase
+          rows.foreach { case (_, ts, et) =>
+            val t = ts.getTime
+            et match {
+              case "view" => minView = math.min(minView, t)
+              case "click" => clicks = t +: clicks
+              case "purchase" => purchases = t +: purchases
+              case _ => ()
+            }
+          }
+          // promote candidates made eligible by the (possibly lowered)
+          // previous-stage minimum; minimums are monotone-decreasing so
+          // promotion never has to be undone
+          val (okC, pendC) = clicks.partition(_ > minView)
+          if (okC.nonEmpty) minClick = math.min(minClick, okC.min)
+          val (okP, pendP) = purchases.partition(_ > minClick)
+          if (okP.nonEmpty) minPurchase = math.min(minPurchase, okP.min)
+          // a pending candidate at or below the watermark can never be
+          // promoted (an enabling earlier-stage event would be late)
+          val wm = state.getCurrentWatermarkMs()
+          state.update(FunnelState(minView, pendC.filter(_ > wm), minClick,
+            pendP.filter(_ > wm), minPurchase))
+          def opt(t: Long): Option[Timestamp] =
+            if (t == NoTs) None else Some(new Timestamp(t))
+          FunnelRow(user, opt(minView), opt(minClick), opt(minPurchase))
+      }
+  }
+
   /** Twin of TimeSeries.streamDedup: streaming-safe distinct on
     * (user_id, event_type). State for a key can be dropped once the
     * watermark passes — unbounded-state-free dedup. */

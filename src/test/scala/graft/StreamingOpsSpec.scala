@@ -472,4 +472,37 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("Refusing to mix lineages")
       || Option(e.getCause).exists(_.getMessage.contains("Refusing to mix lineages")))
   }
+
+  test("stateful funnel promotes pending stages on an out-of-order view") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val out = StreamingOps.statefulFunnel(eventsDF(ms.toDF()),
+      watermark = "1 day")
+    val q = out.writeStream.format("memory").queryName("t_funnel")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1's click (2000s) PRECEDES its first view (2500s)
+      // and the purchase (3000s) precedes any eligible click — neither
+      // later stage may fire yet; user 2 has a click but no view ever
+      ms.addData((1L, 2000L, 1L, "click", 1.0),
+        (2L, 2500L, 1L, "view", 1.0),
+        (3L, 3000L, 1L, "purchase", 1.0),
+        (4L, 100L, 2L, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: an out-of-order but admissible view at 1000s lowers
+      // min-view below the pending 2000s click → click promotes, which
+      // makes the 3000s pending purchase eligible in the same pass
+      ms.addData((5L, 1000L, 1L, "view", 1.0),
+        (6L, 4000L, 1L, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    def sec(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getTimestamp(i).getTime / 1000)
+    val got = spark.table("t_funnel").collect()
+      .map(r => (r.getLong(0), sec(r, 1), sec(r, 2), sec(r, 3))).toSet
+    assert(got == Set(
+      (1L, Some(2500L), None, None),          // batch-1 snapshot
+      (2L, None, None, None),                 // no view: funnel not entered
+      (1L, Some(1000L), Some(2000L), Some(3000L)))) // final, matches batch
+  }
 }
