@@ -314,6 +314,18 @@ object Oracle {
       ("WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 120) " +
         "SELECT * FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(list_cosine_similarity(a.v, b.v), 6) AS cosine " +
         "FROM t a JOIN t b ON a.vec_id < b.vec_id) WHERE cosine >= 0.3 ORDER BY a_id, b_id"),
+    // transitive-closure min propagation reaches the same fixpoint as the
+    // engine's large-star/small-star contraction: both label every node
+    // with the minimum id of its component
+    "dedup_cc_clusters" ->
+      ("WITH RECURSIVE pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id " +
+        "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 120) a " +
+        "JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 120) b " +
+        "ON a.vec_id < b.vec_id WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3), " +
+        "nodes AS (SELECT DISTINCT id FROM (SELECT a_id AS id FROM pairs UNION SELECT b_id FROM pairs)), " +
+        "edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs), " +
+        "reach(u, v) AS (SELECT id, id FROM nodes UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) " +
+        "SELECT u AS id, min(v) AS cluster_id FROM reach GROUP BY u ORDER BY id"),
     "hrv_clean_interp" ->
       ("WITH f AS (SELECT event_id, user_id, ts, value, " +
         "(value < 1.0 OR value > 300.0 OR abs(value - coalesce(quantile_cont(value, 0.5) OVER " +

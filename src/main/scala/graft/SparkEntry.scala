@@ -126,6 +126,7 @@ object SparkEntry {
     "llm_pack_sequences" -> (TrainingData.llmPackSequences _),
     "dedup_winnow" -> (TrainingData.dedupWinnow _),
     "dedup_embedding" -> (TrainingData.dedupEmbedding _),
+    "dedup_cc_clusters" -> (TrainingData.dedupCcClusters _),
     "hrv_rmssd" -> (TrainingData.hrvRmssd _),
     "hrv_clean_interp" -> (TrainingData.hrvCleanInterp _),
     "hrv_resample" -> (TrainingData.hrvResample _),

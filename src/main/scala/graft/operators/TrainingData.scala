@@ -121,6 +121,33 @@ object TrainingData {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** #84 (added round 9) from near-dup PAIRS to duplicate CLUSTERS:
+    * connected components over the embedding-cosine pair graph (#66's
+    * edges), labeling every member with the smallest id reachable —
+    * the step that turns pairwise similarity into one-keeper-per-group
+    * dedup decisions. The Spark side runs the O(log n)
+    * large-star/small-star contraction ([[DedupClusters]], the 100 TB
+    * path — rounds grow with log(component size), never diameter);
+    * the oracle reaches the same fixpoint by transitive-closure min
+    * propagation (a recursive CTE) — tractable on the bounded probe
+    * graph, and the labelings provably coincide: both assign each node
+    * the minimum id of its component. */
+  def dedupCcClusters(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    import graft.functions.CosineSimilarityExpr.cosine_sim
+    val emb = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 120)
+      .select(col("vec_id"), VectorFunctions.toDoubleVec(col("embedding")).as("v"))
+    val a = emb.select(col("vec_id").as("a_id"), col("v").as("va"))
+    val b = emb.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    val pairs = broadcast(a).join(b, col("a_id") < col("b_id"))
+      .filter(round(cosine_sim(col("va"), col("vb")), 6) >= 0.3)
+      .select(col("a_id"), col("b_id"))
+    DedupClusters.connectedComponents(pairs, "a_id", "b_id")
+      .select(col("id"), col("comp").as("cluster_id"))
+      .orderBy(col("id"))
+  }
+
   /** #63c edit-distance (Levenshtein) near-dup pairs over a bounded
     * probe window — the character-level member of the dedup family,
     * catching transposition/typo-level duplicates that set-based
