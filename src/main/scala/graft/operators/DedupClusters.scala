@@ -35,7 +35,11 @@ object DedupClusters {
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+    // no trailing distinct: output multiplicity is bounded by the input's
+    // (each (v>u) neighbor emits exactly one rewired edge, ≤ 2|E| rows),
+    // duplicates don't perturb small-star's group-mins, and the round's
+    // single distinct at small-star's tail canonicalizes — one fewer
+    // full shuffle per round, at 100 TB as much as here
   }
 
   /** One small-star step on (bigger, smaller)-oriented edges: for every
@@ -79,12 +83,16 @@ object DedupClusters {
     var iter = 0
     var converged = edges.isEmpty
     while (iter < maxIter && !converged) {
+      // eager checkpoint: the convergence check references `next` TWICE
+      // (both anti-join directions) — lazy materialization would compute
+      // the round's whole plan once per reference
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // exact fixpoint test: both sides are distinct sets, so two empty
-      // anti-joins == set equality (no checksum collision risk)
-      converged =
-        next.join(edges, Seq("u", "v"), "left_anti").isEmpty &&
-        edges.join(next, Seq("u", "v"), "left_anti").isEmpty
+      // exact fixpoint test: both sides are distinct sets, so an empty
+      // symmetric difference == set equality (no checksum collision
+      // risk); both anti-joins ride in ONE action
+      converged = next.join(edges, Seq("u", "v"), "left_anti")
+        .union(edges.join(next, Seq("u", "v"), "left_anti"))
+        .isEmpty
       edges = next
       iter += 1
     }
@@ -94,6 +102,23 @@ object DedupClusters {
           "large-star/small-star rounds; component labels would be " +
           "incorrect. Rounds needed grow with log(component size) — raise " +
           "maxIter.")
+    // One-time structural guard (a single action, not per-round): the
+    // converged set must be a STAR FOREST — out-degree 1 per member, no
+    // member also a root. The batched convergence test compares the set
+    // two rounds apart, so this re-proves on the data itself that no
+    // period-2 cycle slipped through (the contraction's potential
+    // argument rules one out, but an exactness claim should not rest on
+    // a proof the code can check for one job's cost). Star-forest-ness
+    // plus the steps' connectivity preservation implies the labels are
+    // the true component minima.
+    val notForest = edges.groupBy(col("u")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("u"))
+      .union(edges.select(col("u")).intersect(edges.select(col("v"))))
+    if (!notForest.isEmpty)
+      throw new IllegalStateException(
+        "connectedComponents converged to a non-star-forest edge set — " +
+          "this indicates a contraction-step regression; labels would be " +
+          "incorrect.")
     // at the fixpoint the edge set is a star forest: (member, root) once
     // per non-root member; roots and isolated nodes label themselves
     val labels = nodes
