@@ -127,6 +127,8 @@ object Oracle {
       "SELECT user_id, event_id, round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),6) ma5 FROM events ORDER BY user_id, event_id LIMIT 500",
     "win_cumsum" ->
       "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING),2) cum FROM orders ORDER BY o_custkey, o_orderkey LIMIT 500",
+    "win_range_numeric" ->
+      "SELECT event_id, event_type, count(*) OVER (PARTITION BY event_type ORDER BY value RANGE BETWEEN 50 PRECEDING AND CURRENT ROW) AS c50, round(avg(value) OVER (PARTITION BY event_type ORDER BY value RANGE BETWEEN 50 PRECEDING AND CURRENT ROW), 2) AS a50 FROM events ORDER BY event_id LIMIT 500",
     "win_range_time" ->
       "SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW) c10m FROM events ORDER BY event_id LIMIT 500",
     "win_first_last" ->
@@ -169,6 +171,8 @@ object Oracle {
     // in DuckDB exactly as from_json's absent struct field is in Spark
     "fn_json_struct" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) k, coalesce(json_extract_string(props, '$.tag'), 'untagged') tag FROM events ORDER BY event_id LIMIT 500",
+    "fn_array_lambda" ->
+      "SELECT doc_id, len(list_filter(split(text, ' '), w -> len(w) > 5)) AS n_long, round(CAST(list_aggregate(list_transform(split(text, ' '), w -> len(w)), 'sum') AS DOUBLE) / len(split(text, ' ')), 4) AS avg_len, list_aggregate(list_transform(split(text, ' '), w -> len(w)), 'max') AS max_len FROM documents WHERE doc_id < 200 ORDER BY doc_id",
     "fn_array" ->
       "SELECT doc_id, len(string_split(text, ' ')) n_words, string_split(text,' ')[1] first_word FROM documents ORDER BY doc_id LIMIT 200",
     "fn_explode_wordcount" ->

@@ -63,6 +63,7 @@ object SparkEntry {
     "win_moving_avg" -> (Windows.winMovingAvg _),
     "win_cumsum" -> (Windows.winCumsum _),
     "win_range_time" -> (Windows.winRangeTime _),
+    "win_range_numeric" -> (Windows.winRangeNumeric _),
     "win_first_last" -> (Windows.winFirstLast _),
     "win_ntile_pctrank" -> (Windows.winNtilePctrank _),
     // §2.6 sorts / top-k
@@ -86,6 +87,7 @@ object SparkEntry {
     "fn_json" -> (Scalars.fnJson _),
     "fn_json_struct" -> (Scalars.fnJsonStruct _),
     "fn_array" -> (Scalars.fnArray _),
+    "fn_array_lambda" -> (Scalars.fnArrayLambda _),
     "fn_explode_wordcount" -> (Scalars.fnExplodeWordcount _),
     // §2.9 time-series / streaming (batch forms)
     "stream_tumbling" -> (TimeSeries.streamTumbling _),

@@ -142,6 +142,27 @@ object Scalars {
       .orderBy(col("doc_id"))
       .limit(200)
 
+  /** #42b (added round 9) higher-order array lambdas — `filter`,
+    * `transform`, `aggregate` with real lambda arguments, the API a
+    * pipeline reaches for before exploding anything: per-doc long-word
+    * count, mean word length (lambda-summed), longest word. All three
+    * run inside whole-stage codegen over the array without
+    * materializing an exploded row per token — at corpus scale that is
+    * |docs| rows through the pipeline instead of |tokens|. */
+  def fnArrayLambda(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        size(filter(words, w => length(w) > 5)).cast("long").as("n_long"),
+        round(
+          aggregate(transform(words, w => length(w)), lit(0),
+            (acc, x) => acc + x).cast("double") / size(words), 4)
+          .as("avg_len"),
+        array_max(transform(words, w => length(w))).cast("long").as("max_len"))
+      .orderBy(col("doc_id"))
+  }
+
   /** #43 explode generator → word count (canonical UDTF shape). */
   def fnExplodeWordcount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

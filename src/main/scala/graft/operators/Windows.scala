@@ -220,6 +220,28 @@ object Windows {
       .limit(500)
   }
 
+  /** #27b (added round 9) VALUE-range frame: peers are rows whose
+    * `value` lies within 50 of the current row's, per event type — the
+    * numeric sibling of the time-range frame (#27), covering "how many
+    * similar-magnitude events" banding. Expressed in SQL (like the
+    * other SQL-native constructs) so the double-typed frame boundary is
+    * the IDENTICAL IEEE subtraction the oracle computes — an exact
+    * integer-cents re-keying was tried and differs at the frame edge,
+    * because `v ≥ v_cur − 50.0` in doubles excludes a peer that integer
+    * arithmetic includes when `v_cur − 50.0` rounds up. Frame
+    * aggregates (count/avg) are order-insensitive within the peer set,
+    * so the result is deterministic. */
+  def winRangeNumeric(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events")
+    s.sql("""SELECT event_id, event_type,
+                    count(*) OVER w AS c50,
+                    round(avg(value) OVER w, 2) AS a50
+             FROM events
+             WINDOW w AS (PARTITION BY event_type ORDER BY value
+                          RANGE BETWEEN 50 PRECEDING AND CURRENT ROW)
+             ORDER BY event_id LIMIT 500""")
+  }
+
   /** #28 first/last value per key ordering; last_value needs the full frame
     * (default frame stops at CURRENT ROW). */
   def winFirstLast(s: SparkSession, d: String): DataFrame = {
