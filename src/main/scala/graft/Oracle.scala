@@ -318,6 +318,8 @@ object Oracle {
       ("WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 120) " +
         "SELECT * FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(list_cosine_similarity(a.v, b.v), 6) AS cosine " +
         "FROM t a JOIN t b ON a.vec_id < b.vec_id) WHERE cosine >= 0.3 ORDER BY a_id, b_id"),
+    "llm_chunk_text" ->
+      "SELECT doc_id, pos, substr(text, CAST(pos AS INT), 100) AS chunk FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(len(text)-99, 1), 80)) AS pos FROM documents WHERE doc_id < 50) ORDER BY doc_id, pos",
     // transitive-closure min propagation reaches the same fixpoint as the
     // engine's large-star/small-star contraction: both label every node
     // with the minimum id of its component

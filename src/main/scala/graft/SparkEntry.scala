@@ -126,6 +126,7 @@ object SparkEntry {
     "dedup_levenshtein" -> (TrainingData.dedupLevenshtein _),
     "text_normalize" -> (TrainingData.textNormalize _),
     "llm_pack_sequences" -> (TrainingData.llmPackSequences _),
+    "llm_chunk_text" -> (TrainingData.llmChunkText _),
     "dedup_winnow" -> (TrainingData.dedupWinnow _),
     "dedup_embedding" -> (TrainingData.dedupEmbedding _),
     "dedup_cc_clusters" -> (TrainingData.dedupCcClusters _),

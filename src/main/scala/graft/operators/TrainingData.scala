@@ -121,6 +121,24 @@ object TrainingData {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** #85 (added round 9) overlapping sliding-window text chunking —
+    * the RAG/pretraining prep step that turns documents into
+    * fixed-size character windows with overlap (size 100, stride 80 →
+    * 20-char overlap preserves context across boundaries). One
+    * generator expression per row (`sequence` → `explode`), then a
+    * codegen'd substring — output volume is ⌈len/stride⌉ per doc, no
+    * shuffle at all until the final presentation sort; at corpus scale
+    * chunking is a pure map stage. */
+  def llmChunkText(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")) - 99, lit(1)),
+          lit(80))).as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        col("text").substr(col("p"), lit(100)).as("chunk"))
+      .orderBy(col("doc_id"), col("pos"))
+
   /** #84 (added round 9) from near-dup PAIRS to duplicate CLUSTERS:
     * connected components over the embedding-cosine pair graph (#66's
     * edges), labeling every member with the smallest id reachable —
