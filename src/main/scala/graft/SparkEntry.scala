@@ -127,6 +127,7 @@ object SparkEntry {
     "text_normalize" -> (TrainingData.textNormalize _),
     "llm_pack_sequences" -> (TrainingData.llmPackSequences _),
     "llm_chunk_text" -> (TrainingData.llmChunkText _),
+    "text_unigram_logprob" -> (TrainingData.textUnigramLogprob _),
     "dedup_winnow" -> (TrainingData.dedupWinnow _),
     "dedup_embedding" -> (TrainingData.dedupEmbedding _),
     "dedup_cc_clusters" -> (TrainingData.dedupCcClusters _),

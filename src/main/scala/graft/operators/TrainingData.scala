@@ -121,6 +121,29 @@ object TrainingData {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** #86 (added round 9) corpus-LM quality score: each document's mean
+    * unigram log-probability under the corpus's own token distribution
+    * — the classic cheap perplexity proxy that flags gibberish /
+    * boilerplate for filtering. Three stages, all reduced early: token
+    * frequencies are one map-side-combinable aggregate (|vocab| rows),
+    * the tokens⋈freq join broadcasts the tiny freq table, the corpus
+    * total rides a broadcast 1-row cross join, and the per-doc mean is
+    * one doc_id aggregate. At 100 TB the only fat shuffle is the freq
+    * count over exploded tokens, which map-side combine collapses to
+    * per-partition vocab size. */
+  def textUnigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = tok.agg(count(lit(1)).as("n"))
+    tok.join(broadcast(freq), "w")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c") / col("n"))), 4).as("avg_ll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** #85 (added round 9) overlapping sliding-window text chunking —
     * the RAG/pretraining prep step that turns documents into
     * fixed-size character windows with overlap (size 100, stride 80 →
