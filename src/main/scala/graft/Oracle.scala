@@ -321,7 +321,7 @@ object Oracle {
     "text_unigram_logprob" ->
       "WITH tok AS (SELECT doc_id, unnest(split(text, ' ')) AS w FROM documents), freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w), tot AS (SELECT count(*) AS n FROM tok) SELECT t.doc_id, count(*) AS n_tokens, round(avg(ln(f.c / tot.n)), 4) AS avg_ll FROM tok t JOIN freq f ON t.w = f.w CROSS JOIN tot GROUP BY t.doc_id ORDER BY t.doc_id",
     "llm_chunk_text" ->
-      "SELECT doc_id, pos, substr(text, CAST(pos AS INT), 100) AS chunk FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(len(text)-99, 1), 80)) AS pos FROM documents WHERE doc_id < 50) ORDER BY doc_id, pos",
+      "SELECT doc_id, pos, substr(text, CAST(pos AS INT), 100) AS chunk FROM (SELECT doc_id, text, unnest(generate_series(1, len(text), 80)) AS pos FROM documents WHERE doc_id < 50) ORDER BY doc_id, pos",
     // transitive-closure min propagation reaches the same fixpoint as the
     // engine's large-star/small-star contraction: both label every node
     // with the minimum id of its component

@@ -106,7 +106,10 @@ object TrainingData {
     * Jaccard #55, SimHash #62, char-ngram #63). Probe side broadcasts;
     * cosine_sim is the fused native expression. Scale path:
     * ScalableDedup.embeddingNearDup (hyperplane-LSH bucketing). */
-  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+  /** The ONE embedding near-dup pair recipe (probe bound, rounding,
+    * threshold) shared by judged #66 and #84 — tuning it in one place
+    * keeps both queries and their oracles in lockstep. */
+  private def embeddingNearDupPairs(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions
     import graft.functions.CosineSimilarityExpr.cosine_sim
     val emb = Tables.embeddings(s, d)
@@ -118,8 +121,11 @@ object TrainingData {
       .select(col("a_id"), col("b_id"),
         round(cosine_sim(col("va"), col("vb")), 6).as("cosine"))
       .filter(col("cosine") >= 0.3)
-      .orderBy(col("a_id"), col("b_id"))
   }
+
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame =
+    embeddingNearDupPairs(s, d)
+      .orderBy(col("a_id"), col("b_id"))
 
   /** #86 (added round 9) corpus-LM quality score: each document's mean
     * unigram log-probability under the corpus's own token distribution
@@ -135,7 +141,9 @@ object TrainingData {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val tot = tok.agg(count(lit(1)).as("n"))
+    // total tokens = Σ freq counts — an aggregate over |vocab| rows, not
+    // a third full scan+explode of the corpus
+    val tot = freq.agg(sum(col("c")).as("n"))
     tok.join(broadcast(freq), "w")
       .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"))
@@ -147,17 +155,19 @@ object TrainingData {
   /** #85 (added round 9) overlapping sliding-window text chunking —
     * the RAG/pretraining prep step that turns documents into
     * fixed-size character windows with overlap (size 100, stride 80 →
-    * 20-char overlap preserves context across boundaries). One
-    * generator expression per row (`sequence` → `explode`), then a
-    * codegen'd substring — output volume is ⌈len/stride⌉ per doc, no
-    * shuffle at all until the final presentation sort; at corpus scale
-    * chunking is a pure map stage. */
+    * 20-char overlap preserves context across boundaries). Window
+    * starts run to the END of the document (a final shorter tail chunk
+    * is emitted rather than dropping up to stride−1 trailing chars —
+    * a full-windows-only bound loses document tails). One generator
+    * expression per row (`sequence` → `explode`), then a codegen'd
+    * substring — output volume is ⌈len/stride⌉ per doc, no shuffle at
+    * all until the final presentation sort; at corpus scale chunking
+    * is a pure map stage. */
   def llmChunkText(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .filter(col("doc_id") < 50)
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), greatest(length(col("text")) - 99, lit(1)),
-          lit(80))).as("p"))
+        explode(sequence(lit(1), length(col("text")), lit(80))).as("p"))
       .select(col("doc_id"), col("p").cast("long").as("pos"),
         col("text").substr(col("p"), lit(100)).as("chunk"))
       .orderBy(col("doc_id"), col("pos"))
@@ -174,16 +184,7 @@ object TrainingData {
     * graph, and the labelings provably coincide: both assign each node
     * the minimum id of its component. */
   def dedupCcClusters(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.VectorFunctions
-    import graft.functions.CosineSimilarityExpr.cosine_sim
-    val emb = Tables.embeddings(s, d)
-      .filter(col("vec_id") < 120)
-      .select(col("vec_id"), VectorFunctions.toDoubleVec(col("embedding")).as("v"))
-    val a = emb.select(col("vec_id").as("a_id"), col("v").as("va"))
-    val b = emb.select(col("vec_id").as("b_id"), col("v").as("vb"))
-    val pairs = broadcast(a).join(b, col("a_id") < col("b_id"))
-      .filter(round(cosine_sim(col("va"), col("vb")), 6) >= 0.3)
-      .select(col("a_id"), col("b_id"))
+    val pairs = embeddingNearDupPairs(s, d).select(col("a_id"), col("b_id"))
     DedupClusters.connectedComponents(pairs, "a_id", "b_id")
       .select(col("id"), col("comp").as("cluster_id"))
       .orderBy(col("id"))

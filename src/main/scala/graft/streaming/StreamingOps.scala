@@ -219,8 +219,13 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .as[(Long, Timestamp, String)]
       .groupByKey(_._1)
+      // EventTimeTimeout (no timeout is ever SET) solely so Spark drops
+      // rows older than the watermark before the function runs — under
+      // NoTimeout late rows are delivered, and a late view below an
+      // already-pruned pending click would lower minView without the
+      // click there to promote, breaking the pruning invariant
       .mapGroupsWithState[FunnelState, FunnelRow](
-        GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[(Long, Timestamp, String)],
             state: GroupState[FunnelState]) =>
           val s0 = state.getOption.getOrElse(

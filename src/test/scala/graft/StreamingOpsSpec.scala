@@ -495,6 +495,16 @@ class StreamingOpsSpec extends SparkSpecBase {
       ms.addData((5L, 1000L, 1L, "view", 1.0),
         (6L, 4000L, 1L, "click", 1.0))
       q.processAllAvailable()
+      // batch 3 advances the watermark past 1 day (wm → 113600s); batch
+      // 4's view for user 1 at 500s is BELOW it and must be dropped
+      // before the function runs (EventTimeTimeout late-row semantics —
+      // the invariant the pending-pool pruning rests on), so user 1
+      // re-emits an UNCHANGED snapshot, not one with t_view=500
+      ms.addData((7L, 200000L, 3L, "view", 1.0))
+      q.processAllAvailable()
+      ms.addData((8L, 500L, 1L, "view", 1.0),
+        (9L, 200500L, 1L, "click", 1.0))
+      q.processAllAvailable()
     } finally q.stop()
     def sec(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
       if (r.isNullAt(i)) None else Some(r.getTimestamp(i).getTime / 1000)
@@ -503,6 +513,10 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(got == Set(
       (1L, Some(2500L), None, None),          // batch-1 snapshot
       (2L, None, None, None),                 // no view: funnel not entered
-      (1L, Some(1000L), Some(2000L), Some(3000L)))) // final, matches batch
+      (1L, Some(1000L), Some(2000L), Some(3000L)), // batch-2, matches batch
+      (3L, Some(200000L), None, None),        // batch-3 watermark driver
+      // batch-4: the 500s view was dropped as late; only the admissible
+      // click arrived (no change to the established mins)
+      (1L, Some(1000L), Some(2000L), Some(3000L))))
   }
 }
