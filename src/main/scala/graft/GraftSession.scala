@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.{Aggregates, Hll}
+import graft.functions.{Aggregates, CountMin, Hll}
 import graft.plans.{AsofJoin, LatestPerKeyRule}
 
 /** One-call session setup for the engine: a user switching to this library
@@ -44,6 +44,7 @@ object GraftSession {
   def enrich(spark: SparkSession): Unit = {
     Aggregates.register(spark)
     Hll.register(spark) // graft_hll / graft_hll_sketch / graft_hll_merge
+    CountMin.register(spark) // graft_cms_sketch / graft_cms_merge / graft_cms_estimate
     LatestPerKeyRule.install(spark)
     AsofJoin.install(spark)
   }
