@@ -178,4 +178,24 @@ class ScaleJoinSpec extends SparkSpecBase {
       s.sql("DROP TABLE IF EXISTS dims_b")
     }
   }
+
+  test("hotKeysBySketch flags exactly the skewed keys, no fact shuffle") {
+    // fact: key 7 holds 60% of rows, key 13 another 20%, rest uniform
+    val fact = ((1 to 6000).map(_ => 7L) ++ (1 to 2000).map(_ => 13L) ++
+      (1 to 2000).map(i => 100L + i % 50)).toDF("k")
+    val dims = (Seq(7L, 13L) ++ (100L to 149L)).toDF("dk")
+    val hot = SkewJoin.hotKeysBySketch(fact, "k", dims, "dk",
+      threshold = 1000L)
+    // CMS never undercounts → both hot keys present; cold keys carry
+    // ~40 rows each, far below threshold even with worst-case overcount
+    assert(hot.as[Long].collect().toSet == Set(7L, 13L))
+    // the detection plan never shuffles the fact table: the sketch is a
+    // partial+final aggregate (no hashpartitioning exchange on k) and
+    // the probe side is a broadcast
+    val plan = hot.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(k"),
+      s"fact table must not shuffle on the join key for detection:\n$plan")
+    assert(plan.contains("partial_graft_cms_sketch"),
+      s"sketch must combine map-side:\n$plan")
+  }
 }
