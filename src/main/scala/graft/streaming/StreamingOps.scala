@@ -105,6 +105,22 @@ object StreamingOps {
       .select(col("w.start").as("wstart"), col("approx_users"))
   }
 
+  /** Per-window Count-Min frequency sketches on the stream: one 32 KB
+    * counter buffer per open window in the state store (exact per-key
+    * streaming counts would hold every key), emitted as a BINARY column
+    * — the persisted sketch table that [[graft.operators.SkewJoin
+    * .hotKeysBySketch]]-style probes answer later without touching the
+    * stream's data again. Counter-add merge is lossless across batches
+    * and checkpoint/restore (same TypedImperativeAggregate
+    * serialize path as the HLL twin above). */
+  def keyFrequencySketchPerWindow(events: DataFrame,
+      watermark: String = "1 day"): DataFrame = {
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.CountMin.cmsSketch(col("user_id")).as("sk"))
+      .select(col("w.start").as("wstart"), col("sk"))
+  }
+
   /** Twin of TimeSeries.streamSliding: 60-minute windows sliding every 30
     * minutes — window() assigns each event to both overlapping windows,
     * which is exactly the explode-candidates plan the batch form uses. */

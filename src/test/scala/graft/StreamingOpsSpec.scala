@@ -67,6 +67,30 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(got == exact)
   }
 
+  test("streaming CMS per-window sketches are bit-identical to batch") {
+    // counter-add is deterministic and order-free, so the streamed
+    // sketch bytes must EQUAL the batch aggregate's, window for window,
+    // and probing them gives the exact per-window user counts here
+    val got = runStream(
+        StreamingOps.keyFrequencySketchPerWindow(stream()), "t_cms", "complete")
+      .collect()
+      .map(r => r.getTimestamp(0).getTime / 1000 -> r.getAs[Array[Byte]](1)).toMap
+    val batch = eventsDF(rows.toDF())
+      .groupBy(date_trunc("hour", $"ts").as("wstart"))
+      .agg(graft.functions.CountMin.cmsSketch($"user_id").as("sk"))
+      .collect()
+      .map(r => r.getTimestamp(0).getTime / 1000 -> r.getAs[Array[Byte]](1)).toMap
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (w, sk) =>
+      assert(java.util.Arrays.equals(sk, batch(w)), s"window $w sketch differs") }
+    // probe the persisted-shape sketches: user 1 has 2 events in hour 0
+    val h0 = got(0L)
+    val est = Seq(h0).toDF("sk")
+      .select(graft.functions.CountMin.cmsEstimate($"sk", lit(1L)))
+      .collect().head.getLong(0)
+    assert(est == 2L)
+  }
+
   test("streaming sliding assigns each event to two windows") {
     val got = runStream(StreamingOps.sliding(stream()), "t_slide", "complete")
     assert(got.agg(sum($"c")).collect().head.getLong(0) == rows.size * 2)
