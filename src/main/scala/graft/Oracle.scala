@@ -86,6 +86,8 @@ object Oracle {
       "SELECT coalesce(o_orderstatus,'ALL') st, coalesce(o_orderpriority,'ALL') pr, round(sum(o_totalprice),2) s FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY 1, 2",
     "agg_grouping_sets" ->
       "SELECT coalesce(event_type,'ALL') et, coalesce(CAST(user_id AS VARCHAR),'ALL') uid, count(*) c FROM events GROUP BY GROUPING SETS ((event_type), (user_id), ()) ORDER BY 1, 2",
+    "agg_regression" ->
+      "SELECT event_type, round(regr_slope(value, user_id),6) AS slope, round(regr_intercept(value, user_id),6) AS icept, round(regr_r2(value, user_id),6) AS r2, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
     "agg_stats" ->
       "SELECT event_type, round(stddev_samp(value),6) sd, round(var_samp(value),6) vr, round(min(value),2) mn, round(max(value),2) mx FROM events GROUP BY event_type ORDER BY event_type",
     "agg_percentile" ->

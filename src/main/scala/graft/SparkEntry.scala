@@ -47,6 +47,7 @@ object SparkEntry {
     "agg_cube" -> (Relational.aggCube _),
     "agg_grouping_sets" -> (Relational.aggGroupingSets _),
     "agg_stats" -> (Relational.aggStats _),
+    "agg_regression" -> (Relational.aggRegression _),
     "agg_percentile" -> (Relational.aggPercentile _),
     "agg_having" -> (Relational.aggHaving _),
     "agg_bool" -> (Relational.aggBool _),

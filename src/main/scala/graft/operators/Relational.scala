@@ -461,6 +461,21 @@ object Relational {
         round(max(col("value")), 2).as("mx"))
       .orderBy(col("event_type"))
 
+  /** #19b (added round 9) linear-regression aggregates per group:
+    * slope / intercept / R² of value over user_id — the one-pass OLS
+    * moment computation (`regr_*` is sums-of-products under the hood,
+    * map-side combinable like any moment aggregate), judged against
+    * DuckDB's identically-defined `regr_slope/intercept/r2`. */
+  def aggRegression(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(regr_slope(col("value"), col("user_id")), 6).as("slope"),
+        round(regr_intercept(col("value"), col("user_id")), 6).as("icept"),
+        round(regr_r2(col("value"), col("user_id")), 6).as("r2"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   /** #20 exact interpolated percentiles (Spark `percentile`, not approx —
     * matches quantile_cont semantics). */
   def aggPercentile(s: SparkSession, d: String): DataFrame =
