@@ -62,6 +62,9 @@ object Oracle {
       "SELECT p.event_id AS purchase_id, p.user_id AS user_id, c.click_id AS click_id FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY purchase_id",
     // filters chosen so BOTH sides contribute orphan rows (left-only
     // nations < 10, right-only >= 15); counts pre-aggregated per key
+    // eager-agg formulation on both sides; unmatched parts surface as 0
+    "join_right_outer" ->
+      "SELECT p_partkey, coalesce(n, 0) AS n_heavy FROM (SELECT l_partkey, count(*) n FROM lineitem WHERE l_quantity > 45 GROUP BY 1) li RIGHT JOIN part ON l_partkey = p_partkey ORDER BY n_heavy DESC, p_partkey LIMIT 100",
     "join_full_outer" ->
       "SELECT coalesce(c.k, s.k) AS k, coalesce(nc, 0) AS nc, coalesce(ns, 0) AS ns FROM (SELECT c_nationkey k, count(*) nc FROM customer WHERE c_nationkey < 15 GROUP BY 1) c FULL JOIN (SELECT s_nationkey k, count(*) ns FROM supplier WHERE s_nationkey >= 10 GROUP BY 1) s ON c.k = s.k ORDER BY k",
     // the NAIVE theta-join formulation: the engine's temporal bucketing
@@ -99,6 +102,9 @@ object Oracle {
       "SELECT o_custkey, count(*) c FROM orders GROUP BY o_custkey HAVING count(*) > 5 ORDER BY c DESC, o_custkey LIMIT 50",
     "agg_bool" ->
       "SELECT l_returnflag, l_linestatus, bool_and(l_quantity > 1.0) AS all_multi_qty, bool_or(l_discount > 0.09) AS any_deep_discount, count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    // ordered WITHIN GROUP so the concatenation is deterministic
+    "agg_string_agg" ->
+      "SELECT o_orderpriority, string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses, count(*) AS n FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "win_rank_topk_per_group" ->
       "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn",
     "win_rank_dense" ->
@@ -125,6 +131,13 @@ object Oracle {
       "SELECT event_id, round(cume_dist() OVER (ORDER BY value), 6) AS cd FROM events ORDER BY event_id LIMIT 500",
     "win_lag_lead" ->
       "SELECT user_id, event_id, round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id),2) dv, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) nxt FROM events ORDER BY user_id, event_id LIMIT 500",
+    // IGNORE NULLS navigation: forward-fill + previous-non-null of a
+    // sparse signal; pass-through values, no rounding needed
+    "win_lag_ignore_nulls" ->
+      "SELECT user_id, event_id, last_value(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS last_purchase, lag(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_purchase FROM events WHERE user_id < 10 ORDER BY user_id, event_id",
+    // quantile_cont interpolates exactly like Spark's exact percentile
+    "win_rolling_median" ->
+      "SELECT user_id, event_id, round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5 FROM events WHERE user_id < 10 ORDER BY user_id, event_id",
     "win_moving_avg" ->
       "SELECT user_id, event_id, round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),6) ma5 FROM events ORDER BY user_id, event_id LIMIT 500",
     "win_cumsum" ->
@@ -177,6 +190,10 @@ object Oracle {
       "SELECT doc_id, len(list_filter(split(text, ' '), w -> len(w) > 5)) AS n_long, round(CAST(list_aggregate(list_transform(split(text, ' '), w -> len(w)), 'sum') AS DOUBLE) / len(split(text, ' ')), 4) AS avg_len, list_aggregate(list_transform(split(text, ' '), w -> len(w)), 'max') AS max_len FROM documents WHERE doc_id < 200 ORDER BY doc_id",
     "fn_array" ->
       "SELECT doc_id, len(string_split(text, ' ')) n_words, string_split(text,' ')[1] first_word FROM documents ORDER BY doc_id LIMIT 200",
+    // 1-based ordinals via the struct-comprehension (DuckDB 1.0 lacks
+    // WITH ORDINALITY); projected flat so the output schema is scalar
+    "fn_posexplode" ->
+      "SELECT doc_id, u.p['pos'] AS pos, u.p['tok'] AS tok FROM (SELECT doc_id, string_split(text, ' ') l FROM documents WHERE doc_id < 20) t, unnest([{'tok': t.l[i], 'pos': i} FOR i IN range(1, len(t.l)+1)]) u(p) ORDER BY doc_id, pos",
     "fn_explode_wordcount" ->
       "SELECT w word, count(*) c FROM (SELECT unnest(string_split(text,' ')) w FROM documents) GROUP BY w ORDER BY c DESC, w LIMIT 50",
     "stream_tumbling" ->
@@ -203,6 +220,13 @@ object Oracle {
       "SELECT event_type, CAST(floor(value/50) AS INT) AS bin, count(*) AS c, round(avg(value),2) AS mean_v FROM events GROUP BY 1,2 ORDER BY 1,2",
     "agg_mode" ->
       "WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1,2), r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_type) AS rn FROM c) SELECT user_id, event_type AS mode_type, c AS n FROM r WHERE rn=1 ORDER BY user_id",
+    // day ships as a midnight timestamp (judged-date convention);
+    // open/close are first/last by the unique-per-user ts
+    "ts_ohlc_resample" ->
+      "SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, round(first(value ORDER BY ts), 2) AS open_v, round(max(value), 2) AS high_v, round(min(value), 2) AS low_v, round(last(value ORDER BY ts), 2) AS close_v, count(*) AS n FROM events WHERE user_id < 10 GROUP BY 1, 2 ORDER BY user_id, day",
+    // dense daily spine generated per user; missing days flagged 0-rows
+    "ts_gap_fill" ->
+      "WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 2) AS v FROM events WHERE user_id < 10 GROUP BY 1, 2), spine AS (SELECT user_id, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day FROM (SELECT user_id, min(day) mn, max(day) mx FROM daily GROUP BY 1)) SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS day, coalesce(d.v, 0.0) AS v, (d.v IS NULL) AS filled FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day ORDER BY s.user_id, day",
     "llm_exact_dedup" ->
       "SELECT md5(text) h, count(*) c, min(doc_id) keeper FROM documents GROUP BY md5(text) ORDER BY h",
     "llm_dedup_keep_first" ->
@@ -217,6 +241,10 @@ object Oracle {
       "SELECT label, count(*) c, round(avg(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))),6) avg_sim FROM embeddings GROUP BY label ORDER BY label",
     "llm_minhash_jaccard" ->
       "WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) toks FROM documents WHERE doc_id < 50) SELECT * FROM (SELECT a.doc_id a_id, b.doc_id b_id, round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))), 6) jac FROM t a JOIN t b ON a.doc_id < b.doc_id) WHERE jac > 0.6 ORDER BY a_id, b_id",
+    // the full curation funnel in one query: stats → quality filters →
+    // exact-dedup keep-first (judged composition of the #49/#51 pieces)
+    "llm_curate_chain" ->
+      "WITH stats AS (SELECT doc_id, lang, text, n_chars, len(string_split(text,' ')) AS n_tok, len(list_distinct(string_split(text,' '))) AS n_uniq FROM documents), filtered AS (SELECT * FROM stats WHERE n_chars BETWEEN 50 AND 2000 AND n_tok BETWEEN 5 AND 500 AND n_uniq * 1.0 / n_tok >= 0.3), dedup AS (SELECT doc_id, lang, n_tok, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn FROM filtered) SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok FROM dedup WHERE rn = 1 ORDER BY doc_id",
     "subq_scalar_corr" ->
       "SELECT o_orderkey, o_totalprice FROM orders o WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey LIMIT 100",
     "subq_in" ->

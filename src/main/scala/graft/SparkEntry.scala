@@ -31,6 +31,7 @@ object SparkEntry {
     "join_star_5way" -> (Relational.joinStar5Way _),
     "join_left_outer" -> (Relational.joinLeftOuter _),
     "join_full_outer" -> (Relational.joinFullOuter _),
+    "join_right_outer" -> (Relational.joinRightOuter _),
     "join_semi" -> (Relational.joinSemi _),
     "join_anti" -> (Relational.joinAnti _),
     "join_range_theta" -> (Relational.joinRangeTheta _),
@@ -51,6 +52,7 @@ object SparkEntry {
     "agg_percentile" -> (Relational.aggPercentile _),
     "agg_having" -> (Relational.aggHaving _),
     "agg_bool" -> (Relational.aggBool _),
+    "agg_string_agg" -> (Relational.aggStringAgg _),
     "agg_array_sorted" -> (Relational.aggArraySorted _),
     // §2.5 windows
     "win_rank_topk_per_group" -> (Windows.winRankTopkPerGroup _),
@@ -59,6 +61,8 @@ object SparkEntry {
     "win_rank_string_global" -> (Windows.winRankStringGlobal _),
     "win_rank_value_global" -> (Windows.winRankValueGlobal _),
     "win_lag_lead" -> (Windows.winLagLead _),
+    "win_lag_ignore_nulls" -> (Windows.winLagIgnoreNulls _),
+    "win_rolling_median" -> (Windows.winRollingMedian _),
     "win_nth_value" -> (Windows.winNthValue _),
     "win_cume_dist" -> (Windows.winCumeDist _),
     "win_moving_avg" -> (Windows.winMovingAvg _),
@@ -90,6 +94,7 @@ object SparkEntry {
     "fn_array" -> (Scalars.fnArray _),
     "fn_array_lambda" -> (Scalars.fnArrayLambda _),
     "fn_explode_wordcount" -> (Scalars.fnExplodeWordcount _),
+    "fn_posexplode" -> (Scalars.fnPosexplode _),
     // §2.9 time-series / streaming (batch forms)
     "stream_tumbling" -> (TimeSeries.streamTumbling _),
     "stream_sliding" -> (TimeSeries.streamSliding _),
@@ -103,6 +108,8 @@ object SparkEntry {
     "ts_retention_cohort" -> (Analytics.tsRetentionCohort _),
     "agg_histogram" -> (Analytics.aggHistogram _),
     "agg_mode" -> (Analytics.aggMode _),
+    "ts_ohlc_resample" -> (Analytics.tsOhlcResample _),
+    "ts_gap_fill" -> (Analytics.tsGapFill _),
     // §2.10 LLM-data-pipeline
     "llm_exact_dedup" -> (LlmOps.llmExactDedup _),
     "llm_dedup_keep_first" -> (LlmOps.llmDedupKeepFirst _),
@@ -111,6 +118,7 @@ object SparkEntry {
     "llm_cosine_topk" -> (LlmOps.llmCosineTopk _),
     "llm_knn_label" -> (LlmOps.llmKnnLabel _),
     "llm_minhash_jaccard" -> (LlmOps.llmMinhashJaccard _),
+    "llm_curate_chain" -> (LlmOps.llmCurateChain _),
     // §2.11 subqueries
     "subq_scalar_corr" -> (Relational.subqScalarCorr _),
     "subq_in" -> (Relational.subqIn _),

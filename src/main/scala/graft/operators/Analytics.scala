@@ -107,6 +107,50 @@ object Analytics {
       .agg(count(lit(1)).as("c"), round(avg(col("value")), 2).as("mean_v"))
       .orderBy(col("event_type"), col("bin"))
 
+  /** #87 OHLC resample: per user per day open/high/low/close of `value`
+    * — the classic time-series downsample before feature extraction.
+    * Open/close are `min_by`/`max_by` on the (unique-per-user) timestamp:
+    * ONE map-side-combinable aggregate, no window, no sort of the raw
+    * stream; output cardinality is |users|·|days| regardless of event
+    * volume. Day ships as a midnight timestamp (judged-date convention,
+    * see [[winGapsIslands]]). */
+  def tsOhlcResample(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("user_id") < 10)
+      .groupBy(col("user_id"),
+        date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+      .agg(
+        round(min_by(col("value"), col("ts")), 2).as("open_v"),
+        round(max(col("value")), 2).as("high_v"),
+        round(min(col("value")), 2).as("low_v"),
+        round(max_by(col("value"), col("ts")), 2).as("close_v"),
+        count(lit(1)).as("n"))
+      .orderBy(col("user_id"), col("day"))
+
+  /** #88 calendar gap-fill: each user's daily value total on a DENSE
+    * daily spine from their first to last active day — missing days
+    * materialize as flagged 0-rows, so downstream rolling features see a
+    * regular grid instead of silently skipping gaps. The spine is
+    * `sequence(min_day, max_day)` exploded from per-user bounds —
+    * GENERATED, not scanned, O(|users|·|days|) rows — and joins back on
+    * the same (user_id, day) key the daily aggregate already shuffled
+    * on, so AQE coalesces the chain onto one partitioning. */
+  def tsGapFill(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("user_id") < 10)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(round(sum(col("value")), 2).as("v"))
+    val spine = daily
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("day"))
+    spine.join(daily, Seq("user_id", "day"), "left_outer")
+      .select(col("user_id"), col("day").cast("timestamp_ntz").as("day"),
+        coalesce(col("v"), lit(0.0)).as("v"),
+        col("v").isNull.as("filled"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** #83 deterministic per-user modal event type: highest count, ties
     * broken by smallest type (the oracle's `ORDER BY c DESC, event_type`
     * row_number). Expressed as `min_by` over the composite ordering key

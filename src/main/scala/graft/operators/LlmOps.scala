@@ -98,6 +98,31 @@ object LlmOps {
       .orderBy(col("label"))
   }
 
+  /** #89 end-to-end curation chain in one judged query — the composition
+    * a pipeline actually ships: token stats → quality filters (length,
+    * token count, lexical diversity) → exact dedup keep-first. Mirrors
+    * the judgeable core of [[graft.CorpusPipeline]].curate. Every stage
+    * is a map or a keyed operation: the stats/filters fuse into the scan
+    * (one codegen stage, filters before any shuffle), the dedup keys on
+    * the content hash — so the whole chain is one data shuffle plus the
+    * presentation sort at any scale. */
+  def llmCurateChain(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(col("text").cast("binary")).as("h"),
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"))
+      .filter(col("n_chars").between(50, 2000)
+        && col("n_tok").between(5, 500)
+        && col("n_uniq") * lit(1.0) / col("n_tok") >= 0.3)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("n_tok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** #55 near-duplicate candidate pairs by token-set Jaccard > 0.6 over a
     * bounded probe set (doc_id < 50). Exact all-pairs on the probe window;
     * the scalable variant (MinHash banding) lives in ScalableDedup. */

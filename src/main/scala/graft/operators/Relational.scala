@@ -272,6 +272,23 @@ object Relational {
       .orderBy(col("k"))
   }
 
+  /** #7c RIGHT OUTER join: every part keeps a row even when no heavy
+    * (quantity > 45) lineitem references it. Same eager-aggregation shape
+    * as [[joinLeftOuter]] — the fact side collapses to one row per part
+    * key BEFORE the join, so the outer join moves |parts| + |referenced
+    * keys| rows, never |lineitem|. Spark plans right outer as the
+    * mirrored left outer; preserved-side misses surface as null → 0. */
+  def joinRightOuter(s: SparkSession, d: String): DataFrame = {
+    val heavy = Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 45)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"))
+    heavy.join(Tables.part(s, d), col("l_partkey") === col("p_partkey"), "right_outer")
+      .select(col("p_partkey"), coalesce(col("n"), lit(0L)).as("n_heavy"))
+      .orderBy(col("n_heavy").desc, col("p_partkey"))
+      .limit(100)
+  }
+
   /** #8 EXISTS → left semi join (no row multiplication, build side only
     * needs the key column). */
   def joinSemi(s: SparkSession, d: String): DataFrame =
@@ -507,6 +524,22 @@ object Relational {
         bool_or(col("l_discount") > 0.09).as("any_deep_discount"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** #21d ordered string aggregation (LISTAGG / string_agg): the
+    * distinct order statuses per priority as one comma-joined string,
+    * ordering pinned WITHIN GROUP so the concatenation is deterministic.
+    * The distinct status set per group is tiny and bounded (≤3 values) —
+    * the collapse is map-side combinable and the per-group string payload
+    * stays O(|distinct statuses|), never O(rows); an unbounded-cardinality
+    * LISTAGG would be the wrong tool at 100 TB regardless of engine. */
+  def aggStringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("listagg(DISTINCT o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus)")
+          .as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
 
   /** #30 multi-key mixed-direction sort + limit → TakeOrderedAndProject
     * (per-partition top-k, no global sort materialized). */

@@ -163,6 +163,19 @@ object Scalars {
       .orderBy(col("doc_id"))
   }
 
+  /** #43b posexplode: tokenization WITH position — the generator shape
+    * when order matters (training pipelines need token offsets, not
+    * bags; chunk assembly and span labeling both key on position).
+    * 1-based to match the oracle's `range(1, n+1)` ordinals; pos cast to
+    * long (Spark's posexplode emits INT ordinals, the oracle BIGINT). */
+  def fnPosexplode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("tok"))
+      .orderBy(col("doc_id"), col("pos"))
+
   /** #43 explode generator → word count (canonical UDTF shape). */
   def fnExplodeWordcount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

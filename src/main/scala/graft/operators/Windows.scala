@@ -158,6 +158,41 @@ object Windows {
       .orderBy(col("o_custkey"))
   }
 
+  /** #24c IGNORE NULLS window navigation — forward-fill (`last_value
+    * IGNORE NULLS` over a growing frame) and previous-non-null (`lag …
+    * IGNORE NULLS`) of the purchase amount per user: the canonical
+    * carry-forward primitive for sparse signals on a dense event
+    * timeline (a training pipeline fills the "last purchase seen" feature
+    * onto every intervening view/click row this way). Per-user
+    * partitions, (ts, event_id) tie-safe order; values pass through
+    * un-aggregated so no rounding is needed. */
+  def winLagIgnoreNulls(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val purchase = when(col("event_type") === "purchase", col("value"))
+    Tables.events(s, d)
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_id"),
+        last(purchase, ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).as("last_purchase"),
+        lag(purchase, 1, null, ignoreNulls = true).over(w).as("prev_purchase"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** #25b rolling exact median (5-row frame) per user — the robust
+    * sibling of the moving average (#25): `percentile(value, 0.5)` as a
+    * framed window aggregate, interpolating exactly like the oracle's
+    * `quantile_cont`. Per-row cost is O(frame)=5 and partitions are
+    * per-user — bounded by one key's event count, never global. */
+  def winRollingMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, 0)
+    Tables.events(s, d)
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_id"),
+        round(expr("percentile(value, 0.5)").over(w), 6).as("med5"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** #23e global `cume_dist` WITHOUT a single-partition window:
     * cume_dist(v) = rows(value <= v) / n, and rows(<= v) is exactly the
     * inclusive weighted prefix sum of the per-value counts in value

@@ -12,6 +12,7 @@ class GoldenCountsSpec extends SparkSpecBase {
     "join_broadcast" -> 25, "join_shuffle" -> 20, "join_bucketed" -> 20,
     "join_star_5way" -> 5,
     "join_left_outer" -> 50, "join_full_outer" -> 21,
+    "join_right_outer" -> 100,
     "join_semi" -> 150, "join_anti" -> 18,
     "join_range_theta" -> 10, "join_interval_bucketed" -> 36,
     "join_asof" -> 500, "join_asof_native" -> 202,
@@ -20,12 +21,13 @@ class GoldenCountsSpec extends SparkSpecBase {
     "agg_pricing_summary" -> 6, "agg_count_distinct" -> 5, "agg_filtered" -> 15,
     "agg_rollup" -> 10, "agg_cube" -> 24, "agg_grouping_sets" -> 21,
     "agg_stats" -> 5, "agg_percentile" -> 5, "agg_having" -> 50,
-    "agg_bool" -> 6,
+    "agg_bool" -> 6, "agg_string_agg" -> 5,
     "agg_array_sorted" -> 150,
     "win_rank_topk_per_group" -> 449, "win_rank_dense" -> 100,
     "win_dense_rank_global" -> 500, "win_rank_string_global" -> 300,
     "win_rank_value_global" -> 500,
-    "win_lag_lead" -> 500, "win_nth_value" -> 149, "win_cume_dist" -> 500, "win_moving_avg" -> 500, "win_cumsum" -> 500,
+    "win_lag_lead" -> 500, "win_lag_ignore_nulls" -> 650,
+    "win_rolling_median" -> 650, "win_nth_value" -> 149, "win_cume_dist" -> 500, "win_moving_avg" -> 500, "win_cumsum" -> 500,
     "win_range_time" -> 500, "win_first_last" -> 500, "win_ntile_pctrank" -> 150,
     "sort_multi" -> 100, "topk_global" -> 10,
     "set_union" -> 25, "set_union_all" -> 1, "set_intersect" -> 10, "set_except" -> 15,
@@ -34,18 +36,19 @@ class GoldenCountsSpec extends SparkSpecBase {
     "fn_bitwise" -> 200, "fn_binhex" -> 100,
     "fn_case_coalesce" -> 200, "fn_json" -> 500, "fn_json_struct" -> 500,
     "fn_array" -> 200,
-    "fn_explode_wordcount" -> 31,
+    "fn_explode_wordcount" -> 31, "fn_posexplode" -> 1081,
     "stream_tumbling" -> 868, "stream_sliding" -> 979, "stream_session" -> 946,
     "stream_session_native" -> 946,
     "stream_dedup" -> 1, "stream_late_filter" -> 1,
     "ts_funnel" -> 15, "win_gaps_islands" -> 60, "ts_retention_cohort" -> 5,
     "agg_histogram" -> 29, "agg_mode" -> 15, "dedup_cc_clusters" -> 77,
+    "ts_ohlc_resample" -> 268, "ts_gap_fill" -> 299,
     "fn_array_lambda" -> 200, "win_range_numeric" -> 500,
     "llm_chunk_text" -> 217, "text_unigram_logprob" -> 500,
     "agg_regression" -> 5,
     "llm_exact_dedup" -> 500, "llm_dedup_keep_first" -> 75, "llm_docstats" -> 5,
     "llm_ngrams" -> 30, "llm_cosine_topk" -> 50, "llm_knn_label" -> 10,
-    "llm_minhash_jaccard" -> 763,
+    "llm_minhash_jaccard" -> 763, "llm_curate_chain" -> 477,
     "subq_scalar_corr" -> 48, "subq_in" -> 193, "subq_not_in" -> 98,
     "text_quality" -> 300, "text_tokencount" -> 5, "text_langid" -> 10,
     "text_fingerprint" -> 300, "text_winnow_fingerprint" -> 50,
