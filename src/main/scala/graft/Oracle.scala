@@ -142,8 +142,12 @@ object Oracle {
       "SELECT user_id, event_id, round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),6) ma5 FROM events ORDER BY user_id, event_id LIMIT 500",
     "win_cumsum" ->
       "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING),2) cum FROM orders ORDER BY o_custkey, o_orderkey LIMIT 500",
+    // SUM not AVG over the frame: value is 2-dp, so the sum is an
+    // integer number of cents (boundary-safe at round 2) while an avg
+    // lands exactly on .xx5 boundaries where engines' float error
+    // rounds in opposite directions (flapped at sf0.001)
     "win_range_numeric" ->
-      "SELECT event_id, event_type, count(*) OVER (PARTITION BY event_type ORDER BY value RANGE BETWEEN 50 PRECEDING AND CURRENT ROW) AS c50, round(avg(value) OVER (PARTITION BY event_type ORDER BY value RANGE BETWEEN 50 PRECEDING AND CURRENT ROW), 2) AS a50 FROM events ORDER BY event_id LIMIT 500",
+      "SELECT event_id, event_type, count(*) OVER (PARTITION BY event_type ORDER BY value RANGE BETWEEN 50 PRECEDING AND CURRENT ROW) AS c50, round(sum(value) OVER (PARTITION BY event_type ORDER BY value RANGE BETWEEN 50 PRECEDING AND CURRENT ROW), 2) AS s50 FROM events ORDER BY event_id LIMIT 500",
     "win_range_time" ->
       "SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW) c10m FROM events ORDER BY event_id LIMIT 500",
     "win_first_last" ->
@@ -216,8 +220,10 @@ object Oracle {
       "WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), r AS (SELECT user_id, day, row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM d) SELECT user_id, CAST(min(day) AS TIMESTAMP) AS island_start, CAST(max(day) AS TIMESTAMP) AS island_end, count(*) AS n_days FROM r GROUP BY user_id, day - CAST(rn AS INTEGER) ORDER BY user_id, island_start",
     "ts_retention_cohort" ->
       "WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort FROM events GROUP BY user_id), a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events) SELECT CAST(f.cohort AS TIMESTAMP) AS cohort, CAST((a.wk - f.cohort)/7 AS INT) AS week_n, count(DISTINCT a.user_id) AS n_users FROM a JOIN f USING(user_id) GROUP BY 1,2 ORDER BY 1,2",
+    // SUM not AVG per bin: three sf0.01 bins have means exactly on a
+    // half-cent, where summation-order float error flips the rounding
     "agg_histogram" ->
-      "SELECT event_type, CAST(floor(value/50) AS INT) AS bin, count(*) AS c, round(avg(value),2) AS mean_v FROM events GROUP BY 1,2 ORDER BY 1,2",
+      "SELECT event_type, CAST(floor(value/50) AS INT) AS bin, count(*) AS c, round(sum(value),2) AS sum_v FROM events GROUP BY 1,2 ORDER BY 1,2",
     "agg_mode" ->
       "WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1,2), r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_type) AS rn FROM c) SELECT user_id, event_type AS mode_type, c AS n FROM r WHERE rn=1 ORDER BY user_id",
     // day ships as a midnight timestamp (judged-date convention);

@@ -99,12 +99,20 @@ object Analytics {
   /** #82 fixed-width histogram of `value` per event type (bin = ⌊v/50⌋):
     * one partial+final hash aggregate over a purely arithmetic grouping
     * key — the canonical map-side-combinable shape; output cardinality is
-    * |types|·|bins| regardless of input volume. */
+    * |types|·|bins| regardless of input volume. The value aggregate is
+    * SUM, deliberately not AVG (mean = sum_v/c for the reader): `value`
+    * has 2-decimal granularity, so the bin sum is an integer number of
+    * cents — float error ≪ the 0.005 rounding boundary — while a mean
+    * divides by the bin count and can land EXACTLY ON a half-cent,
+    * where the engines' summation-order float error rounds in opposite
+    * directions. Probed at sf0.01: three bins sit exactly on that
+    * boundary; the AVG form only ever passed by summation-order luck
+    * (same fix as win_range_numeric). */
   def aggHistogram(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"),
         floor(col("value") / 50).cast("int").as("bin"))
-      .agg(count(lit(1)).as("c"), round(avg(col("value")), 2).as("mean_v"))
+      .agg(count(lit(1)).as("c"), round(sum(col("value")), 2).as("sum_v"))
       .orderBy(col("event_type"), col("bin"))
 
   /** #87 OHLC resample: per user per day open/high/low/close of `value`

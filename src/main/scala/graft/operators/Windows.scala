@@ -263,14 +263,19 @@ object Windows {
     * the IDENTICAL IEEE subtraction the oracle computes — an exact
     * integer-cents re-keying was tried and differs at the frame edge,
     * because `v ≥ v_cur − 50.0` in doubles excludes a peer that integer
-    * arithmetic includes when `v_cur − 50.0` rounds up. Frame
-    * aggregates (count/avg) are order-insensitive within the peer set,
-    * so the result is deterministic. */
+    * arithmetic includes when `v_cur − 50.0` rounds up. The value
+    * aggregate over the frame is SUM, deliberately not AVG: `value` has
+    * 2-decimal granularity, so a frame sum is an integer number of
+    * cents (float error ≪ the 0.005 rounding boundary at round 2),
+    * while an AVG divides by the peer count and lands EXACTLY ON the
+    * .xx5 boundary (e.g. (8.93+8.94)/2), where the two engines' last
+    * float bit rounds in opposite directions — caught flapping at
+    * sf0.001. */
   def winRangeNumeric(s: SparkSession, d: String): DataFrame = {
     Tables.events(s, d).createOrReplaceTempView("events")
     s.sql("""SELECT event_id, event_type,
                     count(*) OVER w AS c50,
-                    round(avg(value) OVER w, 2) AS a50
+                    round(sum(value) OVER w, 2) AS s50
              FROM events
              WINDOW w AS (PARTITION BY event_type ORDER BY value
                           RANGE BETWEEN 50 PRECEDING AND CURRENT ROW)
