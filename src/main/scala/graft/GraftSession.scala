@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.{Aggregates, CountMin, Hll}
+import graft.functions.{Aggregates, CountMin, Hll, QuantileSketch}
 import graft.plans.{AsofJoin, LatestPerKeyRule}
 
 /** One-call session setup for the engine: a user switching to this library
@@ -45,6 +45,7 @@ object GraftSession {
     Aggregates.register(spark)
     Hll.register(spark) // graft_hll / graft_hll_sketch / graft_hll_merge
     CountMin.register(spark) // graft_cms_sketch / graft_cms_merge / graft_cms_estimate
+    QuantileSketch.register(spark) // graft_quantile_sketch / _merge / _estimate
     LatestPerKeyRule.install(spark)
     AsofJoin.install(spark)
   }
