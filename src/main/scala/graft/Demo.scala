@@ -297,6 +297,26 @@ object Demo {
     println(s"HLL: distinct texts from persisted per-source sketches = $fromSketches " +
       s"(exact $exactDocs, ${graft.functions.Hll.M}-register sketch, no corpus rescan)")
 
+    // quantile sketch lifecycle (round 9): per-type value distributions
+    // persisted as a binary column, then p50/p99 over the WHOLE stream
+    // answered from the stored sketches alone — no rescan
+    val qskDir = java.nio.file.Files.createTempDirectory("graft_demo_qsk").toString
+    Tables.events(spark, sfDir).groupBy($"event_type")
+      .agg(graft.functions.QuantileSketch.quantileSketch($"value").as("sk"))
+      .write.mode("overwrite").parquet(qskDir)
+    val qRow = spark.read.parquet(qskDir)
+      .agg(graft.functions.QuantileSketch.quantileMerge($"sk").as("sk"))
+      .select(
+        graft.functions.QuantileSketch.quantileEstimate($"sk", lit(0.5)).as("p50"),
+        graft.functions.QuantileSketch.quantileEstimate($"sk", lit(0.99)).as("p99"))
+      .collect().head
+    val exactQ = Tables.events(spark, sfDir)
+      .agg(expr("percentile(value, 0.5)"), expr("percentile(value, 0.99)"))
+      .collect().head
+    println(f"quantile sketch: p50=${qRow.getDouble(0)}%.2f p99=${qRow.getDouble(1)}%.2f " +
+      f"from persisted per-type sketches (exact ${exactQ.getDouble(0)}%.2f/" +
+      f"${exactQ.getDouble(1)}%.2f, no rescan)")
+
     // sequence packing (round 8): cut the corpus into ~256-token training
     // chunks on the distributed running total, then materialize the texts
     val packed = graft.operators.TrainingData.packChunks(

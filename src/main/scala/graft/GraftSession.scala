@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.{Aggregates, CountMin, Hll, QuantileSketch}
+import graft.functions.{Aggregates, Bloom, CountMin, Hll, QuantileSketch}
 import graft.plans.{AsofJoin, LatestPerKeyRule}
 
 /** One-call session setup for the engine: a user switching to this library
@@ -46,6 +46,7 @@ object GraftSession {
     Hll.register(spark) // graft_hll / graft_hll_sketch / graft_hll_merge
     CountMin.register(spark) // graft_cms_sketch / graft_cms_merge / graft_cms_estimate
     QuantileSketch.register(spark) // graft_quantile_sketch / _merge / _estimate
+    Bloom.register(spark) // graft_bloom_sketch / graft_bloom_merge / graft_bloom_contains
     LatestPerKeyRule.install(spark)
     AsofJoin.install(spark)
   }

@@ -208,12 +208,15 @@ object QuantileSketch {
         : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
       // estimateBytes returns null for an EMPTY sketch, so the generated
       // code must re-check nullability after the call (defineCodeGen
-      // assumes a non-null result; nullSafeCodeGen lets us set isNull)
+      // assumes a non-null result; nullSafeCodeGen lets us set isNull).
+      // The local needs a fresh name: two probes of the same sketch in
+      // one projection share a codegen scope, and a fixed name collides.
       nullSafeCodeGen(ctx, ev, (b, q) => {
+        val r = ctx.freshName("qEst")
         s"""
-           |Object r = graft.functions.QuantileSketch.estimateBytes($b, $q);
-           |if (r == null) { ${ev.isNull} = true; }
-           |else { ${ev.value} = ((Double) r).doubleValue(); }
+           |Object $r = graft.functions.QuantileSketch.estimateBytes($b, $q);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ((Double) $r).doubleValue(); }
          """.stripMargin
       })
     }

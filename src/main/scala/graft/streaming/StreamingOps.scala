@@ -121,6 +121,24 @@ object StreamingOps {
       .select(col("w.start").as("wstart"), col("sk"))
   }
 
+  /** Per-window value-distribution sketches on the stream: one ~33 KB
+    * bucket buffer per open window in the state store (exact streaming
+    * quantiles would hold every value), emitted as a BINARY column —
+    * the persisted distribution table that
+    * `graft_quantile_estimate(sk, q)` probes later for any quantile
+    * over any window range without re-touching stream data. Bucket-add
+    * merge is lossless across batches and checkpoint/restore (same
+    * TypedImperativeAggregate serialize path as the HLL/CMS twins
+    * above), and the sketch is deterministic, so stream and batch
+    * sketches of the same data are bit-identical. */
+  def valueDistributionSketchPerWindow(events: DataFrame,
+      watermark: String = "1 day"): DataFrame = {
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.QuantileSketch.quantileSketch(col("value")).as("sk"))
+      .select(col("w.start").as("wstart"), col("sk"))
+  }
+
   /** Twin of TimeSeries.streamSliding: 60-minute windows sliding every 30
     * minutes — window() assigns each event to both overlapping windows,
     * which is exactly the explode-candidates plan the batch form uses. */

@@ -91,6 +91,32 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(est == 2L)
   }
 
+  test("streaming quantile per-window sketches are bit-identical to batch") {
+    // the bucket index is a pure function of the value, so the streamed
+    // sketch bytes must EQUAL the batch aggregate's, window for window,
+    // and probing them recovers the per-window extremes within alpha
+    val got = runStream(
+        StreamingOps.valueDistributionSketchPerWindow(stream()), "t_qsk", "complete")
+      .collect()
+      .map(r => r.getTimestamp(0).getTime / 1000 -> r.getAs[Array[Byte]](1)).toMap
+    val batch = eventsDF(rows.toDF())
+      .groupBy(date_trunc("hour", $"ts").as("wstart"))
+      .agg(graft.functions.QuantileSketch.quantileSketch($"value").as("sk"))
+      .collect()
+      .map(r => r.getTimestamp(0).getTime / 1000 -> r.getAs[Array[Byte]](1)).toMap
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (w, sk) =>
+      assert(java.util.Arrays.equals(sk, batch(w)), s"window $w sketch differs") }
+    // probe the persisted-shape sketches: hour 0 holds values {1.0, 2.0}
+    val h0 = got(0L)
+    val r = Seq(h0).toDF("sk").select(
+      graft.functions.QuantileSketch.quantileEstimate($"sk", lit(0.0)).as("lo"),
+      graft.functions.QuantileSketch.quantileEstimate($"sk", lit(1.0)).as("hi"))
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) <= 0.01 + 1e-12)
+    assert(math.abs(r.getDouble(1) - 2.0) <= 0.02 + 1e-12)
+  }
+
   test("streaming sliding assigns each event to two windows") {
     val got = runStream(StreamingOps.sliding(stream()), "t_slide", "complete")
     assert(got.agg(sum($"c")).collect().head.getLong(0) == rows.size * 2)
