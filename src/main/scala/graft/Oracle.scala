@@ -172,6 +172,12 @@ object Oracle {
       "SELECT c_nationkey k FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier ORDER BY k",
     "fn_string" ->
       "SELECT c_custkey, upper(c_name) u, substring(c_name, 10, 9) tail, length(c_name) ln, concat(c_name, '-', c_mktsegment) cc, replace(c_name,'Customer','Cust') rp FROM customer ORDER BY c_custkey LIMIT 100",
+    "fn_string_extras" ->
+      "SELECT c_custkey, lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS padded, split_part(c_name, '#', 2) AS numpart, left(c_mktsegment, 4) AS seg4, right(c_name, 3) AS tail3, translate(c_name, '#', '-') AS dashed, CAST(instr(c_name, '#') AS BIGINT) AS hashpos, repeat(left(c_mktsegment, 1), 3) AS tri FROM customer ORDER BY c_custkey LIMIT 100",
+    // malformed input -> NULL, not a job failure (the 100 TB boundary
+    // contract; sources/Ingest's quarantine rides the same semantics)
+    "fn_try_cast" ->
+      "SELECT doc_id, TRY_CAST(CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS VARCHAR) ELSE lang END AS INT) AS maybe_int, TRY_CAST(lang AS DATE) IS NULL AS bad_date, TRY_CAST(CAST(doc_id AS VARCHAR) || '.5' AS DOUBLE) AS frac FROM documents ORDER BY doc_id LIMIT 200",
     "fn_regexp" ->
       "SELECT p_partkey, regexp_extract(p_brand, '#([0-9]+)', 1) brand_num FROM part ORDER BY p_partkey LIMIT 200",
     "fn_date" ->

@@ -83,6 +83,8 @@ object SparkEntry {
     "set_except_all" -> (Relational.setExceptAll _),
     // §2.8 scalar functions
     "fn_string" -> (Scalars.fnString _),
+    "fn_string_extras" -> (Scalars.fnStringExtras _),
+    "fn_try_cast" -> (Scalars.fnTryCast _),
     "fn_regexp" -> (Scalars.fnRegexp _),
     "fn_date" -> (Scalars.fnDate _),
     "fn_math" -> (Scalars.fnMath _),

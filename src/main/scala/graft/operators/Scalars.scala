@@ -27,6 +27,40 @@ object Scalars {
       .orderBy(col("c_custkey"))
       .limit(100)
 
+  /** #36b (added round 9) the second string-function tier: pad / split /
+    * slice / translate / find / repeat — the id-formatting and
+    * field-extraction verbs ETL leans on between the #36 basics and
+    * full regexp. All codegen'd built-ins; `instr` is cast to long
+    * (Spark INT vs oracle BIGINT). */
+  def fnStringExtras(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        lpad(col("c_custkey").cast("string"), 9, "0").as("padded"),
+        expr("split_part(c_name, '#', 2)").as("numpart"),
+        expr("left(c_mktsegment, 4)").as("seg4"),
+        expr("right(c_name, 3)").as("tail3"),
+        translate(col("c_name"), "#", "-").as("dashed"),
+        instr(col("c_name"), "#").cast("long").as("hashpos"),
+        expr("repeat(left(c_mktsegment, 1), 3)").as("tri"))
+      .orderBy(col("c_custkey"))
+      .limit(100)
+
+  /** #40c (added round 9) TRY_CAST: malformed input → NULL, not a job
+    * failure — the boundary contract a 100 TB load needs (one bad cell
+    * must never kill the batch; the quarantine path in sources/Ingest
+    * rides the same semantics). Exercises string→int on mixed
+    * valid/invalid cells, string→date on garbage, and string→double on
+    * synthesized decimals. */
+  def fnTryCast(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("try_cast(CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS STRING) " +
+          "ELSE lang END AS INT)").as("maybe_int"),
+        expr("try_cast(lang AS DATE)").isNull.as("bad_date"),
+        expr("try_cast(concat(CAST(doc_id AS STRING), '.5') AS DOUBLE)").as("frac"))
+      .orderBy(col("doc_id"))
+      .limit(200)
+
   /** #37 regexp_extract with capture group (no-match → '' in both engines). */
   def fnRegexp(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)

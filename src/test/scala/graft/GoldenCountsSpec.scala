@@ -32,7 +32,8 @@ class GoldenCountsSpec extends SparkSpecBase {
     "sort_multi" -> 100, "topk_global" -> 10,
     "set_union" -> 25, "set_union_all" -> 1, "set_intersect" -> 10, "set_except" -> 15,
     "set_intersect_all" -> 10, "set_except_all" -> 140,
-    "fn_string" -> 100, "fn_regexp" -> 200, "fn_date" -> 200, "fn_math" -> 200,
+    "fn_string" -> 100, "fn_string_extras" -> 100, "fn_try_cast" -> 200,
+    "fn_regexp" -> 200, "fn_date" -> 200, "fn_math" -> 200,
     "fn_bitwise" -> 200, "fn_binhex" -> 100,
     "fn_case_coalesce" -> 200, "fn_json" -> 500, "fn_json_struct" -> 500,
     "fn_array" -> 200,
