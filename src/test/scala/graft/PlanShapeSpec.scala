@@ -142,6 +142,42 @@ class PlanShapeSpec extends SparkSpecBase {
       s"NOT IN fell back to the nested-loop form:\n$p")
   }
 
+  test("llm_curate_chain: filters fuse into the scan before the one data shuffle") {
+    val p = plan(graft.operators.LlmOps.llmCurateChain(spark, sf()))
+    // stats + quality filters must be a map stage (no pre-filter
+    // exchange); the only hash exchanges are the dedup window's content-
+    // hash partition and nothing else
+    assert(count(p, "(?i)exchange hashpartitioning") == 1,
+      s"curation must shuffle once (dedup hash), filters fused into the scan:\n$p")
+    assert(!p.contains("Join"), s"the chain is shuffle+window, no joins:\n$p")
+  }
+
+  test("ts_ohlc_resample: one aggregate exchange, no window, no join") {
+    val p = plan(graft.operators.Analytics.tsOhlcResample(spark, sf()))
+    assert(count(p, "(?i)exchange hashpartitioning") == 1,
+      s"OHLC is one map-side-combinable aggregate:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("join_right_outer: pre-aggregated fact side, outer join preserved") {
+    val p = plan(Relational.joinRightOuter(spark, sf()))
+    assert(p.contains("RightOuter") || p.contains("LeftOuter"),
+      s"outer semantics must survive planning (Spark may mirror the sides):\n$p")
+    assert(count(p, "HashAggregate") >= 2,
+      s"fact side must collapse per key BEFORE the join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("fn_string_extras / fn_try_cast: pure map stages, zero exchanges") {
+    for (q <- Seq(graft.operators.Scalars.fnStringExtras(spark, sf()),
+        graft.operators.Scalars.fnTryCast(spark, sf()))) {
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("exchange hashpartitioning"),
+        s"scalar tiers must fuse into the scan (TakeOrdered handles the sort):\n$p")
+      assert(!p.contains("Join") && !p.contains("Window"), p)
+    }
+  }
+
   test("join_skew_salted: shuffled hash join, replicated side never broadcast") {
     val p = plan(Relational.joinSkewSalted(spark, sf()))
     assert(p.contains("ShuffledHashJoin"),
