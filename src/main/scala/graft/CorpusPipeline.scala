@@ -289,12 +289,33 @@ object CorpusPipeline {
       .persist()
     try {
       // exact dedup: min-id keeper per content hash inside the batch,
-      // then drop content the store has already seen
+      // then drop content the store has already seen. The store-side
+      // check rides a Bloom pre-filter (functions/Bloom): the store's
+      // hashes fold into ONE 128 KB filter row (map-side tree aggregate,
+      // no store shuffle) broadcast over the batch; rows the filter
+      // rejects are DEFINITELY new (no false negatives) and skip the
+      // join entirely, so the exact anti-join only probes the ≤fpp
+      // maybe-seen remainder — at 100 TB the history never shuffles for
+      // exact dedup, it is map-scanned into the filter. (In streaming,
+      // persist the filter and OR-merge each generation's instead of
+      // rebuilding; past ~100k hashes per filter, partition the store
+      // and build one filter per partition — saturation degrades fpp,
+      // never correctness, because candidates still hit the exact join.)
       val keepIds = gated.groupBy(col("_h")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      val newContent = gated
+      val storeHashes = store.select(col("_h"))
+      val seenFilter = storeHashes
+        .agg(graft.functions.Bloom.bloomSketch(col("_h")).as("_seen"))
+      val flagged = gated
         .join(keepIds, Seq("doc_id"), "left_semi")
-        .join(store.select(col("_h")).distinct(), Seq("_h"), "left_anti")
+        .crossJoin(broadcast(seenFilter))
+        .withColumn("_maybeSeen",
+          graft.functions.Bloom.bloomContains(col("_seen"), col("_h")))
+        .drop("_seen")
+      // unionByName: the using-column anti join moves _h to the front
+      val newContent = flagged.filter(!col("_maybeSeen")).drop("_maybeSeen")
+        .unionByName(flagged.filter(col("_maybeSeen")).drop("_maybeSeen")
+          .join(storeHashes.distinct(), Seq("_h"), "left_anti"))
         .persist()
       try {
         // near-dup vs history: band equi-join against the store, exact
