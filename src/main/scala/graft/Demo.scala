@@ -82,6 +82,13 @@ object Demo {
       f"listSkew=${ist.listSkew}%.2f rebuildRecommended=${ist.rebuildRecommended} " +
       "(the scaladoc's rebuild rule as a checkable flag)")
 
+    // PQ compression tier (round 9): serve from 8-int codes, rerank exact
+    val pqCb = graft.operators.Pq.train(spark, emb, "embedding", m = 8, k = 16)
+    val pqRows = graft.operators.Pq.pqTopK(emb, probes, "vec_id", "embedding",
+      pqCb, k = 3, shortlist = 50).count()
+    println(s"ANN PQ: codebooks ${pqCb.m}x${pqCb.k} over dim ${pqCb.dim}, " +
+      s"served rows=$pqRows from 8-int codes + exact rerank")
+
     Aggregates.register(spark)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id").orderBy($"ts", $"event_id")

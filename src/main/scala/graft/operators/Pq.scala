@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.functions.CosineSimilarityExpr.cosine_sim
+
+/** Product quantization for memory-bound similarity serving — the
+  * compression tier of the ANN family ([[Ann]]: brute force → LSH → IVF;
+  * this: PQ codes + asymmetric distance + exact rerank), per the public
+  * design of Jégou, Douze & Schmid, "Product Quantization for Nearest
+  * Neighbor Search", IEEE TPAMI 33(1), 2011.
+  *
+  * Why it matters at 100 TB: a 64-dim float vector is 256 bytes; its PQ
+  * code (m=8 subspaces × 16 centroids) is 8 SMALL INTS — a 30–60×
+  * memory/bandwidth cut on the scan side. The serving shape is: scan the
+  * tiny code table with the ASYMMETRIC distance (probe stays exact,
+  * corpus is quantized — Jégou's ADC), keep a per-probe shortlist, then
+  * rerank ONLY the shortlist against the true vectors fetched by id.
+  * Recall comes from the rerank; the codes only need to put the true
+  * neighbors somewhere in the shortlist.
+  *
+  * Everything is Catalyst higher-order functions over a broadcast
+  * codebook LITERAL (the codebook is m·k·(dim/m) doubles — a few KB):
+  * encode and ADC are codegen-visible column expressions, no UDFs, no
+  * mapPartitions. Training is m seeded KMeans fits (one per subspace,
+  * each distributed); vectors are L2-normalized first so squared
+  * euclidean ordering equals cosine ordering (cos = 1 − ‖â−b̂‖²/2).
+  */
+object Pq {
+
+  /** Trained codebooks: `books(j)(c)` is subspace j's centroid c
+    * (dim/m doubles). Small enough to ship as an expression literal. */
+  case class PqCodebooks(m: Int, k: Int, dim: Int,
+      books: Seq[Seq[Seq[Double]]]) {
+    def sub: Int = dim / m
+  }
+
+  private def l2normalize(v: Column): Column = {
+    val n = VectorFunctions.norm(v)
+    when(n === 0d, v).otherwise(transform(v, x => x / n))
+  }
+
+  /** Train m per-subspace codebooks (seeded KMeans each) on the
+    * L2-normalized corpus. Driver loop is over SUBSPACES (m fits, each
+    * distributed over the corpus), never over rows. */
+  def train(spark: SparkSession, corpus: DataFrame, vecCol: String,
+      m: Int = 8, k: Int = 16, seed: Long = 42L): PqCodebooks = {
+    val probe = corpus.select(size(col(vecCol)).as("d")).head(1)
+    require(probe.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val dim = probe.head.getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val normed = corpus
+      .select(l2normalize(VectorFunctions.toDoubleVec(col(vecCol))).as("v"))
+      .persist()
+    try {
+      val books = (0 until m).map { j =>
+        val feats = normed
+          .select(array_to_vector(slice(col("v"), j * sub + 1, sub)).as("fv"))
+        new KMeans().setK(k).setSeed(seed + j).setMaxIter(20)
+          .setFeaturesCol("fv").fit(feats)
+          .clusterCenters.map(_.toArray.toSeq).toSeq
+      }
+      PqCodebooks(m, k, dim, books)
+    } finally { normed.unpersist(); () }
+  }
+
+  /** The codebook as a nested-array literal column (m × k × sub). */
+  private def booksLit(cb: PqCodebooks): Column = typedlit(cb.books)
+
+  /** Squared distance between a slice of `v` starting at `start`
+    * (1-based, Column) and centroid array `c` — inline zip-fold. */
+  private def sliceSqDist(v: Column, start: Column, len: Int, c: Column): Column =
+    VectorFunctions.sqDist(slice(v, start, lit(len)), c)
+
+  /** Append `codes` (array<int>, m entries): per subspace, the id of the
+    * nearest codebook centroid. One codegen'd expression per row —
+    * m·k·(dim/m) multiply-adds, no shuffle, no UDF. */
+  def encode(df: DataFrame, vecCol: String, cb: PqCodebooks,
+      codesCol: String = "codes"): DataFrame = {
+    val cbLit = booksLit(cb)
+    val v = l2normalize(VectorFunctions.toDoubleVec(col(vecCol)))
+    val codes = transform(sequence(lit(0), lit(cb.m - 1)), j => {
+      val book = element_at(cbLit, j + 1)
+      val zero = struct(lit(-1).cast("int").as("i"), lit(Double.MaxValue).as("d"))
+      val best = aggregate(sequence(lit(0), lit(cb.k - 1)), zero,
+        (acc, i) => {
+          val d = sliceSqDist(v, j * cb.sub + 1, cb.sub, element_at(book, i + 1))
+          when(d < acc.getField("d"),
+            struct(i.cast("int").as("i"), d.as("d"))).otherwise(acc)
+        })
+      best.getField("i")
+    })
+    df.withColumn(codesCol, codes)
+  }
+
+  /** Asymmetric (probe-exact, corpus-quantized) squared L2 between a
+    * normalized probe vector and a code array: Σ_j ‖vp_j − book_j[c_j]‖². */
+  private def adcDist(vp: Column, codes: Column, cb: PqCodebooks): Column = {
+    val cbLit = booksLit(cb)
+    aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0.0), (acc, j) =>
+      acc + sliceSqDist(vp, j * cb.sub + 1, cb.sub,
+        element_at(element_at(cbLit, j + 1), element_at(codes, j + 1) + 1)))
+  }
+
+  /** PQ top-k with exact rerank: ADC over the code table → per-probe
+    * shortlist → fetch the shortlist's TRUE vectors by id → exact cosine
+    * → top-k. Output (probe_id, nb, sim), the [[Ann]] tier contract.
+    *
+    * The scan stage touches only (id, codes) — the 30–60× smaller
+    * table; true vectors are read for |probes|·shortlist rows, never
+    * for the corpus. `codes` may come from [[encode]] run now or from a
+    * persisted code table built at ingest (the intended 100 TB mode). */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, cb: PqCodebooks, k: Int = 5,
+      shortlist: Int = 50): DataFrame = {
+    val codeTable = encode(corpus, vecCol, cb)
+      .select(col(idCol).as("nb"), col("codes"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      l2normalize(VectorFunctions.toDoubleVec(col(vecCol))).as("vp"))
+    val wShort = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc"), col("nb"))
+    val short = broadcast(p).join(codeTable, col("probe_id") =!= col("nb"))
+      .select(col("probe_id"), col("vp"), col("nb"),
+        adcDist(col("vp"), col("codes"), cb).as("adc"))
+      .withColumn("rn", row_number().over(wShort))
+      .filter(col("rn") <= shortlist)
+      .select(col("probe_id"), col("vp"), col("nb"))
+    val truth = corpus.select(col(idCol).as("nb"),
+      VectorFunctions.toDoubleVec(col(vecCol)).as("vb"))
+    val reranked = short.join(truth, Seq("nb"))
+      .select(col("probe_id"), col("nb"),
+        cosine_sim(col("vp"), col("vb")).as("sim"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("nb"))
+    reranked.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k).drop("rn")
+  }
+}
