@@ -425,6 +425,55 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("quantile sketch: merge order never changes bytes; rank walk is monotone") {
+    import graft.functions.QuantileSketch
+    val valsGen = Gen.listOfN(60, Gen.chooseNum(-1e6, 1e6))
+    for ((xs, ys) <- samples(Gen.zip(valsGen, valsGen), n = 6)) {
+      def sketch(vs: Seq[Double]): Array[Long] = {
+        val c = new Array[Long](QuantileSketch.Cells)
+        vs.foreach(v => QuantileSketch.add(c, v))
+        c
+      }
+      val (a, b) = (sketch(xs), sketch(ys))
+      val ab = QuantileSketch.mergeInPlace(a.clone(), b)
+      val ba = QuantileSketch.mergeInPlace(b.clone(), a)
+      assert(java.util.Arrays.equals(QuantileSketch.toBytes(ab),
+        QuantileSketch.toBytes(ba)), "counter-add merge must commute exactly")
+      assert(java.util.Arrays.equals(QuantileSketch.toBytes(ab),
+        QuantileSketch.toBytes(sketch(xs ++ ys))),
+        "merging per-part sketches must equal sketching the union")
+      // quantile is monotone in q — the walk can never go backwards
+      val qs = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+        .map(q => QuantileSketch.quantile(ab, q).asInstanceOf[Double])
+      assert(qs == qs.sorted, s"quantiles must be monotone in q: $qs")
+      // and each estimate is within alpha of SOME input value's bucket
+      val all = xs ++ ys
+      qs.foreach { est =>
+        assert(all.exists(v =>
+          math.abs(est - v) <= QuantileSketch.Alpha * math.abs(v) + 1e-9),
+          s"estimate $est matches no input within alpha")
+      }
+    }
+  }
+
+  test("bloom: no false negatives under random keys and random splits") {
+    import graft.functions.Bloom
+    val keysGen = Gen.listOfN(200, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    for ((xs, ys) <- samples(Gen.zip(keysGen, keysGen), n = 6)) {
+      def filt(ks: Seq[Long]): Array[Long] = {
+        val w = new Array[Long](Bloom.Words)
+        ks.foreach(k => Bloom.setBits(w, k))
+        w
+      }
+      val merged = Bloom.mergeInPlace(filt(xs), filt(ys))
+      (xs ++ ys).foreach(k => assert(Bloom.containsBits(merged, k),
+        s"inserted key $k rejected after merge"))
+      assert(java.util.Arrays.equals(Bloom.toBytes(merged),
+        Bloom.toBytes(filt(xs ++ ys))),
+        "OR-merge must equal filtering the union")
+    }
+  }
+
   test("jaccard is symmetric and 1 on identical token sets") {
     val txtGen = Gen.listOfN(6, Gen.oneOf("w1", "w2", "w3", "w4")).map(_.mkString(" "))
     for ((x, y) <- samples(Gen.zip(txtGen, txtGen))) {
