@@ -362,6 +362,11 @@ object Oracle {
         "FROM t a JOIN t b ON a.vec_id < b.vec_id) WHERE cosine >= 0.3 ORDER BY a_id, b_id"),
     "text_unigram_logprob" ->
       "WITH tok AS (SELECT doc_id, unnest(split(text, ' ')) AS w FROM documents), freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w), tot AS (SELECT count(*) AS n FROM tok) SELECT t.doc_id, count(*) AS n_tokens, round(avg(ln(f.c / tot.n)), 4) AS avg_ll FROM tok t JOIN freq f ON t.w = f.w CROSS JOIN tot GROUP BY t.doc_id ORDER BY t.doc_id",
+    // add-one-smoothed bigram LM under the corpus's own statistics —
+    // the context-aware sibling of text_unigram_logprob (range bound 400
+    // > the max ~100 tokens/doc, same pattern as llm_ngrams)
+    "llm_bigram_logprob" ->
+      "WITH toks AS (SELECT doc_id, string_split(text,' ') l FROM documents), uni AS (SELECT u.w, count(*) c FROM (SELECT unnest(l) w FROM toks) u(w) GROUP BY 1), vocab AS (SELECT count(*) v FROM uni), bg AS (SELECT doc_id, l[i] w1, l[i+1] w2 FROM toks, range(1, 400) r(i) WHERE i < len(l)), bgc AS (SELECT w1, w2, count(*) c2 FROM bg GROUP BY 1, 2) SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(ln((bgc.c2 + 1.0) / (uni.c + vocab.v))), 6) AS avg_lp FROM bg b JOIN bgc ON b.w1 = bgc.w1 AND b.w2 = bgc.w2 JOIN uni ON b.w1 = uni.w CROSS JOIN vocab GROUP BY b.doc_id ORDER BY b.doc_id",
     "llm_chunk_text" ->
       "SELECT doc_id, pos, substr(text, CAST(pos AS INT), 100) AS chunk FROM (SELECT doc_id, text, unnest(generate_series(1, len(text), 80)) AS pos FROM documents WHERE doc_id < 50) ORDER BY doc_id, pos",
     // transitive-closure min propagation reaches the same fixpoint as the

@@ -139,6 +139,7 @@ object SparkEntry {
     "llm_pack_sequences" -> (TrainingData.llmPackSequences _),
     "llm_chunk_text" -> (TrainingData.llmChunkText _),
     "text_unigram_logprob" -> (TrainingData.textUnigramLogprob _),
+    "llm_bigram_logprob" -> (TrainingData.llmBigramLogprob _),
     "dedup_winnow" -> (TrainingData.dedupWinnow _),
     "dedup_embedding" -> (TrainingData.dedupEmbedding _),
     "dedup_cc_clusters" -> (TrainingData.dedupCcClusters _),

@@ -108,6 +108,71 @@ object Pq {
         element_at(element_at(cbLit, j + 1), element_at(codes, j + 1) + 1)))
   }
 
+  /** Coarse IVF centroids over the normalized corpus (nlist seeded
+    * KMeans) — the routing layer of [[ivfPqTopK]]. Returned as plain
+    * rows (list_id, cv), broadcastable. */
+  def trainCoarse(spark: SparkSession, corpus: DataFrame, vecCol: String,
+      nlist: Int = 16, seed: Long = 4242L): DataFrame = {
+    import spark.implicits._
+    val feats = corpus.select(array_to_vector(
+      l2normalize(VectorFunctions.toDoubleVec(col(vecCol)))).as("fv"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("fv").fit(feats)
+    model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq.toDF("list_id", "cv")
+  }
+
+  /** IVFADC — the composed billion-scale serving layout from the same
+    * TPAMI 2011 paper: coarse IVF routing × PQ codes. The scan cost is
+    * the PRODUCT of two reductions: only `nprobe`/`nlist` of the corpus
+    * is visited (routing) and what is visited is m-int codes, not
+    * vectors (quantization); the exact cosine rerank then restores
+    * correctness on the shortlist. Both the coarse table and the
+    * codebooks are broadcast; the corpus-side work is one equi-join on
+    * `list_id` — partition the persisted code table by `list_id` and
+    * the scan prunes to the probed lists' files, exactly like
+    * [[Ann.ivfTopKIndexed]]. */
+  def ivfPqTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, cb: PqCodebooks, nlist: Int = 16,
+      nprobe: Int = 4, k: Int = 5, shortlist: Int = 50,
+      seed: Long = 4242L): DataFrame = {
+    val coarse = trainCoarse(spark, corpus, vecCol, nlist, seed)
+    val normV = l2normalize(VectorFunctions.toDoubleVec(col(vecCol)))
+    // assign every corpus code row to its nearest coarse centroid
+    val wAssign = Window.partitionBy(col("nb")).orderBy(col("cdist"), col("list_id"))
+    val codeTable = encode(corpus, vecCol, cb)
+      .select(col(idCol).as("nb"), normV.as("vn"), col("codes"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("cdist", VectorFunctions.sqDist(col("vn"), col("cv")))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("nb"), col("list_id"), col("codes"))
+    // route each probe to its nprobe nearest lists
+    val wRoute = Window.partitionBy(col("probe_id")).orderBy(col("cdist"), col("list_id"))
+    val routed = probes
+      .select(col(idCol).as("probe_id"), normV.as("vp"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("cdist", VectorFunctions.sqDist(col("vp"), col("cv")))
+      .withColumn("rn", row_number().over(wRoute)).filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("vp"), col("list_id"))
+    // ADC only inside the probed lists, then shortlist + exact rerank
+    val wShort = Window.partitionBy(col("probe_id")).orderBy(col("adc"), col("nb"))
+    val short = broadcast(routed).join(codeTable, Seq("list_id"))
+      .filter(col("probe_id") =!= col("nb"))
+      .select(col("probe_id"), col("vp"), col("nb"),
+        adcDist(col("vp"), col("codes"), cb).as("adc"))
+      .withColumn("rn", row_number().over(wShort))
+      .filter(col("rn") <= shortlist)
+      .select(col("probe_id"), col("vp"), col("nb"))
+    val truth = corpus.select(col(idCol).as("nb"),
+      VectorFunctions.toDoubleVec(col(vecCol)).as("vb"))
+    val wTop = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("nb"))
+    short.join(truth, Seq("nb"))
+      .select(col("probe_id"), col("nb"),
+        cosine_sim(col("vp"), col("vb")).as("sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   /** PQ top-k with exact rerank: ADC over the code table → per-probe
     * shortlist → fetch the shortlist's TRUE vectors by id → exact cosine
     * → top-k. Output (probe_id, nb, sim), the [[Ann]] tier contract.

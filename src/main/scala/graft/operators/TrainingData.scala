@@ -152,6 +152,39 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** #90 (added round 9) bigram-LM quality score — the context-aware
+    * upgrade of [[textUnigramLogprob]]: each document's mean add-one-
+    * smoothed bigram log-probability ln((c(w1,w2)+1)/(c(w1)+V)) under
+    * the corpus's own statistics. A repeated-token doc scores HIGH on
+    * unigrams but its unlikely transitions score LOW here — the
+    * standard second filter for degenerate text. Stage shape: bigrams
+    * come from a zip of two array slices (no positional self-join);
+    * the bigram-type and unigram counts are map-side-combinable
+    * aggregates bounded by vocabulary, both broadcast back; the vocab
+    * size rides a 1-row broadcast; the per-doc mean is one doc_id
+    * aggregate. At 100 TB the fat shuffles are the two count
+    * aggregates, each collapsing to per-partition type counts. */
+  def llmBigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+    val pairs = toks.filter(size(col("l")) >= 2)
+      .withColumn("a", slice(col("l"), lit(1), size(col("l")) - 1))
+      .withColumn("b", slice(col("l"), lit(2), size(col("l")) - 1))
+      .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("p"))
+      .select(col("doc_id"), col("p.a").as("w1"), col("p.b").as("w2"))
+    val uni = toks.select(explode(col("l")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bgc = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    pairs.join(broadcast(bgc), Seq("w1", "w2"))
+      .join(broadcast(uni), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c2") + 1.0) / (col("c") + col("v")))), 6).as("avg_lp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** #85 (added round 9) overlapping sliding-window text chunking —
     * the RAG/pretraining prep step that turns documents into
     * fixed-size character windows with overlap (size 100, stride 80 →

@@ -46,6 +46,7 @@ class GoldenCountsSpec extends SparkSpecBase {
     "ts_ohlc_resample" -> 268, "ts_gap_fill" -> 299,
     "fn_array_lambda" -> 200, "win_range_numeric" -> 500,
     "llm_chunk_text" -> 217, "text_unigram_logprob" -> 500,
+    "llm_bigram_logprob" -> 500,
     "agg_regression" -> 5,
     "llm_exact_dedup" -> 500, "llm_dedup_keep_first" -> 75, "llm_docstats" -> 5,
     "llm_ngrams" -> 30, "llm_cosine_topk" -> 50, "llm_knn_label" -> 10,

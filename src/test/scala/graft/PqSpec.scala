@@ -73,6 +73,27 @@ class PqSpec extends SparkSpecBase {
     assert(reread == direct, "persisted codes must equal freshly-encoded ones")
   }
 
+  test("IVFADC: routed ADC + rerank approximates brute force, scans a fraction") {
+    val exact = topkMap(Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5))
+    val got = topkMap(Pq.ivfPqTopK(spark, emb, probes, "vec_id", "embedding",
+      cb, nlist = 16, nprobe = 6, k = 5, shortlist = 50))
+    assert(got.keySet == exact.keySet)
+    val recall = exact.map { case (p, nbs) =>
+      got(p).toSet.intersect(nbs.toSet).size.toDouble / nbs.size
+    }.sum / exact.size
+    // two stacked approximations (routing drops 10/16 lists, then the
+    // ADC shortlist); on unclustered vectors routing is the lossy one —
+    // assert clearly-above-random signal rather than near-exactness
+    assert(recall >= 0.5, s"IVFADC recall $recall < 0.5")
+    // and the full-probe configuration recovers the PQ-only result
+    val full = topkMap(Pq.ivfPqTopK(spark, emb, probes, "vec_id", "embedding",
+      cb, nlist = 16, nprobe = 16, k = 5, shortlist = 50))
+    val pqOnly = topkMap(Pq.pqTopK(emb, probes, "vec_id", "embedding", cb,
+      k = 5, shortlist = 50))
+    assert(full == pqOnly,
+      "probing every list must equal the unrouted ADC scan exactly")
+  }
+
   test("training rejects an empty corpus and a non-divisible dim") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assertThrows[IllegalArgumentException] {
