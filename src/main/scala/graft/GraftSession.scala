@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.{Aggregates, Bloom, CountMin, Hll, QuantileSketch}
+import graft.functions.{Aggregates, Bloom, CountMin, Hll, Kmv, QuantileSketch}
 import graft.plans.{AsofJoin, LatestPerKeyRule}
 
 /** One-call session setup for the engine: a user switching to this library
@@ -47,6 +47,7 @@ object GraftSession {
     CountMin.register(spark) // graft_cms_sketch / graft_cms_merge / graft_cms_estimate
     QuantileSketch.register(spark) // graft_quantile_sketch / _merge / _estimate
     Bloom.register(spark) // graft_bloom_sketch / graft_bloom_merge / graft_bloom_contains
+    Kmv.register(spark) // graft_kmv_sketch / _merge / _estimate / _jaccard
     LatestPerKeyRule.install(spark)
     AsofJoin.install(spark)
   }
