@@ -139,6 +139,22 @@ object StreamingOps {
       .select(col("w.start").as("wstart"), col("sk"))
   }
 
+  /** Per-window KMV key samples on the stream: one ≤8 KB bottom-k
+    * buffer per open window, emitted as a BINARY column — the persisted
+    * sample table that later answers CROSS-window overlap questions
+    * ("how many of this hour's users are yesterday's users":
+    * `graft_kmv_jaccard` between any two stored rows) that the HLL
+    * twin's registers cannot. Keep-k-smallest merge is lossless across
+    * batches and checkpoint/restore, and deterministic, so stream and
+    * batch sketches of the same data are bit-identical. */
+  def keySampleSketchPerWindow(events: DataFrame,
+      watermark: String = "1 day"): DataFrame = {
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.Kmv.kmvSketch(col("user_id")).as("sk"))
+      .select(col("w.start").as("wstart"), col("sk"))
+  }
+
   /** Twin of TimeSeries.streamSliding: 60-minute windows sliding every 30
     * minutes — window() assigns each event to both overlapping windows,
     * which is exactly the explode-candidates plan the batch form uses. */

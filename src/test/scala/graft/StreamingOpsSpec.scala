@@ -117,6 +117,26 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(1) - 2.0) <= 0.02 + 1e-12)
   }
 
+  test("streaming KMV per-window sketches are bit-identical to batch; overlap probes work") {
+    val got = runStream(
+        StreamingOps.keySampleSketchPerWindow(stream()), "t_kmv", "complete")
+      .collect()
+      .map(r => r.getTimestamp(0).getTime / 1000 -> r.getAs[Array[Byte]](1)).toMap
+    val batch = eventsDF(rows.toDF())
+      .groupBy(date_trunc("hour", $"ts").as("wstart"))
+      .agg(graft.functions.Kmv.kmvSketch($"user_id").as("sk"))
+      .collect()
+      .map(r => r.getTimestamp(0).getTime / 1000 -> r.getAs[Array[Byte]](1)).toMap
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (w, sk) =>
+      assert(java.util.Arrays.equals(sk, batch(w)), s"window $w sketch differs") }
+    // cross-window overlap from the stored rows: hour 0 = {user 1},
+    // hour 1 (3600s) = {users 1, 2} → Jaccard 1/2; both below k → exact
+    val j = Seq((got(0L), got(3600L))).toDF("a", "b")
+      .select(graft.functions.Kmv.kmvJaccard($"a", $"b")).collect().head.getDouble(0)
+    assert(j == 0.5, s"hour0 {1} vs hour1 {1,2} must overlap exactly 1/2, got $j")
+  }
+
   test("streaming sliding assigns each event to two windows") {
     val got = runStream(StreamingOps.sliding(stream()), "t_slide", "complete")
     assert(got.agg(sum($"c")).collect().head.getLong(0) == rows.size * 2)
