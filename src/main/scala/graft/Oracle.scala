@@ -458,6 +458,88 @@ object Oracle {
         "SELECT c.doc_id, round(max(CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE) / len(c.sh)), 6) AS cont " +
         "FROM c CROSS JOIN b GROUP BY c.doc_id " +
         "HAVING round(max(CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE) / len(c.sh)), 6) >= 0.8 ORDER BY c.doc_id"),
+    // LATERAL text is identical on both engines (comma-join spelling for
+    // DuckDB, which wants an ON clause with JOIN LATERAL)
+    "join_lateral" ->
+      ("SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice " +
+        "FROM orders o, LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem " +
+        "WHERE l_orderkey = o.o_orderkey ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t " +
+        "WHERE o.o_orderkey < 300 ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_linenumber"),
+    // explicit power-sum moment algebra, pinned to the same association
+    // order as the Spark side (the engines' skewness/kurtosis BUILT-INS
+    // disagree on definition, so neither is used)
+    "agg_moments" ->
+      ("WITH p AS (SELECT l_returnflag, count(*) AS n, avg(l_quantity) AS m1, " +
+        "avg(l_quantity*l_quantity) AS m2, avg(l_quantity*l_quantity*l_quantity) AS m3, " +
+        "avg(l_quantity*l_quantity*l_quantity*l_quantity) AS m4 FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, n, round(m1, 4) AS mean_q, " +
+        "round((m3 - 3.0*m1*m2 + 2.0*m1*m1*m1) / power(m2 - m1*m1, 1.5), 6) AS skew_pop, " +
+        "round((m4 - 4.0*m1*m3 + 6.0*m1*m1*m2 - 3.0*m1*m1*m1*m1) / ((m2 - m1*m1)*(m2 - m1*m1)) - 3.0, 6) AS kurt_pop " +
+        "FROM p ORDER BY l_returnflag"),
+    // md5 prefix < '1a' ≈ 26/256 of rows, reproducible on any engine
+    "sample_stratified" ->
+      ("WITH s AS (SELECT l_returnflag, count(*) AS n_sample, round(avg(l_quantity), 4) AS avg_sample " +
+        "FROM lineitem WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a' GROUP BY l_returnflag), " +
+        "f AS (SELECT l_returnflag, count(*) AS n_full, round(avg(l_quantity), 4) AS avg_full FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT s.l_returnflag, n_sample, avg_sample, n_full, avg_full " +
+        "FROM s JOIN f USING (l_returnflag) ORDER BY l_returnflag"),
+    // 5 power-iteration rounds unrolled as chained CTEs — the identical
+    // fixed-round arithmetic the Spark loop runs (teleport (1.0-0.85)/n,
+    // damped contribution sum rank/degree over symmetrized edges)
+    "graph_pagerank" ->
+      ("WITH e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src, 's' || CAST(l_suppkey AS VARCHAR) AS dst " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), " +
+        "deg AS (SELECT src, count(*) AS degree FROM e GROUP BY src), " +
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg), " +
+        "r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg), " +
+        "r1 AS (SELECT e.dst AS node, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / deg.degree) AS rank FROM e JOIN deg USING (src) JOIN r0 r ON r.node = e.src GROUP BY e.dst), " +
+        "r2 AS (SELECT e.dst AS node, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / deg.degree) AS rank FROM e JOIN deg USING (src) JOIN r1 r ON r.node = e.src GROUP BY e.dst), " +
+        "r3 AS (SELECT e.dst AS node, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / deg.degree) AS rank FROM e JOIN deg USING (src) JOIN r2 r ON r.node = e.src GROUP BY e.dst), " +
+        "r4 AS (SELECT e.dst AS node, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / deg.degree) AS rank FROM e JOIN deg USING (src) JOIN r3 r ON r.node = e.src GROUP BY e.dst), " +
+        "r5 AS (SELECT e.dst AS node, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / deg.degree) AS rank FROM e JOIN deg USING (src) JOIN r4 r ON r.node = e.src GROUP BY e.dst) " +
+        "SELECT deg.src AS node, deg.degree, round(r5.rank, 8) AS rank FROM deg JOIN r5 ON r5.node = deg.src ORDER BY node"),
+    // daily SUM signal (cent-multiples never sit on a 2-dp half
+    // boundary) and α = 1/3 (3-adic weights cannot produce an exact
+    // half-cent, by parity) — see tsEwma's float-determinism note; α is
+    // the same double expression (1.0/3, 2.0/3) as the Spark side
+    "ts_ewma" ->
+      ("WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS x FROM events GROUP BY user_id, CAST(ts AS DATE)), " +
+        "seq AS (SELECT user_id, day, x, CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS DOUBLE) AS i FROM daily), " +
+        "u AS (SELECT user_id, day, x, i, CASE WHEN i = 0 THEN x ELSE x * (1.0::DOUBLE/3) * power(2.0::DOUBLE/3, -i) END AS u FROM seq) " +
+        "SELECT user_id, CAST(day AS TIMESTAMP) AS day, round(x, 2) AS x_daily, " +
+        "round(power(2.0::DOUBLE/3, i) * sum(u) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS ewma " +
+        "FROM u ORDER BY user_id, day"),
+    // the >2 cutoff is a float comparison on both sides; nearest |z| to
+    // the boundary is ~1e-3 at every SF (checked), far beyond summation
+    // noise, so the judged row set is stable
+    "ts_anomaly_zscore" ->
+      ("WITH t AS (SELECT event_id, user_id, ts, value, " +
+        "avg(value) OVER w AS mu, stddev_samp(value) OVER w AS sd, count(value) OVER w AS nw " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT event_id, user_id, ts, round(value, 2) AS value, round((value - mu) / sd, 2) AS z " +
+        "FROM t WHERE nw >= 10 AND sd > 0.000000001 AND abs((value - mu) / sd) > 2 ORDER BY event_id"),
+    // per-series elapsed-seconds time base (see hrvBandPower); 1.0 is
+    // cast to DOUBLE so the frequency constant folds in double, not
+    // DECIMAL, exactly like the Spark side's 1.0/86400
+    "hrv_band_power" ->
+      ("WITH t AS (SELECT user_id, CAST(epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id) AS DOUBLE)/1000000.0 AS t, " +
+        "value - avg(value) OVER (PARTITION BY user_id) AS c FROM events), " +
+        "p AS (SELECT user_id, " +
+        "(power(sum(c*cos(t*(2*pi()*(1.0::DOUBLE/86400)))), 2) + power(sum(c*sin(t*(2*pi()*(1.0::DOUBLE/86400)))), 2))/count(c) AS p0, " +
+        "(power(sum(c*cos(t*(2*pi()*(1.0::DOUBLE/3600)))), 2) + power(sum(c*sin(t*(2*pi()*(1.0::DOUBLE/3600)))), 2))/count(c) AS p1 " +
+        "FROM t GROUP BY user_id) " +
+        "SELECT user_id AS series_key, round(p0, 2) AS p_daily, round(p1, 2) AS p_hourly, round(p0/p1, 4) AS band_ratio " +
+        "FROM p ORDER BY series_key"),
+    // the oracle REBUILDS the parts the URL was synthesized from — exact
+    // ground truth for parse_url's decomposition on well-formed URLs
+    "fn_url" ->
+      ("SELECT p_partkey, " +
+        "'w' || CAST(p_partkey % 7 AS VARCHAR) || '.example.com' AS host, " +
+        "'/cat/' || lower(replace(p_type, ' ', '-')) || '/item' AS path, " +
+        "'id=' || CAST(p_partkey AS VARCHAR) || '&brand=' || replace(p_brand, '#', '-') AS query, " +
+        "replace(p_brand, '#', '-') AS brand_param " +
+        "FROM part ORDER BY p_partkey LIMIT 150"),
     // deterministic md5-bucket negatives (doc_ids are contiguous 0..N-1,
     // verified per sf); self-match remaps to the next id
     "llm_negative_sample" ->

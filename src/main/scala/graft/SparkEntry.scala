@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Relational, Windows, Scalars, TimeSeries, LlmOps, TrainingData, IntervalJoin, Analytics}
+import graft.operators.{Relational, Windows, Scalars, TimeSeries, LlmOps, TrainingData, IntervalJoin, Analytics, Graph}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -122,6 +122,14 @@ object SparkEntry {
     "llm_minhash_jaccard" -> (LlmOps.llmMinhashJaccard _),
     "llm_curate_chain" -> (LlmOps.llmCurateChain _),
     // §2.11 subqueries
+    "join_lateral" -> (Relational.joinLateral _),
+    "agg_moments" -> (Relational.aggMoments _),
+    "sample_stratified" -> (Relational.sampleStratified _),
+    "graph_pagerank" -> (Graph.graphPagerank _),
+    "ts_ewma" -> (TimeSeries.tsEwma _),
+    "ts_anomaly_zscore" -> (TimeSeries.tsAnomalyZscore _),
+    "hrv_band_power" -> (TrainingData.hrvBandPower _),
+    "fn_url" -> (Scalars.fnUrl _),
     "subq_scalar_corr" -> (Relational.subqScalarCorr _),
     "subq_in" -> (Relational.subqIn _),
     "subq_not_in" -> (Relational.subqNotIn _),

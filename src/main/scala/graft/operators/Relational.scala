@@ -647,4 +647,82 @@ object Relational {
              WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)
              ORDER BY p_partkey LIMIT 200""")
   }
+
+  /** #96 LATERAL correlated table subquery — top-2 lineitems per order,
+    * in SQL so Catalyst's lateral-join decorrelation is what's judged:
+    * the per-order ORDER BY … LIMIT 2 rewrites to a rank-filter over ONE
+    * join, not a per-row subquery re-execution — the same distributed
+    * shape as win_rank_topk_per_group but arrived at from SQL the way an
+    * analyst writes it. DuckDB runs the identical LATERAL text. */
+  def joinLateral(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql("""SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+             FROM orders o JOIN LATERAL (
+               SELECT l_linenumber, l_extendedprice FROM lineitem
+               WHERE l_orderkey = o.o_orderkey
+               ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+             WHERE o.o_orderkey < 300
+             ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_linenumber""")
+  }
+
+  /** #97 higher-moment aggregates per group — skewness and excess
+    * kurtosis, computed from explicit power sums (E[x^k] averages →
+    * central moments) rather than the built-ins, because the engines'
+    * built-ins disagree on DEFINITION (sample-corrected g1/G2 vs
+    * population m3/m4), while the moment algebra below is pinned and
+    * identical on both sides. Power sums are map-side-combinable — the
+    * whole query is one partial+final aggregate, the scale shape of
+    * every moment statistic. Quantity ≤ 50 keeps x⁴ ≈ 6e6: far from
+    * double trouble. */
+  def aggMoments(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), avg(x).as("m1"), avg(x * x).as("m2"),
+        avg(x * x * x).as("m3"), avg(x * x * x * x).as("m4"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("m1"), 4).as("mean_q"), {
+          val mu2 = col("m2") - col("m1") * col("m1")
+          val mu3 = col("m3") - lit(3.0) * col("m1") * col("m2") +
+            lit(2.0) * col("m1") * col("m1") * col("m1")
+          val mu4 = col("m4") - lit(4.0) * col("m1") * col("m3") +
+            lit(6.0) * col("m1") * col("m1") * col("m2") -
+            lit(3.0) * col("m1") * col("m1") * col("m1") * col("m1")
+          round(mu3 / pow(mu2, 1.5), 6).as("skew_pop")
+        }, {
+          val mu2 = col("m2") - col("m1") * col("m1")
+          val mu4 = col("m4") - lit(4.0) * col("m1") * col("m3") +
+            lit(6.0) * col("m1") * col("m1") * col("m2") -
+            lit(3.0) * col("m1") * col("m1") * col("m1") * col("m1")
+          round(mu4 / (mu2 * mu2) - lit(3.0), 6).as("kurt_pop")
+        })
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** #98 deterministic hash sample with per-stratum error readout: keep
+    * the ~10.2% of lineitems whose md5("<orderkey>:<linenumber>") starts
+    * below 0x1a, then compare the sample's per-returnflag mean quantity
+    * against the full-data mean. Hash sampling is THE reproducible
+    * sampling primitive at 100 TB — any engine, any partitioning, any
+    * retry produces the same sample (unlike rand(), which is
+    * per-task-nondeterministic under retries), and it pushes down to a
+    * plain filter: no shuffle, no sort, sampled and full aggregates both
+    * map-side partial. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val sampled = li
+      .filter(substring(md5(concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"))), 1, 2) < "1a")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sample"),
+        round(avg(col("l_quantity")), 4).as("avg_sample"))
+    val full = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_full"),
+        round(avg(col("l_quantity")), 4).as("avg_full"))
+    sampled.join(full, "l_returnflag")
+      .select(col("l_returnflag"), col("n_sample"), col("avg_sample"),
+        col("n_full"), col("avg_full"))
+      .orderBy(col("l_returnflag"))
+  }
 }

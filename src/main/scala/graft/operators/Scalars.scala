@@ -218,4 +218,28 @@ object Scalars {
       .agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("word"))
       .limit(50)
+
+  /** #95 URL decomposition (`parse_url` HOST / PATH / QUERY + keyed
+    * query-parameter extraction) — the crawl-corpus normalization
+    * primitive: a 100 TB web scrape dedups and shards on registrable
+    * host and canonical path long before any text analysis. URLs are
+    * synthesized from part rows (the corpus has no native URL column),
+    * so the oracle can rebuild the identical strings and take them apart
+    * with regexes; on well-formed http(s) URLs the two decompositions
+    * agree exactly. All codegen'd string ops, no UDFs. */
+  def fnUrl(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        concat(lit("https://w"), (col("p_partkey") % 7).cast("string"),
+          lit(".example.com/cat/"),
+          lower(replace(col("p_type"), lit(" "), lit("-"))),
+          lit("/item?id="), col("p_partkey").cast("string"),
+          lit("&brand="), replace(col("p_brand"), lit("#"), lit("-"))).as("url"))
+      .select(col("p_partkey"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("brand")).as("brand_param"))
+      .orderBy(col("p_partkey"))
+      .limit(150)
 }

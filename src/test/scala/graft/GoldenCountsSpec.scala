@@ -62,7 +62,10 @@ class GoldenCountsSpec extends SparkSpecBase {
     "hrv_resample" -> 3483, "hrv_poincare" -> 15, "agg_corr" -> 15,
     "llm_train_split" -> 15,
     "text_pii_redact" -> 200, "text_decontaminate" -> 150,
-    "llm_negative_sample" -> 300
+    "llm_negative_sample" -> 300,
+    "join_lateral" -> 572, "agg_moments" -> 3, "sample_stratified" -> 3,
+    "graph_pagerank" -> 160, "ts_ewma" -> 397, "ts_anomaly_zscore" -> 50,
+    "hrv_band_power" -> 15, "fn_url" -> 150
   )
 
   test("every SURVEY §2 query is registered with an oracle") {

@@ -243,4 +243,21 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!"ReadSchema:[^\\n]*l_comment".r.findFirstIn(ps).nonEmpty,
       s"scan reads columns the query never uses:\n$ps")
   }
+
+  test("join_lateral: decorrelated to a rank-filter join, not a per-row loop") {
+    val p = plan(Relational.joinLateral(spark, sf()))
+    // the per-order ORDER BY … LIMIT 2 must become a window rank over one
+    // equi-join — any nested-loop/cartesian form means decorrelation failed
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"lateral subquery fell back to a nested loop:\n$p")
+    assert(p.contains("Window") || p.contains("row_number"),
+      s"expected the LIMIT-per-group to plan as a rank window:\n$p")
+  }
+
+  test("sample_stratified: both branches aggregate partially, no extra sort") {
+    val p = plan(Relational.sampleStratified(spark, sf()))
+    // sampled + full sides each get a partial+final HashAggregate pair
+    assert(count(p, "HashAggregate") >= 4, s"expected two partial+final pairs:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
