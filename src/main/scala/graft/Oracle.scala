@@ -531,6 +531,43 @@ object Oracle {
         "FROM t GROUP BY user_id) " +
         "SELECT user_id AS series_key, round(p0, 2) AS p_daily, round(p1, 2) AS p_hourly, round(p0/p1, 4) AS band_ratio " +
         "FROM p ORDER BY series_key"),
+    // exact integer-µs gap algebra; DuckDB's sum(BIGINT) is HUGEINT →
+    // cast; the interpolated median of integers is an exact binary half
+    "ts_inter_arrival" ->
+      ("WITH t AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events) " +
+        "SELECT user_id, count(gap_us) AS n_gaps, min(gap_us) AS min_gap_us, " +
+        "max(gap_us) AS max_gap_us, CAST(sum(gap_us) AS BIGINT) AS sum_gap_us, " +
+        "quantile_cont(gap_us, 0.5) AS p50_gap_us " +
+        "FROM t GROUP BY user_id ORDER BY user_id"),
+    // Pearson sample correlation over the lagged daily-total pairs —
+    // identically defined on both engines, scale-free, 4-dp rounded
+    "ts_autocorr" ->
+      ("WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS x FROM events GROUP BY user_id, CAST(ts AS DATE)), " +
+        "l AS (SELECT user_id, x, lag(x) OVER (PARTITION BY user_id ORDER BY day) AS xp FROM d) " +
+        "SELECT user_id, count(xp) AS n_pairs, round(corr(x, xp), 4) AS r1 " +
+        "FROM l GROUP BY user_id ORDER BY user_id"),
+    // LOCF time-weighting in exact integer µs; the unweighted comparison
+    // ships as the exact (sum, count) pair — a rounded MEAN of 2-dp data
+    // sits exactly on 4-dp half boundaries at sf0.1 (measured)
+    "ts_time_weighted_avg" ->
+      ("WITH t AS (SELECT user_id, epoch_us(ts) AS um, value, " +
+        "lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events) " +
+        "SELECT user_id, round(sum(value * (nxt - um)) / (max(um) - min(um)), 4) AS twa, " +
+        "max(um) - min(um) AS span_us, round(sum(value), 2) AS sum_v, count(value) AS n_v " +
+        "FROM t GROUP BY user_id ORDER BY user_id"),
+    // half-integers (quantity/2) are exact binary, so the four modes
+    // disagree by SEMANTICS, not float luck; ceil/floor cast to BIGINT
+    "fn_round_modes" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity / 2 AS q2, " +
+        "round(l_quantity / 2, 0) AS r_away, round_even(l_quantity / 2, 0) AS r_even, " +
+        "CAST(ceil(l_quantity / 2) AS BIGINT) AS c, CAST(floor(l_quantity / 2) AS BIGINT) AS f " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, q2 LIMIT 200"),
+    // exact integer algebra, order-insensitive by construction
+    "agg_bitops" ->
+      ("SELECT l_returnflag, bit_and(l_orderkey) AS band, bit_or(l_orderkey) AS bor, " +
+        "bit_xor(l_orderkey) AS bxor, count(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     // the oracle REBUILDS the parts the URL was synthesized from — exact
     // ground truth for parse_url's decomposition on well-formed URLs
     "fn_url" ->

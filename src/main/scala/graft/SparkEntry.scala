@@ -126,6 +126,11 @@ object SparkEntry {
     "agg_moments" -> (Relational.aggMoments _),
     "sample_stratified" -> (Relational.sampleStratified _),
     "graph_pagerank" -> (Graph.graphPagerank _),
+    "agg_bitops" -> (Relational.aggBitops _),
+    "fn_round_modes" -> (Scalars.fnRoundModes _),
+    "ts_inter_arrival" -> (TimeSeries.tsInterArrival _),
+    "ts_autocorr" -> (TimeSeries.tsAutocorr _),
+    "ts_time_weighted_avg" -> (TimeSeries.tsTimeWeightedAvg _),
     "ts_ewma" -> (TimeSeries.tsEwma _),
     "ts_anomaly_zscore" -> (TimeSeries.tsAnomalyZscore _),
     "hrv_band_power" -> (TrainingData.hrvBandPower _),

@@ -700,6 +700,23 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** #103 bitwise aggregates per group (`bit_and` / `bit_or` /
+    * `bit_xor`) — the set-digest primitives: AND proves a bit common to
+    * EVERY key in the group, OR the union mask, XOR the parity digest
+    * (a cheap order-insensitive checksum for reconciliation diffs —
+    * identical multisets XOR to the same value on any engine, any
+    * partitioning). Exact integer algebra, commutative + associative,
+    * so the aggregate is map-side combinable like any sum. */
+  def aggBitops(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("bit_and(l_orderkey)").as("band"),
+        expr("bit_or(l_orderkey)").as("bor"),
+        expr("bit_xor(l_orderkey)").as("bxor"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** #98 deterministic hash sample with per-stratum error readout: keep
     * the ~10.2% of lineitems whose md5("<orderkey>:<linenumber>") starts
     * below 0x1a, then compare the sample's per-returnflag mean quantity

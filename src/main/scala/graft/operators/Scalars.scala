@@ -219,6 +219,26 @@ object Scalars {
       .orderBy(col("c").desc, col("word"))
       .limit(50)
 
+  /** #102 rounding-mode semantics probe: HALF-AWAY-FROM-ZERO (`round`)
+    * vs HALF-TO-EVEN banker's rounding (`bround` ↔ DuckDB
+    * `round_even`) vs ceil/floor, exercised where they actually
+    * disagree — exact binary half-integers (quantity/2), so the
+    * comparison is semantics, not float luck. Financial aggregation
+    * pipelines live or die on this distinction; ceil/floor are cast to
+    * BIGINT on both sides (Spark's ceil(double) is already integral).
+    * Pure codegen'd map stage. */
+  def fnRoundModes(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") / 2).as("q2"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("q2"),
+        round(col("q2"), 0).as("r_away"),
+        bround(col("q2"), 0).as("r_even"),
+        ceil(col("q2")).as("c"),
+        floor(col("q2")).as("f"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("q2"))
+      .limit(200)
+
   /** #95 URL decomposition (`parse_url` HOST / PATH / QUERY + keyed
     * query-parameter extraction) — the crawl-corpus normalization
     * primitive: a 100 TB web scrape dedups and shards on registrable

@@ -155,6 +155,77 @@ object TimeSeries {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** #99 inter-arrival gap statistics per user — the RR-interval
+    * ingestion step itself: physiological series arrive as event
+    * timestamps, and the signal IS the gap between consecutive ones.
+    * Gaps are computed in EXACT integer microseconds (one lag window on
+    * the user_id exchange), so count/min/max/sum are exact on both
+    * engines; the median is Spark's exact interpolated `percentile` ↔
+    * DuckDB `quantile_cont` (midpoints of integers are exact binary
+    * halves — no float divergence). Map-side-combinable aggregate after
+    * one window pass. */
+  def tsInterArrival(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val um = unix_micros(col("ts"))
+    Tables.events(s, d)
+      .select(col("user_id"), (um - lag(um, 1).over(w)).as("gap_us"))
+      .groupBy(col("user_id"))
+      .agg(count(col("gap_us")).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("gap_us")).as("sum_gap_us"),
+        percentile(col("gap_us"), lit(0.5)).as("p50_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** #100 lag-1 autocorrelation of each user's daily-total series — the
+    * short-range dependence feature (does today's level predict
+    * tomorrow's). Day-collapse first (calendar-bounded, the same
+    * reducer as tsEwma), one lag window for the (x_t, x_{t−1}) pairs,
+    * then a plain `corr` aggregate per user — Pearson sample
+    * correlation, identically defined on both engines, rounded at 4 dp
+    * (scale-free ratio: summation-order noise ~1e-15). */
+  def tsAutocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(sum(col("value")).as("x"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    daily
+      .withColumn("xp", lag(col("x"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(col("xp")).as("n_pairs"),
+        round(corr(col("x"), col("xp")), 4).as("r1"))
+      .orderBy(col("user_id"))
+  }
+
+  /** #101 time-weighted average per user under LOCF weighting: each
+    * value counts for the microseconds until the NEXT sample, so
+    * irregular sampling doesn't bias the mean toward burst periods —
+    * the correct "average level" of an unevenly-sampled series (and the
+    * reason plain avg() is wrong for RR-style data). One lead window on
+    * the user_id exchange, then a map-side-combinable aggregate; the
+    * weights are exact integer µs, the weighted sum is Σ(2-dp value ×
+    * integer), and the final ratio is rounded at 4 dp. */
+  def tsTimeWeightedAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val um = unix_micros(col("ts"))
+    Tables.events(s, d)
+      .select(col("user_id"), um.as("um"), col("value"),
+        lead(um, 1).over(w).as("nxt"))
+      .groupBy(col("user_id"))
+      .agg(
+        round((sum(col("value") * (col("nxt") - col("um"))) /
+          (max(col("um")) - min(col("um")))), 4).as("twa"),
+        (max(col("um")) - min(col("um"))).as("span_us"),
+        // the unweighted comparison ships as the exact (sum, count)
+        // pair, not a rounded mean: means of 2-dp data land exactly ON
+        // 4-dp half boundaries (measured 0 distance at sf0.1), sums are
+        // boundary-safe cent multiples
+        round(sum(col("value")), 2).as("sum_v"),
+        count(col("value")).as("n_v"))
+      .orderBy(col("user_id"))
+  }
+
   /** #93 rolling z-score anomaly detection: each event scored against
     * the mean/stddev of its user's previous 20 events (strictly
     * preceding frame — the score never sees the value it judges), kept
