@@ -531,6 +531,60 @@ object Oracle {
         "FROM t GROUP BY user_id) " +
         "SELECT user_id AS series_key, round(p0, 2) AS p_daily, round(p1, 2) AS p_hourly, round(p0/p1, 4) AS band_ratio " +
         "FROM p ORDER BY series_key"),
+    // exact integer counts; the Jaccard is ONE integer/integer double
+    // division — bit-identical on both engines, no float-tie risk
+    "graph_common_neighbors" ->
+      ("WITH e AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE o_custkey < 300), " +
+        "deg AS (SELECT supp, count(*) AS deg FROM e GROUP BY supp), " +
+        "p AS (SELECT a.supp AS s1, b.supp AS s2, count(*) AS common " +
+        "FROM e a JOIN e b ON a.cust = b.cust AND a.supp < b.supp GROUP BY a.supp, b.supp) " +
+        "SELECT s1, s2, common, d1.deg AS d1, d2.deg AS d2, " +
+        "round(common / (d1.deg + d2.deg - common), 6) AS jaccard " +
+        "FROM p JOIN deg d1 ON d1.supp = s1 JOIN deg d2 ON d2.supp = s2 " +
+        "WHERE common >= 3 ORDER BY jaccard DESC, s1, s2 LIMIT 50"),
+    // forward as-of: the engine runs the native backward sorted-merge on
+    // NEGATED times; the oracle states it directly as the earliest
+    // strictly-after click (ts unique per user, so ≥ and > coincide)
+    "join_asof_forward" ->
+      ("WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_um FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, epoch_us(ts) AS c_um, event_id AS click_id FROM events WHERE event_type = 'click') " +
+        "SELECT p.purchase_id, p.user_id, n.click_id, n.c_um - p.p_um AS wait_us " +
+        "FROM p LEFT JOIN LATERAL (SELECT click_id, c_um FROM c WHERE c.user_id = p.user_id AND c.c_um >= p.p_um ORDER BY c.c_um LIMIT 1) n ON true " +
+        "ORDER BY purchase_id"),
+    // first-occurrence flag + cumulative sum — exact integers end to end
+    "win_running_distinct" ->
+      ("WITH f AS (SELECT event_id, user_id, ts, event_type, " +
+        "CASE WHEN row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS is_first " +
+        "FROM events WHERE user_id < 8) " +
+        "SELECT event_id, user_id, ts, event_type, " +
+        "CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS types_seen " +
+        "FROM f ORDER BY event_id"),
+    // cumsum split search; the judged shift is the exact cent-lattice
+    // numerator |Σpre·(n−i) − Σpost·i| (the ratio lands ON 4-dp half
+    // boundaries at sf0.1 — measured); top-2 gap ≥0.007 at every SF
+    "ts_changepoint" ->
+      ("WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS x FROM events GROUP BY user_id, CAST(ts AS DATE)), " +
+        "c AS (SELECT user_id, day, x, " +
+        "sum(x) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY day) AS i, " +
+        "sum(x) OVER (PARTITION BY user_id) AS tot, " +
+        "count(*) OVER (PARTITION BY user_id) AS n FROM d), " +
+        "s AS (SELECT user_id, day, cs, i, tot, n, abs(cs / i - (tot - cs) / (n - i)) AS shift FROM c WHERE i < n), " +
+        "r AS (SELECT user_id, day, cs, i, tot, n, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY shift DESC, day DESC) AS rk FROM s) " +
+        "SELECT user_id, CAST(day AS TIMESTAMP) AS split_day, CAST(i AS BIGINT) AS i_days, n AS n_days, " +
+        "round(abs(cs * (n - i) - (tot - cs) * i), 2) AS shift_num " +
+        "FROM r WHERE rk = 1 ORDER BY user_id"),
+    // clamped month arithmetic and ISO numeric day/week on both sides
+    "fn_date_extras" ->
+      ("SELECT o_orderkey, " +
+        "CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end, " +
+        "CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS TIMESTAMP) AS next_cycle, " +
+        "CAST(quarter(o_orderdate) AS BIGINT) AS q, " +
+        "CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS iso_wd, " +
+        "CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week " +
+        "FROM orders ORDER BY o_orderkey LIMIT 200"),
     // exact integer-µs gap algebra; DuckDB's sum(BIGINT) is HUGEINT →
     // cast; the interpolated median of integers is an exact binary half
     "ts_inter_arrival" ->

@@ -126,6 +126,11 @@ object SparkEntry {
     "agg_moments" -> (Relational.aggMoments _),
     "sample_stratified" -> (Relational.sampleStratified _),
     "graph_pagerank" -> (Graph.graphPagerank _),
+    "graph_common_neighbors" -> (Graph.graphCommonNeighbors _),
+    "join_asof_forward" -> (Relational.joinAsofForward _),
+    "win_running_distinct" -> (Windows.winRunningDistinct _),
+    "ts_changepoint" -> (TimeSeries.tsChangepoint _),
+    "fn_date_extras" -> (Scalars.fnDateExtras _),
     "agg_bitops" -> (Relational.aggBitops _),
     "fn_round_modes" -> (Scalars.fnRoundModes _),
     "ts_inter_arrival" -> (TimeSeries.tsInterArrival _),

@@ -73,6 +73,40 @@ object Graph {
       .select(col("node"), col("degree"), col("rank"))
   }
 
+  /** #106 common-neighbor similarity (link prediction): supplier pairs
+    * ranked by the Jaccard of their customer sets — "suppliers that
+    * serve the same buyers", the co-occurrence sibling of the
+    * embedding/near-dup similarity family, computed on the SAME
+    * bipartite trade edges as [[graphPagerank]]. The self-join explodes
+    * per-customer supplier lists into pairs, so the probe is bounded by
+    * customer id (the per-key pair count is deg², the classic
+    * quadratic-blowup guard — at full scale you'd cap or sample
+    * per-customer degree the same way).
+    *
+    * Every judged number is EXACT: common/degree counts are integers
+    * and the Jaccard is one integer-by-integer double division —
+    * bit-identical on any engine, so the similarity ORDER BY carries no
+    * float-tie risk at all (ties broken by the pair key). */
+  def graphCommonNeighbors(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_custkey") < 300)
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val deg = e.groupBy(col("supp")).agg(count(lit(1)).as("deg"))
+    val a = e.select(col("cust"), col("supp").as("s1"))
+    val b = e.select(col("cust"), col("supp").as("s2"))
+    a.join(b, Seq("cust")).filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("common"))
+      .join(broadcast(deg.select(col("supp").as("s1"), col("deg").as("d1"))), "s1")
+      .join(broadcast(deg.select(col("supp").as("s2"), col("deg").as("d2"))), "s2")
+      .filter(col("common") >= 3)
+      .select(col("s1"), col("s2"), col("common"), col("d1"), col("d2"),
+        round(col("common") / (col("d1") + col("d2") - col("common")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("s1"), col("s2"))
+      .limit(50)
+  }
+
   /** #91 judged PageRank over the customer–supplier trade graph: an
     * undirected edge for every distinct (customer, supplier) pair that
     * traded (orders ⋈ lineitem), 5 power-iteration rounds at damping

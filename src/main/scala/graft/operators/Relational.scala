@@ -375,6 +375,30 @@ object Relational {
       .orderBy(col("purchase_id"))
   }
 
+  /** #107 FORWARD as-of through the same native sorted-merge operator
+    * ([[graft.plans.AsofJoin]] finds the latest right ≤ probe): running
+    * it on NEGATED event times turns "latest at-or-before" into
+    * "earliest at-or-after" with zero new operator code — each purchase
+    * finds the user's NEXT click (time-to-next-click, the engagement
+    * metric). (user_id, ts) is unique, so inclusive and strict
+    * semantics coincide. Same one-exchange-per-side merge shape as
+    * [[joinAsofNative]]; the gap ships in exact integer µs. */
+  def joinAsofForward(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_um"))
+      .withColumn("p_neg", -col("p_um"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_um"),
+        col("event_id").as("click_id"))
+      .withColumn("c_neg", -col("c_um"))
+    graft.plans.AsofJoin(purchases, clicks, Seq("user_id"), "p_neg", "c_neg")
+      .select(col("purchase_id"), purchases("user_id"), col("click_id"),
+        (col("c_um") - col("p_um")).as("wait_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** #12 small cartesian product (explicit crossJoin). */
   def joinCross(s: SparkSession, d: String): DataFrame = {
     val r = Tables.region(s, d)

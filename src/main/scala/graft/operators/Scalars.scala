@@ -219,6 +219,25 @@ object Scalars {
       .orderBy(col("c").desc, col("word"))
       .limit(50)
 
+  /** #108 calendar navigation extras beyond #38's extract/trunc/diff:
+    * month-end (`last_day`), clamped month arithmetic (`add_months` —
+    * Jan 31 + 1 month = Feb 29, the billing-cycle rule both engines
+    * implement by clamping), quarter, ISO weekday (Spark `weekday` is
+    * 0=Monday ↔ DuckDB `isodow`−1 — the named-day functions disagree
+    * across locales, the numeric ISO form doesn't), and ISO week
+    * number. Date outputs ship as midnight timestamps per the judged
+    * convention. Pure codegen'd map stage. */
+  def fnDateExtras(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        last_day(col("o_orderdate")).cast("timestamp_ntz").as("month_end"),
+        add_months(col("o_orderdate"), 1).cast("timestamp_ntz").as("next_cycle"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        weekday(col("o_orderdate")).cast("long").as("iso_wd"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"))
+      .orderBy(col("o_orderkey"))
+      .limit(200)
+
   /** #102 rounding-mode semantics probe: HALF-AWAY-FROM-ZERO (`round`)
     * vs HALF-TO-EVEN banker's rounding (`bround` ↔ DuckDB
     * `round_even`) vs ceil/floor, exercised where they actually

@@ -320,4 +320,31 @@ object Windows {
       .orderBy(col("c_custkey"))
       .limit(200)
   }
+
+  /** #104 running distinct count: after each event, how many DISTINCT
+    * event types has this user produced so far — the vocabulary-growth /
+    * feature-coverage curve (same shape as tracking distinct tokens
+    * seen during a training-data scan). Two window passes: a per
+    * (user, type) first-occurrence flag (row_number == 1), then a
+    * cumulative sum of flags on the user ordering. The flag window keys
+    * on (user_id, event_type) and the cumsum on user_id — two
+    * exchanges, each O(1) per-row state; no distinct-set is ever
+    * materialized per row, which is what makes the decomposition scale
+    * (the naive collect_set-over-frame form carries the growing set
+    * through every row). */
+  def winRunningDistinct(s: SparkSession, d: String): DataFrame = {
+    val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val wCum = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .filter(col("user_id") < 8)
+      .withColumn("is_first",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"), col("event_type"),
+        sum(col("is_first")).over(wCum).as("types_seen"))
+      .orderBy(col("event_id"))
+  }
 }

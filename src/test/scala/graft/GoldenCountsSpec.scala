@@ -67,7 +67,10 @@ class GoldenCountsSpec extends SparkSpecBase {
     "graph_pagerank" -> 160, "ts_ewma" -> 397, "ts_anomaly_zscore" -> 50,
     "hrv_band_power" -> 15, "fn_url" -> 150,
     "ts_inter_arrival" -> 15, "ts_autocorr" -> 15,
-    "ts_time_weighted_avg" -> 15, "fn_round_modes" -> 200, "agg_bitops" -> 3
+    "ts_time_weighted_avg" -> 15, "fn_round_modes" -> 200, "agg_bitops" -> 3,
+    "graph_common_neighbors" -> 45, "join_asof_forward" -> 202,
+    "win_running_distinct" -> 514, "ts_changepoint" -> 15,
+    "fn_date_extras" -> 200
   )
 
   test("every SURVEY §2 query is registered with an oracle") {
