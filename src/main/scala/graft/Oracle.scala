@@ -531,6 +531,26 @@ object Oracle {
         "FROM t GROUP BY user_id) " +
         "SELECT user_id AS series_key, round(p0, 2) AS p_daily, round(p1, 2) AS p_hourly, round(p0/p1, 4) AS band_ratio " +
         "FROM p ORDER BY series_key"),
+    // pinned banded MinHash (4 bands × 4 rows): one md5 per shingle →
+    // 32-bit int (the llm_train_split recipe), then fixed (a·h+b) mod
+    // 2³¹−1 universal hashes — all-integer, so the oracle replays the
+    // IDENTICAL banding, candidate set, and exact Jaccard
+    "dedup_minhash_lsh" ->
+      ("WITH t AS (SELECT doc_id, list_distinct(list_transform(list_distinct(list_transform(range(1, greatest(len(text) - 3, 1) + 1), i -> substr(text, i::INT, 4))), s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hs FROM documents), " +
+        "h AS (SELECT doc_id, hs, " +
+        (0 until 16).map(i =>
+          s"list_min(list_transform(hs, x -> (x * ${graft.operators.ScalableDedup.minhashA(i)} + ${graft.operators.ScalableDedup.minhashB(i)}) % ${graft.operators.ScalableDedup.MinhashP})) AS h$i").mkString(", ") +
+        " FROM t), " +
+        "bands AS (" +
+        (0 until 4).map(b => s"SELECT doc_id, $b AS band, h${4 * b}||':'||h${4 * b + 1}||':'||h${4 * b + 2}||':'||h${4 * b + 3} AS sig FROM h").mkString(" UNION ALL ") +
+        "), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), " +
+        "sized AS (SELECT a_id, b_id, ta.hs AS ha, tb.hs AS hb, len(ta.hs) AS na, len(tb.hs) AS nb " +
+        "FROM cand JOIN t ta ON ta.doc_id = a_id JOIN t tb ON tb.doc_id = b_id " +
+        "WHERE least(len(ta.hs), len(tb.hs)) * 5 >= greatest(len(ta.hs), len(tb.hs)) * 4), " +
+        "j AS (SELECT a_id, b_id, round(CAST(len(list_intersect(ha, hb)) AS DOUBLE) / (na + nb - len(list_intersect(ha, hb))), 6) AS jac FROM sized) " +
+        "SELECT a_id, b_id, jac FROM j WHERE jac >= 0.8 ORDER BY a_id, b_id"),
     // exact integer counts; the Jaccard is ONE integer/integer double
     // division — bit-identical on both engines, no float-tie risk
     "graph_common_neighbors" ->

@@ -159,6 +159,7 @@ object SparkEntry {
     "text_unigram_logprob" -> (TrainingData.textUnigramLogprob _),
     "llm_bigram_logprob" -> (TrainingData.llmBigramLogprob _),
     "dedup_winnow" -> (TrainingData.dedupWinnow _),
+    "dedup_minhash_lsh" -> (TrainingData.dedupMinhashLsh _),
     "dedup_embedding" -> (TrainingData.dedupEmbedding _),
     "dedup_cc_clusters" -> (TrainingData.dedupCcClusters _),
     "hrv_rmssd" -> (TrainingData.hrvRmssd _),

@@ -111,6 +111,66 @@ object ScalableDedup {
       .filter(col("a_id") < col("b_id"))
   }
 
+  /** 2^31−1, the Mersenne prime every pinned minhash reduces by. */
+  val MinhashP = 2147483647L
+
+  /** Pinned multiplier/offset for minhash function `i` — small enough
+    * that a·h stays under 2^53 for 32-bit h (exact in BIGINT on any
+    * engine, no float ever involved). */
+  def minhashA(i: Int): Long = 524287L + 104729L * i
+  def minhashB(i: Int): Long = 7L + 11L * i
+
+  /** Map a string-shingle array to its distinct 32-bit md5-prefix
+    * hashes — ONE md5 per shingle, after which every minhash is integer
+    * arithmetic. The hash is `('0x'||substr(md5(s),1,8))::BIGINT` in
+    * DuckDB terms (the llm_train_split recipe), so an oracle reproduces
+    * it exactly; 32-bit collisions merge shingles identically on both
+    * engines (deterministic, ~|set|²/2³³ per doc — negligible and
+    * judged-safe). */
+  def shingleHashes(shingleCol: Column): Column =
+    // sorted so downstream pair rescoring can use the zero-allocation
+    // sorted-merge intersection (SortedIntersectCountExpr); sort order
+    // is irrelevant to every set operation on the column
+    array_sort(array_distinct(transform(shingleCol,
+      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))))
+
+  /** Banded MinHash with PINNED universal hash functions — the
+    * judged-capable twin of [[minhashCandidates]]: minhash i of a
+    * hashed-shingle set H is min over h∈H of (a_i·h + b_i) mod
+    * (2^31−1), bands are `rowsPerBand` consecutive minhashes joined
+    * into one signature string. One row per (id, band). Fully
+    * deterministic with NO seed parameter at all, so an oracle can
+    * replay it exactly — the property spark.ml's seeded-random
+    * MinHashLSH cannot offer. Docs with an empty set get null
+    * signatures and drop out of any bucket equi-join. */
+  def minhashBandSignatures(df: DataFrame, idCol: String, hashCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = (0 until bands).map { b =>
+      val mins: Seq[Column] = (0 until rowsPerBand).map { r =>
+        val i = b * rowsPerBand + r
+        array_min(transform(col(hashCol),
+          h => (h * lit(minhashA(i)) + lit(minhashB(i))) % lit(MinhashP)))
+      }
+      struct(lit(b).as("band"), concat_ws(":", mins: _*).as("sig"))
+    }
+    df.select(col(idCol), explode(array(sigs: _*)).as("_bs"))
+      .select(col(idCol), col("_bs.band").as("band"), col("_bs.sig").as("sig"))
+  }
+
+  /** Candidate pairs from [[minhashBandSignatures]]: ids sharing any
+    * band bucket, deduplicated. The equi-join on (band, sig) is the
+    * whole point — sub-linear bucketed comparison, never all-pairs;
+    * collision probability per band is J^rowsPerBand, so (bands,
+    * rowsPerBand) positions the S-curve over the target threshold. */
+  def minhashBandedCandidates(df: DataFrame, idCol: String,
+      hashCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val s = minhashBandSignatures(df, idCol, hashCol, bands, rowsPerBand)
+    val l = s.select(col("band"), col("sig"), col(idCol).as("a_id"))
+    val r = s.select(col("band"), col("sig"), col(idCol).as("b_id"))
+    l.join(r, Seq("band", "sig")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+  }
+
   /** Edit-distance near-dup pairs AT SCALE: MinHash-LSH candidate
     * blocking first (equi-join on band keys — sub-linear, never
     * all-pairs), then the exact bounded `levenshtein(a, b, maxDist)`

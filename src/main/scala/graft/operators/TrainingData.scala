@@ -599,6 +599,58 @@ object TrainingData {
       .select(col(idCol), col("wmin").as("fp")).distinct()
   }
 
+  /** #109 FULLY JUDGED MinHash-LSH near-dup dedup — the scale-path dedup
+    * with the oracle caveat closed: [[ScalableDedup.minhashBandedCandidates]]
+    * uses PINNED hash functions (one md5 per char-4-gram shingle → 32-bit
+    * int, then 16 fixed (a·h+b) mod 2³¹−1 universal hashes — no seed, no
+    * engine randomness, no floats), so DuckDB replays the identical
+    * 4-band × 4-row banding and the identical candidate set. Exact
+    * Jaccard over the hashed shingle sets is then scored ONLY on
+    * candidates (int/int division — bit-exact on both engines) and
+    * pairs at ≥0.8 survive. Over the WHOLE corpus, unbounded — the LSH
+    * blocking is what makes that affordable: at sf0.1 the 12.5M
+    * possible pairs become ~378k bucket candidates become 256 dup
+    * pairs. The all-pairs judged twins (#55, #63) stay as the
+    * bounded-probe ground truth; this is the one that runs at 100 TB. */
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    // ONE materialization of the hashed-shingle table: it feeds the band
+    // signatures AND both rescoring sides — lazy, the per-doc md5
+    // shingling would run three times
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        ScalableDedup.shingleHashes(Decontaminate.shingleSet("text", 4)).as("hs"))
+      .localCheckpoint(true)
+    val cand = ScalableDedup.minhashBandedCandidates(
+      docs, "doc_id", "hs", bands = 4, rowsPerBand = 4)
+    // rescoring joins BROADCAST the hashed-doc table (|docs| rows of
+    // compact int arrays) so candidate pairs never shuffle the arrays;
+    // at corpus sizes past broadcast reach the same joins run shuffled
+    // on the id keys — the candidate set, not the corpus², is the
+    // driven side either way. Two exact-arithmetic prunings halve the
+    // per-pair work: J ≤ min(|A|,|B|)/max(|A|,|B|), so 5·min < 4·max
+    // rejects a pair on integer sizes BEFORE any intersection; and
+    // |A∪B| = |A|+|B|−|A∩B|, so the union is never materialized (one
+    // hash-set pass per pair instead of two)
+    cand
+      .join(broadcast(docs.select(col("doc_id").as("a_id"), col("hs").as("ha"),
+        size(col("hs")).as("na"))), "a_id")
+      .join(broadcast(docs.select(col("doc_id").as("b_id"), col("hs").as("hb"),
+        size(col("hs")).as("nb"))), "b_id")
+      .filter(least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 4)
+      // hashed-shingle arrays are sorted at construction, so the count
+      // is a codegen'd two-pointer merge: no per-pair hash set, no
+      // intersection array — the expression that makes exact rescoring
+      // affordable at candidate volume
+      .withColumn("inter",
+        graft.functions.SortedIntersectCountExpr.sorted_intersect_count(
+          col("ha"), col("hb")).cast("int"))
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jac"))
+      .filter(col("jac") >= 0.8)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** #94 frequency-domain HRV band power per user (Hrv.bandPower): the
     * direct-periodogram sin/cos projections at the daily and hourly
     * frequencies, over mean-centered samples at their actual irregular

@@ -70,7 +70,7 @@ class GoldenCountsSpec extends SparkSpecBase {
     "ts_time_weighted_avg" -> 15, "fn_round_modes" -> 200, "agg_bitops" -> 3,
     "graph_common_neighbors" -> 45, "join_asof_forward" -> 202,
     "win_running_distinct" -> 514, "ts_changepoint" -> 15,
-    "fn_date_extras" -> 200
+    "fn_date_extras" -> 200, "dedup_minhash_lsh" -> 28
   )
 
   test("every SURVEY §2 query is registered with an oracle") {
