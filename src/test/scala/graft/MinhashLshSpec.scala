@@ -62,6 +62,16 @@ class MinhashLshSpec extends SparkSpecBase {
     ()
   }
 
+  test("dedup_minhash_lsh plan: broadcast rescore joins, no nested loop, merge-count not array_intersect") {
+    val p = TrainingData.dedupMinhashLsh(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"rescore sides not broadcast:\n$p")
+    assert(p.contains("sorted_intersect_count"),
+      s"rescoring fell back off the sorted-merge expression:\n$p")
+  }
+
   test("judged dedup_minhash_lsh equals the brute-force exact pairs at threshold") {
     // banding recall is 1.0 on this corpus (previous test), so the
     // judged output must equal brute-force exact Jaccard >= 0.8
