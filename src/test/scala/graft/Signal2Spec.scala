@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Relational, TimeSeries, Windows}
+
+/** Cross-checks for the second round-9 signal/navigation batch: each
+  * judged decomposition is replayed against the naive formulation it
+  * replaces (brute-force split search, window-based as-of, per-frame
+  * collect_set) on sf0.001. */
+class Signal2Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("ts_changepoint matches the O(n^2) brute-force split search") {
+    val daily = Tables.events(spark, sf())
+      .groupBy($"user_id", $"ts".cast("date").as("day"))
+      .agg(sum($"value").as("x"))
+      .select($"user_id", $"day".cast("string"), $"x")
+      .as[(Long, String, Double)].collect()
+    val expect = daily.groupBy(_._1).map { case (u, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      val days = rows.sortBy(_._2).map(_._2)
+      val n = xs.length
+      // brute force: recompute both means per split, no cumsum trick
+      val best = (1 until n).map { i =>
+        val pre = xs.take(i); val post = xs.drop(i)
+        (math.abs(pre.sum / i - post.sum / (n - i)), days(i - 1), i)
+      }.maxBy(s => (s._1, s._2)) // ties -> later day, mirroring day DESC rank
+      u -> (best._2, best._3)
+    }
+    val got = TimeSeries.tsChangepoint(spark, sf())
+      .select($"user_id", $"split_day".cast("date").cast("string"), $"i_days")
+      .as[(Long, String, Long)].collect()
+    got.foreach { case (u, day, i) =>
+      val (eday, ei) = expect(u)
+      assert(day == eday && i == ei, s"user $u: got ($day,$i) want ($eday,$ei)")
+    }
+    assert(got.length == expect.size)
+  }
+
+  test("join_asof_forward matches the window next-click formulation") {
+    val e = Tables.events(spark, sf())
+    // independent formulation: union both streams, per-user ordered
+    // window carrying the NEXT click id/time onto each purchase
+    val tagged = e.filter($"event_type".isin("purchase", "click"))
+      .select($"user_id", unix_micros($"ts").as("um"), $"event_id",
+        ($"event_type" === "click").as("is_click"))
+    val w = Window.partitionBy($"user_id").orderBy($"um".desc, $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // walking time DESC, the "last click seen so far" among rows after
+    // this one IS the next click at-or-after in time order; um ties
+    // cannot occur ((user_id, ts) unique)
+    val want = tagged
+      .withColumn("click_id", last(when($"is_click", $"event_id"), ignoreNulls = true).over(w))
+      .withColumn("c_um", last(when($"is_click", $"um"), ignoreNulls = true).over(w))
+      .filter(!$"is_click")
+      .select($"event_id".as("purchase_id"), $"user_id", $"click_id",
+        ($"c_um" - $"um").as("wait_us"))
+    val got = Relational.joinAsofForward(spark, sf())
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("win_running_distinct matches collect_set over the running frame") {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = Tables.events(spark, sf())
+      .filter($"user_id" < 8)
+      .select($"event_id",
+        size(collect_set($"event_type").over(w)).cast("long").as("types_seen"))
+    val got = Windows.winRunningDistinct(spark, sf())
+      .select($"event_id", $"types_seen")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("ts_time_weighted_avg: constant series TWA equals the constant") {
+    val out = TimeSeries.tsTimeWeightedAvg(spark, sf()).collect()
+    // invariant holds trivially only for synthetic constants; on real
+    // data assert the algebraic bound: min(value) <= twa <= max(value)
+    val bounds = Tables.events(spark, sf())
+      .groupBy($"user_id")
+      .agg(min($"value").as("lo"), max($"value").as("hi"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    out.foreach { r =>
+      val (lo, hi) = bounds(r.getLong(0))
+      val twa = r.getDouble(1)
+      assert(twa >= lo - 1e-9 && twa <= hi + 1e-9,
+        s"user ${r.getLong(0)}: twa $twa outside [$lo, $hi]")
+    }
+  }
+}
