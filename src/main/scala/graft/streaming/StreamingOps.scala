@@ -312,6 +312,70 @@ object StreamingOps {
       }
   }
 
+  /** Streaming EWMA state for one user: the smoothed value over every
+    * event already folded (NaN = none yet), the event time of the last
+    * folded event, and the watermark-bounded buffer of not-yet-ripe
+    * events. */
+  case class EwmaState(s: Double, lastTs: Long, pending: Seq[(Long, Double)])
+
+  /** One smoothed sample (Append-mode row). */
+  case class EwmaPoint(user_id: Long, ts: Timestamp, value: Double, ewma: Double)
+
+  /** Streaming twin of the TimeSeries.tsEwma recurrence, per event: the
+    * order-sensitive s_i = α·x_i + (1−α)·s_{i−1} folded as arbitrary
+    * stateful processing. Order sensitivity is THE streaming hazard
+    * here — micro-batches deliver a group's rows unordered and late
+    * rows arrive across batches — so events buffer in state until the
+    * WATERMARK passes them, then fold in exact event-time order and
+    * emit (Append mode). An event-time timeout at the earliest pending
+    * timestamp guarantees ripe rows flush even if the user goes quiet.
+    * Per-user state is two scalars plus the pending buffer, bounded by
+    * the watermark horizon — never by stream length.
+    *
+    * Emitted values are bit-identical to folding the same events in
+    * batch with the same α: the recurrence runs in one deterministic
+    * order regardless of batch boundaries (StreamingOpsSpec proves
+    * equality under shuffled multi-batch delivery). */
+  def statefulEwma(events: DataFrame, alpha: Double = 1.0 / 3,
+      watermark: String = "1 day"): Dataset[EwmaPoint] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp, Double)],
+            state: GroupState[EwmaState]) =>
+          val st = state.getOption.getOrElse(EwmaState(Double.NaN, Long.MinValue, Nil))
+          val pending = st.pending ++ rows.map(r => (r._2.getTime, r._3))
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, keep) = pending.partition(_._1 <= wm)
+          var s = st.s
+          var last = st.lastTs
+          val out = ripe.sortBy(_._1).flatMap { case (t, x) =>
+            // duplicate-instant guard; (user_id, ts) is unique upstream,
+            // and an in-horizon row older than the fold point cannot
+            // occur (it would have been ripe in an earlier batch)
+            if (t <= last) None
+            else {
+              s = if (s.isNaN) x else alpha * x + (1 - alpha) * s
+              last = t
+              Some(EwmaPoint(user, new Timestamp(t), x, s))
+            }
+          }
+          state.update(EwmaState(s, last, keep))
+          // pending rows are all > wm, so this timestamp is admissible;
+          // it fires a flush when the watermark passes the buffer even
+          // if the user never produces another event
+          if (keep.nonEmpty) state.setTimeoutTimestamp(keep.map(_._1).min)
+          out.iterator
+      }
+  }
+
   /** Twin of TimeSeries.streamDedup: streaming-safe distinct on
     * (user_id, event_type). State for a key can be dropped once the
     * watermark passes — unbounded-state-free dedup. */

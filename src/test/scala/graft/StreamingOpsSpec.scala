@@ -589,4 +589,44 @@ class StreamingOpsSpec extends SparkSpecBase {
       // click arrived (no change to the established mins)
       (1L, Some(1000L), Some(2000L), Some(3000L))))
   }
+
+  test("stateful EWMA folds in event-time order regardless of batch boundaries") {
+    implicit val ctx = spark.sqlContext
+    // events for user 1 delivered SHUFFLED across three batches; the
+    // emitted smoothed values must equal the batch recurrence over the
+    // time-ordered series, bit for bit
+    val series = Seq(1000L -> 9.0, 2000L -> 3.0, 3000L -> 6.0, 4000L -> 12.0)
+    val alpha = 1.0 / 3
+    val expected = series.scanLeft(Double.NaN) { case (s, (_, x)) =>
+      if (s.isNaN) x else alpha * x + (1 - alpha) * s
+    }.drop(1)
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    // the watermark must exceed the reorder span (timestamps run 1000 to
+    // 4000 SECONDS): an hour keeps batch-2's out-of-order 1000s sample
+    // admissible while batch-1's samples stay unripe
+    val out = StreamingOps.statefulEwma(eventsDF(ms.toDF()),
+      alpha = alpha, watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("t_ewma")
+      .outputMode("append").start()
+    try {
+      // batch 1: the two MIDDLE samples arrive first — nothing is ripe
+      // (watermark still behind), nothing may fold yet
+      ms.addData((2L, 2000L, 1L, "click", 3.0), (3L, 3000L, 1L, "click", 6.0))
+      q.processAllAvailable()
+      assert(spark.table("t_ewma").count() == 0)
+      // batch 2: the FIRST sample arrives out of order, plus the fourth;
+      // watermark (4000s − 1h = 400s) still ripens nothing
+      ms.addData((1L, 1000L, 1L, "click", 9.0), (4L, 4000L, 1L, "click", 12.0))
+      q.processAllAvailable()
+      assert(spark.table("t_ewma").count() == 0)
+      // batch 3: a far-future event pushes the watermark past all four →
+      // they fold in ts order in ONE flush
+      ms.addData((9L, 1000000L, 2L, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_ewma").filter($"user_id" === 1L)
+      .orderBy($"ts").select($"ewma").collect().map(_.getDouble(0)).toSeq
+    assert(got == expected,
+      s"streamed $got vs batch recurrence $expected")
+  }
 }
