@@ -519,6 +519,20 @@ object Oracle {
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) " +
         "SELECT event_id, user_id, ts, round(value, 2) AS value, round((value - mu) / sd, 2) AS z " +
         "FROM t WHERE nw >= 10 AND sd > 0.000000001 AND abs((value - mu) / sd) > 2 ORDER BY event_id"),
+    // exact end to end: integer-cent quantization, integer tolerance
+    // compares, exact pair counts; only the final -ln(A/B) is float
+    "hrv_sampen" ->
+      ("WITH base AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c, " +
+        "lead(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cn, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i FROM events), " +
+        "t AS (SELECT user_id, c, cn, i FROM base WHERE cn IS NOT NULL), " +
+        "p AS (SELECT a.user_id, " +
+        "CAST(sum(CASE WHEN abs(a.c - b.c) <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS b_pairs, " +
+        "CAST(sum(CASE WHEN abs(a.c - b.c) <= 2000 AND abs(a.cn - b.cn) <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS a_pairs " +
+        "FROM t a JOIN t b ON a.user_id = b.user_id AND a.i < b.i GROUP BY a.user_id) " +
+        "SELECT user_id, b_pairs, a_pairs, " +
+        "CASE WHEN a_pairs > 0 AND b_pairs > 0 THEN round(-ln(CAST(a_pairs AS DOUBLE) / b_pairs), 6) END AS sampen " +
+        "FROM p ORDER BY user_id"),
     // per-series elapsed-seconds time base (see hrvBandPower); 1.0 is
     // cast to DOUBLE so the frequency constant folds in double, not
     // DECIMAL, exactly like the Spark side's 1.0/86400

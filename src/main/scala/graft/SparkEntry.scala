@@ -139,6 +139,7 @@ object SparkEntry {
     "ts_ewma" -> (TimeSeries.tsEwma _),
     "ts_anomaly_zscore" -> (TimeSeries.tsAnomalyZscore _),
     "hrv_band_power" -> (TrainingData.hrvBandPower _),
+    "hrv_sampen" -> (TrainingData.hrvSampen _),
     "fn_url" -> (Scalars.fnUrl _),
     "subq_scalar_corr" -> (Relational.subqScalarCorr _),
     "subq_in" -> (Relational.subqIn _),

@@ -651,6 +651,46 @@ object TrainingData {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** #110 sample entropy per user (SampEn, m=1, r=20.0 in value units) —
+    * the signature NONLINEAR HRV feature (Richman & Moorman 2000):
+    * −ln(A/B), where B counts template pairs of length 1 within
+    * tolerance and A the pairs still within tolerance at length 2; low
+    * SampEn = regular series, high = complexity. The judged form is
+    * exact end to end: values quantize to integer CENTS (2-dp data —
+    * exact), the tolerance compare |cᵢ−cⱼ| ≤ 2000 is integer, A and B
+    * are exact counts, and only the final −ln(A/B) is float (rounded
+    * 6 dp, an off-lattice ratio-log — no boundary hazard).
+    *
+    * Scale shape: the O(n²) template comparison is per SERIES — a
+    * self-join on the user key with i<j — so cost is Σ nᵤ², bounded by
+    * the per-user series length, not corpus size; the join shuffles on
+    * user_id once per side and each pair is one integer compare. */
+  def hrvSampen(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cents = round(col("value") * 100).cast("long")
+    val base = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), cents.as("c"))
+      .withColumn("cn", lead(col("c"), 1).over(w))
+      .withColumn("i", row_number().over(w))
+      .filter(col("cn").isNotNull)
+      .select(col("user_id"), col("c"), col("cn"), col("i"))
+    val a = base.select(col("user_id"), col("i").as("ai"),
+      col("c").as("ca"), col("cn").as("cna"))
+    val b = base.select(col("user_id"), col("i").as("bi"),
+      col("c").as("cb"), col("cn").as("cnb"))
+    a.join(b, Seq("user_id")).filter(col("ai") < col("bi"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(abs(col("ca") - col("cb")) <= 2000, 1L).otherwise(0L)).as("b_pairs"),
+        sum(when(abs(col("ca") - col("cb")) <= 2000 &&
+          abs(col("cna") - col("cnb")) <= 2000, 1L).otherwise(0L)).as("a_pairs"))
+      .select(col("user_id"), col("b_pairs"), col("a_pairs"),
+        when(col("a_pairs") > 0 && col("b_pairs") > 0,
+          round(-log(col("a_pairs").cast("double") / col("b_pairs")), 6)).as("sampen"))
+      .orderBy(col("user_id"))
+  }
+
   /** #94 frequency-domain HRV band power per user (Hrv.bandPower): the
     * direct-periodogram sin/cos projections at the daily and hourly
     * frequencies, over mean-centered samples at their actual irregular

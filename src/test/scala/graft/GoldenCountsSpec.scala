@@ -65,7 +65,7 @@ class GoldenCountsSpec extends SparkSpecBase {
     "llm_negative_sample" -> 300,
     "join_lateral" -> 572, "agg_moments" -> 3, "sample_stratified" -> 3,
     "graph_pagerank" -> 160, "ts_ewma" -> 397, "ts_anomaly_zscore" -> 50,
-    "hrv_band_power" -> 15, "fn_url" -> 150,
+    "hrv_band_power" -> 15, "hrv_sampen" -> 15, "fn_url" -> 150,
     "ts_inter_arrival" -> 15, "ts_autocorr" -> 15,
     "ts_time_weighted_avg" -> 15, "fn_round_modes" -> 200, "agg_bitops" -> 3,
     "graph_common_neighbors" -> 45, "join_asof_forward" -> 202,
