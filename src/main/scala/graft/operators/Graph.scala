@@ -58,6 +58,9 @@ object Graph {
     val nodes = deg.select(col("src").as("node"), col("degree"))
     val withDeg = e.join(broadcast(deg), "src")
     val n = deg.count()
+    // an empty graph would silently produce NaN teleport/init ranks —
+    // fail loudly at the API boundary instead
+    require(n > 0, "pageRank: edge set is empty (no nodes)")
     val teleport = (1.0 - damping) / n
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
