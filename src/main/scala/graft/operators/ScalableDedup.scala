@@ -141,8 +141,13 @@ object ScalableDedup {
     * into one signature string. One row per (id, band). Fully
     * deterministic with NO seed parameter at all, so an oracle can
     * replay it exactly — the property spark.ml's seeded-random
-    * MinHashLSH cannot offer. Docs with an empty set get null
-    * signatures and drop out of any bucket equi-join. */
+    * MinHashLSH cannot offer. Docs with an EMPTY hash set are filtered
+    * out up front: a minhash over an empty array is null, and
+    * concat_ws would collapse an all-null band to the shared signature
+    * "" — putting every empty doc in one bucket of every band (O(k²)
+    * candidate blowup), the opposite of "drops out". An empty set has
+    * no shingles, hence Jaccard 0 against everything; excluding it is
+    * the correct semantics, not a shortcut. */
   def minhashBandSignatures(df: DataFrame, idCol: String, hashCol: String,
       bands: Int, rowsPerBand: Int): DataFrame = {
     val sigs = (0 until bands).map { b =>
@@ -153,7 +158,8 @@ object ScalableDedup {
       }
       struct(lit(b).as("band"), concat_ws(":", mins: _*).as("sig"))
     }
-    df.select(col(idCol), explode(array(sigs: _*)).as("_bs"))
+    df.filter(size(col(hashCol)) > 0)
+      .select(col(idCol), explode(array(sigs: _*)).as("_bs"))
       .select(col(idCol), col("_bs.band").as("band"), col("_bs.sig").as("sig"))
   }
 

@@ -214,8 +214,13 @@ object TimeSeries {
         lead(um, 1).over(w).as("nxt"))
       .groupBy(col("user_id"))
       .agg(
-        round((sum(col("value") * (col("nxt") - col("um"))) /
-          (max(col("um")) - min(col("um")))), 4).as("twa"),
+        // span-0 guard: a user whose events all share one timestamp
+        // yields 0.0/0 — Spark's non-ANSI Divide says NULL, DuckDB's
+        // ieee_floating_point_ops default says NaN; pin NULL explicitly
+        // on BOTH sides so the degenerate series is judged, not lucky
+        when(max(col("um")) > min(col("um")),
+          round((sum(col("value") * (col("nxt") - col("um"))) /
+            (max(col("um")) - min(col("um")))), 4)).as("twa"),
         (max(col("um")) - min(col("um"))).as("span_us"),
         // the unweighted comparison ships as the exact (sum, count)
         // pair, not a rounded mean: means of 2-dp data land exactly ON

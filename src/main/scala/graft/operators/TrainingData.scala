@@ -622,20 +622,23 @@ object TrainingData {
       .localCheckpoint(true)
     val cand = ScalableDedup.minhashBandedCandidates(
       docs, "doc_id", "hs", bands = 4, rowsPerBand = 4)
-    // rescoring joins BROADCAST the hashed-doc table (|docs| rows of
-    // compact int arrays) so candidate pairs never shuffle the arrays;
-    // at corpus sizes past broadcast reach the same joins run shuffled
-    // on the id keys — the candidate set, not the corpus², is the
-    // driven side either way. Two exact-arithmetic prunings halve the
+    // rescoring joins carry NO broadcast hint: AQE broadcasts the
+    // hashed-doc side while its runtime size is under the threshold
+    // (it is, at every test SF) and falls back to an id-keyed shuffle
+    // join past broadcast reach — a forced hint would OOM the driver at
+    // ~100× corpus (500k docs × ~300 ints ≈ 500 MB+), and the shuffled
+    // plan is equivalent because the candidate set, not the corpus², is
+    // the driven side either way (ScalableDedupSpec proves the shuffled
+    // path pair-identical). Two exact-arithmetic prunings halve the
     // per-pair work: J ≤ min(|A|,|B|)/max(|A|,|B|), so 5·min < 4·max
     // rejects a pair on integer sizes BEFORE any intersection; and
     // |A∪B| = |A|+|B|−|A∩B|, so the union is never materialized (one
     // hash-set pass per pair instead of two)
     cand
-      .join(broadcast(docs.select(col("doc_id").as("a_id"), col("hs").as("ha"),
-        size(col("hs")).as("na"))), "a_id")
-      .join(broadcast(docs.select(col("doc_id").as("b_id"), col("hs").as("hb"),
-        size(col("hs")).as("nb"))), "b_id")
+      .join(docs.select(col("doc_id").as("a_id"), col("hs").as("ha"),
+        size(col("hs")).as("na")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("hs").as("hb"),
+        size(col("hs")).as("nb")), "b_id")
       .filter(least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 4)
       // hashed-shingle arrays are sorted at construction, so the count
       // is a codegen'd two-pointer merge: no per-pair hash set, no

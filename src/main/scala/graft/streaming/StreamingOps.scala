@@ -314,7 +314,10 @@ object StreamingOps {
 
   /** Streaming EWMA state for one user: the smoothed value over every
     * event already folded (NaN = none yet), the event time of the last
-    * folded event, and the watermark-bounded buffer of not-yet-ripe
+    * folded event in exact MICROSECONDS (the events data carries µs
+    * timestamps — keying the fold on millis would silently drop the
+    * second of two same-millisecond events and truncate emitted ts),
+    * and the watermark-bounded buffer of not-yet-ripe (µs, value)
     * events. */
   case class EwmaState(s: Double, lastTs: Long, pending: Seq[(Long, Double)])
 
@@ -351,27 +354,38 @@ object StreamingOps {
         (user: Long, rows: Iterator[(Long, Timestamp, Double)],
             state: GroupState[EwmaState]) =>
           val st = state.getOption.getOrElse(EwmaState(Double.NaN, Long.MinValue, Nil))
-          val pending = st.pending ++ rows.map(r => (r._2.getTime, r._3))
+          // exact µs: getTime gives ms and getNanos the FULL sub-second
+          // nanos, so the sub-ms remainder is (nanos/1000) % 1000
+          def micros(t: Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          val pending = st.pending ++ rows.map(r => (micros(r._2), r._3))
           val wm = state.getCurrentWatermarkMs()
-          val (ripe, keep) = pending.partition(_._1 <= wm)
+          // watermark has ms precision; an event is ripe when its exact
+          // µs instant is at or before the watermark instant
+          val (ripe, keep) = pending.partition(_._1 <= wm * 1000L)
           var s = st.s
           var last = st.lastTs
-          val out = ripe.sortBy(_._1).flatMap { case (t, x) =>
-            // duplicate-instant guard; (user_id, ts) is unique upstream,
-            // and an in-horizon row older than the fold point cannot
-            // occur (it would have been ripe in an earlier batch)
-            if (t <= last) None
+          val out = ripe.sortBy(_._1).flatMap { case (us, x) =>
+            // duplicate-instant guard on the µs value; (user_id, ts) is
+            // unique upstream, and an in-horizon row older than the fold
+            // point cannot occur (it would have been ripe earlier)
+            if (us <= last) None
             else {
               s = if (s.isNaN) x else alpha * x + (1 - alpha) * s
-              last = t
-              Some(EwmaPoint(user, new Timestamp(t), x, s))
+              last = us
+              // rebuild the timestamp from µs so the emitted ts is
+              // bit-identical to the batch path's, not ms-truncated
+              val ts = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+              ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+              Some(EwmaPoint(user, ts, x, s))
             }
           }
           state.update(EwmaState(s, last, keep))
-          // pending rows are all > wm, so this timestamp is admissible;
-          // it fires a flush when the watermark passes the buffer even
-          // if the user never produces another event
-          if (keep.nonEmpty) state.setTimeoutTimestamp(keep.map(_._1).min)
+          // pending rows are all > wm·1000 µs, so the ceiling-to-ms is
+          // admissible (> wm); it fires a flush when the watermark
+          // passes the buffer even if the user never produces again
+          if (keep.nonEmpty)
+            state.setTimeoutTimestamp(Math.floorDiv(keep.map(_._1).min + 999L, 1000L))
           out.iterator
       }
   }

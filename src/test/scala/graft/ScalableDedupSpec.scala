@@ -98,4 +98,44 @@ class ScalableDedupSpec extends SparkSpecBase {
     assert(blocked.forall { case (a, b, dd) => a < b && dd >= 0 && dd <= 100 })
     assert(run() == blocked, "seeded blocking must be deterministic")
   }
+
+  test("minhashBandedCandidates: empty hash sets drop out instead of sharing a bucket") {
+    // an empty set has no shingles (Jaccard 0 against everything); before
+    // the guard, concat_ws collapsed its all-null minhash band to the
+    // shared signature "" — every empty doc colliding with every other
+    // empty doc in EVERY band (O(k²) candidate blowup)
+    val df = Seq(
+      (1L, Seq.empty[Long]), (2L, Seq.empty[Long]), (3L, Seq.empty[Long]),
+      (4L, Seq(5L, 7L, 9L)), (5L, Seq(5L, 7L, 9L))
+    ).toDF("id", "hs")
+    val cand = ScalableDedup.minhashBandedCandidates(df, "id", "hs",
+        bands = 4, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand == Set((4L, 5L)),
+      s"empty-set docs must never pair (got $cand)")
+  }
+
+  test("dedup_minhash_lsh: shuffled rescore path is pair-identical to the broadcast path") {
+    // the rescore joins carry no broadcast hint so AQE picks broadcast
+    // vs shuffle by runtime size; past broadcast reach the id-keyed
+    // shuffle join must produce the IDENTICAL judged pair set
+    def run(): Set[(Long, Long, Double)] = graft.operators.TrainingData
+      .dedupMinhashLsh(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val broadcastPath = run()
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val shuffledPath = run()
+      assert(shuffledPath == broadcastPath,
+        "shuffled rescore diverged from broadcast rescore")
+      assert(shuffledPath.nonEmpty)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+    }
+  }
 }

@@ -629,4 +629,41 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(got == expected,
       s"streamed $got vs batch recurrence $expected")
   }
+
+  test("stateful EWMA keys on exact microseconds — same-millisecond events both fold") {
+    implicit val ctx = spark.sqlContext
+    // two events for one user INSIDE one millisecond (µs 200 and 800 of
+    // ms 7e9) — a ms-keyed fold would silently drop the second under the
+    // duplicate-instant guard and truncate the emitted ts; the events
+    // data carries µs timestamps, so this is the real resolution
+    val us = Seq(7000000000200L -> 9.0, 7000000000800L -> 3.0,
+      7000003000000L -> 6.0)
+    val alpha = 1.0 / 3
+    val expected = us.scanLeft(Double.NaN) { case (s, (_, x)) =>
+      if (s.isNaN) x else alpha * x + (1 - alpha) * s
+    }.drop(1)
+    val ms = MemoryStream[(Long, Long, Double)]
+    val in = ms.toDF().select(timestamp_micros($"_2").as("ts"),
+      $"_1".as("user_id"), $"_3".as("value"))
+    val out = StreamingOps.statefulEwma(in, alpha = alpha, watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("t_ewma_us")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, us(0)._1, us(0)._2), (1L, us(1)._1, us(1)._2),
+        (1L, us(2)._1, us(2)._2))
+      q.processAllAvailable()
+      // watermark driver far in the future ripens all three
+      ms.addData((2L, 8000000000000L, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("t_ewma_us").filter($"user_id" === 1L)
+      .orderBy($"ts")
+      .select(unix_micros($"ts"), $"ewma").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // all three fold (nothing dropped), emitted ts carries the exact µs,
+    // and the smoothed values equal the batch recurrence bit for bit
+    assert(rows.map(_._1) == us.map(_._1),
+      s"µs timestamps not preserved: ${rows.map(_._1)}")
+    assert(rows.map(_._2) == expected)
+  }
 }
