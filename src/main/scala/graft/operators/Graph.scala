@@ -32,22 +32,28 @@ object Graph {
     * deterministic). Returns (node, degree, rank).
     *
     * The graph is used as given — symmetrize edges upstream if the
-    * relationship is undirected. Rank mass of dangling nodes (no
-    * out-edges) is NOT redistributed; with symmetrized input dangling
-    * nodes cannot exist (every node also has in-edges, which is why the
-    * per-round contribution table already covers the full node set and
-    * no per-round join back to a node list is needed).
+    * relationship is undirected. The node set is the SOURCE set; rank
+    * mass flowing into pure sinks (dst-only nodes) is NOT redistributed
+    * — the standard lost-mass simplification. Nodes with no IN-edges
+    * are handled exactly: each round rebuilds ranks over the full node
+    * list, so they hold (and keep contributing) their teleport mass
+    * instead of dropping out of the iteration (GraphSpec pins this).
     *
     * Per round the EDGE table is joined map-side against a BROADCAST of
     * the rank table and re-aggregated on `dst` — the rank/degree tables
     * are |nodes|-sized, orders of magnitude smaller than |edges|, which
-    * is what makes the broadcast the right shape (at node counts beyond
-    * broadcast reach, switch this join to a shuffle join co-partitioned
-    * with a bucketed edge table). The rounds stay LAZY: five nested
-    * broadcast-join/aggregate stages execute as ONE Spark job at the
+    * is what makes the broadcast the right shape. At node counts beyond
+    * broadcast reach (`broadcastNodeLimit`, default 50M ≈ 1.2 GB of
+    * (long, double) rows) the SAME rounds run as shuffle joins against
+    * an edge table hash-partitioned ONCE on `src`: the checkpointed
+    * layout carries its outputPartitioning, so each round shuffles only
+    * the |nodes|-sized rank table to meet the edges — the edges
+    * themselves never move again. The rounds stay LAZY in both shapes:
+    * five nested join/aggregate stages execute as ONE Spark job at the
     * final action, instead of paying a materialization job per round —
     * only the edge table (reused five times) is checkpointed. */
-  def pageRank(edges: DataFrame, damping: Double, iters: Int): DataFrame = {
+  def pageRank(edges: DataFrame, damping: Double, iters: Int,
+      broadcastNodeLimit: Long = 50000000L): DataFrame = {
     // the ONE materialization: everything else — degrees, node list, all
     // rounds — derives lazily from this table, so the whole fixed-point
     // runs as a single final job (+ one count) instead of a
@@ -56,23 +62,42 @@ object Graph {
     val e = edges.localCheckpoint(true)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
     val nodes = deg.select(col("src").as("node"), col("degree"))
-    val withDeg = e.join(broadcast(deg), "src")
     val n = deg.count()
     // an empty graph would silently produce NaN teleport/init ranks —
     // fail loudly at the API boundary instead
     require(n > 0, "pageRank: edge set is empty (no nodes)")
+    val useBroadcast = n <= broadcastNodeLimit
+    // beyond broadcast reach: pin the big side's layout once —
+    // hash-partition edges+degree on src and checkpoint so the
+    // co-partitioned layout survives into every round's join (the rank
+    // side shuffles to meet it; |nodes| rows per round, never |edges|)
+    val withDeg =
+      if (useBroadcast) e.join(broadcast(deg), "src")
+      else e.join(deg, "src").repartition(col("src")).localCheckpoint(true)
     val teleport = (1.0 - damping) / n
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
-      ranks = withDeg
-        .join(broadcast(ranks), col("src") === col("node"))
+      val r = if (useBroadcast) broadcast(ranks) else ranks
+      val contrib = withDeg
+        .join(r, col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("degree")).as("contrib"))
-        .select(col("dst").as("node"),
-          (lit(teleport) + lit(damping) * col("contrib")).as("rank"))
+      // rebuild the round's ranks on the FULL node list, not just the
+      // in-edge receivers: with directed input a no-in-edge node must
+      // KEEP holding (and contributing) its teleport mass every round —
+      // deriving ranks from the contribution table alone silently
+      // evicted such nodes from the iteration. With symmetrized input
+      // the dst set covers every node and the left join changes nothing.
+      val c = if (useBroadcast) broadcast(contrib) else contrib
+      ranks = nodes.join(c, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
     }
-    nodes.join(ranks.withColumnRenamed("node", "rnode"),
-        col("node") === col("rnode"))
+    // every source node appears in ranks by construction now; the join
+    // back just attaches the degree column
+    nodes.select(col("node").as("rnode"), col("degree"))
+      .join(ranks, col("rnode") === col("node"))
       .select(col("node"), col("degree"), col("rank"))
   }
 
@@ -83,8 +108,9 @@ object Graph {
     * bipartite trade edges as [[graphPagerank]]. The self-join explodes
     * per-customer supplier lists into pairs, so the probe is bounded by
     * customer id (the per-key pair count is deg², the classic
-    * quadratic-blowup guard — at full scale you'd cap or sample
-    * per-customer degree the same way).
+    * quadratic blowup — at full scale [[commonNeighborPairs]]' degree
+    * cap drops hub keys before the self-join; the judged query runs it
+    * cap-off because the `o_custkey < 300` probe already bounds it).
     *
     * Every judged number is EXACT: common/degree counts are integers
     * and the Jaccard is one integer-by-integer double division —
@@ -97,10 +123,7 @@ object Graph {
       .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
       .distinct()
     val deg = e.groupBy(col("supp")).agg(count(lit(1)).as("deg"))
-    val a = e.select(col("cust"), col("supp").as("s1"))
-    val b = e.select(col("cust"), col("supp").as("s2"))
-    a.join(b, Seq("cust")).filter(col("s1") < col("s2"))
-      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("common"))
+    commonNeighborPairs(e, degreeCap = None)
       .join(broadcast(deg.select(col("supp").as("s1"), col("deg").as("d1"))), "s1")
       .join(broadcast(deg.select(col("supp").as("s2"), col("deg").as("d2"))), "s2")
       .filter(col("common") >= 3)
@@ -108,6 +131,35 @@ object Graph {
         round(col("common") / (col("d1") + col("d2") - col("common")), 6).as("jaccard"))
       .orderBy(col("jaccard").desc, col("s1"), col("s2"))
       .limit(50)
+  }
+
+  /** Co-occurrence pair counts from a bipartite (`cust`, `supp`) edge
+    * list: for every supplier pair sharing ≥1 customer, how many
+    * customers they share. The self-join on `cust` is the deg²
+    * quadratic step, and `degreeCap` is the real guard the scale path
+    * needs: customers with more than `cap` distinct suppliers are
+    * DROPPED before the self-join (a key at degree d emits d(d−1)/2
+    * pairs — one 10⁶-degree hub key alone would emit 5·10¹¹ pairs and
+    * sink the stage, while contributing near-zero similarity signal;
+    * dropping hubs is the standard common-neighbor heuristic). The cap
+    * both bounds per-task fan-out AND removes the skewed shuffle keys.
+    * Cap-off (`None`) computes the exact count — the judged form. */
+  def commonNeighborPairs(e: DataFrame, degreeCap: Option[Int] = None): DataFrame = {
+    val in = degreeCap match {
+      case Some(cap) =>
+        // anti-join against the HUB list, not semi-join against the
+        // keep list: keys over the cap are few by definition (the keep
+        // list is |customers|-sized), so the hub list broadcasts at any
+        // corpus scale
+        val hubs = e.groupBy(col("cust")).agg(count(lit(1)).as("_kd"))
+          .filter(col("_kd") > cap).select(col("cust"))
+        e.join(broadcast(hubs), Seq("cust"), "left_anti")
+      case None => e
+    }
+    val a = in.select(col("cust"), col("supp").as("s1"))
+    val b = in.select(col("cust"), col("supp").as("s2"))
+    a.join(b, Seq("cust")).filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("common"))
   }
 
   /** #91 judged PageRank over the customer–supplier trade graph: an

@@ -46,6 +46,59 @@ class GraphSpec extends SparkSpecBase {
     assert(ranks.forall(r => math.abs(r - 0.25) < 1e-12))
   }
 
+  test("pageRank: shuffle-join path (beyond broadcastNodeLimit) matches the broadcast path") {
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 1L))
+      .toDF("src", "dst")
+    val sym = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+    def collect(limit: Long): Map[Long, (Long, Double)] =
+      Graph.pageRank(sym, 0.85, 5, broadcastNodeLimit = limit)
+        .select($"node", $"degree", $"rank").as[(Long, Long, Double)]
+        .collect().map { case (n, d, r) => n -> (d, r) }.toMap
+    val viaBroadcast = collect(Long.MaxValue)
+    val viaShuffle = collect(0L) // forces the co-partitioned shuffle rounds
+    assert(viaShuffle.keySet == viaBroadcast.keySet)
+    viaBroadcast.foreach { case (n, (d, r)) =>
+      val (d2, r2) = viaShuffle(n)
+      assert(d2 == d)
+      // the two paths run the same arithmetic but the shuffle layout
+      // changes the contribution SUMMATION order — agreement is exact
+      // up to float addition reassociation (last-ulp), nothing more
+      assert(math.abs(r2 - r) <= 4 * Math.ulp(r),
+        s"node $n: shuffle rank $r2 != broadcast rank $r")
+    }
+  }
+
+  test("pageRank: directed input keeps no-in-edge nodes at exact teleport mass") {
+    // node 1 has out-edges but NO in-edges; the final left join must
+    // surface it with coalesce(rank, teleport), not silently drop it
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r = Graph.pageRank(e, 0.85, 3)
+      .select($"node", $"rank").as[(Long, Double)].collect().toMap
+    // the node set is the SOURCE set {1, 2} (3 is dangling — documented)
+    assert(r.keySet == Set(1L, 2L))
+    // (1 - 0.85) / 2, in DOUBLE arithmetic exactly as pageRank computes it
+    assert(r(1L) == (1 - 0.85) / 2, s"no-in-edge node rank: ${r(1L)}")
+    // node 2 receives half of node 1's mass each round — strictly more
+    assert(r(2L) > r(1L))
+  }
+
+  test("commonNeighborPairs: degree cap drops hub keys, cap-off stays exact") {
+    // customer 100 is the hub (5 suppliers → 10 pairs); 1 and 2 are
+    // normal (2 suppliers each, both {1,2})
+    val e = (Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L), (100L, 5L)) ++
+      Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))).toDF("cust", "supp")
+    def pairs(cap: Option[Int]): Map[(Long, Long), Long] =
+      Graph.commonNeighborPairs(e, cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = pairs(None)
+    assert(full.size == 10) // all C(5,2) hub pairs
+    assert(full((1L, 2L)) == 3L) // customers 100, 1, 2
+    val capped = pairs(Some(4))
+    // the hub is dropped whole: only the two normal customers remain
+    assert(capped == Map((1L, 2L) -> 2L),
+      s"cap must bound fan-out to the non-hub pairs (got $capped)")
+  }
+
   test("graphPagerank: judged output is ordered, complete, and mass-conserving") {
     val df = Graph.graphPagerank(spark, sf())
     val rows = df.collect()
