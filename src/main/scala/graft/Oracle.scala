@@ -32,6 +32,23 @@ object Oracle {
     // invisible — the oracle filters the raw columns directly
     "scan_zorder_pruned" ->
       "SELECT event_type, count(*) AS n, round(sum(value),2) AS total FROM events WHERE user_id BETWEEN 3 AND 9 AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-18' GROUP BY event_type ORDER BY event_type",
+    // plain-table formulation: the engine round-trips lineitem through
+    // headered CSV (schema-declared permissive read + quarantine split)
+    // before aggregating — text serialization must be semantically
+    // invisible, so the oracle never sees the CSV
+    "source_csv_roundtrip" ->
+      ("SELECT l_returnflag, count(*) AS n, round(sum(l_quantity),2) AS qty, " +
+        "round(sum(l_extendedprice),2) AS revenue FROM lineitem " +
+        "WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31' " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // plain-table formulation: the engine round-trips documents through
+    // JSON-lines; the md5 sum forces byte-exact text fidelity through
+    // the escape/unescape hop
+    "source_json_roundtrip" ->
+      ("SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars, " +
+        "CAST(sum(length(text)) AS BIGINT) AS chars_live, " +
+        "CAST(sum(('0x' || substr(md5(text),1,8))::BIGINT) AS BIGINT) AS text_hash_sum " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
     "filter_predicates" ->
       "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R') AND NOT l_linestatus = 'O' ORDER BY l_orderkey, l_linenumber, l_quantity",
     "filter_like_null" ->
@@ -641,7 +658,7 @@ object Oracle {
     "ts_time_weighted_avg" ->
       ("WITH t AS (SELECT user_id, epoch_us(ts) AS um, value, " +
         "lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events) " +
-        "SELECT user_id, round(sum(value * (nxt - um)) / (max(um) - min(um)), 4) AS twa, " +
+        "SELECT user_id, CASE WHEN max(um) > min(um) THEN round(sum(value * (nxt - um)) / (max(um) - min(um)), 4) END AS twa, " +
         "max(um) - min(um) AS span_us, round(sum(value), 2) AS sum_v, count(value) AS n_v " +
         "FROM t GROUP BY user_id ORDER BY user_id"),
     // half-integers (quantity/2) are exact binary, so the four modes

@@ -21,6 +21,8 @@ object SparkEntry {
     "scan_range_pruned" -> (Relational.scanRangePruned _),
     "scan_partition_pruned" -> (Relational.scanPartitionPruned _),
     "scan_zorder_pruned" -> (Relational.scanZorderPruned _),
+    "source_csv_roundtrip" -> (Relational.sourceCsvRoundtrip _),
+    "source_json_roundtrip" -> (Relational.sourceJsonRoundtrip _),
     // §2.2 filters
     "filter_predicates" -> (Relational.filterPredicates _),
     "filter_like_null" -> (Relational.filterLikeNull _),

@@ -130,6 +130,86 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** #147 judged CSV ROUND-TRIP ingestion — the edge a pipeline user
+    * touches first: lineitem written to headered CSV through
+    * [[graft.sources.Ingest.writeCsv]], read back PERMISSIVE with the
+    * explicit declared schema (+ corrupt-record quarantine,
+    * [[graft.sources.Ingest.readCsv]]), quarantine split off, and a
+    * filtered aggregation over the VALID side judged against the
+    * PLAIN-parquet-table oracle — the same layout-invisibility trick as
+    * [[scanRangePruned]]: text serialization must be semantically
+    * invisible. Exactness through the text hop: longs/dates are exact
+    * text; doubles round-trip bit-identically because Java's
+    * `Double.toString` emits the shortest string that parses back to
+    * the same double; the sums are cent multiples (boundary-safe at
+    * 2 dp). Same per-JVM lifetime/marker protocol as the other
+    * layouts. IngestSpec proves a malformed row lands in quarantine,
+    * not in the aggregate. */
+  def sourceCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dir = new java.io.File(rangeLayoutRoot, s"lineitem_csv_${pathTag(d)}")
+    val done = new java.io.File(dir, "_graft_layout_done")
+    if (!done.exists()) {
+      graft.sources.Ingest.writeCsv(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+          col("l_shipdate")),
+        dir.toString)
+      done.createNewFile()
+      ()
+    }
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_returnflag", StringType), StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType), StructField("l_shipdate", TimestampType)))
+    val (valid, _) = graft.sources.Ingest.partitionValid(
+      graft.sources.Ingest.readCsv(s, dir.toString, schema))
+    valid
+      .filter(col("l_shipdate").between(
+        lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("qty"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** #148 judged JSON-LINES ROUND-TRIP ingestion — the semi-structured
+    * sibling of [[sourceCsvRoundtrip]]: documents (arbitrary unicode
+    * text with newlines/quotes — exactly what CSV can't carry without
+    * quoting discipline) written as JSON-lines, read back against the
+    * declared schema with quarantine, and judged against the PLAIN
+    * parquet table. The md5-sum column is the fidelity proof: equality
+    * requires every text byte to survive the JSON escape/unescape hop
+    * exactly — one flipped character anywhere in the corpus moves the
+    * per-lang hash sum. Same per-JVM lifetime/marker protocol. */
+  def sourceJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dir = new java.io.File(rangeLayoutRoot, s"documents_json_${pathTag(d)}")
+    val done = new java.io.File(dir, "_graft_layout_done")
+    if (!done.exists()) {
+      graft.sources.Ingest.writeJson(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          col("source"), col("text"), col("n_chars")),
+        dir.toString)
+      done.createNewFile()
+      ()
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("text", StringType),
+      StructField("n_chars", LongType)))
+    val (valid, _) = graft.sources.Ingest.partitionValid(
+      graft.sources.Ingest.readJson(s, dir.toString, schema))
+    valid
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("chars"),
+        sum(length(col("text"))).as("chars_live"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")).as("text_hash_sum"))
+      .orderBy(col("lang"))
+  }
+
   /** Per-process root for [[scanRangePruned]]'s re-layouts: created
     * lazily once per JVM, so concurrent processes write disjoint
     * directories and no marker file outlives the process that wrote

@@ -81,6 +81,19 @@ object Ingest {
     } finally cached.unpersist()
   }
 
+  /** CSV sink — the write side of [[readCsv]]'s round trip. Headers on
+    * by default so the files are self-describing; readers should still
+    * pass the explicit schema (never infer at 100 TB — inference is a
+    * full extra pass and a types lottery). */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString).csv(path)
+
+  /** JSON-lines sink — the write side of [[readJson]]'s round trip.
+    * JSON escaping makes arbitrary text (newlines, quotes, unicode)
+    * line-safe, which CSV cannot promise without quoting discipline. */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** Partitioned parquet sink: at scale, partition columns (typically a
     * date derivative and/or key hash bucket) bound file listing and enable
     * partition pruning on read. */
