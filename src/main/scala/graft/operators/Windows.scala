@@ -211,12 +211,22 @@ object Windows {
     // table (whose groupBy exchange the main pipeline already computes,
     // so ReuseExchange serves both) instead of re-scanning the fact table
     val nDf = counts.agg(sum(col("_c")).as("_n"))
-    ev.join(cum, Seq("value"))
+    // manual limit-through-join pushdown: the 500 output rows are fixed
+    // by event_id alone and the attach join is ROW-PRESERVING (cum is
+    // unique per value, the crossJoin side is one row), so TakeOrdered
+    // runs against the bare scan and only 500 rows join the value
+    // table — instead of the whole fact table shuffling into the join
+    // to pick up a cd that's then discarded for all but 500 rows. The
+    // full-corpus cume-dist machinery (counts + prefix sums) still runs
+    // over every row; only the attach is pruned. Catalyst can't do this
+    // itself (a limit below a join is unsound in general — it's the
+    // uniqueness of cum's key that makes it exact here).
+    val head = ev.orderBy(col("event_id")).limit(500)
+    head.join(cum, Seq("value"))
       .crossJoin(broadcast(nDf))
       .select(col("event_id"),
         round(col("_cum").cast("double") / col("_n"), 6).as("cd"))
       .orderBy(col("event_id"))
-      .limit(500)
   }
 
   /** #25 5-row moving average per key. */
