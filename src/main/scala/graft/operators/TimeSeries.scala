@@ -281,10 +281,18 @@ object TimeSeries {
     * float comparison in both engines; the nearest |z| to the boundary
     * is ~1e-3 away at every SF (checked), far beyond the ~1e-15
     * summation-order noise, so the judged row SET is stable. */
-  def tsAnomalyZscore(s: SparkSession, d: String): DataFrame = {
+  def tsAnomalyZscore(s: SparkSession, d: String): DataFrame =
+    anomalyZscore(Tables.events(s, d)).orderBy(col("event_id"))
+
+  /** The rolling-zscore core of [[tsAnomalyZscore]], factored over any
+    * (user_id, ts, event_id, value) frame so the streaming twin
+    * ([[graft.streaming.StreamingOps.statefulAnomalyZscore]]) can be
+    * spec-checked bit-identical against the batch form on the same
+    * slice. No ordering — the judged wrapper adds it. */
+  def anomalyZscore(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id")).rowsBetween(-20, -1)
-    Tables.events(s, d)
+    events
       .withColumn("mu", avg(col("value")).over(w))
       .withColumn("sd", stddev_samp(col("value")).over(w))
       .withColumn("nw", count(col("value")).over(w))
@@ -294,6 +302,5 @@ object TimeSeries {
       .select(col("event_id"), col("user_id"),
         col("ts").cast("timestamp_ntz").as("ts"),
         round(col("value"), 2).as("value"), round(col("z"), 2).as("z"))
-      .orderBy(col("event_id"))
   }
 }

@@ -390,6 +390,88 @@ object StreamingOps {
       }
   }
 
+  /** Streaming rolling-zscore state for one user: the last ≤ maxWindow
+    * folded values in fold order (the frame the next event's µ/σ read),
+    * and the watermark-bounded pending buffer of not-yet-ripe
+    * (µs, event_id, value) rows. */
+  case class ZscoreState(win: Seq[Double], pending: Seq[(Long, Long, Double)])
+
+  /** One anomaly (Append-mode row) — the same shape the judged batch
+    * query emits. */
+  case class AnomalyRow(event_id: Long, user_id: Long, ts: Timestamp,
+      value: Double, z: Double)
+
+  /** Streaming twin of the judged `ts_anomaly_zscore` rolling-window
+    * anomaly detector: z = (x − µ)/σ over the PREVIOUS ≤ 20 events of
+    * the same user (≥ 10 required, σ > 1e-9), |z| > 2 emits. Like
+    * [[statefulEwma]], the frame fold is order-sensitive, so rows
+    * buffer in state until the watermark ripens them, then fold in
+    * exact (event-time µs, event_id) order — per-user state is the
+    * ≤ 20-value frame plus the watermark-bounded buffer, never the
+    * stream.
+    *
+    * Emitted anomalies are BIT-IDENTICAL to the batch window query on
+    * the same rows (StreamingOpsSpec proves it under shuffled
+    * multi-batch delivery): µ replays Spark's Sum/Count fold in frame
+    * order, σ replays CentralMomentAgg's Welford recurrence (delta/
+    * deltaN/m2) step for step, and the 2-dp rounding replays `round`'s
+    * HALF_UP-on-BigDecimal.valueOf semantics. */
+  def statefulAnomalyZscore(events: DataFrame, minWindow: Int = 10,
+      maxWindow: Int = 20, cutoff: Double = 2.0,
+      watermark: String = "1 day"): Dataset[AnomalyRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("event_id").cast("long").as("event_id"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ZscoreState, AnomalyRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp, Long, Double)],
+            state: GroupState[ZscoreState]) =>
+          val st = state.getOption.getOrElse(ZscoreState(Vector.empty, Nil))
+          def micros(t: Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          val pending = st.pending ++ rows.map(r => (micros(r._2), r._3, r._4))
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, keep) = pending.partition(_._1 <= wm * 1000L)
+          var win = st.win.toVector
+          def round2(v: Double): Double =
+            java.math.BigDecimal.valueOf(v)
+              .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+          val out = ripe.sortBy(r => (r._1, r._2)).flatMap { case (us, id, x) =>
+            val emit = if (win.size >= minWindow) {
+              val n = win.size
+              val mu = win.sum / n
+              // Welford, exactly as Spark's CentralMomentAgg updates:
+              // delta = x − avg; avg += delta/n'; m2 += delta·(x − avg')
+              var avg = 0.0; var m2 = 0.0; var i = 0
+              win.foreach { v =>
+                i += 1; val d = v - avg; avg += d / i; m2 += d * (v - avg)
+              }
+              val sd = math.sqrt(m2 / (n - 1))
+              if (sd > 1e-9) {
+                val z = (x - mu) / sd
+                if (math.abs(z) > cutoff) {
+                  val ts = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+                  ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+                  Some(AnomalyRow(id, user, ts, round2(x), round2(z)))
+                } else None
+              } else None
+            } else None
+            win = (win :+ x).takeRight(maxWindow)
+            emit
+          }
+          state.update(ZscoreState(win, keep))
+          if (keep.nonEmpty)
+            state.setTimeoutTimestamp(Math.floorDiv(keep.map(_._1).min + 999L, 1000L))
+          out.iterator
+      }
+  }
+
   /** Twin of TimeSeries.streamDedup: streaming-safe distinct on
     * (user_id, event_type). State for a key can be dropped once the
     * watermark passes — unbounded-state-free dedup. */

@@ -185,6 +185,50 @@ class MediaPipelineSpec extends SparkSpecBase {
       dupOfHistory = 1, accepted = 0), s2.toString)
   }
 
+  test("MJPEG MP4 and its AVI twin dedup as one video end to end") {
+    // the same three decoded frames in two different CONTAINERS must
+    // land in one signature space and collapse to one curated row —
+    // the cross-container property the codec-level specs pin, proven
+    // here through the full curate path (validate → hash → near-dup
+    // cluster → keeper selection)
+    import spark.implicits._
+    import graft.multimodal.{Jpeg, Mp4}
+    val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+    val (w, h) = (24, 16)
+    def frame(seed: Int): Array[Byte] = {
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        val v = if (((x + seed) / 8 + y / 8) % 2 == 0) 200 else 40
+        rgb(o) = v.toByte; rgb(o + 1) = v.toByte; rgb(o + 2) = v.toByte
+      }
+      Jpeg.encodeJpeg(rgb, w, h, quality = 90)
+    }
+    def inverted(): Array[Byte] = {
+      val rgb = Array.fill[Byte](w * h * 3)(220.toByte)
+      for (y <- 0 until h; x <- 0 until w if (x / 4 + y / 4) % 2 == 0) {
+        val o = (y * w + x) * 3
+        rgb(o) = 10; rgb(o + 1) = 10; rgb(o + 2) = 10
+      }
+      Jpeg.encodeJpeg(rgb, w, h, quality = 90)
+    }
+    val j = Seq(frame(0), frame(8), frame(16))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", Mp4.encodeMp4Mjpeg(w, h, j), "mp4", w, h, 0),
+      Multimodal.MediaRow(2L, "video",
+        Multimodal.encodeAviMjpeg(w, h, j, fps = 5), "avi", w, h, 0),
+      Multimodal.MediaRow(3L, "video",
+        Multimodal.encodeAviMjpeg(w, h, Seq(inverted(), inverted(), inverted()),
+          fps = 5), "avi", w, h, 0))
+    val out = java.nio.file.Files.createTempDirectory("media_mjpeg").toString
+    val s = MediaPipeline.curate(spark, spark.createDataset(rows)(enc), out)
+    assert(s == MediaPipeline.MediaCurationSummary(
+      input = 3, decodable = 3, nearDupRemoved = 1, curated = 2), s.toString)
+    // keeper is the min media_id of the {mp4, avi} twin cluster
+    assert(spark.read.parquet(s"$out/curated")
+      .select($"media_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("PNG rows validate, quarantine, and near-dup across containers") {
     import spark.implicits._
     val base: (Int, Int) => (Int, Int, Int) =
