@@ -204,7 +204,12 @@ object Windows {
     * form must be invisible. */
   def winCumeDist(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+    // ONE materialization of the per-value count table: it feeds the
+    // split sampling, the bucket totals, the per-bucket windows AND the
+    // grand total — lazy, the fact scan + groupBy would plan four times
+    // (exchange reuse recovers some at runtime, none at planning)
     val counts = ev.groupBy(col("value")).agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true)
     val cum = GlobalRank.runningTotal(counts, "value", "_c", "_cum")
       .select(col("value"), col("_cum"))
     // total row count = sum of the per-value counts — read from the value

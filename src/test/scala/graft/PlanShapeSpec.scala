@@ -260,4 +260,20 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(count(p, "HashAggregate") >= 4, s"expected two partial+final pairs:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("stored plan audit covers every registered query") {
+    // round 9's audit silently missed the last-added query — pin the
+    // committed metrics file to the live registry so the bookkeeping
+    // cannot drift again (regenerate with `runMain graft.Explain`)
+    val f = new java.io.File("docs/plans_sf0.01.txt.metrics.jsonl")
+    assert(f.exists(), s"${f.getPath} missing — run graft.Explain")
+    val audited = scala.io.Source.fromFile(f).getLines()
+      .map { l =>
+        val m = "\"query\":\"([^\"]+)\"".r.findFirstMatchIn(l)
+        m.fold(sys.error(s"bad metrics line: $l"))(_.group(1))
+      }.toSet
+    assert(audited == SparkEntry.queries.keySet,
+      s"missing: ${SparkEntry.queries.keySet -- audited}; " +
+        s"stale: ${audited -- SparkEntry.queries.keySet}")
+  }
 }
