@@ -49,6 +49,14 @@ object Oracle {
         "CAST(sum(length(text)) AS BIGINT) AS chars_live, " +
         "CAST(sum(('0x' || substr(md5(text),1,8))::BIGINT) AS BIGINT) AS text_hash_sum " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    // plain-table formulation: the engine round-trips orders through
+    // hive-partitioned ORC and prunes o_year directories at planning
+    // time; the oracle filters year(o_orderdate) on the raw parquet
+    "source_orc_roundtrip" ->
+      ("SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS total, " +
+        "max(o_orderdate) AS last_order FROM orders " +
+        "WHERE year(o_orderdate) BETWEEN 1996 AND 1998 " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "filter_predicates" ->
       "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R') AND NOT l_linestatus = 'O' ORDER BY l_orderkey, l_linenumber, l_quantity",
     "filter_like_null" ->
@@ -270,6 +278,14 @@ object Oracle {
       "SELECT label, count(*) c, round(avg(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))),6) avg_sim FROM embeddings GROUP BY label ORDER BY label",
     "llm_minhash_jaccard" ->
       "WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) toks FROM documents WHERE doc_id < 50) SELECT * FROM (SELECT a.doc_id a_id, b.doc_id b_id, round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))), 6) jac FROM t a JOIN t b ON a.doc_id < b.doc_id) WHERE jac > 0.6 ORDER BY a_id, b_id",
+    // deterministic hash-draw importance sampling — pure integer compare,
+    // replayable by any engine (the property rand()/sample() cannot give)
+    "llm_importance_sample" ->
+      ("SELECT doc_id, lang, n_chars, " +
+        "('0x' || substr(md5('rs:' || doc_id), 1, 8))::BIGINT % 2000 AS draw " +
+        "FROM documents " +
+        "WHERE ('0x' || substr(md5('rs:' || doc_id), 1, 8))::BIGINT % 2000 < least(n_chars, 2000) " +
+        "ORDER BY doc_id"),
     // the full curation funnel in one query: stats → quality filters →
     // exact-dedup keep-first (judged composition of the #49/#51 pieces)
     "llm_curate_chain" ->
@@ -594,6 +610,18 @@ object Oracle {
         "round(common / (d1.deg + d2.deg - common), 6) AS jaccard " +
         "FROM p JOIN deg d1 ON d1.supp = s1 JOIN deg d2 ON d2.supp = s2 " +
         "WHERE common >= 3 ORDER BY jaccard DESC, s1, s2 LIMIT 50"),
+    // exact integer triangle counts over the part co-purchase graph
+    // (co-occurrence ≥ 2 in the same order); id-oriented enumeration,
+    // each triangle exactly once
+    "graph_triangle_count" ->
+      ("WITH e AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "p AS (SELECT a.pk AS s1, b.pk AS s2 FROM e a JOIN e b " +
+        "ON a.ok = b.ok AND a.pk < b.pk GROUP BY a.pk, b.pk HAVING count(*) >= 2), " +
+        "tri AS (SELECT ab.s1 AS a, ab.s2 AS b, bc.s2 AS c FROM p ab " +
+        "JOIN p bc ON ab.s2 = bc.s1 JOIN p ac ON ac.s1 = ab.s1 AND ac.s2 = bc.s2) " +
+        "SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM " +
+        "(SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) " +
+        "GROUP BY node ORDER BY node"),
     // forward as-of: the engine runs the native backward sorted-merge on
     // NEGATED times; the oracle states it directly as the earliest
     // strictly-after click (ts unique per user, so ≥ and > coincide)

@@ -23,6 +23,7 @@ object SparkEntry {
     "scan_zorder_pruned" -> (Relational.scanZorderPruned _),
     "source_csv_roundtrip" -> (Relational.sourceCsvRoundtrip _),
     "source_json_roundtrip" -> (Relational.sourceJsonRoundtrip _),
+    "source_orc_roundtrip" -> (Relational.sourceOrcRoundtrip _),
     // §2.2 filters
     "filter_predicates" -> (Relational.filterPredicates _),
     "filter_like_null" -> (Relational.filterLikeNull _),
@@ -122,6 +123,7 @@ object SparkEntry {
     "llm_cosine_topk" -> (LlmOps.llmCosineTopk _),
     "llm_knn_label" -> (LlmOps.llmKnnLabel _),
     "llm_minhash_jaccard" -> (LlmOps.llmMinhashJaccard _),
+    "llm_importance_sample" -> (LlmOps.llmImportanceSample _),
     "llm_curate_chain" -> (LlmOps.llmCurateChain _),
     // §2.11 subqueries
     "join_lateral" -> (Relational.joinLateral _),
@@ -129,6 +131,7 @@ object SparkEntry {
     "sample_stratified" -> (Relational.sampleStratified _),
     "graph_pagerank" -> (Graph.graphPagerank _),
     "graph_common_neighbors" -> (Graph.graphCommonNeighbors _),
+    "graph_triangle_count" -> (Graph.graphTriangleCount _),
     "join_asof_forward" -> (Relational.joinAsofForward _),
     "win_running_distinct" -> (Windows.winRunningDistinct _),
     "ts_changepoint" -> (TimeSeries.tsChangepoint _),

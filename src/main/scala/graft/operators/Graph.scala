@@ -143,7 +143,9 @@ object Graph {
     * sink the stage, while contributing near-zero similarity signal;
     * dropping hubs is the standard common-neighbor heuristic). The cap
     * both bounds per-task fan-out AND removes the skewed shuffle keys.
-    * Cap-off (`None`) computes the exact count — the judged form. */
+    * Cap-off (`None`) computes the exact count — the judged form.
+    * The `cust`/`supp` column names are generic (blocking key, item) —
+    * [[graphTriangleCount]] feeds (order, part) through the same op. */
   def commonNeighborPairs(e: DataFrame, degreeCap: Option[Int] = None): DataFrame = {
     val in = degreeCap match {
       case Some(cap) =>
@@ -160,6 +162,47 @@ object Graph {
     val b = in.select(col("cust"), col("supp").as("s2"))
     a.join(b, Seq("cust")).filter(col("s1") < col("s2"))
       .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("common"))
+  }
+
+  /** Per-node triangle participation counts over an id-ORIENTED edge
+    * list (`s1` < `s2`, one row per undirected edge): triangle (a,b,c),
+    * a<b<c, is found as ab ⋈ bc on the shared middle node, closed by
+    * the (a,c) equi-join — every triangle enumerated exactly once, no
+    * direction double-counting. Two hash joins + one group-by; the
+    * fan-out of the ab⋈bc step is Σ deg²(node) over ORIENTED degrees —
+    * at scale, orient by (degree, id) instead of raw id (relabel ids by
+    * ascending degree first): that caps every node's oriented
+    * out-degree at O(√|E|) (Schank/Wagner '05), turning the worst-case
+    * hub blowup into the optimal enumeration bound. Orientation choice
+    * changes WHICH join key a triangle is found under, never the count.
+    * Exact integers end to end. */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val ab = pairs.select(col("s1").as("a"), col("s2").as("b"))
+    val bc = pairs.select(col("s1").as("b"), col("s2").as("c"))
+    val ac = pairs.select(col("s1").as("a"), col("s2").as("c"))
+    ab.join(bc, "b").join(ac, Seq("a", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** #149 judged triangle count over the part CO-PURCHASE graph: parts
+    * are linked when they appear in the SAME order at least twice
+    * (the market-basket co-occurrence graph — non-degenerate at every
+    * SF, unlike the near-complete supplier co-trade graph), and each
+    * part is scored by the number of triangles it closes — the local
+    * clustering signal behind community detection and basket
+    * recommendation. Pipeline: distinct (order, part) edges →
+    * [[commonNeighborPairs]] (generic key/item roles; the deg² step is
+    * bounded by order line counts, cap available for pathological
+    * baskets) → co-occurrence ≥ 2 edge list → [[triangleCounts]].
+    * Exact integer counts, total ORDER BY — zero float risk. */
+  def graphTriangleCount(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("cust"), col("l_partkey").as("supp"))
+      .distinct()
+    val pairs = commonNeighborPairs(e, degreeCap = None)
+      .filter(col("common") >= 2).select(col("s1"), col("s2"))
+    triangleCounts(pairs).orderBy(col("node"))
   }
 
   /** #91 judged PageRank over the customer–supplier trade graph: an

@@ -138,4 +138,24 @@ object LlmOps {
       .filter(col("jac") > 0.6)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** #151 deterministic IMPORTANCE SAMPLING of the corpus — the data-
+    * mixing primitive that reweights a training set without an RNG:
+    * each doc is kept iff a uniform hash draw over [0, 2000) lands
+    * under its length-proportional weight min(n_chars, 2000), i.e.
+    * P(keep) = weight/2000, but decided by md5 of a salted doc id, so
+    * the sample is (a) reproducible run to run, (b) stable under
+    * corpus re-partitioning/re-ordering, and (c) replayable by any
+    * engine — the property `sample()`/rand() cannot give an oracle.
+    * Pure integer compare: the hash is exact, the weight is an exact
+    * long, no float anywhere. One scan, embarrassingly parallel, the
+    * same recipe at 100 TB (per-row decision, no state). */
+  def llmImportanceSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("draw",
+        pmod(conv(substring(md5(concat(lit("rs:"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long"), lit(2000L)))
+      .filter(col("draw") < least(col("n_chars"), lit(2000L)))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("draw"))
+      .orderBy(col("doc_id"))
 }
