@@ -150,15 +150,22 @@ object ScalableDedup {
     * the correct semantics, not a shortcut. */
   def minhashBandSignatures(df: DataFrame, idCol: String, hashCol: String,
       bands: Int, rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    // ONE array pass computes all k minima (MinhashMinsExpr) — the
+    // composed array_min(transform(…)) × k form re-read the hash array
+    // k times and allocated k intermediate arrays per doc, the dominant
+    // cost of candidate generation (ScalableDedupSpec pins signature
+    // equality between the two forms; the arithmetic is identical)
+    val mins = graft.functions.MinhashMinsExpr.minhash_mins(col(hashCol),
+      (0 until k).map(minhashA), (0 until k).map(minhashB), MinhashP)
     val sigs = (0 until bands).map { b =>
-      val mins: Seq[Column] = (0 until rowsPerBand).map { r =>
-        val i = b * rowsPerBand + r
-        array_min(transform(col(hashCol),
-          h => (h * lit(minhashA(i)) + lit(minhashB(i))) % lit(MinhashP)))
+      val parts: Seq[Column] = (0 until rowsPerBand).map { r =>
+        element_at(col("_mh"), b * rowsPerBand + r + 1)
       }
-      struct(lit(b).as("band"), concat_ws(":", mins: _*).as("sig"))
+      struct(lit(b).as("band"), concat_ws(":", parts: _*).as("sig"))
     }
     df.filter(size(col(hashCol)) > 0)
+      .withColumn("_mh", mins)
       .select(col(idCol), explode(array(sigs: _*)).as("_bs"))
       .select(col(idCol), col("_bs.band").as("band"), col("_bs.sig").as("sig"))
   }

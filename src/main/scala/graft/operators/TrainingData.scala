@@ -615,10 +615,13 @@ object TrainingData {
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     // ONE materialization of the hashed-shingle table: it feeds the band
     // signatures AND both rescoring sides — lazy, the per-doc md5
-    // shingling would run three times
+    // shingling would run three times. shingle_hash32 is the fused
+    // one-expression form of shingleHashes(shingleSet(text, 4)) —
+    // identical arithmetic (spec-pinned), no shingle-string or
+    // hex-string churn
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
-        ScalableDedup.shingleHashes(Decontaminate.shingleSet("text", 4)).as("hs"))
+        graft.functions.ShingleHash32Expr.shingle_hash32(col("text"), 4).as("hs"))
       .localCheckpoint(true)
     val cand = ScalableDedup.minhashBandedCandidates(
       docs, "doc_id", "hs", bands = 4, rowsPerBand = 4)

@@ -115,6 +115,50 @@ class ScalableDedupSpec extends SparkSpecBase {
       s"empty-set docs must never pair (got $cand)")
   }
 
+  test("MinhashMinsExpr equals the composed array_min(transform) form bit for bit") {
+    // the fused one-pass expression must reproduce the EXACT pinned
+    // arithmetic the oracle replays — compare against the composed
+    // formulation on real corpus shingle sets
+    val hs = Tables.documents(spark, sf()).limit(150)
+      .select($"doc_id",
+        ScalableDedup.shingleHashes(
+          graft.operators.Decontaminate.shingleSet("text", 4)).as("hs"))
+    val k = 16
+    val composed = (0 until k).map { i =>
+      array_min(transform($"hs", h =>
+        (h * lit(ScalableDedup.minhashA(i)) + lit(ScalableDedup.minhashB(i))) %
+          lit(ScalableDedup.MinhashP)))
+    }
+    val both = hs.select($"doc_id",
+      graft.functions.MinhashMinsExpr.minhash_mins($"hs",
+        (0 until k).map(ScalableDedup.minhashA),
+        (0 until k).map(ScalableDedup.minhashB),
+        ScalableDedup.MinhashP).as("fused"),
+      array(composed: _*).as("composed")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: fused ${r.getSeq[Long](1)} != composed ${r.getSeq[Long](2)}")
+    }
+  }
+
+  test("shingle_hash32 equals the composed shingleHashes(shingleSet) chain bit for bit") {
+    // fused expression vs the string-churn chain, on the real corpus
+    // PLUS the edge shapes (shorter-than-n, empty, multibyte unicode)
+    val corpus = Tables.documents(spark, sf()).limit(150)
+      .select($"doc_id".cast("string").as("id"), $"text")
+    val edges = Seq(("e1", "abc"), ("e2", ""), ("e3", "日本語のテキストです"),
+      ("e4", "exactly4"), ("e5", "aaaaaaaa")).toDF("id", "text")
+    corpus.union(edges).select($"id",
+        graft.functions.ShingleHash32Expr.shingle_hash32($"text", 4).as("fused"),
+        ScalableDedup.shingleHashes(
+          graft.operators.Decontaminate.shingleSet("text", 4)).as("composed"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"doc ${r.getString(0)}: ${r.getSeq[Long](1)} != ${r.getSeq[Long](2)}")
+      }
+  }
+
   test("dedup_minhash_lsh: shuffled rescore path is pair-identical to the broadcast path") {
     // the rescore joins carry no broadcast hint so AQE picks broadcast
     // vs shuffle by runtime size; past broadcast reach the id-keyed
