@@ -241,6 +241,15 @@ object Oracle {
     // lag-gap oracle — the operator must be semantically invisible
     "stream_session_native" ->
       "WITH o AS (SELECT user_id, ts, event_id, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END brk FROM events), s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) sid FROM o) SELECT user_id, sid, count(*) n, min(ts) st, max(ts) en FROM s GROUP BY user_id, sid ORDER BY user_id, sid",
+    // per-user session feature vector over the SAME lag-gap sessions —
+    // every judged number is an exact integer (counts + µs sums)
+    "ts_session_stats" ->
+      ("WITH o AS (SELECT user_id, ts, event_id, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END brk FROM events), " +
+        "s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) sid FROM o), " +
+        "g AS (SELECT user_id, sid, count(*) AS n, epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us FROM s GROUP BY user_id, sid) " +
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events, " +
+        "CAST(max(n) AS BIGINT) AS max_session_events, CAST(sum(span_us) AS BIGINT) AS engaged_us, " +
+        "max(span_us) AS max_span_us FROM g GROUP BY user_id ORDER BY user_id"),
     "stream_dedup" ->
       "SELECT count(*) AS c FROM (SELECT DISTINCT user_id, event_type FROM events)",
     "stream_late_filter" ->
@@ -622,6 +631,16 @@ object Oracle {
         "SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM " +
         "(SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) " +
         "GROUP BY node ORDER BY node"),
+    // tolerance as-of (merge_asof semantics): the unique backward match
+    // is inside the window iff any click is — LATERAL with the window
+    // bound states it directly; gap and tolerance are exact integer µs
+    "join_asof_tolerance" ->
+      ("WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_um FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, epoch_us(ts) AS c_um, max(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY user_id, ts) " +
+        "SELECT p.purchase_id, p.user_id, n.click_id, p.p_um - n.c_um AS gap_us " +
+        "FROM p LEFT JOIN LATERAL (SELECT click_id, c_um FROM c WHERE c.user_id = p.user_id " +
+        "AND c.c_um <= p.p_um AND c.c_um >= p.p_um - 600000000 ORDER BY c.c_um DESC LIMIT 1) n ON true " +
+        "ORDER BY purchase_id"),
     // forward as-of: the engine runs the native backward sorted-merge on
     // NEGATED times; the oracle states it directly as the earliest
     // strictly-after click (ts unique per user, so ≥ and > coincide)

