@@ -15,6 +15,28 @@ package graft
   *    the Spark side computes in double).
   */
 object Oracle {
+  /** The pinned-hash MinHash-LSH pair pipeline as a reusable CTE chain
+    * (shingle hashes → 16 pinned minhashes → 4×4 banding → candidates →
+    * size-pruned exact Jaccard `j`), GENERATED from the same constants
+    * the engine uses (ScalableDedup.minhashA/B/MinhashP) so oracle and
+    * engine cannot drift. Shared by `dedup_minhash_lsh` (the pair set)
+    * and `llm_dedup_clusters` (its transitive closure). */
+  private val minhashPairCtes: String =
+    "t AS (SELECT doc_id, list_distinct(list_transform(list_distinct(list_transform(range(1, greatest(len(text) - 3, 1) + 1), i -> substr(text, i::INT, 4))), s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hs FROM documents), " +
+      "h AS (SELECT doc_id, hs, " +
+      (0 until 16).map(i =>
+        s"list_min(list_transform(hs, x -> (x * ${graft.operators.ScalableDedup.minhashA(i)} + ${graft.operators.ScalableDedup.minhashB(i)}) % ${graft.operators.ScalableDedup.MinhashP})) AS h$i").mkString(", ") +
+      " FROM t), " +
+      "bands AS (" +
+      (0 until 4).map(b => s"SELECT doc_id, $b AS band, h${4 * b}||':'||h${4 * b + 1}||':'||h${4 * b + 2}||':'||h${4 * b + 3} AS sig FROM h").mkString(" UNION ALL ") +
+      "), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id " +
+      "FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), " +
+      "sized AS (SELECT a_id, b_id, ta.hs AS ha, tb.hs AS hb, len(ta.hs) AS na, len(tb.hs) AS nb " +
+      "FROM cand JOIN t ta ON ta.doc_id = a_id JOIN t tb ON tb.doc_id = b_id " +
+      "WHERE least(len(ta.hs), len(tb.hs)) * 5 >= greatest(len(ta.hs), len(tb.hs)) * 4), " +
+      "j AS (SELECT a_id, b_id, round(CAST(len(list_intersect(ha, hb)) AS DOUBLE) / (na + nb - len(list_intersect(ha, hb))), 6) AS jac FROM sized)"
+
   val sql: Map[String, String] = Map(
     "scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS net_price FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price LIMIT 100",
@@ -592,21 +614,19 @@ object Oracle {
     // 2³¹−1 universal hashes — all-integer, so the oracle replays the
     // IDENTICAL banding, candidate set, and exact Jaccard
     "dedup_minhash_lsh" ->
-      ("WITH t AS (SELECT doc_id, list_distinct(list_transform(list_distinct(list_transform(range(1, greatest(len(text) - 3, 1) + 1), i -> substr(text, i::INT, 4))), s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hs FROM documents), " +
-        "h AS (SELECT doc_id, hs, " +
-        (0 until 16).map(i =>
-          s"list_min(list_transform(hs, x -> (x * ${graft.operators.ScalableDedup.minhashA(i)} + ${graft.operators.ScalableDedup.minhashB(i)}) % ${graft.operators.ScalableDedup.MinhashP})) AS h$i").mkString(", ") +
-        " FROM t), " +
-        "bands AS (" +
-        (0 until 4).map(b => s"SELECT doc_id, $b AS band, h${4 * b}||':'||h${4 * b + 1}||':'||h${4 * b + 2}||':'||h${4 * b + 3} AS sig FROM h").mkString(" UNION ALL ") +
-        "), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id " +
-        "FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), " +
-        "sized AS (SELECT a_id, b_id, ta.hs AS ha, tb.hs AS hb, len(ta.hs) AS na, len(tb.hs) AS nb " +
-        "FROM cand JOIN t ta ON ta.doc_id = a_id JOIN t tb ON tb.doc_id = b_id " +
-        "WHERE least(len(ta.hs), len(tb.hs)) * 5 >= greatest(len(ta.hs), len(tb.hs)) * 4), " +
-        "j AS (SELECT a_id, b_id, round(CAST(len(list_intersect(ha, hb)) AS DOUBLE) / (na + nb - len(list_intersect(ha, hb))), 6) AS jac FROM sized) " +
+      (s"WITH $minhashPairCtes " +
         "SELECT a_id, b_id, jac FROM j WHERE jac >= 0.8 ORDER BY a_id, b_id"),
+    // the pair set above rolled into CLUSTERS: recursive transitive
+    // closure over the (tiny) dup-pair graph, component label = min
+    // reachable id — the oracle twin of the engine's large-star/
+    // small-star contraction
+    "llm_dedup_clusters" ->
+      (s"WITH RECURSIVE $minhashPairCtes, " +
+        "dup AS (SELECT a_id, b_id FROM j WHERE jac >= 0.8), " +
+        "edges AS (SELECT a_id AS u, b_id AS v FROM dup UNION ALL SELECT b_id, a_id FROM dup), " +
+        "reach AS (SELECT u, v FROM edges UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) " +
+        "SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach " +
+        "GROUP BY u ORDER BY doc_id"),
     // exact integer counts; the Jaccard is ONE integer/integer double
     // division — bit-identical on both engines, no float-tie risk
     "graph_common_neighbors" ->

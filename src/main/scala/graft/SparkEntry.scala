@@ -124,6 +124,7 @@ object SparkEntry {
     "llm_knn_label" -> (LlmOps.llmKnnLabel _),
     "llm_minhash_jaccard" -> (LlmOps.llmMinhashJaccard _),
     "llm_importance_sample" -> (LlmOps.llmImportanceSample _),
+    "llm_dedup_clusters" -> (TrainingData.llmDedupClusters _),
     "llm_curate_chain" -> (LlmOps.llmCurateChain _),
     // §2.11 subqueries
     "join_lateral" -> (Relational.joinLateral _),

@@ -612,7 +612,24 @@ object TrainingData {
     * possible pairs become ~378k bucket candidates become 256 dup
     * pairs. The all-pairs judged twins (#55, #63) stay as the
     * bounded-probe ground truth; this is the one that runs at 100 TB. */
-  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashDupPairs(s, d).orderBy(col("a_id"), col("b_id"))
+
+  /** #154 the #109 pair set rolled into CLUSTERS — the judged form of
+    * the full 100 TB dedup story: LSH candidates → exact rescoring →
+    * connected components ([[DedupClusters]] large-star/small-star,
+    * O(log n) rounds), each doc labeled with its cluster's min id. The
+    * oracle replays the closure as a recursive CTE over the same pair
+    * set. What `curate` does to drop duplicates is exactly this table
+    * minus the keepers. */
+  def llmDedupClusters(s: SparkSession, d: String): DataFrame =
+    DedupClusters.connectedComponents(minhashDupPairs(s, d), "a_id", "b_id")
+      .select(col("id").as("doc_id"), col("comp").as("cluster"))
+      .orderBy(col("doc_id"))
+
+  /** The unordered MinHash-LSH duplicate pair set shared by #109 and
+    * #154 (see [[dedupMinhashLsh]] for the full design rationale). */
+  private def minhashDupPairs(s: SparkSession, d: String): DataFrame = {
     // ONE materialization of the hashed-shingle table: it feeds the band
     // signatures AND both rescoring sides — lazy, the per-doc md5
     // shingling would run three times. shingle_hash32 is the fused
@@ -654,7 +671,6 @@ object TrainingData {
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 6).as("jac"))
       .filter(col("jac") >= 0.8)
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** #110 sample entropy per user (SampEn, m=1, r=20.0 in value units) —

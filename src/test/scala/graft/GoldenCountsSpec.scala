@@ -11,7 +11,7 @@ class GoldenCountsSpec extends SparkSpecBase {
     "source_csv_roundtrip" -> 3, "source_json_roundtrip" -> 5,
     "source_orc_roundtrip" -> 3, "graph_triangle_count" -> 200,
     "llm_importance_sample" -> 67, "join_asof_tolerance" -> 202,
-    "ts_session_stats" -> 15,
+    "ts_session_stats" -> 15, "llm_dedup_clusters" -> 45,
     "filter_predicates" -> 433, "filter_like_null" -> 39,
     "join_broadcast" -> 25, "join_shuffle" -> 20, "join_bucketed" -> 20,
     "join_star_5way" -> 5,
