@@ -623,7 +623,11 @@ object TrainingData {
     * set. What `curate` does to drop duplicates is exactly this table
     * minus the keepers. */
   def llmDedupClusters(s: SparkSession, d: String): DataFrame =
-    DedupClusters.connectedComponents(minhashDupPairs(s, d), "a_id", "b_id")
+    // the pair set is tiny (≤ hundreds of rows) but its pipeline is the
+    // most expensive in the suite — materialize ONCE before the star
+    // contraction's iterative actions re-derive it per round
+    DedupClusters.connectedComponents(
+        minhashDupPairs(s, d).localCheckpoint(true), "a_id", "b_id")
       .select(col("id").as("doc_id"), col("comp").as("cluster"))
       .orderBy(col("doc_id"))
 
