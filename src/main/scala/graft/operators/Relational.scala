@@ -514,13 +514,14 @@ object Relational {
   /** #152 as-of join WITH TOLERANCE (pandas `merge_asof(tolerance=…)`
     * semantics): each purchase finds the user's latest click at or
     * before it, but a match staler than 10 minutes is NULLED — the left
-    * row survives unmatched. Runs the SAME native sorted-merge operator
-    * as [[joinAsofNative]] and applies the tolerance as a post-join
-    * conditional: the backward match is unique, and it lies inside the
-    * window iff ANY click does (older clicks are only further out), so
-    * post-filtering ≡ windowed lookup — zero new operator code, zero
-    * extra passes. The gap ships in exact integer µs and the tolerance
-    * compare is integer-vs-integer: no float boundary risk at all. */
+    * row survives unmatched. Runs the NATIVE sorted-merge operator with
+    * its own tolerance parameter ([[graft.plans.AsofJoin]] checks
+    * `lt − matchT ≤ tol` inside the merge, inclusive — the same
+    * integer-µs compare the oracle's windowed LATERAL states), so the
+    * plan is identical to [[joinAsofNative]]'s one-exchange-per-side
+    * merge with one extra register compare. The backward match is
+    * unique and lies inside the window iff ANY click does, which is
+    * why dropping it ≡ the windowed lookup. Zero float risk. */
   def joinAsofTolerance(s: SparkSession, d: String): DataFrame = {
     val tolUs = 10L * 60 * 1000000
     val e = Tables.events(s, d)
@@ -531,11 +532,10 @@ object Relational {
       .repartition(col("user_id"))
       .groupBy(col("user_id"), unix_micros(col("ts")).as("c_um"))
       .agg(max(col("event_id")).as("click_id"))
-    val inTol = col("p_um") - col("c_um") <= tolUs
-    graft.plans.AsofJoin(purchases, clicks, Seq("user_id"), "p_um", "c_um")
-      .select(col("purchase_id"), purchases("user_id"),
-        when(inTol, col("click_id")).as("click_id"),
-        when(inTol, col("p_um") - col("c_um")).as("gap_us"))
+    graft.plans.AsofJoin(purchases, clicks, Seq("user_id"), "p_um", "c_um",
+        tolerance = Some(tolUs))
+      .select(col("purchase_id"), purchases("user_id"), col("click_id"),
+        (col("p_um") - col("c_um")).as("gap_us"))
       .orderBy(col("purchase_id"))
   }
 
