@@ -15,7 +15,10 @@ object VerifySubset {
     require(names.nonEmpty, "VerifySubset: pass at least one query name")
     val unknown = names -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // default must MATCH Verify's ("4"): shuffle.partitions follows it,
+    // and a different partition count changes float summation order —
+    // a query could pass the subset gate and fail the real one
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -24,7 +24,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * An EMPTY input array yields NULL (matching `array_min` over an empty
   * transform) — callers that must avoid the all-null-band collapse
   * filter `size > 0` first, as [[graft.operators.ScalableDedup
-  * .minhashBandSignatures]] does. */
+  * .minhashBandSignatures]] does. Null ELEMENTS are skipped like the
+  * composed form skips them (an all-null array — impossible for hash
+  * arrays — would yield Long.MaxValue minima rather than nulls; the
+  * one divergence, documented rather than branched for). */
 case class MinhashMinsExpr(child: Expression, as: Seq[Long], bs: Seq[Long],
     p: Long) extends UnaryExpression {
 
@@ -33,6 +36,11 @@ case class MinhashMinsExpr(child: Expression, as: Seq[Long], bs: Seq[Long],
   require(p > 0, s"modulus must be positive, got $p")
 
   private val k = as.length
+  // hoisted once — nullSafeEval runs per ROW in interpreted contexts,
+  // and a per-row Seq→Array copy is exactly the allocation class this
+  // expression exists to remove
+  @transient private lazy val aArr = as.toArray
+  @transient private lazy val bArr = bs.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -48,16 +56,22 @@ case class MinhashMinsExpr(child: Expression, as: Seq[Long], bs: Seq[Long],
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n == 0) return null
-    val aArr = as.toArray; val bArr = bs.toArray
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
-      var j = 0
-      while (j < k) {
-        val m = (h * aArr(j) + bArr(j)) % p
-        if (m < mins(j)) mins(j) = m
-        j += 1
+      // null slots are SKIPPED, exactly as the composed form does
+      // (transform propagates the null, array_min ignores it) — reading
+      // them as 0 would inject b_j % p as a spurious minimum. Hash
+      // arrays are null-free in practice; the branch is for type
+      // parity with composed-form inputs (containsNull=true schemas).
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val m = (h * aArr(j) + bArr(j)) % p
+          if (m < mins(j)) mins(j) = m
+          j += 1
+        }
       }
       i += 1
     }
@@ -79,6 +93,7 @@ case class MinhashMinsExpr(child: Expression, as: Seq[Long], bs: Seq[Long],
          |  final long[] $mins = new long[$k];
          |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) { continue; }
          |    final long $h = $a.getLong($i);
          |    for (int $j = 0; $j < $k; $j++) {
          |      final long $m = ($h * $aRef[$j] + $bRef[$j]) % ${p}L;

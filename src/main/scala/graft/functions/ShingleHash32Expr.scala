@@ -46,10 +46,14 @@ case class ShingleHash32Expr(child: Expression, n: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "shingle_hash32"
 
+  // one digest per operator on the interpreted path too (nullSafeEval
+  // runs per ROW) — matches the codegen path's mutable-state reuse
+  @transient private lazy val interpretedMd =
+    java.security.MessageDigest.getInstance("MD5")
+
   override def nullSafeEval(v: Any): Any = {
     val t = v.asInstanceOf[UTF8String]
-    val md = java.security.MessageDigest.getInstance("MD5")
-    new GenericArrayData(ShingleHash32Expr.hashes(t, n, md))
+    new GenericArrayData(ShingleHash32Expr.hashes(t, n, interpretedMd))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

@@ -46,16 +46,12 @@ object Relational {
     * the marker file commits AFTER the write so a crashed write
     * rewrites instead of serving partial files. */
   def scanRangePruned(s: SparkSession, d: String): DataFrame = {
-    val dir = new java.io.File(rangeLayoutRoot, s"lineitem_${pathTag(d)}")
-    val done = new java.io.File(dir, "_graft_layout_done")
-    if (!done.exists()) {
+    val dir = layoutOnce("lineitem", d) { out =>
       graft.sources.Layout.saveRangeSorted(
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
-        dir.toString, numFiles = 8, Seq("l_orderkey"))
-      done.createNewFile()
-      ()
+        out, numFiles = 8, Seq("l_orderkey"))
     }
-    s.read.parquet(dir.toString)
+    s.read.parquet(dir)
       .filter(col("l_orderkey").between(300, 600))
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
@@ -77,19 +73,15 @@ object Relational {
     * gets ONE file instead of one per upstream task (the small-files
     * guard that matters at a million partitions). */
   def scanPartitionPruned(s: SparkSession, d: String): DataFrame = {
-    val dir = new java.io.File(rangeLayoutRoot, s"events_bydate_${pathTag(d)}")
-    val done = new java.io.File(dir, "_graft_layout_done")
-    if (!done.exists()) {
+    val dir = layoutOnce("events_bydate", d) { out =>
       graft.sources.Ingest.writePartitioned(
         Tables.events(s, d)
           .select(col("ts"), col("event_type"), col("value"))
           .withColumn("event_date", to_date(col("ts")))
           .repartition(col("event_date")),
-        dir.toString, Seq("event_date"))
-      done.createNewFile()
-      ()
+        out, Seq("event_date"))
     }
-    s.read.parquet(dir.toString)
+    s.read.parquet(dir)
       .filter(col("event_date").between("2024-01-10", "2024-01-15"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
@@ -109,19 +101,15 @@ object Relational {
     * the re-layout must be semantically INVISIBLE. Same per-JVM
     * lifetime/marker protocol as [[scanRangePruned]]. */
   def scanZorderPruned(s: SparkSession, d: String): DataFrame = {
-    val dir = new java.io.File(rangeLayoutRoot, s"events_zorder_${pathTag(d)}")
-    val done = new java.io.File(dir, "_graft_layout_done")
-    if (!done.exists()) {
+    val dir = layoutOnce("events_zorder", d) { out =>
       graft.sources.Layout.saveZOrdered(
         Tables.events(s, d)
           .select(col("user_id"), to_date(col("ts")).as("day"),
             col("event_type"), col("value")),
-        dir.toString, numFiles = 8,
+        out, numFiles = 8,
         col("user_id"), unix_date(col("day")))
-      done.createNewFile()
-      ()
     }
-    s.read.parquet(dir.toString)
+    s.read.parquet(dir)
       .filter(col("user_id").between(3, 9) &&
         col("day").between(lit("2024-01-08").cast("date"),
           lit("2024-01-18").cast("date")))
@@ -147,23 +135,19 @@ object Relational {
     * not in the aggregate. */
   def sourceCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val dir = new java.io.File(rangeLayoutRoot, s"lineitem_csv_${pathTag(d)}")
-    val done = new java.io.File(dir, "_graft_layout_done")
-    if (!done.exists()) {
+    val dir = layoutOnce("lineitem_csv", d) { out =>
       graft.sources.Ingest.writeCsv(
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
           col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
           col("l_shipdate")),
-        dir.toString)
-      done.createNewFile()
-      ()
+        out)
     }
     val schema = StructType(Seq(
       StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
       StructField("l_returnflag", StringType), StructField("l_quantity", DoubleType),
       StructField("l_extendedprice", DoubleType), StructField("l_shipdate", TimestampType)))
     val (valid, _) = graft.sources.Ingest.partitionValid(
-      graft.sources.Ingest.readCsv(s, dir.toString, schema))
+      graft.sources.Ingest.readCsv(s, dir, schema))
     valid
       .filter(col("l_shipdate").between(
         lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
@@ -185,22 +169,18 @@ object Relational {
     * per-lang hash sum. Same per-JVM lifetime/marker protocol. */
   def sourceJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val dir = new java.io.File(rangeLayoutRoot, s"documents_json_${pathTag(d)}")
-    val done = new java.io.File(dir, "_graft_layout_done")
-    if (!done.exists()) {
+    val dir = layoutOnce("documents_json", d) { out =>
       graft.sources.Ingest.writeJson(
         Tables.documents(s, d).select(col("doc_id"), col("lang"),
           col("source"), col("text"), col("n_chars")),
-        dir.toString)
-      done.createNewFile()
-      ()
+        out)
     }
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("lang", StringType),
       StructField("source", StringType), StructField("text", StringType),
       StructField("n_chars", LongType)))
     val (valid, _) = graft.sources.Ingest.partitionValid(
-      graft.sources.Ingest.readJson(s, dir.toString, schema))
+      graft.sources.Ingest.readJson(s, dir, schema))
     valid
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"),
@@ -221,19 +201,15 @@ object Relational {
     * AND that hive partitioning composes with a second format. Same
     * per-JVM lifetime/marker protocol as the other layouts. */
   def sourceOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = new java.io.File(rangeLayoutRoot, s"orders_orc_${pathTag(d)}")
-    val done = new java.io.File(dir, "_graft_layout_done")
-    if (!done.exists()) {
+    val dir = layoutOnce("orders_orc", d) { out =>
       graft.sources.Ingest.writeOrcPartitioned(
         Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
             col("o_orderdate"), year(col("o_orderdate")).as("o_year"))
           .repartition(col("o_year")),
-        dir.toString, Seq("o_year"))
-      done.createNewFile()
-      ()
+        out, Seq("o_year"))
     }
-    s.read.orc(dir.toString)
+    s.read.orc(dir)
       .filter(col("o_year").between(1996, 1998))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
@@ -248,6 +224,22 @@ object Relational {
     * the data it marks. */
   private lazy val rangeLayoutRoot: java.io.File =
     java.nio.file.Files.createTempDirectory("graft_range_layout").toFile
+
+  /** The write-once layout protocol shared by every re-layout query
+    * (range-sort, date-partition, z-order, CSV/JSON/ORC round-trips):
+    * per-JVM temp root + dataset-path tag, marker file committed AFTER
+    * the write so a crashed write rewrites instead of serving partial
+    * files. Returns the layout directory. */
+  private def layoutOnce(name: String, d: String)(write: String => Unit): String = {
+    val dir = new java.io.File(rangeLayoutRoot, s"${name}_${pathTag(d)}")
+    val done = new java.io.File(dir, "_graft_layout_done")
+    if (!done.exists()) {
+      write(dir.toString)
+      done.createNewFile()
+      ()
+    }
+    dir.toString
+  }
 
   /** Dataset-path tag naming the per-JVM layout copies of
     * [[scanRangePruned]] and [[joinBucketed]] — a PATH hash, so repeat

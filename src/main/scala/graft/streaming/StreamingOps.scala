@@ -392,9 +392,13 @@ object StreamingOps {
 
   /** Streaming rolling-zscore state for one user: the last ≤ maxWindow
     * folded values in fold order (the frame the next event's µ/σ read),
-    * and the watermark-bounded pending buffer of not-yet-ripe
+    * the (µs, event_id) fold point — the guard against re-folding a
+    * boundary duplicate from an at-least-once source (same hazard
+    * statefulEwma guards with its `us <= last` check) — and the
+    * watermark-bounded pending buffer of not-yet-ripe
     * (µs, event_id, value) rows. */
-  case class ZscoreState(win: Seq[Double], pending: Seq[(Long, Long, Double)])
+  case class ZscoreState(win: Seq[Double], lastUs: Long, lastId: Long,
+      pending: Seq[(Long, Long, Double)])
 
   /** One anomaly (Append-mode row) — the same shape the judged batch
     * query emits. */
@@ -432,17 +436,27 @@ object StreamingOps {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[(Long, Timestamp, Long, Double)],
             state: GroupState[ZscoreState]) =>
-          val st = state.getOption.getOrElse(ZscoreState(Vector.empty, Nil))
+          val st = state.getOption.getOrElse(
+            ZscoreState(Vector.empty, Long.MinValue, Long.MinValue, Nil))
           def micros(t: Timestamp): Long =
             t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
           val pending = st.pending ++ rows.map(r => (micros(r._2), r._3, r._4))
           val wm = state.getCurrentWatermarkMs()
           val (ripe, keep) = pending.partition(_._1 <= wm * 1000L)
           var win = st.win.toVector
+          var lastUs = st.lastUs
+          var lastId = st.lastId
           def round2(v: Double): Double =
             java.math.BigDecimal.valueOf(v)
               .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
-          val out = ripe.sortBy(r => (r._1, r._2)).flatMap { case (us, id, x) =>
+          val out = ripe.sortBy(r => (r._1, r._2)).filter { case (us, id, _) =>
+            // fold-point guard: the watermark late-filter is ms-precision
+            // while ripeness here is µs, so an event exactly AT the
+            // watermark instant can arrive again in a later batch —
+            // re-folding it (now out of order) would diverge from the
+            // batch window's (ts, event_id) order
+            us > lastUs || (us == lastUs && id > lastId)
+          }.flatMap { case (us, id, x) =>
             val emit = if (win.size >= minWindow) {
               val n = win.size
               val mu = win.sum / n
@@ -463,9 +477,11 @@ object StreamingOps {
               } else None
             } else None
             win = (win :+ x).takeRight(maxWindow)
+            lastUs = us
+            lastId = id
             emit
           }
-          state.update(ZscoreState(win, keep))
+          state.update(ZscoreState(win, lastUs, lastId, keep))
           if (keep.nonEmpty)
             state.setTimeoutTimestamp(Math.floorDiv(keep.map(_._1).min + 999L, 1000L))
           out.iterator
