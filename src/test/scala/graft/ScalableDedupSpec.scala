@@ -142,6 +142,31 @@ class ScalableDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("MinhashMinsExpr skips null slots exactly as the composed form does") {
+    // a null element must not be read as 0 (which would inject b_j % p
+    // as a spurious minimum) — the composed array_min(transform) skips
+    // it, and the fused expression must agree on containsNull inputs
+    val df = Seq((1L, Seq[Option[Long]](None, Some(9L), Some(5L))),
+        (2L, Seq[Option[Long]](Some(7L), None, None)))
+      .toDF("id", "hs")
+    val k = 4
+    val composed = (0 until k).map { i =>
+      array_min(transform($"hs", h =>
+        (h * lit(ScalableDedup.minhashA(i)) + lit(ScalableDedup.minhashB(i))) %
+          lit(ScalableDedup.MinhashP)))
+    }
+    df.select($"id",
+        graft.functions.MinhashMinsExpr.minhash_mins($"hs",
+          (0 until k).map(ScalableDedup.minhashA),
+          (0 until k).map(ScalableDedup.minhashB),
+          ScalableDedup.MinhashP).as("fused"),
+        array(composed: _*).as("composed"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"id ${r.getLong(0)}: ${r.getSeq[Long](1)} != ${r.getSeq[Long](2)}")
+      }
+  }
+
   test("shingle_hash32 equals the composed shingleHashes(shingleSet) chain bit for bit") {
     // fused expression vs the string-churn chain, on the real corpus
     // PLUS the edge shapes (shorter-than-n, empty, multibyte unicode)
