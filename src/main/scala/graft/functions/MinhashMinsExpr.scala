@@ -21,13 +21,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * bit for bit (ScalableDedupSpec asserts signature equality against
   * the composed form), so the pinned-hash oracle contract is untouched.
   *
-  * An EMPTY input array yields NULL (matching `array_min` over an empty
-  * transform) — callers that must avoid the all-null-band collapse
+  * An input with NO non-null elements — empty, or every slot null —
+  * yields NULL (for empty input this matches `array_min` over an empty
+  * transform); callers that must avoid the all-null-band collapse
   * filter `size > 0` first, as [[graft.operators.ScalableDedup
   * .minhashBandSignatures]] does. Null ELEMENTS are skipped like the
-  * composed form skips them (an all-null array — impossible for hash
-  * arrays — would yield Long.MaxValue minima rather than nulls; the
-  * one divergence, documented rather than branched for). */
+  * composed form skips them; a saw-non-null flag turns the degenerate
+  * all-null case into NULL rather than Long.MaxValue minima, so no
+  * garbage sentinel can ever escape into a signature. */
 case class MinhashMinsExpr(child: Expression, as: Seq[Long], bs: Seq[Long],
     p: Long) extends UnaryExpression {
 
@@ -58,6 +59,7 @@ case class MinhashMinsExpr(child: Expression, as: Seq[Long], bs: Seq[Long],
     if (n == 0) return null
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
+    var sawValue = false
     while (i < n) {
       // null slots are SKIPPED, exactly as the composed form does
       // (transform propagates the null, array_min ignores it) — reading
@@ -65,6 +67,7 @@ case class MinhashMinsExpr(child: Expression, as: Seq[Long], bs: Seq[Long],
       // arrays are null-free in practice; the branch is for type
       // parity with composed-form inputs (containsNull=true schemas).
       if (!arr.isNullAt(i)) {
+        sawValue = true
         val h = arr.getLong(i)
         var j = 0
         while (j < k) {
@@ -75,7 +78,7 @@ case class MinhashMinsExpr(child: Expression, as: Seq[Long], bs: Seq[Long],
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    if (!sawValue) null else new GenericArrayData(mins)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -85,6 +88,7 @@ case class MinhashMinsExpr(child: Expression, as: Seq[Long], bs: Seq[Long],
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val j = ctx.freshName("j"); val h = ctx.freshName("h")
       val m = ctx.freshName("m"); val mins = ctx.freshName("mins")
+      val saw = ctx.freshName("saw")
       s"""
          |final int $n = $a.numElements();
          |if ($n == 0) {
@@ -92,15 +96,21 @@ case class MinhashMinsExpr(child: Expression, as: Seq[Long], bs: Seq[Long],
          |} else {
          |  final long[] $mins = new long[$k];
          |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  boolean $saw = false;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i)) { continue; }
+         |    $saw = true;
          |    final long $h = $a.getLong($i);
          |    for (int $j = 0; $j < $k; $j++) {
          |      final long $m = ($h * $aRef[$j] + $bRef[$j]) % ${p}L;
          |      if ($m < $mins[$j]) { $mins[$j] = $m; }
          |    }
          |  }
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |  if (!$saw) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |  }
          |}
        """.stripMargin
     })

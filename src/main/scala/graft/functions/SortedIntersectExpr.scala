@@ -91,8 +91,13 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
 }
 
 object SortedIntersectCountExpr {
-  /** Column API entry point — inputs MUST be sorted `array<bigint>`. */
-  def sorted_intersect_count(a: Column, b: Column): Column =
+  /** Column API entry point — inputs MUST be sorted `array<bigint>`
+    * (undercounts silently otherwise). `private[graft]` on purpose: the
+    * precondition is upheld by construction inside this library
+    * (`array_sort` upstream in every caller, parity-pinned by
+    * ScalableDedupSpec) but is unchecked at runtime, so the trap is
+    * compile-fenced from external callers rather than exported. */
+  private[graft] def sorted_intersect_count(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectCountExpr(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -164,18 +164,17 @@ object Graph {
       .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("common"))
   }
 
-  /** Per-node triangle participation counts over an id-ORIENTED edge
-    * list (`s1` < `s2`, one row per undirected edge): triangle (a,b,c),
-    * a<b<c, is found as ab ⋈ bc on the shared middle node, closed by
-    * the (a,c) equi-join — every triangle enumerated exactly once, no
-    * direction double-counting. Two hash joins + one group-by; the
-    * fan-out of the ab⋈bc step is Σ deg²(node) over ORIENTED degrees —
-    * at scale, orient by (degree, id) instead of raw id (relabel ids by
-    * ascending degree first): that caps every node's oriented
-    * out-degree at O(√|E|) (Schank/Wagner '05), turning the worst-case
-    * hub blowup into the optimal enumeration bound. Orientation choice
-    * changes WHICH join key a triangle is found under, never the count.
-    * Exact integers end to end. */
+  /** Per-node triangle participation counts over an ORIENTED edge
+    * list (`s1` before `s2` under some strict total node order, one row
+    * per undirected edge): triangle (a,b,c), a<b<c in that order, is
+    * found as ab ⋈ bc on the shared middle node, closed by the (a,c)
+    * equi-join — every triangle enumerated exactly once, no direction
+    * double-counting. Two hash joins + one group-by; the fan-out of the
+    * ab⋈bc step is Σ in·out degree products over ORIENTED degrees.
+    * Orientation choice changes WHICH join key a triangle is found
+    * under, never the count — feed [[orientByDegree]] output to cap the
+    * oriented out-degree at O(√|E|) (Schank/Wagner '05), which is what
+    * the judged query does. Exact integers end to end. */
   def triangleCounts(pairs: DataFrame): DataFrame = {
     val ab = pairs.select(col("s1").as("a"), col("s2").as("b"))
     val bc = pairs.select(col("s1").as("b"), col("s2").as("c"))
@@ -183,6 +182,33 @@ object Graph {
     ab.join(bc, "b").join(ac, Seq("a", "c"))
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Re-orients an undirected (`s1`, `s2`) edge list by ascending
+    * (degree, id) instead of raw id — the Schank/Wagner '05 `forward`
+    * orientation. Every node's oriented OUT-degree is then ≤ O(√|E|):
+    * a node of degree d only keeps out-edges to neighbors of degree
+    * ≥ d, and more than √(2|E|) such neighbors would need Σdeg > 2|E|.
+    * That cap turns [[triangleCounts]]' ab⋈bc fan-out from the hub
+    * worst case Σdeg² into the enumeration-optimal O(|E|^{3/2}) — a
+    * single 10⁶-degree hub under raw-id orientation can emit ~10¹²
+    * join rows; degree-ordered it emits at most ~|E|. (degree, id) is
+    * a strict total order (ids unique), so exactly one row per edge
+    * survives with the orientation flipped where needed. The degree
+    * table is |nodes|-sized — un-hinted join, AQE broadcasts it while
+    * it fits and shuffles beyond. */
+  def orientByDegree(pairs: DataFrame): DataFrame = {
+    val deg = pairs
+      .select(explode(array(col("s1"), col("s2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("_deg"))
+    val withDeg = pairs
+      .join(deg.select(col("node").as("s1"), col("_deg").as("_d1")), "s1")
+      .join(deg.select(col("node").as("s2"), col("_deg").as("_d2")), "s2")
+    val keepAsIs = col("_d1") < col("_d2") ||
+      (col("_d1") === col("_d2") && col("s1") < col("s2"))
+    withDeg.select(
+      when(keepAsIs, col("s1")).otherwise(col("s2")).as("s1"),
+      when(keepAsIs, col("s2")).otherwise(col("s1")).as("s2"))
   }
 
   /** #149 judged triangle count over the part CO-PURCHASE graph: parts
@@ -194,18 +220,22 @@ object Graph {
     * recommendation. Pipeline: distinct (order, part) edges →
     * [[commonNeighborPairs]] (generic key/item roles; the deg² step is
     * bounded by order line counts, cap available for pathological
-    * baskets) → co-occurrence ≥ 2 edge list → [[triangleCounts]].
-    * Exact integer counts, total ORDER BY — zero float risk. */
+    * baskets) → co-occurrence ≥ 2 edge list → [[orientByDegree]] →
+    * [[triangleCounts]] — the Schank/Wagner orientation caps the
+    * enumeration join's per-node fan-out at O(√|E|), hub-safe at any
+    * scale. Exact integer counts, total ORDER BY — zero float risk. */
   def graphTriangleCount(s: SparkSession, d: String): DataFrame = {
     val e = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("cust"), col("l_partkey").as("supp"))
       .distinct()
-    // ONE materialization of the co-occurrence edge list: triangleCounts
-    // references it three times (ab/bc/ac) — without the checkpoint the
-    // whole distinct + basket self-join + aggregate subtree plans (and
-    // absent exchange reuse, runs) three times
-    val pairs = commonNeighborPairs(e, degreeCap = None)
-      .filter(col("common") >= 2).select(col("s1"), col("s2"))
+    // ONE materialization of the (degree-oriented) co-occurrence edge
+    // list: triangleCounts references it three times (ab/bc/ac) —
+    // without the checkpoint the whole distinct + basket self-join +
+    // aggregate + orientation subtree plans (and absent exchange reuse,
+    // runs) three times
+    val pairs = orientByDegree(
+        commonNeighborPairs(e, degreeCap = None)
+          .filter(col("common") >= 2).select(col("s1"), col("s2")))
       .localCheckpoint(true)
     triangleCounts(pairs).orderBy(col("node"))
   }

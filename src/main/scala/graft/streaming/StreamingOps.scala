@@ -440,9 +440,22 @@ object StreamingOps {
             ZscoreState(Vector.empty, Long.MinValue, Long.MinValue, Nil))
           def micros(t: Timestamp): Long =
             t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
-          val pending = st.pending ++ rows.map(r => (micros(r._2), r._3, r._4))
+          // .distinct collapses same-batch redeliveries of one event
+          // (at-least-once sources can emit a row twice INSIDE a batch,
+          // where the cross-batch fold-point guard cannot see it)
+          val pending =
+            (st.pending ++ rows.map(r => (micros(r._2), r._3, r._4))).distinct
           val wm = state.getCurrentWatermarkMs()
-          val (ripe, keep) = pending.partition(_._1 <= wm * 1000L)
+          // STRICTLY below the watermark instant: Spark's late filter
+          // drops `ts <= watermark`, so an instant is permanently
+          // SEALED — no further arrival possible — exactly when the
+          // watermark strictly passes it. Folding only sealed instants
+          // guarantees every admissible same-µs straggler (distinct
+          // smaller event_id, delivered batches later) is present
+          // before its instant folds, so the (ts, event_id) fold order
+          // is exact; the pre-fix `<=` folded the boundary instant one
+          // batch early, while its arrival set was still open.
+          val (ripe, keep) = pending.partition(_._1 < wm * 1000L)
           var win = st.win.toVector
           var lastUs = st.lastUs
           var lastId = st.lastId
@@ -450,11 +463,12 @@ object StreamingOps {
             java.math.BigDecimal.valueOf(v)
               .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
           val out = ripe.sortBy(r => (r._1, r._2)).filter { case (us, id, _) =>
-            // fold-point guard: the watermark late-filter is ms-precision
-            // while ripeness here is µs, so an event exactly AT the
-            // watermark instant can arrive again in a later batch —
-            // re-folding it (now out of order) would diverge from the
-            // batch window's (ts, event_id) order
+            // fold-point guard against re-folding a cross-batch
+            // redelivery. With strict-< ripeness everything already
+            // folded sits strictly below the watermark, so Spark's own
+            // late filter drops redeliveries first — this is the
+            // belt-and-braces backstop, no longer load-bearing for
+            // distinct same-instant events (those ripen together above)
             us > lastUs || (us == lastUs && id > lastId)
           }.flatMap { case (us, id, x) =>
             val emit = if (win.size >= minWindow) {
@@ -483,7 +497,12 @@ object StreamingOps {
           }
           state.update(ZscoreState(win, lastUs, lastId, keep))
           if (keep.nonEmpty)
-            state.setTimeoutTimestamp(Math.floorDiv(keep.map(_._1).min + 999L, 1000L))
+            // strict-< ripeness means a pending row can sit exactly AT
+            // the watermark instant, where its ceiling-to-ms equals wm —
+            // clamp to wm+1 (event-time timeouts must be beyond the
+            // watermark); the flush still fires as soon as wm moves
+            state.setTimeoutTimestamp(Math.max(
+              Math.floorDiv(keep.map(_._1).min + 999L, 1000L), wm + 1L))
           out.iterator
       }
   }

@@ -99,6 +99,33 @@ class GraphSpec extends SparkSpecBase {
       s"cap must bound fan-out to the non-hub pairs (got $capped)")
   }
 
+  test("orientByDegree: count-identity with id orientation on a hub graph, out-degree capped") {
+    // hub 0 touches every leaf 1..8 (degree 8); leaves form a ring
+    // (degree 3 each). Triangles are exactly (0, i, i+1) — a triangle
+    // per ring edge. Id orientation funnels all 8 hub edges OUT of node
+    // 0 (out-degree 8 = the Σdeg² hazard); degree orientation points
+    // them INTO the hub, capping every out-degree at ≤ 3.
+    val n = 8
+    val ring = (1 to n).map(i => (i.toLong, if (i == n) 1L else i + 1L))
+    val star = (1 to n).map(i => (0L, i.toLong))
+    val pairs = (star ++ ring).map { case (a, b) =>
+      (math.min(a, b), math.max(a, b)) }.toDF("s1", "s2")
+    def counts(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Graph.triangleCounts(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaId = counts(pairs)
+    val viaDeg = counts(Graph.orientByDegree(pairs))
+    assert(viaId == viaDeg, s"orientation changed counts: $viaId vs $viaDeg")
+    assert(viaId(0L) == n.toLong) // the hub closes every ring triangle
+    // the orientation really is degree-ascending: no node keeps more
+    // out-edges than the Schank/Wagner cap allows on this fixture
+    val outDeg = Graph.orientByDegree(pairs).groupBy($"s1").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!outDeg.contains(0L) || outDeg(0L) == 0L,
+      s"hub must have no out-edges under degree orientation: $outDeg")
+    assert(outDeg.values.forall(_ <= 3L), s"out-degree cap violated: $outDeg")
+  }
+
   test("graphPagerank: judged output is ordered, complete, and mass-conserving") {
     val df = Graph.graphPagerank(spark, sf())
     val rows = df.collect()

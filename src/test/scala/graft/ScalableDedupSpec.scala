@@ -149,6 +149,16 @@ class ScalableDedupSpec extends SparkSpecBase {
     val df = Seq((1L, Seq[Option[Long]](None, Some(9L), Some(5L))),
         (2L, Seq[Option[Long]](Some(7L), None, None)))
       .toDF("id", "hs")
+    // degenerate ALL-null array: the fused form returns NULL (no usable
+    // element — same as empty input), never Long.MaxValue sentinels
+    val allNull = Seq((3L, Seq[Option[Long]](None, None))).toDF("id", "hs")
+      .select(graft.functions.MinhashMinsExpr.minhash_mins($"hs",
+        (0 until 4).map(ScalableDedup.minhashA),
+        (0 until 4).map(ScalableDedup.minhashB),
+        ScalableDedup.MinhashP).as("fused"))
+      .collect()
+    assert(allNull.head.isNullAt(0),
+      s"all-null input must yield NULL, got ${allNull.head.get(0)}")
     val k = 4
     val composed = (0 until k).map { i =>
       array_min(transform($"hs", h =>

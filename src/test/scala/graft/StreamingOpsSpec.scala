@@ -710,4 +710,60 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(got == want,
       s"stream-only: ${got -- want}; batch-only: ${want -- got}")
   }
+
+  test("stateful anomaly zscore admits a distinct same-instant straggler at the watermark boundary") {
+    implicit val ctx = spark.sqlContext
+    // Spark's late filter drops `ts <= watermark` (µs-exact), so an
+    // instant is permanently SEALED the moment the watermark reaches
+    // it. Strict-< ripeness folds an instant only once sealed — which
+    // guarantees a DISTINCT same-µs straggler (smaller event_id,
+    // delivered batches later while the instant is still open) lands in
+    // its exact (µs, event_id) fold position instead of being guarded
+    // away as a redelivery or folded out of order.
+    val base = 1700000000000000L // µs, ms-aligned
+    def t(i: Long): Long = base + i * 1000000L
+    // 11 warm-up values with real variance, then the contested instant
+    // t(12): id 99 value 20.0 (an anomaly itself once folded) delivered
+    // two batches LATE, id 100 value 10.0 delivered on time; then a
+    // spike at t(13) whose window must contain BOTH t(12) values.
+    val warm = (1 to 11).map(i => (i.toLong, t(i), 1L, 10.0 + 0.3 * (i % 3)))
+    val onTime = (100L, t(12), 1L, 10.0)
+    val straggler = (99L, t(12), 1L, 20.0)
+    val spike = (200L, t(13), 1L, 50.0)
+    val all = warm ++ Seq(onTime, straggler, spike)
+    val ms = MemoryStream[(Long, Long, Long, Double)]
+    val in = ms.toDF().select($"_1".as("event_id"),
+      timestamp_micros($"_2").as("ts"), $"_3".as("user_id"),
+      $"_4".as("value"))
+    val out = StreamingOps.statefulAnomalyZscore(in, watermark = "2 seconds")
+    val q = out.writeStream.format("memory").queryName("t_zscore_boundary")
+      .outputMode("append").start()
+    try {
+      // after batch 1 the watermark is t(10) — t(12) is open
+      ms.addData(warm :+ onTime: _*); q.processAllAvailable()
+      // the straggler arrives a batch later, still admissible
+      // (t(12) > watermark) — its instant has already seen id 100
+      ms.addData(straggler); q.processAllAvailable()
+      ms.addData(spike); q.processAllAvailable()
+      // far-future driver seals and flushes every buffered instant
+      ms.addData((999L, t(100000), 42L, 0.0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_zscore_boundary")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"),
+        $"value", $"z")
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    val batchIn = (all :+ (999L, t(100000), 42L, 0.0))
+      .toDF("event_id", "us", "user_id", "value")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        lit("click").as("event_type"), $"value")
+    val want = graft.operators.TimeSeries.anomalyZscore(batchIn)
+      .select($"event_id", $"user_id",
+        unix_micros($"ts".cast("timestamp")).as("us"), $"value", $"z")
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    // the straggler must itself be one of the judged anomalies — the
+    // scenario is only discriminating if dropping it loses a row
+    assert(want.exists(_._1 == 99L), s"fixture lost its teeth: $want")
+    assert(got == want,
+      s"stream-only: ${got -- want}; batch-only: ${want -- got}")
+  }
 }
