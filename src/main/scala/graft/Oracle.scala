@@ -128,6 +128,12 @@ object Oracle {
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) sum_qty, round(sum(l_extendedprice),2) sum_base, round(sum(l_extendedprice*(1-l_discount)),2) sum_disc, round(avg(l_quantity),6) avg_qty, round(avg(l_extendedprice),4) avg_price, round(avg(l_discount),6) avg_disc, count(*) cnt FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "agg_count_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) u FROM events GROUP BY event_type ORDER BY event_type",
+    // KMV sketch in its exact regime (per-group distinct < k=1024, an
+    // invariant of the suite's fixed lineitem/supplier ratio): the
+    // sketch estimate IS the exact distinct count, so the oracle is
+    // plain count(distinct)
+    "agg_kmv_distinct" ->
+      "SELECT l_suppkey, count(DISTINCT l_orderkey) n_orders FROM lineitem GROUP BY 1 ORDER BY 1",
     "agg_filtered" ->
       "SELECT user_id, count(*) FILTER (WHERE event_type = 'purchase') purchases, round(sum(value) FILTER (WHERE event_type = 'purchase'),2) spend FROM events GROUP BY user_id ORDER BY user_id",
     "agg_rollup" ->
@@ -309,6 +315,11 @@ object Oracle {
       "SELECT label, count(*) c, round(avg(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))),6) avg_sim FROM embeddings GROUP BY label ORDER BY label",
     "llm_minhash_jaccard" ->
       "WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) toks FROM documents WHERE doc_id < 50) SELECT * FROM (SELECT a.doc_id a_id, b.doc_id b_id, round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))), 6) jac FROM t a JOIN t b ON a.doc_id < b.doc_id) WHERE jac > 0.6 ORDER BY a_id, b_id",
+    // incremental-append invisibility: the engine runs base-store +
+    // Bloom-gated delta append; the oracle is the one-shot full
+    // recompute the incremental path must be byte-identical to
+    "llm_dedup_append" ->
+      "SELECT min(doc_id) AS doc_id, md5(text) AS h FROM documents GROUP BY md5(text) ORDER BY doc_id",
     // deterministic hash-draw importance sampling — pure integer compare,
     // replayable by any engine (the property rand()/sample() cannot give)
     "llm_importance_sample" ->

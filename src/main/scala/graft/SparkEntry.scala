@@ -46,6 +46,7 @@ object SparkEntry {
     // §2.4 aggregations
     "agg_pricing_summary" -> (Relational.aggPricingSummary _),
     "agg_count_distinct" -> (Relational.aggCountDistinct _),
+    "agg_kmv_distinct" -> (Relational.aggKmvDistinct _),
     "agg_filtered" -> (Relational.aggFiltered _),
     "agg_rollup" -> (Relational.aggRollup _),
     "agg_cube" -> (Relational.aggCube _),
@@ -124,6 +125,7 @@ object SparkEntry {
     "llm_knn_label" -> (LlmOps.llmKnnLabel _),
     "llm_minhash_jaccard" -> (LlmOps.llmMinhashJaccard _),
     "llm_importance_sample" -> (LlmOps.llmImportanceSample _),
+    "llm_dedup_append" -> (LlmOps.llmDedupAppend _),
     "llm_dedup_clusters" -> (TrainingData.llmDedupClusters _),
     "llm_curate_chain" -> (LlmOps.llmCurateChain _),
     // §2.11 subqueries

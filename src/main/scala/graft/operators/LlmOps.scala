@@ -123,6 +123,45 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** #155 judged INCREMENTAL-APPEND invariance: split the corpus at 60%
+    * of the id range into a historical base and an incoming delta, run
+    * exact dedup the way [[graft.CorpusPipeline]].appendBatch does —
+    * base keepers become the signature store; the delta dedups within
+    * itself, then drops anything the store has seen via a broadcast
+    * Bloom pre-filter (map-scanned history, no store shuffle) whose
+    * maybe-seen remainder alone pays the exact anti-join — and judge
+    * that base-keepers ∪ accepted-delta is BYTE-IDENTICAL to a one-shot
+    * full recompute over the whole corpus (the oracle). The same
+    * writer-side-invisibility trick as `join_bucketed`: the oracle
+    * never sees the incremental machinery, only its output. The
+    * identity holds because delta ids are strictly larger than base
+    * ids (ids grow with time — appendBatch's documented contract), so
+    * min-id-per-hash commutes with the split. A daily 100 TB pipeline
+    * reruns exactly this shape: history is never re-shuffled, only its
+    * one-row Bloom digest is broadcast. */
+  def llmDedupAppend(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).withColumn("_h", md5(col("text")))
+    // one-row split point (3/5 of the max id) — broadcast, not collected
+    val mx = docs.agg((max(col("doc_id")) * 3 / 5).as("_split"))
+    val base = docs.crossJoin(broadcast(mx)).filter(col("doc_id") < col("_split"))
+    val delta = docs.crossJoin(broadcast(mx)).filter(col("doc_id") >= col("_split"))
+    val store = base.groupBy(col("_h")).agg(min(col("doc_id")).as("doc_id"))
+    val deltaKeep = delta.groupBy(col("_h")).agg(min(col("doc_id")).as("doc_id"))
+    val seen = store.agg(graft.functions.Bloom.bloomSketch(col("_h")).as("_seen"))
+    val flagged = deltaKeep.crossJoin(broadcast(seen))
+      .withColumn("_maybe",
+        graft.functions.Bloom.bloomContains(col("_seen"), col("_h")))
+      .drop("_seen")
+    // Bloom-rejected rows are DEFINITELY new (no false negatives) and
+    // skip the join; only the ≤fpp maybe-seen remainder probes history
+    val accepted = flagged.filter(!col("_maybe")).drop("_maybe")
+      .unionByName(flagged.filter(col("_maybe")).drop("_maybe")
+        .join(store.select(col("_h")), Seq("_h"), "left_anti"))
+    store.select(col("doc_id"), col("_h").as("h"))
+      .unionByName(accepted.select(col("doc_id"), col("_h").as("h")))
+      .orderBy(col("doc_id"))
+  }
+
   /** #55 near-duplicate candidate pairs by token-set Jaccard > 0.6 over a
     * bounded probe set (doc_id < 50). Exact all-pairs on the probe window;
     * the scalable variant (MinHash banding) lives in ScalableDedup. */

@@ -581,6 +581,28 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("u"))
       .orderBy(col("event_type"))
 
+  /** #156 judged SKETCH distinct count in its EXACT regime: per-supplier
+    * distinct order counts via the KMV bottom-k sketch
+    * ([[graft.functions.Kmv]], k = 1024). A KMV sketch holding fewer
+    * than k hashes IS the distinct set's exact cardinality (the buffer
+    * is the sorted distinct hash sample, length = count below k), so
+    * the estimate equals the oracle's `count(distinct ...)` wherever
+    * per-group cardinality < 1024 — and this suite's ratio is pinned by
+    * construction: lineitem/supplier ≈ 600 at EVERY linear sf (both
+    * tables scale together), an ~8σ Poisson margin below k. This puts
+    * the sketch family's 100 TB shape — per-partition sketch, merge,
+    * estimate; history never re-shuffles — under the same hash gate as
+    * every exact operator. Beyond the exact regime the estimator
+    * degrades to ±3% (k=1024), which is the documented trade; the
+    * judged query stays inside the regime on purpose. */
+  def aggKmvDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(graft.functions.Kmv.kmvSketch(col("l_orderkey")).as("_sk"))
+      .select(col("l_suppkey"),
+        graft.functions.Kmv.kmvEstimate(col("_sk")).as("n_orders"))
+      .orderBy(col("l_suppkey"))
+
   /** #15 FILTER-ed aggregates via conditional expressions (sum/count over
     * `when`), one pass over the data. */
   def aggFiltered(s: SparkSession, d: String): DataFrame =
