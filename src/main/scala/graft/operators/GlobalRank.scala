@@ -395,8 +395,16 @@ object GlobalRank {
         s"rankOfValues: null in '$valueCol' (null values have no defined " +
           "rank position; filter or coalesce them first)")))
       .otherwise(col(valueCol)).as(valueCol)
+    // ONE materialization of the per-value count table: without it the
+    // counts subtree (fact scan + groupBy) is PLANNED once per consumer
+    // — the splits sample, the bucket totals, the per-bucket window and
+    // the rank join-back — and the sf0.01 plan audit showed the fact
+    // parquet scanned four times (9 exchanges; 4 after this). The
+    // counts table is |distinct values|-sized, orders of magnitude
+    // smaller than the data — the same trade winCumeDist documents.
     val counts = df.select(guarded).groupBy(col(valueCol))
       .agg(count(lit(1)).as(cntC))
+      .localCheckpoint(true)
     val order = Seq(if (desc) col(valueCol).desc else col(valueCol).asc)
     val isString = df.schema(valueCol).dataType ==
       org.apache.spark.sql.types.StringType
@@ -434,7 +442,11 @@ object GlobalRank {
       out: String, buckets: Int = 0,
       splits: Option[Array[Double]] = None,
       valuesFrom: Option[DataFrame] = None): DataFrame = {
+    // checkpoint for the same reason as rankOfValues' counts table: the
+    // distinct-value subtree otherwise re-plans (and re-scans the fact
+    // table) once per consumer inside the bucketed-rank machinery
     val distinctVals = valuesFrom.getOrElse(df).select(col(valueCol)).distinct()
+      .localCheckpoint(true)
     val ranked = withRank(distinctVals, valueCol, desc,
       Seq(if (desc) col(valueCol).desc else col(valueCol)), out, buckets, splits)
     // left join + loud failure instead of an inner join: df's values must
