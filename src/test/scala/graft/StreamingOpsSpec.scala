@@ -711,6 +711,39 @@ class StreamingOpsSpec extends SparkSpecBase {
       s"stream-only: ${got -- want}; batch-only: ${want -- got}")
   }
 
+  test("stateful session stats equals the batch ts_session_stats rollup bit for bit") {
+    implicit val ctx = spark.sqlContext
+    // the REAL sf0.001 events, shuffled across three batches — interval
+    // merge is order-insensitive, so the rollup must come out identical
+    // to the batch window query whatever the delivery order
+    val ev = Tables.events(spark, sf())
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val shuffled = ev.sortBy(r => (r._3 % 3, r._3 / 7 % 5, r._3))
+    val ms = MemoryStream[(Long, Long, Long)]
+    val in = ms.toDF().select($"_1".as("user_id"),
+      timestamp_micros($"_2").as("ts"), $"_3".as("event_id"))
+    val out = StreamingOps.statefulSessionStats(in, watermark = "60 days")
+    val q = out.writeStream.format("memory").queryName("t_sess_stats")
+      .outputMode("append").start()
+    try {
+      shuffled.grouped((shuffled.size + 2) / 3).foreach { b =>
+        ms.addData(b: _*); q.processAllAvailable()
+      }
+      // far-future driver seals every user's last session
+      ms.addData((999999L, ev.map(_._2).max + 120L * 86400 * 1000000, 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_sess_stats")
+      .filter($"user_id" =!= 999999L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val want = graft.operators.TimeSeries.tsSessionStats(spark, sf())
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"stream-only: ${got -- want}; batch-only: ${want -- got}")
+  }
+
   test("stateful anomaly zscore admits a distinct same-instant straggler at the watermark boundary") {
     implicit val ctx = spark.sqlContext
     // Spark's late filter drops `ts <= watermark` (µs-exact), so an
