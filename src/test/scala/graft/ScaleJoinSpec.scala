@@ -130,6 +130,24 @@ class ScaleJoinSpec extends SparkSpecBase {
       s"AQE did not mark the join skewed:\n$plan")
     assert(hotTasks > 1,
       s"hot key still on one task ($hotTasks) despite AQE skew split:\n$plan")
+    // the decision rule (SCALE_DEPLOYMENT.md "skew posture") is only a
+    // CHOICE if both paths are interchangeable on results: the salted
+    // join over the identical fixture must return exactly the same row
+    // set the AQE-split plain join just produced, and its plan must
+    // show the guarantee is structural (salt in the join keys, no
+    // runtime-statistics dependence)
+    val saltedDf = graft.operators.SkewJoin
+      .saltedInnerJoin(left, right, "k", "rk", "id", saltBuckets = 8)
+      .select($"k", $"id", $"rk", $"payload")
+    val saltedPlan = saltedDf.queryExecution.executedPlan.toString
+    assert(saltedPlan.contains("_salt"),
+      s"salted path must key the join on the salt:\n$saltedPlan")
+    val aqeRows = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getString(3))).toSet
+    val saltedRows = saltedDf.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getString(3))).toSet
+    assert(saltedRows == aqeRows,
+      s"paths diverge: aqe-only=${aqeRows -- saltedRows}, salted-only=${saltedRows -- aqeRows}")
   }
 
   test("bucketed+sorted table runs a per-key window with no exchange and no sort") {
