@@ -143,8 +143,18 @@ object LlmOps {
     val docs = Tables.documents(s, d).withColumn("_h", md5(col("text")))
     // one-row split point (3/5 of the max id) — broadcast, not collected
     val mx = docs.agg((max(col("doc_id")) * 3 / 5).as("_split"))
-    val base = docs.crossJoin(broadcast(mx)).filter(col("doc_id") < col("_split"))
-    val delta = docs.crossJoin(broadcast(mx)).filter(col("doc_id") >= col("_split"))
+    // ONE materialization of the slim (doc_id, hash, split) projection:
+    // the store, the Bloom digest, the anti-join and the final union
+    // each consume it, and without the checkpoint every consumer
+    // re-plans (and re-scans + re-hashes) the corpus subtree — the
+    // audited plan went 15 → 9 exchanges (16 → 4 nested-loop
+    // one-row-broadcast attaches). Only ids+hashes materialize,
+    // never text: the honest stand-in for appendBatch's real operating
+    // shape, where the signature store IS a materialized table
+    val hashed = docs.select(col("doc_id"), col("_h"))
+      .crossJoin(broadcast(mx)).localCheckpoint(true)
+    val base = hashed.filter(col("doc_id") < col("_split"))
+    val delta = hashed.filter(col("doc_id") >= col("_split"))
     val store = base.groupBy(col("_h")).agg(min(col("doc_id")).as("doc_id"))
     val deltaKeep = delta.groupBy(col("_h")).agg(min(col("doc_id")).as("doc_id"))
     val seen = store.agg(graft.functions.Bloom.bloomSketch(col("_h")).as("_seen"))
