@@ -143,7 +143,7 @@ object Oracle {
     "agg_grouping_sets" ->
       "SELECT coalesce(event_type,'ALL') et, coalesce(CAST(user_id AS VARCHAR),'ALL') uid, count(*) c FROM events GROUP BY GROUPING SETS ((event_type), (user_id), ()) ORDER BY 1, 2",
     "agg_regression" ->
-      "SELECT event_type, round(regr_slope(value, user_id),6) AS slope, round(regr_intercept(value, user_id),6) AS icept, round(regr_r2(value, user_id),6) AS r2, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      "SELECT event_type, round(regr_slope(value, user_id),6) + 0 AS slope, round(regr_intercept(value, user_id),6) + 0 AS icept, round(regr_r2(value, user_id),6) AS r2, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
     "agg_stats" ->
       "SELECT event_type, round(stddev_samp(value),6) sd, round(var_samp(value),6) vr, round(min(value),2) mn, round(max(value),2) mx FROM events GROUP BY event_type ORDER BY event_type",
     "agg_percentile" ->
@@ -474,10 +474,18 @@ object Oracle {
         "SELECT user_id AS series_key, round(sqrt(var_samp(d) / 2), 2) AS sd1, round(sqrt(var_samp(s) / 2), 2) AS sd2, " +
         "round(sqrt(var_samp(s) / 2) / sqrt(var_samp(d) / 2), 2) AS sd_ratio " +
         "FROM p WHERE d IS NOT NULL GROUP BY user_id ORDER BY series_key"),
+    // `+ 0` normalizes IEEE negative zero: DuckDB's round can emit -0.0
+    // for values like -1e-18 where Spark's BigDecimal round emits 0.0
+    // (first observed at sf1 — round-11); +0 maps -0.0 to 0.0 and is the
+    // identity everywhere else (incl. NULL). Applied to every rounded
+    // output that can be negative-near-zero.
     "agg_corr" ->
-      ("SELECT user_id, round(corr(value, CAST(json_extract(props, '$.k') AS INT)), 4) AS corr_vk, " +
-        "round(covar_samp(value, CAST(json_extract(props, '$.k') AS INT)), 2) AS covar_vk " +
-        "FROM events GROUP BY user_id ORDER BY user_id"),
+      ("WITH b AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events), " +
+        "g AS (SELECT user_id, count(*) AS n, sum(c) AS sc, sum(k) AS sk, sum(c * k) AS sck, sum(c * c) AS scc, sum(k * k) AS skk FROM b GROUP BY user_id) " +
+        "SELECT user_id, " +
+        "CASE WHEN n * scc - sc * sc > 0 AND n * skk - sk * sk > 0 THEN round(CAST(n * sck - sc * sk AS DOUBLE) / (sqrt(CAST(n * scc - sc * sc AS DOUBLE)) * sqrt(CAST(n * skk - sk * sk AS DOUBLE))), 4) + 0 END AS corr_vk, " +
+        "CASE WHEN n > 1 THEN CAST(CASE WHEN n * sck - sc * sk >= 0 THEN (2 * (n * sck - sc * sk) + n * (n - 1)) // (2 * n * (n - 1)) ELSE -((2 * (sc * sk - n * sck) + n * (n - 1)) // (2 * n * (n - 1))) END AS DOUBLE) / 100.0 END AS covar_vk " +
+        "FROM g ORDER BY user_id"),
     "hrv_resample" ->
       ("WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 5), " +
         "b AS (SELECT user_id, epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM e GROUP BY 1), " +
@@ -488,11 +496,18 @@ object Oracle {
         "(PARTITION BY user_id ORDER BY tm, is_tick, v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vr FROM u) " +
         "SELECT user_id AS series_key, make_timestamp(tm) AS ts, vr AS value_resampled " +
         "FROM w WHERE is_tick = 1 ORDER BY series_key, ts"),
+    // integer-CENT lattice (round-11 sf1 lesson): float avg/sqrt sums
+    // landed ON a 2-dp boundary at 10× scale; on cents every aggregate
+    // is exact and the one float step per output is operand-identical
+    // on both engines
     "hrv_rmssd" ->
-      ("WITH d AS (SELECT user_id, value, value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv FROM events) " +
-        "SELECT user_id AS series_key, count(value) AS n, round(avg(value), 2) AS mean_nn, round(stddev_samp(value), 2) AS sdnn, " +
-        "round(sqrt(avg(dv * dv)), 2) AS rmssd, " +
-        "round(CASE WHEN count(dv) > 0 THEN CAST(sum(CASE WHEN abs(dv) > 50.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(dv) ELSE NULL END, 4) AS pnn " +
+      ("WITH b AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c, ts, event_id FROM events), " +
+        "d AS (SELECT user_id, c, c - lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dc FROM b) " +
+        "SELECT user_id AS series_key, count(c) AS n, " +
+        "CAST((2 * sum(c) + count(c)) // (2 * count(c)) AS DOUBLE) / 100.0 AS mean_nn, " +
+        "round(CASE WHEN count(c) > 1 THEN sqrt(CAST(count(c) * sum(c * c) - sum(c) * sum(c) AS DOUBLE) / (count(c) * (count(c) - 1))) / 100.0 END, 2) AS sdnn, " +
+        "round(CASE WHEN count(dc) > 0 THEN sqrt(CAST(sum(dc * dc) AS DOUBLE) / count(dc)) / 100.0 END, 2) AS rmssd, " +
+        "CASE WHEN count(dc) > 0 THEN CAST((2 * 10000 * sum(CASE WHEN abs(dc) > 5000 THEN 1 ELSE 0 END) + count(dc)) // (2 * count(dc)) AS DOUBLE) / 10000.0 END AS pnn " +
         "FROM d GROUP BY user_id ORDER BY series_key"),
     "agg_argmax" ->
       ("WITH c AS (SELECT user_id, event_type, count(*) n FROM events GROUP BY 1, 2), " +
@@ -548,8 +563,8 @@ object Oracle {
         "avg(l_quantity*l_quantity) AS m2, avg(l_quantity*l_quantity*l_quantity) AS m3, " +
         "avg(l_quantity*l_quantity*l_quantity*l_quantity) AS m4 FROM lineitem GROUP BY l_returnflag) " +
         "SELECT l_returnflag, n, round(m1, 4) AS mean_q, " +
-        "round((m3 - 3.0*m1*m2 + 2.0*m1*m1*m1) / power(m2 - m1*m1, 1.5), 6) AS skew_pop, " +
-        "round((m4 - 4.0*m1*m3 + 6.0*m1*m1*m2 - 3.0*m1*m1*m1*m1) / ((m2 - m1*m1)*(m2 - m1*m1)) - 3.0, 6) AS kurt_pop " +
+        "round((m3 - 3.0*m1*m2 + 2.0*m1*m1*m1) / power(m2 - m1*m1, 1.5), 6) + 0 AS skew_pop, " +
+        "round((m4 - 4.0*m1*m3 + 6.0*m1*m1*m2 - 3.0*m1*m1*m1*m1) / ((m2 - m1*m1)*(m2 - m1*m1)) - 3.0, 6) + 0 AS kurt_pop " +
         "FROM p ORDER BY l_returnflag"),
     // md5 prefix < '1a' ≈ 26/256 of rows, reproducible on any engine
     "sample_stratified" ->
@@ -728,7 +743,7 @@ object Oracle {
     "ts_autocorr" ->
       ("WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS x FROM events GROUP BY user_id, CAST(ts AS DATE)), " +
         "l AS (SELECT user_id, x, lag(x) OVER (PARTITION BY user_id ORDER BY day) AS xp FROM d) " +
-        "SELECT user_id, count(xp) AS n_pairs, round(corr(x, xp), 4) AS r1 " +
+        "SELECT user_id, count(xp) AS n_pairs, round(corr(x, xp), 4) + 0 AS r1 " +
         "FROM l GROUP BY user_id ORDER BY user_id"),
     // LOCF time-weighting in exact integer µs; the unweighted comparison
     // ships as the exact (sum, count) pair — a rounded MEAN of 2-dp data

