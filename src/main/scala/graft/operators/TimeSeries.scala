@@ -233,25 +233,42 @@ object TimeSeries {
   def tsTimeWeightedAvg(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val um = unix_micros(col("ts"))
+    // round-11: exact cent·µs weighted sum (the float Σ(value·Δ) was
+    // summation-order-noisy, same class as the sf1 rmssd boundary
+    // flip), and the 4-dp rounding happens in INTEGER space. twa·10⁴ =
+    // 100·num/span with num = Σ(cents·Δµs); the divmod split
+    // (100·q + halfUp(100·r/span), q = num div span) keeps every
+    // intermediate below 2⁶³ where num·100 itself could overflow.
+    // Overflow bound on num: Σ(cents·Δ) ≤ max|cents| · total span ≈
+    // 5.6e4 · 2.6e12 ≈ 1.5e17 per user-month — three orders inside the
+    // long range; a year-long 1e6-cent series would need the split
+    // done in decimal instead.
     Tables.events(s, d)
-      .select(col("user_id"), um.as("um"), col("value"),
+      .select(col("user_id"), um.as("um"),
+        round(col("value") * 100).cast("long").as("c"), col("value"),
         lead(um, 1).over(w).as("nxt"))
       .groupBy(col("user_id"))
       .agg(
-        // span-0 guard: a user whose events all share one timestamp
-        // yields 0.0/0 — Spark's non-ANSI Divide says NULL, DuckDB's
-        // ieee_floating_point_ops default says NaN; pin NULL explicitly
-        // on BOTH sides so the degenerate series is judged, not lucky
-        when(max(col("um")) > min(col("um")),
-          round((sum(col("value") * (col("nxt") - col("um"))) /
-            (max(col("um")) - min(col("um")))), 4)).as("twa"),
-        (max(col("um")) - min(col("um"))).as("span_us"),
+        sum(col("c") * (col("nxt") - col("um"))).as("_num"),
+        (max(col("um")) - min(col("um"))).as("_span"),
         // the unweighted comparison ships as the exact (sum, count)
         // pair, not a rounded mean: means of 2-dp data land exactly ON
         // 4-dp half boundaries (measured 0 distance at sf0.1), sums are
         // boundary-safe cent multiples
         round(sum(col("value")), 2).as("sum_v"),
         count(col("value")).as("n_v"))
+      // twa·10⁴ = 100·num/span, rounded half-up in INTEGER space via
+      // the divmod split 100·q + halfUp(100·r/span) — `div` is the
+      // true integral divide (num reaches ~1.5e17, past the 2⁵³ range
+      // where a float-division trick stays exact). The span-0 guard
+      // (one-timestamp series) both defines the degenerate case as
+      // NULL on both engines and short-circuits the division.
+      .select(col("user_id"),
+        when(col("_span") > 0,
+          (expr("_num div _span") * 100L +
+            expr("((_num % _span) * 200 + _span) div (_span * 2)"))
+            .cast("double") / 10000.0).as("twa"),
+        col("_span").as("span_us"), col("sum_v"), col("n_v"))
       .orderBy(col("user_id"))
   }
 

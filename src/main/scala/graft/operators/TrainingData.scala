@@ -271,12 +271,15 @@ object TrainingData {
         col("pnn"))
       .orderBy(col("series_key"))
 
-  /** #71 Poincaré-plot descriptors per user (Hrv.poincare verbatim):
-    * SD1/SD2 short/long-term variability from the successive-pair
-    * identity, plus their ratio. Completes the judged HRV block
-    * (time-domain #64, cleaning #68, resampling #70). */
+  /** #71 Poincaré-plot descriptors per user: SD1/SD2 short/long-term
+    * variability from the successive-pair identity, plus their ratio.
+    * Completes the judged HRV block (time-domain #64, cleaning #68,
+    * resampling #70). Judged through [[Hrv.poincareCents]] — exact
+    * integer variance moments, one operand-identical float step per
+    * output (round-11 proactive fix: same order-noise class as the
+    * rmssd boundary flip the sf1 run caught). */
   def hrvPoincare(s: SparkSession, d: String): DataFrame =
-    Hrv.poincare(Tables.events(s, d),
+    Hrv.poincareCents(Tables.events(s, d),
         col("user_id"), col("ts"), col("event_id"), col("value"))
       .select(col("series_key"),
         round(col("sd1"), 2).as("sd1"),
