@@ -134,6 +134,12 @@ object Oracle {
     // plain count(distinct)
     "agg_kmv_distinct" ->
       "SELECT l_suppkey, count(DISTINCT l_orderkey) n_orders FROM lineitem GROUP BY 1 ORDER BY 1",
+    // Count-Min sketch in its exact regime (~10 distinct keys in 1024
+    // cells × 4 rows, fixed seeds — the min-row estimate equals the
+    // true count deterministically), so the oracle is a plain GROUP BY;
+    // the engine side builds per-year sketches, merges, then probes
+    "agg_cms_freq" ->
+      "SELECT o_orderstatus st, o_orderpriority pr, count(*) n FROM orders GROUP BY 1, 2 ORDER BY 1, 2",
     "agg_filtered" ->
       "SELECT user_id, count(*) FILTER (WHERE event_type = 'purchase') purchases, round(sum(value) FILTER (WHERE event_type = 'purchase'),2) spend FROM events GROUP BY user_id ORDER BY user_id",
     "agg_rollup" ->
@@ -253,6 +259,17 @@ object Oracle {
       "SELECT doc_id, len(list_filter(split(text, ' '), w -> len(w) > 5)) AS n_long, round(CAST(list_aggregate(list_transform(split(text, ' '), w -> len(w)), 'sum') AS DOUBLE) / len(split(text, ' ')), 4) AS avg_len, list_aggregate(list_transform(split(text, ' '), w -> len(w)), 'max') AS max_len FROM documents WHERE doc_id < 200 ORDER BY doc_id",
     "fn_array" ->
       "SELECT doc_id, len(string_split(text, ' ')) n_words, string_split(text,' ')[1] first_word FROM documents ORDER BY doc_id LIMIT 200",
+    // machinery-blind oracle (the scan_zorder trick): the engine builds,
+    // probes, folds and filters a real MAP column; the oracle replays
+    // the same SCALAR outputs relationally — element_at of an absent
+    // key is NULL exactly as max(n) FILTER over zero rows is
+    "fn_map" ->
+      ("WITH t AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2) " +
+        "SELECT user_id, max(n) FILTER (WHERE event_type = 'purchase') AS purchases, " +
+        "max(n) FILTER (WHERE event_type = 'click') AS clicks, " +
+        "count(*) AS n_types, CAST(sum(n) AS BIGINT) AS total, " +
+        "count(*) FILTER (WHERE n > 5) AS n_hot " +
+        "FROM t GROUP BY user_id ORDER BY user_id"),
     // 1-based ordinals via the struct-comprehension (DuckDB 1.0 lacks
     // WITH ORDINALITY); projected flat so the output schema is scalar
     "fn_posexplode" ->
@@ -646,6 +663,13 @@ object Oracle {
     "dedup_minhash_lsh" ->
       (s"WITH $minhashPairCtes " +
         "SELECT a_id, b_id, jac FROM j WHERE jac >= 0.8 ORDER BY a_id, b_id"),
+    // incremental-append invisibility for NEAR-dup: the engine bands
+    // only the delta against a persisted signature store; the oracle is
+    // the one-shot full recompute (dedup_minhash_lsh's SQL) the
+    // incremental path must be byte-identical to
+    "llm_lsh_append" ->
+      (s"WITH $minhashPairCtes " +
+        "SELECT a_id, b_id, jac FROM j WHERE jac >= 0.8 ORDER BY a_id, b_id"),
     // the pair set above rolled into CLUSTERS: recursive transitive
     // closure over the (tiny) dup-pair graph, component label = min
     // reachable id — the oracle twin of the engine's large-star/
@@ -690,6 +714,19 @@ object Oracle {
         "SELECT p.purchase_id, p.user_id, n.click_id, p.p_um - n.c_um AS gap_us " +
         "FROM p LEFT JOIN LATERAL (SELECT click_id, c_um FROM c WHERE c.user_id = p.user_id " +
         "AND c.c_um <= p.p_um AND c.c_um >= p.p_um - 600000000 ORDER BY c.c_um DESC LIMIT 1) n ON true " +
+        "ORDER BY purchase_id"),
+    // nearest as-of (merge_asof direction='nearest'): latest-at-or-before
+    // vs earliest-at-or-after, closer gap wins, tie → backward; all
+    // compares exact integer µs
+    "join_asof_nearest" ->
+      ("WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_um FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, epoch_us(ts) AS c_um, max(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY user_id, ts) " +
+        "SELECT p.purchase_id, p.user_id, " +
+        "CASE WHEN b.click_id IS NOT NULL AND (f.click_id IS NULL OR p.p_um - b.c_um <= f.c_um - p.p_um) THEN b.click_id ELSE f.click_id END AS click_id, " +
+        "CASE WHEN b.click_id IS NOT NULL AND (f.click_id IS NULL OR p.p_um - b.c_um <= f.c_um - p.p_um) THEN p.p_um - b.c_um ELSE f.c_um - p.p_um END AS gap_us " +
+        "FROM p " +
+        "LEFT JOIN LATERAL (SELECT click_id, c_um FROM c WHERE c.user_id = p.user_id AND c.c_um <= p.p_um ORDER BY c.c_um DESC LIMIT 1) b ON true " +
+        "LEFT JOIN LATERAL (SELECT click_id, c_um FROM c WHERE c.user_id = p.user_id AND c.c_um >= p.p_um ORDER BY c.c_um LIMIT 1) f ON true " +
         "ORDER BY purchase_id"),
     // forward as-of: the engine runs the native backward sorted-merge on
     // NEGATED times; the oracle states it directly as the earliest

@@ -531,6 +531,48 @@ object Relational {
       .orderBy(col("purchase_id"))
   }
 
+  /** #157 NEAREST as-of join (pandas `merge_asof(direction='nearest')`
+    * semantics): each purchase matches the click closest in time in
+    * EITHER direction — ties go backward, and a purchase with clicks on
+    * only one side takes that side. Composed from two passes of the
+    * same native sorted-merge operator ([[graft.plans.AsofJoin]]): the
+    * backward pass as [[joinAsofNative]], the forward pass on negated
+    * times as [[joinAsofForward]], then one integer-µs gap compare
+    * picks the winner. Both passes share ONE materialization of the
+    * (user_id, ts)-deduplicated click table (checkpointed — the
+    * dedup aggregate must not run twice), each is the one-exchange-
+    * per-side merge, and the combining join keys on purchase_id (each
+    * pass emits exactly one row per purchase). All compares are exact
+    * integer µs — zero float risk. */
+  def joinAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_um"))
+    val clicks = e.filter(col("event_type") === "click")
+      .repartition(col("user_id"))
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("c_um"))
+      .agg(max(col("event_id")).as("click_id"))
+      .localCheckpoint(true)
+    val bk = graft.plans.AsofJoin(purchases, clicks,
+        Seq("user_id"), "p_um", "c_um")
+      .select(col("purchase_id"), purchases("user_id"), col("p_um"),
+        col("click_id").as("bk_id"), col("c_um").as("bk_um"))
+    val fwP = purchases.withColumn("p_neg", -col("p_um"))
+    val fwC = clicks.withColumn("c_neg", -col("c_um"))
+    val fw = graft.plans.AsofJoin(fwP, fwC, Seq("user_id"), "p_neg", "c_neg")
+      .select(col("purchase_id").as("f_pid"),
+        col("click_id").as("fw_id"), col("c_um").as("fw_um"))
+    val takeBack = col("bk_id").isNotNull &&
+      (col("fw_id").isNull || (col("p_um") - col("bk_um")) <= (col("fw_um") - col("p_um")))
+    bk.join(fw, col("purchase_id") === col("f_pid"))
+      .select(col("purchase_id"), col("user_id"),
+        when(takeBack, col("bk_id")).otherwise(col("fw_id")).as("click_id"),
+        when(takeBack, col("p_um") - col("bk_um"))
+          .otherwise(col("fw_um") - col("p_um")).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** #12 small cartesian product (explicit crossJoin). */
   def joinCross(s: SparkSession, d: String): DataFrame = {
     val r = Tables.region(s, d)
@@ -602,6 +644,39 @@ object Relational {
       .select(col("l_suppkey"),
         graft.functions.Kmv.kmvEstimate(col("_sk")).as("n_orders"))
       .orderBy(col("l_suppkey"))
+
+  /** #158 judged SKETCH frequency counts in the EXACT regime — the
+    * Count-Min sibling of [[aggKmvDistinct]], and the sketch family's
+    * second judged member. The query runs CMS's real production shape
+    * end to end: one 32 KB sketch PER YEAR of orders (the per-day/
+    * per-partition sketch a 100 TB pipeline persists as a binary
+    * column), `graft_cms_merge` folds the yearly sketches into one
+    * corpus sketch (counter ADD — lossless, so merging per-year
+    * sketches ≡ sketching all years at once), and the (status,
+    * priority) domain keys probe it without ever rescanning the data.
+    * Exactness: a CMS point estimate is min over d=4 hash rows, and it
+    * exceeds the true count only if EVERY row has some other data key
+    * colliding into the probed cell — with ~10 distinct keys in
+    * w=1024 cells under fixed seeds this never happens (deterministic:
+    * the same hashes at every sf, and the key domain is sf-invariant
+    * by FIXTURES.md), so the estimate IS the exact count and the
+    * oracle is a plain GROUP BY. Beyond the exact regime estimates
+    * overcount by ≤2N/w with confidence 1−2⁻⁴ — the documented trade;
+    * the judged query stays inside the regime on purpose. */
+  def aggCmsFreq(s: SparkSession, d: String): DataFrame = {
+    val key = concat_ws(":", col("o_orderstatus"), col("o_orderpriority"))
+    val o = Tables.orders(s, d)
+    val yearly = o.groupBy(year(col("o_orderdate")).as("_y"))
+      .agg(graft.functions.CountMin.cmsSketch(key).as("_sk"))
+    val merged = yearly.agg(graft.functions.CountMin.cmsMerge(col("_sk")).as("_sk"))
+    o.select(col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"))
+      .distinct()
+      .crossJoin(broadcast(merged))
+      .select(col("st"), col("pr"),
+        graft.functions.CountMin.cmsEstimate(col("_sk"),
+          concat_ws(":", col("st"), col("pr"))).as("n"))
+      .orderBy(col("st"), col("pr"))
+  }
 
   /** #15 FILTER-ed aggregates via conditional expressions (sum/count over
     * `when`), one pass over the data. */

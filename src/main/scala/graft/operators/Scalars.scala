@@ -197,6 +197,35 @@ object Scalars {
       .orderBy(col("doc_id"))
   }
 
+  /** #159 MAP-typed column surface — `map_from_entries`, `element_at`,
+    * `map_values`/`map_filter` with real lambdas, `size` — the typed
+    * key→value shape feature pipelines carry per-entity feature bags
+    * in. Per user: the event-type→count map is BUILT from an
+    * aggregated entry list (sorted first — `collect_list` order is
+    * partition-dependent, and a map built from a sorted entry array is
+    * deterministic), then probed (`element_at` → null on absent key),
+    * folded (total = lambda-sum over `map_values`), and filtered
+    * (`map_filter` keeps hot types). The map itself never leaves the
+    * query — every output column is a scalar, so the oracle replays
+    * the same values relationally (the `scan_zorder_pruned` trick:
+    * engine-side machinery, machinery-blind oracle). Scale shape: one
+    * shuffle on (user, type), one on user; the map work is all
+    * codegen'd expressions over ≤|event types| entries per row. */
+  def fnMap(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("event_type"), col("n"))))).as("m"))
+      .select(col("user_id"),
+        element_at(col("m"), "purchase").as("purchases"),
+        element_at(col("m"), "click").as("clicks"),
+        size(col("m")).cast("long").as("n_types"),
+        aggregate(map_values(col("m")), lit(0L), (acc, x) => acc + x).as("total"),
+        size(map_filter(col("m"), (_, v) => v > 5)).cast("long").as("n_hot"))
+      .orderBy(col("user_id"))
+
   /** #43b posexplode: tokenization WITH position — the generator shape
     * when order matters (training pipelines need token offsets, not
     * bags; chunk assembly and span labeling both key on position).

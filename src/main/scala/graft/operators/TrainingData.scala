@@ -685,6 +685,14 @@ object TrainingData {
       .localCheckpoint(true)
     val cand = ScalableDedup.minhashBandedCandidates(
       docs, "doc_id", "hs", bands = 4, rowsPerBand = 4)
+    rescoreMinhashPairs(docs, cand)
+  }
+
+  /** Exact-Jaccard rescoring of LSH candidate pairs against the hashed-
+    * shingle table — the shared back half of [[dedupMinhashLsh]],
+    * [[llmDedupClusters]] and [[llmLshAppend]] (`docs` = (doc_id, hs),
+    * `cand` = (a_id, b_id)). */
+  private def rescoreMinhashPairs(docs: DataFrame, cand: DataFrame): DataFrame = {
     // rescoring joins carry NO broadcast hint: AQE broadcasts the
     // hashed-doc side while its runtime size is under the threshold
     // (it is, at every test SF) and falls back to an id-keyed shuffle
@@ -714,6 +722,66 @@ object TrainingData {
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 6).as("jac"))
       .filter(col("jac") >= 0.8)
+  }
+
+  /** #160 judged INCREMENTAL NEAR-DUP APPEND — the LSH sibling of
+    * `llm_dedup_append`'s exact-hash invariance, i.e. the full daily
+    * rerun of a 100 TB near-dup pipeline: split the corpus at 60% of
+    * the id range into base and delta; the base's banded minhash
+    * signatures are the persisted SIGNATURE STORE (here checkpointed —
+    * in production a parquet table written once); the delta is banded
+    * and candidate pairs come only from delta⋈delta and delta⋈store
+    * band-bucket equi-joins — the base corpus is NEVER re-banded and
+    * base⋈base pairs are never re-discovered (they are yesterday's
+    * output). Exact rescoring runs per pair, so incremental pairs ∪
+    * yesterday's pairs is provably the full recompute: full candidates
+    * = (base∪delta)² bucket hits = base² ∪ (delta×base) ∪ delta², the
+    * three joins this query issues. The oracle is the ONE-SHOT full
+    * recompute (`dedup_minhash_lsh`'s SQL) — the incremental machinery
+    * must be result-invisible, `join_bucketed`-style. Daily cost at
+    * scale: band |delta| docs, join against a store that only ever
+    * APPENDS — vs re-banding the whole corpus every day. */
+  def llmLshAppend(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.ShingleHash32Expr.shingle_hash32(col("text"), 4).as("hs"))
+      .localCheckpoint(true)
+    val mx = docs.agg((max(col("doc_id")) * 3 / 5).as("_split"))
+    val withSplit = docs.crossJoin(broadcast(mx))
+    val base = withSplit.filter(col("doc_id") < col("_split"))
+      .select(col("doc_id"), col("hs"))
+    val delta = withSplit.filter(col("doc_id") >= col("_split"))
+      .select(col("doc_id"), col("hs"))
+    // the signature store: banded once, persisted (checkpoint stands in
+    // for the parquet table appendBatch maintains)
+    val storeSigs = ScalableDedup.minhashBandSignatures(
+      base, "doc_id", "hs", bands = 4, rowsPerBand = 4).localCheckpoint(true)
+    val deltaSigs = ScalableDedup.minhashBandSignatures(
+      delta, "doc_id", "hs", bands = 4, rowsPerBand = 4).localCheckpoint(true)
+    val dd = deltaSigs.select(col("band"), col("sig"), col("doc_id").as("a_id"))
+      .join(deltaSigs.select(col("band"), col("sig"), col("doc_id").as("b_id")),
+        Seq("band", "sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    // base ids < split ≤ delta ids, so store-side is always the a_id
+    val ds = deltaSigs.select(col("band"), col("sig"), col("doc_id").as("d_id"))
+      .join(storeSigs.select(col("band"), col("sig"), col("doc_id").as("s_id")),
+        Seq("band", "sig"))
+      .select(least(col("d_id"), col("s_id")).as("a_id"),
+        greatest(col("d_id"), col("s_id")).as("b_id"))
+    val newCand = dd.unionByName(ds).distinct()
+    // yesterday's pair set: in production read back from disk; computed
+    // here (store⋈store) because a judged query owns no cross-run state
+    val baseCand = storeSigs.select(col("band"), col("sig"), col("doc_id").as("a_id"))
+      .join(storeSigs.select(col("band"), col("sig"), col("doc_id").as("b_id")),
+        Seq("band", "sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    // disjoint by construction (base pairs are base×base; every new
+    // candidate touches ≥1 delta doc), so plain union, no dedup
+    rescoreMinhashPairs(docs, baseCand)
+      .unionByName(rescoreMinhashPairs(docs, newCand))
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** #110 sample entropy per user (SampEn, m=1, r=20.0 in value units) —

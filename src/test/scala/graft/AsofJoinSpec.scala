@@ -158,4 +158,34 @@ class AsofJoinSpec extends SparkSpecBase {
       .select($"lid", $"v").as[(Int, String)].collect().toMap
     assert(out == Map(1 -> "m1", 2 -> "m2"))
   }
+
+  test("join_asof_nearest equals brute-force nearest with backward ties") {
+    import org.apache.spark.sql.expressions.Window
+    val out = graft.operators.Relational.joinAsofNearest(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+    val e = Tables.events(spark, sf())
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id",
+        unix_micros($"ts").as("p_um"))
+    val c = e.filter($"event_type" === "click")
+      .groupBy($"user_id", unix_micros($"ts").as("c_um"))
+      .agg(max($"event_id").as("click_id"))
+    // rank every click of the user by (|gap|, prefer-backward): the
+    // engine's two-pass compose must agree with this direct statement
+    val w = Window.partitionBy($"purchase_id")
+      .orderBy(abs($"c_um" - $"p_um"),
+        when($"c_um" <= $"p_um", lit(0)).otherwise(lit(1)))
+    val brute = p.join(c, Seq("user_id"), "left")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"purchase_id",
+        when($"c_um".isNotNull, $"click_id").as("click_id"),
+        when($"c_um".isNotNull, abs($"c_um" - $"p_um")).as("gap_us"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    assert(out == brute)
+    assert(out.nonEmpty)
+  }
 }

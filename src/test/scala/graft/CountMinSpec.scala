@@ -97,4 +97,17 @@ class CountMinSpec extends SparkSpecBase {
     assert(est.getLong(1) < 100L,
       "a cold key must not absorb the hot key's mass at d=4")
   }
+
+  test("agg_cms_freq: the judged per-year-sketch/merge/probe pipeline is exact") {
+    // the judged query's whole claim is the exact regime: the CMS
+    // estimate for every (status, priority) key equals the plain
+    // GROUP BY count, through the per-year sketch + merge path
+    val est = graft.operators.Relational.aggCmsFreq(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = Tables.orders(spark, sf())
+      .groupBy($"o_orderstatus", $"o_orderpriority").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(est == exact)
+    assert(est.nonEmpty)
+  }
 }

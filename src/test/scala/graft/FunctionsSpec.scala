@@ -43,4 +43,30 @@ class FunctionsSpec extends SparkSpecBase {
       .collect().map(_.getDouble(0))
     assert(r(0) == 1.0 && r(1) == 0.0)
   }
+
+  test("fn_map: map build/probe/fold/filter agrees with the relational restatement") {
+    val out = graft.operators.Scalars.fnMap(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val e = Tables.events(spark, sf())
+    val t = e.groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+    val exact = t.groupBy($"user_id").agg(
+        max(when($"event_type" === "purchase", $"n")).as("purchases"),
+        max(when($"event_type" === "click", $"n")).as("clicks"),
+        count(lit(1)).as("n_types"), sum($"n").as("total"),
+        count(when($"n" > 5, lit(1))).as("n_hot"))
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out == exact)
+    assert(out.nonEmpty)
+    // the probe contract (element_at of an absent key is null, not 0)
+    // on a fixture where absence is guaranteed
+    val probe = Seq((1L, "click", 3L)).toDF("user_id", "event_type", "n")
+      .groupBy($"user_id")
+      .agg(map_from_entries(collect_list(struct($"event_type", $"n"))).as("m"))
+      .select(element_at($"m", "purchase").as("p"), element_at($"m", "click").as("c"))
+      .collect().head
+    assert(probe.isNullAt(0) && probe.getLong(1) == 3L)
+  }
 }

@@ -217,4 +217,48 @@ class ScalableDedupSpec extends SparkSpecBase {
       conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
     }
   }
+
+  test("llm_lsh_append: incremental near-dup append equals the one-shot recompute") {
+    // real corpus: the incremental decomposition (store ∪ delta bands,
+    // delta-only candidate discovery) must reproduce the full pair set
+    val full = graft.operators.TrainingData.dedupMinhashLsh(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val inc = graft.operators.TrainingData.llmLshAppend(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(inc == full)
+    assert(full.nonEmpty)
+  }
+
+  test("llm_lsh_append: a cross-batch near-dup pair is found by the delta×store join") {
+    // constructed corpus where the ONLY dup pair crosses the 60% id
+    // split (base doc 2 vs delta doc 9): the pair can only come from
+    // the delta⋈store candidate join, so this pins the path the real
+    // table might not exercise
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_append").toFile
+    try {
+      val texts = (1L to 10L).map { i =>
+        // non-pair docs share almost no 4-char shingles (each repeats
+        // its own token); 2 and 9 are identical → the only jac ≥ 0.8
+        val t =
+          if (i == 2 || i == 9) "the quick brown fox jumps over the lazy dog again and again"
+          else Seq.fill(12)(s"tok${i}x").mkString(" ")
+        (i, t)
+      }
+      texts.toDF("doc_id", "text").repartition(1)
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val split = 10L * 3 / 5 // = 6: base ids < 6, delta ids >= 6
+      assert(2 < split && 9 >= split)
+      val pairs = graft.operators.TrainingData.llmLshAppend(spark, tmp.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((2L, 9L)))
+      val full = graft.operators.TrainingData.dedupMinhashLsh(spark, tmp.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(full == pairs)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
 }
