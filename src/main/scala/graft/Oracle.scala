@@ -500,6 +500,20 @@ object Oracle {
     // (first observed at sf1 — round-11); +0 maps -0.0 to 0.0 and is the
     // identity everywhere else (incl. NULL). Applied to every rounded
     // output that can be negative-near-zero.
+    // cross-correlation of two per-user daily series from exact integer
+    // moments — the agg_corr recipe: cents-lattice purchase totals,
+    // integer click counts, one float division over operand-identical
+    // exact integers, round 4 dp off-lattice, + 0 kills -0.0
+    "ts_cross_corr" ->
+      ("WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+        "coalesce(CAST(sum(CAST(round(value*100) AS BIGINT)) FILTER (WHERE event_type = 'purchase') AS BIGINT), 0) AS pc, " +
+        "count(*) FILTER (WHERE event_type = 'click') AS cc " +
+        "FROM events GROUP BY 1, 2), " +
+        "g AS (SELECT user_id, count(*) AS n, CAST(sum(pc) AS BIGINT) AS sp, CAST(sum(cc) AS BIGINT) AS sc, " +
+        "CAST(sum(pc*cc) AS BIGINT) AS spc, CAST(sum(pc*pc) AS BIGINT) AS spp, CAST(sum(cc*cc) AS BIGINT) AS scc FROM d GROUP BY user_id) " +
+        "SELECT user_id, n AS n_days, CASE WHEN n*spp - sp*sp > 0 AND n*scc - sc*sc > 0 " +
+        "THEN round(CAST(n*spc - sp*sc AS DOUBLE) / (sqrt(CAST(n*spp - sp*sp AS DOUBLE)) * sqrt(CAST(n*scc - sc*sc AS DOUBLE))), 4) + 0 END AS xcorr " +
+        "FROM g ORDER BY user_id"),
     "agg_corr" ->
       ("WITH b AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events), " +
         "g AS (SELECT user_id, count(*) AS n, sum(c) AS sc, sum(k) AS sk, sum(c * k) AS sck, sum(c * c) AS scc, sum(k * k) AS skk FROM b GROUP BY user_id) " +

@@ -174,10 +174,36 @@ object ScalableDedup {
     * band bucket, deduplicated. The equi-join on (band, sig) is the
     * whole point — sub-linear bucketed comparison, never all-pairs;
     * collision probability per band is J^rowsPerBand, so (bands,
-    * rowsPerBand) positions the S-curve over the target threshold. */
+    * rowsPerBand) positions the S-curve over the target threshold.
+    *
+    * `maxBucketSize` is the quadratic-blowup guard the sf1 campaign
+    * measured the need for (BASELINE.md Round-11: bucket occupancy
+    * that scales with the corpus — boilerplate text, shared
+    * templates — makes that bucket's pair count quadratic): buckets
+    * holding more than the cap are DROPPED before the self-join, the
+    * same hub-cap move as `Graph.commonNeighborPairs(degreeCap)` and
+    * `dedup_winnow`'s stop-fingerprint filter. An over-occupied
+    * bucket carries boilerplate signal, not near-dup signal, and each
+    * of the `bands` bands gives an independent chance to re-find a
+    * true pair through a non-degenerate bucket — the standard
+    * recall-for-boundedness trade, deterministic (the cap is an exact
+    * count, so an oracle can replay it). Default off: the judged
+    * queries run cap-off. */
   def minhashBandedCandidates(df: DataFrame, idCol: String,
-      hashCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
-    val s = minhashBandSignatures(df, idCol, hashCol, bands, rowsPerBand)
+      hashCol: String, bands: Int, rowsPerBand: Int,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val s0 = minhashBandSignatures(df, idCol, hashCol, bands, rowsPerBand)
+    val s = maxBucketSize match {
+      case Some(cap) =>
+        // anti-join against the (tiny) over-cap bucket list, not
+        // semi-join against the keep list — hub buckets are few by
+        // definition, so the hub list broadcasts at any corpus scale
+        val hubs = s0.groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("_n")).filter(col("_n") > cap)
+          .select(col("band"), col("sig"))
+        s0.join(broadcast(hubs), Seq("band", "sig"), "left_anti")
+      case None => s0
+    }
     val l = s.select(col("band"), col("sig"), col(idCol).as("a_id"))
     val r = s.select(col("band"), col("sig"), col(idCol).as("b_id"))
     l.join(r, Seq("band", "sig")).filter(col("a_id") < col("b_id"))

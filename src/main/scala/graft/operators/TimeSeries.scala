@@ -209,6 +209,46 @@ object TimeSeries {
     * then a plain `corr` aggregate per user — Pearson sample
     * correlation, identically defined on both engines, rounded at 4 dp
     * (scale-free ratio: summation-order noise ~1e-15). */
+  /** #161 CROSS-correlation of two per-user daily series — does spend
+    * move with engagement? Per user and UTC day: purchase total (in
+    * exact integer CENTS, per-row lattice snap then integer sum) and
+    * click count, over ALL the user's active days (absent series
+    * contribute exact 0 — both engines see the same day domain); then
+    * Pearson r from EXACT integer moments (n, Σp, Σc, Σpc, Σp², Σc²) —
+    * the `agg_corr` recipe: every moment is int64, the only float step
+    * is one division over two sqrt's of operand-identical exact
+    * integers (correctly-rounded IEEE ops → bit-identical on any
+    * engine), rounded at 4 dp off-lattice (an irrational ratio never
+    * sits on a round boundary), `+ 0` normalizing −0.0. Degenerate
+    * users (either series constant) yield NULL on both engines.
+    *
+    * Scale shape: day-collapse first (shuffle on (user, day), map-side
+    * combinable), then one (user) aggregate of six integer moments —
+    * two shuffles total, state O(1) per group, the same plan at any
+    * event volume. */
+  def tsCrossCorr(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(
+        sum(when(col("event_type") === "purchase", cents).otherwise(lit(0L))).as("pc"),
+        count(when(col("event_type") === "click", lit(1))).as("cc"))
+    val g = daily.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"),
+      sum(col("pc")).as("sp"), sum(col("cc")).as("sc"),
+      sum(col("pc") * col("cc")).as("spc"),
+      sum(col("pc") * col("pc")).as("spp"),
+      sum(col("cc") * col("cc")).as("scc"))
+    val varP = col("n") * col("spp") - col("sp") * col("sp")
+    val varC = col("n") * col("scc") - col("sc") * col("sc")
+    g.select(col("user_id"), col("n").as("n_days"),
+        (when(varP > 0 && varC > 0,
+          round((col("n") * col("spc") - col("sp") * col("sc")).cast("double")
+            / (sqrt(varP.cast("double")) * sqrt(varC.cast("double"))), 4) + lit(0))
+          ).as("xcorr"))
+      .orderBy(col("user_id"))
+  }
+
   def tsAutocorr(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
       .groupBy(col("user_id"), col("ts").cast("date").as("day"))

@@ -218,6 +218,26 @@ class ScalableDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("minhashBandedCandidates maxBucketSize drops only degenerate buckets") {
+    // 30 empty-ish identical docs share every band bucket (a
+    // boilerplate cluster) — a cap below 30 must remove ALL their
+    // pairs while keeping a genuine small-cluster pair intact
+    val docs = ((1L to 30L).map(i => (i, "all these documents share the exact same boilerplate text")) ++
+      Seq((31L, "one genuinely unique document about salmon migration patterns"),
+          (32L, "one genuinely unique document about salmon migration patterns")))
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        graft.functions.ShingleHash32Expr.shingle_hash32($"text", 4).as("hs"))
+    def pairs(cap: Option[Int]) = ScalableDedup.minhashBandedCandidates(
+        docs, "doc_id", "hs", bands = 4, rowsPerBand = 4, maxBucketSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(None)
+    assert(uncapped.size == 30 * 29 / 2 + 1) // boilerplate clique + the true pair
+    val capped = pairs(Some(10))
+    assert(capped == Set((31L, 32L)),
+      "cap must drop the 30-doc boilerplate clique and keep the 2-doc true pair")
+  }
+
   test("llm_lsh_append: incremental near-dup append equals the one-shot recompute") {
     // real corpus: the incremental decomposition (store ∪ delta bands,
     // delta-only candidate discovery) must reproduce the full pair set

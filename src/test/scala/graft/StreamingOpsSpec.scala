@@ -744,6 +744,42 @@ class StreamingOpsSpec extends SparkSpecBase {
       s"stream-only: ${got -- want}; batch-only: ${want -- got}")
   }
 
+  test("stateful changepoint equals the batch ts_changepoint bit for bit") {
+    implicit val ctx = spark.sqlContext
+    // the REAL sf0.001 events, shuffled across three batches — the
+    // cent-lattice daily fold is order-insensitive, so the close-time
+    // split search must replay the batch argmax exactly
+    val ev = Tables.events(spark, sf())
+      .select($"user_id", unix_micros($"ts").as("us"), $"value")
+      .as[(Long, Long, Double)].collect().toSeq
+    val shuffled = ev.sortBy(r => (r._2 % 3, r._2 / 7 % 5, r._2, r._3))
+    val ms = MemoryStream[(Long, Long, Double)]
+    val in = ms.toDF().select($"_1".as("user_id"),
+      timestamp_micros($"_2").as("ts"), $"_3".as("value"))
+    val out = StreamingOps.statefulChangepoint(in, watermark = "60 days")
+    val q = out.writeStream.format("memory").queryName("t_changepoint")
+      .outputMode("append").start()
+    try {
+      shuffled.grouped((shuffled.size + 2) / 3).foreach { b =>
+        ms.addData(b: _*); q.processAllAvailable()
+      }
+      // far-future driver seals every real user's series (90-day idle
+      // + 60-day watermark both far inside the 200-day jump)
+      ms.addData((999999L, ev.map(_._2).max + 200L * 86400 * 1000000, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_changepoint")
+      .filter($"user_id" =!= 999999L)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val want = graft.operators.TimeSeries.tsChangepoint(spark, sf())
+      .select($"user_id", unix_micros($"split_day".cast("timestamp")).as("split_day_us"),
+        $"i_days", $"n_days", $"shift_num")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"stream-only: ${got -- want}; batch-only: ${want -- got}")
+  }
+
   test("stateful anomaly zscore admits a distinct same-instant straggler at the watermark boundary") {
     implicit val ctx = spark.sqlContext
     // Spark's late filter drops `ts <= watermark` (µs-exact), so an
