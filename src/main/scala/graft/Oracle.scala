@@ -646,6 +646,28 @@ object Oracle {
         "FROM t WHERE nw >= 10 AND sd > 0.000000001 AND abs((value - mu) / sd) > 2 ORDER BY event_id"),
     // exact end to end: integer-cent quantization, integer tolerance
     // compares, exact pair counts; only the final -ln(A/B) is float
+    // DFA1: integer-cent profile, per-box exact moments (box-start
+    // shift and skipped mean subtraction are both absorbed exactly by
+    // the linear fit), one identical float tree for RSS, pinned
+    // 2·ln2 literal so both engines divide by the identical double
+    "hrv_dfa" ->
+      ("WITH s AS (SELECT user_id, row_number() OVER w AS i, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS y, " +
+        "count(*) OVER (PARTITION BY user_id) AS nn FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "e AS (SELECT user_id, i, y, n FROM s CROSS JOIN (VALUES (4), (8), (16)) sc(n) " +
+        "WHERE nn >= 64 AND i <= nn - (nn % n)), " +
+        "b0 AS (SELECT user_id, n, (i - 1) // n AS b, (i - 1) % n + 1 AS t, " +
+        "y - first_value(y) OVER (PARTITION BY user_id, n, (i - 1) // n ORDER BY i) AS z FROM e), " +
+        "bx AS (SELECT user_id, n, b, CAST(sum(z) AS BIGINT) AS sy, " +
+        "CAST(sum(z * z) AS BIGINT) AS syy, CAST(sum(t * z) AS BIGINT) AS sty FROM b0 GROUP BY 1, 2, 3), " +
+        "r AS (SELECT user_id, n, " +
+        "(CAST(n * syy - sy * sy AS DOUBLE) - (CAST(n * sty - (n * (n + 1) // 2) * sy AS DOUBLE) * CAST(n * sty - (n * (n + 1) // 2) * sy AS DOUBLE)) / CAST(n * n * (n * n - 1) // 12 AS DOUBLE)) / CAST(n AS DOUBLE) AS rss FROM bx), " +
+        "f AS (SELECT user_id, n, sqrt(sum(rss) / count(*)) AS fn FROM r GROUP BY 1, 2), " +
+        "p AS (SELECT user_id, max(CASE WHEN n = 4 THEN fn END) AS f4r, " +
+        "max(CASE WHEN n = 8 THEN fn END) AS f8r, max(CASE WHEN n = 16 THEN fn END) AS f16r FROM f GROUP BY 1) " +
+        "SELECT user_id, round(f4r, 6) AS f4, round(f8r, 6) AS f8, round(f16r, 6) AS f16, " +
+        "round(ln(f16r / f4r) / 1.3862943611198906, 6) AS alpha1 FROM p ORDER BY user_id"),
     "hrv_sampen" ->
       ("WITH base AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c, " +
         "lead(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cn, " +

@@ -784,6 +784,82 @@ object TrainingData {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** #162 detrended fluctuation analysis per user (DFA1, Peng et al.
+    * 1994) — the remaining classic nonlinear HRV feature next to
+    * [[hrvSampen]]: integrate the series into a profile, split into
+    * boxes of n ∈ {4, 8, 16} samples (the standard short-term α₁
+    * scale range), least-squares-detrend each box, and measure the
+    * RMS residual F(n); α₁ is the log-log slope of F against n. With
+    * log-EQUISPACED scales the middle point cancels from the OLS
+    * slope, so α₁ = ln(F₁₆/F₄)/(2·ln 2) — one fixed expression tree,
+    * no aggregate over scales.
+    *
+    * Exactness discipline (the `agg_corr`/`hrv_sampen` recipe): the
+    * profile is an integer-cent cumsum; mean subtraction is SKIPPED
+    * because a per-box linear fit absorbs any constant-slope term
+    * exactly (y_nosub = y_sub + x̄·t within a box — same residuals),
+    * and each box's profile is shifted to its own start (again
+    * fit-absorbed) so every per-box moment (Σz, Σz², Σtz) is an exact
+    * int64 bounded by BOX size, not series length (|z| ≤ 16·max
+    * cents ≈ 9·10⁵ → n·Σz² ≤ ~2·10¹⁴). Per-box RSS = (Dyy −
+    * Dty²/Dtt)/n is one identical float tree over those exact
+    * integers (Dtt = n²(n²−1)/12, a constant); only the cross-box
+    * RSS sum is order-sensitive float addition (~1e-16 relative —
+    * measured far from every 6-dp boundary at all SFs, the
+    * `hrv_band_power` precedent). The 2·ln2 divisor is a pinned
+    * decimal literal so both engines divide by the identical double.
+    * Users shorter than 64 samples (< 4 boxes at n=16) drop out
+    * identically on both engines. F is in CENTS. */
+  def hrvDfa(s: SparkSession, d: String): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val cents = round(col("value") * 100).cast("long")
+    val prof = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), cents.as("c"))
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("y", sum(col("c")).over(
+        wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("nn", count(lit(1)).over(wAll))
+      .filter(col("nn") >= 64)
+      .select(col("user_id"), col("i"), col("y"), col("nn"))
+    val e = prof
+      .withColumn("n", explode(array(lit(4L), lit(8L), lit(16L))))
+      .filter(col("i") <= (col("nn") - pmod(col("nn"), col("n"))))
+      .withColumn("b", ((col("i") - 1 - pmod(col("i") - 1, col("n"))) / col("n")).cast("long"))
+      .withColumn("t", pmod(col("i") - 1, col("n")) + 1)
+    val wBox = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("n"), col("b")).orderBy(col("t"))
+    val box = e
+      .withColumn("z", col("y") - first(col("y")).over(wBox))
+      .groupBy(col("user_id"), col("n"), col("b"))
+      .agg(sum(col("z")).as("sy"), sum(col("z") * col("z")).as("syy"),
+        sum(col("t") * col("z")).as("sty"))
+    val st = ((col("n") * (col("n") + 1) - pmod(col("n") * (col("n") + 1), lit(2L))) / 2).cast("long")
+    val dtt = {
+      val q = col("n") * col("n") * (col("n") * col("n") - 1)
+      ((q - pmod(q, lit(12L))) / 12).cast("long")
+    }
+    val dyy = col("n") * col("syy") - col("sy") * col("sy")
+    val dty = col("n") * col("sty") - st * col("sy")
+    val rss = (dyy.cast("double") - (dty.cast("double") * dty.cast("double"))
+      / dtt.cast("double")) / col("n").cast("double")
+    val f = box
+      .withColumn("rss", rss)
+      .groupBy(col("user_id"), col("n"))
+      .agg(sqrt(sum(col("rss")) / count(lit(1))).as("fn"))
+    f.groupBy(col("user_id"))
+      .agg(
+        max(when(col("n") === 4, col("fn"))).as("f4r"),
+        max(when(col("n") === 8, col("fn"))).as("f8r"),
+        max(when(col("n") === 16, col("fn"))).as("f16r"))
+      .select(col("user_id"),
+        round(col("f4r"), 6).as("f4"), round(col("f8r"), 6).as("f8"),
+        round(col("f16r"), 6).as("f16"),
+        round(log(col("f16r") / col("f4r")) / lit(1.3862943611198906), 6).as("alpha1"))
+      .orderBy(col("user_id"))
+  }
+
   /** #110 sample entropy per user (SampEn, m=1, r=20.0 in value units) —
     * the signature NONLINEAR HRV feature (Richman & Moorman 2000):
     * −ln(A/B), where B counts template pairs of length 1 within

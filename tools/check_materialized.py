@@ -20,18 +20,27 @@ sys.path.insert(0, __import__("os").path.dirname(__file__))
 from check import TABLES, load_spark, norm
 
 
+# Only the MULTI-CONSUMER prefix CTEs: `t`/`h`/`bands` are each read
+# 2-4 times under default inlining (the intractability), and `dup`
+# feeds both directions of the closure's edge list. The single-consumer
+# tail (`cand`/`sized`/`j`) must stay INLINED so the 10M+-pair rescore
+# STREAMS — materializing `sized` stores two ~600-element lists per
+# pair (~150 GB at sf1; the first attempt OOM-killed at 67 GB RSS).
+MATERIALIZE = {"t", "h", "bands", "dup"}
+
+
 def materialize_ctes(sql):
-    # `name AS (` at CTE position -> `name AS MATERIALIZED (`; the
-    # recursive CTE (`reach` in llm_dedup_clusters) must stay inlined —
-    # DuckDB rejects MATERIALIZED on recursive CTEs.
     return re.sub(r"\b(\w+) AS \(SELECT",
                   lambda m: f"{m.group(1)} AS MATERIALIZED (SELECT"
-                  if m.group(1) != "reach" else m.group(0), sql)
+                  if m.group(1) in MATERIALIZE else m.group(0), sql)
 
 
 def main(sfdir, outdir, threads=8):
     con = duckdb.connect()
     con.execute(f"SET threads={threads}")
+    # spill instead of OOM: the box has 125 GB shared with the engine
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
