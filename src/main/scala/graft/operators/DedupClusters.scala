@@ -60,15 +60,34 @@ object DedupClusters {
     * @param maxIter maximum large-star+small-star rounds; the star forest
     *                is reached in O(log n) rounds, so the default covers
     *                graphs far beyond any realistic dedup corpus
+    * @param smallGraphEdges edge-count threshold below which the star
+    *                forest is built by a SINGLE-TASK union-find instead
+    *                of the iterative contraction (see below); 0 forces
+    *                the contraction
     * @return (id, component) — component is the smallest id reachable */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame =
-    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+      maxIter: Int = 20, smallGraphEdges: Long = 1L << 20): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter, smallGraphEdges)._1
 
   /** As [[connectedComponents]], also returning the number of rounds the
-    * contraction ran (spec hook for the O(log n) bound). */
+    * contraction ran (spec hook for the O(log n) bound; 0 = the
+    * union-find fast path ran).
+    *
+    * The fast path is the AQE move applied to the contraction: the edge
+    * count is known after the orientation checkpoint, and below
+    * `smallGraphEdges` (default 2²⁰ ≈ 16 MB of edge pairs) the
+    * O(log n) contraction's per-round job dispatch dominates its win —
+    * a single EXECUTOR task (coalesce(1) + mapPartitions union-find,
+    * never a driver collect) builds the identical min-rooted star
+    * forest in one job. Union-by-min makes every root its component's
+    * minimum, so labels coincide with the contraction fixpoint by
+    * construction (spec-pinned). Dedup pair graphs after LSH rescoring
+    * are tiny relative to the corpus — at 100 TB the pair set can still
+    * cross the threshold, and then the O(log n) path engages
+    * unchanged. */
   private[graft] def connectedComponentsWithRounds(pairs: DataFrame,
-      aCol: String, bCol: String, maxIter: Int = 20): (DataFrame, Int) = {
+      aCol: String, bCol: String, maxIter: Int = 20,
+      smallGraphEdges: Long = 1L << 20): (DataFrame, Int) = {
     val nodes = pairs.select(col(aCol).as("id"))
       .union(pairs.select(col(bCol).as("id")))
       .distinct()
@@ -80,8 +99,50 @@ object DedupClusters {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    val nEdges = edges.count()
+    if (nEdges > 0 && nEdges <= smallGraphEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val idType = pairs.schema(aCol).dataType
+      // single-task union-find with union-by-min: the root of every set
+      // is its minimum id, so the emitted (member, root) edges ARE the
+      // contraction's star forest. Long-typed internally, cast back to
+      // the caller's id type (integral ids only — lossless round-trip).
+      val star = edges
+        .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+        .as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) {
+              val n = parent(c); parent(c) = r; c = n
+            }
+            r
+          }
+          it.foreach { case (a, b) =>
+            seen += a; seen += b
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          seen.iterator.flatMap { n =>
+            val r = find(n)
+            if (r != n) Iterator.single((n, r)) else Iterator.empty
+          }
+        }
+        .toDF("u", "v")
+        .select(col("u").cast(idType).as("u"), col("v").cast(idType).as("v"))
+      val labels = nodes
+        .join(star.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      return (labels, 0)
+    }
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = nEdges == 0L
     while (iter < maxIter && !converged) {
       // eager checkpoint: the convergence check references `next` TWICE
       // (both anti-join directions) — lazy materialization would compute

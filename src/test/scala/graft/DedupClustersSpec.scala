@@ -27,7 +27,8 @@ class DedupClustersSpec extends SparkSpecBase {
     // a chain of 8 needs ~log2(8)+1 rounds; maxIter=1 cannot converge
     val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("a", "b")
     val e = intercept[IllegalStateException] {
-      DedupClusters.connectedComponents(pairs, "a", "b", maxIter = 1)
+      DedupClusters.connectedComponents(pairs, "a", "b", maxIter = 1,
+        smallGraphEdges = 0)
     }
     assert(e.getMessage.contains("did not converge"))
   }
@@ -38,9 +39,17 @@ class DedupClustersSpec extends SparkSpecBase {
     // observe the fixpoint), far under the diameter
     val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
     val (labels, rounds) =
-      DedupClusters.connectedComponentsWithRounds(pairs, "a", "b")
+      DedupClusters.connectedComponentsWithRounds(pairs, "a", "b",
+        maxIter = 20, smallGraphEdges = 0)
     assert(labels.collect().map(_.getLong(1)).distinct.toSeq == Seq(1L))
+    assert(rounds >= 1, "smallGraphEdges = 0 must force the contraction")
     assert(rounds <= 9, s"expected O(log n) rounds for a 64-chain, got $rounds")
+    // the union-find fast path must land on the identical labels in 0 rounds
+    val (fast, fastRounds) =
+      DedupClusters.connectedComponentsWithRounds(pairs, "a", "b")
+    assert(fastRounds == 0, "a 63-edge graph must take the fast path")
+    assert(fast.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      labels.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
   }
 
   test("self-pairs and singleton components label themselves") {
@@ -69,9 +78,15 @@ class DedupClustersSpec extends SparkSpecBase {
         // always the min because union always parents the larger root)
         id -> find(id.toInt).toLong
       }.toMap
+      // both the fast path (default threshold) and the contraction
+      // (threshold 0) must match the oracle
       val got = DedupClusters.connectedComponents(es.toDF("a", "b"), "a", "b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == want, s"seed=$seed")
+      assert(got == want, s"fast path, seed=$seed")
+      val gotIter = DedupClusters.connectedComponents(es.toDF("a", "b"), "a", "b",
+          smallGraphEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotIter == want, s"contraction, seed=$seed")
     }
   }
 
