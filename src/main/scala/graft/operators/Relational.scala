@@ -416,13 +416,31 @@ object Relational {
     * hash partitioning on user_id is exactly how it parallelizes on a
     * cluster. */
   def joinRangeTheta(s: SparkSession, d: String): DataFrame = {
+    // time-BUCKETED band join (the IntervalJoin move): with the window
+    // being (a_ts, a_ts + 5 min], the match's 5-min bucket is a's or
+    // the next one, so exploding the probe side into those two bucket
+    // keys turns the range predicate into an equi-join on
+    // (user_id, bucket) with the exact range re-checked inside. On a
+    // plain (user_id)-keyed join every probe row scans ALL its user's
+    // rows (Σ deg² — ~667M predicate evaluations at sf1, the measured
+    // 3× loss to the baseline's IEJoin); bucketing bounds candidates
+    // to the ±5-min neighborhood, which is the join's actual output
+    // scale, at any corpus size.
+    val bucketUs = 300000000L // 5 minutes in µs
     val e = Tables.events(s, d)
-    val a = e.select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
-    val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_uid"), col("ts").as("b_ts"))
+    val a = e.select(col("event_id").as("a_id"), col("user_id"),
+        unix_micros(col("ts")).as("a_um"))
+      .withColumn("bk", explode(array(
+        floor(col("a_um") / bucketUs),
+        floor(col("a_um") / bucketUs) + 1)))
+    val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_uid"),
+        unix_micros(col("ts")).as("b_um"))
+      .withColumn("bk", floor(col("b_um") / bucketUs))
     a.join(b,
         col("user_id") === col("b_uid")
-          && col("b_ts") > col("a_ts")
-          && col("b_ts") <= col("a_ts") + expr("interval 5 minutes")
+          && a("bk") === b("bk")
+          && col("b_um") > col("a_um")
+          && col("b_um") <= col("a_um") + bucketUs
           && col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"))
       .orderBy(col("a_id"), col("b_id"))
