@@ -535,6 +535,75 @@ object Oracle {
     // landed ON a 2-dp boundary at 10× scale; on cents every aggregate
     // is exact and the one float step per output is operand-identical
     // on both engines
+    // Lorenz-plot indices off the hrv_poincare cent-lattice descriptors:
+    // identical sd1/sd2 float chains, then csi = sd2/sd1,
+    // cvi = log10(sd1*sd2*16), modified_csi = sd2*sd2*4/sd1 — all
+    // irrational, 4-dp round safe; +0 kills DuckDB's -0.0 on cvi
+    "hrv_csi_cvi" ->
+      ("WITH b AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c, ts, event_id FROM events), " +
+        "p AS (SELECT user_id, c - lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d, " +
+        "c + lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s FROM b), " +
+        "m AS (SELECT user_id, count(d) AS n, CAST(sum(d) AS BIGINT) AS sd, CAST(sum(d*d) AS BIGINT) AS sdd, " +
+        "CAST(sum(s) AS BIGINT) AS ss, CAST(sum(s*s) AS BIGINT) AS sss FROM p WHERE d IS NOT NULL GROUP BY user_id), " +
+        "v AS (SELECT user_id, CASE WHEN n > 1 THEN sqrt(CAST(n * sdd - sd * sd AS DOUBLE) / (n * (n - 1) * 2)) / 100.0 END AS sd1, " +
+        "CASE WHEN n > 1 THEN sqrt(CAST(n * sss - ss * ss AS DOUBLE) / (n * (n - 1) * 2)) / 100.0 END AS sd2 FROM m) " +
+        "SELECT user_id AS series_key, " +
+        "CASE WHEN sd1 > 0 THEN round(sd2 / sd1, 4) + 0 END AS csi, " +
+        "CASE WHEN sd1 > 0 AND sd2 > 0 THEN round(log10(sd1 * sd2 * 16), 4) + 0 END AS cvi, " +
+        "CASE WHEN sd1 > 0 THEN round(sd2 * sd2 * 4 / sd1, 4) + 0 END AS modified_csi " +
+        "FROM v ORDER BY series_key"),
+    // all-integer triangular index; HTI is a RATIONAL count ratio →
+    // integer half-up on the 4-dp grid ((2p+q) div (2q)), never a
+    // float round
+    "hrv_geometry" ->
+      ("WITH b AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) // 800 AS bin FROM events), " +
+        "g AS (SELECT user_id, bin, count(*) AS cnt FROM b GROUP BY 1, 2), " +
+        "a AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n, max(cnt) AS mx, count(*) AS nb FROM g GROUP BY user_id) " +
+        "SELECT user_id AS series_key, n, nb AS n_bins, mx AS max_bin_count, " +
+        "CAST((2 * (n * 10000) + mx) // (2 * mx) AS DOUBLE) / 10000.0 AS hti " +
+        "FROM a ORDER BY series_key"),
+    // median of integers interpolates exactly (half-integer at worst);
+    // the per-sample inverse rate lands on its own integer centi-grid
+    // via half-up BEFORE aggregating; CVs are irrational ratios of
+    // operand-identical doubles (4-dp float round safe)
+    "hrv_time_extras" ->
+      ("WITH b AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c, " +
+        "CAST(round(value * 100) AS BIGINT) - lag(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dc " +
+        "FROM events), " +
+        "h AS (SELECT user_id, c, dc, CASE WHEN c > 0 THEN (2 * 600000 + c) // (2 * c) END AS hr FROM b) " +
+        "SELECT user_id AS series_key, count(c) AS n, " +
+        "quantile_cont(c, 0.5) / 100.0 AS median_nn, " +
+        "CAST(max(c) - min(c) AS DOUBLE) / 100.0 AS range_nn, " +
+        "CASE WHEN count(c) > 1 THEN round(sqrt(CAST(count(c) * sum(c * c) - sum(c) * sum(c) AS DOUBLE) / (count(c) * (count(c) - 1))) / (CAST(sum(c) AS DOUBLE) / count(c)), 4) END AS cvnni, " +
+        "CASE WHEN count(dc) > 0 THEN round(sqrt(CAST(sum(dc * dc) AS DOUBLE) / count(dc)) / (CAST(sum(c) AS DOUBLE) / count(c)), 4) END AS cvsd, " +
+        "CASE WHEN count(hr) > 0 THEN CAST((2 * sum(hr) + count(hr)) // (2 * count(hr)) AS DOUBLE) / 100.0 END AS mean_hr, " +
+        "CAST(min(hr) AS DOUBLE) / 100.0 AS min_hr, " +
+        "CAST(max(hr) AS DOUBLE) / 100.0 AS max_hr " +
+        "FROM h GROUP BY user_id ORDER BY series_key"),
+    // Malik / Kamath thresholds cross-multiplied into exact integer
+    // compares (|d|*5 > p ⟺ |d| > 0.2p; d*40 > 13p ⟺ d > 0.325p;
+    // -d*200 > 49p ⟺ -d > 0.245p); fraction integer-rounded at 4 dp
+    "hrv_ectopic" ->
+      ("WITH b AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c, " +
+        "lag(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p FROM events), " +
+        "f AS (SELECT user_id, CASE WHEN abs(c - p) * 5 > p THEN 1 ELSE 0 END AS malik, " +
+        "CASE WHEN (c - p) * 40 > p * 13 OR (p - c) * 200 > p * 49 THEN 1 ELSE 0 END AS kamath " +
+        "FROM b WHERE p IS NOT NULL) " +
+        "SELECT user_id AS series_key, count(*) AS n_pairs, " +
+        "CAST(sum(malik) AS BIGINT) AS n_malik, CAST(sum(kamath) AS BIGINT) AS n_kamath, " +
+        "CASE WHEN count(*) > 0 THEN CAST((2 * (sum(malik) * 10000) + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0 END AS pct_malik " +
+        "FROM f GROUP BY user_id ORDER BY series_key"),
+    // per-sample trailing-60 RMSSD: exact integer frame sums, one
+    // float division + sqrt per row (irrational → 2-dp round safe)
+    "hrv_rolling_rmssd" ->
+      ("WITH b AS (SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS c FROM events WHERE user_id < 40), " +
+        "d AS (SELECT user_id, event_id, ts, c - lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dc FROM b), " +
+        "r AS (SELECT user_id, event_id, " +
+        "CAST(sum(dc * dc) OVER w AS BIGINT) AS sq, count(dc) OVER w AS cnt FROM d " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)) " +
+        "SELECT user_id AS series_key, event_id, " +
+        "CASE WHEN cnt > 0 THEN round(sqrt(CAST(sq AS DOUBLE) / cnt) / 100.0, 2) END AS rmssd_60 " +
+        "FROM r ORDER BY series_key, event_id"),
     "hrv_rmssd" ->
       ("WITH b AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c, ts, event_id FROM events), " +
         "d AS (SELECT user_id, c, c - lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dc FROM b) " +

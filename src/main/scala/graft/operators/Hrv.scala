@@ -110,6 +110,17 @@ object Hrv {
     * n·(max|c|)² ≲ 9e18, e.g. ~3e6 samples at ~56k cents; per-user
     * event series are orders of magnitude below.
     * Sample-variance identity: var = (n·Σc² − (Σc)²) / (n(n−1)). */
+  /** Integer half-up of the nonnegative rational p/q:
+    * (2p+q) div (2q), the div done exactly — subtract the pmod
+    * remainder so the double division is of an exact multiple
+    * (exact below 2⁵³, far above any cent sum here). This is the ONLY
+    * safe rounding for RATIONAL outputs of 2-dp data (see
+    * [[timeDomainCents]]'s scaladoc and DESIGN.md round-11). */
+  private[operators] def halfUp(p: Column, q: Column): Column = {
+    val num = p * 2 + q; val den = q * 2
+    ((num - pmod(num, den)).cast("double") / den.cast("double")).cast("long")
+  }
+
   def timeDomainCents(df: DataFrame, key: Column, ts: Column, tiebreak: Column,
       value: Column, nnThresholdCents: Long = 5000L): DataFrame = {
     val base = keyed(df, key, ts, tiebreak, value)
@@ -117,14 +128,6 @@ object Hrv {
     val c = round(col("v") * 100).cast("long")
     val n = count(col("c"))
     val nd = count(col("dc"))
-    // integer half-up of the nonnegative rational p/q:
-    // (2p+q) div (2q), the div done exactly — subtract the pmod
-    // remainder so the double division is of an exact multiple
-    // (exact below 2⁵³, far above any cent sum here)
-    def halfUp(p: Column, q: Column): Column = {
-      val num = p * 2 + q; val den = q * 2
-      ((num - pmod(num, den)).cast("double") / den.cast("double")).cast("long")
-    }
     base.select(col("series_key"), c.as("c"),
         (c - lag(c, 1).over(w)).as("dc"))
       .groupBy(col("series_key"))
@@ -187,6 +190,145 @@ object Hrv {
         sqrt(var_samp(col("d")) / 2).as("sd1"),
         sqrt(var_samp(col("s")) / 2).as("sd2"))
       .withColumn("sd_ratio", col("sd2") / col("sd1"))
+  }
+
+  /** Lorenz-plot autonomic indices per key — CSI, CVI, and Modified CSI
+    * (Toichi et al. 1997's cardiac sympathetic/vagal indices; the
+    * best-known downstream consumers compute them from the Poincaré
+    * descriptors exactly as here: with L = 4·SD2 and T = 4·SD1,
+    * CSI = L/T = SD2/SD1, CVI = log10(L·T) = log10(16·SD1·SD2), and
+    * Modified CSI = L²/T = 4·SD2²/SD1). Rides [[poincareCents]], so the
+    * variance numerators are exact integers and each output is a fixed
+    * chain of float ops on operand-identical doubles in both engines;
+    * all three outputs are irrational off a measure-zero set, so the
+    * final 4-dp round is safe. Degenerate series (SD1 = 0: a constant
+    * diff sequence) yield nulls rather than infinities. */
+  def csiCviCents(df: DataFrame, key: Column, ts: Column, tiebreak: Column,
+      value: Column): DataFrame = {
+    val p = poincareCents(df, key, ts, tiebreak, value)
+    val ok = col("sd1") > 0
+    p.select(col("series_key"),
+      when(ok, col("sd2") / col("sd1")).as("csi"),
+      when(ok && col("sd2") > 0, log10(col("sd1") * col("sd2") * 16))
+        .as("cvi"),
+      when(ok, col("sd2") * col("sd2") * 4 / col("sd1")).as("modified_csi"))
+  }
+
+  /** Geometrical HRV per key: the HRV triangular index (HTI) — total
+    * sample count over the peak bin count of the sample histogram — on
+    * fixed-width cent bins (the classic definition bins RR intervals at
+    * 1/128 s; `binWidthCents` is that convention's analogue on this
+    * domain's 2-dp grid). Pure integer plan: two-level group-by (map-side
+    * combinable both levels), and HTI — a RATIONAL output — rounds in
+    * integer space via [[halfUp]] since a count ratio can land exactly
+    * on a decimal boundary. */
+  def triangularIndexCents(df: DataFrame, key: Column, value: Column,
+      binWidthCents: Long = 800L): DataFrame = {
+    val c = round(value.cast("double") * 100).cast("long")
+    val bin = ((c - pmod(c, lit(binWidthCents))).cast("double")
+      / lit(binWidthCents.toDouble)).cast("long")
+    df.select(key.as("series_key"), bin.as("bin"))
+      .groupBy(col("series_key"), col("bin")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("series_key"))
+      .agg(
+        sum(col("cnt")).as("n"),
+        count(lit(1)).as("n_bins"),
+        max(col("cnt")).as("max_bin_count"))
+      .withColumn("hti",
+        halfUp(col("n") * 10000L, col("max_bin_count")).cast("double") / 10000.0)
+  }
+
+  /** Remaining time-domain block per key: exact interpolated median and
+    * range of the samples, coefficients of variation (CVNNI = SDNN/mean,
+    * CVSD = RMSSD/mean), and the rate view (mean/min/max of the
+    * per-sample inverse rate 6000/v, i.e. "beats per minute" had v been
+    * a seconds-scale interval). All on the integer-cent lattice: the
+    * per-sample rate lands on its OWN centi-unit grid via [[halfUp]]
+    * BEFORE aggregating, so its mean/min/max are exact integer
+    * aggregates; the CVs are irrational ratios of operand-identical
+    * doubles (safe 4-dp round); median of integers interpolates to a
+    * half-integer at worst — exact in both engines. A zero-valued
+    * sample has no inverse rate: it is excluded from the rate lattice
+    * (null hr), not a division error. */
+  def timeExtrasCents(df: DataFrame, key: Column, ts: Column, tiebreak: Column,
+      value: Column): DataFrame = {
+    val base = keyed(df, key, ts, tiebreak, value)
+    val w = Window.partitionBy(col("series_key")).orderBy(col("_ts"), col("_tb"))
+    val c = round(col("v") * 100).cast("long")
+    val n = count(col("c"))
+    val nd = count(col("dc"))
+    val nh = count(col("hr"))
+    val meanCents = sum(col("c")).cast("double") / n
+    val sdnnCents = sqrt((n * sum(col("c") * col("c"))
+      - sum(col("c")) * sum(col("c"))).cast("double") / (n * (n - 1)))
+    val rmssdCents = sqrt(sum(col("dc") * col("dc")).cast("double") / nd)
+    base.select(col("series_key"), c.as("c"),
+        (c - lag(c, 1).over(w)).as("dc"),
+        when(c > 0, halfUp(lit(600000L), c)).as("hr"))
+      .groupBy(col("series_key"))
+      .agg(
+        n.as("n"),
+        (percentile(col("c"), lit(0.5)) / 100.0).as("median_nn"),
+        ((max(col("c")) - min(col("c"))).cast("double") / 100.0).as("range_nn"),
+        when(n > 1, round(sdnnCents / meanCents, 4)).as("cvnni"),
+        when(nd > 0, round(rmssdCents / meanCents, 4)).as("cvsd"),
+        when(nh > 0,
+          halfUp(sum(col("hr")), nh).cast("double") / 100.0).as("mean_hr"),
+        (min(col("hr")).cast("double") / 100.0).as("min_hr"),
+        (max(col("hr")).cast("double") / 100.0).as("max_hr"))
+  }
+
+  /** Ectopic-beat screening per key under the two classic
+    * successive-difference rules (Malik: a sample differing from its
+    * predecessor by >20%; Kamath: a rise >32.5% or a fall >24.5%),
+    * evaluated EXACTLY on the cent lattice by cross-multiplying the
+    * thresholds into integer compares (|d|·5 > p ⟺ |d| > 0.2·p, etc.) —
+    * no float threshold can flip on a 1-ulp boundary. Returns per-key
+    * pair count, per-rule flagged counts, and the Malik ectopic fraction
+    * (rational → [[halfUp]] on a 4-dp grid). */
+  def ectopicCents(df: DataFrame, key: Column, ts: Column, tiebreak: Column,
+      value: Column): DataFrame = {
+    val base = keyed(df, key, ts, tiebreak, value)
+    val w = Window.partitionBy(col("series_key")).orderBy(col("_ts"), col("_tb"))
+    val c = round(col("v") * 100).cast("long")
+    val p = lag(c, 1).over(w)
+    val d = c - p
+    val np = count(col("malik"))
+    base.select(col("series_key"),
+        when(p.isNotNull, (abs(d) * 5 > p).cast("long")).as("malik"),
+        when(p.isNotNull,
+          (d * 40 > p * 13 || -d * 200 > p * 49).cast("long")).as("kamath"))
+      .groupBy(col("series_key"))
+      .agg(
+        np.as("n_pairs"),
+        sum(col("malik")).as("n_malik"),
+        sum(col("kamath")).as("n_kamath"),
+        when(np > 0,
+          halfUp(sum(col("malik")) * 10000L, np).cast("double") / 10000.0)
+          .as("pct_malik"))
+  }
+
+  /** The reference's signature shape — a per-sample SLIDING-window
+    * feature: RMSSD over the trailing `window` samples of each series,
+    * one row per sample. A single window pass per key (one shuffle on
+    * the key, sorted frame aggregation within); the frame sums are exact
+    * integers on the cent lattice, so each row pays one float
+    * division + sqrt on operand-identical doubles. Rows whose frame
+    * holds no successive difference (each series' first sample) carry
+    * null. */
+  def rollingRmssdCents(df: DataFrame, key: Column, ts: Column,
+      tiebreak: Column, value: Column, window: Int = 60): DataFrame = {
+    val base = keyed(df, key, ts, tiebreak, value)
+    val w = Window.partitionBy(col("series_key")).orderBy(col("_ts"), col("_tb"))
+    val c = round(col("v") * 100).cast("long")
+    val frame = w.rowsBetween(-(window - 1), 0)
+    val cnt = count(col("dc")).over(frame)
+    base.select(col("series_key"), col("_ts"), col("_tb"),
+        (c - lag(c, 1).over(w)).as("dc"))
+      .select(col("series_key"), col("_ts"), col("_tb"),
+        when(cnt > 0,
+          sqrt(sum(col("dc") * col("dc")).over(frame).cast("double") / cnt)
+            / 100.0).as("rmssd_roll"))
   }
 
   /** Resample each series to a uniform grid: one row per `stepSeconds`

@@ -287,6 +287,72 @@ object TrainingData {
         round(col("sd_ratio"), 2).as("sd_ratio"))
       .orderBy(col("series_key"))
 
+  /** #163 Lorenz-plot autonomic indices per user (CSI / CVI / Modified
+    * CSI — the seizure-detection feature triple of the reference's
+    * domain), judged through [[Hrv.csiCviCents]]: exact integer variance
+    * numerators, a fixed operand-identical float chain per output, 4-dp
+    * round safe because all three are irrational off a measure-zero
+    * set. */
+  def hrvCsiCvi(s: SparkSession, d: String): DataFrame =
+    Hrv.csiCviCents(Tables.events(s, d),
+        col("user_id"), col("ts"), col("event_id"), col("value"))
+      .select(col("series_key"),
+        round(col("csi"), 4).as("csi"),
+        round(col("cvi"), 4).as("cvi"),
+        round(col("modified_csi"), 4).as("modified_csi"))
+      .orderBy(col("series_key"))
+
+  /** #164 geometrical HRV per user: the triangular index (n over the
+    * peak histogram bin) on fixed 8.00-unit cent bins — all-integer
+    * two-level aggregation, HTI integer-rounded on its 4-dp grid (a
+    * count ratio is RATIONAL: float round is unsafe, see
+    * [[Hrv.halfUp]]). */
+  def hrvGeometry(s: SparkSession, d: String): DataFrame =
+    Hrv.triangularIndexCents(Tables.events(s, d),
+        col("user_id"), col("value"))
+      .select(col("series_key"), col("n"), col("n_bins"),
+        col("max_bin_count"), col("hti"))
+      .orderBy(col("series_key"))
+
+  /** #165 remaining time-domain HRV block per user: exact interpolated
+    * median, range, CV-of-NN / CV-of-successive-differences, and the
+    * inverse-rate view (mean/min/max "HR"), judged through
+    * [[Hrv.timeExtrasCents]] — rates land on their own integer
+    * centi-grid BEFORE aggregating, medians of integers interpolate
+    * exactly, CVs are irrational ratios of operand-identical doubles. */
+  def hrvTimeExtras(s: SparkSession, d: String): DataFrame =
+    Hrv.timeExtrasCents(Tables.events(s, d),
+        col("user_id"), col("ts"), col("event_id"), col("value"))
+      .select(col("series_key"), col("n"), col("median_nn"),
+        col("range_nn"), col("cvnni"), col("cvsd"),
+        col("mean_hr"), col("min_hr"), col("max_hr"))
+      .orderBy(col("series_key"))
+
+  /** #166 ectopic-beat screening per user under the Malik (>20% vs
+    * predecessor) and Kamath (rise >32.5% / fall >24.5%) rules, judged
+    * through [[Hrv.ectopicCents]] — thresholds cross-multiplied into
+    * exact integer compares, fraction integer-rounded on its grid. */
+  def hrvEctopic(s: SparkSession, d: String): DataFrame =
+    Hrv.ectopicCents(Tables.events(s, d),
+        col("user_id"), col("ts"), col("event_id"), col("value"))
+      .select(col("series_key"), col("n_pairs"), col("n_malik"),
+        col("n_kamath"), col("pct_malik"))
+      .orderBy(col("series_key"))
+
+  /** #167 per-sample SLIDING-window RMSSD (trailing 60 samples) — the
+    * reference pipeline's signature rolling-feature shape, judged
+    * through [[Hrv.rollingRmssdCents]]: exact integer frame sums, one
+    * float division + sqrt per row, 2-dp round safe (irrational).
+    * Bounded to the first 40 users to keep the judged output polite;
+    * the operator itself is unbounded. */
+  def hrvRollingRmssd(s: SparkSession, d: String): DataFrame =
+    Hrv.rollingRmssdCents(
+        Tables.events(s, d).filter(col("user_id") < 40),
+        col("user_id"), col("ts"), col("event_id"), col("value"), 60)
+      .select(col("series_key"), col("_tb").as("event_id"),
+        round(col("rmssd_roll"), 2).as("rmssd_60"))
+      .orderBy(col("series_key"), col("event_id"))
+
   /** #72 grouped correlation/covariance between the sample value and the
     * JSON payload's k field — the bivariate member of the stats family
     * (#19 covers the univariate moments). Partial+final aggregate,

@@ -84,6 +84,90 @@ class HrvSpec extends SparkSpecBase {
       s"expected a peak at 0.25Hz, got $powers")
   }
 
+  test("csi/cvi/modified-csi on a hand-checked series") {
+    val simple = Seq((9L, 1L, 100.0), (9L, 2L, 160.0), (9L, 3L, 130.0))
+      .toDF("user_id", "event_id", "value")
+      .withColumn("ts", timestamp_seconds($"event_id"))
+    val r = Hrv.csiCviCents(simple, $"user_id", $"ts", $"event_id", $"value")
+      .collect().head
+    // diffs 60,-30 → sd1 = 45; sums 260,290 → sd2 = 15
+    assert(math.abs(r.getDouble(1) - 15.0 / 45.0) < 1e-12) // csi
+    assert(math.abs(r.getDouble(2) - math.log10(45.0 * 15.0 * 16)) < 1e-12) // cvi
+    assert(math.abs(r.getDouble(3) - 20.0) < 1e-12) // 4·15²/45
+  }
+
+  test("csi/cvi null out on a constant-diff (sd1 = 0) series, not infinity") {
+    val flat = Seq((9L, 1L, 100.0), (9L, 2L, 110.0), (9L, 3L, 120.0))
+      .toDF("user_id", "event_id", "value")
+      .withColumn("ts", timestamp_seconds($"event_id"))
+    val r = Hrv.csiCviCents(flat, $"user_id", $"ts", $"event_id", $"value")
+      .collect().head
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("triangular index: n over peak bin count, integer-rounded") {
+    // cents 100,100,900 at 800-cent bins → bins 0,0,1 → HTI = 3/2 = 1.5
+    val df = Seq((9L, 1L, 1.0), (9L, 2L, 1.0), (9L, 3L, 9.0))
+      .toDF("user_id", "event_id", "value")
+    val r = Hrv.triangularIndexCents(df, $"user_id", $"value").collect().head
+    assert(r.getLong(1) == 3 && r.getLong(2) == 2 && r.getLong(3) == 2)
+    assert(r.getDouble(4) == 1.5)
+  }
+
+  test("time extras: median/range/CVs/rates on a hand-checked series") {
+    val simple = Seq((9L, 1L, 100.0), (9L, 2L, 160.0), (9L, 3L, 130.0))
+      .toDF("user_id", "event_id", "value")
+      .withColumn("ts", timestamp_seconds($"event_id"))
+    val r = Hrv.timeExtrasCents(simple, $"user_id", $"ts", $"event_id", $"value")
+      .collect().head
+    assert(r.getDouble(2) == 130.0 && r.getDouble(3) == 60.0) // median, range
+    assert(r.getDouble(4) == 0.2308) // sdnn 30 / mean 130, rounded
+    assert(r.getDouble(5) == 0.3649) // rmssd 47.43… / mean 130
+    // 6000/v half-up per sample: 60, 38, 46 → mean half-up(144/3) = 48
+    assert(r.getDouble(6) == 0.48 && r.getDouble(7) == 0.38 && r.getDouble(8) == 0.60)
+  }
+
+  test("time extras: zero-valued samples are excluded from the rate lattice") {
+    val withZero = Seq((9L, 1L, 0.0), (9L, 2L, 100.0))
+      .toDF("user_id", "event_id", "value")
+      .withColumn("ts", timestamp_seconds($"event_id"))
+    val r = Hrv.timeExtrasCents(withZero, $"user_id", $"ts", $"event_id", $"value")
+      .collect().head
+    assert(r.getLong(1) == 2)          // n counts the zero sample
+    assert(r.getDouble(6) == 0.60)     // mean_hr over the 1 nonzero sample
+  }
+
+  test("ectopic rules: Malik and Kamath integer thresholds") {
+    // 100→160: +60% (both rules); 160→130: −18.75% (neither: Malik needs
+    // >20%, Kamath fall needs >24.5%)
+    val simple = Seq((9L, 1L, 100.0), (9L, 2L, 160.0), (9L, 3L, 130.0))
+      .toDF("user_id", "event_id", "value")
+      .withColumn("ts", timestamp_seconds($"event_id"))
+    val r = Hrv.ectopicCents(simple, $"user_id", $"ts", $"event_id", $"value")
+      .collect().head
+    assert(r.getLong(1) == 2 && r.getLong(2) == 1 && r.getLong(3) == 1)
+    assert(r.getDouble(4) == 0.5)
+  }
+
+  test("rolling rmssd windows the successive differences per sample") {
+    val simple = Seq((9L, 1L, 100.0), (9L, 2L, 160.0), (9L, 3L, 130.0))
+      .toDF("user_id", "event_id", "value")
+      .withColumn("ts", timestamp_seconds($"event_id"))
+    val rows = Hrv.rollingRmssdCents(simple, $"user_id", $"ts", $"event_id",
+        $"value", window = 2)
+      .orderBy($"_tb").collect()
+    assert(rows(0).isNullAt(3))                       // no diff in frame
+    assert(rows(1).getDouble(3) == 60.0)              // sqrt(6000²/1)/100
+    assert(math.abs(rows(2).getDouble(3) - math.sqrt((36e6 + 9e6) / 2) / 100) < 1e-12)
+  }
+
+  test("rolling rmssd shuffles the series exactly once") {
+    val plan = Hrv.rollingRmssdCents(rr, $"user_id", $"ts", $"event_id", $"value")
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?i)exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$plan")
+  }
+
   test("resample produces a uniform grid with last-observation-carried-forward") {
     val df = Seq(
       (1L, 0L, 10.0), (1L, 3L, 30.0), (1L, 10L, 99.0), // samples at t=0,3,10s
