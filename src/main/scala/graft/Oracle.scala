@@ -99,6 +99,13 @@ object Oracle {
       "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000) ORDER BY c_custkey",
     "join_anti" ->
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') ORDER BY c_custkey",
+    // the oracle is the PLAIN semi-join aggregate: the engine's Bloom
+    // prefilter stage must be result-invisible (no false negatives;
+    // false positives removed by the exact semi-join)
+    "join_bloom_prefilter" ->
+      ("SELECT l_returnflag, count(*) AS n_items, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
+        "FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "join_range_theta" ->
       "SELECT a.event_id AS a_id, b.event_id AS b_id FROM events a JOIN events b ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE AND a.event_id <> b.event_id ORDER BY a_id, b_id LIMIT 200",
     "join_asof" ->

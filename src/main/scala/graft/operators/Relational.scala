@@ -410,6 +410,34 @@ object Relational {
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
 
+  /** #168 semi-join behind a persisted-shape BLOOM runtime filter — the
+    * invisibility trick judged the same way as `join_bucketed` /
+    * `llm_dedup_append`: the oracle is the PLAIN semi-join aggregate, and
+    * the engine must produce the identical result while routing the fact
+    * side through `graft_bloom_sketch`/`graft_bloom_contains`. The filter
+    * has no false negatives (nothing is lost) and its false positives are
+    * removed by the exact semi-join that follows, so the Bloom stage is
+    * semantically invisible — while at 100 TB it is the classic
+    * runtime-filter win: the 128 KB filter broadcasts to every scan task
+    * and drops ~80% of fact rows BEFORE the join shuffle, the same
+    * pre-shuffle reduction the persisted form applies across pipeline
+    * runs (build the sketch from yesterday's keeper keys, prefilter
+    * today's batch without loading the key table). */
+  def joinBloomPrefilter(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val sketch = dim.agg(graft.functions.Bloom.bloomSketch(col("o_orderkey")).as("bf"))
+    Tables.lineitem(s, d)
+      .join(broadcast(sketch))
+      .filter(graft.functions.Bloom.bloomContains(col("bf"), col("l_orderkey")))
+      .join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** #10 self-join with key equality + time-range theta predicate. The
     * equi-clause (user_id) drives a hash join; the 5-minute range condition
     * is evaluated as a post-join filter — never a cartesian product, and the

@@ -89,6 +89,21 @@ class BloomSpec extends SparkSpecBase {
       "the pre-filter should cut the fact side unless every key is a keeper")
   }
 
+  test("judged join_bloom_prefilter equals the plain semi-join aggregate") {
+    // the judged invisibility contract, pinned engine-side too: routing
+    // the fact scan through the bloom stage changes NOTHING in the result
+    val viaBloom = operators.Relational.joinBloomPrefilter(spark, sf()).collect()
+    val dim = Tables.orders(spark, sf())
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+    val plain = Tables.lineitem(spark, sf())
+      .join(dim, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_quantity".cast("long")).as("sum_qty"))
+      .orderBy($"l_returnflag").collect()
+    assert(viaBloom.toSeq == plain.toSeq)
+  }
+
   test("map-side combine: partial aggregation present in the plan") {
     val plan = Tables.events(spark, sf())
       .agg(Bloom.bloomSketch($"user_id"))

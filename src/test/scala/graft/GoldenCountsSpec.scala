@@ -17,7 +17,7 @@ class GoldenCountsSpec extends SparkSpecBase {
     "join_star_5way" -> 5,
     "join_left_outer" -> 50, "join_full_outer" -> 21,
     "join_right_outer" -> 100,
-    "join_semi" -> 150, "join_anti" -> 18,
+    "join_semi" -> 150, "join_anti" -> 18, "join_bloom_prefilter" -> 3,
     "join_range_theta" -> 10, "join_interval_bucketed" -> 36,
     "join_asof" -> 500, "join_asof_native" -> 202,
     "join_cross" -> 25,
