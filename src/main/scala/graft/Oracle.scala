@@ -611,6 +611,20 @@ object Oracle {
         "SELECT user_id AS series_key, event_id, " +
         "CASE WHEN cnt > 0 THEN round(sqrt(CAST(sq AS DOUBLE) / cnt) / 100.0, 2) END AS rmssd_60 " +
         "FROM r ORDER BY series_key, event_id"),
+    // SDANN / SDNN-index on daily segments: per-segment mean half-ups
+    // onto the cent grid, per-segment SDNN quantizes via
+    // floor(sqrt + 0.5) of an operand-identical IEEE sqrt — the
+    // second-level aggregates are exact integer moments again, so
+    // neither engine ever sums floats
+    "hrv_sdann" ->
+      ("WITH b AS (SELECT user_id, date_trunc('day', ts) AS seg, CAST(round(value * 100) AS BIGINT) AS c FROM events), " +
+        "g AS (SELECT user_id, seg, count(*) AS n, CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q FROM b GROUP BY 1, 2), " +
+        "f AS (SELECT user_id, (2 * s + n) // (2 * n) AS mc, " +
+        "CASE WHEN n > 1 THEN CAST(floor(sqrt(CAST(n * q - s * s AS DOUBLE) / (n * (n - 1))) + 0.5) AS BIGINT) END AS sc FROM g) " +
+        "SELECT user_id AS series_key, count(mc) AS n_segments, count(sc) AS n_sdnn_segments, " +
+        "CASE WHEN count(mc) > 1 THEN round(sqrt(CAST(count(mc) * sum(mc * mc) - sum(mc) * sum(mc) AS DOUBLE) / (count(mc) * (count(mc) - 1))) / 100.0, 2) END AS sdann, " +
+        "CASE WHEN count(sc) > 0 THEN CAST((2 * sum(sc) + count(sc)) // (2 * count(sc)) AS DOUBLE) / 100.0 END AS sdnn_index " +
+        "FROM f GROUP BY user_id ORDER BY series_key"),
     "hrv_rmssd" ->
       ("WITH b AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c, ts, event_id FROM events), " +
         "d AS (SELECT user_id, c, c - lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dc FROM b) " +

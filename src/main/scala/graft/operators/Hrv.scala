@@ -331,6 +331,47 @@ object Hrv {
             / 100.0).as("rmssd_roll"))
   }
 
+  /** Segment-based long-term variability per key — SDANN (stddev of the
+    * per-segment sample means) and the SDNN index (mean of the
+    * per-segment SDNNs), on daily segments. Fully deterministic at any
+    * scale, with NO order-sensitive float sum anywhere: segment means
+    * are quantized to the integer cent grid via [[halfUp]] and segment
+    * SDNNs to integer cents via floor(x + 0.5) of a correctly-rounded
+    * IEEE sqrt on exact integer operands (identical double in both
+    * engines) — so the second-level aggregates are again exact integer
+    * moments. SDANN then pays one float division + sqrt (irrational →
+    * float round safe); the SDNN index is a rational on the cent grid →
+    * integer half-up. Single-sample segments carry no SDNN and drop out
+    * of the index; single-segment users carry no SDANN. Two-level
+    * map-side-combinable aggregation — one shuffle on (key, day), one
+    * on key. */
+  def sdannCents(df: DataFrame, key: Column, ts: Column,
+      value: Column): DataFrame = {
+    val c = round(value.cast("double") * 100).cast("long")
+    val seg = df.select(key.as("series_key"), date_trunc("DAY", ts).as("seg"),
+        c.as("c"))
+      .groupBy(col("series_key"), col("seg"))
+      .agg(count(col("c")).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+    val nI = col("n")
+    val sdnnC = when(nI > 1,
+      floor(sqrt((nI * col("q") - col("s") * col("s")).cast("double")
+        / (nI * (nI - 1))) + 0.5).cast("long"))
+    val perSeg = seg.select(col("series_key"),
+      halfUp(col("s"), nI).as("mc"), sdnnC.as("sc"))
+    val ns = count(col("mc"))
+    val nsd = count(col("sc"))
+    perSeg.groupBy(col("series_key"))
+      .agg(
+        ns.as("n_segments"),
+        nsd.as("n_sdnn_segments"),
+        when(ns > 1,
+          sqrt((ns * sum(col("mc") * col("mc")) - sum(col("mc")) * sum(col("mc")))
+            .cast("double") / (ns * (ns - 1))) / 100.0).as("sdann"),
+        when(nsd > 0,
+          halfUp(sum(col("sc")), nsd).cast("double") / 100.0).as("sdnn_index"))
+  }
+
   /** Resample each series to a uniform grid: one row per `stepSeconds`
     * tick between the series' first and last sample, carrying the most
     * recent sample value at or before the tick (last-observation-carried-

@@ -339,6 +339,18 @@ object TrainingData {
         col("n_kamath"), col("pct_malik"))
       .orderBy(col("series_key"))
 
+  /** #169 segment-based long-term HRV per user: SDANN + SDNN index on
+    * daily segments, judged through [[Hrv.sdannCents]] — both
+    * second-level aggregates run over integer-quantized per-segment
+    * features, so there is NO order-sensitive float sum anywhere (the
+    * hazard that makes naive SDANN un-oracle-able at scale). */
+  def hrvSdann(s: SparkSession, d: String): DataFrame =
+    Hrv.sdannCents(Tables.events(s, d),
+        col("user_id"), col("ts"), col("value"))
+      .select(col("series_key"), col("n_segments"), col("n_sdnn_segments"),
+        round(col("sdann"), 2).as("sdann"), col("sdnn_index"))
+      .orderBy(col("series_key"))
+
   /** #167 per-sample SLIDING-window RMSSD (trailing 60 samples) — the
     * reference pipeline's signature rolling-feature shape, judged
     * through [[Hrv.rollingRmssdCents]]: exact integer frame sums, one

@@ -168,6 +168,21 @@ class HrvSpec extends SparkSpecBase {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$plan")
   }
 
+  test("sdann/sdnn-index on hand-checked daily segments") {
+    // day 1: 100,160 → segment mean 130.00, sdnn 42.43 (floor(4242.64+.5));
+    // day 2: 150 (single sample → no sdnn, mean 150.00)
+    val df = Seq(
+      (9L, "2024-01-01 10:00:00", 100.0), (9L, "2024-01-01 11:00:00", 160.0),
+      (9L, "2024-01-02 10:00:00", 150.0))
+      .toDF("user_id", "t", "value")
+      .withColumn("ts", to_timestamp($"t"))
+    val r = Hrv.sdannCents(df, $"user_id", $"ts", $"value").collect().head
+    assert(r.getLong(1) == 2 && r.getLong(2) == 1)
+    // sdann = sqrt((2·(13000²+15000²) − 28000²)/2)/100 = sqrt(2e6)/100
+    assert(math.abs(r.getDouble(3) - math.sqrt(2e6) / 100) < 1e-12)
+    assert(r.getDouble(4) == 42.43)
+  }
+
   test("resample produces a uniform grid with last-observation-carried-forward") {
     val df = Seq(
       (1L, 0L, 10.0), (1L, 3L, 30.0), (1L, 10L, 99.0), // samples at t=0,3,10s
