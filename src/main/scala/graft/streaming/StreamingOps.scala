@@ -686,6 +686,94 @@ object StreamingOps {
       }
   }
 
+  /** Streaming rolling-RMSSD state for one user: the previous sample's
+    * cents (the next diff's left operand), the last ≤ window−1 diffs in
+    * fold order (the frame the next sample's RMSSD reads), the
+    * (µs, event_id) fold point, and the watermark-bounded pending
+    * buffer. All-frame arithmetic is exact integer — the only float
+    * step is the per-emission sqrt/divide, identical to the batch
+    * query's. */
+  case class RollingRmssdState(prevC: Long, hasPrev: Boolean,
+      dcs: Seq[Long], lastUs: Long, lastId: Long,
+      pending: Seq[(Long, Long, Double)])
+
+  /** One per-sample rolling-feature row — the judged batch query's
+    * shape (`hrv_rolling_rmssd`): None for rows whose frame holds no
+    * successive difference (each series' first sample). */
+  case class RollingRmssdRow(user_id: Long, event_id: Long,
+      rmssd_60: Option[Double])
+
+  /** Streaming twin of the judged `hrv_rolling_rmssd` sliding feature:
+    * per sealed sample, RMSSD over the trailing ≤ `window` successive
+    * cent differences of that user's series. Like [[statefulEwma]] /
+    * [[statefulAnomalyZscore]] the frame CONTENT is order-sensitive, so
+    * rows buffer until the watermark strictly passes their instant and
+    * fold in exact (event-time µs, event_id) order — but unlike those
+    * twins the frame ARITHMETIC is exact integer (cent diffs, integer
+    * square sums), so there is no float-replay hazard at all: the one
+    * float step per emission (sqrt(Σdc²/n)/100, then HALF_UP at 2 dp)
+    * is operand-identical to the batch window query by construction.
+    * Per-user state is ≤ window−1 longs plus the watermark-bounded
+    * buffer, never the stream. */
+  def statefulRollingRmssd(events: DataFrame, window: Int = 60,
+      watermark: String = "1 day"): Dataset[RollingRmssdRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("event_id").cast("long").as("event_id"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RollingRmssdState, RollingRmssdRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp, Long, Double)],
+            state: GroupState[RollingRmssdState]) =>
+          val st = state.getOption.getOrElse(
+            RollingRmssdState(0L, hasPrev = false, Vector.empty,
+              Long.MinValue, Long.MinValue, Nil))
+          def micros(t: Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          val pending =
+            (st.pending ++ rows.map(r => (micros(r._2), r._3, r._4))).distinct
+          val wm = state.getCurrentWatermarkMs()
+          // strict-<: fold only SEALED instants (see statefulAnomalyZscore)
+          val (ripe, keep) = pending.partition(_._1 < wm * 1000L)
+          var prevC = st.prevC
+          var hasPrev = st.hasPrev
+          var dcs = st.dcs.toVector
+          var lastUs = st.lastUs
+          var lastId = st.lastId
+          def round2(v: Double): Double =
+            java.math.BigDecimal.valueOf(v)
+              .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+          val out = ripe.sortBy(r => (r._1, r._2)).filter { case (us, id, _) =>
+            us > lastUs || (us == lastUs && id > lastId)
+          }.map { case (us, id, v) =>
+            // the batch query's cent lattice: round(v·100) exact on 2-dp data
+            val c = math.round(v * 100)
+            val frame = if (hasPrev) (dcs :+ (c - prevC)).takeRight(window)
+                        else dcs.takeRight(window - 1) // first sample: no diff
+            val emit = if (frame.nonEmpty) {
+              val sq = frame.map(d => d * d).sum
+              Some(round2(math.sqrt(sq.toDouble / frame.size) / 100.0))
+            } else None
+            dcs = frame.takeRight(window - 1)
+            prevC = c
+            hasPrev = true
+            lastUs = us
+            lastId = id
+            RollingRmssdRow(user, id, emit)
+          }
+          state.update(RollingRmssdState(prevC, hasPrev, dcs, lastUs, lastId, keep))
+          if (keep.nonEmpty)
+            state.setTimeoutTimestamp(Math.max(
+              Math.floorDiv(keep.map(_._1).min + 999L, 1000L), wm + 1L))
+          out.iterator
+      }
+  }
+
   /** Twin of TimeSeries.streamDedup: streaming-safe distinct on
     * (user_id, event_type). State for a key can be dropped once the
     * watermark passes — unbounded-state-free dedup. */

@@ -711,6 +711,41 @@ class StreamingOpsSpec extends SparkSpecBase {
       s"stream-only: ${got -- want}; batch-only: ${want -- got}")
   }
 
+  test("stateful rolling rmssd equals the batch hrv_rolling_rmssd bit for bit") {
+    implicit val ctx = spark.sqlContext
+    // the REAL sf0.001 events, delivered shuffled across three batches —
+    // the twin must reproduce the judged sliding-feature query exactly
+    // (same per-sample 2-dp RMSSD values, same None rows)
+    val ev = Tables.events(spark, sf())
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"value")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val shuffled = ev.sortBy(r => (r._3 % 3, r._3 / 7 % 5, r._3))
+    val ms = MemoryStream[(Long, Long, Long, Double)]
+    val in = ms.toDF().select($"_1".as("user_id"),
+      timestamp_micros($"_2").as("ts"), $"_3".as("event_id"),
+      $"_4".as("value"))
+    val out = StreamingOps.statefulRollingRmssd(in, watermark = "60 days")
+    val q = out.writeStream.format("memory").queryName("t_rollrmssd")
+      .outputMode("append").start()
+    try {
+      shuffled.grouped((shuffled.size + 2) / 3).foreach { b =>
+        ms.addData(b: _*); q.processAllAvailable()
+      }
+      ms.addData((999999L, ev.map(_._2).max + 120L * 86400 * 1000000, 0L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_rollrmssd")
+      .filter($"user_id" =!= 999999L)
+      .select($"user_id", $"event_id", $"rmssd_60")
+      .as[(Long, Long, Option[Double])].collect().toSet
+    val want = graft.operators.TrainingData.hrvRollingRmssd(spark, sf())
+      .select($"series_key", $"event_id", $"rmssd_60")
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"stream-only: ${got -- want}; batch-only: ${want -- got}")
+  }
+
   test("stateful session stats equals the batch ts_session_stats rollup bit for bit") {
     implicit val ctx = spark.sqlContext
     // the REAL sf0.001 events, shuffled across three batches — interval
