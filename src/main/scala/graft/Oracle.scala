@@ -625,6 +625,32 @@ object Oracle {
         "CASE WHEN count(mc) > 1 THEN round(sqrt(CAST(count(mc) * sum(mc * mc) - sum(mc) * sum(mc) AS DOUBLE) / (count(mc) * (count(mc) - 1))) / 100.0, 2) END AS sdann, " +
         "CASE WHEN count(sc) > 0 THEN CAST((2 * sum(sc) + count(sc)) // (2 * count(sc)) AS DOUBLE) / 100.0 END AS sdnn_index " +
         "FROM f GROUP BY user_id ORDER BY series_key"),
+    // the fused feature table: one window + one aggregate computing
+    // every canonical feature with the IDENTICAL formulas the
+    // single-feature oracles use — the oracle proves the fusion is
+    // result-invisible
+    "hrv_feature_table" ->
+      ("WITH b AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c, ts, event_id FROM events), " +
+        "p AS (SELECT user_id, c, c - lag(c) OVER win AS dc, c + lag(c) OVER win AS sc FROM b WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "g AS (SELECT user_id, count(c) AS n, CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q, " +
+        "count(dc) AS nd, CAST(sum(dc) AS BIGINT) AS sd, CAST(sum(dc * dc) AS BIGINT) AS sdd, " +
+        "CAST(sum(sc) AS BIGINT) AS ss, CAST(sum(sc * sc) AS BIGINT) AS sss, " +
+        "CAST(sum(CASE WHEN abs(dc) > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS np FROM p GROUP BY user_id), " +
+        "v AS (SELECT user_id, n, s, q, nd, sdd, np, " +
+        "CASE WHEN nd > 1 THEN sqrt(CAST(nd * sdd - sd * sd AS DOUBLE) / (nd * (nd - 1) * 2)) / 100.0 END AS sd1x, " +
+        "CASE WHEN nd > 1 THEN sqrt(CAST(nd * sss - ss * ss AS DOUBLE) / (nd * (nd - 1) * 2)) / 100.0 END AS sd2x, " +
+        "CASE WHEN nd > 1 AND nd * sdd - sd * sd > 0 THEN 1 ELSE 0 END AS ok1, " +
+        "CASE WHEN nd > 1 AND nd * sss - ss * ss > 0 THEN 1 ELSE 0 END AS ok2 FROM g) " +
+        "SELECT user_id AS series_key, n, " +
+        "CAST((2 * s + n) // (2 * n) AS DOUBLE) / 100.0 AS mean_nn, " +
+        "round(CASE WHEN n > 1 THEN sqrt(CAST(n * q - s * s AS DOUBLE) / (n * (n - 1))) / 100.0 END, 2) AS sdnn, " +
+        "round(CASE WHEN nd > 0 THEN sqrt(CAST(sdd AS DOUBLE) / nd) / 100.0 END, 2) AS rmssd, " +
+        "CASE WHEN nd > 0 THEN CAST((2 * (np * 10000) + nd) // (2 * nd) AS DOUBLE) / 10000.0 END AS pnn, " +
+        "round(sd1x, 2) AS sd1, round(sd2x, 2) AS sd2, " +
+        "CASE WHEN ok1 = 1 THEN round(sd2x / sd1x, 4) + 0 END AS csi, " +
+        "CASE WHEN ok1 = 1 AND ok2 = 1 THEN round(log10(sd1x * sd2x * 16), 4) + 0 END AS cvi, " +
+        "CASE WHEN ok1 = 1 THEN round(sd2x * sd2x * 4 / sd1x, 4) + 0 END AS modified_csi " +
+        "FROM v ORDER BY series_key"),
     "hrv_rmssd" ->
       ("WITH b AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c, ts, event_id FROM events), " +
         "d AS (SELECT user_id, c, c - lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dc FROM b) " +

@@ -339,6 +339,28 @@ object TrainingData {
         col("n_kamath"), col("pct_malik"))
       .orderBy(col("series_key"))
 
+  /** #170 the FUSED per-user HRV feature table — the reference's
+    * signature output artifact: the full canonical feature vector
+    * (n, mean, SDNN, RMSSD, pNN, SD1, SD2, CSI, CVI, Modified CSI) in
+    * ONE window pass + ONE aggregation, judged through
+    * [[Hrv.featureTableCents]]. Every formula is the identical
+    * cent-lattice form its single-feature judged query uses, so the
+    * fusion — one shuffle for ten features instead of six — is
+    * result-invisible, which is exactly what the oracle checks. */
+  def hrvFeatureTable(s: SparkSession, d: String): DataFrame =
+    Hrv.featureTableCents(Tables.events(s, d),
+        col("user_id"), col("ts"), col("event_id"), col("value"))
+      .select(col("series_key"), col("n"), col("mean_nn"),
+        round(col("sdnn"), 2).as("sdnn"),
+        round(col("rmssd"), 2).as("rmssd"),
+        col("pnn"),
+        round(col("sd1"), 2).as("sd1"),
+        round(col("sd2"), 2).as("sd2"),
+        round(col("csi"), 4).as("csi"),
+        round(col("cvi"), 4).as("cvi"),
+        round(col("modified_csi"), 4).as("modified_csi"))
+      .orderBy(col("series_key"))
+
   /** #169 segment-based long-term HRV per user: SDANN + SDNN index on
     * daily segments, judged through [[Hrv.sdannCents]] — both
     * second-level aggregates run over integer-quantized per-segment

@@ -183,6 +183,28 @@ class HrvSpec extends SparkSpecBase {
     assert(r.getDouble(4) == 42.43)
   }
 
+  test("fused feature table equals the single-feature judged queries column for column") {
+    // the fusion contract: one shuffle for ten features, same values as
+    // the separately-judged queries produce
+    val ft = graft.operators.TrainingData.hrvFeatureTable(spark, sf())
+    val rmssd = graft.operators.TrainingData.hrvRmssd(spark, sf())
+    val poinc = graft.operators.TrainingData.hrvPoincare(spark, sf())
+    val csi = graft.operators.TrainingData.hrvCsiCvi(spark, sf())
+    assert(ft.select($"series_key", $"n", $"mean_nn", $"sdnn", $"rmssd", $"pnn")
+      .collect().toSeq == rmssd.collect().toSeq)
+    assert(ft.select($"series_key", $"sd1", $"sd2").collect().toSeq ==
+      poinc.select($"series_key", $"sd1", $"sd2").collect().toSeq)
+    assert(ft.select($"series_key", $"csi", $"cvi", $"modified_csi")
+      .collect().toSeq == csi.collect().toSeq)
+  }
+
+  test("fused feature table computes ten features in a single shuffle") {
+    val plan = Hrv.featureTableCents(rr, $"user_id", $"ts", $"event_id", $"value")
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?i)exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$plan")
+  }
+
   test("resample produces a uniform grid with last-observation-carried-forward") {
     val df = Seq(
       (1L, 0L, 10.0), (1L, 3L, 30.0), (1L, 10L, 99.0), // samples at t=0,3,10s
