@@ -528,6 +528,22 @@ object Oracle {
         "CASE WHEN n * scc - sc * sc > 0 AND n * skk - sk * sk > 0 THEN round(CAST(n * sck - sc * sk AS DOUBLE) / (sqrt(CAST(n * scc - sc * sc AS DOUBLE)) * sqrt(CAST(n * skk - sk * sk AS DOUBLE))), 4) + 0 END AS corr_vk, " +
         "CASE WHEN n > 1 THEN CAST(CASE WHEN n * sck - sc * sk >= 0 THEN (2 * (n * sck - sc * sk) + n * (n - 1)) // (2 * n * (n - 1)) ELSE -((2 * (sc * sk - n * sck) + n * (n - 1)) // (2 * n * (n - 1))) END AS DOUBLE) / 100.0 END AS covar_vk " +
         "FROM g ORDER BY user_id"),
+    // linear-interp resampling: per-tick backward+forward brackets via
+    // LATERAL (the engine runs two native sorted-merge as-of passes),
+    // then EXACT integer interpolation — (c0·(t1−tk) + c1·(tk−t0)) over
+    // (t1−t0) half-ups onto the cent grid in pure integer arithmetic;
+    // tie rules: backward takes max cent at an exact instant, forward
+    // min cent; a tick ON a sample (t1 = t0) takes the backward value
+    "hrv_resample_interp" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS tm, CAST(round(value * 100) AS BIGINT) AS c FROM events WHERE user_id < 5 AND value IS NOT NULL), " +
+        "bnd AS (SELECT user_id, epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx FROM events WHERE user_id < 5 GROUP BY 1), " +
+        "ticks AS (SELECT user_id, unnest(range(mn, mx + 1, 3600000000)) AS tk FROM bnd), " +
+        "j AS (SELECT t.user_id, t.tk, bb.tm AS bt, bb.c AS bc, ff.tm AS ft, ff.c AS fc FROM ticks t " +
+        "JOIN LATERAL (SELECT tm, c FROM e WHERE e.user_id = t.user_id AND e.tm <= t.tk ORDER BY tm DESC, c DESC LIMIT 1) bb ON true " +
+        "JOIN LATERAL (SELECT tm, c FROM e WHERE e.user_id = t.user_id AND e.tm >= t.tk ORDER BY tm ASC, c ASC LIMIT 1) ff ON true) " +
+        "SELECT user_id AS series_key, make_timestamp(tk) AS ts, " +
+        "CAST(CASE WHEN ft = bt THEN bc ELSE (2 * (bc * (ft - tk) + fc * (tk - bt)) + (ft - bt)) // (2 * (ft - bt)) END AS DOUBLE) / 100.0 AS value_interp " +
+        "FROM j ORDER BY series_key, ts"),
     "hrv_resample" ->
       ("WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 5), " +
         "b AS (SELECT user_id, epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM e GROUP BY 1), " +

@@ -487,6 +487,67 @@ object Hrv {
         col("sample_v").as("value_resampled"))
   }
 
+  /** LINEAR-interpolation resampling to a uniform grid — the classic
+    * pre-step for FFT-style spectral analysis of irregular RR series
+    * (where [[resample]]/[[resampleAsof]] carry the last observation,
+    * this interpolates between the bracketing samples). Each tick runs
+    * one BACKWARD and one FORWARD native sorted-merge as-of pass
+    * against the samples ([[graft.plans.AsofJoin]] — two single-pass
+    * merges per series, no per-tick re-sort), then interpolates EXACTLY
+    * on the integer lattice: with integer cent values and integer µs
+    * times, the interpolated value c0 + (c1−c0)·dt/DT is the rational
+    * (c0·(t1−tk) + c1·(tk−t0)) / (t1−t0), which [[halfUp]] rounds onto
+    * the cent grid in pure integer arithmetic — no float ever touches
+    * the value path, so both engines agree bit for bit at any scale.
+    * Ticks lie inside [min(ts), max(ts)], so both brackets always
+    * exist; a tick ON a sample instant (t1 = t0) takes that sample
+    * (largest cent value on an exact-instant duplicate, the
+    * [[resample]] tie rule; the forward pass takes the smallest —
+    * both deterministic). Overflow bound: |c|·DT must stay below 2⁶²
+    * (≈5e4 cents × a month of µs ≈ 1.3e17 — comfortable). */
+  def resampleInterpCents(df: DataFrame, key: Column, ts: Column,
+      value: Column, stepSeconds: Long): DataFrame = {
+    val micros = stepSeconds * 1000000L
+    val samples = df.filter(value.isNotNull)
+      .select(key.as("series_key"), unix_micros(ts).as("sample_tm"),
+        round(value.cast("double") * 100).cast("long").as("sample_c"))
+    val ticks = df.groupBy(key.as("series_key"))
+      .agg(min(unix_micros(ts)).as("mn"), max(unix_micros(ts)).as("mx"))
+      .select(col("series_key"),
+        explode(sequence(col("mn"), col("mx"), lit(micros))).as("tick_tm"))
+    // backward: latest sample at-or-before the tick; NaN sorts above every
+    // double, so same-instant samples are consumed inclusively (max cent
+    // wins an exact-instant tie)
+    val probeBack = ticks.withColumn("pb",
+      struct(col("tick_tm").as("tm"), lit(Double.NaN).as("v")))
+    val sBack = samples.select(col("series_key"),
+      col("sample_tm").as("b_tm"), col("sample_c").as("b_c"),
+      struct(col("sample_tm").as("tm"), col("sample_c").cast("double").as("v"))
+        .as("sb"))
+    val back = graft.plans.AsofJoin(probeBack, sBack, Seq("series_key"),
+        "pb", "sb")
+      .select(probeBack("series_key"), col("tick_tm"), col("b_tm"), col("b_c"))
+    // forward: earliest sample at-or-after the tick; −∞ sorts below every
+    // double, so same-instant samples stay at-or-after (min cent wins)
+    val probeFwd = back.withColumn("pf",
+      struct(col("tick_tm").as("tm"), lit(Double.NegativeInfinity).as("v")))
+    val sFwd = samples.select(col("series_key"),
+      col("sample_tm").as("f_tm"), col("sample_c").as("f_c"),
+      struct(col("sample_tm").as("tm"), col("sample_c").cast("double").as("v"))
+        .as("sf"))
+    val joined = graft.plans.AsofJoin(probeFwd, sFwd, Seq("series_key"),
+        "pf", "sf", direction = "forward")
+      .select(probeFwd("series_key"), col("tick_tm"),
+        col("b_tm"), col("b_c"), col("f_tm"), col("f_c"))
+    val dT = col("f_tm") - col("b_tm")
+    val num = col("b_c") * (col("f_tm") - col("tick_tm")) +
+      col("f_c") * (col("tick_tm") - col("b_tm"))
+    joined.select(col("series_key"),
+      timestamp_micros(col("tick_tm")).cast("timestamp_ntz").as("ts"),
+      (when(dT === 0, col("b_c")).otherwise(halfUp(num, dT))
+        .cast("double") / 100.0).as("value_interp"))
+  }
+
   /** Direct periodogram band power per key: for each frequency f (Hz),
     * P(f) = [(Σ c·cos 2πft)² + (Σ c·sin 2πft)²] / n over mean-centered
     * samples c at their actual (irregular) timestamps — no resampling, no

@@ -440,6 +440,18 @@ object TrainingData {
         col("user_id"), col("ts"), col("value"), stepSeconds = 3600)
       .orderBy(col("series_key"), col("ts"))
 
+  /** #171 LINEAR-interpolation resampling to the hourly grid — the
+    * spectral-analysis pre-step, judged through
+    * [[Hrv.resampleInterpCents]]: two native sorted-merge as-of passes
+    * (backward + forward bracket per tick), then EXACT integer-lattice
+    * interpolation — the rational (c0·(t1−tk) + c1·(tk−t0))/(t1−t0)
+    * half-ups onto the cent grid in pure integer arithmetic; no float
+    * ever touches the value path. */
+  def hrvResampleInterp(s: SparkSession, d: String): DataFrame =
+    Hrv.resampleInterpCents(Tables.events(s, d).filter(col("user_id") < 5),
+        col("user_id"), col("ts"), col("value"), stepSeconds = 3600)
+      .orderBy(col("series_key"), col("ts"))
+
   /** #69 TF-IDF term weights (TextAnalysis.tfidf verbatim): term
     * frequency per (doc, term), document frequency per term over the
     * FULL corpus, smoothed idf = ln((N+1)/(df+1)) + 1. Output bounded to

@@ -69,7 +69,7 @@ class GoldenCountsSpec extends SparkSpecBase {
     "llm_pack_sequences" -> 500, "dedup_winnow" -> 108, "dedup_embedding" -> 56,
     "hrv_rmssd" -> 15, "hrv_clean_interp" -> 1000,
     "agg_pivot" -> 5, "agg_unpivot" -> 6, "agg_argmax" -> 15, "text_tfidf" -> 738,
-    "hrv_resample" -> 3483, "hrv_poincare" -> 15, "agg_corr" -> 15,
+    "hrv_resample" -> 3483, "hrv_resample_interp" -> 3483, "hrv_poincare" -> 15, "agg_corr" -> 15,
     "llm_train_split" -> 15,
     "text_pii_redact" -> 200, "text_decontaminate" -> 150,
     "llm_negative_sample" -> 300,

@@ -205,6 +205,30 @@ class HrvSpec extends SparkSpecBase {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$plan")
   }
 
+  test("interp resampling brackets each tick and interpolates exactly on the lattice") {
+    // samples at t=0s (10.00) and t=10s (30.00); 4s grid → ticks 0,4,8
+    // tick 0: on the sample → 10.00; tick 4: 10 + 20·(4/10) = 18.00;
+    // tick 8: 10 + 20·(8/10) = 26.00
+    val df = Seq((1L, 0L, 10.0), (1L, 10L, 30.0))
+      .toDF("user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val got = Hrv.resampleInterpCents(df, $"user_id", $"ts", $"value", 4)
+      .orderBy($"ts").collect().map(_.getDouble(2)).toSeq
+    assert(got == Seq(10.0, 18.0, 26.0))
+  }
+
+  test("interp resampling half-ups a non-terminating rational onto the cent grid") {
+    // samples 10.00 at t=0 and 10.01 at t=3; tick at t=1 → 10 + 0.01/3
+    // = 1000.333… cents → half-up 1000 → 10.00; tick t=2 → 1000.67 →
+    // 1001 → 10.01
+    val df = Seq((1L, 0L, 10.0), (1L, 3L, 10.01))
+      .toDF("user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val got = Hrv.resampleInterpCents(df, $"user_id", $"ts", $"value", 1)
+      .orderBy($"ts").collect().map(_.getDouble(2)).toSeq
+    assert(got == Seq(10.0, 10.0, 10.01, 10.01))
+  }
+
   test("resample produces a uniform grid with last-observation-carried-forward") {
     val df = Seq(
       (1L, 0L, 10.0), (1L, 3L, 30.0), (1L, 10L, 99.0), // samples at t=0,3,10s
