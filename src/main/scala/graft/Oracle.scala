@@ -459,6 +459,16 @@ object Oracle {
       ("WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 120) " +
         "SELECT * FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(list_cosine_similarity(a.v, b.v), 6) AS cosine " +
         "FROM t a JOIN t b ON a.vec_id < b.vec_id) WHERE cosine >= 0.3 ORDER BY a_id, b_id"),
+    // per-character Shannon entropy: exact integer counts, per-row
+    // operand-identical cnt·ln(cnt), ONE order-sensitive float sum
+    // (~tens of character classes, ~1e-15 relative) rounded at 4 dp —
+    // the text_unigram_logprob precedent
+    "text_char_entropy" ->
+      ("WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents WHERE doc_id < 500), " +
+        "g AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars, count(*) AS n_distinct, " +
+        "round(ln(CAST(sum(cnt) AS DOUBLE)) - sum(cnt * ln(CAST(cnt AS DOUBLE))) / CAST(sum(cnt) AS DOUBLE), 4) AS entropy " +
+        "FROM g GROUP BY doc_id ORDER BY doc_id"),
     "text_unigram_logprob" ->
       "WITH tok AS (SELECT doc_id, unnest(split(text, ' ')) AS w FROM documents), freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w), tot AS (SELECT count(*) AS n FROM tok) SELECT t.doc_id, count(*) AS n_tokens, round(avg(ln(f.c / tot.n)), 4) AS avg_ll FROM tok t JOIN freq f ON t.w = f.w CROSS JOIN tot GROUP BY t.doc_id ORDER BY t.doc_id",
     // add-one-smoothed bigram LM under the corpus's own statistics —
@@ -562,6 +572,20 @@ object Oracle {
     // identical sd1/sd2 float chains, then csi = sd2/sd1,
     // cvi = log10(sd1*sd2*16), modified_csi = sd2*sd2*4/sd1 — all
     // irrational, 4-dp round safe; +0 kills DuckDB's -0.0 on cvi
+    // rolling Pearson over the trailing 30 events: every frame moment
+    // is an exact integer window sum; one float chain per row (+0
+    // kills DuckDB's -0.0); frames under 10 rows or degenerate
+    // variance are null
+    "win_rolling_corr" ->
+      ("WITH b AS (SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS c, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events WHERE user_id < 40), " +
+        "m AS (SELECT user_id, event_id, count(*) OVER w AS n, " +
+        "CAST(sum(c) OVER w AS BIGINT) AS sc, CAST(sum(k) OVER w AS BIGINT) AS sk, " +
+        "CAST(sum(c * k) OVER w AS BIGINT) AS sck, CAST(sum(c * c) OVER w AS BIGINT) AS scc, CAST(sum(k * k) OVER w AS BIGINT) AS skk " +
+        "FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)) " +
+        "SELECT user_id AS series_key, event_id, " +
+        "CASE WHEN n >= 10 AND n * scc - sc * sc > 0 AND n * skk - sk * sk > 0 " +
+        "THEN round(CAST(n * sck - sc * sk AS DOUBLE) / (sqrt(CAST(n * scc - sc * sc AS DOUBLE)) * sqrt(CAST(n * skk - sk * sk AS DOUBLE))), 4) + 0 END AS corr_30 " +
+        "FROM m ORDER BY series_key, event_id"),
     "hrv_csi_cvi" ->
       ("WITH b AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c, ts, event_id FROM events), " +
         "p AS (SELECT user_id, c - lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d, " +

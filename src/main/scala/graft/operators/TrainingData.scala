@@ -452,6 +452,31 @@ object TrainingData {
         col("user_id"), col("ts"), col("value"), stepSeconds = 3600)
       .orderBy(col("series_key"), col("ts"))
 
+  /** #173 character-distribution Shannon entropy per document (nats) —
+    * the classic cheap quality/gibberish signal for training-data
+    * curation (low entropy → repeated filler; high → random noise).
+    * ent = ln(n) − Σ cnt·ln(cnt) / n over per-character counts: the
+    * counts are exact integers, each row's cnt·ln(cnt) is an
+    * operand-identical double in both engines, and the one
+    * order-sensitive float sum (≈ tens of character classes, ~1e-15
+    * relative) rounds at 4 dp — the `text_unigram_logprob` precedent.
+    * Two-level map-side-combinable aggregation, probe window of 500
+    * docs (the operator itself is corpus-wide). */
+  def textCharEntropy(s: SparkSession, d: String): DataFrame = {
+    val n = sum(col("cnt"))
+    Tables.documents(s, d).filter(col("doc_id") < 500)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        n.as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        round(log(n.cast("double"))
+          - sum(col("cnt").cast("double") * log(col("cnt").cast("double")))
+            / n.cast("double"), 4).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** #69 TF-IDF term weights (TextAnalysis.tfidf verbatim): term
     * frequency per (doc, term), document frequency per term over the
     * FULL corpus, smoothed idf = ln((N+1)/(df+1)) + 1. Output bounded to

@@ -347,6 +347,39 @@ object Windows {
     * materialized per row, which is what makes the decomposition scale
     * (the naive collect_set-over-frame form carries the growing set
     * through every row). */
+  /** #172 rolling Pearson correlation over the trailing 30 events per
+    * user, between the sample value and the JSON payload's k field —
+    * the bivariate member of the rolling-stat family (#93 is the
+    * univariate z-score; `agg_corr` the whole-series correlation).
+    * Exactness discipline: every frame moment (Σc, Σk, Σck, Σc², Σk²)
+    * is an exact integer window sum on the cent/integer lattices, so
+    * the correlation pays one fixed operand-identical float chain per
+    * row; irrational → the 4-dp round is safe. Frames with fewer than
+    * 10 rows or a degenerate variance emit null. One shuffle on the
+    * user key; O(1) per-row frame state. */
+  def winRollingCorr(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-29, 0)
+    val base = Tables.events(s, d).filter(col("user_id") < 40)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val n = count(lit(1)).over(w)
+    val sc = sum(col("c")).over(w); val sk = sum(col("k")).over(w)
+    val sck = sum(col("c") * col("k")).over(w)
+    val scc = sum(col("c") * col("c")).over(w)
+    val skk = sum(col("k") * col("k")).over(w)
+    val num = n * sck - sc * sk
+    val tc = n * scc - sc * sc
+    val tk = n * skk - sk * sk
+    base.select(col("user_id").as("series_key"), col("event_id"),
+        when(n >= 10 && tc > 0 && tk > 0,
+          round(num.cast("double")
+            / (sqrt(tc.cast("double")) * sqrt(tk.cast("double"))), 4))
+          .as("corr_30"))
+      .orderBy(col("series_key"), col("event_id"))
+  }
+
   def winRunningDistinct(s: SparkSession, d: String): DataFrame = {
     val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))

@@ -63,7 +63,7 @@ class GoldenCountsSpec extends SparkSpecBase {
     "llm_minhash_jaccard" -> 763, "llm_curate_chain" -> 477,
     "subq_scalar_corr" -> 48, "subq_in" -> 193, "subq_not_in" -> 98,
     "text_quality" -> 300, "text_tokencount" -> 5, "text_langid" -> 10,
-    "text_fingerprint" -> 300, "text_winnow_fingerprint" -> 50,
+    "text_fingerprint" -> 300, "text_char_entropy" -> 500, "text_winnow_fingerprint" -> 50,
     "dedup_simhash" -> 100,
     "dedup_ngram_jaccard" -> 342, "dedup_levenshtein" -> 6, "text_normalize" -> 200,
     "llm_pack_sequences" -> 500, "dedup_winnow" -> 108, "dedup_embedding" -> 56,
@@ -79,7 +79,7 @@ class GoldenCountsSpec extends SparkSpecBase {
     "ts_inter_arrival" -> 15, "ts_autocorr" -> 15,
     "ts_time_weighted_avg" -> 15, "fn_round_modes" -> 200, "agg_bitops" -> 3,
     "graph_common_neighbors" -> 45, "join_asof_forward" -> 202,
-    "win_running_distinct" -> 514, "ts_changepoint" -> 15,
+    "win_running_distinct" -> 514, "win_rolling_corr" -> 1000, "ts_changepoint" -> 15,
     "fn_date_extras" -> 200, "dedup_minhash_lsh" -> 28
   )
 
