@@ -609,6 +609,27 @@ object Oracle {
         "SELECT user_id AS series_key, n, nb AS n_bins, mx AS max_bin_count, " +
         "CAST((2 * (n * 10000) + mx) // (2 * mx) AS DOUBLE) / 10000.0 AS hti " +
         "FROM a ORDER BY series_key"),
+    // TINN: separable brute-force argmin over the dense bin grid inside
+    // the histogram support; side errors are EXACT int64 numerators
+    // e_num/d^2, both engines divide identical int64s -> identical
+    // doubles -> identical (error, candidate) ordering; peak ties break
+    // to the lowest bin in both engines
+    "hrv_tinn" ->
+      ("WITH bs AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) // 800 AS bin FROM events), " +
+        "g AS (SELECT user_id, bin, count(*) AS cnt FROM bs GROUP BY 1, 2), " +
+        "pk AS (SELECT user_id, bin AS x, cnt AS y FROM (SELECT user_id, bin, cnt, row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, bin ASC) AS rn FROM g) WHERE rn = 1), " +
+        "s AS (SELECT g.user_id AS user_id, min(g.bin) AS minb, max(g.bin) AS maxb, CAST(sum(g.cnt) AS BIGINT) AS n, min(pk.x) AS x, min(pk.y) AS y FROM g JOIN pk USING (user_id) GROUP BY g.user_id), " +
+        "grid AS (SELECT e.user_id, e.x, e.y, e.bb, coalesce(g.cnt, 0) AS d FROM (SELECT user_id, x, y, unnest(generate_series(minb, maxb)) AS bb FROM s) e LEFT JOIN g ON e.user_id = g.user_id AND e.bb = g.bin), " +
+        "lc AS (SELECT user_id, unnest(generate_series(minb, x - 1)) AS cand FROM s WHERE x > minb), " +
+        "le AS (SELECT lc.user_id, lc.cand, sum(CASE WHEN grid.bb < lc.cand THEN (grid.d * (grid.x - lc.cand)) * (grid.d * (grid.x - lc.cand)) ELSE (grid.d * (grid.x - lc.cand) - grid.y * (grid.bb - lc.cand)) * (grid.d * (grid.x - lc.cand) - grid.y * (grid.bb - lc.cand)) END) AS e_num, min(grid.x - lc.cand) AS dd FROM lc JOIN grid ON lc.user_id = grid.user_id AND grid.bb < grid.x GROUP BY 1, 2), " +
+        "lsel AS (SELECT user_id, cand AS n_left FROM (SELECT user_id, cand, row_number() OVER (PARTITION BY user_id ORDER BY CAST(e_num AS DOUBLE) / CAST(dd * dd AS DOUBLE), cand) AS rn FROM le) WHERE rn = 1), " +
+        "rc AS (SELECT user_id, unnest(generate_series(x + 1, maxb)) AS cand FROM s WHERE x < maxb), " +
+        "re AS (SELECT rc.user_id, rc.cand, sum(CASE WHEN grid.bb > rc.cand THEN (grid.d * (rc.cand - grid.x)) * (grid.d * (rc.cand - grid.x)) ELSE (grid.d * (rc.cand - grid.x) - grid.y * (rc.cand - grid.bb)) * (grid.d * (rc.cand - grid.x) - grid.y * (rc.cand - grid.bb)) END) AS e_num, min(rc.cand - grid.x) AS dd FROM rc JOIN grid ON rc.user_id = grid.user_id AND grid.bb > grid.x GROUP BY 1, 2), " +
+        "rsel AS (SELECT user_id, cand AS m_right FROM (SELECT user_id, cand, row_number() OVER (PARTITION BY user_id ORDER BY CAST(e_num AS DOUBLE) / CAST(dd * dd AS DOUBLE), cand) AS rn FROM re) WHERE rn = 1) " +
+        "SELECT s.user_id AS series_key, s.n, s.x AS peak_bin, " +
+        "coalesce(l.n_left, s.x) AS n_left, coalesce(r.m_right, s.x) AS m_right, " +
+        "CAST(coalesce(r.m_right, s.x) - coalesce(l.n_left, s.x) AS DOUBLE) * 8.0 AS tinn " +
+        "FROM s LEFT JOIN lsel l USING (user_id) LEFT JOIN rsel r USING (user_id) ORDER BY series_key"),
     // median of integers interpolates exactly (half-integer at worst);
     // the per-sample inverse rate lands on its own integer centi-grid
     // via half-up BEFORE aggregating; CVs are irrational ratios of

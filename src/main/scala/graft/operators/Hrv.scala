@@ -238,6 +238,98 @@ object Hrv {
         halfUp(col("n") * 10000L, col("max_bin_count")).cast("double") / 10000.0)
   }
 
+  /** TINN per key — the triangular interpolation of the sample histogram
+    * (Task Force 1996), completing the geometrical pair with
+    * [[triangularIndexCents]]: fit the baseline triangle (N, 0)→(X, Y)→
+    * (M, 0) to the bin-count histogram D minimizing squared error, where
+    * X is the peak bin (ties → lowest bin) and Y its count; TINN =
+    * (M − N)·binWidth. The classic brute-force search (as in public
+    * pyHRV/hrv-analysis implementations) SEPARATES: bins below X depend
+    * only on N and bins above X only on M, so N* and M* are two
+    * independent argmins over the integer bin grid inside the histogram
+    * support ([minBin, X−1] and [X+1, maxBin]; a side collapses to X
+    * when the peak sits on that support edge).
+    *
+    * Exactness: for candidate N at distance d = X−N the side error is
+    * E = e_num/d² with e_num = Σ_{b<N}(D_b·d)² + Σ_{N≤b<X}(D_b·d −
+    * Y·(b−N))² — an EXACT int64 (bin grid ≤ value-range/binWidth ≈ 42
+    * cells, so e_num ≤ 42·(n·42)², overflow-free until n ~ 5·10⁷ per
+    * series). Both engines divide identical int64s → identical doubles →
+    * the (error, candidate) ordering is identical, and the argmin is
+    * deterministic without any float-boundary hazard.
+    *
+    * Scale: two-level integer group-by, then a per-key candidate×grid
+    * expansion bounded by the CONSTANT grid size (≤42² rows per key —
+    * independent of series length), then one more group-by + window on
+    * the key. Cost is linear in key cardinality; no shuffle carries more
+    * than (keys × grid²) rows. */
+  def tinnCents(df: DataFrame, key: Column, value: Column,
+      binWidthCents: Long = 800L): DataFrame = {
+    val c = round(value.cast("double") * 100).cast("long")
+    val bin = ((c - pmod(c, lit(binWidthCents))).cast("double")
+      / lit(binWidthCents.toDouble)).cast("long")
+    val g = df.select(key.as("series_key"), bin.as("bin"))
+      .groupBy(col("series_key"), col("bin")).agg(count(lit(1)).as("cnt"))
+    // per-key summary: peak (max cnt, tie → lowest bin), support, n
+    val s = g.groupBy(col("series_key"))
+      .agg(
+        max(struct(col("cnt").as("y"), (-col("bin")).as("nb"))).as("pk"),
+        min(col("bin")).as("minb"),
+        max(col("bin")).as("maxb"),
+        sum(col("cnt")).as("n"))
+      .select(col("series_key"), col("pk.y").as("y"),
+        (-col("pk.nb")).as("x"), col("minb"), col("maxb"), col("n"))
+    // dense grid over the support (empty bins COUNT: the triangle is
+    // nonzero there, so their squared error is real)
+    val grid = s
+      .select(col("series_key"), col("x"), col("y"),
+        explode(sequence(col("minb"), col("maxb"))).as("b"))
+      .join(g.withColumnRenamed("bin", "b"), Seq("series_key", "b"), "left")
+      .select(col("series_key"), col("x"), col("y"), col("b"),
+        coalesce(col("cnt"), lit(0L)).as("d"))
+    // one side's argmin: candidates cands(row of s), bins grid-filtered
+    // by side, scaled error e_num over the side's bins, pick (e, cand)
+    def side(cands: Column, binKeep: Column, dist: Column, tpos: Column,
+        outName: String): DataFrame = {
+      val cand = s
+        .select(col("series_key"), explode(cands).as("cand"))
+      val e = cand.as("c")
+        .join(grid.as("gr"), col("c.series_key") === col("gr.series_key"))
+        .filter(binKeep)
+        .groupBy(col("c.series_key").as("series_key"), col("cand"))
+        .agg(sum(
+          when(tpos < 0L, col("d") * dist * col("d") * dist)
+            .otherwise((col("d") * dist - col("y") * tpos)
+              * (col("d") * dist - col("y") * tpos))).as("e_num"),
+          first(dist).as("dd"))
+        .select(col("series_key"), col("cand"),
+          (col("e_num").cast("double") / (col("dd") * col("dd")).cast("double"))
+            .as("e"))
+      val w = Window.partitionBy(col("series_key")).orderBy(col("e"), col("cand"))
+      e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("series_key"), col("cand").as(outName))
+    }
+    val emptyArr = array().cast("array<long>")
+    val left = side(
+      when(col("x") > col("minb"),
+        sequence(col("minb"), col("x") - 1)).otherwise(emptyArr),
+      col("b") < col("x"), col("x") - col("cand"), col("b") - col("cand"),
+      "n_left")
+    val right = side(
+      when(col("x") < col("maxb"),
+        sequence(col("x") + 1, col("maxb"))).otherwise(emptyArr),
+      col("b") > col("x"), col("cand") - col("x"), col("cand") - col("b"),
+      "m_right")
+    s.join(left, Seq("series_key"), "left")
+      .join(right, Seq("series_key"), "left")
+      .select(col("series_key"), col("n"), col("x").as("peak_bin"),
+        coalesce(col("n_left"), col("x")).as("n_left"),
+        coalesce(col("m_right"), col("x")).as("m_right"))
+      .withColumn("tinn",
+        (col("m_right") - col("n_left")).cast("double")
+          * lit(binWidthCents.toDouble / 100.0))
+  }
+
   /** Remaining time-domain block per key: exact interpolated median and
     * range of the samples, coefficients of variation (CVNNI = SDNN/mean,
     * CVSD = RMSSD/mean), and the rate view (mean/min/max of the

@@ -314,6 +314,17 @@ object TrainingData {
         col("max_bin_count"), col("hti"))
       .orderBy(col("series_key"))
 
+  /** #174 TINN per user — triangular interpolation of the NN histogram
+    * (the second classic geometrical HRV feature next to HTI #164),
+    * judged through [[Hrv.tinnCents]]: exact int64 side-error numerators
+    * on the dense bin grid, argmin by operand-identical doubles with an
+    * integer tiebreak, TINN = (M−N)·8.0 exact. */
+  def hrvTinn(s: SparkSession, d: String): DataFrame =
+    Hrv.tinnCents(Tables.events(s, d), col("user_id"), col("value"))
+      .select(col("series_key"), col("n"), col("peak_bin"),
+        col("n_left"), col("m_right"), col("tinn"))
+      .orderBy(col("series_key"))
+
   /** #165 remaining time-domain HRV block per user: exact interpolated
     * median, range, CV-of-NN / CV-of-successive-differences, and the
     * inverse-rate view (mean/min/max "HR"), judged through

@@ -114,6 +114,25 @@ class HrvSpec extends SparkSpecBase {
     assert(r.getDouble(4) == 1.5)
   }
 
+  test("tinn: separable argmin picks the best triangle base, hand-checked") {
+    // user 9: histogram over bins 10..14 = [3, 0, 1, 6, 2] (peak X=13, Y=6)
+    //   left errors: E(10)=198/9=22, E(11)=52/4=13, E(12)=10/1=10 → N*=12
+    //   right: only candidate M=14 → TINN = (14-12)·8 = 16.0
+    // user 8: single-bin series → both sides collapse to X → TINN 0
+    val vals = Seq(80.0, 81.0, 82.0, 96.0,
+      104.0, 104.5, 105.0, 105.5, 106.0, 107.0, 112.0, 113.0)
+    val df = (vals.zipWithIndex.map { case (v, i) => (9L, i.toLong, v) } ++
+      Seq((8L, 100L, 50.0), (8L, 101L, 51.0)))
+      .toDF("user_id", "event_id", "value")
+    val rows = Hrv.tinnCents(df, $"user_id", $"value")
+      .orderBy($"series_key").collect()
+    val u8 = rows(0); val u9 = rows(1)
+    assert(u9.getLong(1) == 12 && u9.getLong(2) == 13) // n, peak_bin
+    assert(u9.getLong(3) == 12 && u9.getLong(4) == 14) // N*, M*
+    assert(u9.getDouble(5) == 16.0)
+    assert(u8.getLong(3) == 6 && u8.getLong(4) == 6 && u8.getDouble(5) == 0.0)
+  }
+
   test("time extras: median/range/CVs/rates on a hand-checked series") {
     val simple = Seq((9L, 1L, 100.0), (9L, 2L, 160.0), (9L, 3L, 130.0))
       .toDF("user_id", "event_id", "value")
