@@ -815,6 +815,18 @@ object Oracle {
     // the >2 cutoff is a float comparison on both sides; nearest |z| to
     // the boundary is ~1e-3 at every SF (checked), far beyond summation
     // noise, so the judged row set is stable
+    // robust median/MAD gate, exact on the doubled-integer lattice:
+    // m2 = 2·median(c) and mad4 = 2·median(|2c−m2|) are integers, the
+    // 3.5×MAD threshold cross-multiplies to 4·dev2 > 7·mad4, and the
+    // score 2·dev2/mad4 is a RATIONAL -> integer half-up at 4 dp
+    "ts_mad_anomaly" ->
+      ("WITH b AS (SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS c FROM events), " +
+        "m AS (SELECT user_id, event_id, c, CAST(2 * quantile_cont(c, 0.5) OVER (PARTITION BY user_id) AS BIGINT) AS m2 FROM b), " +
+        "d AS (SELECT user_id, event_id, c, abs(2 * c - m2) AS dev2 FROM m), " +
+        "md AS (SELECT user_id, event_id, c, dev2, CAST(2 * quantile_cont(dev2, 0.5) OVER (PARTITION BY user_id) AS BIGINT) AS mad4 FROM d) " +
+        "SELECT user_id AS series_key, event_id, CAST(c AS DOUBLE) / 100.0 AS value, " +
+        "CAST((2 * (dev2 * 20000) + mad4) // (2 * mad4) AS DOUBLE) / 10000.0 AS score " +
+        "FROM md WHERE mad4 > 0 AND dev2 * 4 > mad4 * 7 ORDER BY series_key, event_id"),
     "ts_anomaly_zscore" ->
       ("WITH t AS (SELECT event_id, user_id, ts, value, " +
         "avg(value) OVER w AS mu, stddev_samp(value) OVER w AS sd, count(value) OVER w AS nw " +

@@ -75,6 +75,23 @@ class Signal2Spec extends SparkSpecBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("madAnomaly flags only the >3.5-MAD spike, score exact on the lattice") {
+    // cents 100,102,104,106,200: median 104 → m2=208; dev2 = 8,4,0,4,192
+    // → mad4 = 2·median(dev2) = 8; gate 4·dev2 > 7·8 flags only 192;
+    // score = 2·192/8 = 48 exactly
+    val df = Seq((9L, 1L, 1.00), (9L, 2L, 1.02), (9L, 3L, 1.04),
+      (9L, 4L, 1.06), (9L, 5L, 2.00))
+      .toDF("user_id", "event_id", "value")
+    val got = graft.operators.TimeSeries.madAnomaly(df).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(1) == 5L && got.head.getDouble(2) == 2.00
+      && got.head.getDouble(3) == 48.0)
+    // a constant series (mad4 = 0) flags nothing — by definition, not error
+    val const = Seq((8L, 1L, 5.0), (8L, 2L, 5.0), (8L, 3L, 5.0))
+      .toDF("user_id", "event_id", "value")
+    assert(graft.operators.TimeSeries.madAnomaly(const).count() == 0)
+  }
+
   test("ts_time_weighted_avg: constant series TWA equals the constant") {
     val out = TimeSeries.tsTimeWeightedAvg(spark, sf()).collect()
     // invariant holds trivially only for synthetic constants; on real
