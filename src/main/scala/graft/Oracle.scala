@@ -455,6 +455,14 @@ object Oracle {
         "FROM documents WHERE doc_id < 40) SELECT * FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
         "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac " +
         "FROM t a JOIN t b ON a.doc_id < b.doc_id) WHERE jac >= 0.5 ORDER BY a_id, b_id"),
+    // asymmetric containment |A∩B|/|A|: exact integer set sizes, one
+    // division -> identical doubles, 6-dp round (the jaccard precedent)
+    "dedup_containment" ->
+      ("WITH t AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text) - 1, 2)), i -> substr(text, i::INT, 3))) AS sh " +
+        "FROM documents WHERE doc_id < 40) SELECT * FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "len(a.sh) AS n_a, len(list_intersect(a.sh, b.sh)) AS inter, " +
+        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) AS cont " +
+        "FROM t a JOIN t b ON a.doc_id <> b.doc_id) WHERE cont >= 0.8 ORDER BY a_id, b_id"),
     "dedup_embedding" ->
       ("WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 120) " +
         "SELECT * FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(list_cosine_similarity(a.v, b.v), 6) AS cosine " +

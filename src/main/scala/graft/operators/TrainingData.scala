@@ -101,6 +101,34 @@ object TrainingData {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** #176 char-trigram CONTAINMENT near-dup pairs (Broder's asymmetric
+    * resemblance): C(a→b) = |S(a)∩S(b)|/|S(a)| over the same 40-doc
+    * probe window as #63 — the sub-document duplicate detector. Jaccard
+    * misses a short doc pasted inside a long one (the union dilutes it);
+    * containment reads 1.0 there. Ordered pairs (a≠b, both directions),
+    * kept at ≥ 0.8. The containment ratio is a single division of exact
+    * integer set sizes — identical doubles both engines, 6-dp round
+    * safe (the #63 precedent). Scale path: the same shingle-hash LSH as
+    * every dedup op (ScalableDedup.minhashCandidates); containment
+    * rescoring reuses the sorted-intersect counts with the ASYMMETRIC
+    * denominator. */
+  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    val sh = Decontaminate.shingleSet("text", 3)
+    val t = Tables.documents(s, d)
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"), sh.as("sh"))
+    val a = t.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+    val b = t.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+    broadcast(a).join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(col("sa")).cast("long").as("n_a"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"))
+      .withColumn("cont",
+        round(col("inter").cast("double") / col("n_a").cast("double"), 6))
+      .filter(col("cont") >= 0.8)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** #66 embedding-cosine near-dup pairs over a bounded probe window —
     * the vector-space member of the dedup family (exact #49, token-set
     * Jaccard #55, SimHash #62, char-ngram #63). Probe side broadcasts;

@@ -70,6 +70,27 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(rows.forall(r => r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0))
   }
 
+  test("containment is asymmetric: substring doc reads 1.0, superstring reads below") {
+    // a's trigrams are a strict subset of b's -> C(a→b) = 1.0; C(b→a) < 1
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val sh = graft.operators.Decontaminate.shingleSet("text", 3)
+    val t = docs.select(col("doc_id"), sh.as("sh"))
+    val a = t.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+    val b = t.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+    val got = a.join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(col("sa")).cast("double")).as("cont"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(got((2L, 1L)) < 1.0)
+    // judged query sanity on real data: both directions may appear
+    val rows = TrainingData.dedupContainment(spark, sf()).collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(4) >= 0.8 && r.getDouble(4) <= 1.0))
+  }
+
   test("packChunks preserves every doc, orders within chunks, bounds overrun") {
     import org.apache.spark.sql.functions.{col, size, split}
     val budget = 200
