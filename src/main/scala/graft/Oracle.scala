@@ -835,6 +835,17 @@ object Oracle {
         "SELECT user_id AS series_key, event_id, CAST(c AS DOUBLE) / 100.0 AS value, " +
         "CAST((2 * (dev2 * 20000) + mad4) // (2 * mad4) AS DOUBLE) / 10000.0 AS score " +
         "FROM md WHERE mad4 > 0 AND dev2 * 4 > mad4 * 7 ORDER BY series_key, event_id"),
+    // the oracle uses DuckDB's NATIVE `EXCLUDE CURRENT ROW` — proving
+    // the engine's composed form (full-frame aggregate minus the current
+    // row) exactly equals the SQL:2011 frame-exclusion semantics
+    "win_frame_exclude" ->
+      ("WITH b AS (SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS c FROM events WHERE user_id < 40), " +
+        "w AS (SELECT user_id, event_id, sum(c) OVER win AS sum_c, count(c) OVER win AS n_excl FROM b " +
+        "WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING EXCLUDE CURRENT ROW)) " +
+        "SELECT user_id AS series_key, event_id, n_excl, " +
+        "CASE WHEN n_excl > 0 THEN CAST(sum_c AS DOUBLE) / 100.0 END AS sum_excl, " +
+        "CASE WHEN n_excl > 0 THEN CAST((2 * (sum_c * 100) + n_excl) // (2 * n_excl) AS DOUBLE) / 10000.0 END AS loo_mean " +
+        "FROM w ORDER BY series_key, event_id"),
     "ts_anomaly_zscore" ->
       ("WITH t AS (SELECT event_id, user_id, ts, value, " +
         "avg(value) OVER w AS mu, stddev_samp(value) OVER w AS sd, count(value) OVER w AS nw " +

@@ -380,6 +380,38 @@ object Windows {
       .orderBy(col("series_key"), col("event_id"))
   }
 
+  /** #177 EXCLUDE-CURRENT-ROW frame semantics (the SQL:2011 window
+    * frame exclusion Spark's frame syntax lacks): leave-one-out sum /
+    * count / mean over a centered ±10-row frame per user. Composed
+    * Spark-first — the full-frame aggregate minus the current row's own
+    * contribution is ALGEBRAICALLY the excluded frame for any
+    * distributive aggregate — and judged against DuckDB's NATIVE
+    * `EXCLUDE CURRENT ROW`, which proves the composition exact, the
+    * `join_bucketed`-style invisibility trick for frame semantics.
+    * Exact integer cent sums; the LOO mean is a RATIONAL
+    * (Σc − c)/(n−1) → integer half-up on the 4-dp value grid. One
+    * shuffle on the user key; O(1) frame state. */
+  def winFrameExclude(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("series_key"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-10, 10)
+    val c = round(col("value").cast("double") * 100).cast("long")
+    Tables.events(s, d)
+      .filter(col("user_id") < 40)
+      .select(col("user_id").as("series_key"), col("ts"), col("event_id"),
+        c.as("c"))
+      .withColumn("sum_c", sum(col("c")).over(w) - col("c"))
+      .withColumn("n_excl", count(col("c")).over(w) - 1L)
+      .select(col("series_key"), col("event_id"), col("n_excl"),
+        // single-row series: the excluded frame is EMPTY -> null sum,
+        // matching the native EXCLUDE semantics (not 0)
+        when(col("n_excl") > 0,
+          col("sum_c").cast("double") / 100.0).as("sum_excl"),
+        when(col("n_excl") > 0,
+          Hrv.halfUp(col("sum_c") * 100L, col("n_excl")).cast("double")
+            / 10000.0).as("loo_mean"))
+      .orderBy(col("series_key"), col("event_id"))
+  }
+
   def winRunningDistinct(s: SparkSession, d: String): DataFrame = {
     val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))

@@ -64,4 +64,25 @@ class WindowEdgeSpec extends SparkSpecBase {
     assert(c(12L) == 2) // event 10 is 601s back: outside; event 11 301s back: inside
     assert(c(20L) == 1)
   }
+
+  test("composed EXCLUDE CURRENT ROW equals full-frame aggregate minus self") {
+    // cents 100, 200, 400 over a ±1 frame: excluded sums 2.0 / 5.0 / 2.0,
+    // LOO means 2.0 / 2.5 / 2.0 — the win_frame_exclude recipe hand-checked
+    val df = Seq((9L, 1L, 1.00), (9L, 2L, 2.00), (9L, 3L, 4.00))
+      .toDF("user_id", "event_id", "value")
+    val c = round($"value" * 100).cast("long")
+    val got = df.select($"event_id", c.as("c"))
+      .withColumn("s", sum($"c").over(
+        Window.partitionBy(lit(1)).orderBy($"event_id").rowsBetween(-1, 1)) - $"c")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == 200L && got(2L) == 500L && got(3L) == 200L)
+    val judged = graft.operators.Windows.winFrameExclude(spark, sf())
+      .filter($"n_excl" > 0).limit(50).collect()
+    // n_excl is the frame count minus the row itself — never negative,
+    // and the LOO mean times n equals the excluded sum on the 4-dp grid
+    assert(judged.forall(r => r.getLong(2) >= 1))
+    assert(judged.forall { r =>
+      math.abs(r.getDouble(4) * r.getLong(2) - r.getDouble(3)) <= 0.01 * r.getLong(2)
+    })
+  }
 }
