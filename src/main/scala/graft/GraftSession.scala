@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.{Aggregates, Bloom, CountMin, Hll, Kmv, QuantileSketch}
+import graft.functions.{Aggregates, Bloom, CountMin, Hll, Kmv, MisraGries, QuantileSketch}
 import graft.plans.{AsofJoin, LatestPerKeyRule}
 
 /** One-call session setup for the engine: a user switching to this library
@@ -48,6 +48,7 @@ object GraftSession {
     QuantileSketch.register(spark) // graft_quantile_sketch / _merge / _estimate
     Bloom.register(spark) // graft_bloom_sketch / graft_bloom_merge / graft_bloom_contains
     Kmv.register(spark) // graft_kmv_sketch / _merge / _estimate / _jaccard
+    MisraGries.register(spark) // graft_mg_sketch / _merge / _estimate / _error
     LatestPerKeyRule.install(spark)
     AsofJoin.install(spark)
   }

@@ -147,6 +147,11 @@ object Oracle {
     // the engine side builds per-year sketches, merges, then probes
     "agg_cms_freq" ->
       "SELECT o_orderstatus st, o_orderpriority pr, count(*) n FROM orders GROUP BY 1, 2 ORDER BY 1, 2",
+    // Misra-Gries in the exact regime (5 distinct keys << K=64): no
+    // truncation at any stage -> every estimate is the exact count and
+    // the error band is 0; the judged err_band column witnesses it
+    "agg_heavy_hitters" ->
+      "SELECT event_type, count(*) AS n, CAST(0 AS BIGINT) AS err_band FROM events GROUP BY 1 ORDER BY 1",
     "agg_filtered" ->
       "SELECT user_id, count(*) FILTER (WHERE event_type = 'purchase') purchases, round(sum(value) FILTER (WHERE event_type = 'purchase'),2) spend FROM events GROUP BY user_id ORDER BY user_id",
     "agg_rollup" ->

@@ -724,6 +724,31 @@ object Relational {
       .orderBy(col("st"), col("pr"))
   }
 
+  /** #178 heavy hitters through the Misra-Gries summary
+    * ([[graft.functions.MisraGries]]) in its EXACT regime — the same
+    * judged-sketch trick as `agg_cms_freq`/`agg_kmv_distinct`: per-day
+    * event sketches (one pass, O(K)-memory partials) merged with the
+    * PODS'12 pointwise-add-then-truncate union, probed with the distinct
+    * key domain. The event-type domain (5 keys) sits far below K=64, so
+    * no truncation fires at ANY stage, the error band is 0 (judged as a
+    * column — the witness that the regime holds), and every estimate IS
+    * the exact count: the oracle is a plain GROUP BY. Beyond the regime
+    * estimates are merge-order-dependent within ±err (property-tested in
+    * MisraGriesSpec, unjudged by design). */
+  def aggHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.MisraGries
+    val e = Tables.events(s, d)
+    val daily = e.groupBy(col("ts").cast("date").as("_day"))
+      .agg(MisraGries.mgSketch(col("event_type")).as("_sk"))
+    val merged = daily.agg(MisraGries.mgMerge(col("_sk")).as("_sk"))
+    e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(merged))
+      .select(col("event_type"),
+        MisraGries.mgEstimate(col("_sk"), col("event_type")).as("n"),
+        MisraGries.mgError(col("_sk")).as("err_band"))
+      .orderBy(col("event_type"))
+  }
+
   /** #15 FILTER-ed aggregates via conditional expressions (sum/count over
     * `when`), one pass over the data. */
   def aggFiltered(s: SparkSession, d: String): DataFrame =
