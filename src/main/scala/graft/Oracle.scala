@@ -828,6 +828,21 @@ object Oracle {
     // the >2 cutoff is a float comparison on both sides; nearest |z| to
     // the boundary is ~1e-3 at every SF (checked), far beyond summation
     // noise, so the judged row set is stable
+    // PAA (full 10-sample segments, exact cent sums) + quartile-adaptive
+    // SAX: quartiles of integers interpolate at quarter positions (x4 ->
+    // exact integers), symbols are three integer compares
+    "ts_sax" ->
+      ("WITH b AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn FROM events), " +
+        "g AS (SELECT user_id, rn // 10 AS seg, CAST(sum(c) AS BIGINT) AS paa, count(*) AS cnt FROM b GROUP BY 1, 2), " +
+        "q AS (SELECT user_id, seg, paa, " +
+        "CAST(4 * quantile_cont(paa, 0.25) OVER (PARTITION BY user_id) AS BIGINT) AS q1, " +
+        "CAST(4 * quantile_cont(paa, 0.5) OVER (PARTITION BY user_id) AS BIGINT) AS q2, " +
+        "CAST(4 * quantile_cont(paa, 0.75) OVER (PARTITION BY user_id) AS BIGINT) AS q3 " +
+        "FROM g WHERE cnt = 10) " +
+        "SELECT user_id AS series_key, seg, paa, " +
+        "CASE WHEN 4 * paa < q1 THEN 'a' WHEN 4 * paa < q2 THEN 'b' WHEN 4 * paa < q3 THEN 'c' ELSE 'd' END AS sym " +
+        "FROM q ORDER BY series_key, seg"),
     // robust median/MAD gate, exact on the doubled-integer lattice:
     // m2 = 2·median(c) and mad4 = 2·median(|2c−m2|) are integers, the
     // 3.5×MAD threshold cross-multiplies to 4·dev2 > 7·mad4, and the

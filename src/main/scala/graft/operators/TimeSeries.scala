@@ -407,6 +407,44 @@ object TimeSeries {
     madAnomaly(Tables.events(s, d))
       .orderBy(col("series_key"), col("event_id"))
 
+  /** #179 SAX symbolization per user (Lin/Keogh 2003, with
+    * QUARTILE-ADAPTIVE breakpoints instead of the Gaussian table — the
+    * data-driven variant that needs no z-normalization): PAA over
+    * 10-sample segments (partial tail segments dropped, the standard
+    * truncation), then each segment's a/b/c/d symbol from the series'
+    * OWN PAA quartiles. The discretized series feeds motif discovery /
+    * cheap subsequence matching downstream.
+    *
+    * Exact end to end: a full segment's PAA is the exact int64 cent sum
+    * (mean = sum/10, fixed denominator — kept AS the sum), quartiles of
+    * integers interpolate at quarter positions (×4 → exact integers in
+    * both engines), and symbol assignment is three integer compares.
+    * Scale: one shuffle on the key (row-number window), a map-side
+    * combinable segment aggregate reusing that partitioning, and one
+    * whole-partition quartile window — linear in events. */
+  def tsSax(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("series_key"))
+      .orderBy(col("_ts"), col("_tb"))
+    val wKey = Window.partitionBy(col("series_key"))
+    val c = round(col("value").cast("double") * 100).cast("long")
+    def q4(p: Double) =
+      (percentile(col("paa"), lit(p)).over(wKey) * 4).cast("long")
+    val p4 = col("paa") * 4
+    Tables.events(s, d)
+      .select(col("user_id").as("series_key"), col("ts").as("_ts"),
+        col("event_id").as("_tb"), c.as("c"))
+      .withColumn("_rn", (row_number().over(wOrd) - 1).cast("long"))
+      .groupBy(col("series_key"), expr("_rn div 10").as("seg"))
+      .agg(sum(col("c")).as("paa"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") === 10)
+      .withColumn("q1", q4(0.25)).withColumn("q2", q4(0.5))
+      .withColumn("q3", q4(0.75))
+      .select(col("series_key"), col("seg"), col("paa"),
+        when(p4 < col("q1"), "a").when(p4 < col("q2"), "b")
+          .when(p4 < col("q3"), "c").otherwise("d").as("sym"))
+      .orderBy(col("series_key"), col("seg"))
+  }
+
   /** The median/MAD core of [[tsMadAnomaly]], factored over any
     * (user_id, event_id, value) frame for fixture-level spec checks.
     * No ordering — the judged wrapper adds it. */

@@ -92,6 +92,27 @@ class Signal2Spec extends SparkSpecBase {
     assert(graft.operators.TimeSeries.madAnomaly(const).count() == 0)
   }
 
+  test("sax: PAA segments, quartile symbols, partial tail dropped") {
+    // 25 samples: seg0 = ten 1.00s (paa 1000), seg1 = ten 3.00s (paa
+    // 3000), 5-sample tail dropped; quartiles of {1000, 3000} put seg0
+    // in 'a' and seg1 in 'd'
+    val rows = (1 to 10).map(i => (9L, i.toLong, 1.00)) ++
+      (11 to 20).map(i => (9L, i.toLong, 3.00)) ++
+      (21 to 25).map(i => (9L, i.toLong, 2.00))
+    val dir = java.nio.file.Files.createTempDirectory("sax").toString
+    rows.toDF("user_id", "event_id", "value")
+      .withColumn("ts", timestamp_seconds($"event_id"))
+      .withColumn("event_type", lit("t")).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(dir + "/events.parquet")
+    val got = graft.operators.TimeSeries.tsSax(spark, dir).collect()
+    assert(got.length == 2, "partial tail segment must be dropped")
+    assert(got(0).getLong(1) == 0L && got(0).getLong(2) == 1000L
+      && got(0).getString(3) == "a")
+    assert(got(1).getLong(1) == 1L && got(1).getLong(2) == 3000L
+      && got(1).getString(3) == "d")
+  }
+
   test("ts_time_weighted_avg: constant series TWA equals the constant") {
     val out = TimeSeries.tsTimeWeightedAvg(spark, sf()).collect()
     // invariant holds trivially only for synthetic constants; on real
