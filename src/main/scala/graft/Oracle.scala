@@ -152,6 +152,15 @@ object Oracle {
     // the error band is 0; the judged err_band column witnesses it
     "agg_heavy_hitters" ->
       "SELECT event_type, count(*) AS n, CAST(0 AS BIGINT) AS err_band FROM events GROUP BY 1 ORDER BY 1",
+    // discrete quartiles: quantile_disc picks the element at 1-based
+    // rank ceil(q*n) -- the engine derives the same element from a
+    // (group, value) count table + cumulative window; exact integers
+    "agg_percentile_disc" ->
+      ("WITH q AS (SELECT l_returnflag, CAST(round(l_quantity * 100) AS BIGINT) AS qc FROM lineitem) " +
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+        "quantile_disc(qc, 0.25) AS q1_qc, quantile_disc(qc, 0.5) AS q2_qc, " +
+        "quantile_disc(qc, 0.75) AS q3_qc " +
+        "FROM q GROUP BY l_returnflag ORDER BY l_returnflag"),
     "agg_filtered" ->
       "SELECT user_id, count(*) FILTER (WHERE event_type = 'purchase') purchases, round(sum(value) FILTER (WHERE event_type = 'purchase'),2) spend FROM events GROUP BY user_id ORDER BY user_id",
     "agg_rollup" ->
@@ -367,6 +376,14 @@ object Oracle {
       "SELECT p_partkey FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45) ORDER BY p_partkey LIMIT 200",
     "subq_not_in" ->
       "SELECT p_partkey FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49) ORDER BY p_partkey LIMIT 200",
+    // correlated EXISTS over an aggregated subquery: the HAVING must
+    // decorrelate to aggregate-then-semi-join on the correlation key
+    "subq_exists_having" ->
+      ("SELECT c_custkey, c_mktsegment FROM customer c " +
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_orderpriority = '1-URGENT' " +
+        "GROUP BY o.o_custkey HAVING sum(o.o_totalprice) > 300000) " +
+        "ORDER BY c_custkey LIMIT 200"),
     // §2.13 training-data pipeline (round 2). Cross-engine hash parity
     // notes: token codes come from md5 (standardized) not xxhash64
     // (Spark-only); DuckDB regexp_replace needs the 'g' flag to match
@@ -472,6 +489,18 @@ object Oracle {
       ("WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 120) " +
         "SELECT * FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(list_cosine_similarity(a.v, b.v), 6) AS cosine " +
         "FROM t a JOIN t b ON a.vec_id < b.vec_id) WHERE cosine >= 0.3 ORDER BY a_id, b_id"),
+    // Gopher-style duplicate-bigram fraction: adjacent-pair lambdas
+    // (1-based on both engines), dup share half-up-rounded to basis
+    // points in pure integer arithmetic -- no float anywhere
+    "text_repetition" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+        "b AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, " +
+        "list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]) AS bg " +
+        "FROM t WHERE len(tk) >= 2) " +
+        "SELECT doc_id, n_tokens, CAST(len(bg) AS BIGINT) AS n_bigrams, " +
+        "CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct, " +
+        "(20000 * (len(bg) - len(list_distinct(bg))) + len(bg)) // (2 * len(bg)) AS dup_bp " +
+        "FROM b ORDER BY doc_id"),
     // per-character Shannon entropy: exact integer counts, per-row
     // operand-identical cnt·ln(cnt), ONE order-sensitive float sum
     // (~tens of character classes, ~1e-15 relative) rounded at 4 dp —
@@ -843,6 +872,19 @@ object Oracle {
         "SELECT user_id AS series_key, seg, paa, " +
         "CASE WHEN 4 * paa < q1 THEN 'a' WHEN 4 * paa < q2 THEN 'b' WHEN 4 * paa < q3 THEN 'c' ELSE 'd' END AS sym " +
         "FROM q ORDER BY series_key, seg"),
+    // day-of-week seasonal index: portable epoch-day dow arithmetic
+    // ((days+4) mod 7, 0=Sunday), index = rational of exact int64 sums
+    // half-up-rounded to basis points in integer space
+    "ts_dow_profile" ->
+      ("WITH d AS (SELECT user_id, CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS dayn, " +
+        "CAST(round(value * 100) AS BIGINT) AS c FROM events), " +
+        "daily AS (SELECT user_id, dayn, sum(c) AS day_sum FROM d GROUP BY 1, 2), " +
+        "byd AS (SELECT user_id, (dayn + 4) % 7 AS dow, sum(day_sum) AS dow_sum_cents, CAST(count(*) AS BIGINT) AS dow_days FROM daily GROUP BY 1, 2), " +
+        "t AS (SELECT *, sum(dow_sum_cents) OVER (PARTITION BY user_id) AS all_sum, " +
+        "sum(dow_days) OVER (PARTITION BY user_id) AS all_days FROM byd) " +
+        "SELECT user_id, dow, dow_days, CAST(dow_sum_cents AS BIGINT) AS dow_sum_cents, " +
+        "CAST((2 * 10000 * dow_sum_cents * all_days + dow_days * all_sum) // (2 * dow_days * all_sum) AS BIGINT) AS idx_bp " +
+        "FROM t WHERE all_sum > 0 ORDER BY user_id, dow"),
     // robust median/MAD gate, exact on the doubled-integer lattice:
     // m2 = 2·median(c) and mad4 = 2·median(|2c−m2|) are integers, the
     // 3.5×MAD threshold cross-multiplies to 4·dev2 > 7·mad4, and the
@@ -855,6 +897,16 @@ object Oracle {
         "SELECT user_id AS series_key, event_id, CAST(c AS DOUBLE) / 100.0 AS value, " +
         "CAST((2 * (dev2 * 20000) + mad4) // (2 * mad4) AS DOUBLE) / 10000.0 AS score " +
         "FROM md WHERE mad4 > 0 AND dev2 * 4 > mad4 * 7 ORDER BY series_key, event_id"),
+    // GROUPS frame mode, which NEITHER engine has natively: the engine
+    // composes agg-per-day + ROWS window + attach join; the oracle
+    // states the same frame as dense_rank + RANGE +-1 on the rank --
+    // two independent compositions, exact integer cents
+    "win_frame_groups" ->
+      ("WITH b AS (SELECT event_id, user_id, CAST(ts AS DATE) AS day, CAST(round(value * 100) AS BIGINT) AS c FROM events), " +
+        "r AS (SELECT *, dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS rk FROM b) " +
+        "SELECT event_id, user_id, CAST(day AS TIMESTAMP) AS day, " +
+        "CAST(sum(c) OVER (PARTITION BY user_id ORDER BY rk RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS grp_sum_cents " +
+        "FROM r ORDER BY event_id"),
     // the oracle uses DuckDB's NATIVE `EXCLUDE CURRENT ROW` — proving
     // the engine's composed form (full-frame aggregate minus the current
     // row) exactly equals the SQL:2011 frame-exclusion semantics
@@ -969,6 +1021,20 @@ object Oracle {
         "SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM " +
         "(SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) " +
         "GROUP BY node ORDER BY node"),
+    // bounded BFS as a recursive CTE (UNION-distinct keeps the state
+    // finite; dist < 3 bounds the walk); min over (node, dist) pairs is
+    // the hop distance -- the engine walks the same graph with
+    // frontier-only Pregel rounds. Exact integers end to end
+    "graph_bfs" ->
+      ("WITH RECURSIVE e AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE o_custkey < 300), " +
+        "p AS (SELECT a.supp AS u, b.supp AS v FROM e a JOIN e b ON a.cust = b.cust AND a.supp < b.supp " +
+        "GROUP BY 1, 2 HAVING count(*) >= 3), " +
+        "ed AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p), " +
+        "seed AS (SELECT min(u) AS s FROM ed), " +
+        "bfs AS (SELECT (SELECT s FROM seed) AS node, 0 AS dist " +
+        "UNION SELECT ed.v, bfs.dist + 1 FROM bfs JOIN ed ON ed.u = bfs.node WHERE bfs.dist < 3) " +
+        "SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM bfs GROUP BY node ORDER BY node"),
     // tolerance as-of (merge_asof semantics): the unique backward match
     // is inside the window iff any click is — LATERAL with the window
     // bound states it directly; gap and tolerance are exact integer µs

@@ -269,4 +269,61 @@ object Graph {
         col("degree"), round(col("rank"), 8).as("rank"))
       .orderBy(col("node"))
   }
+
+  /** Bounded-hop breadth-first search over a DIRECTED (`u`, `v`) edge
+    * list: min-hop distance from the seed set, up to `maxHops` rounds —
+    * the Pregel iteration shape. Per round only the FRONTIER (nodes
+    * first reached last round) joins the edge table, and an anti-join
+    * against the settled set keeps a node from ever re-entering — so
+    * round k shuffles O(|frontier_k| + matched edges), never the graph.
+    * BFS settles a node the first round it appears (hop count IS the
+    * metric), so no per-round re-aggregation of the full distance table
+    * is needed — the settled set only ever grows by union. The edge
+    * table is checkpointed once and reused every round; rounds are
+    * bounded, each frontier is checkpointed to keep lineage flat.
+    * Symmetrize upstream for undirected graphs. */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("u"), col("v")).localCheckpoint(true)
+    var settled = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = settled
+    var hop = 1L
+    while (hop <= maxHops && !frontier.isEmpty) {
+      val next = frontier
+        .join(e, frontier("node") === e("u"))
+        .select(col("v").as("node")).distinct()
+        .join(settled.select(col("node").as("_s")),
+          col("node") === col("_s"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint(true)
+      settled = settled.union(next).localCheckpoint(true)
+      frontier = next
+      hop += 1
+    }
+    settled
+  }
+
+  /** #182 judged BFS: min-hop distance (≤ 3) from the lowest-id supplier
+    * through the co-trade graph — suppliers are adjacent when they share
+    * ≥ 3 customers (same probe and ≥3 co-trade threshold as #106, so the
+    * graph is non-trivially sparse). The oracle walks the same graph as
+    * a bounded recursive CTE; the engine walks it as [[bfs]]'s
+    * frontier-only Pregel rounds. Distances are exact integers — zero
+    * float surface. */
+  def graphBfs(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_custkey") < 300)
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val p = commonNeighborPairs(e, degreeCap = None)
+      .filter(col("common") >= 3).select(col("s1"), col("s2"))
+    val sym = p.select(col("s1").as("u"), col("s2").as("v"))
+      .union(p.select(col("s2").as("u"), col("s1").as("v")))
+      .localCheckpoint(true)
+    val seed = sym.agg(min(col("u")).as("node"))
+    bfs(sym, seed, maxHops = 3)
+      .select(col("node"), col("dist"))
+      .orderBy(col("node"))
+  }
 }

@@ -445,6 +445,41 @@ object TimeSeries {
       .orderBy(col("series_key"), col("seg"))
   }
 
+  /** #184 day-of-week seasonal profile per user — the seasonal-index
+    * step of classical decomposition (and the feature behind "is this
+    * weekday unusually quiet?" detectors): each (user, dow) cell gets
+    * its mean daily cent total as a share of the user's overall daily
+    * mean, in basis points. Day-of-week is the PORTABLE epoch-day
+    * arithmetic ((days_since_1970 + 4) mod 7, 0 = Sunday) rather than
+    * either engine's locale-sensitive dow function. The index is a
+    * rational of exact int64 sums — (10000·dow_sum·all_days) over
+    * (dow_days·all_sum) — half-up-rounded in INTEGER space, so the
+    * judged output never touches a float. Shape: two stacked map-side
+    * combinable aggregates (events → days → dow cells) and one
+    * |users|·7-row window pass — the shuffles are all on the user key,
+    * and the final table is tiny at any corpus size. */
+  def tsDowProfile(s: SparkSession, d: String): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("dayn"),
+        round(col("value").cast("double") * 100).cast("long").as("c"))
+      .groupBy(col("user_id"), col("dayn"))
+      .agg(sum(col("c")).as("day_sum"))
+      .groupBy(col("user_id"), ((col("dayn") + 4) % 7).as("dow"))
+      .agg(sum(col("day_sum")).as("dow_sum_cents"),
+        count(lit(1)).as("dow_days"))
+      .withColumn("all_sum", sum(col("dow_sum_cents")).over(wUser))
+      .withColumn("all_days", sum(col("dow_days")).over(wUser))
+      .filter(col("all_sum") > 0)
+      .select(col("user_id"), col("dow"), col("dow_days"),
+        col("dow_sum_cents"),
+        expr("(2 * 10000 * dow_sum_cents * all_days + dow_days * all_sum) " +
+          "div (2 * dow_days * all_sum)").as("idx_bp"))
+      .orderBy(col("user_id"), col("dow"))
+  }
+
   /** The median/MAD core of [[tsMadAnomaly]], factored over any
     * (user_id, event_id, value) frame for fixture-level spec checks.
     * No ordering — the judged wrapper adds it. */

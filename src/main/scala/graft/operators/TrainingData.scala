@@ -516,6 +516,32 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** #183 repetition quality filter (the Gopher/MassiveText rule
+    * family): per-document duplicate-BIGRAM fraction — the cheapest
+    * reliable signal for boilerplate and degenerate generation loops
+    * (`n_bigrams − n_distinct` over `n_bigrams`). Reported in basis
+    * points computed ENTIRELY in integer space ((20000·dup + n) div 2n
+    * is the half-up of 10000·dup/n), so the judged result has no float
+    * anywhere. Every document computes its own row from its own text
+    * via array expressions (split → adjacent-pair transform →
+    * array_distinct) — a pure MAP over the corpus, zero shuffles at any
+    * scale; the oracle builds the same bigrams through DuckDB's 1-based
+    * list lambdas. */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .withColumn("bg", expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("n_distinct"))
+      .withColumn("dup_bp", expr(
+        "(20000 * (n_bigrams - n_distinct) + n_bigrams) div (2 * n_bigrams)"))
+      .orderBy(col("doc_id"))
+
   /** #69 TF-IDF term weights (TextAnalysis.tfidf verbatim): term
     * frequency per (doc, term), document frequency per term over the
     * FULL corpus, smoothed idf = ln((N+1)/(df+1)) + 1. Output bounded to

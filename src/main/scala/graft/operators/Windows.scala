@@ -412,6 +412,37 @@ object Windows {
       .orderBy(col("series_key"), col("event_id"))
   }
 
+  /** #181 SQL:2011 GROUPS frame mode — `GROUPS BETWEEN 1 PRECEDING AND 1
+    * FOLLOWING` over calendar-day peer groups: every event sees the cent
+    * total of its own day plus the adjacent DISTINCT days, however many
+    * rows each day holds. Spark's window frames stop at ROWS and RANGE,
+    * so the GROUPS semantics is COMPOSED from what the engine has
+    * (preference (a) of the custom-operator ladder): collapse to one row
+    * per (user, day) — map-side combinable — run the ±1 frame as a
+    * plain ROWS window over the collapsed table (its rows ARE the peer
+    * groups, made equivalent by construction), and attach the result
+    * back to events on the (user, day) key. The day table is
+    * |users|·|days| — broadcast-sized here, co-partitioned on the same
+    * user_id exchange at any scale. The oracle states the same frame
+    * through DuckDB's dense_rank + RANGE machinery (native GROUPS is
+    * unimplemented there too — two engines, two different compositions,
+    * one judged answer). Exact integer cents end to end. */
+  def winFrameGroups(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value").cast("double") * 100).cast("long").as("c"))
+    val wDays = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(-1, 1)
+    val perDay = base.groupBy(col("user_id"), col("day"))
+      .agg(sum(col("c")).as("day_sum"))
+      .withColumn("grp_sum_cents", sum(col("day_sum")).over(wDays))
+      .select(col("user_id"), col("day"), col("grp_sum_cents"))
+    base.join(perDay, Seq("user_id", "day"))
+      .select(col("event_id"), col("user_id"),
+        col("day").cast("timestamp_ntz").as("day"), col("grp_sum_cents"))
+      .orderBy(col("event_id"))
+  }
+
   def winRunningDistinct(s: SparkSession, d: String): DataFrame = {
     val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))

@@ -29,4 +29,19 @@ class AggregatesSpec extends SparkSpecBase {
     val r = Seq(3.0, -1.0).toDF("dv").agg(expr("rmssd(dv)")).collect().head.getDouble(0)
     assert(math.abs(r - math.sqrt(5.0)) < 1e-12)
   }
+
+  test("percentile_disc: ceil(q·n) element selection on hand fixtures") {
+    // group A n=4 → indices ceil(1)=1, ceil(2)=2, ceil(3)=3;
+    // group B n=5 → indices ceil(1.25)=2, ceil(2.5)=3, ceil(3.75)=4
+    val rows = (1 to 4).map(q => ("A", q.toDouble)) ++
+      (1 to 5).map(q => ("B", q.toDouble))
+    val dir = java.nio.file.Files.createTempDirectory("pdisc").toString
+    rows.toDF("l_returnflag", "l_quantity")
+      .write.parquet(dir + "/lineitem.parquet")
+    val got = graft.operators.Relational.aggPercentileDisc(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("A") == ((100L, 200L, 300L)))
+    assert(got("B") == ((200L, 300L, 400L)))
+  }
 }

@@ -30,6 +30,9 @@ class GoldenCountsSpec extends SparkSpecBase {
     "hrv_csi_cvi" -> 15, "hrv_geometry" -> 15, "hrv_time_extras" -> 15,
     "hrv_tinn" -> 15, "ts_mad_anomaly" -> 95, "dedup_containment" -> 196,
     "win_frame_exclude" -> 1000, "agg_heavy_hitters" -> 5, "ts_sax" -> 94,
+    "agg_percentile_disc" -> 3, "win_frame_groups" -> 1000,
+    "graph_bfs" -> 10, "text_repetition" -> 500,
+    "ts_dow_profile" -> 105, "subq_exists_having" -> 93,
     "hrv_ectopic" -> 15, "hrv_rolling_rmssd" -> 1000, "hrv_sdann" -> 15, "hrv_feature_table" -> 15,
     "agg_rollup" -> 10, "agg_cube" -> 24, "agg_grouping_sets" -> 21,
     "agg_stats" -> 5, "agg_percentile" -> 5, "agg_having" -> 50,

@@ -126,6 +126,22 @@ class GraphSpec extends SparkSpecBase {
     assert(outDeg.values.forall(_ <= 3L), s"out-degree cap violated: $outDeg")
   }
 
+  test("bfs: min-hop distances, shortcut wins, unreachable absent, hop bound") {
+    // 1→2→3→4→5 path plus the 1→4 shortcut, symmetrized
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("u", "v")
+    val sym = e0.union(e0.select($"v".as("u"), $"u".as("v")))
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.bfs(sym, seeds, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the shortcut makes 4 a 1-hop and 5 a 2-hop node
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
+    // hop bound: 1 round from the seed only reaches direct neighbors
+    val one = Graph.bfs(sym, seeds, maxHops = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
+
   test("graphPagerank: judged output is ordered, complete, and mass-conserving") {
     val df = Graph.graphPagerank(spark, sf())
     val rows = df.collect()

@@ -79,4 +79,21 @@ class RelationalEdgeSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 11L, 2L -> 20L))
   }
+
+  test("EXISTS+HAVING: the urgent-order total gates per customer, summed not per-order") {
+    // cust 1: two urgent orders summing over the 300k bar (neither alone
+    // crosses it — proves the HAVING aggregates before the semi join);
+    // cust 2: one urgent order under the bar; cust 3: over the bar but
+    // not urgent
+    val dir = java.nio.file.Files.createTempDirectory("exh").toString
+    Seq((1L, "AUTOMOBILE"), (2L, "BUILDING"), (3L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment").write.parquet(dir + "/customer.parquet")
+    Seq((1L, "1-URGENT", 200000.0), (1L, "1-URGENT", 150000.0),
+      (2L, "1-URGENT", 250000.0), (3L, "5-LOW", 400000.0))
+      .toDF("o_custkey", "o_orderpriority", "o_totalprice")
+      .write.parquet(dir + "/orders.parquet")
+    val got = graft.operators.Relational.subqExistsHaving(spark, dir)
+      .collect().map(_.getLong(0))
+    assert(got.sameElements(Array(1L)))
+  }
 }

@@ -113,6 +113,26 @@ class Signal2Spec extends SparkSpecBase {
       && got(1).getString(3) == "d")
   }
 
+  test("dow profile: epoch-day dow, multi-day cells, integer index round") {
+    // 2024-01-01/08 are Mondays (dow 1), 2024-01-02 a Tuesday (dow 2).
+    // Monday day-sums 100+300 over 2 days, Tuesday 400 over 1 day;
+    // overall 800 cents / 3 days → idx Mon = 10000·(400/2)/(800/3) =
+    // 7500, Tue = 15000 — both exact integer rationals
+    val rows = Seq((1L, "2024-01-01 09:00:00", 1.00),
+      (2L, "2024-01-08 09:00:00", 3.00), (3L, "2024-01-02 09:00:00", 4.00))
+    val dir = java.nio.file.Files.createTempDirectory("dow").toString
+    rows.toDF("event_id", "tss", "value")
+      .withColumn("ts", to_timestamp($"tss")).drop("tss")
+      .withColumn("user_id", lit(5L))
+      .withColumn("event_type", lit("t")).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(dir + "/events.parquet")
+    val got = graft.operators.TimeSeries.tsDowProfile(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == Map(1L -> ((2L, 400L, 7500L)), 2L -> ((1L, 400L, 15000L))))
+  }
+
   test("ts_time_weighted_avg: constant series TWA equals the constant") {
     val out = TimeSeries.tsTimeWeightedAvg(spark, sf()).collect()
     // invariant holds trivially only for synthetic constants; on real

@@ -125,4 +125,18 @@ class TrainingDataSpec extends SparkSpecBase {
     chunks.filter(_.getAs[Long]("chunk") < ids.last).foreach { r =>
       assert(r.getAs[Long]("tokens") < budget + maxDoc) }
   }
+
+  test("text_repetition: duplicate-bigram basis points, single-token doc dropped") {
+    // "a b a b c": bigrams [a b, b a, a b, b c] → 4 total, 3 distinct,
+    // dup_bp = round(10000·1/4) = 2500; "x x x x": [x x]×3 → dup_bp 6667
+    // (half-up of 6666.67); "solo" has no bigram and must not appear
+    val dir = java.nio.file.Files.createTempDirectory("rep").toString
+    Seq((1L, "a b a b c"), (2L, "x x x x"), (3L, "solo"))
+      .toDF("doc_id", "text").write.parquet(dir + "/documents.parquet")
+    val got = operators.TrainingData.textRepetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == Map(1L -> ((5L, 4L, 3L, 2500L)),
+      2L -> ((4L, 3L, 1L, 6667L))))
+  }
 }

@@ -85,4 +85,24 @@ class WindowEdgeSpec extends SparkSpecBase {
       math.abs(r.getDouble(4) * r.getLong(2) - r.getDouble(3)) <= 0.01 * r.getLong(2)
     })
   }
+
+  test("GROUPS frame: adjacent-day peer groups, uneven rows per day") {
+    // one user, three days with 2/1/2 rows — cents per day 300/400/2400.
+    // GROUPS ±1: day1 rows → 700, day2 row → 3100, day3 rows → 2800;
+    // every row of a day gets its day's GROUP total, not a ROWS slice
+    val rows = Seq((1L, "2024-03-01 10:00:00", 1.00),
+      (2L, "2024-03-01 11:00:00", 2.00), (3L, "2024-03-02 10:00:00", 4.00),
+      (4L, "2024-03-03 10:00:00", 8.00), (5L, "2024-03-03 11:00:00", 16.00))
+    val dir = java.nio.file.Files.createTempDirectory("wfg").toString
+    rows.toDF("event_id", "tss", "value")
+      .withColumn("ts", to_timestamp($"tss")).drop("tss")
+      .withColumn("user_id", lit(7L))
+      .withColumn("event_type", lit("t")).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(dir + "/events.parquet")
+    val got = graft.operators.Windows.winFrameGroups(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 700L, 2L -> 700L, 3L -> 3100L,
+      4L -> 2800L, 5L -> 2800L))
+  }
 }
