@@ -779,6 +779,47 @@ class StreamingOpsSpec extends SparkSpecBase {
       s"stream-only: ${got -- want}; batch-only: ${want -- got}")
   }
 
+  test("stateful OHLC equals the batch ts_ohlc_resample bit for bit") {
+    implicit val ctx = spark.sqlContext
+    // the REAL sf0.001 events (the judged query's user_id < 10 slice),
+    // shuffled across three batches — every accumulator update is
+    // commutative (endpoint picks with timestamps, extrema, count), so
+    // out-of-order delivery must reproduce the batch groupBy exactly
+    val ev = Tables.events(spark, sf())
+      .filter($"user_id" < 10)
+      .select($"user_id", unix_micros($"ts").as("us"), $"value")
+      .as[(Long, Long, Double)].collect().toSeq
+    val shuffled = ev.sortBy(r => (r._2 % 3, r._2 / 7 % 5, r._2, r._3))
+    val ms = MemoryStream[(Long, Long, Double)]
+    val in = ms.toDF().select($"_1".as("user_id"),
+      timestamp_micros($"_2").as("ts"), $"_3".as("value"))
+    val out = StreamingOps.statefulOhlc(in, watermark = "60 days")
+    val q = out.writeStream.format("memory").queryName("t_ohlc")
+      .outputMode("append").start()
+    try {
+      shuffled.grouped((shuffled.size + 2) / 3).foreach { b =>
+        ms.addData(b: _*); q.processAllAvailable()
+      }
+      // far-future driver seals every open day
+      ms.addData((999999L, ev.map(_._2).max + 120L * 86400 * 1000000, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_ohlc")
+      .filter($"user_id" =!= 999999L)
+      .select($"user_id", unix_micros($"day").as("day_us"), $"open_v",
+        $"high_v", $"low_v", $"close_v", $"n")
+      .as[(Long, Long, Double, Double, Double, Double, Long)]
+      .collect().toSet
+    val want = graft.operators.Analytics.tsOhlcResample(spark, sf())
+      .select($"user_id", unix_micros($"day".cast("timestamp")).as("day_us"),
+        $"open_v", $"high_v", $"low_v", $"close_v", $"n")
+      .as[(Long, Long, Double, Double, Double, Double, Long)]
+      .collect().toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"stream-only: ${got -- want}; batch-only: ${want -- got}")
+  }
+
   test("stateful changepoint equals the batch ts_changepoint bit for bit") {
     implicit val ctx = spark.sqlContext
     // the REAL sf0.001 events, shuffled across three batches — the
