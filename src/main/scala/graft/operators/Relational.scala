@@ -428,10 +428,22 @@ object Relational {
     val dim = Tables.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    val sketch = dim.agg(graft.functions.Bloom.bloomSketch(col("o_orderkey")).as("bf"))
+    // evaluate the 1-row sketch aggregate up front and inject the filter
+    // as a LITERAL — exactly what Spark's own InjectRuntimeFilter does
+    // (scalar subquery → literal at execution). The previous broadcast
+    // cross-join form carried the 128 KB blob INSIDE every joined
+    // UnsafeRow, and each probe's getBinary copied it back out —
+    // ~75 GB of memcpy across a 600k-row scan, measured 2.9 → 0.8 s
+    // here. As a literal, codegen references ONE array for the whole
+    // scan and the probe reads K bytes per row. The driver-side
+    // materialization is one 128 KB row — the same bounded shape as the
+    // IVF centroid collect, and map-side combinable however large the
+    // build side is.
+    val bf = dim
+      .agg(graft.functions.Bloom.bloomSketch(col("o_orderkey")).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
     Tables.lineitem(s, d)
-      .join(broadcast(sketch))
-      .filter(graft.functions.Bloom.bloomContains(col("bf"), col("l_orderkey")))
+      .filter(graft.functions.Bloom.bloomContains(lit(bf), col("l_orderkey")))
       .join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),
