@@ -161,6 +161,18 @@ object Oracle {
         "quantile_disc(qc, 0.25) AS q1_qc, quantile_disc(qc, 0.5) AS q2_qc, " +
         "quantile_disc(qc, 0.75) AS q3_qc " +
         "FROM q GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // weighted median: smallest value whose cumulative weight reaches
+    // half the total; both engines state the definition over the
+    // cumulative-weight window (neither has it built in), exact int64
+    "agg_weighted_median" ->
+      ("WITH q AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS pc, " +
+        "CAST(round(l_quantity) AS BIGINT) AS w FROM lineitem), " +
+        "g AS (SELECT l_returnflag, pc, CAST(sum(w) AS BIGINT) AS w FROM q GROUP BY 1, 2), " +
+        "c AS (SELECT *, CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY pc) AS BIGINT) AS cw, " +
+        "CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw FROM g) " +
+        "SELECT l_returnflag, CAST(min(tw) AS BIGINT) AS total_w, " +
+        "min(CASE WHEN 2 * cw >= tw THEN pc END) AS wmedian_pc " +
+        "FROM c GROUP BY l_returnflag ORDER BY l_returnflag"),
     "agg_filtered" ->
       "SELECT user_id, count(*) FILTER (WHERE event_type = 'purchase') purchases, round(sum(value) FILTER (WHERE event_type = 'purchase'),2) spend FROM events GROUP BY user_id ORDER BY user_id",
     "agg_rollup" ->
@@ -885,6 +897,17 @@ object Oracle {
         "SELECT user_id, dow, dow_days, CAST(dow_sum_cents AS BIGINT) AS dow_sum_cents, " +
         "CAST((2 * 10000 * dow_sum_cents * all_days + dow_days * all_sum) // (2 * dow_days * all_sum) AS BIGINT) AS idx_bp " +
         "FROM t WHERE all_sum > 0 ORDER BY user_id, dow"),
+    // one-pass multi-grain rollup: GROUPING SETS over day/week/month
+    // buckets (both engines truncate weeks to Monday); exact integers
+    "ts_multires" ->
+      ("WITH d AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
+        "CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk, " +
+        "CAST(date_trunc('month', ts) AS TIMESTAMP) AS mo, " +
+        "CAST(round(value * 100) AS BIGINT) AS c FROM events WHERE user_id < 5) " +
+        "SELECT user_id, CASE WHEN day IS NOT NULL THEN 'day' WHEN wk IS NOT NULL THEN 'week' ELSE 'month' END AS grain, " +
+        "coalesce(day, wk, mo) AS bucket, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sum_cents " +
+        "FROM d GROUP BY GROUPING SETS ((user_id, day), (user_id, wk), (user_id, mo)) " +
+        "ORDER BY user_id, grain, bucket"),
     // robust median/MAD gate, exact on the doubled-integer lattice:
     // m2 = 2·median(c) and mad4 = 2·median(|2c−m2|) are integers, the
     // 3.5×MAD threshold cross-multiplies to 4·dev2 > 7·mad4, and the

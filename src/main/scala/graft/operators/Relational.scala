@@ -873,6 +873,33 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** #186 WEIGHTED median — smallest value whose cumulative weight
+    * reaches half the group's total (volume-weighted price median, the
+    * inventory/market-data staple) — which neither engine has built in:
+    * both state the definition over a cumulative-weight window, the
+    * engine on the same scale-right (group, value) count table as
+    * [[aggPercentileDisc]] (weights pre-summed map-side; the shuffle is
+    * bounded by distinct values, the window by the count table). The
+    * 2·cw ≥ tw gate is exact int64 (weights are integral quantities) —
+    * no float, no midpoint ambiguity. An unbounded value domain would
+    * pre-bucket; price cents are domain-bounded. */
+  def aggWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("pc"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"),
+        round(col("l_quantity")).cast("long").as("w"))
+      .groupBy(col("l_returnflag"), col("pc"))
+      .agg(sum(col("w")).as("w"))
+      .withColumn("cw", sum(col("w")).over(wCum))
+      .withColumn("tw", sum(col("w")).over(wAll))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("tw")).as("total_w"),
+        min(when(col("cw") * 2 >= col("tw"), col("pc"))).as("wmedian_pc"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** #21 HAVING on the group count (post-aggregation filter). */
   def aggHaving(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)

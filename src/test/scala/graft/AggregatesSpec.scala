@@ -44,4 +44,19 @@ class AggregatesSpec extends SparkSpecBase {
     assert(got("A") == ((100L, 200L, 300L)))
     assert(got("B") == ((200L, 300L, 400L)))
   }
+
+  test("weighted median: half-weight gate, exact even-split takes the lower value") {
+    // A: weights 1/2/1 on prices 1/2/3 → half of 4 reached at price 2;
+    // B: weights 2/2 on prices 1/3 → 2·cw == tw exactly at price 1 (the
+    // ≥ gate takes the LOWER of the two weighted middles)
+    val rows = Seq(("A", 1.00, 1.0), ("A", 2.00, 2.0), ("A", 3.00, 1.0),
+      ("B", 1.00, 2.0), ("B", 3.00, 2.0))
+    val dir = java.nio.file.Files.createTempDirectory("wmed").toString
+    rows.toDF("l_returnflag", "l_extendedprice", "l_quantity")
+      .write.parquet(dir + "/lineitem.parquet")
+    val got = graft.operators.Relational.aggWeightedMedian(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map("A" -> ((4L, 200L)), "B" -> ((4L, 100L))))
+  }
 }

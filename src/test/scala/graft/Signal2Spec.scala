@@ -133,6 +133,34 @@ class Signal2Spec extends SparkSpecBase {
     assert(got == Map(1L -> ((2L, 400L, 7500L)), 2L -> ((1L, 400L, 15000L))))
   }
 
+  test("multires: one pass emits consistent day/week/month cells") {
+    // user 5's four events: two on Mon 2024-01-01, one on Tue
+    // 2024-01-02 (same ISO week), one on Mon 2024-01-08 (next week,
+    // same month) — 3 day cells, 2 week cells, 1 month cell, and each
+    // grain's totals must re-aggregate to the same sum
+    val rows = Seq((1L, "2024-01-01 09:00:00", 1.00),
+      (2L, "2024-01-01 10:00:00", 2.00), (3L, "2024-01-02 09:00:00", 4.00),
+      (4L, "2024-01-08 09:00:00", 8.00))
+    val dir = java.nio.file.Files.createTempDirectory("mres").toString
+    rows.toDF("event_id", "tss", "value")
+      .withColumn("ts", to_timestamp($"tss")).drop("tss")
+      .withColumn("user_id", lit(4L))
+      .withColumn("event_type", lit("t")).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(dir + "/events.parquet")
+    val got = TimeSeries.tsMultires(spark, dir).collect()
+      .map(r => (r.getString(1),
+        r.getAs[java.time.LocalDateTime](2).toLocalDate.toString,
+        r.getLong(3), r.getLong(4)))
+    assert(got.count(_._1 == "day") == 3)
+    assert(got.count(_._1 == "week") == 2)
+    assert(got.count(_._1 == "month") == 1)
+    assert(got.filter(_._1 == "day").map(_._4).sum == 1500L)
+    assert(got.contains(("week", "2024-01-01", 3L, 700L)))
+    assert(got.contains(("week", "2024-01-08", 1L, 800L)))
+    assert(got.contains(("month", "2024-01-01", 4L, 1500L)))
+  }
+
   test("ts_time_weighted_avg: constant series TWA equals the constant") {
     val out = TimeSeries.tsTimeWeightedAvg(spark, sf()).collect()
     // invariant holds trivially only for synthetic constants; on real
