@@ -382,6 +382,13 @@ object Oracle {
     // exact-dedup keep-first (judged composition of the #49/#51 pieces)
     "llm_curate_chain" ->
       "WITH stats AS (SELECT doc_id, lang, text, n_chars, len(string_split(text,' ')) AS n_tok, len(list_distinct(string_split(text,' '))) AS n_uniq FROM documents), filtered AS (SELECT * FROM stats WHERE n_chars BETWEEN 50 AND 2000 AND n_tok BETWEEN 5 AND 500 AND n_uniq * 1.0 / n_tok >= 0.3), dedup AS (SELECT doc_id, lang, n_tok, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn FROM filtered) SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok FROM dedup WHERE rn = 1 ORDER BY doc_id",
+    // schema evolution: the oracle derives the merged-footer read's
+    // expected rows from the plain table (even keys wrote WITHOUT the
+    // priority column, odd keys WITH it)
+    "source_schema_evolution" ->
+      ("SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority ELSE 'MISSING' END AS pr, " +
+        "CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS rev " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
     "subq_scalar_corr" ->
       "SELECT o_orderkey, o_totalprice FROM orders o WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey LIMIT 100",
     "subq_in" ->
@@ -920,6 +927,15 @@ object Oracle {
         "SELECT user_id AS series_key, event_id, CAST(c AS DOUBLE) / 100.0 AS value, " +
         "CAST((2 * (dev2 * 20000) + mad4) // (2 * mad4) AS DOUBLE) / 10000.0 AS score " +
         "FROM md WHERE mad4 > 0 AND dev2 * 4 > mad4 * 7 ORDER BY series_key, event_id"),
+    // windowed DISTINCT count: DuckDB states it natively; Spark's
+    // window functions refuse DISTINCT, so the engine composes
+    // size(array_distinct(collect_list over frame)) -- exact integers
+    "win_distinct_frame" ->
+      ("SELECT event_id, user_id, CAST(count(*) OVER win AS BIGINT) AS n_frame, " +
+        "CAST(count(DISTINCT event_type) OVER win AS BIGINT) AS n_distinct " +
+        "FROM events WHERE user_id < 40 " +
+        "WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id"),
     // GROUPS frame mode, which NEITHER engine has natively: the engine
     // composes agg-per-day + ROWS window + attach join; the oracle
     // states the same frame as dense_rank + RANGE +-1 on the rank --

@@ -249,6 +249,33 @@ object Relational {
   private def pathTag(d: String): String =
     java.lang.Integer.toHexString(d.hashCode)
 
+  /** #188 SCHEMA-EVOLUTION read — the append-only pipeline reality that
+    * a column added mid-corpus must not fork the reader: generation 1
+    * is written WITHOUT `o_orderpriority`, generation 2 WITH it, and
+    * one `mergeSchema` read reconciles the footers (gen-1 rows surface
+    * the new column as null). Judged as result-invisibility against the
+    * plain table — the oracle derives the same rows from `orders`
+    * directly, so any row lost, duplicated, or mis-nulled across the
+    * two-footer merge moves the aggregate. At 100 TB this is the
+    * standard additive-evolution contract of a parquet data lake (the
+    * footer union is per-file metadata work, not a data rewrite). */
+  def sourceSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = layoutOnce("orders_evo", d) { out =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.parquet(out + "/gen1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.parquet(out + "/gen2")
+    }
+    s.read.option("mergeSchema", "true").parquet(dir + "/gen1", dir + "/gen2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("MISSING")).as("pr"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+      .orderBy(col("pr"))
+  }
+
   /** #2 conjunctive predicates (BETWEEN / IN / NOT) — all pushed to the
     * parquet reader as data filters. */
   def filterPredicates(s: SparkSession, d: String): DataFrame =

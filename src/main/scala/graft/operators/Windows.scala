@@ -443,6 +443,26 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** #189 DISTINCT count over a bounded frame (rolling event-type
+    * variety per user, trailing 20 events) — `count(DISTINCT …) OVER`
+    * is SQL the oracle states natively but Spark's window functions
+    * refuse DISTINCT, so the engine composes it:
+    * `size(array_distinct(collect_list(x) OVER frame))`. The state is
+    * the BOUNDED frame itself (≤ 20 elements per row — same O(frame)
+    * cost the native form pays), one window pass on the user exchange;
+    * never collect an unbounded frame this way (the unbounded sibling
+    * is #97's first-occurrence-flag cumsum, O(1) state). */
+  def winDistinctFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+    Tables.events(s, d).filter(col("user_id") < 40)
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).cast("long").as("n_frame"),
+        size(array_distinct(collect_list(col("event_type")).over(w)))
+          .cast("long").as("n_distinct"))
+      .orderBy(col("event_id"))
+  }
+
   def winRunningDistinct(s: SparkSession, d: String): DataFrame = {
     val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))

@@ -34,6 +34,7 @@ class GoldenCountsSpec extends SparkSpecBase {
     "graph_bfs" -> 10, "text_repetition" -> 500,
     "ts_dow_profile" -> 105, "subq_exists_having" -> 93,
     "agg_weighted_median" -> 3, "ts_multires" -> 164,
+    "win_distinct_frame" -> 1000, "source_schema_evolution" -> 6,
     "hrv_ectopic" -> 15, "hrv_rolling_rmssd" -> 1000, "hrv_sdann" -> 15, "hrv_feature_table" -> 15,
     "agg_rollup" -> 10, "agg_cube" -> 24, "agg_grouping_sets" -> 21,
     "agg_stats" -> 5, "agg_percentile" -> 5, "agg_having" -> 50,

@@ -96,4 +96,16 @@ class RelationalEdgeSpec extends SparkSpecBase {
       .collect().map(_.getLong(0))
     assert(got.sameElements(Array(1L)))
   }
+
+  test("schema evolution: gen-1 rows surface the added column as null, none lost") {
+    val got = graft.operators.Relational.sourceSchemaEvolution(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = Tables.orders(spark, sf())
+    // the MISSING group is exactly the even-key generation; the named
+    // groups re-aggregate the odd-key generation — nothing lost or
+    // duplicated across the two-footer merge
+    assert(got("MISSING") == o.filter($"o_orderkey" % 2 === 0).count())
+    assert(got.filterKeys(_ != "MISSING").values.sum ==
+      o.filter($"o_orderkey" % 2 === 1).count())
+  }
 }

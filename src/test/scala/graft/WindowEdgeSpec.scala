@@ -86,6 +86,22 @@ class WindowEdgeSpec extends SparkSpecBase {
     })
   }
 
+  test("frame DISTINCT: composed array_distinct equals running variety") {
+    // types a,a,b,a,c under a trailing all-rows frame → distinct counts
+    // 1,1,2,2,3 while the frame count runs 1..5
+    val rows = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a"), (5L, "c"))
+    val dir = java.nio.file.Files.createTempDirectory("wdf").toString
+    rows.toDF("event_id", "event_type")
+      .withColumn("ts", timestamp_seconds($"event_id"))
+      .withColumn("user_id", lit(3L))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(dir + "/events.parquet")
+    val got = graft.operators.Windows.winDistinctFrame(spark, dir)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 3L)))
+  }
+
   test("GROUPS frame: adjacent-day peer groups, uneven rows per day") {
     // one user, three days with 2/1/2 rows — cents per day 300/400/2400.
     // GROUPS ±1: day1 rows → 700, day2 row → 3100, day3 rows → 2800;
