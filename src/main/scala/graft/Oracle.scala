@@ -508,6 +508,13 @@ object Oracle {
       ("WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 120) " +
         "SELECT * FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(list_cosine_similarity(a.v, b.v), 6) AS cosine " +
         "FROM t a JOIN t b ON a.vec_id < b.vec_id) WHERE cosine >= 0.3 ORDER BY a_id, b_id"),
+    // prefix dedup: first-8-token prologue groups keyed by md5 (the
+    // cross-engine hash convention); keeper = min doc id
+    "dedup_prefix" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+        "p AS (SELECT doc_id, md5(array_to_string(tk[1:8], ' ')) AS pm FROM t WHERE len(tk) >= 8) " +
+        "SELECT pm AS prefix_md5, CAST(min(doc_id) AS BIGINT) AS keeper, CAST(count(*) AS BIGINT) AS n_docs " +
+        "FROM p GROUP BY pm HAVING count(*) >= 2 ORDER BY prefix_md5"),
     // Gopher-style duplicate-bigram fraction: adjacent-pair lambdas
     // (1-based on both engines), dup share half-up-rounded to basis
     // points in pure integer arithmetic -- no float anywhere
@@ -1060,6 +1067,29 @@ object Oracle {
         "SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM " +
         "(SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) " +
         "GROUP BY node ORDER BY node"),
+    // fixed-round k-core peeling, unrolled as chained CTEs (the same
+    // 4 rounds the engine runs; a 5th round is a no-op at every SF --
+    // the fixpoint is reached); exact integer degrees
+    "graph_kcore" ->
+      ("WITH e0 AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE o_custkey < 300), " +
+        "p AS (SELECT a.supp AS u, b.supp AS v FROM e0 a JOIN e0 b ON a.cust = b.cust AND a.supp < b.supp " +
+        "GROUP BY 1, 2 HAVING count(*) >= 3), " +
+        "e1 AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p), " +
+        "d1 AS (SELECT u, count(*) AS dg FROM e1 GROUP BY u), " +
+        "k1 AS (SELECT u FROM d1 WHERE dg >= 3), " +
+        "e2 AS (SELECT e.u, e.v FROM e1 e JOIN k1 a ON e.u = a.u JOIN k1 b ON e.v = b.u), " +
+        "d2 AS (SELECT u, count(*) AS dg FROM e2 GROUP BY u), " +
+        "k2 AS (SELECT u FROM d2 WHERE dg >= 3), " +
+        "e3 AS (SELECT e.u, e.v FROM e2 e JOIN k2 a ON e.u = a.u JOIN k2 b ON e.v = b.u), " +
+        "d3 AS (SELECT u, count(*) AS dg FROM e3 GROUP BY u), " +
+        "k3 AS (SELECT u FROM d3 WHERE dg >= 3), " +
+        "e4 AS (SELECT e.u, e.v FROM e3 e JOIN k3 a ON e.u = a.u JOIN k3 b ON e.v = b.u), " +
+        "d4 AS (SELECT u, count(*) AS dg FROM e4 GROUP BY u), " +
+        "k4 AS (SELECT u FROM d4 WHERE dg >= 3), " +
+        "e5 AS (SELECT e.u, e.v FROM e4 e JOIN k4 a ON e.u = a.u JOIN k4 b ON e.v = b.u), " +
+        "fin AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS degree FROM e5 GROUP BY u) " +
+        "SELECT node, degree FROM fin ORDER BY node"),
     // bounded BFS as a recursive CTE (UNION-distinct keeps the state
     // finite; dist < 3 bounds the walk); min over (node, dist) pairs is
     // the hop distance -- the engine walks the same graph with

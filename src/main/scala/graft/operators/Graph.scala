@@ -310,6 +310,51 @@ object Graph {
     layers.reduce(_ union _)
   }
 
+  /** Fixed-round k-core peeling over a SYMMETRIZED (`u`, `v`) edge
+    * list: each round drops every node of degree < k (and its edges),
+    * `rounds` times. Per round: one map-side-combinable degree
+    * aggregate and two semi-joins against the |nodes|-sized keep list
+    * (broadcast at any realistic node count) — the edge list never
+    * shuffles on anything but its own keys, and per-round lineage is
+    * cut with a checkpoint. The true k-core is this iteration's
+    * fixpoint; the judged form pins `rounds` for determinism (and the
+    * judged graph REACHES its fixpoint within them — a 5th round is
+    * a no-op at every driver SF, checked when the oracle was built). */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("u"), col("v")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("_dg"))
+        .filter(col("_dg") >= k).select(col("u"))
+      e = e.join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+    }
+    e.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** #190 judged 3-core: the maximal subgraph where every surviving
+    * supplier still co-trades with ≥ 3 surviving suppliers — the
+    * classic community-density screen (spam rings, engagement cores)
+    * — over the same ≥3-shared-customers co-trade graph as #182/#106.
+    * Four peel rounds, fixpoint-reached (see [[kCore]]); the oracle
+    * unrolls the identical four rounds as chained CTEs. Exact integer
+    * degrees, total ORDER BY. */
+  def graphKcore(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_custkey") < 300)
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val p = commonNeighborPairs(e, degreeCap = None)
+      .filter(col("common") >= 3).select(col("s1"), col("s2"))
+    val sym = p.select(col("s1").as("u"), col("s2").as("v"))
+      .union(p.select(col("s2").as("u"), col("s1").as("v")))
+    kCore(sym, k = 3, rounds = 4)
+      .select(col("node"), col("degree"))
+      .orderBy(col("node"))
+  }
+
   /** #182 judged BFS: min-hop distance (≤ 3) from the lowest-id supplier
     * through the co-trade graph — suppliers are adjacent when they share
     * ≥ 3 customers (same probe and ≥3 co-trade threshold as #106, so the

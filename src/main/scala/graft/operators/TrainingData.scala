@@ -542,6 +542,25 @@ object TrainingData {
         "(20000 * (n_bigrams - n_distinct) + n_bigrams) div (2 * n_bigrams)"))
       .orderBy(col("doc_id"))
 
+  /** #191 PREFIX dedup — duplicate-prologue detection: documents
+    * sharing their first 8 tokens verbatim group under one md5 prefix
+    * key (templated intros, mirrored articles, repeated boilerplate
+    * openings — the cheap catch BEFORE shingle-level near-dup). One
+    * map-side-combinable group-by on the 16-byte hash — shuffle
+    * bounded by distinct prologues, never document bytes; md5 is the
+    * cross-engine-standardized hash (the §2.13 convention). Emits the
+    * collided groups with their deterministic keeper (min doc id). */
+  def dedupPrefix(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("tk"), 1, 8))).as("prefix_md5"))
+      .groupBy(col("prefix_md5"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("prefix_md5"))
+
   /** #69 TF-IDF term weights (TextAnalysis.tfidf verbatim): term
     * frequency per (doc, term), document frequency per term over the
     * FULL corpus, smoothed idf = ln((N+1)/(df+1)) + 1. Output bounded to

@@ -142,6 +142,18 @@ class GraphSpec extends SparkSpecBase {
     assert(one == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
   }
 
+  test("kCore: pendant peels, cascade stops; k above the core empties") {
+    // triangle 1-2-3 plus pendant edge 1-4, symmetrized
+    val e0 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    val sym = e0.union(e0.select($"v".as("u"), $"u".as("v")))
+    // k=2: node 4 (deg 1) peels in round 1; node 1 drops 3→2 and STAYS
+    val core2 = Graph.kCore(sym, k = 2, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=3: the triangle itself is below 3 once the pendant is gone
+    assert(Graph.kCore(sym, k = 3, rounds = 4).count() == 0)
+  }
+
   test("graphPagerank: judged output is ordered, complete, and mass-conserving") {
     val df = Graph.graphPagerank(spark, sf())
     val rows = df.collect()

@@ -139,4 +139,16 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(got == Map(1L -> ((5L, 4L, 3L, 2500L)),
       2L -> ((4L, 3L, 1L, 6667L))))
   }
+
+  test("dedup_prefix: 8-token prologue groups, keeper is min id, short docs excluded") {
+    val pre = "a b c d e f g h"
+    val rows = Seq((5L, pre + " tail one"), (9L, pre + " other tail"),
+      (2L, "z " + pre), // different first-8 window — must NOT group
+      (7L, "a b c d e f g")) // 7 tokens: below the prefix length
+    val dir = java.nio.file.Files.createTempDirectory("pfx").toString
+    rows.toDF("doc_id", "text").write.parquet(dir + "/documents.parquet")
+    val got = operators.TrainingData.dedupPrefix(spark, dir).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 5L && got(0).getLong(2) == 2L)
+  }
 }
