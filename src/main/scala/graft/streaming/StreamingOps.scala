@@ -399,6 +399,89 @@ object StreamingOps {
       }
   }
 
+  /** Per-user gap-fill state: open (not yet sealed) day totals in exact
+    * integer cents, plus the last ACTIVE day already emitted — the
+    * anchor the next emission's gap run starts after. Bounded by the
+    * watermark's open-day horizon. */
+  case class GapFillState(days: Map[Long, Long], lastActive: Option[Long])
+
+  /** One spine row — the judged `ts_gap_fill` shape (`filled` marks a
+    * generated 0-row for a calendar day with no activity). */
+  case class GapFillRow(user_id: Long, day: Timestamp, v: Double,
+      filled: Boolean)
+
+  /** Streaming twin of the judged `ts_gap_fill` dense daily spine:
+    * per-user daily totals emitted on a gap-free calendar grid, missing
+    * days materializing as flagged 0-rows. Totals fold as exact integer
+    * CENTS (commutative — no fold-order buffer); a day's row emits once
+    * the watermark seals it, and because an ACTIVE day seals only after
+    * every earlier day is sealed too, the gap 0-rows between the
+    * previous emitted active day and the newly sealed one are emitted
+    * in the same pass — the spine grows in order, append-mode. The
+    * batch spine runs min→max ACTIVE day, so trailing quiet days are
+    * never emitted (a gap row exists only once a LATER active day
+    * seals), matching the batch semantics exactly on a bounded replay.
+    * The emitted total is cents/100: the true daily sum of 2-dp data is
+    * a cent multiple, so the batch `round(sum(value), 2)` lands on the
+    * identical double (the win_range_numeric sum-rounding argument) —
+    * StreamingOpsSpec proves bit-identity on shuffled delivery. */
+  def statefulGapFill(events: DataFrame,
+      watermark: String = "1 day"): Dataset[GapFillRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val DayUs = 86400000000L
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GapFillState, GapFillRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp, Double)],
+            state: GroupState[GapFillState]) =>
+          def micros(t: Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          val st = state.getOption.getOrElse(GapFillState(Map.empty, None))
+          var days = st.days
+          rows.foreach { case (_, ts, v) =>
+            val day = Math.floorDiv(micros(ts), DayUs)
+            val c = Math.round(v * 100)
+            days = days.updated(day, days.getOrElse(day, 0L) + c)
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, open) = days.partition { case (day, _) =>
+            (day + 1L) * DayUs - 1L <= wmUs
+          }
+          var lastActive = st.lastActive
+          val out = ripe.toSeq.sortBy(_._1).flatMap { case (day, cents) =>
+            val gaps = lastActive match {
+              case Some(prev) => (prev + 1) until day
+              case None => Seq.empty[Long]
+            }
+            lastActive = Some(day)
+            gaps.map(g =>
+              GapFillRow(user, new Timestamp(g * 86400000L), 0.0, true)) :+
+              GapFillRow(user, new Timestamp(day * 86400000L),
+                cents.toDouble / 100.0, false)
+          }
+          // lastActive is the permanent spine anchor: a returning user's
+          // quiet days must still materialize as gap rows, so the
+          // (one-Option) record survives even when no day is open —
+          // the batch spine's min-day memory, not leaked state
+          if (open.isEmpty && out.isEmpty && st.days.isEmpty
+              && st.lastActive.isEmpty) state.remove()
+          else {
+            state.update(GapFillState(open, lastActive))
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                (open.keys.min + 1L) * 86400000L,
+                state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
   /** Per-user changepoint state: daily totals in exact integer CENTS
     * (epoch day → cents) + the latest event time. Bounded by the
     * CALENDAR of the activity epoch, not by event volume — the same
