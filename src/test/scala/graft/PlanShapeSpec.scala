@@ -261,6 +261,40 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("text_repetition: a pure map — no exchange before the output sort") {
+    val p = plan(TrainingData.textRepetition(spark, sf()))
+    // the only exchange allowed is the final ORDER BY's range partitioning
+    assert(count(p, "(?i)exchange hashpartitioning") == 0,
+      s"per-doc stats must not shuffle:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("ts_multires: GROUPING SETS compiles to ONE Expand over one scan") {
+    val p = plan(TimeSeries.tsMultires(spark, sf()))
+    assert(count(p, "Expand") == 1, s"expected a single Expand:\n$p")
+    assert(count(p, "Scan parquet") == 1,
+      s"three grains must ride ONE scan, not three:\n$p")
+  }
+
+  test("join_bloom_prefilter: the filter is a literal, not a joined column") {
+    val p = plan(Relational.joinBloomPrefilter(spark, sf()))
+    // the runtime-filter shape: no cross-join carrying the 128 KB blob
+    // into every row (the pre-fix form's BroadcastNestedLoopJoin)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bloom filter must ride as a literal, not a broadcast column:\n$p")
+  }
+
+  test("agg_percentile_disc / weighted median: shuffle carries the count table, not rows") {
+    for (df <- Seq(Relational.aggPercentileDisc(spark, sf()),
+        Relational.aggWeightedMedian(spark, sf()))) {
+      val p = plan(df)
+      // partial+final aggregate BEFORE the window machinery: the raw
+      // scan combines map-side, the windows see only (group, value)
+      assert(count(p, "HashAggregate") >= 2, s"count table must pre-aggregate:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
   test("stored plan audit covers every registered query") {
     // round 9's audit silently missed the last-added query — pin the
     // committed metrics file to the live registry so the bookkeeping
