@@ -994,6 +994,50 @@ object Oracle {
         "max(CASE WHEN n = 8 THEN fn END) AS f8r, max(CASE WHEN n = 16 THEN fn END) AS f16r FROM f GROUP BY 1) " +
         "SELECT user_id, round(f4r, 6) AS f4, round(f8r, 6) AS f8, round(f16r, 6) AS f16, " +
         "round(ln(f16r / f4r) / 1.3862943611198906, 6) AS alpha1 FROM p ORDER BY user_id"),
+    // multiscale entropy: coarse grains kept as exact tau-window cent
+    // SUMS with the tolerance scaled by tau (the ts_sax PAA lattice);
+    // A/B are exact integer counts at every scale; + 0 normalizes the
+    // -0.0 DuckDB emits when A == B (-ln(1) -- hit at sf1, tau=4)
+    "hrv_mse" ->
+      ("SELECT * FROM (SELECT user_id, CAST(1 AS BIGINT) AS tau, b_pairs, a_pairs, CASE WHEN a_pairs > 0 AND" +
+        " b_pairs > 0 THEN round(-ln(CAST(a_pairs AS DOUBLE) / b_pairs), 6) + 0 END AS sampen FROM (SELECT a." +
+        "user_id, CAST(sum(CASE WHEN abs(a.y - b.y) <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS b_pairs, CAST(su" +
+        "m(CASE WHEN abs(a.y - b.y) <= 2000 AND abs(a.yn - b.yn) <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS a_p" +
+        "airs FROM (SELECT user_id, y, lead(y) OVER (PARTITION BY user_id ORDER BY seg) AS yn, row_number() O" +
+        "VER (PARTITION BY user_id ORDER BY seg) AS j FROM (SELECT user_id, (i // 1) AS seg, CAST(sum(c) AS B" +
+        "IGINT) AS y FROM (SELECT user_id, CAST(round(value*100) AS BIGINT) AS c, row_number() OVER (PARTITIO" +
+        "N BY user_id ORDER BY ts, event_id) - 1 AS i FROM events) GROUP BY 1, 2 HAVING count(*) = 1)) a JOIN" +
+        " (SELECT user_id, y, lead(y) OVER (PARTITION BY user_id ORDER BY seg) AS yn, row_number() OVER (PART" +
+        "ITION BY user_id ORDER BY seg) AS j FROM (SELECT user_id, (i // 1) AS seg, CAST(sum(c) AS BIGINT) AS" +
+        " y FROM (SELECT user_id, CAST(round(value*100) AS BIGINT) AS c, row_number() OVER (PARTITION BY user" +
+        "_id ORDER BY ts, event_id) - 1 AS i FROM events) GROUP BY 1, 2 HAVING count(*) = 1)) b ON a.user_id " +
+        "= b.user_id AND a.j < b.j WHERE a.yn IS NOT NULL AND b.yn IS NOT NULL GROUP BY a.user_id) z UNION AL" +
+        "L SELECT user_id, CAST(2 AS BIGINT) AS tau, b_pairs, a_pairs, CASE WHEN a_pairs > 0 AND b_pairs > 0 " +
+        "THEN round(-ln(CAST(a_pairs AS DOUBLE) / b_pairs), 6) + 0 END AS sampen FROM (SELECT a.user_id, CAST" +
+        "(sum(CASE WHEN abs(a.y - b.y) <= 4000 THEN 1 ELSE 0 END) AS BIGINT) AS b_pairs, CAST(sum(CASE WHEN a" +
+        "bs(a.y - b.y) <= 4000 AND abs(a.yn - b.yn) <= 4000 THEN 1 ELSE 0 END) AS BIGINT) AS a_pairs FROM (SE" +
+        "LECT user_id, y, lead(y) OVER (PARTITION BY user_id ORDER BY seg) AS yn, row_number() OVER (PARTITIO" +
+        "N BY user_id ORDER BY seg) AS j FROM (SELECT user_id, (i // 2) AS seg, CAST(sum(c) AS BIGINT) AS y F" +
+        "ROM (SELECT user_id, CAST(round(value*100) AS BIGINT) AS c, row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) - 1 AS i FROM events) GROUP BY 1, 2 HAVING count(*) = 2)) a JOIN (SELECT user" +
+        "_id, y, lead(y) OVER (PARTITION BY user_id ORDER BY seg) AS yn, row_number() OVER (PARTITION BY user" +
+        "_id ORDER BY seg) AS j FROM (SELECT user_id, (i // 2) AS seg, CAST(sum(c) AS BIGINT) AS y FROM (SELE" +
+        "CT user_id, CAST(round(value*100) AS BIGINT) AS c, row_number() OVER (PARTITION BY user_id ORDER BY " +
+        "ts, event_id) - 1 AS i FROM events) GROUP BY 1, 2 HAVING count(*) = 2)) b ON a.user_id = b.user_id A" +
+        "ND a.j < b.j WHERE a.yn IS NOT NULL AND b.yn IS NOT NULL GROUP BY a.user_id) z UNION ALL SELECT user" +
+        "_id, CAST(4 AS BIGINT) AS tau, b_pairs, a_pairs, CASE WHEN a_pairs > 0 AND b_pairs > 0 THEN round(-l" +
+        "n(CAST(a_pairs AS DOUBLE) / b_pairs), 6) + 0 END AS sampen FROM (SELECT a.user_id, CAST(sum(CASE WHE" +
+        "N abs(a.y - b.y) <= 8000 THEN 1 ELSE 0 END) AS BIGINT) AS b_pairs, CAST(sum(CASE WHEN abs(a.y - b.y)" +
+        " <= 8000 AND abs(a.yn - b.yn) <= 8000 THEN 1 ELSE 0 END) AS BIGINT) AS a_pairs FROM (SELECT user_id," +
+        " y, lead(y) OVER (PARTITION BY user_id ORDER BY seg) AS yn, row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY seg) AS j FROM (SELECT user_id, (i // 4) AS seg, CAST(sum(c) AS BIGINT) AS y FROM (SELECT u" +
+        "ser_id, CAST(round(value*100) AS BIGINT) AS c, row_number() OVER (PARTITION BY user_id ORDER BY ts, " +
+        "event_id) - 1 AS i FROM events) GROUP BY 1, 2 HAVING count(*) = 4)) a JOIN (SELECT user_id, y, lead(" +
+        "y) OVER (PARTITION BY user_id ORDER BY seg) AS yn, row_number() OVER (PARTITION BY user_id ORDER BY " +
+        "seg) AS j FROM (SELECT user_id, (i // 4) AS seg, CAST(sum(c) AS BIGINT) AS y FROM (SELECT user_id, C" +
+        "AST(round(value*100) AS BIGINT) AS c, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)" +
+        " - 1 AS i FROM events) GROUP BY 1, 2 HAVING count(*) = 4)) b ON a.user_id = b.user_id AND a.j < b.j " +
+        "WHERE a.yn IS NOT NULL AND b.yn IS NOT NULL GROUP BY a.user_id) z) ORDER BY user_id, tau"),
     "hrv_sampen" ->
       ("WITH base AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c, " +
         "lead(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cn, " +
@@ -1004,7 +1048,7 @@ object Oracle {
         "CAST(sum(CASE WHEN abs(a.c - b.c) <= 2000 AND abs(a.cn - b.cn) <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS a_pairs " +
         "FROM t a JOIN t b ON a.user_id = b.user_id AND a.i < b.i GROUP BY a.user_id) " +
         "SELECT user_id, b_pairs, a_pairs, " +
-        "CASE WHEN a_pairs > 0 AND b_pairs > 0 THEN round(-ln(CAST(a_pairs AS DOUBLE) / b_pairs), 6) END AS sampen " +
+        "CASE WHEN a_pairs > 0 AND b_pairs > 0 THEN round(-ln(CAST(a_pairs AS DOUBLE) / b_pairs), 6) + 0 END AS sampen " +
         "FROM p ORDER BY user_id"),
     // per-series elapsed-seconds time base (see hrvBandPower); 1.0 is
     // cast to DOUBLE so the frequency constant folds in double, not

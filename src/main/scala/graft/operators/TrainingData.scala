@@ -1121,6 +1121,64 @@ object TrainingData {
       .orderBy(col("user_id"))
   }
 
+  /** #192 MULTISCALE entropy per user (Costa 2002) — SampEn(m=1) of the
+    * coarse-grained series at scales τ = 1, 2, 4, the standard
+    * complexity-vs-scale profile distinguishing true physiological
+    * complexity (entropy sustained across scales) from uncorrelated
+    * noise (entropy collapsing as τ grows). Exact on the ts_sax PAA
+    * lattice: a full τ-window's coarse grain is kept as its int64 CENT
+    * SUM (fixed denominator — never divided), and the tolerance compare
+    * scales with it (|Σᵢ − Σⱼ| ≤ 2000·τ ⟺ |meanᵢ − meanⱼ| ≤ 20.00), so
+    * A and B stay exact integer counts at every scale and only the
+    * final −ln(A/B) is float (6 dp, off-lattice). τ=1 reduces to
+    * #110's hrv_sampen arithmetic — the cross-query consistency anchor.
+    * Scale shape: per-τ day-collapse is map-side combinable; the O(n²)
+    * template self-join is per SERIES (Σ (n/τ)² per user, shrinking
+    * quadratically with τ) on the user-key exchange. */
+  def hrvMse(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // consumed once per scale — checkpoint the slim (user, i, c)
+    // projection so the scan + numbering window runs once, not thrice
+    val base = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .withColumn("i", (row_number().over(w) - 1).cast("long"))
+      .select(col("user_id"), col("c"), col("i"))
+      .localCheckpoint(true)
+    def atTau(tau: Int): DataFrame = {
+      val tol = 2000L * tau
+      val wSeg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("seg"))
+      val t = base
+        .groupBy(col("user_id"), expr(s"i div $tau").as("seg"))
+        .agg(sum(col("c")).as("y"), count(lit(1)).as("cnt"))
+        .filter(col("cnt") === tau)
+        .withColumn("yn", lead(col("y"), 1).over(wSeg))
+        .withColumn("j", row_number().over(wSeg))
+        .filter(col("yn").isNotNull)
+      val a = t.select(col("user_id"), col("j").as("aj"),
+        col("y").as("ya"), col("yn").as("yna"))
+      val b = t.select(col("user_id"), col("j").as("bj"),
+        col("y").as("yb"), col("yn").as("ynb"))
+      a.join(b, Seq("user_id")).filter(col("aj") < col("bj"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(abs(col("ya") - col("yb")) <= tol, 1L).otherwise(0L))
+            .as("b_pairs"),
+          sum(when(abs(col("ya") - col("yb")) <= tol &&
+            abs(col("yna") - col("ynb")) <= tol, 1L).otherwise(0L))
+            .as("a_pairs"))
+        .select(col("user_id"), lit(tau.toLong).as("tau"),
+          col("b_pairs"), col("a_pairs"),
+          when(col("a_pairs") > 0 && col("b_pairs") > 0,
+            round(-log(col("a_pairs").cast("double") / col("b_pairs")), 6))
+            .as("sampen"))
+    }
+    atTau(1).union(atTau(2)).union(atTau(4))
+      .orderBy(col("user_id"), col("tau"))
+  }
+
   /** #94 frequency-domain HRV band power per user (Hrv.bandPower): the
     * direct-periodogram sin/cos projections at the daily and hourly
     * frequencies, over mean-centered samples at their actual irregular

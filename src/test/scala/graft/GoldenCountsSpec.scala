@@ -35,7 +35,7 @@ class GoldenCountsSpec extends SparkSpecBase {
     "ts_dow_profile" -> 105, "subq_exists_having" -> 93,
     "agg_weighted_median" -> 3, "ts_multires" -> 164,
     "win_distinct_frame" -> 1000, "source_schema_evolution" -> 6,
-    "graph_kcore" -> 10, "dedup_prefix" -> 21,
+    "graph_kcore" -> 10, "dedup_prefix" -> 21, "hrv_mse" -> 45,
     "hrv_ectopic" -> 15, "hrv_rolling_rmssd" -> 1000, "hrv_sdann" -> 15, "hrv_feature_table" -> 15,
     "agg_rollup" -> 10, "agg_cube" -> 24, "agg_grouping_sets" -> 21,
     "agg_stats" -> 5, "agg_percentile" -> 5, "agg_having" -> 50,

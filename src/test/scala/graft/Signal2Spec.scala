@@ -161,6 +161,27 @@ class Signal2Spec extends SparkSpecBase {
     assert(got.contains(("month", "2024-01-01", 4L, 1500L)))
   }
 
+  test("mse: tau-sum lattice, scaled tolerance, short scales drop out") {
+    // 8 samples alternating 10.00/30.00 in pairs: every τ=1 pair is
+    // within the 20.00 tolerance (B=A=21, sampen 0), τ=2 sums alternate
+    // 2000/6000 exactly ON the scaled tolerance (B=A=3, sampen 0 — and
+    // the A==B case exercises the −0.0 normalization), τ=4 leaves one
+    // template → no pairs → no row
+    val vals = Seq(10.00, 10.00, 30.00, 30.00, 10.00, 10.00, 30.00, 30.00)
+    val dir = java.nio.file.Files.createTempDirectory("mse").toString
+    vals.zipWithIndex.map { case (v, i) => (i.toLong + 1, v) }
+      .toDF("event_id", "value")
+      .withColumn("ts", timestamp_seconds($"event_id"))
+      .withColumn("user_id", lit(6L))
+      .withColumn("event_type", lit("t")).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(dir + "/events.parquet")
+    val got = graft.operators.TrainingData.hrvMse(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got == Map(1L -> ((21L, 21L, 0.0)), 2L -> ((3L, 3L, 0.0))))
+  }
+
   test("ts_time_weighted_avg: constant series TWA equals the constant") {
     val out = TimeSeries.tsTimeWeightedAvg(spark, sf()).collect()
     // invariant holds trivially only for synthetic constants; on real
