@@ -14,6 +14,11 @@ import graft.streaming.StreamingOps
   * latest-per-key optimizer rule and the multimodal plumbing.
   *
   * Usage: runMain graft.Demo [sfDir]
+  *
+  * NOTE: the `collect()`/`first()`/`show()` calls below are DEMO-ONLY
+  * driver actions on deliberately tiny results — don't lift them into
+  * pipeline code; every production operator in `graft.operators` keeps
+  * data distributed until the final bounded output.
   */
 object Demo {
   def main(args: Array[String]): Unit = {

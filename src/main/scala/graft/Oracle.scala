@@ -793,6 +793,56 @@ object Oracle {
       ("WITH c AS (SELECT user_id, event_type, count(*) n FROM events GROUP BY 1, 2), " +
         "r AS (SELECT user_id, event_type, n, row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type DESC) rn FROM c) " +
         "SELECT user_id, event_type AS top_type, n AS n_top FROM r WHERE rn = 1 ORDER BY user_id"),
+    // multimodal roundtrip invisibility: the engine synthesizes real
+    // BMP/WAV bytes from the key lattice, decodes them through the real
+    // container codecs, and hashes exact integer features; the oracle
+    // recomputes the same integers from the lattice formula directly —
+    // so the codec hop must be bit-lossless to match
+    "mm_image_ahash" ->
+      ("WITH px AS (SELECT p_partkey, k, ((p_partkey*37 + k*11) % 256) AS v " +
+        "FROM part, generate_series(0, 63) AS g(k) WHERE p_partkey <= 200), " +
+        "s AS (SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum, " +
+        "CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max FROM px GROUP BY p_partkey), " +
+        "h AS (SELECT px.p_partkey, " +
+        "CAST(sum(CASE WHEN k < 32 AND 64*v > px_sum THEN (1::BIGINT << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS ahash_lo, " +
+        "CAST(sum(CASE WHEN k >= 32 AND 64*v > px_sum THEN (1::BIGINT << CAST(k-32 AS INT)) ELSE 0 END) AS BIGINT) AS ahash_hi " +
+        "FROM px JOIN s ON px.p_partkey = s.p_partkey GROUP BY px.p_partkey) " +
+        "SELECT s.p_partkey, n_px, px_sum, px_min, px_max, ahash_lo, ahash_hi " +
+        "FROM s JOIN h ON s.p_partkey = h.p_partkey ORDER BY s.p_partkey"),
+    "mm_audio_energy" ->
+      ("WITH smp AS (SELECT c_custkey, k, (((c_custkey*31 + k*17) % 4001) - 2000) AS s " +
+        "FROM customer, generate_series(0, 255) AS g(k) WHERE c_custkey <= 200) " +
+        "SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_samples, " +
+        "CAST(sum(s*s) AS BIGINT) AS energy, CAST(max(abs(s)) AS BIGINT) AS peak_abs, " +
+        "CAST(sum(abs(s)) AS BIGINT) AS sum_abs, " +
+        "CAST(min(CASE WHEN k=0 THEN s END) AS BIGINT) AS s_first, " +
+        "CAST(min(CASE WHEN k=255 THEN s END) AS BIGINT) AS s_last " +
+        "FROM smp GROUP BY c_custkey ORDER BY c_custkey"),
+    // upsert invisibility: merged(base, delta) must equal the direct
+    // recompute with the correction inlined
+    "source_upsert" ->
+      ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END),2) AS total " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // DDSketch exact regime: integer values 1..49 occupy distinct
+    // γ-buckets and round(representative) recovers them exactly;
+    // probe fractions are exact-binary so ⌈q·n⌉ agrees across engines
+    "agg_quantile_sketch" ->
+      ("WITH v AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v FROM lineitem WHERE l_quantity <= 49), " +
+        "r AS (SELECT l_returnflag, v, row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn, " +
+        "count(*) OVER (PARTITION BY l_returnflag) AS n FROM v) " +
+        "SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n, " +
+        "CAST(max(CASE WHEN rn = greatest(1, CAST(ceil(0.25*n) AS BIGINT)) THEN v END) AS BIGINT) AS q25, " +
+        "CAST(max(CASE WHEN rn = greatest(1, CAST(ceil(0.5*n) AS BIGINT)) THEN v END) AS BIGINT) AS q50, " +
+        "CAST(max(CASE WHEN rn = greatest(1, CAST(ceil(0.75*n) AS BIGINT)) THEN v END) AS BIGINT) AS q75, " +
+        "(max(v) <= 49 AND min(v) >= 1) AS exact_regime " +
+        "FROM r GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "agg_pivot_dynamic" ->
+      ("SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, " +
+        "round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END),2) AS F, " +
+        "round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END),2) AS O, " +
+        "round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END),2) AS P " +
+        "FROM orders GROUP BY yr ORDER BY yr"),
     "agg_pivot" ->
       ("SELECT o_orderpriority, CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F, " +
         "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O, " +
@@ -1133,7 +1183,9 @@ object Oracle {
         "k4 AS (SELECT u FROM d4 WHERE dg >= 3), " +
         "e5 AS (SELECT e.u, e.v FROM e4 e JOIN k4 a ON e.u = a.u JOIN k4 b ON e.v = b.u), " +
         "fin AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS degree FROM e5 GROUP BY u) " +
-        "SELECT node, degree FROM fin ORDER BY node"),
+        // convergence witness: 4 rounds reached the fixpoint iff round 5
+        // would peel nothing ⟺ every surviving degree is already ≥ k
+        "SELECT node, degree, min(degree) OVER () >= 3 AS converged FROM fin ORDER BY node"),
     // bounded BFS as a recursive CTE (UNION-distinct keeps the state
     // finite; dist < 3 bounds the walk); min over (node, dist) pairs is
     // the hop distance -- the engine walks the same graph with

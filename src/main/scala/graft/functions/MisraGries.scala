@@ -32,7 +32,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * oracle. Beyond it, estimates are merge-order-dependent within the
   * documented ±err band (property-tested, not judged).
   *
-  * Buffer layout (sorted by key bytes for bit-identical serialization):
+  * Buffer layout (sorted by the decoded key STRING — UTF-16 code-unit
+  * order, which differs from UTF-8 byte order only for
+  * supplementary-plane keys; the sort key just has to be a total order
+  * applied identically everywhere for bit-identical serialization):
   * [err:long][n:int] then per entry [keyLen:int][utf8 bytes][count:long],
   * little-endian.
   */

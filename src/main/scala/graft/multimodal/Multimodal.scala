@@ -144,6 +144,20 @@ object Multimodal {
       peak = peak)
   }
 
+  /** Exact integer sample readback: all PCM-16 samples in file order
+    * (interleaved if multichannel), as longs so downstream Spark
+    * arithmetic is BIGINT end to end. The lossless complement of
+    * [[decodeWav]]'s float summary — judged roundtrip queries hash
+    * exact integers, so the decode must surface the raw lattice. */
+  def wavSamples(bytes: Array[Byte]): Array[Long] = {
+    val (_, _, dOff, n) = wavLayout(bytes)
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = buf.getShort(dOff + 2 * i).toLong; i += 1 }
+    out
+  }
+
   // ---- BMP (BITMAPINFOHEADER, 24 bpp, uncompressed) ----
 
   /** Encode an RGB image as a standard bottom-up 24-bit BMP — the inverse
@@ -231,6 +245,36 @@ object Multimodal {
     val n = width.toDouble * height
     val (mr, mg, mb) = (sumR / n, sumG / n, sumB / n)
     BmpInfo(width, height, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb)
+  }
+
+  /** Exact integer pixel readback for GRAYSCALE 24-bit BMPs: the gray
+    * value (r == g == b, enforced) of every pixel in image-space
+    * row-major order (top row first, regardless of bottom-up or
+    * top-down storage), as longs so downstream Spark arithmetic is
+    * BIGINT end to end. The lossless complement of [[decodeBmp]]'s
+    * float means — judged roundtrip queries hash exact integers, so
+    * the decode must surface the raw lattice. Fails loudly on a
+    * non-gray pixel: silent channel picking would hide encoder bugs. */
+  def bmpGrayPixels(bytes: Array[Byte]): Array[Long] = {
+    val (width, height, pixelOff, rowSize, bottomUp) = bmpLayout(bytes)
+    val out = new Array[Long](width * height)
+    var y = 0
+    while (y < height) {
+      val storedRow = if (bottomUp) height - 1 - y else y
+      val base = pixelOff + storedRow * rowSize
+      var x = 0
+      while (x < width) {
+        val b = bytes(base + 3 * x) & 0xff
+        val g = bytes(base + 3 * x + 1) & 0xff
+        val r = bytes(base + 3 * x + 2) & 0xff
+        if (r != g || g != b) throw new IllegalArgumentException(
+          s"bmpGrayPixels: non-gray pixel ($r,$g,$b) at ($x,$y)")
+        out(y * width + x) = r.toLong
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** Per-channel box means of the pixel rectangle over a gw×gh grid in

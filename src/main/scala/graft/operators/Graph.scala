@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -333,6 +334,20 @@ object Graph {
     e.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** [[kCore]] plus its convergence WITNESS: `converged` is true iff a
+    * further peel round would remove nothing — every surviving node's
+    * degree is already ≥ k, checked as min(degree) over the result via
+    * an unpartitioned window (the result is the small surviving core,
+    * not the graph; no extra action, fully lazy). On data whose
+    * fixpoint needs more than `rounds` rounds the column flips false
+    * and a hash/spec gate fails loudly instead of silently accepting a
+    * non-k-core — the `agg_heavy_hitters` err_band pattern applied to
+    * an iterative operator (GraphSpec pins the tripping case). */
+  def kCoreWitness(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    kCore(edges, k, rounds)
+      .withColumn("converged",
+        min(col("degree")).over(Window.partitionBy()) >= k)
+
   /** #190 judged 3-core: the maximal subgraph where every surviving
     * supplier still co-trades with ≥ 3 surviving suppliers — the
     * classic community-density screen (spam rings, engagement cores)
@@ -350,8 +365,8 @@ object Graph {
       .filter(col("common") >= 3).select(col("s1"), col("s2"))
     val sym = p.select(col("s1").as("u"), col("s2").as("v"))
       .union(p.select(col("s2").as("u"), col("s1").as("v")))
-    kCore(sym, k = 3, rounds = 4)
-      .select(col("node"), col("degree"))
+    kCoreWitness(sym, k = 3, rounds = 4)
+      .select(col("node"), col("degree"), col("converged"))
       .orderBy(col("node"))
   }
 

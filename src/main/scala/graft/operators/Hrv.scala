@@ -110,12 +110,20 @@ object Hrv {
     * n·(max|c|)² ≲ 9e18, e.g. ~3e6 samples at ~56k cents; per-user
     * event series are orders of magnitude below.
     * Sample-variance identity: var = (n·Σc² − (Σc)²) / (n(n−1)). */
-  /** Integer half-up of the nonnegative rational p/q:
-    * (2p+q) div (2q), the div done exactly — subtract the pmod
-    * remainder so the double division is of an exact multiple
-    * (exact below 2⁵³, far above any cent sum here). This is the ONLY
-    * safe rounding for RATIONAL outputs of 2-dp data (see
-    * [[timeDomainCents]]'s scaladoc and DESIGN.md round-11). */
+  /** Integer rounding of the rational p/q for q > 0: computes
+    * floor((2p+q)/(2q)) exactly — pmod's nonnegative remainder makes
+    * `num - pmod(num, den)` the floor multiple for EITHER sign of p,
+    * and the double division of that exact multiple is exact below
+    * 2⁵³, far above any cent sum here. For p ≥ 0 (every current call
+    * site: cent sums, interpolation numerators, window sums — all
+    * nonnegative by construction) this is textbook half-up; for p < 0
+    * it is half-toward-+∞, which matches floor-based `//` oracle
+    * arithmetic but NOT half-away-from-zero — a new call site with
+    * negative numerators must pick its convention deliberately (the
+    * agg_corr covariance oracle branches on sign for exactly this
+    * reason). This is the ONLY safe rounding for RATIONAL outputs of
+    * 2-dp data (see [[timeDomainCents]]'s scaladoc and DESIGN.md
+    * round-11). */
   private[operators] def halfUp(p: Column, q: Column): Column = {
     val num = p * 2 + q; val den = q * 2
     ((num - pmod(num, den)).cast("double") / den.cast("double")).cast("long")

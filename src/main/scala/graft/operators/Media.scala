@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Judged multimodal-column queries (SURVEY.md §2.13 / BASELINE.json
+  * pillar "multimodal columns").
+  *
+  * DuckDB cannot decode media, so the judged contract uses the repo's
+  * result-invisibility pattern (the `join_bucketed` / layout-lever
+  * precedent): each row SYNTHESIZES deterministic media bytes from its
+  * key on a closed-form integer lattice, round-trips them through the
+  * real container codec ([[Multimodal.encodeBmp24]]→[[Multimodal
+  * .bmpGrayPixels]], [[Multimodal.encodeWavPcm16]]→[[Multimodal
+  * .wavSamples]]), and emits exact INTEGER features of the decoded
+  * payload. The oracle recomputes the same integers from the key
+  * directly (generate_series over the lattice formula) — so the
+  * encode→decode hop must be bit-lossless to hash-match, which is
+  * precisely the property that makes it a real codec test rather than
+  * a formula echo.
+  *
+  * Scale shape: the codec work is per-row and embarrassingly parallel
+  * (a UDF pair — the legitimate UDF case: container parsing is
+  * imperative byte twiddling no Catalyst expression expresses), and
+  * every FEATURE is computed by codegen'd higher-order functions over
+  * the decoded array, so only the codec itself leaves codegen. At
+  * 100 TB the identical plan maps over a binary `media` column read
+  * from parquet instead of synthesized — decode cost dominates and
+  * scales linearly with bytes, with no shuffle until the final
+  * (tiny) ordered output.
+  */
+object Media {
+
+  /** 8×8 gray pixel lattice for key `pk`: v(k) = (pk·37 + k·11) mod 256. */
+  private val encodeImage = udf { (pk: Long) =>
+    Multimodal.encodeBmp24(8, 8, (x, y) => {
+      val k = y * 8 + x
+      val v = ((pk * 37 + k * 11) % 256).toInt
+      (v, v, v)
+    })
+  }
+  private val decodeImage = udf { (bytes: Array[Byte]) =>
+    Multimodal.bmpGrayPixels(bytes)
+  }
+
+  /** 256-sample PCM-16 lattice for key `ck`:
+    * s(k) = ((ck·31 + k·17) mod 4001) − 2000 ∈ [−2000, 2000]. */
+  private val encodeAudio = udf { (ck: Long) =>
+    val samples = Array.tabulate(256) { k =>
+      (((ck * 31 + k * 17) % 4001) - 2000).toShort
+    }
+    Multimodal.encodeWavPcm16(samples, sampleRate = 8000)
+  }
+  private val decodeAudio = udf { (bytes: Array[Byte]) =>
+    Multimodal.wavSamples(bytes)
+  }
+
+  /** #193 judged image roundtrip + aHash: per part (p_partkey ≤ 200),
+    * synthesize the 8×8 gray BMP, decode it back through the real BMP
+    * parser, and emit exact integer features — pixel count/sum/min/max
+    * and the average-hash as two 32-bit halves (bit k set iff
+    * 64·v(k) > Σv, the integer-exact form of "pixel above mean"; two
+    * halves because Σ 2^63 overflows signed BIGINT in both engines).
+    * The oracle recomputes every integer from the lattice formula. */
+  def mmImageAhash(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"))
+      .withColumn("px", decodeImage(encodeImage(col("p_partkey"))))
+      .withColumn("px_sum",
+        aggregate(col("px"), lit(0L), (acc, x) => acc + x))
+      .select(
+        col("p_partkey"),
+        size(col("px")).cast("long").as("n_px"),
+        col("px_sum"),
+        array_min(col("px")).as("px_min"),
+        array_max(col("px")).as("px_max"),
+        expr("aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, k) -> " +
+          "acc + IF(element_at(px, k + 1) * 64 > px_sum, " +
+          "shiftleft(CAST(1 AS BIGINT), k), CAST(0 AS BIGINT)))")
+          .as("ahash_lo"),
+        expr("aggregate(sequence(32, 63), CAST(0 AS BIGINT), (acc, k) -> " +
+          "acc + IF(element_at(px, k + 1) * 64 > px_sum, " +
+          "shiftleft(CAST(1 AS BIGINT), k - 32), CAST(0 AS BIGINT)))")
+          .as("ahash_hi"))
+      .orderBy(col("p_partkey"))
+
+  /** #194 judged audio roundtrip + energy: per customer (c_custkey ≤
+    * 200), synthesize 256 PCM-16 samples spanning the full signed
+    * range, decode them back through the real WAV parser, and emit
+    * exact integer features — sample count, energy Σs², peak |s|,
+    * Σ|s|, first/last sample. The oracle recomputes every integer from
+    * the lattice formula; a single byte-order or offset slip in the
+    * container roundtrip flips `energy` by millions. */
+  def mmAudioEnergy(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_custkey") <= 200)
+      .select(col("c_custkey"))
+      .withColumn("smp", decodeAudio(encodeAudio(col("c_custkey"))))
+      .select(
+        col("c_custkey"),
+        size(col("smp")).cast("long").as("n_samples"),
+        aggregate(col("smp"), lit(0L), (acc, x) => acc + x * x).as("energy"),
+        array_max(transform(col("smp"), x => abs(x))).as("peak_abs"),
+        aggregate(col("smp"), lit(0L), (acc, x) => acc + abs(x)).as("sum_abs"),
+        element_at(col("smp"), 1).as("s_first"),
+        element_at(col("smp"), 256).as("s_last"))
+      .orderBy(col("c_custkey"))
+}

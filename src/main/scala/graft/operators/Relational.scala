@@ -276,6 +276,41 @@ object Relational {
       .orderBy(col("pr"))
   }
 
+  /** #195 judged keyed UPSERT (MERGE) — the corrected-batch ingestion
+    * shape every pipeline re-run hits: a delta of corrected rows must
+    * OVERRIDE the base rows sharing their key, while untouched base
+    * rows pass through exactly once. Base = the full orders table;
+    * delta = every 7th order re-exported with its price corrected by
+    * +100.00. The merge is the scalable two-sided form —
+    * `delta ∪ (base ⟕̸ delta)` (left-anti on the key, then union) — so
+    * the only data-sized exchange is one hash partition of each side
+    * on the key; no window, no global sort, and the anti-join
+    * broadcasts whenever the delta is small (the common daily-rerun
+    * case — AQE decides from the delta's actual size). Judged as
+    * result-invisibility: the oracle recomputes the merged table's
+    * aggregate from `orders` directly with the correction inlined as a
+    * CASE, so a dropped, duplicated, or un-overridden key moves both
+    * `n` and `total`. IngestSpec pins the row-level contract (a
+    * corrected key carries ONLY the delta's values). */
+  def sourceUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val delta = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+    upsert(base, delta, "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Keyed upsert: rows of `delta` replace same-key rows of `base`;
+    * unmatched base rows survive. Assumes `key` is unique per side (the
+    * MERGE precondition). Anti-join + union: one shuffle per side on
+    * the key — at 100 TB with a bucketed base this degenerates to a
+    * map-side merge, and a small delta broadcasts. */
+  def upsert(base: DataFrame, delta: DataFrame, key: String): DataFrame =
+    delta.unionByName(base.join(delta.select(col(key)), Seq(key), "left_anti"))
+
   /** #2 conjunctive predicates (BETWEEN / IN / NOT) — all pushed to the
     * parquet reader as data filters. */
   def filterPredicates(s: SparkSession, d: String): DataFrame =
@@ -450,7 +485,16 @@ object Relational {
     * and drops ~80% of fact rows BEFORE the join shuffle, the same
     * pre-shuffle reduction the persisted form applies across pipeline
     * runs (build the sketch from yesterday's keeper keys, prefilter
-    * today's batch without loading the key table). */
+    * today's batch without loading the key table).
+    *
+    * EAGER-EVALUATION CONTRACT: constructing this DataFrame runs one
+    * bounded Spark job (the 1-row sketch aggregate below) — the same
+    * plan-time materialization Spark's own InjectRuntimeFilter performs
+    * via its scalar subquery, but visible at the API boundary: merely
+    * building/explaining the query touches the dim table, and fails if
+    * the data path is absent. `agg_pivot_dynamic` shares the contract
+    * (its collected domain). Every other registry entry is
+    * construction-side-effect-free. */
   def joinBloomPrefilter(s: SparkSession, d: String): DataFrame = {
     val dim = Tables.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
@@ -787,6 +831,43 @@ object Relational {
         MisraGries.mgEstimate(col("_sk"), col("event_type")).as("n"),
         MisraGries.mgError(col("_sk")).as("err_band"))
       .orderBy(col("event_type"))
+  }
+
+  /** #196 judged QUANTILE sketch in its EXACT regime — the fourth
+    * judged sketch, closing the family (KMV distinct, CMS frequency,
+    * Misra-Gries heavy hitters, DDSketch quantiles). The sketch
+    * ([[graft.functions.QuantileSketch]], the public DDSketch design,
+    * PVLDB 12(12) 2019, α = 1%) is exact here by a two-part argument:
+    * (1) integers 1..49 land in DISTINCT γ-buckets (adjacent integers
+    * v, v+1 differ by ln(1+1/v)/ln γ ≥ 50/v·(1/1.013) > 1 bucket for
+    * v ≤ 49), so the nearest-rank walk stops in the bucket holding
+    * exactly the rank-⌈q·n⌉ value; (2) the bucket representative is
+    * within α·v ≤ 0.49 < 0.5 of that integer value, so round() recovers
+    * it EXACTLY. The judged probe quantiles are the exact-binary
+    * fractions {.25, .5, .75} so ⌈q·n⌉ is the same integer under
+    * DuckDB's decimal and the JVM's double arithmetic. `exact_regime`
+    * is the witness column (values within [1, 49]), the
+    * `agg_heavy_hitters` err_band pattern. Outside the regime the
+    * estimate degrades to ±1% relative — the documented trade; the
+    * sketch's 100 TB value is that the per-group binary column
+    * persists and merges losslessly (QuantileSketchSpec pins
+    * merged == direct bit-identical). */
+  def aggQuantileSketch(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.QuantileSketch._
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") <= 49)
+      .select(col("l_returnflag"), col("l_quantity").as("v"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        quantileSketch(col("v")).as("_sk"),
+        (max(col("v")) <= 49 && min(col("v")) >= 1).as("exact_regime"))
+      .select(col("l_returnflag"), col("n"),
+        round(quantileEstimate(col("_sk"), lit(0.25)), 0).cast("long").as("q25"),
+        round(quantileEstimate(col("_sk"), lit(0.5)), 0).cast("long").as("q50"),
+        round(quantileEstimate(col("_sk"), lit(0.75)), 0).cast("long").as("q75"),
+        col("exact_regime"))
+      .orderBy(col("l_returnflag"))
   }
 
   /** #15 FILTER-ed aggregates via conditional expressions (sum/count over

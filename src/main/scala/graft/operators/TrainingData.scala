@@ -756,6 +756,37 @@ object TrainingData {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** #197 DYNAMIC-domain pivot — the two-pass form users reach for when
+    * the spread column's domain isn't known at authoring time: pass 1
+    * collects the SORTED distinct domain (bounded — a pivot wider than
+    * `maxDomain` columns is a schema bug, not a reshape, so fail loudly
+    * instead of materializing a 10k-column plan), pass 2 pivots on it.
+    * The collect is scalar-class driver traffic (≤ 20 short strings, the
+    * same class as joinBloomPrefilter's one-row sketch); the data-sized
+    * work is identical to [[aggPivot]]'s one shuffle. Sorting the
+    * domain pins deterministic column order — `pivot` without an
+    * explicit domain sorts too, but silently caps at
+    * `spark.sql.pivotMaxValues`; the explicit pass makes the bound a
+    * contract. Judged with a revenue measure per order-year so the
+    * hash covers cell VALUES, not just counts. */
+  def aggPivotDynamic(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val maxDomain = 20
+    val domain = o.select(col("o_orderstatus")).distinct()
+      .orderBy(col("o_orderstatus"))
+      .limit(maxDomain + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(domain.size <= maxDomain,
+      s"pivot domain exceeds $maxDomain values — widen deliberately")
+    val wide = o.groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .pivot("o_orderstatus", domain)
+      .agg(round(sum(col("o_totalprice")), 2))
+    domain.foldLeft(wide) { (df, c) =>
+        df.withColumn(c, coalesce(col(s"`$c`"), lit(0.0)))
+      }
+      .orderBy(col("yr"))
+  }
+
   /** #65b unpivot (melt): the inverse reshape of [[aggPivot]] — wide
     * per-flag measure columns back to (metric, value) rows, the standard
     * step before feeding a generic metric store or long-format training

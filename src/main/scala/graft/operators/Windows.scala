@@ -399,8 +399,16 @@ object Windows {
       .filter(col("user_id") < 40)
       .select(col("user_id").as("series_key"), col("ts"), col("event_id"),
         c.as("c"))
-      .withColumn("sum_c", sum(col("c")).over(w) - col("c"))
-      .withColumn("n_excl", count(col("c")).over(w) - 1L)
+      // NULL-safe exclusion: subtract the current row's contribution
+      // only when it actually contributed — sum skips NULLs, so a NULL
+      // c must subtract 0 from the sum and 0 from the count (the
+      // unconditional `- c` / `- 1` form would null the sum and
+      // undercount by one on a NULL row). events.value is non-null in
+      // this data, but the operator must not depend on that.
+      .withColumn("sum_c",
+        sum(col("c")).over(w) - coalesce(col("c"), lit(0L)))
+      .withColumn("n_excl",
+        count(col("c")).over(w) - col("c").isNotNull.cast("long"))
       .select(col("series_key"), col("event_id"), col("n_excl"),
         // single-row series: the excluded frame is EMPTY -> null sum,
         // matching the native EXCLUDE semantics (not 0)

@@ -88,7 +88,11 @@ class GoldenCountsSpec extends SparkSpecBase {
     "ts_time_weighted_avg" -> 15, "fn_round_modes" -> 200, "agg_bitops" -> 3,
     "graph_common_neighbors" -> 45, "join_asof_forward" -> 202,
     "win_running_distinct" -> 514, "win_rolling_corr" -> 1000, "ts_changepoint" -> 15,
-    "fn_date_extras" -> 200, "dedup_minhash_lsh" -> 28
+    "fn_date_extras" -> 200, "dedup_minhash_lsh" -> 28,
+    // round 12
+    "source_upsert" -> 5, "agg_quantile_sketch" -> 3,
+    "agg_pivot_dynamic" -> 7, "mm_image_ahash" -> 200,
+    "mm_audio_energy" -> 150
   )
 
   test("every SURVEY §2 query is registered with an oracle") {

@@ -154,6 +154,39 @@ class GraphSpec extends SparkSpecBase {
     assert(Graph.kCore(sym, k = 3, rounds = 4).count() == 0)
   }
 
+  test("kCoreWitness: converged true at the fixpoint, core unchanged") {
+    // triangle + pendant: k=2 fixpoint is reached in 1 round
+    val e0 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    val sym = e0.union(e0.select($"v".as("u"), $"u".as("v")))
+    val r = Graph.kCoreWitness(sym, k = 2, rounds = 4).collect()
+    assert(r.map(x => x.getLong(0) -> x.getLong(1)).toMap ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(r.forall(_.getBoolean(2)), "witness must confirm the fixpoint")
+  }
+
+  test("kCoreWitness: a graph needing MORE rounds trips the witness") {
+    // 12-node path at k=2: each peel round removes the two current
+    // endpoints, so emptying takes 6 rounds. After 4 rounds nodes 5..8
+    // survive as a 4-node path whose endpoints still have degree 1 —
+    // NOT a 2-core — and the witness must say so instead of silently
+    // emitting it as one.
+    val e0 = (1L to 11L).map(i => (i, i + 1)).toDF("u", "v")
+    val sym = e0.union(e0.select($"v".as("u"), $"u".as("v")))
+    val r4 = Graph.kCoreWitness(sym, k = 2, rounds = 4).collect()
+    assert(r4.map(_.getLong(0)).sorted.toSeq == Seq(5L, 6L, 7L, 8L))
+    assert(r4.forall(!_.getBoolean(2)),
+      "4 rounds are not the fixpoint here — converged must be false")
+    // at the true fixpoint the 2-core of a path is empty
+    assert(Graph.kCoreWitness(sym, k = 2, rounds = 6).count() == 0)
+  }
+
+  test("graphKcore: judged output carries a constant-true witness") {
+    val rows = Graph.graphKcore(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)),
+      "judged data must reach its fixpoint within the pinned 4 rounds")
+  }
+
   test("graphPagerank: judged output is ordered, complete, and mass-conserving") {
     val df = Graph.graphPagerank(spark, sf())
     val rows = df.collect()

@@ -41,6 +41,23 @@ class IngestSpec extends SparkSpecBase {
     assert(total == 3 && valid == 2 && quarantined == 1)
   }
 
+  test("upsert: a correction batch overwrites matching keys, leaves the rest") {
+    import spark.implicits._
+    val base = Seq((1L, "orig", 10.0), (2L, "orig", 20.0), (3L, "orig", 30.0))
+      .toDF("k", "tag", "price")
+    val delta = Seq((2L, "corrected", 99.0)).toDF("k", "tag", "price")
+    val merged = graft.operators.Relational.upsert(base, delta, "k")
+      .orderBy("k").collect()
+    assert(merged.length == 3, "no key lost, none duplicated")
+    assert(merged.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "orig", 10.0), (2L, "corrected", 99.0), (3L, "orig", 30.0)),
+      "the corrected key must carry ONLY the delta's values")
+    // delta with a NEW key: plain insert
+    val ins = graft.operators.Relational.upsert(base,
+      Seq((9L, "new", 1.0)).toDF("k", "tag", "price"), "k")
+    assert(ins.count() == 4)
+  }
+
   test("partitioned parquet sink round-trips with partition pruning available") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sink").toFile.getAbsolutePath + "/out"

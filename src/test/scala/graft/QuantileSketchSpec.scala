@@ -103,6 +103,25 @@ class QuantileSketchSpec extends SparkSpecBase {
     assert(est == top, s"out-of-range values clamp to the top bucket ($top)")
   }
 
+  test("EXACT regime: round(estimate) recovers integer values 1..49 exactly") {
+    // the agg_quantile_sketch judged contract: integers 1..49 occupy
+    // distinct γ-buckets (adjacent integers differ by ≥ 1 bucket index
+    // for v ≤ 49 at α = 1%) and each bucket representative sits within
+    // α·v ≤ 0.49 < 0.5 of its integer, so round() is lossless. Walk a
+    // skewed multiset to exercise duplicate-heavy ranks.
+    val values = (1 to 49).flatMap(v => Seq.fill(1 + v % 7)(v.toDouble))
+    val df = values.toDF("v")
+    val sk = df.agg(QuantileSketch.quantileSketch($"v").as("sk"))
+    val sorted = values.toArray.sorted
+    for (q <- Seq(0.0, 0.1, 0.25, 0.33, 0.5, 0.75, 0.9, 0.99, 1.0)) {
+      val est = sk.select(
+        QuantileSketch.quantileEstimate($"sk", lit(q))).as[Double].head
+      val exact = exactNearestRank(sorted, q)
+      assert(math.round(est).toDouble == exact,
+        s"q=$q: round($est) must equal exact nearest-rank $exact")
+    }
+  }
+
   test("map-side combine: partial aggregation present in the plan") {
     val plan = Tables.events(spark, sf())
       .agg(QuantileSketch.quantileSketch($"value"))

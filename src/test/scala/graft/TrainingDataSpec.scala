@@ -64,6 +64,18 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(total == Tables.orders(spark, sf()).count())
   }
 
+  test("agg_pivot_dynamic derives the domain and totals match a direct recompute") {
+    val p = TrainingData.aggPivotDynamic(spark, sf())
+    // domain discovered from data, sorted -> deterministic column order
+    assert(p.columns.toSeq == Seq("yr", "F", "O", "P"))
+    val total = p.select((col("F") + col("O") + col("P")).as("t"))
+      .agg(round(sum($"t"), 0)).head.getDouble(0)
+    val direct = Tables.orders(spark, sf())
+      .agg(round(sum($"o_totalprice"), 0)).head.getDouble(0)
+    // per-cell rounding to 2dp perturbs the grand total by < #cells cents
+    assert(math.abs(total - direct) <= 1.0, s"pivot total $total vs $direct")
+  }
+
   test("char-trigram jaccard pairs are ordered, thresholded and symmetric-free") {
     val rows = TrainingData.dedupNgramJaccard(spark, sf()).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
