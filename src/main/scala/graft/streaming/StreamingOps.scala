@@ -1141,6 +1141,108 @@ object StreamingOps {
       ()
     }
 
+  /** One open multi-resolution bucket: exact integer count + cent sum —
+    * both COMMUTATIVE folds, so shuffled delivery needs no fold-order
+    * buffer (the order-insensitive class per the round-11 twin
+    * program). */
+  case class GrainBucket(n: Long, sumCents: Long)
+
+  /** Per-user multires state: open buckets per grain keyed by the
+    * bucket's start EPOCH DAY (all three grains are calendar-aligned
+    * day multiples in UTC). Bounded by the watermark's open-calendar
+    * horizon × 3 grains, never by event volume. */
+  case class MultiresState(day: Map[Long, GrainBucket],
+      week: Map[Long, GrainBucket], month: Map[Long, GrainBucket])
+
+  /** One sealed rollup row — the judged `ts_multires` shape (`bucket`
+    * = the grain period's UTC midnight start). */
+  case class MultiresRow(user_id: Long, grain: String, bucket: Timestamp,
+      n: Long, sum_cents: Long)
+
+  /** Streaming twin of the judged `ts_multires` day/week/month rollup:
+    * every event folds into its three calendar buckets (count + exact
+    * integer cents — Math.round(v·100) is the exact lattice snap on
+    * 2-dp data, the shared twin convention), and a bucket's row EMITS
+    * (append mode) once the watermark seals its last admissible
+    * instant (nextBucketStart·86400e6 − 1 µs ≤ wm). Week buckets are
+    * ISO Monday-start and month buckets first-of-month via
+    * java.time.LocalDate in UTC — the same truncation date_trunc
+    * applies under the pinned UTC session. All folds are commutative,
+    * so emitted rows are bit-identical to the batch GROUPING SETS
+    * aggregate under shuffled multi-batch delivery
+    * (StreamingOpsSpec); the batch Expand-based one-pass form and this
+    * three-map state are two physical plans for one semantics. */
+  def statefulMultires(events: DataFrame,
+      watermark: String = "1 day"): Dataset[MultiresRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val DayUs = 86400000000L
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MultiresState, MultiresRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp, Double)],
+            state: GroupState[MultiresState]) =>
+          def micros(t: Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          def fold(m: Map[Long, GrainBucket], startDay: Long,
+              c: Long): Map[Long, GrainBucket] = {
+            val b = m.getOrElse(startDay, GrainBucket(0L, 0L))
+            m.updated(startDay, GrainBucket(b.n + 1L, b.sumCents + c))
+          }
+          // next bucket start for the SEAL check, derived from the
+          // start day (cheap: week = +7; month via LocalDate)
+          def nextStart(grain: String, startDay: Long): Long = grain match {
+            case "day" => startDay + 1L
+            case "week" => startDay + 7L
+            case _ => java.time.LocalDate.ofEpochDay(startDay)
+              .plusMonths(1).toEpochDay
+          }
+          var st = state.getOption.getOrElse(
+            MultiresState(Map.empty, Map.empty, Map.empty))
+          rows.foreach { case (_, ts, v) =>
+            val epochDay = Math.floorDiv(micros(ts), DayUs)
+            val date = java.time.LocalDate.ofEpochDay(epochDay)
+            val weekStart = date.minusDays(date.getDayOfWeek.getValue - 1L)
+            val monthStart = date.withDayOfMonth(1)
+            val c = Math.round(v * 100.0)
+            st = MultiresState(
+              fold(st.day, epochDay, c),
+              fold(st.week, weekStart.toEpochDay, c),
+              fold(st.month, monthStart.toEpochDay, c))
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          def sealed_(grain: String)(e: (Long, GrainBucket)): Boolean =
+            nextStart(grain, e._1) * DayUs - 1L <= wmUs
+          val (ripeD, openD) = st.day.partition(sealed_("day"))
+          val (ripeW, openW) = st.week.partition(sealed_("week"))
+          val (ripeM, openM) = st.month.partition(sealed_("month"))
+          if (openD.isEmpty && openW.isEmpty && openM.isEmpty) state.remove()
+          else {
+            state.update(MultiresState(openD, openW, openM))
+            // fire when the earliest open bucket can seal
+            val nextSealMs = Seq(
+              openD.keys.map(nextStart("day", _)),
+              openW.keys.map(nextStart("week", _)),
+              openM.keys.map(nextStart("month", _)))
+              .flatten.reduceOption(_ min _).map(_ * 86400000L)
+            nextSealMs.foreach(ms => state.setTimeoutTimestamp(
+              math.max(ms, state.getCurrentWatermarkMs() + 1L)))
+          }
+          (ripeD.toSeq.map(("day", _)) ++ ripeW.toSeq.map(("week", _)) ++
+            ripeM.toSeq.map(("month", _)))
+            .sortBy { case (g, (s, _)) => (g, s) }
+            .iterator.map { case (g, (startDay, b)) =>
+              MultiresRow(user, g, new Timestamp(startDay * 86400000L),
+                b.n, b.sumCents)
+            }
+      }
+  }
+
   /** Streaming embedding ingest into a persisted IVF index
     * ([[graft.operators.Ann.buildIvfIndex]] wrote the base as gen=0):
     * each micro-batch is centroid-assigned map-only and written as

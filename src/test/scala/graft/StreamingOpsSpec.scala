@@ -711,6 +711,46 @@ class StreamingOpsSpec extends SparkSpecBase {
       s"stream-only: ${got -- want}; batch-only: ${want -- got}")
   }
 
+  test("stateful multires equals the batch ts_multires rollup bit for bit") {
+    implicit val ctx = spark.sqlContext
+    // the REAL sf0.001 events (the judged query's user_id < 5 slice),
+    // delivered shuffled across three batches — all three grains fold
+    // commutatively, so the sealed day/week/month rows must equal the
+    // batch GROUPING SETS aggregate exactly
+    val ev = Tables.events(spark, sf())
+      .filter($"user_id" < 5)
+      .select($"user_id", unix_micros($"ts").as("us"), $"value")
+      .as[(Long, Long, Double)].collect().toSeq
+    val shuffled = ev.sortBy(r => (r._2 % 3, r._2 / 7 % 5, r._2, r._3))
+    val ms = MemoryStream[(Long, Long, Double)]
+    val in = ms.toDF().select($"_1".as("user_id"),
+      timestamp_micros($"_2").as("ts"), $"_3".as("value"))
+    val out = StreamingOps.statefulMultires(in, watermark = "60 days")
+    val q = out.writeStream.format("memory").queryName("t_multires")
+      .outputMode("append").start()
+    try {
+      shuffled.grouped((shuffled.size + 2) / 3).foreach { b =>
+        ms.addData(b: _*); q.processAllAvailable()
+      }
+      // far-future driver seals every open bucket (months included)
+      ms.addData((999999L, ev.map(_._2).max + 120L * 86400 * 1000000, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_multires")
+      .filter($"user_id" =!= 999999L)
+      .select($"user_id", $"grain", unix_micros($"bucket").as("us"),
+        $"n", $"sum_cents")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val want = graft.operators.TimeSeries.tsMultires(spark, sf())
+      .select($"user_id", $"grain",
+        unix_micros($"bucket".cast("timestamp")).as("us"),
+        $"n", $"sum_cents")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty && want.exists(_._2 == "month"))
+    assert(got == want,
+      s"stream-only: ${got -- want}; batch-only: ${want -- got}")
+  }
+
   test("stateful rolling rmssd equals the batch hrv_rolling_rmssd bit for bit") {
     implicit val ctx = spark.sqlContext
     // the REAL sf0.001 events, delivered shuffled across three batches —
