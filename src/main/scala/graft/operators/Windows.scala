@@ -196,12 +196,14 @@ object Windows {
   /** #23e global `cume_dist` WITHOUT a single-partition window:
     * cume_dist(v) = rows(value <= v) / n, and rows(<= v) is exactly the
     * inclusive weighted prefix sum of the per-value counts in value
-    * order — one [[GlobalRank.runningTotal]] over the DISTINCT-value
-    * table (bounded by value cardinality, never by row skew; a value
-    * owning half the data is ONE row there), then an equi-join attaches
-    * the cumulative count back to the rows and a broadcast 1-row total
-    * divides. The oracle uses the plain global window; this distributed
-    * form must be invisible. */
+    * order — one window over the DISTINCT-value table (bounded by value
+    * cardinality, never by row skew; a value owning half the data is
+    * ONE row there — and here further bounded by the 2-dp value
+    * LATTICE, see the in-body note; unbounded domains would use
+    * [[GlobalRank.runningTotal]] over the same count table), then a
+    * broadcast equi-join attaches the cumulative count back to the rows
+    * and a broadcast 1-row total divides. The oracle uses the plain
+    * global window; this distributed form must be invisible. */
   def winCumeDist(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("event_id"), col("value"))
     // ONE materialization of the per-value count table: it feeds the
@@ -210,7 +212,20 @@ object Windows {
     // (exchange reuse recovers some at runtime, none at planning)
     val counts = ev.groupBy(col("value")).agg(count(lit(1)).as("_c"))
       .localCheckpoint(true)
-    val cum = GlobalRank.runningTotal(counts, "value", "_c", "_cum")
+    // prefix sums DIRECTLY over the count table: `value` is 2-dp data
+    // on a bounded domain, so the count table is capped by the value
+    // LATTICE cardinality (≤ ~50k rows at any corpus size — domain-
+    // bounded, not data-bounded), and one single-partition window over
+    // it is cheaper than the bucketed runningTotal machinery (splits
+    // sample + bucket totals + repartition: 3 exchanges + 2 broadcasts
+    // for a table that fits in one task). An UNBOUNDED value domain
+    // must keep GlobalRank.runningTotal here — that trade is the
+    // operator's documented precondition, same class as the pivot
+    // domain cap.
+    val wCum = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = counts
+      .withColumn("_cum", sum(col("_c")).over(wCum))
       .select(col("value"), col("_cum"))
     // total row count = sum of the per-value counts — read from the value
     // table (whose groupBy exchange the main pipeline already computes,
@@ -227,7 +242,9 @@ object Windows {
     // itself (a limit below a join is unsound in general — it's the
     // uniqueness of cum's key that makes it exact here).
     val head = ev.orderBy(col("event_id")).limit(500)
-    head.join(cum, Seq("value"))
+    // the lattice-bounded cum table broadcasts — the 500-row head side
+    // never shuffles at all
+    head.join(broadcast(cum), Seq("value"))
       .crossJoin(broadcast(nDf))
       .select(col("event_id"),
         round(col("_cum").cast("double") / col("_n"), 6).as("cd"))
