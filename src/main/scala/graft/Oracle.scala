@@ -818,6 +818,30 @@ object Oracle {
         "CAST(min(CASE WHEN k=0 THEN s END) AS BIGINT) AS s_first, " +
         "CAST(min(CASE WHEN k=255 THEN s END) AS BIGINT) AS s_last " +
         "FROM smp GROUP BY c_custkey ORDER BY c_custkey"),
+    // PNG sibling of mm_image_ahash on an independent lattice — the
+    // engine's bytes travel through zlib + the scanline filter chain
+    "mm_image_png" ->
+      ("WITH px AS (SELECT p_partkey, k, ((p_partkey*53 + k*29) % 256) AS v " +
+        "FROM part, generate_series(0, 63) AS g(k) WHERE p_partkey <= 200), " +
+        "s AS (SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum, " +
+        "CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max FROM px GROUP BY p_partkey), " +
+        "h AS (SELECT px.p_partkey, " +
+        "CAST(sum(CASE WHEN k < 32 AND 64*v > px_sum THEN (1::BIGINT << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS ahash_lo, " +
+        "CAST(sum(CASE WHEN k >= 32 AND 64*v > px_sum THEN (1::BIGINT << CAST(k-32 AS INT)) ELSE 0 END) AS BIGINT) AS ahash_hi " +
+        "FROM px JOIN s ON px.p_partkey = s.p_partkey GROUP BY px.p_partkey) " +
+        "SELECT s.p_partkey, n_px, px_sum, px_min, px_max, ahash_lo, ahash_hi " +
+        "FROM s JOIN h ON s.p_partkey = h.p_partkey ORDER BY s.p_partkey"),
+    // video pillar: 3 DIB frames; wsum weights pixels by 1-based frame
+    // number so a frame-order slip in the container index fails the hash
+    "mm_video_frames" ->
+      ("WITH px AS (SELECT s_suppkey, k, ((s_suppkey*13 + k*7) % 256) AS v " +
+        "FROM supplier, generate_series(0, 191) AS g(k) WHERE s_suppkey <= 200) " +
+        "SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_px, " +
+        "CAST(count(*) // 64 AS BIGINT) AS n_frames, " +
+        "CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS BIGINT) AS px_min, " +
+        "CAST(max(v) AS BIGINT) AS px_max, " +
+        "CAST(sum((k // 64 + 1) * v) AS BIGINT) AS wsum " +
+        "FROM px GROUP BY s_suppkey ORDER BY s_suppkey"),
     // upsert invisibility: merged(base, delta) must equal the direct
     // recompute with the correction inlined
     "source_upsert" ->

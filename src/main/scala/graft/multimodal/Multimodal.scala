@@ -1237,6 +1237,67 @@ object Multimodal {
   private def frameSlice(bytes: Array[Byte], frame: (Int, Int)): Array[Byte] =
     java.util.Arrays.copyOfRange(bytes, frame._1, frame._1 + frame._2)
 
+  /** Exact integer pixel readback for GRAYSCALE RGB PNGs: the gray
+    * value (r == g == b, enforced) of every pixel in row-major order,
+    * as longs — the PNG sibling of [[bmpGrayPixels]], and the stronger
+    * codec test (the bytes travel through zlib deflate/inflate and the
+    * scanline filter chain, not a raw pixel copy). */
+  def pngGrayPixels(bytes: Array[Byte]): Array[Long] = {
+    val (w, h, channels, px) = decodePngPixels(bytes)
+    require(channels == 3,
+      s"pngGrayPixels expects RGB (3 channels), got $channels")
+    val out = new Array[Long](w * h)
+    var i = 0
+    while (i < w * h) {
+      val r = px(3 * i) & 0xff
+      val g = px(3 * i + 1) & 0xff
+      val b = px(3 * i + 2) & 0xff
+      if (r != g || g != b) throw new IllegalArgumentException(
+        s"pngGrayPixels: non-gray pixel ($r,$g,$b) at index $i")
+      out(i) = r.toLong
+      i += 1
+    }
+    out
+  }
+
+  /** Exact integer pixel readback for GRAYSCALE uncompressed-DIB AVIs:
+    * every frame's gray pixels (r == g == b, enforced) concatenated in
+    * FRAME order, each frame in image-space row-major order — flat so
+    * Spark HOFs can fold it, with frame boundaries at multiples of
+    * width·height. Frame ORDER is part of the contract (a judged
+    * weighted sum over the flat index catches frame-order slips the
+    * per-frame sums would miss). DIB codec only — MJPEG frames decode
+    * lossily by design and have no exact lattice to hash. */
+  def aviGrayPixels(bytes: Array[Byte]): Array[Long] = {
+    val l = aviLayout(bytes)
+    require(l.codec == "dib",
+      s"aviGrayPixels expects uncompressed DIB frames, got ${l.codec}")
+    val perFrame = l.width * l.height
+    val out = new Array[Long](perFrame * l.frames.length)
+    var f = 0
+    while (f < l.frames.length) {
+      val off = l.frames(f)._1
+      var y = 0
+      while (y < l.height) {
+        val storedRow = if (l.bottomUp) l.height - 1 - y else y
+        val base = off + storedRow * l.rowSize
+        var x = 0
+        while (x < l.width) {
+          val b = bytes(base + 3 * x) & 0xff
+          val g = bytes(base + 3 * x + 1) & 0xff
+          val r = bytes(base + 3 * x + 2) & 0xff
+          if (r != g || g != b) throw new IllegalArgumentException(
+            s"aviGrayPixels: non-gray pixel ($r,$g,$b) at frame $f ($x,$y)")
+          out(f * perFrame + y * l.width + x) = r.toLong
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    out
+  }
+
   /** 8×8 aHash of one AVI frame — DIB frames through [[boxGrid]], MJPEG
     * frames through the JPEG decoder and [[jpegAHash]]'s shared grid, so
     * an MJPEG video frame and a standalone JPEG/BMP/PNG of the same

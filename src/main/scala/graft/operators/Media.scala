@@ -88,6 +88,91 @@ object Media {
           .as("ahash_hi"))
       .orderBy(col("p_partkey"))
 
+  /** 8×8 gray lattice for the PNG query: v(k) = (pk·53 + k·29) mod 256
+    * — different constants than the BMP lattice so the two image
+    * queries cannot mask each other's failures. */
+  private val encodePng = udf { (pk: Long) =>
+    Multimodal.encodePng(8, 8, (x, y) => {
+      val k = y * 8 + x
+      val v = ((pk * 53 + k * 29) % 256).toInt
+      (v, v, v)
+    })
+  }
+  private val decodePng = udf { (bytes: Array[Byte]) =>
+    Multimodal.pngGrayPixels(bytes)
+  }
+
+  /** 3-frame 8×8 gray video lattice for key `sk`: flat index
+    * k = frame·64 + y·8 + x, v(k) = (sk·13 + k·7) mod 256. */
+  private val encodeVideo = udf { (sk: Long) =>
+    Multimodal.encodeAviDib(8, 8, (0 until 3).map { f =>
+      (x: Int, y: Int) => {
+        val k = f * 64 + y * 8 + x
+        val v = ((sk * 13 + k * 7) % 256).toInt
+        (v, v, v)
+      }
+    })
+  }
+  private val decodeVideo = udf { (bytes: Array[Byte]) =>
+    Multimodal.aviGrayPixels(bytes)
+  }
+
+  /** #198 judged image roundtrip through the PNG codec — the HARD
+    * image container (zlib deflate/inflate + the scanline filter
+    * chain, vs BMP's raw pixel copy): same invisibility contract as
+    * [[mmImageAhash]] on an independent lattice. Any filter-
+    * reconstruction or inflate slip shifts px_sum/ahash and the hash
+    * gate fails. */
+  def mmImagePng(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"))
+      .withColumn("px", decodePng(encodePng(col("p_partkey"))))
+      .withColumn("px_sum",
+        aggregate(col("px"), lit(0L), (acc, x) => acc + x))
+      .select(
+        col("p_partkey"),
+        size(col("px")).cast("long").as("n_px"),
+        col("px_sum"),
+        array_min(col("px")).as("px_min"),
+        array_max(col("px")).as("px_max"),
+        expr("aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, k) -> " +
+          "acc + IF(element_at(px, k + 1) * 64 > px_sum, " +
+          "shiftleft(CAST(1 AS BIGINT), k), CAST(0 AS BIGINT)))")
+          .as("ahash_lo"),
+        expr("aggregate(sequence(32, 63), CAST(0 AS BIGINT), (acc, k) -> " +
+          "acc + IF(element_at(px, k + 1) * 64 > px_sum, " +
+          "shiftleft(CAST(1 AS BIGINT), k - 32), CAST(0 AS BIGINT)))")
+          .as("ahash_hi"))
+      .orderBy(col("p_partkey"))
+
+  /** #199 judged VIDEO roundtrip — the third modality under the
+    * oracle: per supplier, synthesize a 3-frame 8×8 gray
+    * uncompressed-DIB AVI, decode every frame back through the real
+    * ISO-RIFF container parser, and emit exact integer features over
+    * the concatenated frame pixels. `wsum` weights each pixel by its
+    * 1-based FRAME number, so a container that returns the right
+    * pixels in the wrong frame order (an index-table slip the
+    * per-frame sums can't see) still fails the hash. `n_frames` comes
+    * from the decoded length — a dropped or duplicated movi chunk
+    * moves it. */
+  def mmVideoFrames(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .filter(col("s_suppkey") <= 200)
+      .select(col("s_suppkey"))
+      .withColumn("px", decodeVideo(encodeVideo(col("s_suppkey"))))
+      .select(
+        col("s_suppkey"),
+        size(col("px")).cast("long").as("n_px"),
+        (size(col("px")) / 64).cast("long").as("n_frames"),
+        aggregate(col("px"), lit(0L), (acc, x) => acc + x).as("px_sum"),
+        array_min(col("px")).as("px_min"),
+        array_max(col("px")).as("px_max"),
+        expr("aggregate(sequence(0, size(px) - 1), CAST(0 AS BIGINT), " +
+          "(acc, k) -> acc + (CAST(k DIV 64 AS BIGINT) + 1L) * " +
+          "element_at(px, k + 1))").as("wsum"))
+      .orderBy(col("s_suppkey"))
+
   /** #194 judged audio roundtrip + energy: per customer (c_custkey ≤
     * 200), synthesize 256 PCM-16 samples spanning the full signed
     * range, decode them back through the real WAV parser, and emit

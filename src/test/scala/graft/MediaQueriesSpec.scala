@@ -39,6 +39,61 @@ class MediaQueriesSpec extends SparkSpecBase {
     }
   }
 
+  private def pngPixels(pk: Long): Array[Long] =
+    Array.tabulate(64)(k => (pk * 53 + k * 29) % 256)
+
+  private def videoPixels(sk: Long): Array[Long] =
+    Array.tabulate(192)(k => (sk * 13 + k * 7) % 256)
+
+  test("PNG roundtrip is bit-lossless through zlib + scanline filters") {
+    for (pk <- Seq(0L, 1L, 7L, 199L)) {
+      val expected = pngPixels(pk)
+      val bytes = Multimodal.encodePng(8, 8, (x, y) => {
+        val v = expected(y * 8 + x).toInt; (v, v, v)
+      })
+      assert(Multimodal.pngGrayPixels(bytes).toSeq == expected.toSeq,
+        s"PNG pixel roundtrip diverged for key $pk")
+    }
+  }
+
+  test("AVI roundtrip is bit-lossless and preserves FRAME ORDER") {
+    for (sk <- Seq(0L, 1L, 42L)) {
+      val expected = videoPixels(sk)
+      val bytes = Multimodal.encodeAviDib(8, 8, (0 until 3).map { f =>
+        (x: Int, y: Int) => {
+          val v = expected(f * 64 + y * 8 + x).toInt; (v, v, v)
+        }
+      })
+      assert(Multimodal.aviGrayPixels(bytes).toSeq == expected.toSeq,
+        s"AVI pixel roundtrip diverged for key $sk")
+    }
+    // the frame-order witness: reversing frames changes the weighted
+    // sum the judged query hashes — on keys whose first and last frame
+    // SUMS differ (wsum = ΣfSf, so S0 == S2 keys are blind to a full
+    // reversal; keys 0/1/7 have S0 ≠ S2 on this lattice, and a
+    // frame-order slip in the container would hit EVERY key at once)
+    for (sk <- Seq(0L, 1L, 7L)) {
+      val px = videoPixels(sk)
+      val wsum = px.zipWithIndex.map { case (v, k) => (k / 64 + 1) * v }.sum
+      val reversed = (2 to 0 by -1).flatMap(f =>
+        px.slice(f * 64, f * 64 + 64)).zipWithIndex
+        .map { case (v, k) => (k / 64 + 1) * v }.sum
+      assert(wsum != reversed,
+        s"wsum must be frame-order-sensitive for key $sk")
+    }
+  }
+
+  test("mm_video_frames row matches an independent feature recompute") {
+    val row = Media.mmVideoFrames(spark, sf())
+      .filter("s_suppkey = 3").collect().head
+    val px = videoPixels(3L)
+    assert(row.getLong(1) == 192L && row.getLong(2) == 3L)
+    assert(row.getLong(3) == px.sum)
+    assert(row.getLong(4) == px.min && row.getLong(5) == px.max)
+    assert(row.getLong(6) ==
+      px.zipWithIndex.map { case (v, k) => (k / 64 + 1) * v }.sum)
+  }
+
   test("mm_image_ahash row matches an independent feature recompute") {
     val row = Media.mmImageAhash(spark, sf())
       .filter("p_partkey = 7").collect().head
