@@ -1243,6 +1243,87 @@ object StreamingOps {
       }
   }
 
+  /** Per-user retention state: the user's earliest event time seen so
+    * far (the COHORT anchor — kept for the key's lifetime: one long per
+    * user, the price of cohort semantics on an unbounded stream) plus
+    * the not-yet-sealed active week starts. Open weeks are bounded by
+    * the watermark horizon; the anchor is O(1). */
+  case class RetentionState(t0Us: Long, openWeeks: Set[Long])
+
+  /** One sealed retention CELL: user u, whose cohort is `cohort`
+    * (ISO-Monday week of their first event), was active in cohort week
+    * + `week_n`. Emitted exactly once per (user, week) — so the judged
+    * rollup's countDistinct(user) collapses to a stateless count(*)
+    * over these cells. */
+  case class RetentionCellRow(cohort: Timestamp, week_n: Int, user_id: Long)
+
+  /** Streaming twin of the judged `ts_retention_cohort`, the twin
+    * program's first COHORT shape — hard because a late (but
+    * admissible) earlier event RE-ASSIGNS the user's cohort, which
+    * retroactively moves every one of their cells. The watermark
+    * resolves it without any retraction machinery, by an ordering
+    * argument instead of a commutativity one:
+    *
+    *  - a cell (u, week w) may emit once w SEALS (last admissible
+    *    instant of w ≤ watermark — the shared twin convention);
+    *  - at that moment u's cohort is FINAL: t0 (u's earliest seen
+    *    event) lies inside some week ≤ w, so t0 < end(w) ≤ wm + 1µs,
+    *    and any event that could lower t0 has ts < t0 ≤ wm — dropped
+    *    by Spark's late filter before reaching the function.
+    *
+    * So cells emit in sealed-week order with their final cohort,
+    * exactly once (an admissible event can never land in an already-
+    * sealed week, by the same inequality). The judged rollup —
+    * countDistinct users per (cohort, week_n) — is then the stateless
+    * count(*) of these cells; StreamingOpsSpec proves the rolled-up
+    * cells equal the batch query bit for bit under shuffled
+    * multi-batch delivery, and that no cell ever emits twice. */
+  def statefulRetentionCells(events: DataFrame,
+      watermark: String = "1 day"): Dataset[RetentionCellRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val DayUs = 86400000000L
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RetentionState, RetentionCellRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp)],
+            state: GroupState[RetentionState]) =>
+          def micros(t: Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          def weekStart(epochDay: Long): Long = {
+            val d = java.time.LocalDate.ofEpochDay(epochDay)
+            d.minusDays(d.getDayOfWeek.getValue - 1L).toEpochDay
+          }
+          var st = state.getOption.getOrElse(
+            RetentionState(Long.MaxValue, Set.empty))
+          rows.foreach { case (_, ts) =>
+            val us = micros(ts)
+            val wk = weekStart(Math.floorDiv(us, DayUs))
+            st = RetentionState(math.min(st.t0Us, us), st.openWeeks + wk)
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, open) = st.openWeeks.partition(w =>
+            (w + 7L) * DayUs - 1L <= wmUs)
+          // the cohort anchor must OUTLIVE quiet periods: a user who
+          // returns months later still belongs to their original
+          // cohort, so the state persists even with no open weeks
+          state.update(RetentionState(st.t0Us, open))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              (open.min + 7L) * 86400000L,
+              state.getCurrentWatermarkMs() + 1L))
+          val cohortDay = weekStart(Math.floorDiv(st.t0Us, DayUs))
+          ripe.toSeq.sorted.iterator.map { w =>
+            RetentionCellRow(new Timestamp(cohortDay * 86400000L),
+              ((w - cohortDay) / 7L).toInt, user)
+          }
+      }
+  }
+
   /** Streaming embedding ingest into a persisted IVF index
     * ([[graft.operators.Ann.buildIvfIndex]] wrote the base as gen=0):
     * each micro-batch is centroid-assigned map-only and written as

@@ -751,6 +751,47 @@ class StreamingOpsSpec extends SparkSpecBase {
       s"stream-only: ${got -- want}; batch-only: ${want -- got}")
   }
 
+  test("stateful retention cells roll up to the batch ts_retention_cohort") {
+    implicit val ctx = spark.sqlContext
+    // the REAL sf0.001 events shuffled across three batches — the hard
+    // part is cohort finality: a late earlier event reassigns a user's
+    // cohort, so cells must only emit once the watermark freezes t0
+    val ev = Tables.events(spark, sf())
+      .select($"user_id", unix_micros($"ts").as("us"))
+      .as[(Long, Long)].collect().toSeq
+    val shuffled = ev.sortBy(r => (r._2 % 3, r._2 / 7 % 5, r._2, r._1))
+    val ms = MemoryStream[(Long, Long)]
+    val in = ms.toDF().select($"_1".as("user_id"),
+      timestamp_micros($"_2").as("ts"))
+    val out = StreamingOps.statefulRetentionCells(in, watermark = "60 days")
+    val q = out.writeStream.format("memory").queryName("t_retention")
+      .outputMode("append").start()
+    try {
+      shuffled.grouped((shuffled.size + 2) / 3).foreach { b =>
+        ms.addData(b: _*); q.processAllAvailable()
+      }
+      ms.addData((999999L, ev.map(_._2).max + 120L * 86400 * 1000000))
+      q.processAllAvailable()
+    } finally q.stop()
+    val cells = spark.table("t_retention").filter($"user_id" =!= 999999L)
+    // exactly-once witness: no (user, cohort, week_n) cell may repeat —
+    // this is what makes count(*) below equal countDistinct(user)
+    assert(cells.groupBy($"user_id", $"cohort", $"week_n").count()
+      .filter($"count" > 1).count() == 0, "a cell emitted twice")
+    val got = cells
+      .groupBy($"cohort", $"week_n")
+      .agg(count(lit(1)).as("n_users"))
+      .select(unix_micros($"cohort").as("us"), $"week_n", $"n_users")
+      .as[(Long, Int, Long)].collect().toSet
+    val want = graft.operators.Analytics.tsRetentionCohort(spark, sf())
+      .select(unix_micros($"cohort".cast("timestamp")).as("us"),
+        $"week_n", $"n_users")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"stream-only: ${got -- want}; batch-only: ${want -- got}")
+  }
+
   test("stateful rolling rmssd equals the batch hrv_rolling_rmssd bit for bit") {
     implicit val ctx = spark.sqlContext
     // the REAL sf0.001 events, delivered shuffled across three batches —
