@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -771,20 +771,34 @@ object TrainingData {
     * hash covers cell VALUES, not just counts. */
   def aggPivotDynamic(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
-    val maxDomain = 20
-    val domain = o.select(col("o_orderstatus")).distinct()
-      .orderBy(col("o_orderstatus"))
-      .limit(maxDomain + 1)
-      .collect().map(_.getString(0)).toSeq
-    require(domain.size <= maxDomain,
-      s"pivot domain exceeds $maxDomain values — widen deliberately")
-    val wide = o.groupBy(year(col("o_orderdate")).cast("long").as("yr"))
-      .pivot("o_orderstatus", domain)
-      .agg(round(sum(col("o_totalprice")), 2))
+    val (wide, domain) = pivotDynamic(o,
+      year(col("o_orderdate")).cast("long").as("yr"), "o_orderstatus",
+      round(sum(col("o_totalprice")), 2))
     domain.foldLeft(wide) { (df, c) =>
         df.withColumn(c, coalesce(col(s"`$c`"), lit(0.0)))
       }
       .orderBy(col("yr"))
+  }
+
+  /** Generic two-pass dynamic pivot: pass 1 COLLECTS the sorted
+    * distinct domain of `pivotCol` (bounded — a pivot wider than
+    * `maxDomain` columns is a schema bug, not a reshape, so this fails
+    * loudly instead of materializing a 10k-column plan; the collect is
+    * scalar-class driver traffic and an EAGER construction-time action,
+    * the joinBloomPrefilter contract), pass 2 pivots on it. Returns the
+    * wide frame (missing cells null — fill is aggregate-specific, the
+    * caller's choice) plus the discovered domain for deterministic
+    * downstream column handling. */
+  def pivotDynamic(df: DataFrame, groupCol: Column, pivotCol: String,
+      aggExpr: Column, maxDomain: Int = 20): (DataFrame, Seq[String]) = {
+    val domain = df.select(col(pivotCol).cast("string")).distinct()
+      .orderBy(col(pivotCol))
+      .limit(maxDomain + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(domain.size <= maxDomain,
+      s"pivot domain of '$pivotCol' exceeds $maxDomain values — " +
+        "widen maxDomain deliberately or pre-bucket the column")
+    (df.groupBy(groupCol).pivot(pivotCol, domain).agg(aggExpr), domain)
   }
 
   /** #65b unpivot (melt): the inverse reshape of [[aggPivot]] — wide

@@ -76,6 +76,25 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(math.abs(total - direct) <= 1.0, s"pivot total $total vs $direct")
   }
 
+  test("pivotDynamic fails loudly past the domain cap, pivots under it") {
+    val wide = (1 to 100).map(i => (i % 4, s"k${i % 30}", i.toLong))
+      .toDF("g", "k", "v")
+    val e = intercept[IllegalArgumentException] {
+      TrainingData.pivotDynamic(wide, col("g"), "k", sum(col("v")))
+    }
+    assert(e.getMessage.contains("exceeds 20"))
+    // under the cap: domain is discovered sorted, cells aggregate
+    val narrow = Seq((1, "b", 10L), (1, "a", 5L), (2, "a", 7L))
+      .toDF("g", "k", "v")
+    val (p, domain) = TrainingData.pivotDynamic(
+      narrow, col("g"), "k", sum(col("v")))
+    assert(domain == Seq("a", "b"))
+    val rows = p.orderBy($"g").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(rows(0).getLong(1) == 5L && rows(0).getLong(2) == 10L)
+    assert(rows(1).getLong(1) == 7L && rows(1).isNullAt(2))
+  }
+
   test("char-trigram jaccard pairs are ordered, thresholded and symmetric-free") {
     val rows = TrainingData.dedupNgramJaccard(spark, sf()).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
