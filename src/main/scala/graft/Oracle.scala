@@ -904,10 +904,14 @@ object Oracle {
         "HAVING round(max(CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE) / len(c.sh)), 6) >= 0.8 ORDER BY c.doc_id"),
     // LATERAL text is identical on both engines (comma-join spelling for
     // DuckDB, which wants an ON clause with JOIN LATERAL)
+    // probe predicate stated inside the subquery too (≡ via the
+    // correlation equality): neither optimizer infers a range
+    // constraint through the decorrelated window, and without it both
+    // engines rank the whole fact table for a 300-order probe
     "join_lateral" ->
       ("SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice " +
         "FROM orders o, LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem " +
-        "WHERE l_orderkey = o.o_orderkey ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t " +
+        "WHERE l_orderkey = o.o_orderkey AND l_orderkey < 300 ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t " +
         "WHERE o.o_orderkey < 300 ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_linenumber"),
     // explicit power-sum moment algebra, pinned to the same association
     // order as the Spark side (the engines' skewness/kurtosis BUILT-INS
