@@ -842,6 +842,20 @@ object Oracle {
         "CAST(max(v) AS BIGINT) AS px_max, " +
         "CAST(sum((k // 64 + 1) * v) AS BIGINT) AS wsum " +
         "FROM px GROUP BY s_suppkey ORDER BY s_suppkey"),
+    // one-pass rule validation reshaped to (rule, violations, total);
+    // the range and domain rules FIRE on this data so the hash proves
+    // counting, not just zero-equality
+    "source_quality_profile" ->
+      ("WITH w AS (SELECT CAST(count(*) AS BIGINT) AS total, " +
+        "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r1, " +
+        "CAST(sum(CASE WHEN o_totalprice BETWEEN 1000.0 AND 300000.0 THEN 0 ELSE 1 END) AS BIGINT) AS r2, " +
+        "CAST(sum(CASE WHEN o_orderstatus IN ('F','O') THEN 0 ELSE 1 END) AS BIGINT) AS r3, " +
+        "CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 0 ELSE 1 END) AS BIGINT) AS r4 " +
+        "FROM orders) SELECT * FROM (" +
+        "SELECT 'not_null(o_custkey)' AS rule, r1 AS violations, total FROM w " +
+        "UNION ALL SELECT 'in_range(o_totalprice,1000.0,300000.0)', r2, total FROM w " +
+        "UNION ALL SELECT 'is_in(o_orderstatus)', r3, total FROM w " +
+        "UNION ALL SELECT 'matches(o_orderpriority)', r4, total FROM w) ORDER BY rule"),
     // upsert invisibility: merged(base, delta) must equal the direct
     // recompute with the correction inlined
     "source_upsert" ->

@@ -303,6 +303,27 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** #200 judged DATA-QUALITY PROFILE — the ingestion gate every
+    * pipeline runs before accepting a batch: four declared expectations
+    * over orders (key non-null, price in range, status in the allowed
+    * domain, priority format) evaluated in ONE aggregate pass over ONE
+    * scan however many rules are declared ([[graft.sources.Quality
+    * .validateLazy]] — N rule-per-scan passes would be N full reads of
+    * a 100 TB table), reshaped to (rule, violations, total) rows by an
+    * in-plan unpivot. The oracle recomputes each rule as a conditional
+    * sum. The range and domain rules are chosen to FIRE on this data
+    * (nonzero violations) so the hash proves counting, not just
+    * zero-equality. */
+  def sourceQualityProfile(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Quality
+    Quality.validateLazy(Tables.orders(s, d), Seq(
+        Quality.notNull("o_custkey"),
+        Quality.inRange("o_totalprice", 1000.0, 300000.0),
+        Quality.isIn("o_orderstatus", Seq("F", "O")),
+        Quality.matches("o_orderpriority", "^[1-5]-")))
+      .orderBy(col("rule"))
+  }
+
   /** Keyed upsert: rows of `delta` replace same-key rows of `base`;
     * unmatched base rows survive. Assumes `key` is unique per side (the
     * MERGE precondition). Anti-join + union: one shuffle per side on

@@ -39,6 +39,23 @@ object Quality {
       .toDF("rule", "violations", "total")
   }
 
+  /** [[validate]] without the driver action: the same ONE-pass
+    * aggregate, reshaped wide → (rule, violations, total) rows by an
+    * in-plan unpivot (one Expand node) instead of a collect — the form
+    * a registry/judged query wants (construction-side-effect-free,
+    * composable downstream). Violations count rows where the rule is
+    * false OR null, identical to [[validate]]. */
+  def validateLazy(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty)
+    val aggs = rules.map(r =>
+      sum(when(coalesce(r.cond, lit(false)), 0L).otherwise(1L)).as(r.name)) :+
+      count(lit(1)).as("_total")
+    df.agg(aggs.head, aggs.tail: _*)
+      .unpivot(Array(col("_total")), rules.map(r => col(s"`${r.name}`")).toArray,
+        "rule", "violations")
+      .select(col("rule"), col("violations"), col("_total").as("total"))
+  }
+
   /** Duplicate-key count for a declared unique key (0 = key holds). */
   def duplicateKeys(df: DataFrame, keyCols: Seq[String]): Long =
     df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("c"))

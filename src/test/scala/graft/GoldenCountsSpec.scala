@@ -93,7 +93,7 @@ class GoldenCountsSpec extends SparkSpecBase {
     "source_upsert" -> 5, "agg_quantile_sketch" -> 3,
     "agg_pivot_dynamic" -> 7, "mm_image_ahash" -> 200,
     "mm_audio_energy" -> 150, "mm_image_png" -> 200,
-    "mm_video_frames" -> 10
+    "mm_video_frames" -> 10, "source_quality_profile" -> 4
   )
 
   test("every SURVEY §2 query is registered with an oracle") {

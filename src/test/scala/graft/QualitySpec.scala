@@ -22,6 +22,31 @@ class QualitySpec extends SparkSpecBase {
     assert(report("is_in(cat)") == ((1L, 4L)))
   }
 
+  test("validateLazy matches validate row for row, with no driver action") {
+    val df = Seq(
+      (1L, Some(10.0), "A"),
+      (2L, Some(500.0), "B"),
+      (3L, None, "A"),
+      (4L, Some(20.0), "X"))
+      .toDF("id", "v", "cat")
+    val rules = Seq(
+      Quality.notNull("v"),
+      Quality.inRange("v", 0, 100),
+      Quality.isIn("cat", Seq("A", "B")))
+    // constructing the lazy form must run NO job (the eager form's
+    // documented difference); compare after a single explicit action
+    val lazyDf = Quality.validateLazy(df, rules)
+    val got = lazyDf.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Quality.validate(df, rules).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // one pass: exactly one aggregate over one scan feeds the unpivot
+    val plan = lazyDf.queryExecution.optimizedPlan.toString
+    assert("(?i)relation".r.findAllIn(plan).length == 1,
+      s"validateLazy must scan once:\n$plan")
+  }
+
   test("duplicate and orphan key checks") {
     val child = Seq((1L, 10L), (2L, 10L), (3L, 99L)).toDF("id", "fk")
     val parent = Seq(10L, 20L).toDF("pk")
