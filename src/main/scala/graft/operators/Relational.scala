@@ -326,11 +326,37 @@ object Relational {
 
   /** Keyed upsert: rows of `delta` replace same-key rows of `base`;
     * unmatched base rows survive. Assumes `key` is unique per side (the
-    * MERGE precondition). Anti-join + union: one shuffle per side on
-    * the key — at 100 TB with a bucketed base this degenerates to a
-    * map-side merge, and a small delta broadcasts. */
-  def upsert(base: DataFrame, delta: DataFrame, key: String): DataFrame =
-    delta.unionByName(base.join(delta.select(col(key)), Seq(key), "left_anti"))
+    * MERGE precondition — a real MERGE errors on a multi-match, and a
+    * violated assumption here silently duplicates or drops rows).
+    * Anti-join + union: one shuffle per side on the key — at 100 TB
+    * with a bucketed base this degenerates to a map-side merge, and a
+    * small delta broadcasts.
+    *
+    * `checkUnique = true` (round-12 advice) enforces the precondition
+    * IN-PLAN: each side routes through a per-key count window whose
+    * violation raises at execution instead of corrupting the merged
+    * table. The guard costs one extra window pass per guarded side
+    * (the delta is the cheap, high-value side — corrections batches
+    * are where duplicate keys actually arrive); default-off so the
+    * bucketed-base fast path stays window-free when the caller has
+    * already proven uniqueness upstream (e.g. a PK-enforced source). */
+  def upsert(base: DataFrame, delta: DataFrame, key: String,
+      checkUnique: Boolean = false): DataFrame = {
+    def guarded(df: DataFrame, side: String): DataFrame =
+      if (!checkUnique) df
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+        val k = when(count(lit(1)).over(w) > 1,
+            raise_error(concat(
+              lit(s"upsert: duplicate $side key "), col(key).cast("string"),
+              lit(" violates the MERGE precondition (key unique per side)"))))
+          .otherwise(col(key)).as(key)
+        df.withColumn(key, k)
+      }
+    val d = guarded(delta, "delta")
+    d.unionByName(
+      guarded(base, "base").join(d.select(col(key)), Seq(key), "left_anti"))
+  }
 
   /** #2 conjunctive predicates (BETWEEN / IN / NOT) — all pushed to the
     * parquet reader as data filters. */

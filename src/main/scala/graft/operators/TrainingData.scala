@@ -795,6 +795,21 @@ object TrainingData {
       .orderBy(col(pivotCol))
       .limit(maxDomain + 1)
       .collect().map(_.getString(0)).toSeq
+    // fail-loud domain hygiene (round-12 advice), matching the cap's
+    // philosophy: a NULL pivot value would otherwise enter the domain
+    // as a column literally named "null", and a backtick would break
+    // every downstream backtick-quoted reference to the column — both
+    // are schema bugs at the source, not reshapes this operator should
+    // paper over. Callers with legitimate nulls bucket them first
+    // (coalesce to a sentinel) so the choice is explicit.
+    require(!domain.contains(null),
+      s"pivot column '$pivotCol' contains NULL — coalesce to an explicit " +
+        "sentinel before pivoting")
+    domain.find(_.contains("`")).foreach { v =>
+      throw new IllegalArgumentException(
+        s"pivot domain value '$v' of '$pivotCol' contains a backtick — " +
+          "unrepresentable as a quoted column name; sanitize the domain first")
+    }
     require(domain.size <= maxDomain,
       s"pivot domain of '$pivotCol' exceeds $maxDomain values — " +
         "widen maxDomain deliberately or pre-bucket the column")

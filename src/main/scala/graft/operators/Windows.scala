@@ -206,37 +206,7 @@ object Windows {
     * global window; this distributed form must be invisible. */
   def winCumeDist(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("event_id"), col("value"))
-    // prefix sums DIRECTLY over the per-value count table: `value` is
-    // 2-dp data on a bounded domain, so the count table is capped by
-    // the value LATTICE cardinality (≤ ~50k rows at any corpus size —
-    // domain-bounded, not data-bounded), and one single-partition
-    // window over it is cheaper than the bucketed runningTotal
-    // machinery (splits sample + bucket totals + repartition:
-    // 3 exchanges + 2 broadcasts for a table that fits in one task).
-    // The grouping column is tagged `_b0` — the plan-guard convention
-    // (GlobalRankSpec.limitBounded) for "bounded by bucket count, not
-    // by data volume": here the value lattice IS the bucket set, and
-    // keeping the Aggregate visible (no checkpoint) is what lets the
-    // scale-killer window detector PROVE the boundedness instead of
-    // trusting a comment. An UNBOUNDED value domain must keep
-    // GlobalRank.runningTotal here — that trade is the operator's
-    // documented precondition, same class as the pivot domain cap.
-    // The grand total rides the SAME Window node as the prefix sum
-    // (same ordering, unbounded-following frame), so no second branch
-    // ever re-scans the fact table and no 1-row cross join is needed.
-    // rename BEFORE the groupBy so `_b0` is the grouping ATTRIBUTE
-    // (an alias inside the aggregate list collapses to the raw name
-    // in the optimized plan, which is what the guard inspects)
-    val counts = ev.select(col("value").as("_b0"))
-      .groupBy(col("_b0")).agg(count(lit(1)).as("_c"))
-    val wCum = Window.orderBy(col("_b0"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.orderBy(col("_b0"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = counts
-      .withColumn("_cum", sum(col("_c")).over(wCum))
-      .withColumn("_n", sum(col("_c")).over(wAll))
-      .select(col("_b0").as("value"), col("_cum"), col("_n"))
+    val cum = cumeDistByValue(ev)
     // manual limit-through-join pushdown: the 500 output rows are fixed
     // by event_id alone and the attach join is ROW-PRESERVING (cum is
     // unique per value, the crossJoin side is one row), so TakeOrdered
@@ -254,6 +224,54 @@ object Windows {
       .select(col("event_id"),
         round(col("_cum").cast("double") / col("_n"), 6).as("cd"))
       .orderBy(col("event_id"))
+  }
+
+  /** Per-distinct-value cumulative/total counts `(value, _cum, _n)` —
+    * the count-table core of the distributed cume_dist: prefix sums
+    * DIRECTLY over the per-value count table. `value` is 2-dp data on a
+    * bounded domain, so the count table is capped by the value LATTICE
+    * cardinality (≤ ~50k rows at any corpus size — domain-bounded, not
+    * data-bounded), and one single-partition window over it is cheaper
+    * than the bucketed runningTotal machinery (splits sample + bucket
+    * totals + repartition: 3 exchanges + 2 broadcasts for a table that
+    * fits in one task).
+    *
+    * The boundedness assumption is ENFORCED, not trusted (round-12
+    * advice): `_card` — the count-table row count — rides the SAME
+    * Window node as the totals (identical ordering + frame, so it adds
+    * a window FUNCTION, not a window node), and `_cum` routes through a
+    * `raise_error` when `_card > maxDomain`. An unbounded value domain
+    * therefore fails loudly at execution instead of silently planning
+    * an ever-growing single-task window; such domains must use
+    * [[GlobalRank.runningTotal]] over the same count table. The
+    * grouping column is `_lat0` — deliberately NOT the `_b*` bucket-id
+    * convention (those are bounded by a fixed bucket count by
+    * construction; this is bounded by a DATA-domain contract, which is
+    * exactly why it carries its own runtime guard). The plan-shape
+    * audit (GlobalRankSpec) waives this window explicitly, citing this
+    * guard. */
+  private[graft] def cumeDistByValue(ev: DataFrame,
+      maxDomain: Long = 100000L): DataFrame = {
+    val counts = ev.select(col("value").as("_lat0"))
+      .groupBy(col("_lat0")).agg(count(lit(1)).as("_c"))
+    val wCum = Window.orderBy(col("_lat0"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy(col("_lat0"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+      .withColumn("_card", count(lit(1)).over(wAll))
+      .select(col("_lat0").as("value"),
+        when(col("_card") > lit(maxDomain),
+          raise_error(concat(
+            lit(s"cumeDistByValue: value domain exceeds $maxDomain distinct values ("),
+            col("_card").cast("string"),
+            lit(") — the lattice-bounded count-table window is unsafe; " +
+              "use GlobalRank.runningTotal for unbounded domains")))
+            .cast("long"))
+          .otherwise(col("_cum")).as("_cum"),
+        col("_n"))
   }
 
   /** #25 5-row moving average per key. */

@@ -58,6 +58,42 @@ class IngestSpec extends SparkSpecBase {
     assert(ins.count() == 4)
   }
 
+  test("upsert checkUnique: duplicate keys fail loudly instead of corrupting") {
+    import spark.implicits._
+    val base = Seq((1L, "orig", 10.0), (2L, "orig", 20.0))
+      .toDF("k", "tag", "price")
+    val dupDelta = Seq((2L, "first", 1.0), (2L, "second", 2.0))
+      .toDF("k", "tag", "price")
+    // default-off keeps the historical silent-MERGE behavior
+    assert(graft.operators.Relational.upsert(base, dupDelta, "k").count() == 3)
+    // opted in: a duplicate DELTA key raises at execution
+    val ed = intercept[Exception] {
+      graft.operators.Relational
+        .upsert(base, dupDelta, "k", checkUnique = true).collect()
+    }
+    assert((Option(ed.getMessage).getOrElse("") +
+      Option(ed.getCause).flatMap(c => Option(c.getMessage)).getOrElse(""))
+      .contains("duplicate delta key"))
+    // ... and a duplicate BASE key (all silently replaced by one delta
+    // row in the unchecked form) raises too
+    val dupBase = Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("k", "tag", "price")
+    val eb = intercept[Exception] {
+      graft.operators.Relational.upsert(dupBase,
+        Seq((9L, "new", 1.0)).toDF("k", "tag", "price"),
+        "k", checkUnique = true).collect()
+    }
+    assert((Option(eb.getMessage).getOrElse("") +
+      Option(eb.getCause).flatMap(c => Option(c.getMessage)).getOrElse(""))
+      .contains("duplicate base key"))
+    // clean inputs pass the guard unchanged
+    val ok = graft.operators.Relational.upsert(base,
+        Seq((2L, "corrected", 99.0)).toDF("k", "tag", "price"),
+        "k", checkUnique = true)
+      .orderBy("k").collect()
+    assert(ok.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "orig"), (2L, "corrected")))
+  }
+
   test("partitioned parquet sink round-trips with partition pruning available") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sink").toFile.getAbsolutePath + "/out"

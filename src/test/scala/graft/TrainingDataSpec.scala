@@ -95,6 +95,22 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(rows(1).getLong(1) == 7L && rows(1).isNullAt(2))
   }
 
+  test("pivotDynamic rejects NULL and backtick domain values loudly") {
+    // a null pivot value would become a column literally named "null"
+    val withNull = Seq((1, Some("a"), 1L), (1, None, 2L))
+      .toDF("g", "k", "v")
+    val en = intercept[IllegalArgumentException] {
+      TrainingData.pivotDynamic(withNull, col("g"), "k", sum(col("v")))
+    }
+    assert(en.getMessage.contains("NULL"))
+    // a backtick breaks every quoted reference to the pivoted column
+    val withTick = Seq((1, "a`b", 1L)).toDF("g", "k", "v")
+    val et = intercept[IllegalArgumentException] {
+      TrainingData.pivotDynamic(withTick, col("g"), "k", sum(col("v")))
+    }
+    assert(et.getMessage.contains("backtick"))
+  }
+
   test("char-trigram jaccard pairs are ordered, thresholded and symmetric-free") {
     val rows = TrainingData.dedupNgramJaccard(spark, sf()).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
