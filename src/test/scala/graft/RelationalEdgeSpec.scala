@@ -108,4 +108,57 @@ class RelationalEdgeSpec extends SparkSpecBase {
     assert(got.filterKeys(_ != "MISSING").values.sum ==
       o.filter($"o_orderkey" % 2 === 1).count())
   }
+
+  test("decimal precision widening: sums widen, DECIMAL(38) ops lose scale") {
+    // sum(DECIMAL(12,2)) widens by +10 precision, same scale — room for
+    // ~10^10 rows before overflow, the contract agg_decimal_money's
+    // explicit output casts rely on
+    val d = Seq("1.10", "2.25").map(new java.math.BigDecimal(_)).toDF("v")
+      .select($"v".cast("decimal(12,2)").as("v"))
+    val sumT = d.agg(sum($"v").as("s")).schema("s").dataType
+    assert(sumT.sql == "DECIMAL(22,2)", sumT.sql)
+    // at the DECIMAL(38) ceiling Spark's allowPrecisionLoss default
+    // KEEPS precision 38 and sacrifices scale to 6 instead of erroring
+    // (DuckDB errors on the same multiply — why the judged queries pin
+    // values via explicit casts well below the ceiling)
+    val wide = d.select($"v".cast("decimal(38,10)").as("w"))
+      .select(($"w" * $"w").as("sq"))
+    assert(wide.schema("sq").dataType.sql == "DECIMAL(38,6)",
+      wide.schema("sq").dataType.sql)
+    val sq = wide.orderBy($"sq").collect().map(_.getDecimal(0).toPlainString)
+    assert(sq.toSeq == Seq("1.210000", "5.062500"))
+    // overflow past even the loss-allowed result FAILS LOUDLY under
+    // ANSI mode (Spark 4's default, judged sessions included) — money
+    // math never silently wraps or nulls
+    val e = intercept[Exception] {
+      Seq("9" * 28).toDF("v")
+        .select($"v".cast("decimal(38,0)").as("w"))
+        .select(($"w" * $"w").as("sq")).collect()
+    }
+    assert(e.getMessage.contains("NUMERIC_VALUE_OUT_OF_RANGE"), e.getMessage)
+  }
+
+  test("scd2Apply: update, re-update, and a no-op delta keep history exact") {
+    import graft.operators.Relational.{scd2Init, scd2Apply}
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "attr")
+    val v1 = scd2Init(base, 1L)
+    // update key 1, re-update key 1, then a delta touching NO existing key
+    val v2 = scd2Apply(v1, Seq((1L, "a2")).toDF("k", "attr"), "k", 2L)
+    val v3 = scd2Apply(v2, Seq((1L, "a3")).toDF("k", "attr"), "k", 3L)
+    val v4 = scd2Apply(v3, Seq((9L, "new")).toDF("k", "attr"), "k", 4L)
+    val got = v4.orderBy($"k", $"effective_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 1L, 2L, false),
+      (1L, "a2", 2L, 3L, false),
+      (1L, "a3", 3L, -1L, true),
+      (2L, "b", 1L, -1L, true),
+      (9L, "new", 4L, -1L, true)))
+    // exactly one current row per key, ranges chain without gaps
+    val cur = v4.filter($"is_current").groupBy($"k").count().collect()
+    assert(cur.forall(_.getLong(1) == 1L))
+  }
 }
