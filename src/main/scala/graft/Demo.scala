@@ -249,6 +249,17 @@ object Demo {
     try qs.processAllAvailable() finally qs.stop()
     println(s"stateful streaming sessions closed in-stream: ${spark.table("demo_sessions").count()}")
 
+    // stream-stream as-of: purchases enriched with the latest same-user
+    // click at-or-before, sealed by the watermark (join_asof_native's twin)
+    val qa = StreamingOps.statefulAsofJoin(
+        StreamingOps.readEventsStream(spark, sfDir), watermark = "1 hour")
+      .writeStream.format("memory").queryName("demo_asof").outputMode("append").start()
+    try qa.processAllAvailable() finally qa.stop()
+    val asofSealed = spark.table("demo_asof").count()
+    val asofMatched = spark.table("demo_asof").filter($"click_id".isNotNull).count()
+    println(s"stateful stream-stream as-of: $asofSealed purchases sealed, " +
+      s"$asofMatched enriched with their latest prior click")
+
     // distributed global rank: no single-partition window anywhere
     // (persisted: the count and the top-row probe are two actions)
     val rankedCustomers = graft.operators.GlobalRank.withRank(

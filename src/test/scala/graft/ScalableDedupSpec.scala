@@ -238,6 +238,49 @@ class ScalableDedupSpec extends SparkSpecBase {
       "cap must drop the 30-doc boilerplate clique and keep the 2-doc true pair")
   }
 
+  test("maxBucketSize: a true pair INSIDE a dropped hot bucket survives " +
+      "through an independent band (the recall argument, pinned)") {
+    // the BASELINE.md independent-chance argument as a fixture: docs 1,2
+    // are a true near-dup pair whose shingle sets CONTAIN the boilerplate
+    // core shared by 50 other docs. Bands whose minhashes are all
+    // core-determined put 1,2 in the 52-doc hot bucket — which the cap
+    // drops, pair and all. Recall survives only because some OTHER band's
+    // minhash is determined by the pair's shared distinctive suffix,
+    // giving a bucket of exactly {1, 2} no cap touches. Hash functions
+    // are pinned, so this is deterministic, not flaky.
+    val core = (0 until 64).map(k => 100000L + k * 9973L)
+    val suffix = (0 until 12).map(k => 900000L + k * 7919L)
+    val rows =
+      Seq((1L, core ++ suffix),                         // true pair...
+          (2L, core ++ suffix.updated(11, 999999L))) ++ // ...one hash differs
+      (10L until 60L).map(i => (i, core :+ (200000L + i))) // boilerplate
+    val df = rows.toDF("doc_id", "hs")
+    val bands = 8; val rpb = 2
+    // the fixture must have teeth: (a) at least one hot band bucket
+    // holds BOTH pair docs and 50 boilerplate docs...
+    val sigs = ScalableDedup.minhashBandSignatures(df, "doc_id", "hs",
+        bands, rpb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val byBucket = sigs.groupBy(s => (s._2, s._3)).view
+      .mapValues(_.map(_._1).toSet).toMap
+    val hot = byBucket.filter(_._2.size > 10)
+    assert(hot.exists(b => b._2.contains(1L) && b._2.contains(2L)),
+      s"fixture lost its teeth: no hot bucket holds the pair; " +
+        s"bucket sizes ${byBucket.values.map(_.size).toSeq.sorted.reverse.take(5)}")
+    // ...and (b) some small bucket holds exactly the pair
+    assert(byBucket.values.exists(_ == Set(1L, 2L)),
+      "fixture lost its teeth: no pair-only bucket")
+    // the cap drops every hot bucket, yet the pair is still found
+    val capped = ScalableDedup.minhashBandedCandidates(df, "doc_id", "hs",
+        bands, rpb, maxBucketSize = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)),
+      s"true pair lost to the bucket cap: $capped")
+    // and the cap genuinely bit: the 50-doc boilerplate clique is gone
+    assert(!capped.exists { case (a, b) => a >= 10L && b >= 10L },
+      s"boilerplate pairs survived the cap: ${capped.filter(_._1 >= 10L)}")
+  }
+
   test("llm_lsh_append: incremental near-dup append equals the one-shot recompute") {
     // real corpus: the incremental decomposition (store ∪ delta bands,
     // delta-only candidate discovery) must reproduce the full pair set

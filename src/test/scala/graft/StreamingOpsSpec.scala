@@ -1030,4 +1030,87 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(got == want,
       s"stream-only: ${got -- want}; batch-only: ${want -- got}")
   }
+
+  test("stateful as-of join is bit-identical to join_asof_native under " +
+      "shuffled multi-batch delivery") {
+    implicit val ctx = spark.sqlContext
+    // the REAL judged input: every purchase/click of the sf events table,
+    // delivered out of order across three interleaved micro-batches
+    val all = Tables.events(spark, sf())
+      .filter($"event_type".isin("purchase", "click"))
+      .select($"event_id", unix_micros($"ts").as("us"), $"user_id",
+        $"event_type")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val ms = MemoryStream[(Long, Long, Long, String)]
+    val in = ms.toDF().select($"_1".as("event_id"),
+      timestamp_micros($"_2").as("ts"), $"_3".as("user_id"),
+      $"_4".as("event_type"))
+    // fully SCRAMBLED delivery: batch k gets the rows with event_id ≡ k
+    // (mod 3), so probes routinely arrive batches before their matching
+    // reference and vice versa. A real deployment bounds disorder by the
+    // watermark delay; 90 days covers this corpus' whole span, so NO row
+    // is late and every instant seals only at the sentinel — the pure
+    // buffering-and-fold correctness test.
+    val out = StreamingOps.statefulAsofJoin(in, watermark = "90 days")
+    val q = out.writeStream.format("memory").queryName("t_asof")
+      .outputMode("append").start()
+    try {
+      for (k <- 0 until 3) {
+        ms.addData(all.filter(_._1 % 3 == k): _*)
+        q.processAllAvailable()
+      }
+      // far-future sentinel seals every real instant (excluded below)
+      ms.addData((999999999L, all.map(_._2).max + 100L * 86400000000L,
+        999999L, "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_asof").filter($"user_id" =!= 999999L)
+      .select($"purchase_id", $"user_id", $"click_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val want = graft.operators.Relational.joinAsofNative(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // discriminating fixture: both matched and unmatched probes occur
+    assert(want.exists(_._3 == -1L) && want.exists(_._3 != -1L))
+    assert(got == want,
+      s"stream-only: ${got -- want}; batch-only: ${want -- got}")
+
+    // second fixture: realistic TIME-SLICED delivery under a tight
+    // 1-hour watermark — rows must seal and emit PROGRESSIVELY, not
+    // only at the sentinel, and still sum to the identical result
+    val sorted = all.sortBy(_._2)
+    val slices = sorted.grouped((sorted.size + 2) / 3).toSeq
+    val ms2 = MemoryStream[(Long, Long, Long, String)]
+    val in2 = ms2.toDF().select($"_1".as("event_id"),
+      timestamp_micros($"_2").as("ts"), $"_3".as("user_id"),
+      $"_4".as("event_type"))
+    val out2 = StreamingOps.statefulAsofJoin(in2, watermark = "1 hour")
+    val q2 = out2.writeStream.format("memory").queryName("t_asof2")
+      .outputMode("append").start()
+    var afterSlices = 0L
+    try {
+      slices.foreach { s =>
+        // scrambled WITHIN the slice (id order ≠ time order), ordered
+        // across slices — disorder bounded by the watermark, no drops
+        ms2.addData(s.sortBy(_._1): _*)
+        q2.processAllAvailable()
+      }
+      afterSlices = spark.table("t_asof2").count()
+      ms2.addData((999999999L, all.map(_._2).max + 100L * 86400000000L,
+        999999L, "purchase"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(afterSlices > 0, "nothing sealed before the sentinel — the " +
+      "progressive-emission fixture lost its teeth")
+    val got2 = spark.table("t_asof2").filter($"user_id" =!= 999999L)
+      .select($"purchase_id", $"user_id", $"click_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got2 == want,
+      s"stream-only: ${got2 -- want}; batch-only: ${want -- got2}")
+  }
 }
