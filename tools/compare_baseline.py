@@ -108,6 +108,14 @@ def main():
                     help="parquet table dir for --live (default sf0.1, the bench SF)")
     ap.add_argument("--oracle", default="/tmp/graft_verify/oracle_sql.json",
                     help="oracle_sql.json dumped by graft.Verify (for --live)")
+    ap.add_argument("--prior", metavar="DETAIL_JSON",
+                    help="prior round's committed bench detail (e.g. "
+                         "docs/bench_detail_r12.json): flag per-query "
+                         "regressions beyond --regression-factor")
+    ap.add_argument("--regression-factor", type=float, default=1.5,
+                    help="per-query slowdown vs --prior that counts as a "
+                         "regression (default 1.5x; sub-0.15s rows are "
+                         "dispatch-floor noise and exempt)")
     args = ap.parse_args()
 
     bench = read_bench(args.bench, args.extra)
@@ -145,6 +153,33 @@ def main():
         print(f"HEADLINE (same-host, same-protocol): engine concurrent wall "
               f"{wall:.2f}s vs live DuckDB {live_wall:.2f}s -> "
               f"{wall / live_wall:.2f}x")
+
+    # per-query regression gate vs the prior round's committed detail —
+    # automates the pairwise diff the round-11/12 verdicts did by hand.
+    # Sub-0.15s rows on BOTH sides are dispatch-floor noise, not data
+    # paths, and are exempt; everything else slower than the factor is
+    # listed with its delta so the round's closing notes can cite it.
+    if args.prior:
+        prior = json.load(open(args.prior)).get("queries", {})
+        regs, news = [], []
+        for q, t in bench["queries"].items():
+            p = prior.get(q)
+            if p is None:
+                news.append(q)
+            elif t > args.regression_factor * p and max(t, p) >= 0.15:
+                regs.append((t / p, q, t, p))
+        regs.sort(reverse=True)
+        if regs:
+            print(f"\nREGRESSIONS vs {args.prior} (> {args.regression_factor}x):")
+            for r, q, t, p in regs:
+                print(f"{r:8.2f} {t:9.3f} {p:10.3f}  {q}")
+        else:
+            print(f"\nno per-query regression vs {args.prior} "
+                  f"(factor {args.regression_factor}, "
+                  f"{len(bench['queries']) - len(news)} compared"
+                  + (f", new: {sorted(news)}" if news else "") + ")")
+        if regs:
+            sys.exit(2)
 
 
 if __name__ == "__main__":
