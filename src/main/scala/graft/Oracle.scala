@@ -905,6 +905,22 @@ object Oracle {
         "SELECT o_orderkey, o_orderpriority, effective_from, effective_to, " +
         "(effective_to IS NULL) AS is_current " +
         "FROM h WHERE o_orderkey <= 600 ORDER BY o_orderkey, effective_from"),
+    // decimal running balance: exact window sum, scale-pinned string
+    "win_decimal_cumsum" ->
+      ("SELECT o_orderkey, o_orderpriority, " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER " +
+        "(PARTITION BY o_orderpriority ORDER BY o_orderkey) AS DECIMAL(18,2)) AS VARCHAR) AS running_total " +
+        "FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey"),
+    // IANA-zone conversions against DuckDB's ICU timezone(); session tz
+    // is UTC on both engines, so naive ts ⇄ instant mappings line up
+    "fn_timezone" ->
+      ("SELECT event_id, ts, " +
+        "CAST(timezone('America/New_York', ts::TIMESTAMPTZ) AS TIMESTAMP) AS ny_wall, " +
+        "CAST(timezone('Asia/Tokyo', ts::TIMESTAMPTZ) AS TIMESTAMP) AS tokyo_wall, " +
+        "CAST(timezone('Asia/Kathmandu', ts::TIMESTAMPTZ) AS TIMESTAMP) AS ktm_wall, " +
+        "CAST(timezone('America/New_York', ts) AS TIMESTAMP) AS ny_as_utc, " +
+        "CAST(extract(hour FROM timezone('America/New_York', ts::TIMESTAMPTZ)) AS BIGINT) AS ny_hour " +
+        "FROM events WHERE event_id <= 200 ORDER BY event_id"),
     // windowed SampEn: identical arithmetic to hrv_sampen, tumbling
     // 32-beat boxes, complete boxes only, templates never straddle edges
     "hrv_rolling_sampen" ->

@@ -329,6 +329,35 @@ object Scalars {
     * a wrong result scale changes the string even when the value is
     * numerically right. Literals are java.math.BigDecimal, not doubles,
     * so they enter the plan as exact DecimalType literals. */
+  /** #208 TIME-ZONE conversion semantics (round-13) — the calendar
+    * surface #38/#108 never touched and every cross-region ETL hits on
+    * day one: UTC instants rendered as local wall time
+    * (`from_utc_timestamp`) and local wall times resolved back to UTC
+    * (`to_utc_timestamp`), against DuckDB's ICU `timezone()` on the
+    * same IANA zone names. Zones are chosen to prove a REAL tz
+    * database is consulted, not an offset table: America/New_York
+    * (negative, DST-carrying), Asia/Tokyo (no DST), Asia/Kathmandu
+    * (+05:45 — a half-quarter-hour offset no naive arithmetic
+    * produces), and the derived local HOUR for the bucketing-by-local-
+    * day shape real pipelines shard on. All codegen'd; per-row map. */
+  def fnTimezone(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_id") <= 200)
+      .select(col("event_id"),
+        // ntz casts: the judged output convention (naive, like DuckDB)
+        col("ts").cast("timestamp_ntz").as("ts"),
+        from_utc_timestamp(col("ts"), "America/New_York")
+          .cast("timestamp_ntz").as("ny_wall"),
+        from_utc_timestamp(col("ts"), "Asia/Tokyo")
+          .cast("timestamp_ntz").as("tokyo_wall"),
+        from_utc_timestamp(col("ts"), "Asia/Kathmandu")
+          .cast("timestamp_ntz").as("ktm_wall"),
+        to_utc_timestamp(col("ts"), "America/New_York")
+          .cast("timestamp_ntz").as("ny_as_utc"),
+        hour(from_utc_timestamp(col("ts"), "America/New_York"))
+          .cast("long").as("ny_hour"))
+      .orderBy(col("event_id"))
+
   def fnDecimal(s: SparkSession, d: String): DataFrame = {
     val dp = col("p_retailprice").cast("decimal(12,2)")
     val halfCent = lit(new java.math.BigDecimal("0.005"))

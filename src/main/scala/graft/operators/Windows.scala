@@ -274,6 +274,28 @@ object Windows {
         col("_n"))
   }
 
+  /** #207 DECIMAL running balance (round-13) — the decimal family
+    * ([[graft.operators.Scalars.fnDecimal]] / `agg_decimal_money`)
+    * extended into window frames: a per-priority cumulative sum of
+    * exact DECIMAL(12,2) order totals in key order — the running-
+    * balance/ledger shape every money pipeline computes, where a float
+    * window sum drifts with frame evaluation order and a decimal one
+    * CANNOT. Spark widens the window sum like the aggregate
+    * (DECIMAL(22,2)); the explicit DECIMAL(18,2) cast + string output
+    * pins the value and scale across engines (the fnDecimal
+    * convention). Partitioned window — no global ordering anywhere. */
+  def winDecimalCumsum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 1000)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(12,2)").as("price_d"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        sum(col("price_d")).over(w).cast("decimal(18,2)").cast("string")
+          .as("running_total"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** #25 5-row moving average per key. */
   def winMovingAvg(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
