@@ -921,6 +921,15 @@ object Oracle {
         "CAST(timezone('America/New_York', ts) AS TIMESTAMP) AS ny_as_utc, " +
         "CAST(extract(hour FROM timezone('America/New_York', ts::TIMESTAMPTZ)) AS BIGINT) AS ny_hour " +
         "FROM events WHERE event_id <= 200 ORDER BY event_id"),
+    // SCD-2 time travel: the v2 state recomputed directly (v2 rule
+    // inlined, v3 not yet applied) must equal the engine's history
+    // reconstruction — a wrong effective range moves count or key sum
+    "source_scd2_asof" ->
+      ("SELECT CASE WHEN o_orderkey % 7 = 0 THEN '9-RECLASSIFIED' " +
+        "ELSE o_orderpriority END AS o_orderpriority, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
+        "FROM orders GROUP BY 1 ORDER BY o_orderpriority"),
     // windowed SampEn: identical arithmetic to hrv_sampen, tumbling
     // 32-beat boxes, complete boxes only, templates never straddle edges
     "hrv_rolling_sampen" ->

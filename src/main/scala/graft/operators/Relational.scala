@@ -399,6 +399,42 @@ object Relational {
       .withColumn("effective_to", lit(null).cast("long"))
       .withColumn("is_current", lit(true))
 
+  /** Point-in-time (time-travel) snapshot of an SCD-2 table: the rows
+    * effective AT `version` — `effective_from ≤ v` and not yet closed
+    * (`effective_to` null or `> v`). One scan, one filter; at 100 TB
+    * with the dim partitioned by is_current/effective range this is a
+    * partition-pruned read, which is the entire point of keeping SCD-2
+    * history instead of overwrite-in-place. */
+  def scd2AsOf(dim: DataFrame, version: Long): DataFrame =
+    dim.filter(col("effective_from") <= version &&
+        (col("effective_to").isNull || col("effective_to") > version))
+      .drop("effective_from", "effective_to", "is_current")
+
+  /** #209 judged SCD-2 POINT-IN-TIME lookup — the read side of
+    * [[sourceScd2]]: reconstruct the state AS OF version 2 (after the
+    * 7-divisible reclassification, before the 21-divisible escalation)
+    * from the incrementally-built history via [[scd2AsOf]], then
+    * aggregate per priority with a key-sum membership witness. The
+    * oracle recomputes the v2 state DIRECTLY from orders (the v2 rule
+    * inlined as a CASE), so a wrong effective range on any row — closed
+    * too early, opened too late, v3 leaking backward — moves either the
+    * count or the key sum. Time travel is what SCD-2 history is FOR;
+    * this judges it end to end. */
+  def sourceScd2Asof(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val delta2 = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderpriority", lit("9-RECLASSIFIED"))
+    val delta3 = base.filter(col("o_orderkey") % 21 === 0)
+      .withColumn("o_orderpriority", lit("0-ESCALATED"))
+    val dim = scd2Apply(scd2Apply(scd2Init(base, 1L), delta2, "o_orderkey", 2L),
+      delta3, "o_orderkey", 3L)
+    scd2AsOf(dim, 2L)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** #204 judged SCD-2 dimension history (round-13, verdict gap #3):
     * three batches over an orders-derived priority dimension — the v1
     * snapshot, a v2 correction re-prioritizing every 7th order, a v3

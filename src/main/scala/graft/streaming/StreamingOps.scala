@@ -946,6 +946,109 @@ object StreamingOps {
       }
   }
 
+  /** Per-key windowed-SampEn fold state: the sealed beat index, the
+    * previous sealed cent (the next template's left operand), the
+    * CURRENT box's accumulated templates (≤ 31 (c, cn) pairs — boxes
+    * are tumbling, so at most one box is ever open), the (µs, id) fold
+    * point, and the watermark-bounded pending buffer. */
+  case class RollingSampenState(beatIdx: Long, prevC: Long,
+      hasPrev: Boolean, box: Seq[(Long, Long)],
+      lastUs: Long, lastId: Long, pending: Seq[(Long, Long, Double)])
+
+  /** One per-box SampEn row — the judged `hrv_rolling_sampen` shape. */
+  case class RollingSampenRow(user_id: Long, box: Long, b_pairs: Long,
+      a_pairs: Long, sampen: Option[Double])
+
+  /** Streaming twin of the judged `hrv_rolling_sampen` (round-13):
+    * SampEn(m=1, r=20.00 in cents) per user per tumbling 32-beat box,
+    * emitted as each box COMPLETES. The [[statefulRollingRmssd]]
+    * discipline — rows buffer until the watermark strictly passes
+    * their instant, then fold in exact (µs, event_id) order — applied
+    * to the box feature: template (cᵢ, cᵢ₊₁) joins box i div 32 iff
+    * i mod 32 ≤ 30 (templates never straddle a box edge, the batch
+    * rule), and when template j=30 lands the box's 465 integer pair
+    * compares run inside the state function and the row emits. Only
+    * COMPLETE boxes emit — identical to the batch query, which is what
+    * the spec pins bit-for-bit. Per-key state is ≤ 31 cent pairs (ONE
+    * open box — tumbling, not sliding) plus the watermark-bounded
+    * buffer; arithmetic is exact integer with the single −ln(A/B)
+    * float per emission, operand-identical to batch. */
+  def statefulRollingSampen(events: DataFrame, boxSize: Int = 32,
+      tolCents: Long = 2000L,
+      watermark: String = "1 day"): Dataset[RollingSampenRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("event_id").cast("long").as("event_id"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RollingSampenState, RollingSampenRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp, Long, Double)],
+            state: GroupState[RollingSampenState]) =>
+          val st = state.getOption.getOrElse(RollingSampenState(
+            0L, 0L, hasPrev = false, Nil, Long.MinValue, Long.MinValue, Nil))
+          def micros(t: Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          val pending =
+            (st.pending ++ rows.map(r => (micros(r._2), r._3, r._4))).distinct
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, keep) = pending.partition(_._1 < wm * 1000L)
+          var i = st.beatIdx; var prevC = st.prevC; var hasPrev = st.hasPrev
+          var box = st.box.toVector
+          var lastUs = st.lastUs; var lastId = st.lastId
+          def round6(v: Double): Double =
+            java.math.BigDecimal.valueOf(v)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          val out = ripe.sortBy(r => (r._1, r._2)).filter { case (us, id, _) =>
+            us > lastUs || (us == lastUs && id > lastId)
+          }.flatMap { case (us, id, v) =>
+            val c = math.round(v * 100)
+            // the arriving beat has index i; the template it completes is
+            // (c_{i-1}, c_i) at position i-1, box (i-1) div 32, in-box
+            // j = (i-1) mod 32 — kept iff j ≤ boxSize-2 (batch rule)
+            val emit: Option[RollingSampenRow] =
+              if (hasPrev && (i - 1) % boxSize <= boxSize - 2) {
+                box = box :+ ((prevC, c))
+                if (box.size == boxSize - 1) { // box complete: score it
+                  var bPairs = 0L; var aPairs = 0L
+                  var x = 0
+                  while (x < box.size) {
+                    var y = x + 1
+                    while (y < box.size) {
+                      if (math.abs(box(x)._1 - box(y)._1) <= tolCents) {
+                        bPairs += 1
+                        if (math.abs(box(x)._2 - box(y)._2) <= tolCents)
+                          aPairs += 1
+                      }
+                      y += 1
+                    }
+                    x += 1
+                  }
+                  val boxId = (i - 1) / boxSize
+                  box = Vector.empty
+                  Some(RollingSampenRow(user, boxId, bPairs, aPairs,
+                    if (aPairs > 0 && bPairs > 0)
+                      Some(round6(-math.log(aPairs.toDouble / bPairs)))
+                    else None))
+                } else None
+              } else None
+            prevC = c; hasPrev = true; i += 1
+            lastUs = us; lastId = id
+            emit
+          }
+          state.update(RollingSampenState(i, prevC, hasPrev, box,
+            lastUs, lastId, keep))
+          if (keep.nonEmpty)
+            state.setTimeoutTimestamp(Math.max(
+              Math.floorDiv(keep.map(_._1).min + 999L, 1000L), wm + 1L))
+          out.iterator
+      }
+  }
+
   /** Per-key as-of fold state: the latest SEALED reference row's
     * (instant, id) — O(1), never a history buffer — plus the
     * (µs, side-rank, event_id) fold point and the watermark-bounded

@@ -98,7 +98,8 @@ class GoldenCountsSpec extends SparkSpecBase {
     "fn_decimal" -> 200, "agg_decimal_money" -> 6, "agg_grouping_id" -> 10,
     "source_scd2" -> 716, "hrv_rolling_sampen" -> 25,
     "mm_video_mp4_meta" -> 10,
-    "win_decimal_cumsum" -> 1001, "fn_timezone" -> 201
+    "win_decimal_cumsum" -> 1001, "fn_timezone" -> 201,
+    "source_scd2_asof" -> 6
   )
 
   test("every SURVEY §2 query is registered with an oracle") {

@@ -1113,4 +1113,39 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(got2 == want,
       s"stream-only: ${got2 -- want}; batch-only: ${want -- got2}")
   }
+
+  test("stateful windowed SampEn is bit-identical to hrv_rolling_sampen " +
+      "under shuffled multi-batch delivery") {
+    implicit val ctx = spark.sqlContext
+    val all = Tables.events(spark, sf())
+      .select($"event_id", unix_micros($"ts").as("us"), $"user_id", $"value")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val ms = MemoryStream[(Long, Long, Long, Double)]
+    val in = ms.toDF().select($"_1".as("event_id"),
+      timestamp_micros($"_2").as("ts"), $"_3".as("user_id"),
+      $"_4".as("value"))
+    val out = StreamingOps.statefulRollingSampen(in, watermark = "90 days")
+    val q = out.writeStream.format("memory").queryName("t_rsampen")
+      .outputMode("append").start()
+    try {
+      for (k <- 0 until 3) {
+        ms.addData(all.filter(_._1 % 3 == k): _*)
+        q.processAllAvailable()
+      }
+      ms.addData((999999999L, all.map(_._2).max + 100L * 86400000000L,
+        999999L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_rsampen").filter($"user_id" =!= 999999L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toSet
+    val want = graft.operators.TrainingData.hrvRollingSampen(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"stream-only: ${(got -- want).take(3)}; batch-only: ${(want -- got).take(3)}")
+  }
 }
