@@ -107,6 +107,35 @@ object SkewMeasure {
     println(s"""{"metric":"skew_join","rows":$rows,"hot_share":$hotShare,""" +
       s""""salt_buckets":$saltBuckets,"plain_aqe_skew_s":$tAqe,""" +
       s""""plain_no_skewfix_s":$tNoFix,"salted_s":$tSalt}""")
+
+    // the AGGREGATE skew counter-measurement: the same hot key under a
+    // groupBy needs NO salt, because the partial (map-side) aggregate
+    // reduces the hot key inside every scan task BEFORE the shuffle —
+    // each task ships ONE row per key whatever the skew. Forcing the
+    // rows through a key-hashed exchange FIRST (shuffle-then-reduce,
+    // the naive-engine order) recreates the straggler: the hot key's
+    // entire row mass lands on one task before any reduction. The gap
+    // between the two is the proof the default plan is already
+    // skew-immune. (Join skew has no such free fix: a join cannot
+    // pre-reduce its probe rows.)
+    def aggSink(df: DataFrame): Long =
+      df.groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+        .agg(sum($"n")).first().getLong(0)
+    val aggVariants: Seq[(String, () => Long)] = Seq(
+      "agg-reduce-then-shuffle (default)" -> (() => aggSink(fact)),
+      "agg-shuffle-then-reduce (naive)" ->
+        (() => aggSink(fact.repartition(col("k")))))
+    aggVariants.foreach { case (l, f) => println(s"[skew-measure] warmup $l: ${f()} rows") }
+    val aggBest = collection.mutable.Map[String, Double]().withDefaultValue(Double.MaxValue)
+    for (round <- 1 to 3; (label, f) <- aggVariants) {
+      val t0 = System.nanoTime(); val n = f()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[skew-measure] $label round$round: $s%.3f s ($n rows)")
+      aggBest(label) = math.min(aggBest(label), s)
+    }
+    println(s"""{"metric":"skew_agg","rows":$rows,"hot_share":$hotShare,""" +
+      s""""partial_s":${aggBest(aggVariants.head._1)},""" +
+      s""""forced_shuffle_s":${aggBest(aggVariants.last._1)}}""")
     spark.stop()
   }
 }
