@@ -921,6 +921,16 @@ object Oracle {
         "CAST(timezone('America/New_York', ts) AS TIMESTAMP) AS ny_as_utc, " +
         "CAST(extract(hour FROM timezone('America/New_York', ts::TIMESTAMPTZ)) AS BIGINT) AS ny_hour " +
         "FROM events WHERE event_id <= 200 ORDER BY event_id"),
+    // URL canonicalization invisibility: the oracle rebuilds the
+    // canonical form from the SOURCE columns — every normalization step
+    // (case, port, fragment, utm strip, param sort) must fire in the
+    // engine for the strings to match; 'b=' < 'id=' pins the sort order
+    "text_url_canonical" ->
+      ("SELECT p_partkey, " +
+        "'https://w' || CAST(p_partkey % 7 AS VARCHAR) || '.example.com/cat/' || " +
+        "lower(replace(p_type, ' ', '-')) || '/item?b=' || " +
+        "replace(p_brand, '#', '-') || '&id=' || CAST(p_partkey AS VARCHAR) AS canon " +
+        "FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"),
     // SCD-2 time travel: the v2 state recomputed directly (v2 rule
     // inlined, v3 not yet applied) must equal the engine's history
     // reconstruction — a wrong effective range moves count or key sum

@@ -625,6 +625,45 @@ object TrainingData {
       .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 2).as("avg_chars"))
       .orderBy(col("lang"), col("split"))
 
+  /** #210 URL CANONICALIZATION (round 13) — the crawl-dedup step that
+    * runs BEFORE any text dedup: the same page arrives under
+    * case-noisy hosts, explicit default ports, tracking parameters,
+    * shuffled query order, and fragments, and must collapse to one
+    * canonical key. Per part, a deliberately NOISY url is synthesized
+    * (`HTTPS://W{k}.EXAMPLE.COM:443/...?utm_source=track&id=…&b=…#sec`)
+    * and canonicalized entirely in codegen'd expressions: lowercase
+    * scheme+host, default-port strip (Java URI's HOST excludes the
+    * port), fragment drop (QUERY excludes the fragment), `utm_*`
+    * tracking-parameter removal (higher-order `filter`), and
+    * query-parameter SORT (`array_sort` — order-insensitive keys). The
+    * oracle rebuilds the canonical string directly from the part
+    * columns, so every normalization step must fire for the hash to
+    * match — the [[graft.operators.Scalars.fnUrl]] invisibility trick
+    * with the whole canonicalization chain on top. At 100 TB this is
+    * the map-side key derivation feeding a `dedup_prefix`-style
+    * group-by on canon — one pass, no shuffle of its own. */
+  def textUrlCanonical(s: SparkSession, d: String): DataFrame = {
+    val noisy = concat(
+      lit("HTTPS://W"), (col("p_partkey") % 7).cast("string"),
+      lit(".EXAMPLE.COM:443/cat/"),
+      lower(replace(col("p_type"), lit(" "), lit("-"))),
+      lit("/item?utm_source=track&utm_medium=cpc&id="),
+      col("p_partkey").cast("string"),
+      lit("&b="), replace(col("p_brand"), lit("#"), lit("-")),
+      lit("#section-2"))
+    val params = split(parse_url(col("url"), lit("QUERY")), "&")
+    val kept = array_sort(filter(params, p => !p.startsWith("utm_")))
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"), noisy.as("url"))
+      .select(col("p_partkey"),
+        concat(lit("https://"),
+          lower(parse_url(col("url"), lit("HOST"))),
+          parse_url(col("url"), lit("PATH")),
+          lit("?"), array_join(kept, "&")).as("canon"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** #75 PII redaction (added round 4): deterministic synthetic PII
     * (email/phone/SSN/IP derived from doc_id) appended to each document,
     * then scrubbed by [[graft.functions.Redact]]'s ordered regexp chain —

@@ -99,7 +99,7 @@ class GoldenCountsSpec extends SparkSpecBase {
     "source_scd2" -> 716, "hrv_rolling_sampen" -> 25,
     "mm_video_mp4_meta" -> 10,
     "win_decimal_cumsum" -> 1001, "fn_timezone" -> 201,
-    "source_scd2_asof" -> 6
+    "source_scd2_asof" -> 6, "text_url_canonical" -> 200
   )
 
   test("every SURVEY §2 query is registered with an oracle") {
