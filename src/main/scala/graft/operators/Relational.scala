@@ -367,7 +367,13 @@ object Relational {
     * is_current = false); every delta row is appended open
     * (effective_from = version, effective_to = null, is_current =
     * true). Versions must be applied in increasing order — the standard
-    * warehouse nightly-batch contract.
+    * warehouse nightly-batch contract — and that precondition is
+    * ENFORCED in-plan (the round-12 upsert-advice pattern): closing a
+    * current row whose `effective_from` is not strictly below the
+    * incoming `version` raises at execution instead of writing an
+    * inverted or empty effective range into the history. The guard is
+    * one comparison on rows already flowing through the close branch —
+    * no extra pass, no action.
     *
     * Scale shape: one equi-join of the dim against the delta's DISTINCT
     * keys (at 100 TB: bucketed dim ⇒ map-side join; small delta ⇒
@@ -380,7 +386,15 @@ object Relational {
     val hits = delta.select(col(key)).distinct().withColumn("_hit", lit(1))
     val closed = dim.join(hits, Seq(key), "left")
       .withColumn("effective_to",
-        when(col("_hit").isNotNull && col("is_current"), lit(version))
+        when(col("_hit").isNotNull && col("is_current"),
+          when(col("effective_from") >= lit(version),
+            raise_error(concat(
+              lit(s"scd2Apply: version $version is not after the open row's "
+                + "effective_from ("), col("effective_from").cast("string"),
+              lit(s") for $key "), col(key).cast("string"),
+              lit(" — batches must apply in increasing version order")))
+              .cast("long"))
+            .otherwise(lit(version)))
           .otherwise(col("effective_to")))
       .withColumn("is_current", col("is_current") && col("_hit").isNull)
       .drop("_hit")

@@ -160,5 +160,13 @@ class RelationalEdgeSpec extends SparkSpecBase {
     // exactly one current row per key, ranges chain without gaps
     val cur = v4.filter($"is_current").groupBy($"k").count().collect()
     assert(cur.forall(_.getLong(1) == 1L))
+    // out-of-order batch application fails loudly instead of writing an
+    // inverted effective range (versions must increase)
+    val e = intercept[Exception] {
+      scd2Apply(v3, Seq((1L, "stale")).toDF("k", "attr"), "k", 2L).collect()
+    }
+    assert((Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse(""))
+      .contains("increasing version order"))
   }
 }

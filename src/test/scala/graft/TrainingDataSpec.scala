@@ -111,6 +111,22 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(et.getMessage.contains("backtick"))
   }
 
+  test("textUrlCanonical: every normalization step visibly fired") {
+    val rows = TrainingData.textUrlCanonical(spark, sf())
+      .collect().map(_.getString(1))
+    assert(rows.nonEmpty)
+    rows.foreach { c =>
+      assert(c.startsWith("https://w"), c)            // scheme+host lowered
+      assert(!c.contains(":443"), c)                   // default port gone
+      assert(!c.contains("#"), c)                      // fragment gone
+      assert(!c.contains("utm_"), c)                   // tracking params gone
+      val params = c.split('?')(1).split('&').toSeq
+      assert(params == params.sorted, c)               // params sorted
+      assert(params.exists(_.startsWith("id=")) &&
+        params.exists(_.startsWith("b=")), c)          // real params kept
+    }
+  }
+
   test("char-trigram jaccard pairs are ordered, thresholded and symmetric-free") {
     val rows = TrainingData.dedupNgramJaccard(spark, sf()).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
