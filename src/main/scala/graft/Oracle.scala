@@ -20,8 +20,14 @@ object Oracle {
     * size-pruned exact Jaccard `j`), GENERATED from the same constants
     * the engine uses (ScalableDedup.minhashA/B/MinhashP) so oracle and
     * engine cannot drift. Shared by `dedup_minhash_lsh` (the pair set)
-    * and `llm_dedup_clusters` (its transitive closure). */
-  private val minhashPairCtes: String =
+    * and `llm_dedup_clusters` (its transitive closure);
+    * `dedup_lsh_capped` replays the deterministic bucket-size cap by
+    * passing `cap` (buckets with more than `cap` members are dropped
+    * before candidate generation — an exact count, so the window-count
+    * filter below reproduces the engine's anti-join bit-for-bit). */
+  private val minhashPairCtes: String = minhashCtes(None)
+
+  private def minhashCtes(cap: Option[Int]): String =
     "t AS (SELECT doc_id, list_distinct(list_transform(list_distinct(list_transform(range(1, greatest(len(text) - 3, 1) + 1), i -> substr(text, i::INT, 4))), s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hs FROM documents), " +
       "h AS (SELECT doc_id, hs, " +
       (0 until 16).map(i =>
@@ -30,12 +36,40 @@ object Oracle {
       "bands AS (" +
       (0 until 4).map(b => s"SELECT doc_id, $b AS band, h${4 * b}||':'||h${4 * b + 1}||':'||h${4 * b + 2}||':'||h${4 * b + 3} AS sig FROM h").mkString(" UNION ALL ") +
       "), " +
+      cap.map(c =>
+        "kept AS (SELECT doc_id, band, sig FROM (SELECT doc_id, band, sig, " +
+          "count(*) OVER (PARTITION BY band, sig) AS bn FROM bands) " +
+          s"WHERE bn <= $c), ").getOrElse("") +
       "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id " +
-      "FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), " +
+      s"FROM ${cap.fold("bands")(_ => "kept")} a " +
+      s"JOIN ${cap.fold("bands")(_ => "kept")} b " +
+      "ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), " +
       "sized AS (SELECT a_id, b_id, ta.hs AS ha, tb.hs AS hb, len(ta.hs) AS na, len(tb.hs) AS nb " +
       "FROM cand JOIN t ta ON ta.doc_id = a_id JOIN t tb ON tb.doc_id = b_id " +
       "WHERE least(len(ta.hs), len(tb.hs)) * 5 >= greatest(len(ta.hs), len(tb.hs)) * 4), " +
       "j AS (SELECT a_id, b_id, round(CAST(len(list_intersect(ha, hb)) AS DOUBLE) / (na + nb - len(list_intersect(ha, hb))), 6) AS jac FROM sized)"
+
+  /** Exact brute-force cosine top-5 for probes vec_id < 10 — the shared
+    * oracle of `ann_ivf_exact` and `ann_pq_rerank_exact` (both engine
+    * paths provably degenerate to exact KNN; see graft.operators.Ann /
+    * Pq). Self excluded; rank on the raw double, tie-break by id. */
+  private val annExactKnnSql: String =
+    "SELECT probe_id, nb, sim FROM (" +
+      "SELECT a.vec_id AS probe_id, b.vec_id AS nb, " +
+      "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim, " +
+      "row_number() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rn " +
+      "FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id " +
+      "WHERE a.vec_id < 10) WHERE rn <= 5 ORDER BY probe_id, rn"
+
+  /** The as-of-version-2 SCD-2 state recomputed directly from orders —
+    * shared by `source_scd2_asof` (in-memory history) and
+    * `source_scd2_pruned` (the effective_to-partitioned dim layout). */
+  private val scd2AsofV2Sql: String =
+    "SELECT CASE WHEN o_orderkey % 7 = 0 THEN '9-RECLASSIFIED' " +
+      "ELSE o_orderpriority END AS o_orderpriority, " +
+      "CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
+      "FROM orders GROUP BY 1 ORDER BY o_orderpriority"
 
   val sql: Map[String, String] = Map(
     "scan_project" ->
@@ -359,6 +393,15 @@ object Oracle {
       "SELECT lang, count(*) docs, round(avg(n_chars),4) avg_chars, round(avg(len(string_split(text,' '))),4) avg_words FROM documents GROUP BY lang ORDER BY lang",
     "llm_ngrams" ->
       "WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents), b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] bg FROM w, (SELECT unnest(range(1, 200)) i) WHERE i < len(ws)) SELECT bg, count(*) c FROM b GROUP BY bg ORDER BY c DESC, bg LIMIT 30",
+    // exact-KNN oracle shared by the two round-14 ANN-serving rows:
+    // ann_ivf_exact (nprobe = nlist → list pruning drops nothing) and
+    // ann_pq_rerank_exact (shortlist = corpus → truncation drops
+    // nothing) are each PROVABLY brute-force cosine top-k, so the
+    // persisted-index / PQ-code serving machinery is judged as
+    // invisible against plain exact KNN. Ranking on the RAW double
+    // (rounding only at output), id tie-break, like the engine.
+    "ann_ivf_exact" -> annExactKnnSql,
+    "ann_pq_rerank_exact" -> annExactKnnSql,
     "llm_cosine_topk" ->
       "SELECT a.vec_id, b.vec_id nb, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) sim FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE a.vec_id < 10 QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY sim DESC, b.vec_id) <= 5 ORDER BY a.vec_id, sim DESC, nb",
     "llm_knn_label" ->
@@ -858,6 +901,20 @@ object Oracle {
     // decimal semantics: every decimal output is scale-pinned and
     // compared as a string (DuckDB's pandas bridge degrades decimals to
     // float64), so result SCALE is part of the judged contract
+    // decimal division: Spark keeps DECIMAL (result scale max(6,s1+p2+1),
+    // half-up), DuckDB promotes to DOUBLE — both pinned to a DECIMAL(20,6)
+    // string; divisors are chosen so the 6-dp digit is far from any
+    // rounding boundary (see Scalars.fnDecimalDiv). NULLIF replays
+    // try_divide's null-not-error zero contract.
+    "fn_decimal_div" ->
+      ("WITH d AS (SELECT p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS dp " +
+        "FROM part WHERE p_partkey <= 200) " +
+        "SELECT p_partkey, CAST(dp AS VARCHAR) AS price_d, " +
+        "CAST(CAST(dp / CAST(7 AS DECIMAL(1,0)) AS DECIMAL(20,6)) AS VARCHAR) AS div_7, " +
+        "CAST(CAST(dp / CAST(1.5 AS DECIMAL(2,1)) AS DECIMAL(20,6)) AS VARCHAR) AS div_1_5, " +
+        "CAST(CAST(dp / CAST(0.25 AS DECIMAL(3,2)) AS DECIMAL(20,6)) AS VARCHAR) AS div_quarter, " +
+        "CAST(CAST(dp / NULLIF(0, 0) AS DECIMAL(20,6)) AS VARCHAR) AS div_zero " +
+        "FROM d ORDER BY p_partkey"),
     "fn_decimal" ->
       ("WITH d AS (SELECT p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS dp " +
         "FROM part WHERE p_partkey <= 200) " +
@@ -934,12 +991,11 @@ object Oracle {
     // SCD-2 time travel: the v2 state recomputed directly (v2 rule
     // inlined, v3 not yet applied) must equal the engine's history
     // reconstruction — a wrong effective range moves count or key sum
-    "source_scd2_asof" ->
-      ("SELECT CASE WHEN o_orderkey % 7 = 0 THEN '9-RECLASSIFIED' " +
-        "ELSE o_orderpriority END AS o_orderpriority, " +
-        "CAST(count(*) AS BIGINT) AS n, " +
-        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
-        "FROM orders GROUP BY 1 ORDER BY o_orderpriority"),
+    "source_scd2_asof" -> scd2AsofV2Sql,
+    // the same v2 state served from the effective_to-PARTITIONED dim
+    // layout (planning-time partition pruning) — layout invisibility,
+    // like scan_partition_pruned / join_bucketed
+    "source_scd2_pruned" -> scd2AsofV2Sql,
     // windowed SampEn: identical arithmetic to hrv_sampen, tumbling
     // 32-beat boxes, complete boxes only, templates never straddle edges
     "hrv_rolling_sampen" ->
@@ -1276,6 +1332,13 @@ object Oracle {
     // IDENTICAL banding, candidate set, and exact Jaccard
     "dedup_minhash_lsh" ->
       (s"WITH $minhashPairCtes " +
+        "SELECT a_id, b_id, jac FROM j WHERE jac >= 0.8 ORDER BY a_id, b_id"),
+    // the cap-ON configuration every 100 TB run actually ships (the
+    // quadratic-blowup guard): buckets over 10 members are dropped
+    // before the self-join — deterministic, so the oracle replays the
+    // cap exactly via a per-bucket window count (same pinned hashes).
+    "dedup_lsh_capped" ->
+      (s"WITH ${minhashCtes(Some(10))} " +
         "SELECT a_id, b_id, jac FROM j WHERE jac >= 0.8 ORDER BY a_id, b_id"),
     // incremental-append invisibility for NEAR-dup: the engine bands
     // only the delta against a persisted signature store; the oracle is

@@ -380,10 +380,32 @@ object Relational {
     * broadcast — exactly [[upsert]]'s trade) plus a union; no window,
     * no global ordering. The full-history window reconstruction (what
     * the oracle does) would re-sort the entire dimension every batch —
-    * the incremental close-and-append is the point of SCD-2. */
+    * the incremental close-and-append is the point of SCD-2.
+    * `checkUnique` adds the [[upsert]]-style opt-in guard against a
+    * delta carrying the same key twice (which would silently append two
+    * open rows with identical effective_from). */
   def scd2Apply(dim: DataFrame, delta: DataFrame, key: String,
-      version: Long): DataFrame = {
-    val hits = delta.select(col(key)).distinct().withColumn("_hit", lit(1))
+      version: Long, checkUnique: Boolean = false): DataFrame = {
+    // opt-in duplicate-delta-key guard (the upsert checkUnique pattern):
+    // a delta carrying the same key twice would append TWO open rows
+    // with identical effective_from — silently corrupting the
+    // one-current-row-per-key invariant the close branch relies on.
+    // Default-off for PK-enforced sources; the window runs on the
+    // (small) delta only, never on the dim.
+    val delta1 =
+      if (!checkUnique) delta
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+        delta.withColumn(key,
+          when(count(lit(1)).over(w) > 1,
+            raise_error(concat(
+              lit("scd2Apply: duplicate delta key "), col(key).cast("string"),
+              lit(s" in version $version — SCD-2 takes one row per key per " +
+                "batch (two identical effective_from open rows would " +
+                "corrupt the one-current-row-per-key invariant)"))))
+            .otherwise(col(key)).as(key))
+      }
+    val hits = delta1.select(col(key)).distinct().withColumn("_hit", lit(1))
     val closed = dim.join(hits, Seq(key), "left")
       .withColumn("effective_to",
         when(col("_hit").isNotNull && col("is_current"),
@@ -398,7 +420,7 @@ object Relational {
           .otherwise(col("effective_to")))
       .withColumn("is_current", col("is_current") && col("_hit").isNull)
       .drop("_hit")
-    val opened = delta
+    val opened = delta1
       .withColumn("effective_from", lit(version))
       .withColumn("effective_to", lit(null).cast("long"))
       .withColumn("is_current", lit(true))
@@ -443,6 +465,49 @@ object Relational {
       .withColumn("o_orderpriority", lit("0-ESCALATED"))
     val dim = scd2Apply(scd2Apply(scd2Init(base, 1L), delta2, "o_orderkey", 2L),
       delta3, "o_orderkey", 3L)
+    scd2AsOf(dim, 2L)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** #215 judged SCD-2 PRUNED point-in-time read (round-14) — the
+    * read-side scale claim of [[scd2AsOf]]'s docstring, now pinned
+    * in-plan instead of asserted in prose: the same three-batch history
+    * as [[sourceScd2Asof]] is WRITTEN `partitionBy(effective_to)` (one
+    * directory per close version plus the null partition of still-open
+    * rows), and the as-of filter's `effective_to IS NULL OR
+    * effective_to > v` disjunct references only the partition column,
+    * so it prunes at PLANNING time — an as-of read touches the open
+    * partition and the partitions closed AFTER v, never the ever-growing
+    * mass of history closed at or before v. At 100 TB that is the
+    * difference between an as-of lookup scanning this month's closes
+    * and rescanning every close since the dimension began.
+    * PlanShapeSpec asserts the `PartitionFilters` entry and the pruned
+    * partition count; here the layout must be judged INVISIBLE — the
+    * oracle recomputes the v2 state directly from orders, so a row
+    * lost to (or leaked past) the partition boundary moves the hash. */
+  def sourceScd2Pruned(s: SparkSession, d: String): DataFrame = {
+    val dir = layoutOnce("scd2_dim", d) { out =>
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val delta2 = base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderpriority", lit("9-RECLASSIFIED"))
+      val delta3 = base.filter(col("o_orderkey") % 21 === 0)
+        .withColumn("o_orderpriority", lit("0-ESCALATED"))
+      val dim = scd2Apply(scd2Apply(scd2Init(base, 1L), delta2, "o_orderkey", 2L),
+        delta3, "o_orderkey", 3L)
+      // one file per close-version partition: the partition count is
+      // O(versions), tiny — a per-partition repartition keeps the
+      // writer from emitting shuffle-partition-many small files
+      dim.repartition(col("effective_to"))
+        .write.partitionBy("effective_to").parquet(out)
+    }
+    // partition-value inference types effective_to int — pin long (the
+    // in-memory dim's type); the cast stays a partition-only predicate,
+    // so pruning still fires through it
+    val dim = s.read.parquet(dir)
+      .withColumn("effective_to", col("effective_to").cast("long"))
     scd2AsOf(dim, 2L)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))

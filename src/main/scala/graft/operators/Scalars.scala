@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -311,24 +311,6 @@ object Scalars {
       .orderBy(col("p_partkey"))
       .limit(150)
 
-  /** #201 row-level DECIMAL money semantics — the first judged probe of
-    * exact-decimal arithmetic (round-12 verdict gap #1: every real ETL
-    * pipeline hits DECIMAL immediately; the testdata carries doubles, so
-    * the cast INTO decimal is part of the judged surface). Per part:
-    * cast the 2-dp price to DECIMAL(12,2), then exercise the core
-    * decimal ops — scale-widening addition (2 dp + 3 dp → exact 3 dp),
-    * multiplication (scales ADD: 2 dp × 1 dp → exact 3 dp), HALF_UP
-    * rounding at a scale where exact .x50 ties genuinely occur (prices
-    * ending .50 × 1.1 land exactly on the 1-dp boundary, so the hash
-    * proves both engines round ties identically — half-up/away for
-    * positive values), and floor/ceil to integers. Every decimal output
-    * is cast to an EXPLICIT precision/scale and then to STRING: DuckDB's
-    * pandas bridge degrades decimals to float64, so the scale-pinned
-    * string ("101.10", not 101.1) is the only representation the hash
-    * gate can compare exactly — and it is also the stricter test, since
-    * a wrong result scale changes the string even when the value is
-    * numerically right. Literals are java.math.BigDecimal, not doubles,
-    * so they enter the plan as exact DecimalType literals. */
   /** #208 TIME-ZONE conversion semantics (round-13) — the calendar
     * surface #38/#108 never touched and every cross-region ETL hits on
     * day one: UTC instants rendered as local wall time
@@ -358,6 +340,24 @@ object Scalars {
           .cast("long").as("ny_hour"))
       .orderBy(col("event_id"))
 
+  /** #201 row-level DECIMAL money semantics — the first judged probe of
+    * exact-decimal arithmetic (round-12 verdict gap #1: every real ETL
+    * pipeline hits DECIMAL immediately; the testdata carries doubles, so
+    * the cast INTO decimal is part of the judged surface). Per part:
+    * cast the 2-dp price to DECIMAL(12,2), then exercise the core
+    * decimal ops — scale-widening addition (2 dp + 3 dp → exact 3 dp),
+    * multiplication (scales ADD: 2 dp × 1 dp → exact 3 dp), HALF_UP
+    * rounding at a scale where exact .x50 ties genuinely occur (prices
+    * ending .50 × 1.1 land exactly on the 1-dp boundary, so the hash
+    * proves both engines round ties identically — half-up/away for
+    * positive values), and floor/ceil to integers. Every decimal output
+    * is cast to an EXPLICIT precision/scale and then to STRING: DuckDB's
+    * pandas bridge degrades decimals to float64, so the scale-pinned
+    * string ("101.10", not 101.1) is the only representation the hash
+    * gate can compare exactly — and it is also the stricter test, since
+    * a wrong result scale changes the string even when the value is
+    * numerically right. Literals are java.math.BigDecimal, not doubles,
+    * so they enter the plan as exact DecimalType literals. */
   def fnDecimal(s: SparkSession, d: String): DataFrame = {
     val dp = col("p_retailprice").cast("decimal(12,2)")
     val halfCent = lit(new java.math.BigDecimal("0.005"))
@@ -371,6 +371,39 @@ object Scalars {
         round(dp * tax, 1).cast("decimal(14,1)").cast("string").as("taxed_r1"),
         floor(dp).cast("long").as("price_floor"),
         ceil(dp).cast("long").as("price_ceil"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** #211 DECIMAL division semantics (round-14) — the one decimal
+    * operator #201 left out, and the one where engines genuinely
+    * diverge: Spark's decimal `/` keeps DECIMAL with the SQL-Server
+    * result-scale rule `max(6, s1 + p2 + 1)` (adjusted under
+    * spark.sql.decimalOperations.allowPrecisionLoss when the raw
+    * precision would exceed 38 — RelationalEdgeSpec pins that
+    * boundary), while DuckDB's decimal `/` promotes to DOUBLE. The
+    * judged surface is therefore the VALUE at a pinned scale, not the
+    * engine-internal type: every quotient is cast to an explicit
+    * DECIMAL(20,6) and rendered as a scale-pinned string, and the
+    * divisors (7, 1.5, 0.25) are chosen so the true quotients' 6-dp
+    * digit is provably far from a rounding boundary (repeating tails
+    * of /7 and /3 cycle through digits ≥ 1e-1 away from a half-ulp at
+    * scale 6; /0.25 is exact), so half-up-on-exact-decimal (Spark)
+    * and round-nearest-on-double-then-cast (DuckDB) agree on every
+    * row. `try_divide` by an exact decimal zero pins the null-not-
+    * error contract (`NULLIF` replays it in SQL). All codegen'd
+    * per-row arithmetic — no shuffle beyond the output sort. */
+  def fnDecimalDiv(s: SparkSession, d: String): DataFrame = {
+    val dp = col("p_retailprice").cast("decimal(12,2)")
+    def bd(v: String) = lit(new java.math.BigDecimal(v))
+    def pin(c: Column) = c.cast("decimal(20,6)").cast("string")
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"),
+        dp.cast("string").as("price_d"),
+        pin(dp / bd("7")).as("div_7"),
+        pin(dp / bd("1.5")).as("div_1_5"),
+        pin(dp / bd("0.25")).as("div_quarter"),
+        pin(try_divide(dp, bd("0.00"))).as("div_zero"))
       .orderBy(col("p_partkey"))
   }
 }

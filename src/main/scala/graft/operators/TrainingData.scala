@@ -974,6 +974,21 @@ object TrainingData {
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
     minhashDupPairs(s, d).orderBy(col("a_id"), col("b_id"))
 
+  /** #214 judged CAP-ON LSH dedup (round-14) — the configuration a
+    * 100 TB run actually ships: [[dedupMinhashLsh]]'s exact pipeline
+    * with the `maxBucketSize` quadratic-blowup guard ENABLED (buckets
+    * over 10 members dropped before the self-join; the sf1 campaign
+    * measured the need — boilerplate buckets grow with the corpus and
+    * their pair count grows quadratically). The cap rule is an exact
+    * deterministic count over pinned hashes, so the oracle replays it
+    * with a per-bucket window count and the judged pair set is the
+    * CAPPED pipeline's own output — closing the gap where the shipped
+    * configuration was only property-tested. Cap = 10 genuinely fires
+    * at every judged SF (max bucket 36/37/339 at sf0.001/0.01/0.1). */
+  def dedupLshCapped(s: SparkSession, d: String): DataFrame =
+    minhashDupPairs(s, d, maxBucketSize = Some(10))
+      .orderBy(col("a_id"), col("b_id"))
+
   /** #154 the #109 pair set rolled into CLUSTERS — the judged form of
     * the full 100 TB dedup story: LSH candidates → exact rescoring →
     * connected components ([[DedupClusters]] large-star/small-star,
@@ -992,7 +1007,8 @@ object TrainingData {
 
   /** The unordered MinHash-LSH duplicate pair set shared by #109 and
     * #154 (see [[dedupMinhashLsh]] for the full design rationale). */
-  private def minhashDupPairs(s: SparkSession, d: String): DataFrame = {
+  private def minhashDupPairs(s: SparkSession, d: String,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     // ONE materialization of the hashed-shingle table: it feeds the band
     // signatures AND both rescoring sides — lazy, the per-doc md5
     // shingling would run three times. shingle_hash32 is the fused
@@ -1004,7 +1020,8 @@ object TrainingData {
         graft.functions.ShingleHash32Expr.shingle_hash32(col("text"), 4).as("hs"))
       .localCheckpoint(true)
     val cand = ScalableDedup.minhashBandedCandidates(
-      docs, "doc_id", "hs", bands = 4, rowsPerBand = 4)
+      docs, "doc_id", "hs", bands = 4, rowsPerBand = 4,
+      maxBucketSize = maxBucketSize)
     rescoreMinhashPairs(docs, cand)
   }
 

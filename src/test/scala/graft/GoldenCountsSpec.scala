@@ -99,7 +99,11 @@ class GoldenCountsSpec extends SparkSpecBase {
     "source_scd2" -> 716, "hrv_rolling_sampen" -> 25,
     "mm_video_mp4_meta" -> 10,
     "win_decimal_cumsum" -> 1001, "fn_timezone" -> 201,
-    "source_scd2_asof" -> 6, "text_url_canonical" -> 200
+    "source_scd2_asof" -> 6, "text_url_canonical" -> 200,
+    // round 14
+    "fn_decimal_div" -> 200, "ann_ivf_exact" -> 50,
+    "ann_pq_rerank_exact" -> 50, "dedup_lsh_capped" -> 28,
+    "source_scd2_pruned" -> 6
   )
 
   test("every SURVEY §2 query is registered with an oracle") {

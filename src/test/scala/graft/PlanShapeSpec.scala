@@ -295,6 +295,25 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("source_scd2_pruned: the as-of disjunct prunes close-version partitions at planning time") {
+    val df = Relational.sourceScd2Pruned(spark, sf())
+    df.collect()
+    val scans = PlanNodes.all(df.queryExecution.executedPlan)
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty, "no file scan in the plan")
+    val scan = scans.head
+    // `effective_to IS NULL OR effective_to > 2` references only the
+    // partition column — it must land in PartitionFilters (directory
+    // pruning), the read-side scale claim of scd2AsOf's docstring
+    val pf = scan.partitionFilters.map(_.sql).mkString(";")
+    assert(pf.contains("effective_to"),
+      s"as-of predicate not a partition filter: $pf")
+    // the dim has close-version partitions {2, 3, null}; as-of v2 must
+    // read open + closed-after-v2 and skip the history closed at v2
+    val read = scan.selectedPartitions.partitionCount
+    assert(read == 2, s"expected 2 of 3 close-version partitions, got $read")
+  }
+
   test("stored plan audit covers every registered query") {
     // round 9's audit silently missed the last-added query — pin the
     // committed metrics file to the live registry so the bookkeeping

@@ -94,6 +94,32 @@ class PqSpec extends SparkSpecBase {
       "probing every list must equal the unrouted ADC scan exactly")
   }
 
+  test("shortlist recall is monotone in width and exact at full rerank") {
+    // The judged ann_pq_rerank_exact row pins the shortlist = corpus
+    // endpoint against the exact-KNN oracle; this property pins the
+    // truncating regime on the same codebooks: widening the shortlist
+    // only grows the ADC-ordered candidate prefix, and a superset can
+    // never evict a true top-5 member from the exact-cosine rerank —
+    // recall@5 is provably non-decreasing and ends at exactly 1.0.
+    val exact = topkMap(Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5))
+    val n = emb.count().toInt
+    val recalls = Seq(5, 20, 80, n).map { w =>
+      w -> {
+        val got = topkMap(Pq.pqTopK(emb, probes, "vec_id", "embedding", cb,
+          k = 5, shortlist = w))
+        exact.keys.toSeq.map { p =>
+          got.getOrElse(p, Seq.empty).toSet.intersect(exact(p).toSet).size / 5.0
+        }.sum / exact.size
+      }
+    }
+    info("PQ recall@5 by shortlist width: " +
+      recalls.map { case (w, r) => f"$w:$r%.2f" }.mkString(" "))
+    recalls.sliding(2).foreach { case Seq((w0, r0), (w1, r1)) =>
+      assert(r1 >= r0, s"recall fell from $r0 (w=$w0) to $r1 (w=$w1)")
+    }
+    assert(recalls.last._2 == 1.0, s"full-corpus shortlist must be exact: $recalls")
+  }
+
   test("training rejects an empty corpus and a non-divisible dim") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assertThrows[IllegalArgumentException] {

@@ -169,4 +169,45 @@ class RelationalEdgeSpec extends SparkSpecBase {
       Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse(""))
       .contains("increasing version order"))
   }
+
+  test("scd2Apply checkUnique: a duplicate delta key fails loudly instead of double-opening") {
+    import graft.operators.Relational.{scd2Init, scd2Apply}
+    val v1 = scd2Init(Seq((1L, "a")).toDF("k", "attr"), 1L)
+    val dupDelta = Seq((1L, "x"), (1L, "y")).toDF("k", "attr")
+    // guard ON: the duplicate key raises before any row is written
+    val e = intercept[Exception] {
+      scd2Apply(v1, dupDelta, "k", 2L, checkUnique = true).collect()
+    }
+    assert((Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse(""))
+      .contains("duplicate delta key"))
+    // guard OFF (the documented precondition-holds fast path): the same
+    // delta silently writes TWO open rows for key 1 — exactly the
+    // corruption the opt-in guard exists to catch
+    val corrupted = scd2Apply(v1, dupDelta, "k", 2L)
+      .filter($"k" === 1L && $"is_current").count()
+    assert(corrupted == 2L)
+    // and a unique delta passes through the guard unchanged
+    val clean = scd2Apply(v1, Seq((1L, "z")).toDF("k", "attr"), "k", 2L,
+      checkUnique = true)
+    assert(clean.filter($"is_current").count() == 1L)
+  }
+
+  test("decimal division at the (38,6) allowPrecisionLoss boundary keeps scale 6") {
+    // DECIMAL(38,6) / DECIMAL(10,0): the raw SQL-Server rule gives
+    // scale max(6, 6+10+1) = 17, precision 38-6+0+17 = 49 > 38 — Spark's
+    // allowPrecisionLoss (default true) trims back to DECIMAL(38,6),
+    // the boundary fn_decimal_div's scale-pinning relies on. The value
+    // check uses an exactly-dividing-by-3 operand so no rounding is
+    // involved: the quotient must come back digit-exact at scale 6.
+    val big = new java.math.BigDecimal("12345678901234567890123456789012.345678")
+    val df = spark.range(1).select(
+      (lit(big).cast("decimal(38,6)") /
+        lit(new java.math.BigDecimal("3")).cast("decimal(10,0)")).as("q"))
+    assert(df.schema("q").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 6),
+      s"unexpected quotient type ${df.schema("q").dataType}")
+    assert(df.head.getDecimal(0).toPlainString ==
+      "4115226300411522630041152263004.115226")
+  }
 }
