@@ -113,6 +113,20 @@ object Oracle {
         "max(o_orderdate) AS last_order FROM orders " +
         "WHERE year(o_orderdate) BETWEEN 1996 AND 1998 " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // plain-table formulation: the engine round-trips orders through the
+    // hand-rolled Avro object-container codec (deflate, null-union on the
+    // derived every-11th-custkey column, local-timestamp-micros); the
+    // oracle computes the identical aggregate from raw parquet with the
+    // null derivation inlined — any mis-decoded byte moves the hash
+    "source_avro_roundtrip" ->
+      ("SELECT o_orderstatus, count(*) AS n, " +
+        "count(CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_custkey END) AS n_cust, " +
+        "CAST(sum(CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_custkey END) AS BIGINT) AS sum_cust, " +
+        "round(sum(o_totalprice),2) AS total, " +
+        "max(o_orderdate) AS last_order, " +
+        "CAST(sum(o_orderkey % 97) AS BIGINT) AS sum_bucket, " +
+        "CAST(sum(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "filter_predicates" ->
       "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R') AND NOT l_linestatus = 'O' ORDER BY l_orderkey, l_linenumber, l_quantity",
     "filter_like_null" ->
@@ -898,6 +912,25 @@ object Oracle {
         "CAST(500 + s_suppkey * 37 AS BIGINT) AS dur_ms, " +
         "CAST(1 + (s_suppkey % 30) AS BIGINT) AS n_samples " +
         "FROM supplier WHERE s_suppkey <= 200 ORDER BY s_suppkey"),
+    // MP4 sample-table walk invisibility: one row per coded sample;
+    // rel_off replays the size prefix-sum the multi-chunk stsc/stco
+    // resolution must reproduce, dur replays the RLE'd stts deltas.
+    // generate_series is INCLUSIVE of its upper bound, so 0..sk%13
+    // yields the encoder's 1 + sk%13 samples.
+    "mm_video_mp4_samples" ->
+      ("WITH k AS (SELECT s_suppkey AS sk FROM supplier WHERE s_suppkey <= 200), " +
+        "g AS (SELECT i FROM generate_series(0, 12) t(i)), " +
+        "s AS (SELECT sk, i, 20 + ((sk*19 + i*23) % 181) AS sz, " +
+        "40 + ((sk + i) % 7) AS dur " +
+        "FROM k CROSS JOIN g WHERE i <= sk % 13) " +
+        "SELECT sk AS s_suppkey, " +
+        "CASE CAST(sk % 4 AS INT) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'avc1' " +
+        "WHEN 2 THEN 'hvc1' ELSE 'av01' END AS codec, " +
+        "CAST(i AS BIGINT) AS i, " +
+        "CAST(COALESCE(sum(sz) OVER (PARTITION BY sk ORDER BY i " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rel_off, " +
+        "CAST(sz AS BIGINT) AS sz, CAST(dur AS BIGINT) AS dur " +
+        "FROM s ORDER BY s_suppkey, i"),
     // decimal semantics: every decimal output is scale-pinned and
     // compared as a string (DuckDB's pandas bridge degrades decimals to
     // float64), so result SCALE is part of the judged contract

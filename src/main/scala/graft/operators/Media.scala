@@ -226,6 +226,70 @@ object Media {
         col("m._10").cast("long").as("n_samples"))
       .orderBy(col("s_suppkey"))
 
+  /** Deterministic multi-chunk MP4 for key `sk`: sample count, sizes,
+    * time deltas, chunk pattern and codec all closed-form functions of
+    * the key, so the oracle can replay every per-sample integer. */
+  private val encodeMp4Samples = udf { (sk: Long) =>
+    val n = 1 + (sk % 13).toInt
+    val frames = Array.tabulate(n)(i =>
+      Array.ofDim[Byte](20 + ((sk * 19 + i * 23) % 181).toInt))
+    val deltas = Array.tabulate(n)(i => 40 + ((sk + i) % 7).toInt)
+    val chunks = scala.collection.mutable.ArrayBuffer[Int]()
+    var left = n
+    var j = 0
+    while (left > 0) {
+      val c = math.min(left, 1 + ((sk + j) % 4).toInt)
+      chunks += c; left -= c; j += 1
+    }
+    val codecs = Array("jpeg", "avc1", "hvc1", "av01")
+    graft.multimodal.Mp4.encodeMp4Chunked(16, 16, 1000 + sk,
+      frames.toSeq, chunks.toSeq, deltas.toSeq, codecs((sk % 4).toInt))
+  }
+  private val parseMp4Samples = udf { (bytes: Array[Byte]) =>
+    val (codec, samples) = graft.multimodal.Mp4.videoSampleTable(bytes)
+      .getOrElse(throw new IllegalArgumentException("no video sample table"))
+    val deltas = graft.multimodal.Mp4.sampleDurations(bytes)
+      .getOrElse(throw new IllegalArgumentException("no stts table"))
+    require(deltas.length == samples.length,
+      s"stts (${deltas.length}) and stsz (${samples.length}) disagree")
+    val base = samples.head._1
+    (codec, samples.zip(deltas).map { case ((off, sz), dur) =>
+      (off - base, sz, dur)
+    })
+  }
+
+  /** #217 judged MP4 SAMPLE-TABLE WALK (round-13 verdict #6 — ISO-BMFF
+    * covered from brand to byte offsets): per supplier, synthesize a
+    * MULTI-chunk MP4 whose stsz sizes, stsc samples-per-chunk runs,
+    * stco chunk offsets and run-length-encoded stts time deltas are all
+    * closed-form in the key, walk the four tables back through the real
+    * parser ([[graft.multimodal.Mp4.videoSampleTable]] +
+    * [[graft.multimodal.Mp4.sampleDurations]]), and emit ONE ROW PER
+    * SAMPLE: mdat-relative byte offset, size, and time delta as exact
+    * integers. Offsets are judged relative to sample 0 (the absolute
+    * base is the moov's size — container bookkeeping the oracle
+    * shouldn't replicate; Mp4Spec pins the absolute form), and because
+    * chunks pack back-to-back, `rel_off` equals the size prefix-sum —
+    * but only when the stsc run resolution assigns every sample to the
+    * right chunk, so a run-arithmetic slip shifts offsets and fails the
+    * hash. This walk is the exact scheduling input a 100 TB media scan
+    * uses to fetch coded frames without decoding: per-row parse,
+    * embarrassingly parallel, no shuffle until the bounded ordered
+    * output. */
+  def mmVideoMp4Samples(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .filter(col("s_suppkey") <= 200)
+      .select(col("s_suppkey"))
+      .withColumn("p", parseMp4Samples(encodeMp4Samples(col("s_suppkey"))))
+      .select(col("s_suppkey"), col("p._1").as("codec"),
+        posexplode(col("p._2")).as(Seq("i", "t")))
+      .select(col("s_suppkey"), col("codec"),
+        col("i").cast("long").as("i"),
+        col("t._1").as("rel_off"),
+        col("t._2").cast("long").as("sz"),
+        col("t._3").cast("long").as("dur"))
+      .orderBy(col("s_suppkey"), col("i"))
+
   /** #194 judged audio roundtrip + energy: per customer (c_custkey ≤
     * 200), synthesize 256 PCM-16 samples spanning the full signed
     * range, decode them back through the real WAV parser, and emit

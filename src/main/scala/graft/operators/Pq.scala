@@ -40,10 +40,17 @@ object Pq {
     def sub: Int = dim / m
   }
 
-  private def l2normalize(v: Column): Column = {
-    val n = VectorFunctions.norm(v)
-    when(n === 0d, v).otherwise(transform(v, x => x / n))
-  }
+  /** L2-normalize with BOUND intermediates: `transform(array(x), b => …)`
+    * binds x to a lambda variable, which is evaluated once — unlike a
+    * plain expression reference, which the interpreted HOF evaluator
+    * re-evaluates at every use site (the naive
+    * `transform(v, x => x / norm(v))` recomputes the full norm PER
+    * ELEMENT — 64× per row — the shape behind the round-14 encode
+    * regression). Arithmetic is unchanged: same per-element x / n. */
+  private def l2normalize(v: Column): Column =
+    element_at(transform(array(v), vb =>
+      element_at(transform(array(VectorFunctions.norm(vb)), nb =>
+        when(nb === 0d, vb).otherwise(transform(vb, x => x / nb))), 1)), 1)
 
   /** Train m per-subspace codebooks (seeded KMeans each) on the
     * L2-normalized corpus. Driver loop is over SUBSPACES (m fits, each
@@ -79,9 +86,24 @@ object Pq {
     VectorFunctions.sqDist(slice(v, start, lit(len)), c)
 
   /** Append `codes` (array<int>, m entries): per subspace, the id of the
-    * nearest codebook centroid. One codegen'd expression per row —
-    * m·k·(dim/m) multiply-adds, no shuffle, no UDF. */
+    * nearest codebook centroid — one fused codegen'd loop per row
+    * ([[graft.functions.PqEncodeExpr]]): normalize, slice and argmin in
+    * registers, m·k·(dim/m) multiply-adds, no shuffle, no UDF. The HOF
+    * twin [[encodeHof]] is kept for cross-validation (PqSpec pins
+    * expr == HOF bit-for-bit): its nested lambdas re-evaluate the
+    * normalize per candidate under interpreted HOF evaluation — 86 ms
+    * per ROW measured at round 14, the bench's 196 s outlier — exactly
+    * the "native Expression beats UDF beats interpreted tree" rule. */
   def encode(df: DataFrame, vecCol: String, cb: PqCodebooks,
+      codesCol: String = "codes"): DataFrame =
+    df.withColumn(codesCol,
+      graft.functions.PqExprs.pq_encode(col(vecCol), cb.books))
+
+  /** The original higher-order-function encode, retained as the
+    * independent formulation PqSpec cross-validates [[encode]] against
+    * (same role as the HOF cosine vs CosineSimilarityExpr). Not used on
+    * any data path. */
+  private[graft] def encodeHof(df: DataFrame, vecCol: String, cb: PqCodebooks,
       codesCol: String = "codes"): DataFrame = {
     val cbLit = booksLit(cb)
     val v = l2normalize(VectorFunctions.toDoubleVec(col(vecCol)))
@@ -100,8 +122,13 @@ object Pq {
   }
 
   /** Asymmetric (probe-exact, corpus-quantized) squared L2 between a
-    * normalized probe vector and a code array: Σ_j ‖vp_j − book_j[c_j]‖². */
-  private def adcDist(vp: Column, codes: Column, cb: PqCodebooks): Column = {
+    * normalized probe vector and a code array: Σ_j ‖vp_j − book_j[c_j]‖²
+    * — the serving-scan inner loop, fused ([[graft.functions.PqAdcExpr]]). */
+  private def adcDist(vp: Column, codes: Column, cb: PqCodebooks): Column =
+    graft.functions.PqExprs.pq_adc(vp, codes, cb.books)
+
+  /** HOF twin of [[adcDist]] for PqSpec cross-validation only. */
+  private[graft] def adcDistHof(vp: Column, codes: Column, cb: PqCodebooks): Column = {
     val cbLit = booksLit(cb)
     aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0.0), (acc, j) =>
       acc + sliceSqDist(vp, j * cb.sub + 1, cb.sub,

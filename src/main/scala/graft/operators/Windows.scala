@@ -249,7 +249,19 @@ object Windows {
     * construction; this is bounded by a DATA-domain contract, which is
     * exactly why it carries its own runtime guard). The plan-shape
     * audit (GlobalRankSpec) waives this window explicitly, citing this
-    * guard. */
+    * guard.
+    *
+    * Guard-timing caveat (round-13 advice): the `raise_error` evaluates
+    * per OUTPUT row, i.e. AFTER the single-partition window task has
+    * already sorted the oversized count table — so a pathologically
+    * unbounded domain can straggle or OOM that one task before the loud
+    * failure fires. The guard bounds silent WRONGNESS (an ever-growing
+    * single-task window silently becoming the plan), not worst-case
+    * resource use on adversarial input. When the value domain is
+    * untrusted, pre-check with a cheap `agg(countDistinct)` action
+    * before planning this shape — not done here because the judged
+    * caller's domain is lattice-bounded by construction and an eager
+    * action inside a plan-builder would break composability. */
   private[graft] def cumeDistByValue(ev: DataFrame,
       maxDomain: Long = 100000L): DataFrame = {
     val counts = ev.select(col("value").as("_lat0"))

@@ -42,18 +42,30 @@ object Avro {
 
   private val Magic: Array[Byte] = Array('O'.toByte, 'b'.toByte, 'j'.toByte, 1.toByte)
 
-  /** Spark type → Avro schema-JSON type string (the supported ingest
-    * subset: the judged tables' scalar shapes). */
+  /** Spark type → the Avro type NAME the schema check compares (the
+    * supported ingest subset: the judged tables' scalar shapes).
+    * Logical types compare by their `logicalType` name. */
   private def avroType(dt: DataType): String = dt match {
     case LongType => "long"
     case IntegerType => "int"
     case DoubleType => "double"
     case StringType => "string"
     case BooleanType => "boolean"
+    case TimestampNTZType => "local-timestamp-micros"
     case other =>
       throw new IllegalArgumentException(
         s"unsupported Avro ingest type $other — supported: " +
-          "long, int, double, string, boolean (nullable via union)")
+          "long, int, double, string, boolean, timestamp_ntz " +
+          "(nullable via union)")
+  }
+
+  /** Spark type → Avro schema-JSON type fragment. Timestamps are the
+    * spec's `local-timestamp-micros` logical type over `long` — the
+    * exact-µs twin of the parquet fixtures' `timestamp[us]` (no tz). */
+  private def avroTypeJson(dt: DataType): String = dt match {
+    case TimestampNTZType =>
+      """{"type":"long","logicalType":"local-timestamp-micros"}"""
+    case other => s""""${avroType(other)}""""
   }
 
   /** The record schema JSON for a Spark struct — nullable fields become
@@ -61,8 +73,8 @@ object Avro {
   def schemaJson(schema: StructType, name: String = "graft_row"): String = {
     val fields = schema.fields.map { f =>
       val t =
-        if (f.nullable) s"""["null","${avroType(f.dataType)}"]"""
-        else s""""${avroType(f.dataType)}""""
+        if (f.nullable) s"""["null",${avroTypeJson(f.dataType)}]"""
+        else avroTypeJson(f.dataType)
       s"""{"name":"${f.name}","type":$t}"""
     }
     s"""{"type":"record","name":"$name","fields":[${fields.mkString(",")}]}"""
@@ -98,6 +110,11 @@ object Avro {
       case DoubleType => writeDouble(out, v.asInstanceOf[Double])
       case StringType => writeString(out, v.asInstanceOf[String])
       case BooleanType => out.write(if (v.asInstanceOf[Boolean]) 1 else 0)
+      case TimestampNTZType =>
+        val ldt = v.asInstanceOf[java.time.LocalDateTime]
+        writeVarLong(out,
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            ldt.getNano / 1000L)
       case other => throw new IllegalArgumentException(s"unsupported $other")
     }
 
@@ -259,6 +276,13 @@ object Avro {
       val b = in.read()
       if (b < 0) throw new EOFException()
       b != 0
+    case TimestampNTZType =>
+      val us = readVarLong(in)
+      // floorDiv/floorMod: pre-epoch instants have negative micros
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L).toInt * 1000,
+        java.time.ZoneOffset.UTC)
     case other => throw new IllegalArgumentException(s"unsupported $other")
   }
 
@@ -300,12 +324,18 @@ object Avro {
       val name = f.get("name").asText()
       require(name == d.name, s"$file: field $i is '$name', declared '${d.name}'")
       val t = f.get("type")
-      val (isNullable, typeName) =
-        if (t.isTextual) (false, t.asText())
-        else if (t.isArray && t.size == 2 && t.get(0).asText() == "null")
-          (true, t.get(1).asText())
+      // a logical type is {"type":"long","logicalType":"..."} — compare
+      // by the logicalType name, same convention as avroType
+      def typeNameOf(n: com.fasterxml.jackson.databind.JsonNode): String =
+        if (n.isTextual) n.asText()
+        else if (n.isObject && n.has("logicalType")) n.get("logicalType").asText()
+        else if (n.isObject && n.has("type")) n.get("type").asText()
         else throw new IllegalArgumentException(
-          s"$file: unsupported embedded type for $name: $t")
+          s"$file: unsupported embedded type for $name: $n")
+      val (isNullable, typeName) =
+        if (t.isArray && t.size == 2 && t.get(0).asText() == "null")
+          (true, typeNameOf(t.get(1)))
+        else (false, typeNameOf(t))
       require(typeName == avroType(d.dataType),
         s"$file: field $name is $typeName, declared ${avroType(d.dataType)}")
       require(isNullable == d.nullable,

@@ -972,7 +972,19 @@ object StreamingOps {
     * the spec pins bit-for-bit. Per-key state is ≤ 31 cent pairs (ONE
     * open box — tumbling, not sliding) plus the watermark-bounded
     * buffer; arithmetic is exact integer with the single −ln(A/B)
-    * float per emission, operand-identical to batch. */
+    * float per emission, operand-identical to batch.
+    *
+    * State lifetime (round-13 advice): when a key's pending buffer
+    * drains, NO eviction timeout is set — the O(1) fold point and any
+    * partial open box live for the stream's lifetime. That is
+    * deliberate, not an oversight: evicting them would CHANGE results
+    * (a resuming key would restart box alignment at index 0 and lose
+    * its open box, diverging from the batch fold the spec pins
+    * bit-identical). So per-key state is bounded but the key SPACE is
+    * not: on an unbounded key domain total state grows with distinct
+    * keys ever seen. Deployments with unbounded churning key spaces
+    * need either a bounded-domain contract upstream or an external TTL
+    * that accepts the box-realignment semantics. */
   def statefulRollingSampen(events: DataFrame, boxSize: Int = 32,
       tolCents: Long = 2000L,
       watermark: String = "1 day"): Dataset[RollingSampenRow] = {
@@ -1084,7 +1096,16 @@ object StreamingOps {
     * survives an unbounded stream where a buffered stream-stream join's
     * state is watermark-window-sized. Spec-pinned bit-identical to the
     * batch `join_asof_native` under shuffled multi-batch delivery
-    * (StreamingOpsSpec). */
+    * (StreamingOpsSpec).
+    *
+    * State lifetime (round-13 advice): an idle key sets no eviction
+    * timeout once its pending buffer drains — the latest sealed
+    * reference pair persists so a probe arriving much later still
+    * enriches correctly (exactly the batch semantics; eviction would
+    * silently turn those matches into nulls). Per-key state is O(1)
+    * but total state grows with distinct keys ever seen; unbounded
+    * churning key spaces need an upstream domain bound or an external
+    * TTL that accepts losing pre-TTL references. */
   def statefulAsofJoin(events: DataFrame, probeType: String = "purchase",
       refType: String = "click",
       watermark: String = "1 day"): Dataset[AsofRow] = {
@@ -1230,6 +1251,81 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(graft.plans.AsofJoin(batch, history(), on, probeTime, historyTime), id)
       }
+
+  /** Streaming SCD-2 dimension maintenance — the INGESTION-side twin of
+    * the judged `source_scd2` (round-13 advice #7; the as-of twin
+    * closed the read side, this closes the write side): each
+    * micro-batch of attribute rows is applied to the dimension with the
+    * SAME incremental close-and-append fold the batch query judges
+    * ([[graft.operators.Relational.scd2Apply]], `checkUnique` ON — a
+    * poisoned batch fails loudly instead of corrupting history), under
+    * the generation-per-batch sink discipline of
+    * [[incrementalDedupStream]]: generation `id` holds the full dim
+    * AFTER batch `id`, derived from the latest COMPLETE generation
+    * strictly below `id`, and committed with a marker file AFTER the
+    * write. A replayed micro-batch therefore overwrites its own
+    * generation from the same parent and produces byte-identical state
+    * (the version stamp is `initVersion + 1 + id` — a pure function of
+    * the batch id, never wall-clock), which is exactly the
+    * exactly-once contract foreachBatch asks the sink to provide.
+    *
+    * Scale shape: per batch, one join of the dim against the delta's
+    * distinct keys (broadcast when the delta is small — the streaming
+    * case by construction) plus a union and a rewrite of the dim files.
+    * The rewrite is the classic compaction trade of file-based SCD-2;
+    * at 100 TB the dim would live partitioned on `is_current`/range
+    * (the `source_scd2_pruned` layout) so the rewrite touches the
+    * current partition, not closed history. */
+  def scd2DimStream(deltas: DataFrame, key: String, stateDir: String,
+      init: () => DataFrame, initVersion: Long = 1L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deltas.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      scd2ApplyGeneration(batch, id, key, stateDir, init, initVersion)
+    }
+
+  /** One micro-batch of [[scd2DimStream]], factored out so the spec can
+    * drive replays directly. Deterministic in (batch, id, parent
+    * generation) — a replay recomputes the identical generation. */
+  def scd2ApplyGeneration(batch: DataFrame, id: Long, key: String,
+      stateDir: String, init: () => DataFrame, initVersion: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.PathGuard.requireDisjoint(spark, batch.inputFiles.toSeq, stateDir,
+      "scd2 dim store")
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val parent = scd2Generations(fs, stateDir).filter(_ < id).sorted.lastOption
+    val prior = parent match {
+      case Some(g) => spark.read.parquet(s"$stateDir/gen=$g/dim")
+      case None => graft.operators.Relational.scd2Init(init(), initVersion)
+    }
+    val next = graft.operators.Relational.scd2Apply(
+      prior, batch, key, version = initVersion + 1 + id, checkUnique = true)
+    next.write.mode("overwrite").parquet(s"$stateDir/gen=$id/dim")
+    // commit marker AFTER the data: a crash mid-write leaves an
+    // uncommitted generation the next read ignores (layoutOnce rule)
+    fs.create(new org.apache.hadoop.fs.Path(s"$stateDir/gen=$id/_graft_done"),
+      true).close()
+  }
+
+  /** The current SCD-2 dimension: the latest COMMITTED generation, or
+    * None before the first batch lands. */
+  def readScd2Dim(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    scd2Generations(fs, stateDir).sorted.lastOption
+      .map(g => spark.read.parquet(s"$stateDir/gen=$g/dim"))
+  }
+
+  private def scd2Generations(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toLong }
+      .filter(g => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$stateDir/gen=$g/_graft_done")))
+  }
 
   /** Streaming incremental corpus dedup: each micro-batch of documents is
     * curated against the signature store grown by all previous batches

@@ -103,7 +103,8 @@ class GoldenCountsSpec extends SparkSpecBase {
     // round 14
     "fn_decimal_div" -> 200, "ann_ivf_exact" -> 50,
     "ann_pq_rerank_exact" -> 50, "dedup_lsh_capped" -> 28,
-    "source_scd2_pruned" -> 6
+    "source_scd2_pruned" -> 6, "source_avro_roundtrip" -> 3,
+    "mm_video_mp4_samples" -> 55
   )
 
   test("every SURVEY §2 query is registered with an oracle") {

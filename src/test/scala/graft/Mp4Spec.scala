@@ -62,4 +62,47 @@ class Mp4Spec extends SparkSpecBase {
     // opaque: stub hash features, not container fields
     assert(got(2L)(0) != 8.0f || got(2L)(1) != 8.0f)
   }
+
+  test("chunked writer: sample walk resolves multi-run stsc to ABSOLUTE offsets") {
+    // 7 samples of distinct sizes over chunks of (2, 1, 3, 1) samples —
+    // two stsc runs collapse to (1→2), (2→1), (3→3), (4→1) positions,
+    // RLE'd to 4 runs of which none covers more than consecutive equal
+    // counts; deltas RLE to (2×25, 3×40, 2×25)… here: mixed
+    val sizes = Seq(30, 41, 52, 63, 74, 85, 96)
+    val frames = sizes.map(n => Array.tabulate[Byte](n)(i => (i + n).toByte))
+    val deltas = Seq(25, 25, 40, 40, 40, 25, 25)
+    val bytes = Mp4.encodeMp4Chunked(32, 32, 1000, frames, Seq(2, 1, 3, 1), deltas)
+    val (codec, samples) = Mp4.videoSampleTable(bytes).get
+    assert(codec == "jpeg")
+    assert(samples.map(_._2).toSeq == sizes)
+    // absolute offsets: the payload really lives there — slice and compare
+    samples.zip(frames).foreach { case ((off, sz), frame) =>
+      assert(bytes.slice(off.toInt, off.toInt + sz).toSeq == frame.toSeq)
+    }
+    // contiguous packing: offsets are the size prefix-sum over the base
+    val base = samples.head._1
+    assert(samples.map(_._1 - base).toSeq ==
+      sizes.scanLeft(0L)(_ + _).init)
+    assert(Mp4.sampleDurations(bytes).get.toSeq == deltas)
+  }
+
+  test("chunked writer: a single chunk and single-run stts degenerate correctly") {
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5))
+    val bytes = Mp4.encodeMp4Chunked(8, 8, 500, frames, Seq(2), Seq(10, 10),
+      codec = "avc1")
+    val (codec, samples) = Mp4.videoSampleTable(bytes).get
+    assert(codec == "avc1")
+    assert(samples.map(_._2).toSeq == Seq(3, 2))
+    assert(Mp4.sampleDurations(bytes).get.toSeq == Seq(10, 10))
+  }
+
+  test("chunked writer refuses a pattern that does not partition the samples") {
+    val frames = Seq(Array[Byte](1), Array[Byte](2))
+    intercept[IllegalArgumentException] {
+      Mp4.encodeMp4Chunked(8, 8, 500, frames, Seq(3), Seq(10, 10))
+    }
+    intercept[IllegalArgumentException] {
+      Mp4.encodeMp4Chunked(8, 8, 500, frames, Seq(2), Seq(10))
+    }
+  }
 }

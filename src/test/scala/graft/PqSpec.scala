@@ -120,6 +120,50 @@ class PqSpec extends SparkSpecBase {
     assert(recalls.last._2 == 1.0, s"full-corpus shortlist must be exact: $recalls")
   }
 
+  test("native PqEncodeExpr equals the independent HOF encode bit-for-bit") {
+    val expr = Pq.encode(emb, "embedding", cb)
+      .select($"vec_id", $"codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val hof = Pq.encodeHof(emb, "embedding", cb)
+      .select($"vec_id", $"codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(expr == hof,
+      "the fused codegen'd encode and the HOF formulation must agree " +
+        "on every code (same normalize, same strict-< first-min argmin)")
+  }
+
+  test("native PqAdcExpr equals the HOF asymmetric distance bit-for-bit") {
+    import graft.functions.VectorFunctions
+    val vn = {
+      val v = VectorFunctions.toDoubleVec($"embedding")
+      val n = VectorFunctions.norm(v)
+      when(n === 0d, v).otherwise(transform(v, x => x / n))
+    }
+    val coded = Pq.encode(emb, "embedding", cb)
+      .select($"vec_id", vn.as("vp"), $"codes")
+    val both = coded
+      .withColumn("d_expr", graft.functions.PqExprs.pq_adc($"vp", $"codes", cb.books))
+      .withColumn("d_hof", Pq.adcDistHof($"vp", $"codes", cb))
+      .select($"vec_id", $"d_expr", $"d_hof").collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"ADC mismatch for ${r.getLong(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+    }
+  }
+
+  test("PQ expressions null out on malformed input instead of mis-scoring") {
+    val bad = Seq((1L, Seq.fill(63)(0.5f))).toDF("vec_id", "embedding") // wrong dim
+    val c = Pq.encode(bad, "embedding", cb).select($"codes").collect()
+    assert(c.head.isNullAt(0), "length-mismatched vector must encode to null")
+    val badCodes = Seq((Seq.fill(64)(0.5), Seq(0, 0, 0, 0, 0, 0, 0, 99)))
+      .toDF("vp", "codes") // code 99 out of range for k=16
+    val d = badCodes.select(
+      graft.functions.PqExprs.pq_adc($"vp", $"codes", cb.books).as("d")).collect()
+    assert(d.head.isNullAt(0), "out-of-range code must distance to null")
+  }
+
   test("training rejects an empty corpus and a non-divisible dim") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assertThrows[IllegalArgumentException] {

@@ -1148,4 +1148,55 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(got == want,
       s"stream-only: ${(got -- want).take(3)}; batch-only: ${(want -- got).take(3)}")
   }
+
+  private def scd2RowSet(df: DataFrame): Set[(Long, String, Long, Option[Long], Boolean)] =
+    df.select($"o_orderkey", $"o_orderpriority", $"effective_from",
+        $"effective_to", $"is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+      .toSet
+
+  test("streaming SCD-2 dim maintenance equals the batch scd2Apply fold " +
+      "across micro-batches, and replays are byte-stable") {
+    implicit val ctx = spark.sqlContext
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_scd2_stream").toString
+    val base = Tables.orders(spark, sf())
+      .filter($"o_orderkey" <= 300)
+      .select($"o_orderkey", $"o_orderpriority")
+    // the judged source_scd2 deltas, delivered as two micro-batches —
+    // within-batch row order shuffled by the hash partitioning anyway
+    val d2 = base.filter($"o_orderkey" % 7 === 0)
+      .withColumn("o_orderpriority", lit("9-RECLASSIFIED"))
+      .as[(Long, String)].collect().toSeq
+    val d3 = base.filter($"o_orderkey" % 21 === 0)
+      .withColumn("o_orderpriority", lit("0-ESCALATED"))
+      .as[(Long, String)].collect().toSeq
+    assert(d2.nonEmpty && d3.nonEmpty)
+    val ms = MemoryStream[(Long, String)]
+    val in = ms.toDF().select($"_1".as("o_orderkey"), $"_2".as("o_orderpriority"))
+    val q = StreamingOps.scd2DimStream(in, "o_orderkey", stateDir, () => base)
+      .start()
+    try {
+      ms.addData(d2: _*); q.processAllAvailable()
+      ms.addData(d3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamingOps.readScd2Dim(spark, stateDir).get
+    import graft.operators.Relational
+    val want = Relational.scd2Apply(
+      Relational.scd2Apply(Relational.scd2Init(base, 1L),
+        d2.toDF("o_orderkey", "o_orderpriority"), "o_orderkey", 2L),
+      d3.toDF("o_orderkey", "o_orderpriority"), "o_orderkey", 3L)
+    assert(scd2RowSet(got) == scd2RowSet(want))
+    // one key must carry the full 3-version history for this to test closes
+    assert(scd2RowSet(want).count(_._1 == 21L) == 3)
+    // replay idempotence: re-apply batch 1 directly — same parent (gen 0),
+    // same version stamp, identical resulting state
+    StreamingOps.scd2ApplyGeneration(
+      d3.toDF("o_orderkey", "o_orderpriority"), 1L, "o_orderkey", stateDir,
+      () => base, 1L)
+    val replayed = StreamingOps.readScd2Dim(spark, stateDir).get
+    assert(scd2RowSet(replayed) == scd2RowSet(want))
+  }
 }

@@ -116,6 +116,15 @@ def main():
                     help="per-query slowdown vs --prior that counts as a "
                          "regression (default 1.5x; sub-0.15s rows are "
                          "dispatch-floor noise and exempt)")
+    ap.add_argument("--plan-metrics", default="docs/plans_sf0.01.txt.metrics.jsonl",
+                    help="current per-query structural plan metrics "
+                         "(written by graft.Explain)")
+    ap.add_argument("--plan-prior", metavar="METRICS_JSONL",
+                    help="prior round's committed plan metrics (e.g. "
+                         "docs/plan_metrics_r13.jsonl): diff structural "
+                         "counts — a NEW exchange or nested-loop join "
+                         "fails loudly (exit 2) even when wall-clock "
+                         "noise would hide it")
     args = ap.parse_args()
 
     bench = read_bench(args.bench, args.extra)
@@ -179,6 +188,48 @@ def main():
                   f"{len(bench['queries']) - len(news)} compared"
                   + (f", new: {sorted(news)}" if news else "") + ")")
         if regs:
+            sys.exit(2)
+
+    # structural plan regression gate (round-13 advice #10): diff the
+    # per-query exchange/broadcast/window/sort/BNLJ counts against the
+    # prior round's committed snapshot. Wall-clock noise moves ±30% on
+    # this host, so a new Exchange can hide inside it — the structural
+    # counts can't. Increases in exchanges or bnlj fail (exit 2);
+    # every other change is reported for the round notes.
+    if args.plan_prior:
+        def load_metrics(path):
+            out = {}
+            for line in open(path):
+                if line.strip():
+                    m = json.loads(line)
+                    out[m["query"]] = m
+            return out
+        cur = load_metrics(args.plan_metrics)
+        pri = load_metrics(args.plan_prior)
+        keys = ("exchanges", "broadcasts", "windows", "sorts", "bnlj")
+        bad, changed = [], []
+        for q in sorted(cur):
+            p = pri.get(q)
+            if p is None:
+                continue
+            deltas = [(k, p.get(k, 0), cur[q].get(k, 0))
+                      for k in keys if cur[q].get(k, 0) != p.get(k, 0)]
+            if not deltas:
+                continue
+            desc = ", ".join(f"{k} {a}->{b}" for k, a, b in deltas)
+            changed.append(f"  {q}: {desc}")
+            if any(b > a for k, a, b in deltas if k in ("exchanges", "bnlj")):
+                bad.append(q)
+        new_qs = sorted(set(cur) - set(pri))
+        if changed:
+            print(f"\nPLAN-SHAPE CHANGES vs {args.plan_prior}:")
+            print("\n".join(changed))
+        else:
+            print(f"\nno plan-shape change vs {args.plan_prior} "
+                  f"({len(set(cur) & set(pri))} compared"
+                  + (f", new: {new_qs}" if new_qs else "") + ")")
+        if bad:
+            print(f"PLAN REGRESSIONS (new exchange/BNLJ): {bad}")
             sys.exit(2)
 
 
