@@ -416,6 +416,9 @@ object Oracle {
     // (rounding only at output), id tie-break, like the engine.
     "ann_ivf_exact" -> annExactKnnSql,
     "ann_pq_rerank_exact" -> annExactKnnSql,
+    // IVFADC at nprobe=nlist + corpus-wide shortlist: both reductions
+    // exhausted, so the composed stack provably equals brute force
+    "ann_ivfpq_exact" -> annExactKnnSql,
     "llm_cosine_topk" ->
       "SELECT a.vec_id, b.vec_id nb, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) sim FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE a.vec_id < 10 QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY sim DESC, b.vec_id) <= 5 ORDER BY a.vec_id, sim DESC, nb",
     "llm_knn_label" ->

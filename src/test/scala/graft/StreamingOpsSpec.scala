@@ -1199,4 +1199,56 @@ class StreamingOpsSpec extends SparkSpecBase {
     val replayed = StreamingOps.readScd2Dim(spark, stateDir).get
     assert(scd2RowSet(replayed) == scd2RowSet(want))
   }
+
+  test("streaming latest-wins dim maintenance equals the batch upsert fold; " +
+      "duplicate delta keys fail loudly") {
+    implicit val ctx = spark.sqlContext
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_upsert_stream").toString
+    val base = Tables.orders(spark, sf())
+      .filter($"o_orderkey" <= 300)
+      .select($"o_orderkey", $"o_totalprice")
+    val d1 = base.filter($"o_orderkey" % 7 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" + lit(100.0))
+      .as[(Long, Double)].collect().toSeq
+    val d2 = base.filter($"o_orderkey" % 5 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" + lit(500.0))
+      .as[(Long, Double)].collect().toSeq
+    assert(d1.nonEmpty && d2.nonEmpty)
+    val ms = MemoryStream[(Long, Double)]
+    val in = ms.toDF().select($"_1".as("o_orderkey"), $"_2".as("o_totalprice"))
+    val q = StreamingOps.upsertDimStream(in, "o_orderkey", stateDir, () => base)
+      .start()
+    try {
+      ms.addData(d1: _*); q.processAllAvailable()
+      ms.addData(d2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rowSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val got = StreamingOps.readScd2Dim(spark, stateDir).get
+    import graft.operators.Relational
+    val want = Relational.upsert(
+      Relational.upsert(base, d1.toDF("o_orderkey", "o_totalprice"), "o_orderkey"),
+      d2.toDF("o_orderkey", "o_totalprice"), "o_orderkey")
+    assert(rowSet(got) == rowSet(want))
+    // a key hit by BOTH batches must carry batch 2's value (35 ≡ 0 mod 5 and 7)
+    assert(rowSet(got).exists { case (k, v) =>
+      k == 35L && rowSet(want).contains((k, v)) })
+    // replay idempotence: re-apply batch 1 — same parent gen 0, same state
+    StreamingOps.upsertApplyGeneration(
+      d2.toDF("o_orderkey", "o_totalprice"), 1L, "o_orderkey", stateDir,
+      () => base)
+    assert(rowSet(StreamingOps.readScd2Dim(spark, stateDir).get) == rowSet(want))
+    // duplicate delta key: loud failure, not silent arbitrary-keep
+    val dupDir = java.nio.file.Files
+      .createTempDirectory("graft_upsert_dup").toString
+    val ex = intercept[Exception] {
+      StreamingOps.upsertApplyGeneration(
+        Seq((7L, 1.0), (7L, 2.0)).toDF("o_orderkey", "o_totalprice"),
+        0L, "o_orderkey", dupDir, () => base)
+    }
+    assert((Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse(""))
+      .contains("duplicate delta key"))
+  }
 }
