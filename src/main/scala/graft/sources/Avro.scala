@@ -419,4 +419,46 @@ object Avro {
       .flatMap { case (file, pds) => decodeStream(pds.open(), decl, file) }
     spark.createDataFrame(rows, schema)
   }
+
+  /** [[readAvro]] with the CSV/JSON corrupt-row quarantine contract
+    * lifted to the container's natural fault unit, the FILE: returns
+    * (data, quarantine) where `quarantine` is one (file, error) row per
+    * container that fails to decode — bad magic, embedded-schema drift,
+    * truncated or codec-corrupt block, sync-marker mismatch — and
+    * `data` holds every row of every clean file. A 100 TB ingest must
+    * not die on one corrupt container, and partial salvage of a broken
+    * file would make results depend on WHERE it broke — all-or-nothing
+    * per file is the honest contract.
+    *
+    * Cost: clean files are decoded twice (a streamed validation pass,
+    * then the read — nothing is buffered either time; the verdict
+    * collect is file-COUNT-sized metadata, not data). That is the
+    * price of atomic per-file quarantine with streaming memory use;
+    * use plain [[readAvro]] on trusted producers. */
+  def readAvroWithQuarantine(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    schema.fields.foreach(f => avroType(f.dataType))
+    val decl = schema
+    val verdicts = spark.sparkContext
+      .binaryFiles(s"$path/*.avro")
+      .map { case (file, pds) =>
+        try {
+          val it = decodeStream(pds.open(), decl, file)
+          while (it.hasNext) it.next()
+          (file, null: String)
+        } catch {
+          case e: Throwable =>
+            (file, Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+        }
+      }.collect() // one row per FILE — metadata-scale, never data-scale
+    val badSet = verdicts.collect { case (f, err) if err != null => f }.toSet
+    import spark.implicits._
+    val quarantine = verdicts.filter(_._2 != null).toSeq
+      .toDF("file", "error")
+    val rows = spark.sparkContext
+      .binaryFiles(s"$path/*.avro")
+      .filter { case (file, _) => !badSet.contains(file) }
+      .flatMap { case (file, pds) => decodeStream(pds.open(), decl, file) }
+    (spark.createDataFrame(rows, schema), quarantine)
+  }
 }

@@ -94,6 +94,34 @@ class AvroSpec extends SparkSpecBase {
     }
   }
 
+  test("quarantine: corrupt containers are isolated per file, clean rows all survive") {
+    val dir = Files.createTempDirectory("graft_avro").toString
+    Avro.writeAvro(sampleDf, dir, codec = "deflate", blockRows = 2)
+    // three corruption shapes next to the good files
+    Files.write(java.nio.file.Paths.get(s"$dir/bad_magic.avro"),
+      "not an avro container at all".getBytes("UTF-8"))
+    val good = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".avro"))
+    assert(good.nonEmpty)
+    val bytes = Files.readAllBytes(good.head.toPath)
+    Files.write(java.nio.file.Paths.get(s"$dir/truncated.avro"),
+      java.util.Arrays.copyOf(bytes, bytes.length - 7))
+    val flipped = bytes.clone()
+    flipped(flipped.length - 3) = (flipped(flipped.length - 3) ^ 0x5a).toByte
+    Files.write(java.nio.file.Paths.get(s"$dir/bitflip.avro"), flipped)
+    val (data, quarantine) = Avro.readAvroWithQuarantine(spark, dir, schema)
+    val q = quarantine.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(q.size >= 2, s"expected the corrupt files quarantined, got $q")
+    assert(q.keys.exists(_.contains("bad_magic")))
+    assert(q.keys.exists(_.contains("truncated")))
+    assert(q.values.forall(_.nonEmpty))
+    // every clean row survives — including rows of the file whose COPY
+    // was corrupted (fault isolation is per file, not per content)
+    assert(collectSorted(data).size >= sampleRows.size)
+    val clean = data.collect().map(_.getLong(0)).toSet
+    assert(sampleRows.map(_.getLong(0)).toSet.subsetOf(clean))
+  }
+
   // ---- interop with the org.apache.avro reference implementation ----
 
   private def refSchema: org.apache.avro.Schema =
