@@ -934,6 +934,22 @@ object Oracle {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rel_off, " +
         "CAST(sz AS BIGINT) AS sz, CAST(dur AS BIGINT) AS dur " +
         "FROM s ORDER BY s_suppkey, i"),
+    // EXIF invisibility: every tag parsed out of the real APP1/TIFF
+    // bytes is a closed-form key function; byte order alternates by
+    // key parity so both endiannesses are judged
+    "mm_image_exif" ->
+      ("SELECT p_partkey, " +
+        "CASE WHEN p_partkey % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order, " +
+        "CAST(100 + p_partkey % 50 AS BIGINT) AS width, " +
+        "CAST(80 + p_partkey % 37 AS BIGINT) AS height, " +
+        "'CAM-' || CAST(p_partkey % 13 AS VARCHAR) AS make, " +
+        "CAST(1 + p_partkey % 8 AS BIGINT) AS orientation, " +
+        "'2024:' || lpad(CAST(1 + p_partkey % 12 AS VARCHAR), 2, '0') || ':' || " +
+        "lpad(CAST(1 + p_partkey % 28 AS VARCHAR), 2, '0') || ' ' || " +
+        "lpad(CAST(p_partkey % 24 AS VARCHAR), 2, '0') || ':' || " +
+        "lpad(CAST(p_partkey % 60 AS VARCHAR), 2, '0') || ':' || " +
+        "lpad(CAST(p_partkey % 60 AS VARCHAR), 2, '0') AS dt " +
+        "FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"),
     // decimal semantics: every decimal output is scale-pinned and
     // compared as a string (DuckDB's pandas bridge degrades decimals to
     // float64), so result SCALE is part of the judged contract

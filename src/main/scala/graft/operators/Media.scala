@@ -290,6 +290,56 @@ object Media {
         col("t._3").cast("long").as("dur"))
       .orderBy(col("s_suppkey"), col("i"))
 
+  /** Deterministic EXIF'd JPEG for key `pk`: every tag a closed-form
+    * key function; byte order alternates by key parity so BOTH TIFF
+    * endiannesses are judged. The carrier is a real 8×8 grayscale JPEG
+    * from the in-tree codec. */
+  private val encodeExifJpeg = udf { (pk: Long) =>
+    val tiff = graft.multimodal.Exif.tiffBlock(
+      width = 100 + pk % 50,
+      height = 80 + pk % 37,
+      make = s"CAM-${pk % 13}",
+      orientation = (1 + pk % 8).toInt,
+      dateTime = f"2024:${1 + pk % 12}%02d:${1 + pk % 28}%02d " +
+        f"${pk % 24}%02d:${pk % 60}%02d:${pk % 60}%02d",
+      littleEndian = pk % 2 == 0)
+    graft.multimodal.Exif.withExif(
+      graft.multimodal.Jpeg.encodeJpeg(
+        Array.fill(64)((pk % 256).toByte), 8, 8, channels = 1), tiff)
+  }
+  private val parseExifMeta = udf { (bytes: Array[Byte]) =>
+    val e = graft.multimodal.Exif.parseExif(bytes)
+      .getOrElse(throw new IllegalArgumentException("no EXIF APP1"))
+    (e.byteOrder, e.width, e.height, e.make, e.orientation, e.dateTime)
+  }
+
+  /** #219 judged EXIF METADATA (round-14) — the image twin of the MP4
+    * header walk: orientation, capture timestamp, camera make and tag
+    * dimensions are what a 100 TB media-curation pass filters, shards
+    * and dedups on BEFORE scheduling any pixel decode. Per part, a
+    * closed-form EXIF 2.3 / TIFF 6.0 APP1 block is spliced into a REAL
+    * JPEG from the in-tree codec and parsed back through the segment
+    * walker + IFD reader ([[graft.multimodal.Exif]]); the oracle
+    * recomputes every field from the key. Byte order alternates by key
+    * parity, so a reader that only handles one endianness fails half
+    * the rows; the Make/DateTime strings exercise the out-of-line
+    * value-offset path and orientation the inline left-justified SHORT
+    * — the three places naive EXIF readers break. Per-row parse, no
+    * shuffle until the bounded ordered output. */
+  def mmImageExif(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"))
+      .withColumn("m", parseExifMeta(encodeExifJpeg(col("p_partkey"))))
+      .select(col("p_partkey"),
+        col("m._1").as("byte_order"),
+        col("m._2").as("width"),
+        col("m._3").as("height"),
+        col("m._4").as("make"),
+        col("m._5").cast("long").as("orientation"),
+        col("m._6").as("dt"))
+      .orderBy(col("p_partkey"))
+
   /** #194 judged audio roundtrip + energy: per customer (c_custkey ≤
     * 200), synthesize 256 PCM-16 samples spanning the full signed
     * range, decode them back through the real WAV parser, and emit

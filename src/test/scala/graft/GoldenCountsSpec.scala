@@ -104,7 +104,8 @@ class GoldenCountsSpec extends SparkSpecBase {
     "fn_decimal_div" -> 200, "ann_ivf_exact" -> 50,
     "ann_pq_rerank_exact" -> 50, "dedup_lsh_capped" -> 28,
     "source_scd2_pruned" -> 6, "source_avro_roundtrip" -> 3,
-    "mm_video_mp4_samples" -> 55, "ann_ivfpq_exact" -> 50
+    "mm_video_mp4_samples" -> 55, "ann_ivfpq_exact" -> 50,
+    "mm_image_exif" -> 200
   )
 
   test("every SURVEY §2 query is registered with an oracle") {
