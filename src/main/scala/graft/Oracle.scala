@@ -127,6 +127,15 @@ object Oracle {
         "CAST(sum(o_orderkey % 97) AS BIGINT) AS sum_bucket, " +
         "CAST(sum(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // Avro quarantine invisibility: the two planted corrupt containers
+    // must cost exactly two quarantine rows and ZERO data movement —
+    // the aggregate over clean rows equals the plain table's
+    "source_avro_quarantine" ->
+      ("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(sum(CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_custkey END) AS BIGINT) AS sum_cust, " +
+        "round(sum(o_totalprice),2) AS total, " +
+        "CAST(2 AS BIGINT) AS n_quarantined " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "filter_predicates" ->
       "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R') AND NOT l_linestatus = 'O' ORDER BY l_orderkey, l_linenumber, l_quantity",
     "filter_like_null" ->
