@@ -3,13 +3,17 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `ArrayType` embedding columns, built entirely from
-  * Catalyst higher-order functions (`zip_with`, `aggregate`, `transform`).
+/** Vector math over `ArrayType` embedding columns.
   *
-  * No UDFs: every expression here stays visible to the optimizer and runs
-  * inside whole-stage codegen, so a brute-force similarity scan is a single
-  * codegen'd pipeline over the vector column — the right baseline before
-  * LSH/IVF pre-bucketing at large scale (see graft.operators.LlmOps).
+  * No UDFs anywhere — but note the round-14 correction to this file's
+  * original claim: Catalyst higher-order functions do NOT run inside
+  * whole-stage codegen (they evaluate interpreted, and expressions
+  * referenced in their lambdas re-evaluate per element). The HOT paths
+  * therefore use native fused expressions ([[CosineSimilarityExpr]],
+  * [[SqDistExpr]], `PqEncodeExpr`/`PqAdcExpr`), each spec-pinned
+  * bit-identical to the HOF formulation it replaced; the HOF forms stay
+  * as independent cross-validation witnesses and for the cold paths
+  * where composability beats raw speed.
   */
 object VectorFunctions {
 
@@ -30,7 +34,14 @@ object VectorFunctions {
 
   /** Squared euclidean distance — the IVF centroid-routing metric (one
     * definition, shared by serving and append assignment in
-    * graft.operators.Ann so the two can never diverge). */
-  def sqDist(a: Column, b: Column): Column =
+    * graft.operators.Ann so the two can never diverge). Since round 14
+    * this is the native fused [[SqDistExpr]] — bit-identical to the HOF
+    * form below (same left-to-right accumulation, same null contract),
+    * which stays as the spec-pinned cross-validation witness. */
+  def sqDist(a: Column, b: Column): Column = SqDistExpr.sq_dist(a, b)
+
+  /** HOF twin of [[sqDist]], cross-validation only (never a data path):
+    * interpreted, and per-element when referenced inside a lambda. */
+  private[graft] def sqDistHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 }
