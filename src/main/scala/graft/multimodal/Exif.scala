@@ -54,14 +54,20 @@ object Exif {
   def tiffBlock(width: Long, height: Long, make: String, orientation: Int,
       dateTime: String, littleEndian: Boolean): Array[Byte] = {
     require(orientation >= 1 && orientation <= 8, s"bad orientation $orientation")
+    // TIFF 6.0: values must begin on a WORD boundary, so odd-length
+    // ASCII values carry a pad byte (not counted in the entry's count)
+    // - round-14 review: without it, half the camera ids produced a
+    // spec-violating odd DateTime offset strict external readers may
+    // reject
     val makeB = (make + "\u0000").getBytes("US-ASCII")
+    val makePad = makeB.length % 2
     val dtB = (dateTime + "\u0000").getBytes("US-ASCII")
     require(dtB.length == 20, s"DateTime must be 19 chars + NUL, got '$dateTime'")
     val n = 5 // IFD entries
     val ifdStart = 8L // right after the TIFF header
     val dataStart = ifdStart + 2 + n * 12 + 4 // count + entries + next-IFD
     val makeOff = dataStart
-    val dtOff = dataStart + makeB.length
+    val dtOff = dataStart + makeB.length + makePad
     val w = new W(littleEndian)
     // TIFF header
     w.bytes((if (littleEndian) "II" else "MM").getBytes("US-ASCII"))
@@ -82,6 +88,7 @@ object Exif {
     entry(TagDateTime, 2, dtB.length.toLong)(w.u32(dtOff)) // ASCII, out of line
     w.u32(0) // no next IFD
     w.bytes(makeB)
+    if (makePad == 1) w.u8(0) // word-alignment pad, outside the count
     w.bytes(dtB)
     w.out.toByteArray
   }
@@ -147,13 +154,16 @@ object Exif {
       case "MM" => false
       case other => fail(s"bad byte order '$other'")
     }
+    // lower bounds too (round-14 review): a corrupt 32-bit offset cast
+    // to a negative Int must fail loudly, not read bytes BEFORE the
+    // TIFF block (which the upper-bound check alone would allow)
     def u16(o: Int): Int = {
-      if (o + 2 > end) fail(s"u16 at $o overruns")
+      if (o < start || o + 2 > end) fail(s"u16 at $o out of [$start,$end)")
       val a = bytes(o) & 0xff; val b = bytes(o + 1) & 0xff
       if (le) (b << 8) | a else (a << 8) | b
     }
     def u32(o: Int): Long = {
-      if (o + 4 > end) fail(s"u32 at $o overruns")
+      if (o < start || o + 4 > end) fail(s"u32 at $o out of [$start,$end)")
       val a = (bytes(o) & 0xffL); val b = (bytes(o + 1) & 0xffL)
       val c = (bytes(o + 2) & 0xffL); val d = (bytes(o + 3) & 0xffL)
       if (le) (d << 24) | (c << 16) | (b << 8) | a
@@ -165,9 +175,12 @@ object Exif {
     var width = -1L; var height = -1L; var orientation = -1
     var make: String = null; var dateTime: String = null
     def ascii(count: Long, valueOff: Int): String = {
-      // count includes the NUL; value inline when count <= 4, else offset
+      // count includes the NUL; value inline when count <= 4, else offset.
+      // Sanity-bound count FIRST: a corrupt 2^31-scale count casts to a
+      // negative Int and would slip past an additive range check
+      if (count < 1 || count > end - start) fail(s"ASCII count $count out of range")
       val o = if (count <= 4) valueOff else start + u32(valueOff).toInt
-      if (o + count.toInt > end) fail("ASCII value overruns")
+      if (o < start || o + count.toInt > end) fail("ASCII value out of range")
       new String(bytes, o, count.toInt - 1, "US-ASCII")
     }
     var i = 0

@@ -249,10 +249,15 @@ object Mp4 {
               t4 match {
                 case "hdlr" => isVideo = fourcc(bytes, b4 + 8) == "vide"
                 case "minf" => walk(bytes, b4, e4) { (t5, b5, e5) =>
-                  if (t5 == "stbl") walk(bytes, b5, e5) { (t6, b6, _) =>
+                  if (t5 == "stbl") walk(bytes, b5, e5) { (t6, b6, e6) =>
                     if (t6 == "stts") {
                       val n = be32(bytes, b6 + 4)
                       if (n < 0) fail("negative stts run count")
+                      // bound the run table against the BOX end (round-14
+                      // review): a corrupt count must fail loudly, not
+                      // decode the neighboring boxes' bytes as durations
+                      if (b6 + 8 + 8L * n > e6)
+                        fail(s"stts claims $n runs but box holds ${e6 - b6 - 8} bytes")
                       val buf = scala.collection.mutable.ArrayBuffer[Int]()
                       var i = 0
                       while (i < n) {

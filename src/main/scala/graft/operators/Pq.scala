@@ -184,10 +184,13 @@ object Pq {
       .select(col("probe_id"), col("vp"), col("list_id"))
     // ADC only inside the probed lists, then shortlist + exact rerank
     val wShort = Window.partitionBy(col("probe_id")).orderBy(col("adc"), col("nb"))
+    // adc.isNotNull: same corrupt-row shortlist-poisoning guard as
+    // [[pqTopK]] (ascending windows sort NULLS FIRST)
     val short = broadcast(routed).join(codeTable, Seq("list_id"))
       .filter(col("probe_id") =!= col("nb"))
       .select(col("probe_id"), col("vp"), col("nb"),
         adcDist(col("vp"), col("codes"), cb).as("adc"))
+      .filter(col("adc").isNotNull)
       .withColumn("rn", row_number().over(wShort))
       .filter(col("rn") <= shortlist)
       .select(col("probe_id"), col("vp"), col("nb"))
@@ -218,9 +221,16 @@ object Pq {
       l2normalize(VectorFunctions.toDoubleVec(col(vecCol))).as("vp"))
     val wShort = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc"), col("nb"))
+    // adc.isNotNull (round-14 review): the native expressions yield
+    // NULL for malformed rows (wrong dim, null element, bad code)
+    // where the old HOF form errored — and ascending windows sort
+    // NULLS FIRST, so one corrupt corpus row would otherwise occupy
+    // the top shortlist slot of EVERY probe and silently evict a real
+    // candidate in the truncating regimes
     val short = broadcast(p).join(codeTable, col("probe_id") =!= col("nb"))
       .select(col("probe_id"), col("vp"), col("nb"),
         adcDist(col("vp"), col("codes"), cb).as("adc"))
+      .filter(col("adc").isNotNull)
       .withColumn("rn", row_number().over(wShort))
       .filter(col("rn") <= shortlist)
       .select(col("probe_id"), col("vp"), col("nb"))

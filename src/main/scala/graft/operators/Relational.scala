@@ -447,18 +447,27 @@ object Relational {
       checkUnique: Boolean = false): DataFrame = {
     def guarded(df: DataFrame, side: String): DataFrame =
       if (!checkUnique) df
-      else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
-        val k = when(count(lit(1)).over(w) > 1,
-            raise_error(concat(
-              lit(s"upsert: duplicate $side key "), col(key).cast("string"),
-              lit(" violates the MERGE precondition (key unique per side)"))))
-          .otherwise(col(key)).as(key)
-        df.withColumn(key, k)
-      }
+      else uniqueKeyGuard(df, key, s"upsert: duplicate $side key ",
+        " violates the MERGE precondition (key unique per side)")
     val d = guarded(delta, "delta")
     d.unionByName(
       guarded(base, "base").join(d.select(col(key)), Seq(key), "left_anti"))
+  }
+
+  /** The one per-key-uniqueness guard definition (round-14 review: the
+    * upsert, scd2Apply and streaming-dim copies had drifted into three
+    * inline rewrites of the same window + raise_error shape): routes
+    * `key` through a per-key count window that raises with
+    * `msgPrefix<key>msgSuffix` when any key appears twice. One window
+    * pass over `df`; run it on the SMALL side. */
+  private[graft] def uniqueKeyGuard(df: DataFrame, key: String,
+      msgPrefix: String, msgSuffix: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    df.withColumn(key,
+      when(count(lit(1)).over(w) > 1,
+        raise_error(concat(
+          lit(msgPrefix), col(key).cast("string"), lit(msgSuffix))))
+        .otherwise(col(key)).as(key))
   }
 
   /** SCD-2 (slowly-changing-dimension type 2) batch apply — the OTHER
@@ -497,17 +506,10 @@ object Relational {
     // (small) delta only, never on the dim.
     val delta1 =
       if (!checkUnique) delta
-      else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
-        delta.withColumn(key,
-          when(count(lit(1)).over(w) > 1,
-            raise_error(concat(
-              lit("scd2Apply: duplicate delta key "), col(key).cast("string"),
-              lit(s" in version $version — SCD-2 takes one row per key per " +
-                "batch (two identical effective_from open rows would " +
-                "corrupt the one-current-row-per-key invariant)"))))
-            .otherwise(col(key)).as(key))
-      }
+      else uniqueKeyGuard(delta, key, "scd2Apply: duplicate delta key ",
+        s" in version $version — SCD-2 takes one row per key per " +
+          "batch (two identical effective_from open rows would " +
+          "corrupt the one-current-row-per-key invariant)")
     val hits = delta1.select(col(key)).distinct().withColumn("_hit", lit(1))
     val closed = dim.join(hits, Seq(key), "left")
       .withColumn("effective_to",

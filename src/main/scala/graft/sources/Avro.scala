@@ -442,13 +442,20 @@ object Avro {
     val verdicts = spark.sparkContext
       .binaryFiles(s"$path/*.avro")
       .map { case (file, pds) =>
+        // NonFatal only (round-14 review): a transient executor fault
+        // (OOM, interrupt, fatal JVM error) on a CLEAN file must fail
+        // the task — which Spark retries — not quarantine the file and
+        // silently drop its rows. Quarantine is for byte-level verdicts.
+        val in = pds.open()
         try {
-          val it = decodeStream(pds.open(), decl, file)
+          val it = decodeStream(in, decl, file)
           while (it.hasNext) it.next()
           (file, null: String)
         } catch {
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
             (file, Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+        } finally {
+          try in.close() catch { case scala.util.control.NonFatal(_) => }
         }
       }.collect() // one row per FILE — metadata-scale, never data-scale
     val badSet = verdicts.collect { case (f, err) if err != null => f }.toSet

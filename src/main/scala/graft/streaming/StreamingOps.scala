@@ -1300,11 +1300,22 @@ object StreamingOps {
     }
     val next = graft.operators.Relational.scd2Apply(
       prior, batch, key, version = initVersion + 1 + id, checkUnique = true)
-    next.write.mode("overwrite").parquet(s"$stateDir/gen=$id/dim")
-    // commit marker AFTER the data: a crash mid-write leaves an
-    // uncommitted generation the next read ignores (layoutOnce rule)
-    fs.create(new org.apache.hadoop.fs.Path(s"$stateDir/gen=$id/_graft_done"),
-      true).close()
+    commitGeneration(fs, stateDir, id)(
+      next.write.mode("overwrite").parquet(s"$stateDir/gen=$id/dim"))
+  }
+
+  /** The generation commit protocol, shared by both dim-maintenance
+    * twins: UN-commit first (delete any stale `_graft_done` from a
+    * previous successful run of this id — a replay's overwrite deletes
+    * the old data files before writing, so a crash mid-rewrite must
+    * leave the generation UNCOMMITTED, not committed-but-partial),
+    * write the data, then commit the marker (layoutOnce rule). */
+  private def commitGeneration(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String, id: Long)(write: => Unit): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$stateDir/gen=$id/_graft_done")
+    if (fs.exists(marker)) fs.delete(marker, false)
+    write
+    fs.create(marker, true).close()
   }
 
   /** Streaming LATEST-WINS dimension maintenance — the [[scd2DimStream]]
@@ -1343,18 +1354,15 @@ object StreamingOps {
     }
     // delta-only duplicate-key guard: the base is unique by the fold's
     // invariant, so the full upsert(checkUnique = true) would pay a
-    // pointless window pass over the whole dim every batch
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
-    val guarded = batch.withColumn(key,
-      when(count(lit(1)).over(w) > 1,
-        raise_error(concat(
-          lit(s"upsertDimStream: duplicate delta key "), col(key).cast("string"),
-          lit(s" in batch $id violates the MERGE one-row-per-key contract"))))
-        .otherwise(col(key)).as(key))
+    // pointless window pass over the whole dim every batch. ONE guard
+    // definition (Relational.uniqueKeyGuard) serves upsert, scd2Apply
+    // and this — a guard fix cannot silently miss a copy.
+    val guarded = graft.operators.Relational.uniqueKeyGuard(batch, key,
+      "upsertDimStream: duplicate delta key ",
+      s" in batch $id violates the MERGE one-row-per-key contract")
     val next = graft.operators.Relational.upsert(prior, guarded, key)
-    next.write.mode("overwrite").parquet(s"$stateDir/gen=$id/dim")
-    fs.create(new org.apache.hadoop.fs.Path(s"$stateDir/gen=$id/_graft_done"),
-      true).close()
+    commitGeneration(fs, stateDir, id)(
+      next.write.mode("overwrite").parquet(s"$stateDir/gen=$id/dim"))
   }
 
   /** The current SCD-2 dimension: the latest COMMITTED generation, or

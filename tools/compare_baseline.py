@@ -204,8 +204,20 @@ def main():
                     m = json.loads(line)
                     out[m["query"]] = m
             return out
-        cur = load_metrics(args.plan_metrics)
+        try:
+            cur = load_metrics(args.plan_metrics)
+        except FileNotFoundError:
+            sys.exit(f"plan gate: {args.plan_metrics} not found — run "
+                     "`runMain graft.Explain` first (refusing a vacuous pass)")
         pri = load_metrics(args.plan_prior)
+        # anti-vacuity (round-14 review): a stale/empty current metrics
+        # file would compare nothing and report success — the exact
+        # regression-masking this gate exists to prevent
+        overlap = len(set(cur) & set(pri))
+        if overlap < max(1, len(pri) // 2):
+            sys.exit(f"plan gate: only {overlap}/{len(pri)} prior queries "
+                     f"present in {args.plan_metrics} — stale metrics? "
+                     "Re-run graft.Explain (refusing a vacuous pass)")
         keys = ("exchanges", "broadcasts", "windows", "sorts", "bnlj")
         bad, changed = [], []
         for q in sorted(cur):
