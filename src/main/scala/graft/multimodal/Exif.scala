@@ -29,9 +29,43 @@ object Exif {
   val TagMake = 0x010f
   val TagOrientation = 0x0112
   val TagDateTime = 0x0132
+  val TagExifIfd = 0x8769 // pointer to the Exif sub-IFD (EXIF 2.3 §4.6.3)
+  val TagGpsIfd = 0x8825 // pointer to the GPS IFD
+  // Exif sub-IFD tags
+  val TagExposureTime = 0x829a // RATIONAL
+  val TagIso = 0x8827 // SHORT (ISOSpeedRatings / PhotographicSensitivity)
+  val TagDateTimeOriginal = 0x9003 // ASCII 20
+  // GPS IFD tags
+  val TagGpsLatRef = 0x0001 // ASCII 2 ("N"/"S")
+  val TagGpsLat = 0x0002 // RATIONAL count 3 (deg, min, sec)
+  val TagGpsLonRef = 0x0003 // ASCII 2 ("E"/"W")
+  val TagGpsLon = 0x0004 // RATIONAL count 3
 
   case class ExifInfo(byteOrder: String, width: Long, height: Long,
       make: String, orientation: Int, dateTime: String)
+
+  /** The Exif sub-IFD's capture metadata (pointer tag 0x8769): the
+    * fields a capture-time curation filter actually shards on —
+    * cameras put DateTimeOriginal/ISO/exposure HERE, not in IFD0.
+    * Exposure is the raw TIFF RATIONAL (num/den), not a lossy double. */
+  case class ExifSub(dateTimeOriginal: String, iso: Int,
+      exposureNum: Long, exposureDen: Long)
+
+  /** One GPS coordinate: hemisphere ref + the three RATIONALs (degrees,
+    * minutes, seconds) exactly as stored — `toDegrees` folds them. */
+  case class GpsCoord(ref: String, degNum: Long, degDen: Long,
+      minNum: Long, minDen: Long, secNum: Long, secDen: Long) {
+    def toDegrees: Double = {
+      val mag = degNum.toDouble / degDen + minNum.toDouble / minDen / 60.0 +
+        secNum.toDouble / secDen / 3600.0
+      if (ref == "S" || ref == "W") -mag else mag
+    }
+  }
+
+  /** IFD0 + the pointed-to Exif sub-IFD and GPS IFD (each None when the
+    * pointer tag is absent). */
+  case class ExifFull(ifd0: ExifInfo, sub: Option[ExifSub],
+      gps: Option[(GpsCoord, GpsCoord)])
 
   // ---- writer ----
 
@@ -93,6 +127,90 @@ object Exif {
     w.out.toByteArray
   }
 
+  /** [[tiffBlock]] extended with the pointer-tag structure real camera
+    * JPEGs use (EXIF 2.3): IFD0 carries the five curation tags PLUS the
+    * Exif sub-IFD pointer (0x8769) and GPS IFD pointer (0x8825); the
+    * sub-IFD holds ExposureTime (RATIONAL — the remaining TIFF type),
+    * ISO (SHORT) and DateTimeOriginal (ASCII 20); the GPS IFD holds the
+    * two hemisphere refs (inline 2-byte ASCII) and the two
+    * 3×RATIONAL coordinates (out-of-line, 24 bytes each). All offsets
+    * are closed-form; values start on WORD boundaries per TIFF 6.0. */
+  def tiffBlockFull(width: Long, height: Long, make: String, orientation: Int,
+      dateTime: String, dateTimeOriginal: String, iso: Int,
+      exposureNum: Long, exposureDen: Long,
+      lat: GpsCoord, lon: GpsCoord, littleEndian: Boolean): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, s"bad orientation $orientation")
+    require(iso >= 0 && iso <= 0xffff, s"ISO $iso out of SHORT range")
+    require(lat.ref == "N" || lat.ref == "S", s"bad lat ref ${lat.ref}")
+    require(lon.ref == "E" || lon.ref == "W", s"bad lon ref ${lon.ref}")
+    val makeB = (make + "\u0000").getBytes("US-ASCII")
+    val makePad = makeB.length % 2
+    val dtB = (dateTime + "\u0000").getBytes("US-ASCII")
+    require(dtB.length == 20, s"DateTime must be 19 chars + NUL, got '$dateTime'")
+    val dtoB = (dateTimeOriginal + "\u0000").getBytes("US-ASCII")
+    require(dtoB.length == 20,
+      s"DateTimeOriginal must be 19 chars + NUL, got '$dateTimeOriginal'")
+    val n0 = 7 // IFD0 entries
+    val ifd0 = 8L
+    val data0 = ifd0 + 2 + n0 * 12 + 4
+    val makeOff = data0
+    val dtOff = data0 + makeB.length + makePad
+    val exifIfd = dtOff + 20
+    val nE = 3 // Exif sub-IFD entries
+    val dataE = exifIfd + 2 + nE * 12 + 4
+    val expOff = dataE // RATIONAL: 8 bytes
+    val dtoOff = dataE + 8
+    val gpsIfd = dtoOff + 20
+    val nG = 4
+    val dataG = gpsIfd + 2 + nG * 12 + 4
+    val latOff = dataG // 3 RATIONALs: 24 bytes
+    val lonOff = dataG + 24
+    val w = new W(littleEndian)
+    w.bytes((if (littleEndian) "II" else "MM").getBytes("US-ASCII"))
+    w.u16(42)
+    w.u32(ifd0)
+    def entry(tag: Int, typ: Int, count: Long)(value: => Unit): Unit = {
+      w.u16(tag); w.u16(typ); w.u32(count)
+      val before = w.out.size()
+      value
+      require(w.out.size() - before == 4, s"tag $tag value field must be 4 bytes")
+    }
+    def rational(num: Long, den: Long): Unit = { w.u32(num); w.u32(den) }
+    // IFD0 (ascending tag order per the TIFF rule)
+    w.u16(n0)
+    entry(TagImageWidth, 4, 1)(w.u32(width))
+    entry(TagImageLength, 4, 1)(w.u32(height))
+    entry(TagMake, 2, makeB.length.toLong)(w.u32(makeOff))
+    entry(TagOrientation, 3, 1) { w.u16(orientation); w.u16(0) }
+    entry(TagDateTime, 2, dtB.length.toLong)(w.u32(dtOff))
+    entry(TagExifIfd, 4, 1)(w.u32(exifIfd))
+    entry(TagGpsIfd, 4, 1)(w.u32(gpsIfd))
+    w.u32(0) // no next IFD
+    w.bytes(makeB)
+    if (makePad == 1) w.u8(0)
+    w.bytes(dtB)
+    // Exif sub-IFD
+    w.u16(nE)
+    entry(TagExposureTime, 5, 1)(w.u32(expOff)) // RATIONAL, out of line
+    entry(TagIso, 3, 1) { w.u16(iso); w.u16(0) }
+    entry(TagDateTimeOriginal, 2, dtoB.length.toLong)(w.u32(dtoOff))
+    w.u32(0)
+    rational(exposureNum, exposureDen)
+    w.bytes(dtoB)
+    // GPS IFD
+    w.u16(nG)
+    entry(TagGpsLatRef, 2, 2) { w.u8(lat.ref.charAt(0)); w.u8(0); w.u16(0) }
+    entry(TagGpsLat, 5, 3)(w.u32(latOff))
+    entry(TagGpsLonRef, 2, 2) { w.u8(lon.ref.charAt(0)); w.u8(0); w.u16(0) }
+    entry(TagGpsLon, 5, 3)(w.u32(lonOff))
+    w.u32(0)
+    rational(lat.degNum, lat.degDen); rational(lat.minNum, lat.minDen)
+    rational(lat.secNum, lat.secDen)
+    rational(lon.degNum, lon.degDen); rational(lon.minNum, lon.minDen)
+    rational(lon.secNum, lon.secDen)
+    w.out.toByteArray
+  }
+
   /** Splice an EXIF APP1 segment (marker 0xFFE1, "Exif\0\0" + TIFF
     * block) immediately after a JPEG's SOI — the standard placement.
     * The payload must be a real JPEG (leading SOI). */
@@ -146,7 +264,21 @@ object Exif {
   /** Parse the TIFF block in bytes[start, end): header, first IFD, the
     * five curation tags. Unknown tags are skipped (forward-compatible,
     * the TIFF rule); missing curation tags fail loudly. */
-  def parseTiff(bytes: Array[Byte], start: Int, end: Int): ExifInfo = {
+  def parseTiff(bytes: Array[Byte], start: Int, end: Int): ExifInfo =
+    parseTiffFull(bytes, start, end).ifd0
+
+  /** [[parseTiff]] plus the pointer-tag walk (the structure real camera
+    * files use): when IFD0 carries the Exif sub-IFD pointer (0x8769)
+    * the capture fields (DateTimeOriginal/ISO/ExposureTime) are parsed
+    * from the POINTED-TO IFD; when it carries the GPS pointer (0x8825)
+    * the two hemisphere refs and 3×RATIONAL coordinates are parsed.
+    * Unknown tags are skipped in every IFD (forward compatibility); a
+    * PRESENT pointer whose IFD is missing the curation fields fails
+    * loudly — a half-parsed capture record silently shards a media
+    * corpus wrong, which is worse than a loud fault row. Pointer
+    * recursion is one level (EXIF's own structure) so a crafted cyclic
+    * pointer cannot loop the parser. */
+  def parseTiffFull(bytes: Array[Byte], start: Int, end: Int): ExifFull = {
     if (end - start < 8) fail("TIFF block too short")
     val order = new String(bytes, start, 2, "US-ASCII")
     val le = order match {
@@ -170,10 +302,6 @@ object Exif {
       else (a << 24) | (b << 16) | (c << 8) | d
     }
     if (u16(start + 2) != 42) fail("bad TIFF magic")
-    val ifd = start + u32(start + 4).toInt
-    val n = u16(ifd)
-    var width = -1L; var height = -1L; var orientation = -1
-    var make: String = null; var dateTime: String = null
     def ascii(count: Long, valueOff: Int): String = {
       // count includes the NUL; value inline when count <= 4, else offset.
       // Sanity-bound count FIRST: a corrupt 2^31-scale count casts to a
@@ -183,26 +311,105 @@ object Exif {
       if (o < start || o + count.toInt > end) fail("ASCII value out of range")
       new String(bytes, o, count.toInt - 1, "US-ASCII")
     }
-    var i = 0
-    while (i < n) {
-      val e = ifd + 2 + i * 12
-      val tag = u16(e); val typ = u16(e + 2); val count = u32(e + 4)
-      val v = e + 8
-      tag match {
-        case TagImageWidth =>
-          width = if (typ == 3) u16(v).toLong else u32(v)
-        case TagImageLength =>
-          height = if (typ == 3) u16(v).toLong else u32(v)
-        case TagOrientation =>
-          if (typ != 3) fail(s"orientation type $typ"); orientation = u16(v)
-        case TagMake => make = ascii(count, v)
-        case TagDateTime => dateTime = ascii(count, v)
-        case _ => // unknown tag: skip (forward compatibility)
-      }
-      i += 1
+    // RATIONAL values are 8 bytes so always out of line: the value field
+    // is an offset to `count` (num, den) u32 pairs
+    def rational(valueOff: Int, index: Int): (Long, Long) = {
+      val o = start + u32(valueOff).toInt + 8 * index
+      (u32(o), u32(o + 4))
     }
-    if (width < 0 || height < 0 || orientation < 0 || make == null || dateTime == null)
-      fail(s"missing curation tags (w=$width h=$height o=$orientation)")
-    ExifInfo(order, width, height, make, orientation, dateTime)
+    // one IFD's entries: tag -> (type, count, value-field offset); the
+    // tag walk itself skips nothing, so consumers decide what matters
+    def walkIfd(ifd: Int): Map[Int, (Int, Long, Int)] = {
+      val n = u16(ifd)
+      val m = Map.newBuilder[Int, (Int, Long, Int)]
+      var i = 0
+      while (i < n) {
+        val e = ifd + 2 + i * 12
+        m += (u16(e) -> ((u16(e + 2), u32(e + 4), e + 8)))
+        i += 1
+      }
+      m.result()
+    }
+    val ifd0 = walkIfd(start + u32(start + 4).toInt)
+    def sized(tag: Int, what: String): Long = ifd0.get(tag) match {
+      case Some((3, _, v)) => u16(v).toLong
+      case Some((4, _, v)) => u32(v)
+      case Some((typ, _, _)) => fail(s"$what type $typ")
+      case None => fail(s"missing curation tag: $what")
+    }
+    val width = sized(TagImageWidth, "width")
+    val height = sized(TagImageLength, "height")
+    val orientation = ifd0.get(TagOrientation) match {
+      case Some((3, _, v)) => u16(v)
+      case Some((typ, _, _)) => fail(s"orientation type $typ")
+      case None => fail("missing curation tag: orientation")
+    }
+    def asciiTag(m: Map[Int, (Int, Long, Int)], tag: Int, what: String): String =
+      m.get(tag) match {
+        case Some((2, count, v)) => ascii(count, v)
+        case Some((typ, _, _)) => fail(s"$what type $typ")
+        case None => fail(s"missing curation tag: $what")
+      }
+    val make = asciiTag(ifd0, TagMake, "make")
+    val dateTime = asciiTag(ifd0, TagDateTime, "dateTime")
+    val info = ExifInfo(order, width, height, make, orientation, dateTime)
+
+    val sub = ifd0.get(TagExifIfd).map { case (_, _, v) =>
+      val m = walkIfd(start + u32(v).toInt)
+      val dto = asciiTag(m, TagDateTimeOriginal, "DateTimeOriginal")
+      val iso = m.get(TagIso) match {
+        case Some((3, _, vv)) => u16(vv)
+        case Some((typ, _, _)) => fail(s"ISO type $typ")
+        case None => fail("missing capture tag: ISO")
+      }
+      val (en, ed) = m.get(TagExposureTime) match {
+        case Some((5, 1L, vv)) => rational(vv, 0)
+        case Some((typ, c, _)) => fail(s"ExposureTime type $typ count $c")
+        case None => fail("missing capture tag: ExposureTime")
+      }
+      ExifSub(dto, iso, en, ed)
+    }
+
+    val gps = ifd0.get(TagGpsIfd).map { case (_, _, v) =>
+      val m = walkIfd(start + u32(v).toInt)
+      def coord(refTag: Int, valTag: Int, what: String,
+          refs: Set[String]): GpsCoord = {
+        val ref = asciiTag(m, refTag, s"$what ref")
+        if (!refs.contains(ref)) fail(s"bad $what ref '$ref'")
+        m.get(valTag) match {
+          case Some((5, 3L, vv)) =>
+            val (dn, dd) = rational(vv, 0)
+            val (mn, md) = rational(vv, 1)
+            val (sn, sd) = rational(vv, 2)
+            if (dd == 0 || md == 0 || sd == 0) fail(s"$what zero denominator")
+            GpsCoord(ref, dn, dd, mn, md, sn, sd)
+          case Some((typ, c, _)) => fail(s"$what type $typ count $c")
+          case None => fail(s"missing GPS tag: $what")
+        }
+      }
+      (coord(TagGpsLatRef, TagGpsLat, "latitude", Set("N", "S")),
+        coord(TagGpsLonRef, TagGpsLon, "longitude", Set("E", "W")))
+    }
+    ExifFull(info, sub, gps)
+  }
+
+  /** [[parseExif]] returning the full pointer-walked record. */
+  def parseExifFull(bytes: Array[Byte]): Option[ExifFull] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      fail("missing SOI")
+    var p = 2
+    while (p + 4 <= bytes.length) {
+      if ((bytes(p) & 0xff) != 0xff) fail(f"expected marker at $p, got 0x${bytes(p)}%02x")
+      val m = bytes(p + 1) & 0xff
+      if (m == 0xda || m == 0xd9) return None
+      val len = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+      if (len < 2 || p + 2 + len > bytes.length) fail(s"segment at $p overruns")
+      if (m == 0xe1 && len >= 8 &&
+          new String(bytes, p + 4, 4, "US-ASCII") == "Exif" &&
+          bytes(p + 8) == 0 && bytes(p + 9) == 0)
+        return Some(parseTiffFull(bytes, p + 10, p + 2 + len))
+      p += 2 + len
+    }
+    None
   }
 }

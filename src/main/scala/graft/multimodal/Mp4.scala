@@ -140,6 +140,86 @@ object Mp4 {
     Mp4Info(majorBrand, mvTimescale, durSec, tracks.toSeq)
   }
 
+  /** One trak's sample-table surface, collected in a SINGLE walk so
+    * every consumer (byte ranges, durations) reads the SAME track —
+    * pairing stsz sizes from one trak with stts deltas from another
+    * (the round-14 review's multi-video-track hazard) is impossible by
+    * construction. Every table is bounds-checked against its own box
+    * end before the entry array is allocated, so a corrupt count fails
+    * loudly instead of decoding neighbors' bytes or OOMing. */
+  private case class TrakTables(isVideo: Boolean, codec: String,
+      sizes: Array[Int], chunkOffs: Array[Long],
+      stscRuns: Array[(Int, Int)], sttsRuns: Array[(Int, Int)]) {
+    def hasSampleTables: Boolean =
+      sizes != null && sizes.nonEmpty &&
+        chunkOffs != null && chunkOffs.nonEmpty &&
+        stscRuns != null && stscRuns.nonEmpty
+  }
+
+  private def collectTrakTables(bytes: Array[Byte], b2: Int, e2: Int): TrakTables = {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(s"invalid MP4: $msg")
+    def boundTable(tbl: String, b6: Int, e6: Int, n: Int, headerBytes: Int,
+        entryBytes: Int): Unit = {
+      if (n < 0) fail(s"negative $tbl count")
+      if (b6 + headerBytes + entryBytes.toLong * n > e6)
+        fail(s"$tbl claims $n entries but box holds ${e6 - b6} bytes")
+    }
+    var isVideo = false
+    var codec = ""
+    var sizes: Array[Int] = null
+    var chunkOffs: Array[Long] = null
+    var stscRuns: Array[(Int, Int)] = null // (first_chunk, samples_per_chunk)
+    var sttsRuns: Array[(Int, Int)] = null // (sample_count, sample_delta)
+    walk(bytes, b2, e2) { (t3, b3, e3) =>
+      if (t3 == "mdia") walk(bytes, b3, e3) { (t4, b4, e4) =>
+        t4 match {
+          case "hdlr" => isVideo = fourcc(bytes, b4 + 8) == "vide"
+          case "minf" => walk(bytes, b4, e4) { (t5, b5, e5) =>
+            if (t5 == "stbl") walk(bytes, b5, e5) { (t6, b6, e6) =>
+              t6 match {
+                case "stsd" =>
+                  if (be32(bytes, b6 + 4) > 0) codec = fourcc(bytes, b6 + 12)
+                case "stsz" =>
+                  val fixed = be32(bytes, b6 + 4)
+                  val n = be32(bytes, b6 + 8)
+                  if (fixed == 0) boundTable("stsz", b6, e6, n, 12, 4)
+                  else if (n < 0 || n > bytes.length)
+                    // fixed-size stsz carries no table to bound, but n
+                    // samples of >=1 byte each cannot exceed the payload
+                    fail(s"stsz claims $n fixed-size samples in a ${bytes.length}-byte payload")
+                  sizes =
+                    if (fixed != 0) Array.fill(n)(fixed)
+                    else Array.tabulate(n)(i => be32(bytes, b6 + 12 + 4 * i))
+                case "stco" =>
+                  val n = be32(bytes, b6 + 4)
+                  boundTable("stco", b6, e6, n, 8, 4)
+                  chunkOffs = Array.tabulate(n)(i =>
+                    be32(bytes, b6 + 8 + 4 * i).toLong & 0xffffffffL)
+                case "co64" =>
+                  val n = be32(bytes, b6 + 4)
+                  boundTable("co64", b6, e6, n, 8, 8)
+                  chunkOffs = Array.tabulate(n)(i => be64(bytes, b6 + 8 + 8 * i))
+                case "stsc" =>
+                  val n = be32(bytes, b6 + 4)
+                  boundTable("stsc", b6, e6, n, 8, 12)
+                  stscRuns = Array.tabulate(n)(i =>
+                    (be32(bytes, b6 + 8 + 12 * i), be32(bytes, b6 + 12 + 12 * i)))
+                case "stts" =>
+                  val n = be32(bytes, b6 + 4)
+                  boundTable("stts", b6, e6, n, 8, 8)
+                  sttsRuns = Array.tabulate(n)(i =>
+                    (be32(bytes, b6 + 8 + 8 * i), be32(bytes, b6 + 12 + 8 * i)))
+                case _ =>
+              }
+            }
+          }
+          case _ =>
+        }
+      }
+    }
+    TrakTables(isVideo, codec, sizes, chunkOffs, stscRuns, sttsRuns)
+  }
+
   /** The first VIDEO track's coded-sample layout: codec fourcc plus each
     * sample's (absolute file offset, size), resolved from the sample
     * tables (stsz sizes, stco/co64 chunk offsets, stsc sample→chunk
@@ -158,49 +238,12 @@ object Mp4 {
     walk(bytes, 0, bytes.length) { (typ, bs, be) =>
       if (typ == "moov") walk(bytes, bs, be) { (t2, b2, e2) =>
         if (t2 == "trak" && result.isEmpty) {
-          var isVideo = false
-          var codec = ""
-          var sizes: Array[Int] = null
-          var chunkOffs: Array[Long] = null
-          var stscRuns: Array[(Int, Int)] = null // (first_chunk, samples_per_chunk)
-          walk(bytes, b2, e2) { (t3, b3, e3) =>
-            if (t3 == "mdia") walk(bytes, b3, e3) { (t4, b4, e4) =>
-              t4 match {
-                case "hdlr" => isVideo = fourcc(bytes, b4 + 8) == "vide"
-                case "minf" => walk(bytes, b4, e4) { (t5, b5, e5) =>
-                  if (t5 == "stbl") walk(bytes, b5, e5) { (t6, b6, _) =>
-                    t6 match {
-                      case "stsd" =>
-                        if (be32(bytes, b6 + 4) > 0) codec = fourcc(bytes, b6 + 12)
-                      case "stsz" =>
-                        val fixed = be32(bytes, b6 + 4)
-                        val n = be32(bytes, b6 + 8)
-                        if (n < 0) fail("negative stsz count")
-                        sizes =
-                          if (fixed != 0) Array.fill(n)(fixed)
-                          else Array.tabulate(n)(i => be32(bytes, b6 + 12 + 4 * i))
-                      case "stco" =>
-                        val n = be32(bytes, b6 + 4)
-                        chunkOffs = Array.tabulate(n)(i =>
-                          be32(bytes, b6 + 8 + 4 * i).toLong & 0xffffffffL)
-                      case "co64" =>
-                        val n = be32(bytes, b6 + 4)
-                        chunkOffs = Array.tabulate(n)(i => be64(bytes, b6 + 8 + 8 * i))
-                      case "stsc" =>
-                        val n = be32(bytes, b6 + 4)
-                        stscRuns = Array.tabulate(n)(i =>
-                          (be32(bytes, b6 + 8 + 12 * i), be32(bytes, b6 + 12 + 12 * i)))
-                      case _ =>
-                    }
-                  }
-                }
-                case _ =>
-              }
-            }
-          }
-          if (isVideo && sizes != null && sizes.nonEmpty &&
-              chunkOffs != null && chunkOffs.nonEmpty &&
-              stscRuns != null && stscRuns.nonEmpty) {
+          val t = collectTrakTables(bytes, b2, e2)
+          val codec = t.codec
+          val sizes = t.sizes
+          val chunkOffs = t.chunkOffs
+          val stscRuns = t.stscRuns
+          if (t.isVideo && t.hasSampleTables) {
             // resolve sample→chunk: chunk c (1-based) uses the run with the
             // greatest first_chunk <= c; samples pack densely inside chunks
             val samples = new Array[(Long, Int)](sizes.length)
@@ -231,52 +274,46 @@ object Mp4 {
     result
   }
 
-  /** The first VIDEO track's per-sample time deltas, expanded from the
-    * stts run-length table — the timing half of the sample walk
-    * ([[videoSampleTable]] is the byte-range half). Returns None when
-    * no video track carries an stts; fails loudly on malformed runs. */
+  /** The SAME video track [[videoSampleTable]] resolves — first trak
+    * with hdlr `vide` and full stsz/stsc/stco — expanded from ITS stts
+    * run-length table to per-sample time deltas (the timing half of the
+    * sample walk; [[videoSampleTable]] is the byte-range half). Same
+    * trak by construction: on a multi-video-track file the sizes and
+    * durations can never come from different tracks. Returns None when
+    * that track carries no stts (or no track qualifies); fails loudly
+    * on malformed runs, including a run whose count would expand past
+    * the stsz sample count — each run's count is up to 2^31, so an
+    * uncapped expansion of one crafted 8-byte run is an executor OOM. */
   def sampleDurations(bytes: Array[Byte]): Option[Array[Int]] = {
     def fail(msg: String): Nothing = throw new IllegalArgumentException(s"invalid MP4: $msg")
     if (!looksLikeMp4(bytes)) fail("missing leading ftyp box")
     var result: Option[Array[Int]] = None
+    var found = false
     walk(bytes, 0, bytes.length) { (typ, bs, be) =>
       if (typ == "moov") walk(bytes, bs, be) { (t2, b2, e2) =>
-        if (t2 == "trak" && result.isEmpty) {
-          var isVideo = false
-          var deltas: Array[Int] = null
-          walk(bytes, b2, e2) { (t3, b3, e3) =>
-            if (t3 == "mdia") walk(bytes, b3, e3) { (t4, b4, e4) =>
-              t4 match {
-                case "hdlr" => isVideo = fourcc(bytes, b4 + 8) == "vide"
-                case "minf" => walk(bytes, b4, e4) { (t5, b5, e5) =>
-                  if (t5 == "stbl") walk(bytes, b5, e5) { (t6, b6, e6) =>
-                    if (t6 == "stts") {
-                      val n = be32(bytes, b6 + 4)
-                      if (n < 0) fail("negative stts run count")
-                      // bound the run table against the BOX end (round-14
-                      // review): a corrupt count must fail loudly, not
-                      // decode the neighboring boxes' bytes as durations
-                      if (b6 + 8 + 8L * n > e6)
-                        fail(s"stts claims $n runs but box holds ${e6 - b6 - 8} bytes")
-                      val buf = scala.collection.mutable.ArrayBuffer[Int]()
-                      var i = 0
-                      while (i < n) {
-                        val cnt = be32(bytes, b6 + 8 + 8 * i)
-                        if (cnt < 0) fail("negative stts run length")
-                        val d = be32(bytes, b6 + 12 + 8 * i)
-                        var j = 0
-                        while (j < cnt) { buf += d; j += 1 }
-                        i += 1
-                      }
-                      deltas = buf.toArray
-                    }
-                  }
-                }
-                case _ =>
+        if (t2 == "trak" && !found) {
+          val t = collectTrakTables(bytes, b2, e2)
+          if (t.isVideo && t.hasSampleTables) {
+            found = true
+            if (t.sttsRuns != null) {
+              val nSamples = t.sizes.length
+              val deltas = new Array[Int](nSamples)
+              var s = 0
+              var i = 0
+              while (i < t.sttsRuns.length) {
+                val (cnt, d) = t.sttsRuns(i)
+                if (cnt < 0) fail("negative stts run length")
+                if (s + cnt.toLong > nSamples)
+                  fail(s"stts expands to more than the $nSamples stsz samples")
+                var j = 0
+                while (j < cnt) { deltas(s) = d; s += 1; j += 1 }
+                i += 1
               }
+              if (s < nSamples)
+                fail(s"stts covers only $s of $nSamples samples")
+              result = Some(deltas)
             }
           }
-          if (isVideo && deltas != null) result = Some(deltas)
         }
       }
     }

@@ -458,13 +458,18 @@ object Avro {
           try in.close() catch { case scala.util.control.NonFatal(_) => }
         }
       }.collect() // one row per FILE — metadata-scale, never data-scale
-    val badSet = verdicts.collect { case (f, err) if err != null => f }.toSet
+    // read the CLEAN set captured from the verdicts, not a fresh glob
+    // minus the bad set (round-14 review): a file appearing between the
+    // validation pass and the data read would otherwise be decoded
+    // UNVALIDATED — a corrupt late arrival kills the job instead of
+    // being quarantined, breaking the all-or-nothing contract
+    val cleanSet = verdicts.collect { case (f, err) if err == null => f }.toSet
     import spark.implicits._
     val quarantine = verdicts.filter(_._2 != null).toSeq
       .toDF("file", "error")
     val rows = spark.sparkContext
       .binaryFiles(s"$path/*.avro")
-      .filter { case (file, _) => !badSet.contains(file) }
+      .filter { case (file, _) => cleanSet.contains(file) }
       .flatMap { case (file, pds) => decodeStream(pds.open(), decl, file) }
     (spark.createDataFrame(rows, schema), quarantine)
   }

@@ -41,11 +41,36 @@ class ExifSpec extends SparkSpecBase {
   }
 
   test("unknown tags are skipped — forward compatibility") {
-    // splice an extra unknown entry (tag 0x9999) into a block by writing
-    // a 6-entry IFD by hand around the writer's 5-entry layout: simplest
-    // honest form — parse a block whose IFD carries the five known tags
-    // in a file that ALSO has a later APP1-like segment the walker must
-    // not confuse for EXIF
+    // a hand-built little-endian 6-entry IFD: the five curation tags
+    // plus an UNKNOWN entry (tag 0x9999, type UNDEFINED, inline value)
+    // that parseTiff must step over without disturbing its neighbors
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def u32(v: Long): Unit = { u8(v.toInt); u8((v >> 8).toInt); u8((v >> 16).toInt); u8((v >> 24).toInt) }
+    def entry(tag: Int, typ: Int, count: Long)(value: => Unit): Unit = {
+      u16(tag); u16(typ); u32(count)
+      val before = out.size(); value
+      assert(out.size() - before == 4)
+    }
+    out.write('I'); out.write('I'); u16(42); u32(8)
+    val dataStart = 8 + 2 + 6 * 12 + 4 // header + count + entries + next-IFD
+    u16(6)
+    entry(0x0100, 4, 1)(u32(10))
+    entry(0x0101, 4, 1)(u32(20))
+    entry(0x010f, 2, 6)(u32(dataStart.toLong)) // "CAM-9\0"
+    entry(0x0112, 3, 1) { u16(3); u16(0) }
+    entry(0x0132, 2, 20)(u32(dataStart.toLong + 6))
+    entry(0x9999, 7, 4) { u8(0xde); u8(0xad); u8(0xbe); u8(0xef) } // unknown
+    u32(0)
+    out.write("CAM-9".getBytes("US-ASCII")); u8(0) // NUL terminator
+    out.write("2024:06:15 10:20:30".getBytes("US-ASCII")); u8(0)
+    val handBuilt = out.toByteArray
+    val parsed = Exif.parseTiff(handBuilt, 0, handBuilt.length)
+    assert(parsed == Exif.ExifInfo("II", 10, 20, "CAM-9", 3, "2024:06:15 10:20:30"))
+  }
+
+  test("a later non-Exif APP1 segment is walked past, not misparsed") {
     val tiff = Exif.tiffBlock(10, 20, "CAM-2", 3, "2024:06:15 10:20:30",
       littleEndian = false)
     val withMeta = Exif.withExif(jpeg, tiff)
@@ -65,6 +90,58 @@ class ExifSpec extends SparkSpecBase {
     both.write(withMeta, 2, withMeta.length - 2)
     val e = Exif.parseExif(both.toByteArray).get
     assert(e.width == 10 && e.make == "CAM-2" && e.byteOrder == "MM")
+  }
+
+  private def fullBlock(le: Boolean): Array[Byte] =
+    Exif.tiffBlockFull(640, 480, "CAM-3", orientation = 1,
+      dateTime = "2024:03:09 14:05:59",
+      dateTimeOriginal = "2024:03:09 14:05:41", iso = 400,
+      exposureNum = 1, exposureDen = 250,
+      lat = Exif.GpsCoord("N", 37, 1, 46, 1, 2997, 100),
+      lon = Exif.GpsCoord("W", 122, 1, 25, 1, 1234, 100),
+      littleEndian = le)
+
+  test("full block: sub-IFD and GPS pointers round trip, both byte orders") {
+    for (le <- Seq(true, false)) {
+      val full = Exif.parseExifFull(Exif.withExif(jpeg, fullBlock(le))).get
+      assert(full.ifd0 == Exif.ExifInfo(if (le) "II" else "MM",
+        640, 480, "CAM-3", 1, "2024:03:09 14:05:59"))
+      assert(full.sub.contains(Exif.ExifSub("2024:03:09 14:05:41", 400, 1, 250)))
+      val (lat, lon) = full.gps.get
+      assert(lat == Exif.GpsCoord("N", 37, 1, 46, 1, 2997, 100))
+      assert(lon == Exif.GpsCoord("W", 122, 1, 25, 1, 1234, 100))
+      assert(math.abs(lat.toDegrees - (37 + 46 / 60.0 + 29.97 / 3600.0)) < 1e-12)
+      assert(lon.toDegrees < 0, "W hemisphere must fold negative")
+    }
+  }
+
+  test("plain 5-tag blocks parse under parseTiffFull with None pointers") {
+    val tiff = Exif.tiffBlock(10, 20, "CAM-2", 3, "2024:06:15 10:20:30",
+      littleEndian = true)
+    val full = Exif.parseTiffFull(tiff, 0, tiff.length)
+    assert(full.sub.isEmpty && full.gps.isEmpty)
+    assert(full.ifd0.make == "CAM-2")
+  }
+
+  test("a present Exif pointer with a half-missing sub-IFD fails loudly") {
+    val tiff = fullBlock(true)
+    // the Exif sub-IFD starts after IFD0 (90 bytes) + make (6, "CAM-3"
+    // + NUL, even) + dateTime (20); truncate its entry count from 3 to
+    // 2, dropping DateTimeOriginal — a silently half-parsed capture
+    // record must not surface as a clean row
+    val exifIfdOff = 8 + 2 + 7 * 12 + 4 + 6 + 20
+    assert(tiff(exifIfdOff) == 3, "fixture drift: expected 3-entry sub-IFD")
+    val cut = tiff.clone(); cut(exifIfdOff) = 2
+    val err = intercept[IllegalArgumentException] {
+      Exif.parseTiffFull(cut, 0, cut.length)
+    }
+    assert(err.getMessage.contains("DateTimeOriginal"))
+  }
+
+  test("the full-block carrier still decodes and parseExif sees IFD0 only") {
+    val withMeta = Exif.withExif(jpeg, fullBlock(false))
+    assert(Jpeg.decodeJpeg(withMeta) == Jpeg.decodeJpeg(jpeg))
+    assert(Exif.parseExif(withMeta).get.make == "CAM-3")
   }
 
   test("malformed blocks fail loudly: bad magic, truncation, bad order") {

@@ -238,8 +238,11 @@ def main():
             print("\n".join(changed))
         else:
             print(f"\nno plan-shape change vs {args.plan_prior} "
-                  f"({len(set(cur) & set(pri))} compared"
-                  + (f", new: {new_qs}" if new_qs else "") + ")")
+                  f"({len(set(cur) & set(pri))} compared)")
+        # new queries are report content either way — a round that both
+        # changes a plan and adds queries must not hide the additions
+        if new_qs:
+            print(f"new queries (no prior plan): {new_qs}")
         if bad:
             print(f"PLAN REGRESSIONS (new exchange/BNLJ): {bad}")
             sys.exit(2)
