@@ -136,6 +136,16 @@ object Oracle {
         "round(sum(o_totalprice),2) AS total, " +
         "CAST(2 AS BIGINT) AS n_quarantined " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // split invisibility: the engine reads ONE many-block container via
+    // ~24 forced byte-range tasks (seek + sync-scan); the oracle is the
+    // plain-table aggregate, so any block decoded twice, dropped, or
+    // mis-synced moves the hash
+    "source_avro_split" ->
+      ("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(sum(CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_custkey END) AS BIGINT) AS sum_cust, " +
+        "round(sum(o_totalprice),2) AS total, " +
+        "max(o_orderkey) AS last_key " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "filter_predicates" ->
       "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R') AND NOT l_linestatus = 'O' ORDER BY l_orderkey, l_linenumber, l_quantity",
     "filter_like_null" ->

@@ -31,9 +31,10 @@ import org.apache.spark.sql.types._
   * `binaryFiles` (one task per file, streamed — a file is never
   * buffered whole) and decodes blocks sequentially within a task; at
   * 100 TB the file count is the split unit, which is exactly how the
-  * writer sized the files. Block-boundary sub-file splits (seek to the
-  * next sync marker, the classic Avro input-format trick) are a
-  * possible refinement, unnecessary while files are partition-sized.
+  * writer sized the files. For THIRD-PARTY containers that arrive
+  * multi-GB, [[readAvroSplit]] adds the classic sync-marker sub-file
+  * split (seek into the range, scan to the next sync, decode owned
+  * blocks) so one huge file fans out instead of straggling.
   * Schema is DECLARED by the caller and VERIFIED against every file's
   * embedded schema (names, types, nullability) — a drifted producer
   * fails loudly at read time, never by silently mis-decoding bytes.
@@ -304,6 +305,71 @@ object Avro {
     Row.fromSeq(vals.toIndexedSeq)
   }
 
+  /** Counts bytes as the DECODER consumes them (sits above the buffer,
+    * so prefetch doesn't inflate the count) — the logical stream
+    * position the split reader's block-ownership rule is defined on. */
+  private final class CountingInputStream(in: InputStream) extends InputStream {
+    var count: Long = 0L
+    override def read(): Int = {
+      val b = in.read(); if (b >= 0) count += 1; b
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val n = in.read(b, off, len); if (n > 0) count += n; n
+    }
+    override def skip(n: Long): Long = {
+      val k = in.skip(n); if (k > 0) count += k; k
+    }
+    override def close(): Unit = in.close()
+  }
+
+  /** Skip one value structurally without materializing it: varints are
+    * walked (they are the framing), string payloads are skipped in
+    * O(1) within the block buffer. Verdict-equivalent to a full decode
+    * by construction: every decode-time fault is structural (EOF,
+    * varint overrun, bad union branch, bad string length) — timestamp
+    * conversion cannot fault (the largest µs-long is ~9.2e12 s, well
+    * inside LocalDateTime's ±3.15e16 s domain) and UTF-8 / double
+    * decode never throw. This is what makes the quarantine validation
+    * pass cost a fraction of a real decode: no UTF-8 conversion, no
+    * Row allocation. */
+  private def skipValue(in: DataInputStream, dt: DataType): Unit = dt match {
+    case LongType | IntegerType | TimestampNTZType => readVarLong(in); ()
+    case DoubleType =>
+      var left = 8
+      while (left > 0) {
+        val k = in.skipBytes(left)
+        if (k <= 0) throw new EOFException()
+        left -= k
+      }
+    case StringType =>
+      val n = readVarLong(in)
+      require(n >= 0 && n <= Int.MaxValue, s"bad string length $n")
+      var left = n.toInt
+      while (left > 0) {
+        val k = in.skipBytes(left)
+        if (k <= 0) throw new EOFException()
+        left -= k
+      }
+    case BooleanType =>
+      if (in.read() < 0) throw new EOFException()
+    case other => throw new IllegalArgumentException(s"unsupported $other")
+  }
+
+  private def skipRow(in: DataInputStream, schema: StructType): Unit = {
+    var i = 0
+    while (i < schema.length) {
+      val f = schema(i)
+      if (!f.nullable) skipValue(in, f.dataType)
+      else readVarLong(in) match {
+        case 0L =>
+        case 1L => skipValue(in, f.dataType)
+        case bad => throw new IllegalArgumentException(
+          s"bad union branch $bad in field ${f.name}")
+      }
+      i += 1
+    }
+  }
+
   /** Verify a file's embedded schema against the declared one: same
     * field names in the same order, same Avro type, same nullability
     * encoding. Uses the Jackson on Spark's classpath for the JSON walk —
@@ -344,11 +410,11 @@ object Avro {
     }
   }
 
-  /** Decode one container stream into rows (streaming — blocks are
-    * buffered one at a time, never the file). */
-  private[sources] def decodeStream(in0: InputStream, declared: StructType,
-      file: String): Iterator[Row] = {
-    val in = new DataInputStream(new BufferedInputStream(in0, 1 << 16))
+  /** Read + verify the container header (magic, metadata map, sync)
+    * from the current stream position, which must be offset 0 of the
+    * file. Returns (codec, sync marker). */
+  private def readHeader(in: DataInputStream, declared: StructType,
+      file: String): (String, Array[Byte]) = {
     val magic = readFully(in, 4)
     require(java.util.Arrays.equals(magic, Magic), s"$file: not an Avro container")
     var schemaStr: String = null
@@ -373,7 +439,18 @@ object Avro {
       s"$file: unsupported codec $codec")
     verifySchema(schemaStr, declared, file)
     val sync = readFully(in, 16)
+    (codec, sync)
+  }
 
+  /** Iterate the data blocks from the current position. `more` is
+    * consulted BEFORE each block-header read, when the stream sits
+    * exactly at a would-be block start — the split reader's ownership
+    * hook (whole-file readers pass `() => true`). With `skipRows` the
+    * rows are structurally walked but never materialized (the
+    * validation pass; `next()` then yields null, private contract). */
+  private def blockIter(in: DataInputStream, declared: StructType,
+      file: String, codec: String, sync: Array[Byte],
+      more: () => Boolean, skipRows: Boolean = false): Iterator[Row] =
     new Iterator[Row] {
       private var block: DataInputStream = null
       private var remaining = 0L
@@ -381,6 +458,7 @@ object Avro {
 
       private def advance(): Unit = {
         while (!done && remaining == 0L) {
+          if (!more()) { done = true; in.close(); return }
           val count =
             try readVarLong(in)
             catch { case _: EOFException => done = true; in.close(); return }
@@ -402,9 +480,33 @@ object Avro {
         advance()
         if (done) throw new NoSuchElementException
         remaining -= 1
-        decodeRow(block, declared)
+        if (skipRows) { skipRow(block, declared); null }
+        else decodeRow(block, declared)
       }
     }
+
+  /** Decode one container stream into rows (streaming — blocks are
+    * buffered one at a time, never the file). */
+  private[graft] def decodeStream(in0: InputStream, declared: StructType,
+      file: String): Iterator[Row] = {
+    val in = new DataInputStream(new BufferedInputStream(in0, 1 << 16))
+    val (codec, sync) = readHeader(in, declared, file)
+    blockIter(in, declared, file, codec, sync, () => true)
+  }
+
+  /** Walk one container stream end to end, validating EVERYTHING the
+    * decode path would fault on — header, schema, block framing, sync
+    * markers, codec integrity, row structure (varints, union branches,
+    * string lengths, timestamp range) — without materializing a single
+    * value. Same verdicts as a full decode at a fraction of the work
+    * (no UTF-8 conversion, no Row allocation, string payloads skipped
+    * in O(1)); AvroMeasure pins the ratio. */
+  private[graft] def validateStream(in0: InputStream, declared: StructType,
+      file: String): Unit = {
+    val in = new DataInputStream(new BufferedInputStream(in0, 1 << 16))
+    val (codec, sync) = readHeader(in, declared, file)
+    val it = blockIter(in, declared, file, codec, sync, () => true, skipRows = true)
+    while (it.hasNext) it.next()
   }
 
   /** Read every `*.avro` container under `path` as a DataFrame with the
@@ -420,6 +522,120 @@ object Avro {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Decode the blocks of `file` OWNED by the byte range [start, end):
+    * a block belongs to the split containing its first byte (the block
+    * start right after a sync marker), so any partition of the file
+    * into ranges yields every block exactly once — the classic
+    * sync-marker split rule the Avro container was designed for.
+    *
+    * Mechanics: the header is always parsed from offset 0 (schema
+    * verification + codec + the file's sync marker — metadata-sized).
+    * If the first block start H falls in the range, decoding starts
+    * there; otherwise the reader seeks to `start - 16` and scans
+    * forward for the 16-byte sync whose END (= a block start) lands in
+    * [start, end), then decodes blocks until the next block start
+    * would be ≥ end (the last owned block may itself extend past
+    * `end` — its bytes are read, its rows are owned). A range interior
+    * to one giant block finds no sync before `end` and yields nothing:
+    * that block belongs to the split holding its start.
+    *
+    * The scan trusts sync-marker uniqueness, exactly as the format
+    * does: 16 opaque bytes appearing verbatim inside a block payload
+    * would mis-sync ANY spec reader (probability ~2^-128 for
+    * non-adversarial data; this engine's writer derives markers by
+    * SHA-256, so payload collisions are not constructible by
+    * accident). A false sync fails loudly at the block-header/sync
+    * checks, never silently. */
+  private[sources] def decodeRange(fs: org.apache.hadoop.fs.FileSystem,
+      file: org.apache.hadoop.fs.Path, start: Long, end: Long,
+      declared: StructType): Iterator[Row] = {
+    val raw = fs.open(file)
+    try {
+      val counting = new CountingInputStream(new BufferedInputStream(raw, 1 << 16))
+      val din = new DataInputStream(counting)
+      val (codec, sync) = readHeader(din, declared, file.toString)
+      val h = counting.count // first block start
+      if (h >= end) { din.close(); Iterator.empty }
+      else if (start <= h) {
+        // the range owns the first block; stream already sits at H
+        blockIter(din, declared, file.toString, codec, sync,
+          more = () => counting.count < end)
+      } else {
+        // seek so a sync ENDING exactly at `start` is still seen whole
+        raw.seek(start - 16)
+        val counting2 = new CountingInputStream(new BufferedInputStream(raw, 1 << 16))
+        val base = start - 16
+        val win = new Array[Byte](16)
+        var n = 0L
+        var found = false
+        var eof = false
+        while (!found && !eof && base + n < end) {
+          val b = counting2.read()
+          if (b < 0) eof = true
+          else {
+            win((n % 16).toInt) = b.toByte
+            n += 1
+            val p = base + n // candidate block start (sync end position)
+            if (n >= 16 && p >= start && p < end) {
+              var i = 0
+              var ok = true
+              while (i < 16 && ok) {
+                if (win(((n + i) % 16).toInt) != sync(i)) ok = false
+                i += 1
+              }
+              if (ok) found = true
+            }
+          }
+        }
+        if (!found) { din.close(); Iterator.empty }
+        else {
+          val din2 = new DataInputStream(counting2)
+          blockIter(din2, declared, file.toString, codec, sync,
+            more = () => base + counting2.count < end)
+        }
+      }
+    } catch {
+      case t: Throwable =>
+        try raw.close() catch { case scala.util.control.NonFatal(_) => }
+        throw t
+    }
+  }
+
+  /** [[readAvro]] with sub-file SPLIT parallelism: each container is
+    * read as ceil(fileLen / splitBytes) independent byte-range tasks
+    * via [[decodeRange]], so one third-party multi-GB container fans
+    * out across the cluster instead of becoming a single-task
+    * straggler — the failure mode the format's sync markers exist to
+    * prevent. Result-identical to [[readAvro]] by the block-ownership
+    * rule (judged: `source_avro_split`); per-split overhead is one
+    * header parse plus a ≤split-sized sync scan. Files this engine
+    * wrote are partition-sized and don't need it; crawl-corpus ingest
+    * of foreign containers does. */
+  def readAvroSplit(spark: SparkSession, path: String, schema: StructType,
+      splitBytes: Long): DataFrame = {
+    require(splitBytes > 0, s"splitBytes must be positive, got $splitBytes")
+    schema.fields.foreach(f => avroType(f.dataType))
+    val decl = schema
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val pat = new org.apache.hadoop.fs.Path(s"$path/*.avro")
+    val fs = pat.getFileSystem(hconf.value)
+    val statuses = Option(fs.globStatus(pat)).getOrElse(Array.empty)
+    val splits: Seq[(String, Long, Long)] = statuses.toSeq.flatMap { st =>
+      val len = st.getLen
+      (0L until len by splitBytes).map { s =>
+        (st.getPath.toString, s, math.min(s + splitBytes, len))
+      }
+    }
+    val rows = spark.sparkContext
+      .parallelize(splits, math.max(1, splits.length))
+      .flatMap { case (f, s, e) =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        decodeRange(p.getFileSystem(hconf.value), p, s, e, decl)
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** [[readAvro]] with the CSV/JSON corrupt-row quarantine contract
     * lifted to the container's natural fault unit, the FILE: returns
     * (data, quarantine) where `quarantine` is one (file, error) row per
@@ -430,11 +646,15 @@ object Avro {
     * file would make results depend on WHERE it broke — all-or-nothing
     * per file is the honest contract.
     *
-    * Cost: clean files are decoded twice (a streamed validation pass,
-    * then the read — nothing is buffered either time; the verdict
-    * collect is file-COUNT-sized metadata, not data). That is the
-    * price of atomic per-file quarantine with streaming memory use;
-    * use plain [[readAvro]] on trusted producers. */
+    * Cost: clean files are READ twice (a streamed validation pass,
+    * then the decode — nothing is buffered either time; the verdict
+    * collect is file-COUNT-sized metadata, not data). The validation
+    * pass is the structural skip-walk ([[validateStream]]): identical
+    * verdicts to a full decode with none of the value materialization,
+    * so the added CPU is a fraction of one decode (AvroMeasure pins
+    * it). That is the price of atomic per-file quarantine with
+    * streaming memory use; use plain [[readAvro]] on trusted
+    * producers. */
   def readAvroWithQuarantine(spark: SparkSession, path: String,
       schema: StructType): (DataFrame, DataFrame) = {
     schema.fields.foreach(f => avroType(f.dataType))
@@ -448,8 +668,7 @@ object Avro {
         // silently drop its rows. Quarantine is for byte-level verdicts.
         val in = pds.open()
         try {
-          val it = decodeStream(in, decl, file)
-          while (it.hasNext) it.next()
+          validateStream(in, decl, file)
           (file, null: String)
         } catch {
           case scala.util.control.NonFatal(e) =>

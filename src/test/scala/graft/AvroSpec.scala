@@ -122,6 +122,112 @@ class AvroSpec extends SparkSpecBase {
     assert(sampleRows.map(_.getLong(0)).toSet.subsetOf(clean))
   }
 
+  // ---- sync-marker sub-file splits ----
+
+  test("split read is invisible across split sizes — every block exactly once") {
+    val dir = Files.createTempDirectory("graft_avro").toString
+    // one fat container (single partition) with MANY small blocks, so
+    // any interesting splitBytes cuts between and inside blocks
+    val n = 600
+    val rows = (0 until n).map { i =>
+      Row(i.toLong, s"name-$i-" + ("x" * (i % 37)), i / 7.0, i, i % 3 == 0,
+        ts("2001-02-03T04:05:06").plusSeconds(i.toLong))
+    }
+    val one = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    Avro.writeAvro(one, dir, codec = "deflate", blockRows = 13)
+    val whole = collectSorted(Avro.readAvro(spark, dir, schema))
+    assert(whole.size == n)
+    val fileLen = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).map(_.length).max
+    // tiny (header spans many splits), odd mid-size (cuts inside
+    // blocks), just-under-file, and bigger-than-file
+    for (sb <- Seq(64L, 997L, 4096L, fileLen - 1, fileLen + 10)) {
+      val split = collectSorted(Avro.readAvroSplit(spark, dir, schema, sb))
+      // exact multiset equality: a block owned by two splits would
+      // duplicate rows, an orphaned block would drop them
+      assert(split == whole, s"splitBytes=$sb diverged from whole-file read")
+    }
+  }
+
+  test("split read on a multi-file layout matches the per-file read") {
+    val dir = Files.createTempDirectory("graft_avro").toString
+    Avro.writeAvro(sampleDf, dir, codec = "null", blockRows = 2)
+    val whole = collectSorted(Avro.readAvro(spark, dir, schema))
+    val split = collectSorted(Avro.readAvroSplit(spark, dir, schema, 50L))
+    assert(split == whole && whole.size == sampleRows.size)
+  }
+
+  test("split read decodes reference-written files (random sync markers)") {
+    val dir = Files.createTempDirectory("graft_avro").toFile
+    val f = new java.io.File(dir, "ref.avro")
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](refSchema))
+    w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+    // small blocks so several land in distinct splits
+    w.setSyncInterval(200)
+    w.create(refSchema, f)
+    (0 until 400).foreach { i =>
+      val rec = new org.apache.avro.generic.GenericData.Record(refSchema)
+      rec.put("id", i.toLong)
+      rec.put("name", s"ref-$i")
+      rec.put("score", i * 0.5)
+      rec.put("size", i)
+      rec.put("ok", i % 2 == 0)
+      rec.put("ts", java.lang.Long.valueOf(i * 1000000L))
+      w.append(rec)
+    }
+    w.close()
+    val whole = collectSorted(Avro.readAvro(spark, dir.toString, schema))
+    val split = collectSorted(
+      Avro.readAvroSplit(spark, dir.toString, schema, 512L))
+    assert(whole.size == 400 && split == whole)
+  }
+
+  test("quarantine skip-walk catches ROW-level faults, not just framing") {
+    // a structurally pristine container (good header, block framing,
+    // sync) whose single row is a BAD UNION BRANCH — only the row walk
+    // can catch it, so this pins that validation walks rows
+    val dir = Files.createTempDirectory("graft_avro").toString
+    Avro.writeAvro(sampleDf, dir, codec = "null", blockRows = 2)
+    val good = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".avro"))
+      .minBy(_.getName)
+    val bytes = Files.readAllBytes(good.toPath)
+    // header-only prefix of an EMPTY partition's twin: rebuild by hand —
+    // header = everything up to the first block (locate via the trailing
+    // 16-byte sync: the header ENDS with the sync's first occurrence)
+    val sync = {
+      // the final 16 bytes of any well-formed container are its sync
+      java.util.Arrays.copyOfRange(bytes, bytes.length - 16, bytes.length)
+    }
+    def indexOfSync(from: Int): Int = {
+      var i = from
+      while (i + 16 <= bytes.length) {
+        if (java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(bytes, i, i + 16), sync)) return i
+        i += 1
+      }
+      -1
+    }
+    val headerEnd = indexOfSync(4) + 16
+    assert(headerEnd > 16, "fixture drift: no sync found after magic")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes, 0, headerEnd)
+    // block: count=1 (zigzag 0x02), size=2, payload = id varint 0x02
+    // then union branch 2 (zigzag 0x04) for `name` — invalid
+    out.write(0x02); out.write(0x04)
+    out.write(0x02); out.write(0x04)
+    out.write(sync, 0, 16)
+    Files.write(java.nio.file.Paths.get(s"$dir/rowfault.avro"), out.toByteArray)
+    val (data, quarantine) = Avro.readAvroWithQuarantine(spark, dir, schema)
+    val q = quarantine.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(q.size == 1 && q.keys.head.contains("rowfault"), s"got $q")
+    assert(q.values.head.contains("union branch"), s"got $q")
+    assert(collectSorted(data) == sampleRows.sortBy(_.getLong(0)))
+  }
+
   // ---- interop with the org.apache.avro reference implementation ----
 
   private def refSchema: org.apache.avro.Schema =

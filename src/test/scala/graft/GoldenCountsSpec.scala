@@ -105,7 +105,8 @@ class GoldenCountsSpec extends SparkSpecBase {
     "ann_pq_rerank_exact" -> 50, "dedup_lsh_capped" -> 28,
     "source_scd2_pruned" -> 6, "source_avro_roundtrip" -> 3,
     "mm_video_mp4_samples" -> 55, "ann_ivfpq_exact" -> 50,
-    "mm_image_exif" -> 200, "source_avro_quarantine" -> 3
+    "mm_image_exif" -> 200, "source_avro_quarantine" -> 3,
+    "source_avro_split" -> 3
   )
 
   test("every SURVEY §2 query is registered with an oracle") {
