@@ -500,6 +500,29 @@ object Oracle {
       ("SELECT lang, count(*) AS docs, CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens, " +
         "CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpeish_tokens, " +
         "round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_words FROM documents GROUP BY lang ORDER BY lang"),
+    // BPE replay: the SAME pinned merge table as a replace() chain with
+    // private-use placeholder chars (generated from graft.functions.Bpe
+    // — single source of truth); SQL replace is the same leftmost
+    // non-overlapping pass a merge rule performs, so counts are exact
+    "text_bpe_tokencount" ->
+      ("WITH t AS (SELECT doc_id, CAST(" +
+        graft.functions.Bpe.duckCountSql("lower(text)") +
+        " AS BIGINT) AS bpe_tokens, CAST(length(text) AS BIGINT) AS n_chars " +
+        "FROM documents WHERE doc_id < 300) " +
+        "SELECT doc_id, bpe_tokens, n_chars, " +
+        "round(CAST(n_chars AS DOUBLE) / bpe_tokens, 4) AS chars_per_token " +
+        "FROM t ORDER BY doc_id"),
+    // packing re-budgeted on the replayed BPE counts; plain global
+    // running-sum window vs the engine's bucketed prefix sums
+    "llm_pack_bpe" ->
+      ("WITH t AS (SELECT doc_id, CAST(" +
+        graft.functions.Bpe.duckCountSql("lower(text)") +
+        " AS INT) AS tokens FROM documents), " +
+        "c AS (SELECT doc_id, tokens, sum(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
+        "SELECT doc_id, CAST(tokens AS BIGINT) AS tokens, " +
+        "CAST(floor((cum - tokens) / 512.0) AS BIGINT) AS chunk, " +
+        "CAST(cum - tokens - CAST(floor((cum - tokens) / 512.0) AS BIGINT) * 512 AS BIGINT) AS offset " +
+        "FROM c ORDER BY doc_id LIMIT 500"),
     "text_langid" ->
       ("WITH t AS (SELECT lang, text, list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks FROM documents), " +
         "p AS (SELECT lang, text, list_max([" +
@@ -968,6 +991,25 @@ object Oracle {
         "lpad(CAST(p_partkey % 24 AS VARCHAR), 2, '0') || ':' || " +
         "lpad(CAST(p_partkey % 60 AS VARCHAR), 2, '0') || ':' || " +
         "lpad(CAST(p_partkey % 60 AS VARCHAR), 2, '0') AS dt " +
+        "FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"),
+    // EXIF sub-IFD + GPS invisibility: the pointer-walked fields are
+    // closed-form key functions; coordinates compare as exact integer
+    // centi-arcseconds (float-free) folded from the 3xRATIONALs
+    "mm_image_exif_gps" ->
+      ("SELECT p_partkey, " +
+        "CASE WHEN p_partkey % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order, " +
+        "'2023:' || lpad(CAST(1 + p_partkey % 12 AS VARCHAR), 2, '0') || ':' || " +
+        "lpad(CAST(1 + p_partkey % 28 AS VARCHAR), 2, '0') || ' ' || " +
+        "lpad(CAST(p_partkey % 24 AS VARCHAR), 2, '0') || ':' || " +
+        "lpad(CAST((p_partkey * 7) % 60 AS VARCHAR), 2, '0') || ':' || " +
+        "lpad(CAST((p_partkey * 11) % 60 AS VARCHAR), 2, '0') AS dto, " +
+        "CAST(100 * (1 + p_partkey % 32) AS BIGINT) AS iso, " +
+        "CAST(1 + p_partkey % 3 AS BIGINT) AS expo_num, " +
+        "CAST(125 * (1 + p_partkey % 16) AS BIGINT) AS expo_den, " +
+        "CAST((CASE WHEN p_partkey % 3 = 0 THEN -1 ELSE 1 END) * " +
+        "((p_partkey % 90) * 360000 + (p_partkey % 60) * 6000 + (p_partkey * 37) % 6000) AS BIGINT) AS lat_centisec, " +
+        "CAST((CASE WHEN p_partkey % 5 = 0 THEN 1 ELSE -1 END) * " +
+        "((p_partkey % 180) * 360000 + ((p_partkey * 13) % 60) * 6000 + (p_partkey * 53) % 6000) AS BIGINT) AS lon_centisec " +
         "FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"),
     // decimal semantics: every decimal output is scale-pinned and
     // compared as a string (DuckDB's pandas bridge degrades decimals to

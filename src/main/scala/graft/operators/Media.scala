@@ -340,6 +340,82 @@ object Media {
         col("m._6").as("dt"))
       .orderBy(col("p_partkey"))
 
+  /** Deterministic full-structure EXIF'd JPEG for key `pk`: IFD0 plus
+    * the Exif sub-IFD (DateTimeOriginal / ISO / ExposureTime RATIONAL)
+    * and GPS IFD (hemisphere refs + 3×RATIONAL coordinates), every
+    * value a closed-form key function and every RATIONAL denominator
+    * non-trivial (so a parser that drops the den and reads only the
+    * num fails). Byte order alternates by key parity. */
+  private val encodeExifGpsJpeg = udf { (pk: Long) =>
+    val tiff = graft.multimodal.Exif.tiffBlockFull(
+      width = 100 + pk % 50,
+      height = 80 + pk % 37,
+      make = s"CAM-${pk % 13}",
+      orientation = (1 + pk % 8).toInt,
+      dateTime = f"2024:${1 + pk % 12}%02d:${1 + pk % 28}%02d " +
+        f"${pk % 24}%02d:${pk % 60}%02d:${pk % 60}%02d",
+      dateTimeOriginal = f"2023:${1 + pk % 12}%02d:${1 + pk % 28}%02d " +
+        f"${pk % 24}%02d:${(pk * 7) % 60}%02d:${(pk * 11) % 60}%02d",
+      iso = (100 * (1 + pk % 32)).toInt,
+      exposureNum = 1 + pk % 3,
+      exposureDen = 125 * (1 + pk % 16),
+      lat = graft.multimodal.Exif.GpsCoord(
+        if (pk % 3 == 0) "S" else "N",
+        2 * (pk % 90), 2, 3 * (pk % 60), 3, 5 * ((pk * 37) % 6000), 500),
+      lon = graft.multimodal.Exif.GpsCoord(
+        if (pk % 5 == 0) "E" else "W",
+        2 * (pk % 180), 2, 3 * ((pk * 13) % 60), 3, 5 * ((pk * 53) % 6000), 500),
+      littleEndian = pk % 2 == 0)
+    graft.multimodal.Exif.withExif(
+      graft.multimodal.Jpeg.encodeJpeg(
+        Array.fill(64)((pk % 256).toByte), 8, 8, channels = 1), tiff)
+  }
+  private val parseExifGps = udf { (bytes: Array[Byte]) =>
+    val full = graft.multimodal.Exif.parseExifFull(bytes)
+      .getOrElse(throw new IllegalArgumentException("no EXIF APP1"))
+    val sub = full.sub.getOrElse(
+      throw new IllegalArgumentException("no Exif sub-IFD"))
+    val (lat, lon) = full.gps.getOrElse(
+      throw new IllegalArgumentException("no GPS IFD"))
+    // exact integer centi-arcseconds from the parsed RATIONALs (every
+    // division exact by fixture construction) — float-free, so the
+    // oracle comparison is an integer hash, not an epsilon
+    def centi(c: graft.multimodal.Exif.GpsCoord): Long = {
+      val v = c.degNum * 360000 / c.degDen + c.minNum * 6000 / c.minDen +
+        c.secNum * 100 / c.secDen
+      if (c.ref == "S" || c.ref == "W") -v else v
+    }
+    (full.ifd0.byteOrder, sub.dateTimeOriginal, sub.iso,
+      sub.exposureNum, sub.exposureDen, centi(lat), centi(lon))
+  }
+
+  /** #222 judged EXIF SUB-IFD + GPS WALK (round-15) — the pointer-tag
+    * structure real camera JPEGs use: DateTimeOriginal, ISO and
+    * exposure live in the Exif sub-IFD (tag 0x8769), coordinates in
+    * the GPS IFD (0x8825) — the fields a capture-time/geo curation
+    * filter actually shards on, and exactly where IFD0-only readers
+    * come back empty. Per part, a closed-form full-structure APP1
+    * block (both pointer IFDs, RATIONAL values with non-trivial
+    * denominators — the remaining TIFF type) is spliced into a real
+    * JPEG and parsed back through the recursive IFD walk; coordinates
+    * are folded to exact integer centi-arcseconds so the oracle
+    * comparison is float-free. Byte order alternates by key parity.
+    * Per-row parse, no shuffle until the bounded ordered output. */
+  def mmImageExifGps(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"))
+      .withColumn("m", parseExifGps(encodeExifGpsJpeg(col("p_partkey"))))
+      .select(col("p_partkey"),
+        col("m._1").as("byte_order"),
+        col("m._2").as("dto"),
+        col("m._3").cast("long").as("iso"),
+        col("m._4").as("expo_num"),
+        col("m._5").as("expo_den"),
+        col("m._6").as("lat_centisec"),
+        col("m._7").as("lon_centisec"))
+      .orderBy(col("p_partkey"))
+
   /** #194 judged audio roundtrip + energy: per customer (c_custkey ≤
     * 200), synthesize 256 PCM-16 samples spanning the full signed
     * range, decode them back through the real WAV parser, and emit

@@ -39,6 +39,55 @@ object TrainingData {
         round(avg(TextAnalysis.tokenCount(col("text"))), 4).as("avg_words"))
       .orderBy(col("lang"))
 
+  /** #223 REAL subword tokenization (round-15): per-document BPE token
+    * counts under the pinned in-repo merge table
+    * ([[graft.functions.Bpe.Merges]] — the deterministic greedy encode
+    * of Sennrich et al. 2016, compound merges included), replacing the
+    * whitespace/regex proxies as the token length a training pipeline
+    * actually budgets on. The oracle replays the SAME table as a
+    * DuckDB `replace()` chain with placeholder chars (exact: SQL
+    * replace is the same leftmost non-overlapping pass a merge rule
+    * performs), so one wrong merge order, an overlapping-pair slip, or
+    * a missed compound moves per-doc counts and fails the hash. The
+    * engine side is a native codegen'd all-int expression — per-row
+    * work is O(len × rules) with zero string churn, embarrassingly
+    * parallel at 100 TB. */
+  def textBpeTokencount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        graft.functions.Bpe.bpeTokenCount(lower(col("text")))
+          .cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("bpe_tokens"), 4))
+      .orderBy(col("doc_id"))
+
+  /** #224 sequence packing on REAL token lengths (round-15): #78's
+    * greedy chunk assignment re-budgeted on the BPE counts of #223 —
+    * the packed-sequence table a training consumer would actually read
+    * (budgeting on whitespace proxies misplaces chunk boundaries
+    * wherever subword compression varies across documents, which is
+    * exactly what differs across languages). Same distributed shape as
+    * #78: the global running total is GlobalRank's bucketed prefix
+    * sum, no single-partition window anywhere; the oracle's plain
+    * `sum() OVER (ORDER BY)` over the replayed BPE counts must be
+    * matched invisibly. */
+  def llmPackBpe(s: SparkSession, d: String): DataFrame = {
+    val budget = 512
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.Bpe.bpeTokenCount(lower(col("text"))).as("tokens"))
+    GlobalRank.runningTotal(docs, "doc_id", "tokens", "_cum")
+      .select(col("doc_id"), col("tokens").cast("long").as("tokens"),
+        floor((col("_cum") - col("tokens")).cast("double") / budget)
+          .cast("long").as("chunk"),
+        (col("_cum") - col("tokens") - floor((col("_cum") - col("tokens"))
+          .cast("double") / budget).cast("long") * budget).cast("long").as("offset"))
+      .orderBy(col("doc_id"))
+      .limit(500)
+  }
+
   /** #60 language-ID confusion matrix: actual `lang` column vs the
     * marker-word heuristic (TextAnalysis.langId verbatim). */
   def textLangid(s: SparkSession, d: String): DataFrame =

@@ -106,7 +106,8 @@ class GoldenCountsSpec extends SparkSpecBase {
     "source_scd2_pruned" -> 6, "source_avro_roundtrip" -> 3,
     "mm_video_mp4_samples" -> 55, "ann_ivfpq_exact" -> 50,
     "mm_image_exif" -> 200, "source_avro_quarantine" -> 3,
-    "source_avro_split" -> 3
+    "source_avro_split" -> 3, "mm_image_exif_gps" -> 200,
+    "text_bpe_tokencount" -> 300, "llm_pack_bpe" -> 500
   )
 
   test("every SURVEY §2 query is registered with an oracle") {
