@@ -1011,6 +1011,20 @@ object Oracle {
         "CAST((CASE WHEN p_partkey % 5 = 0 THEN 1 ELSE -1 END) * " +
         "((p_partkey % 180) * 360000 + ((p_partkey * 13) % 60) * 6000 + (p_partkey * 53) % 6000) AS BIGINT) AS lon_centisec " +
         "FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"),
+    // sniff-route invisibility: format, kind and the per-format feature
+    // are closed-form key functions; a mis-sniffed payload routes to the
+    // wrong decoder and throws or moves the feature (extension-based
+    // routing fails every row — the extensions all lie)
+    "mm_sniff_route" ->
+      ("SELECT p_partkey AS k, " +
+        "CASE p_partkey % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'wav' ELSE 'jpeg' END AS format, " +
+        "CASE p_partkey % 4 WHEN 2 THEN 'audio' ELSE 'image' END AS kind, " +
+        "CAST(CASE p_partkey % 4 " +
+        "WHEN 0 THEN list_sum(list_transform(range(0, 64), j -> (p_partkey*37 + j*11) % 256)) " +
+        "WHEN 1 THEN list_sum(list_transform(range(0, 64), j -> (p_partkey*53 + j*29) % 256)) " +
+        "WHEN 2 THEN list_sum(list_transform(range(0, 256), j -> ((p_partkey*31 + j*17) % 4001 - 2000) * ((p_partkey*31 + j*17) % 4001 - 2000))) " +
+        "ELSE (100 + p_partkey % 50) * 10 + 1 + p_partkey % 8 END AS BIGINT) AS feature " +
+        "FROM part WHERE p_partkey <= 160 ORDER BY p_partkey"),
     // decimal semantics: every decimal output is scale-pinned and
     // compared as a string (DuckDB's pandas bridge degrades decimals to
     // float64), so result SCALE is part of the judged contract

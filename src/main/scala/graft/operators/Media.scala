@@ -416,6 +416,98 @@ object Media {
         col("m._7").as("lon_centisec"))
       .orderBy(col("p_partkey"))
 
+  /** Per-process root for the sniff-route media layout (the same
+    * once-per-JVM discipline as Relational's layoutOnce). */
+  private lazy val mediaLayoutRoot: java.io.File =
+    java.nio.file.Files.createTempDirectory("graft_media_layout").toFile
+
+  private def mediaLayoutOnce(name: String, d: String)(write: String => Unit): String = {
+    val dir = new java.io.File(mediaLayoutRoot,
+      s"${name}_${java.lang.Integer.toHexString(d.hashCode)}")
+    val done = new java.io.File(dir, "_graft_layout_done")
+    if (!done.exists()) {
+      dir.mkdirs()
+      write(dir.toString)
+      done.createNewFile()
+      ()
+    }
+    dir.toString
+  }
+
+  private val featureBmp = udf { (bytes: Array[Byte]) =>
+    Multimodal.bmpGrayPixels(bytes).map(_.toLong).sum
+  }
+  private val featurePng = udf { (bytes: Array[Byte]) =>
+    Multimodal.pngGrayPixels(bytes).map(_.toLong).sum
+  }
+  private val featureWav = udf { (bytes: Array[Byte]) =>
+    Multimodal.wavSamples(bytes).map(s => s.toLong * s).sum
+  }
+  private val featureJpegExif = udf { (bytes: Array[Byte]) =>
+    val e = graft.multimodal.Exif.parseExif(bytes)
+      .getOrElse(throw new IllegalArgumentException("no EXIF APP1"))
+    e.width * 10 + e.orientation
+  }
+
+  /** #225 judged MAGIC-BYTE SNIFF + ROUTE (round-15) — the crawl-corpus
+    * entry point under the oracle: the layout writes one media object
+    * per key (k%4 cycles BMP / PNG / PCM-16 WAV / EXIF'd JPEG, every
+    * payload a closed-form key lattice) under a LYING file extension
+    * (each format saved with the NEXT format's extension — the
+    * extensions-lie reality of crawled data), and the read goes
+    * through `Ingest.readMediaDirectory`'s magic-byte dispatch, which
+    * must route every payload to the right decoder: BMP/PNG to pixel
+    * sums, WAV to Σs² energy, JPEG to the EXIF width/orientation
+    * parse. The oracle recomputes format, kind and feature from the
+    * key alone, so one mis-sniffed file routes to the wrong decoder
+    * and either throws or moves the feature. Extension-based routing
+    * fails ALL 161 rows here, by construction. Per-file sniff is a
+    * prefix comparison (content pruned to the compared bytes only at
+    * the source level for the length guard; the sniff reads the row's
+    * binary column) — embarrassingly parallel at 100 TB. */
+  def mmSniffRoute(s: SparkSession, d: String): DataFrame = {
+    val dir = mediaLayoutOnce("media_sniff", d) { out =>
+      val lieExt = Map("bmp" -> "png", "png" -> "wav", "wav" -> "jpg", "jpeg" -> "bmp")
+      (0 to 160).foreach { k =>
+        val (fmt, bytes) = (k % 4) match {
+          case 0 => ("bmp", Multimodal.encodeBmp24(8, 8, (x, y) => {
+            val j = y * 8 + x
+            val v = ((k * 37 + j * 11) % 256).toInt
+            (v, v, v)
+          }))
+          case 1 => ("png", Multimodal.encodePng(8, 8, (x, y) => {
+            val j = y * 8 + x
+            val v = ((k * 53 + j * 29) % 256).toInt
+            (v, v, v)
+          }))
+          case 2 => ("wav", Multimodal.encodeWavPcm16(
+            Array.tabulate(256)(j => (((k * 31 + j * 17) % 4001) - 2000).toShort),
+            sampleRate = 8000))
+          case _ => ("jpeg", graft.multimodal.Exif.withExif(
+            graft.multimodal.Jpeg.encodeJpeg(
+              Array.fill(64)((k % 256).toByte), 8, 8, channels = 1),
+            graft.multimodal.Exif.tiffBlock(
+              width = 100 + k % 50, height = 80 + k % 37,
+              make = s"CAM-${k % 13}", orientation = (1 + k % 8),
+              dateTime = f"2024:${1 + k % 12}%02d:${1 + k % 28}%02d " +
+                f"${k % 24}%02d:${k % 60}%02d:${k % 60}%02d",
+              littleEndian = k % 2 == 0)))
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, f"obj-$k%04d.${lieExt(fmt)}"), bytes)
+      }
+    }
+    graft.sources.Ingest.readMediaDirectory(s, dir, glob = "obj-*")
+      .withColumn("k", regexp_extract(col("path"), "obj-(\\d+)\\.", 1).cast("long"))
+      .select(col("k"), col("format"), col("kind"),
+        when(col("format") === "bmp", featureBmp(col("media")))
+          .when(col("format") === "png", featurePng(col("media")))
+          .when(col("format") === "wav", featureWav(col("media")))
+          .when(col("format") === "jpeg", featureJpegExif(col("media")))
+          .otherwise(lit(-1L)).as("feature"))
+      .orderBy(col("k"))
+  }
+
   /** #194 judged audio roundtrip + energy: per customer (c_custkey ≤
     * 200), synthesize 256 PCM-16 samples spanning the full signed
     * range, decode them back through the real WAV parser, and emit
