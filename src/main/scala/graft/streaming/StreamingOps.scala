@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -1233,6 +1233,54 @@ object StreamingOps {
           && col("c_ts") >= col("p_ts") - expr(s"interval $window"))
       .select(col("purchase_id"), col("click_id"), col("user_id"),
         col("p_ts"), col("c_ts"))
+  }
+
+  /** Streaming twin of the batch INTERVAL-OVERLAP join
+    * ([[graft.operators.IntervalJoin.overlapSelfJoin]] / judged
+    * `join_interval_bucketed`) — the no-equi-key join shape, made
+    * streamable by the SAME temporal-bucketing trick that makes it
+    * batch-scalable: replicating each interval into every
+    * `bucketSeconds` bucket it touches (explode is stream-legal)
+    * GIVES the stream-stream join its equi key. The join carries all
+    * four batch clauses — bucket-id equality (hash-partitions state
+    * exactly like the batch shuffle), the closed-interval overlap
+    * predicate, `a_id < b_id`, and the emit-in-overlap-start-bucket
+    * rule (exactly-once without a distinct) — PLUS the two-sided
+    * event-time constraint |b_st − a_st| ≤ `maxLenSeconds` (implied by
+    * overlap of ≤maxLen intervals, but stated explicitly so the state
+    * store can evict rows past the watermark horizon). State is
+    * O(traffic within watermark + maxLen), never O(stream).
+    *
+    * Inner stream-stream joins emit on match, so results appear
+    * without waiting for watermark advance; rows later than the
+    * watermark are dropped per streaming semantics (the twin equality
+    * holds for deliveries within the horizon, scrambled or not —
+    * StreamingOpsSpec pins batch equality under shuffled multi-batch
+    * delivery). */
+  def overlapSelfJoinStream(intervals: DataFrame, idCol: String,
+      startCol: String, endCol: String, bucketSeconds: Long,
+      maxLenSeconds: Long, watermark: String = "1 hour"): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive: $bucketSeconds")
+    require(maxLenSeconds > 0, s"maxLenSeconds must be positive: $maxLenSeconds")
+    val bucketMicros = bucketSeconds * 1000000L
+    def bkt(cName: String): Column = expr(s"unix_micros($cName) div $bucketMicros")
+    val exploded = intervals.withWatermark(startCol, watermark)
+      .withColumn("gbkt", explode(sequence(bkt(startCol), bkt(endCol))))
+    val a = exploded.select(col(idCol).as("a_id"), col(startCol).as("a_st"),
+      col(endCol).as("a_en"), col("gbkt"))
+    val b = exploded.select(col(idCol).as("b_id"), col(startCol).as("b_st"),
+      col(endCol).as("b_en"), col("gbkt").as("b_gbkt"))
+    a.join(b,
+        col("gbkt") === col("b_gbkt")
+          && col("a_id") < col("b_id")
+          && col("a_st") <= col("b_en") && col("b_st") <= col("a_en")
+          && col("gbkt") === expr(
+            s"unix_micros(greatest(a_st, b_st)) div $bucketMicros")
+          // explicit event-time range between the two watermarked sides:
+          // what lets the state store evict, not a semantic narrowing
+          && col("b_st") >= col("a_st") - expr(s"interval $maxLenSeconds seconds")
+          && col("b_st") <= col("a_st") + expr(s"interval $maxLenSeconds seconds"))
+      .select(col("a_id"), col("b_id"))
   }
 
   /** Streaming as-of enrichment: each micro-batch of probes is joined

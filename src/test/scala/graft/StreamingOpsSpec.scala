@@ -265,6 +265,58 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(got == Set((10L, 1L), (10L, 2L), (11L, 3L), (12L, 4L)))
   }
 
+  test("streaming interval-overlap self-join equals the batch bucketed join " +
+      "under scrambled multi-batch delivery") {
+    implicit val ctx = spark.sqlContext
+    // 60-min activity windows per event (the join_interval_bucketed
+    // shape): ids 1..12, starts chosen so overlaps cross bucket
+    // boundaries both ways and some pairs share several buckets
+    val ivRows: Seq[(Long, Long)] = Seq(
+      1L -> 0L, 2L -> 1700L, 3L -> 3500L, 4L -> 3650L, 5L -> 7300L,
+      6L -> 7310L, 7L -> 10000L, 8L -> 13900L, 9L -> 14100L,
+      10L -> 100L, 11L -> 3599L, 12L -> 7200L)
+    // shift well past the epoch: the global watermark clamps at 0, and a
+    // row AT the clamp would be late-dropped when delivered out of order
+    def ivDF(df: DataFrame): DataFrame =
+      df.select($"_1".as("event_id"),
+        timestamp_seconds($"_2" + 864000L).as("st"),
+        timestamp_seconds($"_2" + 864000L + 3600L).as("en"))
+    val ms = MemoryStream[(Long, Long)]
+    // SCRAMBLED delivery across three micro-batches: later intervals
+    // arrive first, each batch internally shuffled (seeded) — the
+    // result must not depend on arrival order within the horizon
+    val shuffled = new scala.util.Random(7).shuffle(ivRows)
+    val (b1, rest) = shuffled.splitAt(4)
+    val (b2, b3) = rest.splitAt(4)
+    ms.addData(b1: _*)
+    val out = StreamingOps.overlapSelfJoinStream(ivDF(ms.toDF()),
+      "event_id", "st", "en", bucketSeconds = 3600L,
+      maxLenSeconds = 3600L, watermark = "2 days")
+    val q = out.writeStream.format("memory").queryName("t_ivself")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      ms.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_ivself")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch reference 1: the judged bucketed operator on the same rows
+    val batchBucketed = graft.operators.IntervalJoin.overlapSelfJoin(
+        ivDF(ivRows.toDF()), "event_id", "st", "en", bucketSeconds = 3600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch reference 2: the naive theta join (semantics ground truth)
+    val t = ivDF(ivRows.toDF())
+    val naive = t.as("a").join(t.as("b"),
+        $"a.event_id" < $"b.event_id"
+          && $"a.st" <= $"b.en" && $"b.st" <= $"a.en")
+      .select($"a.event_id", $"b.event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchBucketed == naive, "batch bucketed vs theta ground truth")
+    assert(got == naive, s"stream vs batch: missing=${naive -- got} extra=${got -- naive}")
+    assert(got.nonEmpty && got.contains((1L, 2L)) && got.contains((5L, 6L)))
+  }
+
   test("streaming as-of enrichment attaches the latest history row per probe") {
     val history = Seq((1L, 100L, "stateA"), (1L, 500L, "stateB"), (2L, 50L, "stateX"))
       .toDF("user_id", "hsec", "state")
