@@ -146,6 +146,23 @@ object Oracle {
         "round(sum(o_totalprice),2) AS total, " +
         "max(o_orderkey) AS last_key " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // crawl-to-text invisibility: the oracle rebuilds each page's HTML
+    // from the key and applies the same tag strip — a CRLF slip, HTTP
+    // header mis-split, gzip member error, or Content-Length
+    // off-by-one in the engine's WARC walk moves text or lengths
+    "source_warc_extract" ->
+      ("WITH t AS (SELECT p_partkey AS k, " +
+        "'<html><head><title>T' || p_partkey || '</title></head><body>' || " +
+        "'<p>alpha ' || p_partkey || ' beta ' || ((p_partkey * p_partkey) % 9973) || '</p>' || " +
+        "'<b>tok' || (p_partkey % 13) || '</b></body></html>' AS html " +
+        "FROM part WHERE p_partkey <= 150) " +
+        "SELECT k, 'http://site-' || (k % 7) || '.example/page/' || k AS target_uri, " +
+        "CAST(CASE WHEN k % 10 = 0 THEN 404 ELSE 200 END AS BIGINT) AS status, " +
+        "'text/html; charset=utf-8' AS http_ctype, " +
+        "CAST(length(html) AS BIGINT) AS body_len, " +
+        "regexp_replace(html, '<[^>]*>', '', 'g') AS text, " +
+        "CAST(length(regexp_replace(html, '<[^>]*>', '', 'g')) AS BIGINT) AS n_text_chars " +
+        "FROM t ORDER BY k"),
     "filter_predicates" ->
       "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R') AND NOT l_linestatus = 'O' ORDER BY l_orderkey, l_linenumber, l_quantity",
     "filter_like_null" ->

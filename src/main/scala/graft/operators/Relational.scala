@@ -366,6 +366,79 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Closed-form WARC response record for key `pk` — every header and
+    * the HTML body a key function, so the oracle can rebuild the whole
+    * crawl-to-text chain from `part` alone. */
+  private val makeWarcRecord = udf { (pk: Long) =>
+    val html = s"<html><head><title>T$pk</title></head><body>" +
+      s"<p>alpha $pk beta ${(pk * pk) % 9973}</p><b>tok${pk % 13}</b></body></html>"
+    val status = if (pk % 10 == 0) 404 else 200
+    val reason = if (status == 404) "Not Found" else "OK"
+    val payload = graft.sources.Warc.encodeHttpResponse(
+      status, reason, "text/html; charset=utf-8", html.getBytes("UTF-8"))
+    (
+      "response",
+      s"http://site-${pk % 7}.example/page/$pk",
+      f"2024-${1 + pk % 12}%02d-${1 + pk % 28}%02dT${pk % 24}%02d:${pk % 60}%02d:${pk % 60}%02dZ",
+      f"<urn:uuid:00000000-0000-0000-0000-$pk%012d>",
+      "application/http;msgtype=response",
+      payload)
+  }
+  private val parseHttp = udf { (payload: Array[Byte]) =>
+    val (code, ctype, body) = graft.sources.Warc.parseHttpResponse(payload)
+    (code, ctype, new String(body, "UTF-8"))
+  }
+
+  /** #226 judged WARC CRAWL-TO-TEXT chain (round-15) — the entry point
+    * of a web-scale text pipeline under the oracle, end to end: the
+    * layout writes a one-gzip-member-per-record `.warc.gz` (the crawl
+    * convention; a warcinfo record leads, as real crawlers emit) whose
+    * every response record is a closed-form key function; the read
+    * walks the multi-member gzip through the strict WARC/1.1 parser
+    * ([[graft.sources.Warc]]), splits each record's HTTP/1.1 payload
+    * into status/content-type/body, strips the HTML to text with a
+    * plain Column `regexp_replace`, and emits per-page status,
+    * content type, byte length and extracted text. The oracle rebuilds
+    * the identical HTML from the key and applies the same strip — so
+    * one CRLF slip, a mis-split HTTP header block, a gzip member
+    * boundary error, or a Content-Length off-by-one moves text or
+    * lengths and fails the hash. Scale shape: crawl corpora ship many
+    * container files (one per crawler shard), so the file count is the
+    * split unit; per-record work is embarrassingly parallel and the
+    * only shuffle is the bounded ordered output. */
+  def sourceWarcExtract(s: SparkSession, d: String): DataFrame = {
+    val dir = layoutOnce("warc_crawl", d) { out =>
+      val info = Seq(("warcinfo", null: String,
+        "2024-01-01T00:00:00Z", "<urn:uuid:00000000-0000-0000-0000-999999999999>",
+        "application/warc-fields",
+        "software: graft-synthetic-crawler\r\n".getBytes("UTF-8")))
+      val infoDf = s.createDataFrame(info)
+        .toDF("warc_type", "target_uri", "warc_date", "record_id",
+          "content_type", "payload")
+      val recs = Tables.part(s, d)
+        .filter(col("p_partkey") <= 150)
+        .select(makeWarcRecord(col("p_partkey")).as("r"))
+        .select(col("r._1").as("warc_type"), col("r._2").as("target_uri"),
+          col("r._3").as("warc_date"), col("r._4").as("record_id"),
+          col("r._5").as("content_type"), col("r._6").as("payload"))
+      graft.sources.Warc.writeWarc(
+        infoDf.unionByName(recs).repartition(1), out, gzipPerRecord = true)
+    }
+    graft.sources.Warc.readWarc(s, dir)
+      .filter(col("warc_type") === "response")
+      .withColumn("k", regexp_extract(col("target_uri"), "/page/(\\d+)$", 1)
+        .cast("long"))
+      .withColumn("h", parseHttp(col("payload")))
+      .select(col("k"),
+        col("target_uri"),
+        col("h._1").cast("long").as("status"),
+        col("h._2").as("http_ctype"),
+        length(col("h._3")).cast("long").as("body_len"),
+        regexp_replace(col("h._3"), "<[^>]*>", "").as("text"))
+      .withColumn("n_text_chars", length(col("text")).cast("long"))
+      .orderBy(col("k"))
+  }
+
   /** Per-process root for [[scanRangePruned]]'s re-layouts: created
     * lazily once per JVM, so concurrent processes write disjoint
     * directories and no marker file outlives the process that wrote

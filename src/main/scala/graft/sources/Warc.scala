@@ -1,0 +1,266 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayOutputStream, DataInputStream, EOFException, InputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** WARC (Web ARChive) source/sink, hand-rolled on the public format
+  * specification (ISO 28500 / WARC 1.1) — THE container format of
+  * crawl corpora, and therefore the entry point of a 100 TB text
+  * training-data pipeline: the raw web arrives as WARC response
+  * records whose payload is an HTTP/1.1 message wrapping the HTML.
+  *
+  * Layout per the spec: each record is a version line (`WARC/1.1`),
+  * CRLF-terminated named headers (`WARC-Type`, `WARC-Target-URI`,
+  * `WARC-Date`, `Content-Type`, `Content-Length`, ...), an empty line,
+  * exactly `Content-Length` payload bytes, and a CRLF CRLF record
+  * terminator. Compressed WARC follows the crawl convention of ONE
+  * GZIP MEMBER PER RECORD concatenated into a `.warc.gz` — readable
+  * as one stream (multi-member gzip decode is part of RFC 1952) while
+  * leaving record boundaries recoverable for external indexes.
+  *
+  * Scale shape mirrors [[Avro]]: the WRITER emits one container per
+  * input partition executor-side; the READER parallelizes per file
+  * (`binaryFiles`, streamed — a record body is the only buffered
+  * unit) and walks records sequentially within a task. Crawl corpora
+  * ship many container files by construction (one per crawler shard),
+  * so the file count is the split unit; sub-file splits of .warc.gz
+  * require an external record index (the convention crawls actually
+  * use) because a gzip member boundary has no sync marker — unlike
+  * Avro, the honest answer here is per-file parallelism plus
+  * writer-side sizing.
+  *
+  * Parsing is STRICT and loud: a malformed version line, a header
+  * without a colon, a short body, or a missing record terminator
+  * throws with the file and byte context rather than resynchronizing
+  * silently — resync heuristics are how crawl pipelines quietly eat
+  * records. (Fault isolation belongs to the quarantine wrapper
+  * pattern at the FILE level, as with Avro.)
+  */
+object Warc {
+
+  /** One parsed WARC record: the spec headers a curation pass routes
+    * on, plus the raw payload bytes. */
+  val recordSchema: StructType = StructType(Seq(
+    StructField("warc_type", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("record_id", StringType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("payload", BinaryType, nullable = false)))
+
+  private val Crlf = "\r\n".getBytes("US-ASCII")
+
+  /** Encode one WARC/1.1 record (headers in spec order, CRLF
+    * discipline, Content-Length exact, CRLF CRLF terminator). */
+  def encodeRecord(warcType: String, targetUri: String, warcDate: String,
+      recordId: String, contentType: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(payload.length + 256)
+    def line(s: String): Unit = {
+      val b = s.getBytes("US-ASCII")
+      out.write(b, 0, b.length); out.write(Crlf, 0, 2)
+    }
+    line("WARC/1.1")
+    line(s"WARC-Type: $warcType")
+    if (targetUri != null) line(s"WARC-Target-URI: $targetUri")
+    if (warcDate != null) line(s"WARC-Date: $warcDate")
+    if (recordId != null) line(s"WARC-Record-ID: $recordId")
+    if (contentType != null) line(s"Content-Type: $contentType")
+    line(s"Content-Length: ${payload.length}")
+    out.write(Crlf, 0, 2)
+    out.write(payload, 0, payload.length)
+    out.write(Crlf, 0, 2); out.write(Crlf, 0, 2)
+    out.toByteArray
+  }
+
+  /** Wrap an HTTP/1.1 response message around `body` — the payload of
+    * a WARC `response` record (Content-Type
+    * `application/http;msgtype=response`). */
+  def encodeHttpResponse(status: Int, reason: String, contentType: String,
+      body: Array[Byte]): Array[Byte] = {
+    val head = s"HTTP/1.1 $status $reason\r\n" +
+      s"Content-Type: $contentType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n"
+    val h = head.getBytes("US-ASCII")
+    val out = new ByteArrayOutputStream(h.length + body.length)
+    out.write(h, 0, h.length)
+    out.write(body, 0, body.length)
+    out.toByteArray
+  }
+
+  /** Write `df` (rows shaped like [[recordSchema]]) as WARC containers
+    * under `path` — one file per input partition, executor-side; with
+    * `gzipPerRecord` each record becomes its own gzip member
+    * (`.warc.gz`, the crawl convention), else a plain `.warc`. */
+  def writeWarc(df: DataFrame, path: String, gzipPerRecord: Boolean = true): Unit = {
+    val schema = df.schema
+    require(schema.fieldNames.toSeq == recordSchema.fieldNames.toSeq,
+      s"writeWarc needs columns ${recordSchema.fieldNames.mkString(",")}, " +
+        s"got ${schema.fieldNames.mkString(",")}")
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
+    val ext = if (gzipPerRecord) "warc.gz" else "warc"
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val file = new org.apache.hadoop.fs.Path(path, f"crawl-$pid%05d.$ext")
+      val fs = file.getFileSystem(hconf.value)
+      val os = fs.create(file, /*overwrite=*/ true)
+      try {
+        rows.foreach { r =>
+          val rec = encodeRecord(r.getString(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getString(4), r.getAs[Array[Byte]](5))
+          if (gzipPerRecord) {
+            val member = new ByteArrayOutputStream(rec.length / 2 + 64)
+            val gz = new GZIPOutputStream(member)
+            gz.write(rec, 0, rec.length); gz.finish(); gz.close()
+            val m = member.toByteArray
+            os.write(m, 0, m.length)
+          } else os.write(rec, 0, rec.length)
+        }
+      } finally os.close()
+      Iterator.empty: Iterator[Int]
+    }.count()
+    ()
+  }
+
+  private def fail(file: String, msg: String): Nothing =
+    throw new IllegalArgumentException(s"invalid WARC in $file: $msg")
+
+  /** Read one CRLF-terminated ASCII line; None at clean EOF on the
+    * first byte (record-boundary EOF). A lone CR or LF is a spec
+    * violation and fails loudly. */
+  private def readLine(in: InputStream, file: String): Option[String] = {
+    val buf = new ByteArrayOutputStream(64)
+    var b = in.read()
+    if (b < 0) return None
+    while (b != '\r') {
+      if (b < 0) fail(file, "EOF inside header line")
+      if (b == '\n') fail(file, "bare LF in header (spec requires CRLF)")
+      buf.write(b)
+      b = in.read()
+    }
+    if (in.read() != '\n') fail(file, "CR not followed by LF")
+    Some(buf.toString("US-ASCII"))
+  }
+
+  private def readFully(in: InputStream, n: Int, file: String): Array[Byte] = {
+    val b = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val k = in.read(b, off, n - off)
+      if (k < 0) fail(file, s"EOF inside ${n}-byte payload at $off")
+      off += k
+    }
+    b
+  }
+
+  /** Stream the records of one (possibly multi-member-gzip) container. */
+  private[graft] def decodeStream(in0: InputStream, file: String,
+      gzipped: Boolean): Iterator[Row] = {
+    val in: InputStream = {
+      val buffered = new BufferedInputStream(in0, 1 << 16)
+      // GZIPInputStream handles concatenated members per RFC 1952 —
+      // exactly the one-member-per-record crawl convention
+      if (gzipped) new BufferedInputStream(new GZIPInputStream(buffered, 1 << 16), 1 << 16)
+      else buffered
+    }
+    new Iterator[Row] {
+      private var nextRow: Row = null
+      private var done = false
+
+      private def advance(): Unit = {
+        if (done || nextRow != null) return
+        readLine(in, file) match {
+          case None => done = true; in.close()
+          case Some(version) =>
+            if (!version.startsWith("WARC/"))
+              fail(file, s"bad version line '${version.take(40)}'")
+            var warcType: String = null
+            var uri: String = null
+            var date: String = null
+            var id: String = null
+            var ctype: String = null
+            var len = -1L
+            var header = readLine(in, file).getOrElse(fail(file, "EOF in headers"))
+            while (header.nonEmpty) {
+              val i = header.indexOf(':')
+              if (i < 0) fail(file, s"header without colon: '${header.take(40)}'")
+              val k = header.substring(0, i).trim.toLowerCase
+              val v = header.substring(i + 1).trim
+              k match {
+                case "warc-type" => warcType = v
+                case "warc-target-uri" => uri = v
+                case "warc-date" => date = v
+                case "warc-record-id" => id = v
+                case "content-type" => ctype = v
+                case "content-length" =>
+                  len = try v.toLong
+                  catch { case _: NumberFormatException =>
+                    fail(file, s"bad Content-Length '$v'") }
+                case _ => // unknown headers are legal; skip
+              }
+              header = readLine(in, file).getOrElse(fail(file, "EOF in headers"))
+            }
+            if (warcType == null) fail(file, "record without WARC-Type")
+            if (len < 0) fail(file, "record without Content-Length")
+            if (len > Int.MaxValue) fail(file, s"payload too large: $len")
+            val payload = readFully(in, len.toInt, file)
+            // the spec's record terminator: exactly CRLF CRLF
+            val term = readFully(in, 4, file)
+            if (!(term(0) == '\r' && term(1) == '\n' && term(2) == '\r' && term(3) == '\n'))
+              fail(file, "missing CRLFCRLF record terminator")
+            nextRow = Row(warcType, uri, date, id, ctype, payload)
+        }
+      }
+
+      override def hasNext: Boolean = { advance(); !done }
+      override def next(): Row = {
+        advance()
+        if (done) throw new NoSuchElementException
+        val r = nextRow; nextRow = null; r
+      }
+    }
+  }
+
+  /** Read every `*.warc` / `*.warc.gz` under `path` as one record per
+    * row. One streamed task per container file. */
+  def readWarc(spark: SparkSession, path: String): DataFrame = {
+    val rows = spark.sparkContext
+      .binaryFiles(s"$path/*.warc*")
+      .flatMap { case (file, pds) =>
+        decodeStream(pds.open(), file, gzipped = file.endsWith(".gz"))
+      }
+    spark.createDataFrame(rows, recordSchema)
+  }
+
+  /** Split a `response` record's HTTP/1.1 payload into (status code,
+    * content-type, body bytes). Strict: a payload without a valid
+    * status line or header block fails loudly. */
+  def parseHttpResponse(payload: Array[Byte], file: String = "<payload>"):
+      (Int, String, Array[Byte]) = {
+    // find the header/body split (CRLFCRLF)
+    var i = 0
+    var split = -1
+    while (split < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n') split = i
+      i += 1
+    }
+    if (split < 0) fail(file, "HTTP payload without header terminator")
+    val head = new String(payload, 0, split, "US-ASCII")
+    val lines = head.split("\r\n")
+    val status = lines(0).split(" ")
+    if (status.length < 2 || !status(0).startsWith("HTTP/"))
+      fail(file, s"bad HTTP status line '${lines(0).take(40)}'")
+    val code = try status(1).toInt
+    catch { case _: NumberFormatException =>
+      fail(file, s"bad HTTP status code '${status(1)}'") }
+    val ctype = lines.drop(1).collectFirst {
+      case l if l.toLowerCase.startsWith("content-type:") =>
+        l.substring(l.indexOf(':') + 1).trim
+    }.orNull
+    val body = java.util.Arrays.copyOfRange(payload, split + 4, payload.length)
+    (code, ctype, body)
+  }
+}

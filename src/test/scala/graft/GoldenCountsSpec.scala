@@ -108,7 +108,7 @@ class GoldenCountsSpec extends SparkSpecBase {
     "mm_image_exif" -> 200, "source_avro_quarantine" -> 3,
     "source_avro_split" -> 3, "mm_image_exif_gps" -> 200,
     "text_bpe_tokencount" -> 300, "llm_pack_bpe" -> 500,
-    "mm_sniff_route" -> 161
+    "mm_sniff_route" -> 161, "source_warc_extract" -> 151
   )
 
   test("every SURVEY §2 query is registered with an oracle") {

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+
+import graft.sources.Warc
+
+/** The hand-rolled WARC/1.1 codec (sources/Warc.scala): roundtrips in
+  * plain and one-gzip-member-per-record form, CRLF strictness, HTTP
+  * payload splitting, and loud failures on malformed records. */
+class WarcSpec extends SparkSpecBase {
+
+  private def rec(k: Int): Row = Row(
+    "response",
+    s"http://ex.example/p/$k",
+    f"2024-01-${1 + k % 28}%02dT00:00:00Z",
+    f"<urn:uuid:00000000-0000-0000-0000-$k%012d>",
+    "application/http;msgtype=response",
+    Warc.encodeHttpResponse(200, "OK", "text/html",
+      s"<b>body-$k</b>".getBytes("UTF-8")))
+
+  private def recsDf(n: Int, parts: Int) = spark.createDataFrame(
+    spark.sparkContext.parallelize((0 until n).map(rec), parts),
+    Warc.recordSchema)
+
+  private def collectKeys(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.getString(1)).sorted.toSeq
+
+  test("roundtrip: plain .warc preserves every record and payload byte") {
+    val dir = Files.createTempDirectory("graft_warc").toString
+    Warc.writeWarc(recsDf(40, 3), dir, gzipPerRecord = false)
+    val back = Warc.readWarc(spark, dir)
+    assert(back.count() == 40)
+    assert(collectKeys(back) == (0 until 40).map(k => s"http://ex.example/p/$k").sorted)
+    val one = back.filter(org.apache.spark.sql.functions.col("target_uri")
+      .endsWith("/p/7")).head
+    val (code, ctype, body) = Warc.parseHttpResponse(one.getAs[Array[Byte]](5))
+    assert(code == 200 && ctype == "text/html")
+    assert(new String(body, "UTF-8") == "<b>body-7</b>")
+  }
+
+  test("roundtrip: .warc.gz with one gzip member per record (crawl convention)") {
+    val dir = Files.createTempDirectory("graft_warc").toString
+    Warc.writeWarc(recsDf(25, 2), dir, gzipPerRecord = true)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz"))
+    assert(files.length == 2)
+    // each file is a CONCATENATION of gzip members: more than one magic
+    val bytes = Files.readAllBytes(files.head.toPath)
+    val members = bytes.sliding(3).count(w =>
+      (w(0) & 0xff) == 0x1f && (w(1) & 0xff) == 0x8b && w(2) == 8)
+    assert(members > 1, s"expected multiple gzip members, saw $members")
+    val back = Warc.readWarc(spark, dir)
+    assert(back.count() == 25)
+    assert(collectKeys(back) == (0 until 25).map(k => s"http://ex.example/p/$k").sorted)
+  }
+
+  test("unknown WARC headers are skipped; warcinfo records surface typed") {
+    val raw = Warc.encodeRecord("warcinfo", null, "2024-01-01T00:00:00Z",
+      "<urn:uuid:x>", "application/warc-fields",
+      "software: test\r\n".getBytes("UTF-8"))
+    // splice an unknown header before Content-Length
+    val s = new String(raw, "US-ASCII")
+    val patched = s.replace("Content-Length:",
+      "WARC-Concurrent-To: <urn:uuid:y>\r\nContent-Length:")
+    val rows = Warc.decodeStream(
+      new java.io.ByteArrayInputStream(patched.getBytes("US-ASCII")),
+      "t", gzipped = false).toList
+    assert(rows.map(_.getString(0)) == List("warcinfo"))
+    assert(rows.head.getString(1) == null) // no target URI on warcinfo
+  }
+
+  test("malformed records fail loudly: version, bare LF, length, terminator") {
+    def parse(b: Array[Byte]): List[Row] =
+      Warc.decodeStream(new java.io.ByteArrayInputStream(b), "t",
+        gzipped = false).toList
+    val good = Warc.encodeRecord("response", "http://x/", null, null,
+      null, "abc".getBytes("UTF-8"))
+    assert(parse(good).size == 1)
+    intercept[IllegalArgumentException] {
+      parse("HTTP/1.1 200 OK\r\n\r\n".getBytes("US-ASCII"))
+    }
+    val bareLf = new String(good, "US-ASCII").replaceFirst("\r\n", "\n")
+    intercept[IllegalArgumentException] { parse(bareLf.getBytes("US-ASCII")) }
+    intercept[IllegalArgumentException] { // truncated payload
+      parse(java.util.Arrays.copyOf(good, good.length - 6))
+    }
+    val noTerm = java.util.Arrays.copyOf(good, good.length - 4)
+    intercept[IllegalArgumentException] { parse(noTerm) }
+    val badLen = new String(good, "US-ASCII")
+      .replace("Content-Length: 3", "Content-Length: many")
+    intercept[IllegalArgumentException] { parse(badLen.getBytes("US-ASCII")) }
+  }
+
+  test("HTTP payload splitting is strict and exact") {
+    val body = "x".getBytes("UTF-8")
+    val p = Warc.encodeHttpResponse(404, "Not Found", "text/plain", body)
+    val (code, ctype, got) = Warc.parseHttpResponse(p)
+    assert(code == 404 && ctype == "text/plain" && got.toSeq == body.toSeq)
+    intercept[IllegalArgumentException] {
+      Warc.parseHttpResponse("no header terminator here".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Warc.parseHttpResponse("BOGUS line\r\n\r\n".getBytes("US-ASCII"))
+    }
+  }
+}
