@@ -1042,6 +1042,16 @@ object Oracle {
         "WHEN 2 THEN list_sum(list_transform(range(0, 256), j -> ((p_partkey*31 + j*17) % 4001 - 2000) * ((p_partkey*31 + j*17) % 4001 - 2000))) " +
         "ELSE (100 + p_partkey % 50) * 10 + 1 + p_partkey % 8 END AS BIGINT) AS feature " +
         "FROM part WHERE p_partkey <= 160 ORDER BY p_partkey"),
+    // WebDataset invisibility: image lattice, caption and label are all
+    // closed-form key functions; a tar header slip, padding error, or
+    // wrong-key grouping moves px_sum/caption/label
+    "source_tar_webdataset" ->
+      ("SELECT p_partkey AS k, " +
+        "CAST(list_sum(list_transform(range(0, 64), j -> (p_partkey*41 + j*23) % 256)) AS BIGINT) AS px_sum, " +
+        "'caption ' || p_partkey || ' alpha ' || ((p_partkey * p_partkey) % 9973) AS caption, " +
+        "CAST(p_partkey % 10 AS BIGINT) AS label, " +
+        "CAST(length('caption ' || p_partkey || ' alpha ' || ((p_partkey * p_partkey) % 9973)) AS BIGINT) AS n_caption_chars " +
+        "FROM part WHERE p_partkey <= 120 ORDER BY p_partkey"),
     // decimal semantics: every decimal output is scale-pinned and
     // compared as a string (DuckDB's pandas bridge degrades decimals to
     // float64), so result SCALE is part of the judged contract

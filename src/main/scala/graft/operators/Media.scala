@@ -508,6 +508,60 @@ object Media {
       .orderBy(col("k"))
   }
 
+  /** Deterministic 8×8 gray BMP for the WebDataset sample of key `pk`
+    * (independent lattice constants 41/23, so this row cannot mask the
+    * other image rows' failures). */
+  private val encodeWdsImage = udf { (pk: Long) =>
+    Multimodal.encodeBmp24(8, 8, (x, y) => {
+      val j = y * 8 + x
+      val v = ((pk * 41 + j * 23) % 256).toInt
+      (v, v, v)
+    })
+  }
+
+  /** #227 judged WEBDATASET SHARD read (round-15) — the standard
+    * multimodal-training container: `.tar` shards whose entries
+    * `<key>.{bmp,txt,cls}` group into one SAMPLE per key (image +
+    * caption + label). The layout writes three shards through the
+    * hand-rolled ustar writer (`graft.sources.Tar`) with every entry a
+    * closed-form key function; the read streams the shards, verifies
+    * every header checksum, groups entries by key (a plain shuffle —
+    * correctness must not depend on the convention's
+    * consecutive-within-shard layout), decodes the BMP through the
+    * real parser and emits per-sample pixel sum, caption and label.
+    * The oracle rebuilds all three modalities from the key, so a
+    * header-arithmetic slip, a padding error, an entry paired to the
+    * wrong key, or a dropped shard moves the hash. Scale: shards are
+    * the parallelism unit exactly as training loaders consume them. */
+  def sourceTarWebdataset(s: SparkSession, d: String): DataFrame = {
+    val dir = mediaLayoutOnce("wds_shards", d) { out =>
+      val entries = Tables.part(s, d)
+        .filter(col("p_partkey") <= 120)
+        .select(col("p_partkey"))
+        .select(explode(array(
+          struct(format_string("%06d.bmp", col("p_partkey")).as("name"),
+            encodeWdsImage(col("p_partkey")).as("content")),
+          struct(format_string("%06d.txt", col("p_partkey")).as("name"),
+            concat(lit("caption "), col("p_partkey"), lit(" alpha "),
+              (col("p_partkey") * col("p_partkey")) % 9973)
+              .cast("binary").as("content")),
+          struct(format_string("%06d.cls", col("p_partkey")).as("name"),
+            (col("p_partkey") % 10).cast("string").cast("binary")
+              .as("content")))).as("e"))
+        .select(col("e.name"), col("e.content"))
+        .repartition(3, expr("substring(name, 1, 6)"))
+        .sortWithinPartitions(col("name"))
+      graft.sources.Tar.writeTar(entries, out)
+    }
+    graft.sources.Tar.readWebDataset(s, dir)
+      .select(col("key").cast("long").as("k"),
+        featureBmp(element_at(col("sample"), "bmp")).as("px_sum"),
+        element_at(col("sample"), "txt").cast("string").as("caption"),
+        element_at(col("sample"), "cls").cast("string").cast("long").as("label"))
+      .withColumn("n_caption_chars", length(col("caption")).cast("long"))
+      .orderBy(col("k"))
+  }
+
   /** #194 judged audio roundtrip + energy: per customer (c_custkey ≤
     * 200), synthesize 256 PCM-16 samples spanning the full signed
     * range, decode them back through the real WAV parser, and emit
