@@ -540,6 +540,20 @@ object Oracle {
         "CAST(floor((cum - tokens) / 512.0) AS BIGINT) AS chunk, " +
         "CAST(cum - tokens - CAST(floor((cum - tokens) / 512.0) AS BIGINT) * 512 AS BIGINT) AS offset " +
         "FROM c ORDER BY doc_id LIMIT 500"),
+    // sub-document dedup: corpus-wide keep-first over 10-word chunks via
+    // one window; the kept_hash checksum is order-insensitive so a
+    // wrong-chunk keep moves it even when counts collide
+    "dedup_subdoc" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "c AS (SELECT doc_id, u.idx AS idx, u.chunk AS chunk FROM (" +
+        "SELECT doc_id, unnest(list_transform(range(0, CAST(ceil(len(ws) / 10.0) AS INT)), " +
+        "i -> {'idx': i, 'chunk': array_to_string(ws[(i*10+1)::INT:(i*10+10)::INT], ' ')})) AS u FROM w)), " +
+        "r AS (SELECT doc_id, idx, chunk, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn FROM c) " +
+        "SELECT doc_id, count(*) AS n_chunks, " +
+        "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(sum(CASE WHEN rn = 1 THEN ('0x' || substr(md5(chunk), 1, 8))::BIGINT ELSE 0 END) AS BIGINT) AS kept_hash, " +
+        "round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS kept_ratio " +
+        "FROM r GROUP BY doc_id ORDER BY doc_id"),
     "text_langid" ->
       ("WITH t AS (SELECT lang, text, list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks FROM documents), " +
         "p AS (SELECT lang, text, list_max([" +

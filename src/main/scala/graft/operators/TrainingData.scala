@@ -88,6 +88,44 @@ object TrainingData {
       .limit(500)
   }
 
+  /** #228 SUB-DOCUMENT exact dedup (round-15) — the RefinedWeb/FineWeb
+    * recipe's within-corpus span dedup, distinct from every
+    * document-level member of the family: documents split into
+    * consecutive 10-word chunks, chunks deduped CORPUS-WIDE keep-first
+    * (first occurrence by (doc_id, chunk index) wins — boilerplate
+    * headers/footers repeated across pages are the target), and each
+    * document reports how much of it survived plus an
+    * order-insensitive md5 checksum of its kept chunks (so a
+    * wrong-chunk keep moves the hash even when counts collide). Scale
+    * shape: the dedup is one hash-partitioned window over the chunk
+    * text — exact corpus-wide dedup as a plain shuffle, never a cross
+    * product; at 100 TB this is the same groupBy-hash shape as
+    * `llm_exact_dedup`, one level down. */
+  def dedupSubdoc(s: SparkSession, d: String): DataFrame = {
+    val chunkWords = 10
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, cast(ceil(size(ws) / $chunkWords.0) as int) - 1),
+             |  i -> array_join(slice(ws, i * $chunkWords + 1, $chunkWords), ' '))"""
+            .stripMargin)).as(Seq("idx", "chunk")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk"))
+      .orderBy(col("doc_id"), col("idx"))
+    chunks
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") === 1,
+          graft.functions.TextAnalysis.md5Bucket(col("chunk")))
+          .otherwise(0L)).as("kept_hash"))
+      .withColumn("kept_ratio",
+        round(col("n_kept").cast("double") / col("n_chunks"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** #60 language-ID confusion matrix: actual `lang` column vs the
     * marker-word heuristic (TextAnalysis.langId verbatim). */
   def textLangid(s: SparkSession, d: String): DataFrame =
