@@ -1066,6 +1066,17 @@ object Oracle {
         "CAST(p_partkey % 10 AS BIGINT) AS label, " +
         "CAST(length('caption ' || p_partkey || ' alpha ' || ((p_partkey * p_partkey) % 9973)) AS BIGINT) AS n_caption_chars " +
         "FROM part WHERE p_partkey <= 120 ORDER BY p_partkey"),
+    // zip-ingest invisibility: format and feature are closed-form key
+    // functions; a central-directory offset slip, wrong CRC acceptance,
+    // inflate error, or mis-sniffed entry moves the hash
+    "mm_zip_ingest" ->
+      ("SELECT p_partkey AS k, " +
+        "CASE WHEN p_partkey % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format, " +
+        "CAST(CASE WHEN p_partkey % 2 = 0 " +
+        "THEN list_sum(list_transform(range(0, 64), j -> (p_partkey*59 + j*17) % 256)) " +
+        "ELSE list_sum(list_transform(range(0, 256), j -> ((p_partkey*43 + j*19) % 4001 - 2000) * ((p_partkey*43 + j*19) % 4001 - 2000))) " +
+        "END AS BIGINT) AS feature " +
+        "FROM part WHERE p_partkey <= 140 ORDER BY p_partkey"),
     // decimal semantics: every decimal output is scale-pinned and
     // compared as a string (DuckDB's pandas bridge degrades decimals to
     // float64), so result SCALE is part of the judged contract

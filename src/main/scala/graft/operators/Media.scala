@@ -562,6 +562,61 @@ object Media {
       .orderBy(col("k"))
   }
 
+  /** Deterministic media blob for ZIP entry of key `pk`: even keys an
+    * 8×8 gray BMP (lattice 59/17), odd keys a 256-sample PCM-16 WAV
+    * (lattice 43/19) — constants independent of every other media row. */
+  private val encodeZipBlob = udf { (pk: Long) =>
+    if (pk % 2 == 0)
+      Multimodal.encodeBmp24(8, 8, (x, y) => {
+        val j = y * 8 + x
+        val v = ((pk * 59 + j * 17) % 256).toInt
+        (v, v, v)
+      })
+    else
+      Multimodal.encodeWavPcm16(
+        Array.tabulate(256)(j => (((pk * 43 + j * 19) % 4001) - 2000).toShort),
+        sampleRate = 8000)
+  }
+
+  /** #229 judged ZIP ARCHIVE ingest (round-15) — the third archive
+    * family under the oracle (after tar shards and WARC), and the one
+    * whose INTEGRITY check is part of the format: the layout writes
+    * two deflate-method archives through the hand-rolled PKWARE codec
+    * (`graft.sources.Zip`), every entry a closed-form media blob under
+    * a deliberately meaningless `.bin` name; the read walks each
+    * archive the way the format intends (EOCD scan → central
+    * directory → per-entry seek + raw-inflate + CRC-32 verification),
+    * sniffs each entry's format from MAGIC BYTES, routes to the right
+    * decoder, and emits per-key format + feature. The oracle
+    * recomputes both from the key, so a directory-offset slip, a CRC
+    * accepted wrongly, an inflate error, or a mis-sniffed entry moves
+    * the hash. Scale: one task per archive, entries fetched by
+    * directory-driven seeks — media zips ship many archives by
+    * construction. */
+  def mmZipIngest(s: SparkSession, d: String): DataFrame = {
+    val dir = mediaLayoutOnce("zip_media", d) { out =>
+      val entries = Tables.part(s, d)
+        .filter(col("p_partkey") <= 140)
+        .select(format_string("blob-%04d.bin", col("p_partkey")).as("name"),
+          encodeZipBlob(col("p_partkey")).as("content"))
+        .repartition(2, col("name"))
+      graft.sources.Zip.writeZip(entries, out, deflate = true)
+    }
+    val c = col("content")
+    val fmt = when(substring(c, 1, 2) === lit("BM".getBytes("US-ASCII")), "bmp")
+      .when(substring(c, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+        substring(c, 9, 4) === lit("WAVE".getBytes("US-ASCII")), "wav")
+      .otherwise("bin")
+    graft.sources.Zip.readZip(s, dir)
+      .withColumn("k", regexp_extract(col("name"), "blob-(\\d+)\\.", 1).cast("long"))
+      .withColumn("format", fmt)
+      .select(col("k"), col("format"),
+        when(col("format") === "bmp", featureBmp(c))
+          .when(col("format") === "wav", featureWav(c))
+          .otherwise(lit(-1L)).as("feature"))
+      .orderBy(col("k"))
+  }
+
   /** #194 judged audio roundtrip + energy: per customer (c_custkey ≤
     * 200), synthesize 256 PCM-16 samples spanning the full signed
     * range, decode them back through the real WAV parser, and emit
