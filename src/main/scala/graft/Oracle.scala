@@ -163,6 +163,20 @@ object Oracle {
         "regexp_replace(html, '<[^>]*>', '', 'g') AS text, " +
         "CAST(length(regexp_replace(html, '<[^>]*>', '', 'g')) AS BIGINT) AS n_text_chars " +
         "FROM t ORDER BY k"),
+    // WARC quarantine invisibility: two planted corrupt containers cost
+    // exactly two quarantine rows and zero data movement — the clean
+    // shards' per-status aggregate equals the closed-form page set
+    "source_warc_quarantine" ->
+      ("WITH t AS (SELECT p_partkey AS k, " +
+        "CASE WHEN p_partkey % 10 = 0 THEN 404 ELSE 200 END AS status, " +
+        "length('<html><head><title>T' || p_partkey || '</title></head><body>' || " +
+        "'<p>alpha ' || p_partkey || ' beta ' || ((p_partkey * p_partkey) % 9973) || '</p>' || " +
+        "'<b>tok' || (p_partkey % 13) || '</b></body></html>') AS body_chars " +
+        "FROM part WHERE p_partkey <= 100) " +
+        "SELECT CAST(status AS BIGINT) AS status, count(*) AS n_pages, " +
+        "CAST(sum(body_chars) AS BIGINT) AS sum_body_chars, " +
+        "CAST(2 AS BIGINT) AS n_quarantined " +
+        "FROM t GROUP BY status ORDER BY status"),
     "filter_predicates" ->
       "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R') AND NOT l_linestatus = 'O' ORDER BY l_orderkey, l_linenumber, l_quantity",
     "filter_like_null" ->

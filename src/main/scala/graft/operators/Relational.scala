@@ -439,6 +439,50 @@ object Relational {
       .orderBy(col("k"))
   }
 
+  /** #230 judged WARC QUARANTINE (round-15) — crawl fault isolation
+    * under the oracle, the [[sourceAvroQuarantine]] contract on the
+    * crawl container: the layout holds two clean one-member-per-record
+    * `.warc.gz` shards of closed-form pages PLUS two planted corrupt
+    * containers (a non-WARC payload; a good shard truncated mid-final
+    * gzip member), and `readWarcWithQuarantine` must quarantine
+    * exactly the two corrupt FILES (the `n_quarantined` column the
+    * oracle pins to 2) while decoding every record of every clean
+    * shard — the per-status page counts and byte sums equal the
+    * closed-form oracle, so an eaten clean shard drops rows and a
+    * half-salvaged corrupt copy DUPLICATES them. Real crawls always
+    * contain broken containers; one must cost one quarantine row,
+    * never the job. */
+  def sourceWarcQuarantine(s: SparkSession, d: String): DataFrame = {
+    val dir = layoutOnce("warc_crawl_q", d) { out =>
+      val recs = Tables.part(s, d)
+        .filter(col("p_partkey") <= 100)
+        .select(makeWarcRecord(col("p_partkey")).as("r"))
+        .select(col("r._1").as("warc_type"), col("r._2").as("target_uri"),
+          col("r._3").as("warc_date"), col("r._4").as("record_id"),
+          col("r._5").as("content_type"), col("r._6").as("payload"))
+        .repartition(2, col("target_uri"))
+      graft.sources.Warc.writeWarc(recs, out, gzipPerRecord = true)
+      val p = java.nio.file.Paths.get(out)
+      java.nio.file.Files.write(p.resolve("bad_version.warc"),
+        "this is not a WARC container at all\r\n\r\n".getBytes("UTF-8"))
+      val good = new java.io.File(out).listFiles()
+        .filter(f => f.getName.startsWith("crawl-") && f.getName.endsWith(".warc.gz"))
+        .minBy(_.getName)
+      val bytes = java.nio.file.Files.readAllBytes(good.toPath)
+      java.nio.file.Files.write(p.resolve("zz_truncated.warc.gz"),
+        java.util.Arrays.copyOf(bytes, bytes.length - 10))
+    }
+    val (data, quarantine) =
+      graft.sources.Warc.readWarcWithQuarantine(s, dir)
+    data.filter(col("warc_type") === "response")
+      .withColumn("h", parseHttp(col("payload")))
+      .groupBy(col("h._1").cast("long").as("status"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(length(col("h._3"))).cast("long").as("sum_body_chars"))
+      .crossJoin(broadcast(quarantine.agg(count(lit(1)).as("n_quarantined"))))
+      .orderBy(col("status"))
+  }
+
   /** Per-process root for [[scanRangePruned]]'s re-layouts: created
     * lazily once per JVM, so concurrent processes write disjoint
     * directories and no marker file outlives the process that wrote

@@ -127,9 +127,14 @@ object Warc {
   private def fail(file: String, msg: String): Nothing =
     throw new IllegalArgumentException(s"invalid WARC in $file: $msg")
 
+  /** Headers are metadata: a "header line" of a megabyte is a corrupt
+    * or adversarial stream, and buffering it unboundedly would turn a
+    * bad byte into executor memory pressure. */
+  private val MaxHeaderLine = 1 << 20
+
   /** Read one CRLF-terminated ASCII line; None at clean EOF on the
     * first byte (record-boundary EOF). A lone CR or LF is a spec
-    * violation and fails loudly. */
+    * violation and fails loudly, as does an unbounded line. */
   private def readLine(in: InputStream, file: String): Option[String] = {
     val buf = new ByteArrayOutputStream(64)
     var b = in.read()
@@ -137,6 +142,8 @@ object Warc {
     while (b != '\r') {
       if (b < 0) fail(file, "EOF inside header line")
       if (b == '\n') fail(file, "bare LF in header (spec requires CRLF)")
+      if (buf.size() >= MaxHeaderLine)
+        fail(file, s"header line exceeds $MaxHeaderLine bytes")
       buf.write(b)
       b = in.read()
     }
@@ -232,6 +239,47 @@ object Warc {
         decodeStream(pds.open(), file, gzipped = file.endsWith(".gz"))
       }
     spark.createDataFrame(rows, recordSchema)
+  }
+
+  /** [[readWarc]] with the per-FILE quarantine contract of
+    * [[Avro.readAvroWithQuarantine]]: returns (data, quarantine) where
+    * `quarantine` holds one (file, error) row per container that fails
+    * the strict walk — bad version line, CRLF violations, short
+    * payload, missing terminator, truncated/corrupt gzip member — and
+    * `data` holds every record of every clean file. Crawl corpora
+    * ALWAYS contain some corrupt containers; one must cost one
+    * quarantine row, never the ingest job, and partial salvage would
+    * make results depend on where the break sat. The validation pass
+    * is the full record walk (records are framing + payload bytes —
+    * there is no per-value decode to skip, so unlike Avro there is no
+    * cheaper verdict-equivalent walk). */
+  def readWarcWithQuarantine(spark: SparkSession, path: String):
+      (DataFrame, DataFrame) = {
+    val verdicts = spark.sparkContext
+      .binaryFiles(s"$path/*.warc*")
+      .map { case (file, pds) =>
+        val in = pds.open()
+        try {
+          val it = decodeStream(in, file, gzipped = file.endsWith(".gz"))
+          while (it.hasNext) it.next()
+          (file, null: String)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            (file, Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+        } finally {
+          try in.close() catch { case scala.util.control.NonFatal(_) => }
+        }
+      }.collect() // one row per FILE — metadata-scale
+    val cleanSet = verdicts.collect { case (f, err) if err == null => f }.toSet
+    import spark.implicits._
+    val quarantine = verdicts.filter(_._2 != null).toSeq.toDF("file", "error")
+    val rows = spark.sparkContext
+      .binaryFiles(s"$path/*.warc*")
+      .filter { case (file, _) => cleanSet.contains(file) }
+      .flatMap { case (file, pds) =>
+        decodeStream(pds.open(), file, gzipped = file.endsWith(".gz"))
+      }
+    (spark.createDataFrame(rows, recordSchema), quarantine)
   }
 
   /** Split a `response` record's HTTP/1.1 payload into (status code,

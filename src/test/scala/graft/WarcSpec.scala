@@ -92,6 +92,26 @@ class WarcSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { parse(badLen.getBytes("US-ASCII")) }
   }
 
+  test("quarantine: corrupt containers are isolated per file, clean records survive") {
+    val dir = Files.createTempDirectory("graft_warc").toString
+    Warc.writeWarc(recsDf(30, 2), dir, gzipPerRecord = true)
+    Files.write(java.nio.file.Paths.get(s"$dir/bad.warc"),
+      "nothing warc about this".getBytes("UTF-8"))
+    val good = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("crawl-")).minBy(_.getName)
+    val bytes = Files.readAllBytes(good.toPath)
+    Files.write(java.nio.file.Paths.get(s"$dir/zz_trunc.warc.gz"),
+      java.util.Arrays.copyOf(bytes, bytes.length - 9))
+    val (data, q) = Warc.readWarcWithQuarantine(spark, dir)
+    val bad = q.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bad.size == 2 && bad.keys.exists(_.contains("bad.warc")) &&
+      bad.keys.exists(_.contains("zz_trunc")), s"got $bad")
+    assert(bad.values.forall(_.nonEmpty))
+    // all 30 clean records present exactly once (the truncated COPY of a
+    // good shard must contribute nothing — no dup, no loss)
+    assert(collectKeys(data) == (0 until 30).map(k => s"http://ex.example/p/$k").sorted)
+  }
+
   test("HTTP payload splitting is strict and exact") {
     val body = "x".getBytes("UTF-8")
     val p = Warc.encodeHttpResponse(404, "Not Found", "text/plain", body)
