@@ -47,9 +47,12 @@ object Exif {
   /** The Exif sub-IFD's capture metadata (pointer tag 0x8769): the
     * fields a capture-time curation filter actually shards on —
     * cameras put DateTimeOriginal/ISO/exposure HERE, not in IFD0.
-    * Exposure is the raw TIFF RATIONAL (num/den), not a lossy double. */
-  case class ExifSub(dateTimeOriginal: String, iso: Int,
-      exposureNum: Long, exposureDen: Long)
+    * Every field is OPTIONAL per EXIF 2.3 (a real camera may write any
+    * subset), so each surfaces as an Option; a PRESENT field of the
+    * wrong TIFF type still fails loudly. Exposure is the raw TIFF
+    * RATIONAL (num/den), not a lossy double. */
+  case class ExifSub(dateTimeOriginal: Option[String], iso: Option[Int],
+      exposure: Option[(Long, Long)])
 
   /** One GPS coordinate: hemisphere ref + the three RATIONALs (degrees,
     * minutes, seconds) exactly as stored — `toDegrees` folds them. */
@@ -238,11 +241,12 @@ object Exif {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"invalid EXIF: $msg")
 
-  /** Walk the JPEG segment stream to the EXIF APP1, then parse its TIFF
-    * IFD. Returns None when no EXIF APP1 exists (plain JPEG); fails
-    * loudly on a malformed one. Stops at SOS — EXIF precedes scan data
-    * by spec, so entropy-coded bytes are never walked. */
-  def parseExif(bytes: Array[Byte]): Option[ExifInfo] = {
+  /** Walk the JPEG segment stream to the EXIF APP1's TIFF block: its
+    * [start, end) when present, None on a plain JPEG; loud on a
+    * malformed stream. Stops at SOS — EXIF precedes scan data by spec,
+    * so entropy-coded bytes are never walked. The ONE segment walk
+    * both entry points share. */
+  private def findExifApp1(bytes: Array[Byte]): Option[(Int, Int)] = {
     if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
       fail("missing SOI")
     var p = 2
@@ -255,30 +259,44 @@ object Exif {
       if (m == 0xe1 && len >= 8 &&
           new String(bytes, p + 4, 4, "US-ASCII") == "Exif" &&
           bytes(p + 8) == 0 && bytes(p + 9) == 0)
-        return Some(parseTiff(bytes, p + 10, p + 2 + len))
+        return Some((p + 10, p + 2 + len))
       p += 2 + len
     }
     None
   }
 
+  /** Walk the JPEG segment stream to the EXIF APP1, then parse its TIFF
+    * IFD0 (pointer tags not followed — see [[parseTiff]]). Returns
+    * None when no EXIF APP1 exists (plain JPEG); fails loudly on a
+    * malformed one. */
+  def parseExif(bytes: Array[Byte]): Option[ExifInfo] =
+    findExifApp1(bytes).map { case (s, e) => parseTiff(bytes, s, e) }
+
   /** Parse the TIFF block in bytes[start, end): header, first IFD, the
-    * five curation tags. Unknown tags are skipped (forward-compatible,
-    * the TIFF rule); missing curation tags fail loudly. */
+    * five curation tags — IFD0 ONLY, pointer tags are not followed
+    * (callers that only want IFD0 must not be failed by sub-IFD
+    * content). Unknown tags are skipped (forward-compatible, the TIFF
+    * rule); missing IFD0 curation tags fail loudly. */
   def parseTiff(bytes: Array[Byte], start: Int, end: Int): ExifInfo =
-    parseTiffFull(bytes, start, end).ifd0
+    parseTiffImpl(bytes, start, end, followPointers = false).ifd0
 
   /** [[parseTiff]] plus the pointer-tag walk (the structure real camera
     * files use): when IFD0 carries the Exif sub-IFD pointer (0x8769)
     * the capture fields (DateTimeOriginal/ISO/ExposureTime) are parsed
     * from the POINTED-TO IFD; when it carries the GPS pointer (0x8825)
     * the two hemisphere refs and 3×RATIONAL coordinates are parsed.
-    * Unknown tags are skipped in every IFD (forward compatibility); a
-    * PRESENT pointer whose IFD is missing the curation fields fails
-    * loudly — a half-parsed capture record silently shards a media
-    * corpus wrong, which is worse than a loud fault row. Pointer
-    * recursion is one level (EXIF's own structure) so a crafted cyclic
-    * pointer cannot loop the parser. */
-  def parseTiffFull(bytes: Array[Byte], start: Int, end: Int): ExifFull = {
+    * Unknown tags are skipped in every IFD (forward compatibility).
+    * Sub-IFD fields are OPTIONAL per the EXIF spec — a camera may
+    * write any subset, so absence surfaces as None — but a PRESENT
+    * field of the wrong type/shape fails loudly, and a GPS coordinate
+    * surfaces only when its ref + full 3×RATIONAL set is present.
+    * Pointer recursion is one level (EXIF's own structure) so a
+    * crafted cyclic pointer cannot loop the parser. */
+  def parseTiffFull(bytes: Array[Byte], start: Int, end: Int): ExifFull =
+    parseTiffImpl(bytes, start, end, followPointers = true)
+
+  private def parseTiffImpl(bytes: Array[Byte], start: Int, end: Int,
+      followPointers: Boolean): ExifFull = {
     if (end - start < 8) fail("TIFF block too short")
     val order = new String(bytes, start, 2, "US-ASCII")
     val le = order match {
@@ -354,62 +372,55 @@ object Exif {
     val dateTime = asciiTag(ifd0, TagDateTime, "dateTime")
     val info = ExifInfo(order, width, height, make, orientation, dateTime)
 
+    if (!followPointers) return ExifFull(info, None, None)
+
+    def asciiOpt(m: Map[Int, (Int, Long, Int)], tag: Int, what: String): Option[String] =
+      m.get(tag).map {
+        case (2, count, v) => ascii(count, v)
+        case (typ, _, _) => fail(s"$what type $typ")
+      }
     val sub = ifd0.get(TagExifIfd).map { case (_, _, v) =>
       val m = walkIfd(start + u32(v).toInt)
-      val dto = asciiTag(m, TagDateTimeOriginal, "DateTimeOriginal")
-      val iso = m.get(TagIso) match {
-        case Some((3, _, vv)) => u16(vv)
-        case Some((typ, _, _)) => fail(s"ISO type $typ")
-        case None => fail("missing capture tag: ISO")
+      val dto = asciiOpt(m, TagDateTimeOriginal, "DateTimeOriginal")
+      val iso = m.get(TagIso).map {
+        case (3, _, vv) => u16(vv)
+        case (typ, _, _) => fail(s"ISO type $typ")
       }
-      val (en, ed) = m.get(TagExposureTime) match {
-        case Some((5, 1L, vv)) => rational(vv, 0)
-        case Some((typ, c, _)) => fail(s"ExposureTime type $typ count $c")
-        case None => fail("missing capture tag: ExposureTime")
+      val expo = m.get(TagExposureTime).map {
+        case (5, 1L, vv) => rational(vv, 0)
+        case (typ, c, _) => fail(s"ExposureTime type $typ count $c")
       }
-      ExifSub(dto, iso, en, ed)
+      ExifSub(dto, iso, expo)
     }
 
-    val gps = ifd0.get(TagGpsIfd).map { case (_, _, v) =>
+    val gps = ifd0.get(TagGpsIfd).flatMap { case (_, _, v) =>
       val m = walkIfd(start + u32(v).toInt)
+      // a coordinate surfaces only COMPLETE (ref + 3 RATIONALs); a GPS
+      // IFD carrying just GPSVersionID (location services off — the
+      // common case) yields None, while a PRESENT-but-malformed field
+      // still fails loudly
       def coord(refTag: Int, valTag: Int, what: String,
-          refs: Set[String]): GpsCoord = {
-        val ref = asciiTag(m, refTag, s"$what ref")
-        if (!refs.contains(ref)) fail(s"bad $what ref '$ref'")
-        m.get(valTag) match {
-          case Some((5, 3L, vv)) =>
+          refs: Set[String]): Option[GpsCoord] =
+        (asciiOpt(m, refTag, s"$what ref"), m.get(valTag)) match {
+          case (Some(ref), Some((5, 3L, vv))) =>
+            if (!refs.contains(ref)) fail(s"bad $what ref '$ref'")
             val (dn, dd) = rational(vv, 0)
             val (mn, md) = rational(vv, 1)
             val (sn, sd) = rational(vv, 2)
             if (dd == 0 || md == 0 || sd == 0) fail(s"$what zero denominator")
-            GpsCoord(ref, dn, dd, mn, md, sn, sd)
-          case Some((typ, c, _)) => fail(s"$what type $typ count $c")
-          case None => fail(s"missing GPS tag: $what")
+            Some(GpsCoord(ref, dn, dd, mn, md, sn, sd))
+          case (Some(_), Some((typ, c, _))) => fail(s"$what type $typ count $c")
+          case _ => None
         }
-      }
-      (coord(TagGpsLatRef, TagGpsLat, "latitude", Set("N", "S")),
-        coord(TagGpsLonRef, TagGpsLon, "longitude", Set("E", "W")))
+      for {
+        lat <- coord(TagGpsLatRef, TagGpsLat, "latitude", Set("N", "S"))
+        lon <- coord(TagGpsLonRef, TagGpsLon, "longitude", Set("E", "W"))
+      } yield (lat, lon)
     }
     ExifFull(info, sub, gps)
   }
 
   /** [[parseExif]] returning the full pointer-walked record. */
-  def parseExifFull(bytes: Array[Byte]): Option[ExifFull] = {
-    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
-      fail("missing SOI")
-    var p = 2
-    while (p + 4 <= bytes.length) {
-      if ((bytes(p) & 0xff) != 0xff) fail(f"expected marker at $p, got 0x${bytes(p)}%02x")
-      val m = bytes(p + 1) & 0xff
-      if (m == 0xda || m == 0xd9) return None
-      val len = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
-      if (len < 2 || p + 2 + len > bytes.length) fail(s"segment at $p overruns")
-      if (m == 0xe1 && len >= 8 &&
-          new String(bytes, p + 4, 4, "US-ASCII") == "Exif" &&
-          bytes(p + 8) == 0 && bytes(p + 9) == 0)
-        return Some(parseTiffFull(bytes, p + 10, p + 2 + len))
-      p += 2 + len
-    }
-    None
-  }
+  def parseExifFull(bytes: Array[Byte]): Option[ExifFull] =
+    findExifApp1(bytes).map { case (s, e) => parseTiffFull(bytes, s, e) }
 }

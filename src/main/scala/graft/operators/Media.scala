@@ -375,8 +375,16 @@ object Media {
       .getOrElse(throw new IllegalArgumentException("no EXIF APP1"))
     val sub = full.sub.getOrElse(
       throw new IllegalArgumentException("no Exif sub-IFD"))
+    // the fixture writes every optional field; absence here is a parse
+    // fault, not spec tolerance
+    val dto = sub.dateTimeOriginal.getOrElse(
+      throw new IllegalArgumentException("no DateTimeOriginal"))
+    val iso = sub.iso.getOrElse(
+      throw new IllegalArgumentException("no ISO"))
+    val (expoNum, expoDen) = sub.exposure.getOrElse(
+      throw new IllegalArgumentException("no ExposureTime"))
     val (lat, lon) = full.gps.getOrElse(
-      throw new IllegalArgumentException("no GPS IFD"))
+      throw new IllegalArgumentException("no complete GPS coordinates"))
     // exact integer centi-arcseconds from the parsed RATIONALs (every
     // division exact by fixture construction) — float-free, so the
     // oracle comparison is an integer hash, not an epsilon
@@ -385,8 +393,7 @@ object Media {
         c.secNum * 100 / c.secDen
       if (c.ref == "S" || c.ref == "W") -v else v
     }
-    (full.ifd0.byteOrder, sub.dateTimeOriginal, sub.iso,
-      sub.exposureNum, sub.exposureDen, centi(lat), centi(lon))
+    (full.ifd0.byteOrder, dto, iso, expoNum, expoDen, centi(lat), centi(lon))
   }
 
   /** #222 judged EXIF SUB-IFD + GPS WALK (round-15) — the pointer-tag

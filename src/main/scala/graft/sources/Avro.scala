@@ -192,40 +192,31 @@ object Avro {
     val schema = df.schema
     schema.fields.foreach(f => avroType(f.dataType)) // validate up front
     val schemaStr = schemaJson(schema)
-    val hconf = new org.apache.spark.util.SerializableConfiguration(
-      df.sparkSession.sessionState.newHadoopConf())
-    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+    ShardSink.writeShards(df, path, pid => f"part-$pid%05d.avro") { (pid, rows, os) =>
       val sync = syncMarker(syncSeed, pid)
-      val file = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
-      val fs = file.getFileSystem(hconf.value)
-      val os = fs.create(file, /*overwrite=*/ true)
-      try {
-        val hdr = header(schemaStr, codec, sync)
-        os.write(hdr, 0, hdr.length)
-        val block = new ByteArrayOutputStream(1 << 16)
-        var n = 0L
-        def flush(): Unit = if (n > 0) {
-          val raw = block.toByteArray
-          val payload = if (codec == "deflate") deflate(raw) else raw
-          val head = new ByteArrayOutputStream(20)
-          writeVarLong(head, n)
-          writeVarLong(head, payload.length.toLong)
-          val h = head.toByteArray
-          os.write(h, 0, h.length)
-          os.write(payload, 0, payload.length)
-          os.write(sync, 0, 16)
-          block.reset(); n = 0L
-        }
-        rows.foreach { r =>
-          encodeRow(block, schema, r)
-          n += 1
-          if (n >= blockRows) flush()
-        }
-        flush()
-      } finally os.close()
-      Iterator.empty: Iterator[Int]
-    }.count() // side-effecting action
-    ()
+      val hdr = header(schemaStr, codec, sync)
+      os.write(hdr, 0, hdr.length)
+      val block = new ByteArrayOutputStream(1 << 16)
+      var n = 0L
+      def flush(): Unit = if (n > 0) {
+        val raw = block.toByteArray
+        val payload = if (codec == "deflate") deflate(raw) else raw
+        val head = new ByteArrayOutputStream(20)
+        writeVarLong(head, n)
+        writeVarLong(head, payload.length.toLong)
+        val h = head.toByteArray
+        os.write(h, 0, h.length)
+        os.write(payload, 0, payload.length)
+        os.write(sync, 0, 16)
+        block.reset(); n = 0L
+      }
+      rows.foreach { r =>
+        encodeRow(block, schema, r)
+        n += 1
+        if (n >= blockRows) flush()
+      }
+      flush()
+    }
   }
 
   // ---- reading ----
@@ -518,7 +509,11 @@ object Avro {
     val decl = schema // serializable capture
     val rows = spark.sparkContext
       .binaryFiles(s"$path/*.avro")
-      .flatMap { case (file, pds) => decodeStream(pds.open(), decl, file) }
+      .flatMap { case (file, pds) =>
+        val in = pds.open()
+        TaskClose.onTaskDone(in)
+        decodeStream(in, decl, file)
+      }
     spark.createDataFrame(rows, schema)
   }
 
@@ -550,6 +545,7 @@ object Avro {
       file: org.apache.hadoop.fs.Path, start: Long, end: Long,
       declared: StructType): Iterator[Row] = {
     val raw = fs.open(file)
+    TaskClose.onTaskDone(raw)
     try {
       val counting = new CountingInputStream(new BufferedInputStream(raw, 1 << 16))
       val din = new DataInputStream(counting)
@@ -623,7 +619,12 @@ object Avro {
     val statuses = Option(fs.globStatus(pat)).getOrElse(Array.empty)
     val splits: Seq[(String, Long, Long)] = statuses.toSeq.flatMap { st =>
       val len = st.getLen
-      (0L until len by splitBytes).map { s =>
+      if (len == 0)
+        // a zero-byte .avro is corrupt; ONE degenerate split makes the
+        // header parse fail loudly, exactly like readAvro — a planner
+        // that emitted no splits would silently eat the file instead
+        Seq((st.getPath.toString, 0L, 0L))
+      else (0L until len by splitBytes).map { s =>
         (st.getPath.toString, s, math.min(s + splitBytes, len))
       }
     }
@@ -689,7 +690,11 @@ object Avro {
     val rows = spark.sparkContext
       .binaryFiles(s"$path/*.avro")
       .filter { case (file, _) => cleanSet.contains(file) }
-      .flatMap { case (file, pds) => decodeStream(pds.open(), decl, file) }
+      .flatMap { case (file, pds) =>
+        val in = pds.open()
+        TaskClose.onTaskDone(in)
+        decodeStream(in, decl, file)
+      }
     (spark.createDataFrame(rows, schema), quarantine)
   }
 }

@@ -78,23 +78,14 @@ object Tar {
   def writeTar(df: DataFrame, path: String): Unit = {
     require(df.schema.fieldNames.toSeq == entrySchema.fieldNames.toSeq,
       s"writeTar needs columns ${entrySchema.fieldNames.mkString(",")}")
-    val hconf = new org.apache.spark.util.SerializableConfiguration(
-      df.sparkSession.sessionState.newHadoopConf())
-    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
-      val file = new org.apache.hadoop.fs.Path(path, f"shard-$pid%05d.tar")
-      val fs = file.getFileSystem(hconf.value)
-      val os = fs.create(file, /*overwrite=*/ true)
-      try {
-        rows.foreach { r =>
-          val e = encodeEntry(r.getString(0), r.getAs[Array[Byte]](1))
-          os.write(e, 0, e.length)
-        }
-        val zeros = new Array[Byte](BlockSize * 2) // end-of-archive marker
-        os.write(zeros, 0, zeros.length)
-      } finally os.close()
-      Iterator.empty: Iterator[Int]
-    }.count()
-    ()
+    ShardSink.writeShards(df, path, pid => f"shard-$pid%05d.tar") { (_, rows, os) =>
+      rows.foreach { r =>
+        val e = encodeEntry(r.getString(0), r.getAs[Array[Byte]](1))
+        os.write(e, 0, e.length)
+      }
+      val zeros = new Array[Byte](BlockSize * 2) // end-of-archive marker
+      os.write(zeros, 0, zeros.length)
+    }
   }
 
   private def fail(file: String, msg: String): Nothing =
@@ -196,7 +187,11 @@ object Tar {
   def readTar(spark: SparkSession, path: String): DataFrame = {
     val rows = spark.sparkContext
       .binaryFiles(s"$path/*.tar")
-      .flatMap { case (file, pds) => decodeStream(pds.open(), file) }
+      .flatMap { case (file, pds) =>
+        val in = pds.open()
+        TaskClose.onTaskDone(in)
+        decodeStream(in, file)
+      }
     spark.createDataFrame(rows, entrySchema)
   }
 
@@ -205,12 +200,27 @@ object Tar {
     * map. Grouping is by full key (everything before the last dot), a
     * plain shuffle on the key — samples whose entries span shards
     * still group correctly (the convention keeps them consecutive in
-    * one shard, but correctness must not depend on it). */
+    * one shard, but correctness must not depend on it).
+    *
+    * Keys must be DATASET-unique, which is what the convention's shard
+    * builders produce; two shards reusing a key (per-shard-local
+    * numbering) would otherwise silently FUSE unrelated samples, so a
+    * duplicated (key, ext) fails loudly with the offending name — the
+    * in-plan guard below, cheaper and clearer than relying on
+    * map_from_entries' generic duplicate-key error. */
   def readWebDataset(spark: SparkSession, path: String): DataFrame = {
     readTar(spark, path)
       .withColumn("key", regexp_extract(col("name"), "^(.*)\\.([^.]+)$", 1))
       .withColumn("ext", regexp_extract(col("name"), "^(.*)\\.([^.]+)$", 2))
       .filter(col("key") =!= "" && col("ext") =!= "")
+      .groupBy(col("key"), col("ext"))
+      .agg(count(lit(1)).as("_n"), first(col("content")).as("content"))
+      .select(col("key"), col("ext"),
+        when(col("_n") > 1, raise_error(concat(
+          lit("webdataset key collision: entry '"), col("key"), lit("."),
+          col("ext"), lit("' appears "), col("_n").cast("string"),
+          lit(" times across shards — keys must be dataset-unique"))))
+          .otherwise(col("content")).as("content"))
       .groupBy(col("key"))
       .agg(map_from_entries(collect_list(struct(col("ext"), col("content"))))
         .as("sample"))

@@ -99,29 +99,20 @@ object Warc {
     require(schema.fieldNames.toSeq == recordSchema.fieldNames.toSeq,
       s"writeWarc needs columns ${recordSchema.fieldNames.mkString(",")}, " +
         s"got ${schema.fieldNames.mkString(",")}")
-    val hconf = new org.apache.spark.util.SerializableConfiguration(
-      df.sparkSession.sessionState.newHadoopConf())
     val ext = if (gzipPerRecord) "warc.gz" else "warc"
-    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
-      val file = new org.apache.hadoop.fs.Path(path, f"crawl-$pid%05d.$ext")
-      val fs = file.getFileSystem(hconf.value)
-      val os = fs.create(file, /*overwrite=*/ true)
-      try {
-        rows.foreach { r =>
-          val rec = encodeRecord(r.getString(0), r.getString(1), r.getString(2),
-            r.getString(3), r.getString(4), r.getAs[Array[Byte]](5))
-          if (gzipPerRecord) {
-            val member = new ByteArrayOutputStream(rec.length / 2 + 64)
-            val gz = new GZIPOutputStream(member)
-            gz.write(rec, 0, rec.length); gz.finish(); gz.close()
-            val m = member.toByteArray
-            os.write(m, 0, m.length)
-          } else os.write(rec, 0, rec.length)
-        }
-      } finally os.close()
-      Iterator.empty: Iterator[Int]
-    }.count()
-    ()
+    ShardSink.writeShards(df, path, pid => f"crawl-$pid%05d.$ext") { (_, rows, os) =>
+      rows.foreach { r =>
+        val rec = encodeRecord(r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getString(4), r.getAs[Array[Byte]](5))
+        if (gzipPerRecord) {
+          val member = new ByteArrayOutputStream(rec.length / 2 + 64)
+          val gz = new GZIPOutputStream(member)
+          gz.write(rec, 0, rec.length); gz.finish(); gz.close()
+          val m = member.toByteArray
+          os.write(m, 0, m.length)
+        } else os.write(rec, 0, rec.length)
+      }
+    }
   }
 
   private def fail(file: String, msg: String): Nothing =
@@ -167,10 +158,18 @@ object Warc {
       gzipped: Boolean): Iterator[Row] = {
     val in: InputStream = {
       val buffered = new BufferedInputStream(in0, 1 << 16)
-      // GZIPInputStream handles concatenated members per RFC 1952 —
-      // exactly the one-member-per-record crawl convention
-      if (gzipped) new BufferedInputStream(new GZIPInputStream(buffered, 1 << 16), 1 << 16)
-      else buffered
+      if (gzipped) {
+        // a ZERO-byte .warc.gz is the writer's own empty-partition
+        // output and must read as zero records — but the
+        // GZIPInputStream CONSTRUCTOR throws EOF on an empty stream,
+        // so peek one byte first
+        buffered.mark(1)
+        if (buffered.read() < 0) { buffered.close(); return Iterator.empty }
+        buffered.reset()
+        // GZIPInputStream handles concatenated members per RFC 1952 —
+        // exactly the one-member-per-record crawl convention
+        new BufferedInputStream(new GZIPInputStream(buffered, 1 << 16), 1 << 16)
+      } else buffered
     }
     new Iterator[Row] {
       private var nextRow: Row = null
@@ -236,7 +235,9 @@ object Warc {
     val rows = spark.sparkContext
       .binaryFiles(s"$path/*.warc*")
       .flatMap { case (file, pds) =>
-        decodeStream(pds.open(), file, gzipped = file.endsWith(".gz"))
+        val in = pds.open()
+        TaskClose.onTaskDone(in)
+        decodeStream(in, file, gzipped = file.endsWith(".gz"))
       }
     spark.createDataFrame(rows, recordSchema)
   }
@@ -277,7 +278,9 @@ object Warc {
       .binaryFiles(s"$path/*.warc*")
       .filter { case (file, _) => cleanSet.contains(file) }
       .flatMap { case (file, pds) =>
-        decodeStream(pds.open(), file, gzipped = file.endsWith(".gz"))
+        val in = pds.open()
+        TaskClose.onTaskDone(in)
+        decodeStream(in, file, gzipped = file.endsWith(".gz"))
       }
     (spark.createDataFrame(rows, recordSchema), quarantine)
   }

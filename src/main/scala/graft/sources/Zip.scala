@@ -87,11 +87,7 @@ object Zip {
   def writeZip(df: DataFrame, path: String, deflate: Boolean = true): Unit = {
     require(df.schema.fieldNames.toSeq == entrySchema.fieldNames.toSeq,
       s"writeZip needs columns ${entrySchema.fieldNames.mkString(",")}")
-    val hconf = new org.apache.spark.util.SerializableConfiguration(
-      df.sparkSession.sessionState.newHadoopConf())
-    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
-      val file = new org.apache.hadoop.fs.Path(path, f"archive-$pid%05d.zip")
-      val fs = file.getFileSystem(hconf.value)
+    ShardSink.writeShards(df, path, pid => f"archive-$pid%05d.zip") { (_, rows, os) =>
       val w = new W
       // central-directory entries accumulate as locals are written
       case class Cd(name: Array[Byte], method: Int, crc: Long,
@@ -131,11 +127,8 @@ object Zip {
       w.w16(cds.length); w.w16(cds.length)
       w.w32(cdSize); w.w32(cdStart)
       w.w16(0)
-      val os = fs.create(file, /*overwrite=*/ true)
-      try os.write(w.out.toByteArray) finally os.close()
-      Iterator.empty: Iterator[Int]
-    }.count()
-    ()
+      os.write(w.out.toByteArray)
+    }
   }
 
   private def fail(file: String, msg: String): Nothing =
@@ -160,6 +153,11 @@ object Zip {
     if (cdOff == 0xffffffffL || n == 0xffff)
       fail(file, "ZIP64 archive — shard it instead")
     if (cdOff + cdSize > fileLen) fail(file, "central directory overruns file")
+    // the directory is 46+ bytes per entry of METADATA; a multi-GB claim
+    // is corrupt or adversarial and must fail loudly, not
+    // NegativeArraySizeException on the Int cast below
+    if (cdSize > (1L << 28))
+      fail(file, s"central directory claims $cdSize bytes — corrupt EOCD")
     val cd = read(cdOff, cdSize.toInt)
     val out = Vector.newBuilder[Row]
     var p = 0

@@ -1264,8 +1264,24 @@ object StreamingOps {
     require(maxLenSeconds > 0, s"maxLenSeconds must be positive: $maxLenSeconds")
     val bucketMicros = bucketSeconds * 1000000L
     def bkt(cName: String): Column = expr(s"unix_micros($cName) div $bucketMicros")
-    val exploded = intervals.withWatermark(startCol, watermark)
+    // the |b_st − a_st| ≤ maxLen eviction constraint is only CORRECT for
+    // intervals no longer than maxLen — a longer interval's genuine
+    // overlaps would be SILENTLY dropped by the range clause, so an
+    // over-long row must fail the query loudly instead (in-plan guard,
+    // evaluated per row before the explode)
+    val guarded = intervals.withColumn("_len_guard",
+      when(expr(s"unix_micros($endCol) - unix_micros($startCol)") >
+          maxLenSeconds * 1000000L,
+        raise_error(concat(
+          lit(s"overlapSelfJoinStream: interval longer than maxLenSeconds=" +
+            s"$maxLenSeconds at "), col(startCol).cast("string"),
+          lit(" — the state-eviction range would drop its genuine " +
+            "overlaps; raise maxLenSeconds"))))
+        .otherwise(lit(true)))
+    val exploded = guarded.withWatermark(startCol, watermark)
       .withColumn("gbkt", explode(sequence(bkt(startCol), bkt(endCol))))
+      .filter(col("_len_guard")) // forces the guard's evaluation
+      .drop("_len_guard")
     val a = exploded.select(col(idCol).as("a_id"), col(startCol).as("a_st"),
       col(endCol).as("a_en"), col("gbkt"))
     val b = exploded.select(col(idCol).as("b_id"), col(startCol).as("b_st"),

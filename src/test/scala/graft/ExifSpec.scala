@@ -106,7 +106,8 @@ class ExifSpec extends SparkSpecBase {
       val full = Exif.parseExifFull(Exif.withExif(jpeg, fullBlock(le))).get
       assert(full.ifd0 == Exif.ExifInfo(if (le) "II" else "MM",
         640, 480, "CAM-3", 1, "2024:03:09 14:05:59"))
-      assert(full.sub.contains(Exif.ExifSub("2024:03:09 14:05:41", 400, 1, 250)))
+      assert(full.sub.contains(Exif.ExifSub(
+        Some("2024:03:09 14:05:41"), Some(400), Some((1L, 250L)))))
       val (lat, lon) = full.gps.get
       assert(lat == Exif.GpsCoord("N", 37, 1, 46, 1, 2997, 100))
       assert(lon == Exif.GpsCoord("W", 122, 1, 25, 1, 1234, 100))
@@ -123,19 +124,37 @@ class ExifSpec extends SparkSpecBase {
     assert(full.ifd0.make == "CAM-2")
   }
 
-  test("a present Exif pointer with a half-missing sub-IFD fails loudly") {
+  test("sub-IFD fields are spec-optional: a partial sub-IFD parses with Nones") {
     val tiff = fullBlock(true)
     // the Exif sub-IFD starts after IFD0 (90 bytes) + make (6, "CAM-3"
     // + NUL, even) + dateTime (20); truncate its entry count from 3 to
-    // 2, dropping DateTimeOriginal — a silently half-parsed capture
-    // record must not surface as a clean row
+    // 2, dropping DateTimeOriginal — real cameras write any SUBSET of
+    // the capture fields, so the result is a partial record, loudly
+    // typed as Options, never a thrown-away row
     val exifIfdOff = 8 + 2 + 7 * 12 + 4 + 6 + 20
     assert(tiff(exifIfdOff) == 3, "fixture drift: expected 3-entry sub-IFD")
     val cut = tiff.clone(); cut(exifIfdOff) = 2
+    val full = Exif.parseTiffFull(cut, 0, cut.length)
+    assert(full.sub.contains(Exif.ExifSub(None, Some(400), Some((1L, 250L)))))
+    // IFD0-only callers are untouched by sub-IFD content
+    assert(Exif.parseTiff(cut, 0, cut.length).make == "CAM-3")
+  }
+
+  test("a PRESENT sub-IFD field of the wrong type still fails loudly") {
+    val tiff = fullBlock(true)
+    val exifIfdOff = 8 + 2 + 7 * 12 + 4 + 6 + 20
+    // first sub-IFD entry is ExposureTime (tag 0x829a, type 5 RATIONAL
+    // at offset +2 within the entry); corrupt its TYPE to 3 (SHORT)
+    val typeOff = exifIfdOff + 2 + 2
+    assert(((tiff(typeOff) & 0xff) | ((tiff(typeOff + 1) & 0xff) << 8)) == 5,
+      "fixture drift: expected RATIONAL type at first sub-IFD entry")
+    val bad = tiff.clone(); bad(typeOff) = 3
     val err = intercept[IllegalArgumentException] {
-      Exif.parseTiffFull(cut, 0, cut.length)
+      Exif.parseTiffFull(bad, 0, bad.length)
     }
-    assert(err.getMessage.contains("DateTimeOriginal"))
+    assert(err.getMessage.contains("ExposureTime"))
+    // but parseTiff (IFD0 only) still succeeds on the same bytes
+    assert(Exif.parseTiff(bad, 0, bad.length).width == 640)
   }
 
   test("the full-block carrier still decodes and parseExif sees IFD0 only") {

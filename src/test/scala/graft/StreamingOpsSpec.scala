@@ -317,6 +317,30 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(got.nonEmpty && got.contains((1L, 2L)) && got.contains((5L, 6L)))
   }
 
+  test("streaming interval-overlap rejects intervals longer than maxLen loudly") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)]
+    // a 2-hour interval under maxLenSeconds=3600: its genuine overlaps
+    // would be SILENTLY dropped by the eviction range, so the guard
+    // must fail the query instead
+    ms.addData((1L, 1000L))
+    val out = StreamingOps.overlapSelfJoinStream(
+      ms.toDF().select($"_1".as("event_id"),
+        timestamp_seconds($"_2" + 864000L).as("st"),
+        timestamp_seconds($"_2" + 864000L + 7200L).as("en")),
+      "event_id", "st", "en", bucketSeconds = 3600L,
+      maxLenSeconds = 3600L, watermark = "2 days")
+    val q = out.writeStream.format("memory").queryName("t_ivguard")
+      .outputMode("append").start()
+    val err = intercept[Exception] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("longer than maxLenSeconds")),
+      s"got ${messages(err)}")
+  }
+
   test("streaming as-of enrichment attaches the latest history row per probe") {
     val history = Seq((1L, 100L, "stateA"), (1L, 500L, "stateB"), (2L, 50L, "stateX"))
       .toDF("user_id", "hsec", "state")

@@ -64,6 +64,31 @@ class TarSpec extends SparkSpecBase {
     }
   }
 
+  test("webdataset key collisions across shards fail loudly, never fuse") {
+    val dir = Files.createTempDirectory("graft_tar").toString
+    // per-shard-local numbering: both shards carry 0001.img — unrelated
+    // samples that silent grouping would fuse into one row
+    val rows = Seq(
+      ("0001.img", Array[Byte](1)), ("0001.txt", "a".getBytes("UTF-8")),
+      ("0001.img", Array[Byte](2)), ("0002.txt", "b".getBytes("UTF-8")))
+    Tar.writeTar(entriesDf(rows.take(2), 1), s"$dir/s1")
+    Tar.writeTar(entriesDf(rows.drop(2), 1), s"$dir/s2")
+    // merge the two shard dirs
+    new java.io.File(s"$dir/s2").listFiles().foreach { f =>
+      Files.move(f.toPath, java.nio.file.Paths.get(dir, "z-" + f.getName))
+    }
+    new java.io.File(s"$dir/s1").listFiles().foreach { f =>
+      Files.move(f.toPath, java.nio.file.Paths.get(dir, f.getName))
+    }
+    val err = intercept[Exception] {
+      Tar.readWebDataset(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("key collision")),
+      s"got ${messages(err)}")
+  }
+
   test("malformed archives fail loudly: magic, checksum, truncation") {
     def parse(b: Array[Byte]): List[Row] =
       Tar.decodeStream(new java.io.ByteArrayInputStream(b), "t").toList

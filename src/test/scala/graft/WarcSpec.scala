@@ -92,6 +92,19 @@ class WarcSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { parse(badLen.getBytes("US-ASCII")) }
   }
 
+  test("empty partitions write zero-byte .warc.gz files that read as zero records") {
+    val dir = Files.createTempDirectory("graft_warc").toString
+    // 2 records in 5 partitions: at least three shards are zero-byte
+    Warc.writeWarc(recsDf(2, 5), dir, gzipPerRecord = true)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz"))
+    assert(files.length == 5 && files.exists(_.length == 0))
+    val back = Warc.readWarc(spark, dir)
+    assert(back.count() == 2)
+    // and the quarantine path must NOT quarantine the writer's own output
+    val (data, q) = Warc.readWarcWithQuarantine(spark, dir)
+    assert(q.count() == 0 && data.count() == 2)
+  }
+
   test("quarantine: corrupt containers are isolated per file, clean records survive") {
     val dir = Files.createTempDirectory("graft_warc").toString
     Warc.writeWarc(recsDf(30, 2), dir, gzipPerRecord = true)
