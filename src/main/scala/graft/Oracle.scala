@@ -543,6 +543,20 @@ object Oracle {
         "SELECT doc_id, bpe_tokens, n_chars, " +
         "round(CAST(n_chars AS DOUBLE) / bpe_tokens, 4) AS chars_per_token " +
         "FROM t ORDER BY doc_id"),
+    // BPE sequence replay: fold the ENCODED string's codepoints with the
+    // same rolling hash the engine folds its mapped symbol ids with —
+    // the placeholder codepoints ARE the merged-symbol codes, so the two
+    // folds run over identical integers
+    "text_bpe_sequence" ->
+      ("WITH t AS (SELECT doc_id, " +
+        graft.functions.Bpe.duckEncodeSql("lower(text)") + " AS enc " +
+        "FROM documents WHERE doc_id < 300) " +
+        "SELECT doc_id, CAST(length(enc) AS BIGINT) AS bpe_tokens, " +
+        "CAST(CASE WHEN length(enc) = 0 THEN 0 ELSE " +
+        "list_reduce(list_transform(range(1, length(enc) + 1), " +
+        "i -> CAST(unicode(substr(enc, i::INT, 1)) AS BIGINT)), " +
+        "(a, b) -> (a * 31 + b) % 1000000007) END AS BIGINT) AS seq_hash " +
+        "FROM t ORDER BY doc_id"),
     // packing re-budgeted on the replayed BPE counts; plain global
     // running-sum window vs the engine's bucketed prefix sums
     "llm_pack_bpe" ->

@@ -70,10 +70,10 @@ object Bpe {
     }.toArray
   }
 
-  /** BPE token count of `t` (which the caller has already
-    * case-normalized — the table is lowercase). One int-array pass per
-    * rule; shared by interpreted eval and codegen. */
-  def tokenCount(t: UTF8String): Int = {
+  /** The encode kernel: `t`'s code points merged under the table, in
+    * place. Returns (symbol array, live length). One int-array pass
+    * per rule; shared by every consumer. */
+  private def encode(t: UTF8String): (Array[Int], Int) = {
     val s = t.toString
     var n = 0
     val syms = new Array[Int](s.codePointCount(0, s.length))
@@ -103,16 +103,40 @@ object Bpe {
       len = j
       r += 1
     }
-    len
+    (syms, len)
   }
 
-  /** The DuckDB replay of [[tokenCount]] over the SQL expression
-    * `inner`: a `replace()` chain in table order, each merged token a
-    * private-use placeholder char (chr(0xE000+rule)), followed by
-    * `length()`. Exact because SQL replace() performs the same
-    * leftmost non-overlapping pass as one merge rule, and placeholder
-    * chars cannot occur in the corpus. */
-  def duckCountSql(inner: String): String = {
+  /** BPE token count of `t` (which the caller has already
+    * case-normalized — the table is lowercase). */
+  def tokenCount(t: UTF8String): Int = encode(t)._2
+
+  /** Order-sensitive rolling hash of the encoded TOKEN SEQUENCE:
+    * acc = (acc·31 + code) mod 1e9+7 (the repo's rollingFingerprint
+    * convention), with merged symbols mapped into the SAME private-use
+    * codepoints the DuckDB replay's placeholders occupy (0xE000+rule)
+    * — so the oracle folds the very same integers over its encoded
+    * string and one token out of place, merged differently, or
+    * reordered moves the hash even when counts collide. */
+  def sequenceHash(t: UTF8String): Long = {
+    val (syms, len) = encode(t)
+    var acc = 0L
+    var i = 0
+    while (i < len) {
+      val code =
+        if (syms(i) >= MergedBase) 0xE000 + (syms(i) - MergedBase)
+        else syms(i)
+      acc = (acc * 31L + code) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
+  /** The DuckDB ENCODE replay over the SQL expression `inner`: a
+    * `replace()` chain in table order, each merged token a private-use
+    * placeholder char (chr(0xE000+rule)). Exact because SQL replace()
+    * performs the same leftmost non-overlapping pass as one merge
+    * rule, and placeholder chars cannot occur in the corpus. */
+  def duckEncodeSql(inner: String): String = {
     val ph = scala.collection.mutable.Map[String, Int]()
     var expr = inner
     Merges.zipWithIndex.foreach { case ((l, r), i) =>
@@ -126,13 +150,20 @@ object Bpe {
       expr = s"replace($expr, $search, chr(${0xE000 + i}))"
       ph(l + r) = 0xE000 + i
     }
-    s"length($expr)"
+    expr
   }
+
+  /** [[duckEncodeSql]] followed by `length()`: the token-count replay. */
+  def duckCountSql(inner: String): String = s"length(${duckEncodeSql(inner)})"
 
   /** Column wrapper: BPE token count of an (already case-normalized)
     * string column. */
   def bpeTokenCount(c: Column): Column =
     GraftBridge.column(BpeCountExpr(GraftBridge.expression(c)))
+
+  /** Column wrapper: rolling hash of the encoded token sequence. */
+  def bpeSequenceHash(c: Column): Column =
+    GraftBridge.column(BpeSeqHashExpr(GraftBridge.expression(c)))
 }
 
 /** Native codegen'd expression: [[Bpe.tokenCount]] of the child string
@@ -156,6 +187,32 @@ case class BpeCountExpr(child: Expression) extends UnaryExpression {
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t => {
       s"${ev.value} = graft.functions.Bpe.tokenCount($t);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native codegen'd expression: [[Bpe.sequenceHash]] of the child
+  * string under the pinned merge table. */
+case class BpeSeqHashExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_sequence_hash"
+
+  override def nullSafeEval(v: Any): Any =
+    Bpe.sequenceHash(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      s"${ev.value} = graft.functions.Bpe.sequenceHash($t);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

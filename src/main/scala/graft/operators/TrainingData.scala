@@ -63,6 +63,25 @@ object TrainingData {
         round(col("n_chars").cast("double") / col("bpe_tokens"), 4))
       .orderBy(col("doc_id"))
 
+  /** #231 BPE token SEQUENCE judged (round-15) — stronger than #223's
+    * counts: per document, an order-sensitive rolling hash
+    * (acc·31 + code mod 1e9+7, the repo's fingerprint convention) over
+    * the encoded token sequence, with merged symbols mapped into the
+    * SAME private-use codepoints the oracle's replace-chain
+    * placeholders occupy — so both engines fold the very same
+    * integers, and one token merged differently, out of place, or
+    * reordered moves the hash even where counts collide. This is the
+    * contract a tokenizer consumer actually needs: the SEQUENCE, not
+    * its length. */
+  def textBpeSequence(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        graft.functions.Bpe.bpeTokenCount(lower(col("text")))
+          .cast("long").as("bpe_tokens"),
+        graft.functions.Bpe.bpeSequenceHash(lower(col("text"))).as("seq_hash"))
+      .orderBy(col("doc_id"))
+
   /** #224 sequence packing on REAL token lengths (round-15): #78's
     * greedy chunk assignment re-budgeted on the BPE counts of #223 —
     * the packed-sequence table a training consumer would actually read

@@ -86,6 +86,36 @@ class BpeSpec extends SparkSpecBase {
     assert(sql.contains(s"chr(${0xE000}) || 'e'"), "the 'the' rule must consume th's placeholder")
   }
 
+  /** Reference sequence hash: run the REPLACE-CHAIN form in plain Scala
+    * (the literal oracle semantics — String.replace is the same
+    * leftmost non-overlapping pass) and fold its chars. */
+  private def referenceSeqHash(s: String): Long = {
+    var enc = s
+    val ph = scala.collection.mutable.Map[String, String]()
+    Bpe.Merges.zipWithIndex.foreach { case ((l, r), i) =>
+      val search = ph.getOrElse(l, l) + ph.getOrElse(r, r)
+      val repl = (0xE000 + i).toChar.toString
+      enc = enc.replace(search, repl)
+      ph(l + r) = repl
+    }
+    enc.foldLeft(0L)((acc, c) => (acc * 31L + c.toInt) % 1000000007L)
+  }
+
+  test("sequence hash equals the replace-chain reference fold (property)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(11)
+    val alphabet = "theinganodrsucx "
+    for (trial <- 0 until 300) {
+      val len = rnd.nextInt(40)
+      val s = (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(Bpe.sequenceHash(UTF8String.fromString(s)) == referenceSeqHash(s),
+        s"trial $trial: '$s'")
+    }
+    // order sensitivity: same tokens, different order, different hash
+    assert(Bpe.sequenceHash(UTF8String.fromString("the cat")) !=
+      Bpe.sequenceHash(UTF8String.fromString("cat the")))
+  }
+
   test("expression through a real plan: codegen equals interpreted equals kernel") {
     import spark.implicits._
     val docs = Seq("The thing stands", "und das andere", "", "a",
