@@ -57,18 +57,31 @@ object Bpe {
     * load if a rule references a compound token no earlier rule built
     * (the well-formedness precondition of the one-pass-per-rule
     * semantics). */
-  private[functions] val compiled: Array[(Int, Int)] = {
+  /** Compile a merge table to (leftId, rightId) per rule. Fails if a
+    * rule references a compound token no earlier rule built (the
+    * well-formedness precondition of the one-pass-per-rule semantics),
+    * or if two rules' concatenations collide (("a","bc") vs ("ab","c")
+    * both spell "abc" — a later reference to "abc" would silently
+    * alias one of them, in the kernel AND in the replace()-chain
+    * oracle replay, so ambiguity is rejected up front). */
+  private[graft] def compile(merges: Seq[(String, String)]): Array[(Int, Int)] = {
     val ids = scala.collection.mutable.Map[String, Int]()
-    Merges.zipWithIndex.map { case ((l, r), i) =>
+    merges.zipWithIndex.map { case ((l, r), i) =>
       def idOf(tok: String): Int =
         if (tok.codePointCount(0, tok.length) == 1) tok.codePointAt(0)
         else ids.getOrElse(tok, throw new IllegalArgumentException(
           s"merge table not well-formed: '$tok' referenced before defined"))
       val pair = (idOf(l), idOf(r))
-      ids(l + r) = MergedBase + i
+      val key = l + r
+      if (ids.contains(key)) throw new IllegalArgumentException(
+        s"merge table ambiguous: two rules both produce '$key' — " +
+          "a later reference could not tell them apart")
+      ids(key) = MergedBase + i
       pair
     }.toArray
   }
+
+  private[functions] val compiled: Array[(Int, Int)] = compile(Merges)
 
   /** The encode kernel: `t`'s code points merged under the table, in
     * place. Returns (symbol array, live length). One int-array pass

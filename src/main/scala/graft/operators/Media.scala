@@ -428,18 +428,9 @@ object Media {
   private lazy val mediaLayoutRoot: java.io.File =
     java.nio.file.Files.createTempDirectory("graft_media_layout").toFile
 
-  private def mediaLayoutOnce(name: String, d: String)(write: String => Unit): String = {
-    val dir = new java.io.File(mediaLayoutRoot,
-      s"${name}_${java.lang.Integer.toHexString(d.hashCode)}")
-    val done = new java.io.File(dir, "_graft_layout_done")
-    if (!done.exists()) {
-      dir.mkdirs()
-      write(dir.toString)
-      done.createNewFile()
-      ()
-    }
-    dir.toString
-  }
+  private def mediaLayoutOnce(name: String, d: String)(write: String => Unit): String =
+    LayoutLock.once(new java.io.File(mediaLayoutRoot,
+      s"${name}_${java.lang.Integer.toHexString(d.hashCode)}"), mkdirs = true)(write)
 
   private val featureBmp = udf { (bytes: Array[Byte]) =>
     Multimodal.bmpGrayPixels(bytes).map(_.toLong).sum

@@ -495,16 +495,8 @@ object Relational {
     * per-JVM temp root + dataset-path tag, marker file committed AFTER
     * the write so a crashed write rewrites instead of serving partial
     * files. Returns the layout directory. */
-  private def layoutOnce(name: String, d: String)(write: String => Unit): String = {
-    val dir = new java.io.File(rangeLayoutRoot, s"${name}_${pathTag(d)}")
-    val done = new java.io.File(dir, "_graft_layout_done")
-    if (!done.exists()) {
-      write(dir.toString)
-      done.createNewFile()
-      ()
-    }
-    dir.toString
-  }
+  private def layoutOnce(name: String, d: String)(write: String => Unit): String =
+    LayoutLock.once(new java.io.File(rangeLayoutRoot, s"${name}_${pathTag(d)}"))(write)
 
   /** Dataset-path tag naming the per-JVM layout copies of
     * [[scanRangePruned]] and [[joinBucketed]] — a PATH hash, so repeat

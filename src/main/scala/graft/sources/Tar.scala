@@ -162,13 +162,18 @@ object Tar {
           if (k < 0) fail(file, s"EOF inside entry '$name' at $off/$size")
           off += k
         }
-        // consume the block padding
+        // consume the block padding. skip() may legitimately return 0
+        // on a non-EOF stream (some Hadoop stream impls), so a zero
+        // skip falls back to read() and only a -1 read is EOF.
         val padded = (size + BlockSize - 1) / BlockSize * BlockSize
         var pad = (padded - size).toInt
         while (pad > 0) {
           val k = in.skip(pad)
-          if (k <= 0) fail(file, s"EOF inside padding of '$name'")
-          pad -= k.toInt
+          if (k > 0) pad -= k.toInt
+          else {
+            if (in.read() < 0) fail(file, s"EOF inside padding of '$name'")
+            pad -= 1
+          }
         }
         nextRow = Row(name, content)
       }

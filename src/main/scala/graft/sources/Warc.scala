@@ -192,7 +192,10 @@ object Warc {
             while (header.nonEmpty) {
               val i = header.indexOf(':')
               if (i < 0) fail(file, s"header without colon: '${header.take(40)}'")
-              val k = header.substring(0, i).trim.toLowerCase
+              // Locale.ROOT: under a Turkish default locale a bare
+              // toLowerCase maps 'I' to dotless ı, silently nulling
+              // WARC-Target-URI / WARC-Record-ID on such JVMs
+              val k = header.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
               val v = header.substring(i + 1).trim
               k match {
                 case "warc-type" => warcType = v
@@ -256,10 +259,25 @@ object Warc {
     * cheaper verdict-equivalent walk). */
   def readWarcWithQuarantine(spark: SparkSession, path: String):
       (DataFrame, DataFrame) = {
+    // ONE listing snapshot drives both the validation pass and the
+    // data read: with two independent globs, a container appearing
+    // between them would be neither decoded nor quarantined (silently
+    // dropped) — snapshotting makes the verdict set and the read set
+    // the same set by construction.
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val pat = new org.apache.hadoop.fs.Path(s"$path/*.warc*")
+    val fs0 = pat.getFileSystem(hconf.value)
+    val files = Option(fs0.globStatus(pat)).getOrElse(Array.empty)
+      .map(_.getPath.toString).toSeq
+    def open(f: String): InputStream = {
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf.value).open(p)
+    }
     val verdicts = spark.sparkContext
-      .binaryFiles(s"$path/*.warc*")
-      .map { case (file, pds) =>
-        val in = pds.open()
+      .parallelize(files, math.max(1, files.length))
+      .map { file =>
+        val in = open(file)
         try {
           val it = decodeStream(in, file, gzipped = file.endsWith(".gz"))
           while (it.hasNext) it.next()
@@ -271,14 +289,13 @@ object Warc {
           try in.close() catch { case scala.util.control.NonFatal(_) => }
         }
       }.collect() // one row per FILE — metadata-scale
-    val cleanSet = verdicts.collect { case (f, err) if err == null => f }.toSet
+    val cleanFiles = verdicts.collect { case (f, err) if err == null => f }.toSeq
     import spark.implicits._
     val quarantine = verdicts.filter(_._2 != null).toSeq.toDF("file", "error")
     val rows = spark.sparkContext
-      .binaryFiles(s"$path/*.warc*")
-      .filter { case (file, _) => cleanSet.contains(file) }
-      .flatMap { case (file, pds) =>
-        val in = pds.open()
+      .parallelize(cleanFiles, math.max(1, cleanFiles.length))
+      .flatMap { file =>
+        val in = open(file)
         TaskClose.onTaskDone(in)
         decodeStream(in, file, gzipped = file.endsWith(".gz"))
       }
@@ -308,7 +325,7 @@ object Warc {
     catch { case _: NumberFormatException =>
       fail(file, s"bad HTTP status code '${status(1)}'") }
     val ctype = lines.drop(1).collectFirst {
-      case l if l.toLowerCase.startsWith("content-type:") =>
+      case l if l.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:") =>
         l.substring(l.indexOf(':') + 1).trim
     }.orNull
     val body = java.util.Arrays.copyOfRange(payload, split + 4, payload.length)
