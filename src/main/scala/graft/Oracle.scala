@@ -160,8 +160,27 @@ object Oracle {
         "CAST(CASE WHEN k % 10 = 0 THEN 404 ELSE 200 END AS BIGINT) AS status, " +
         "'text/html; charset=utf-8' AS http_ctype, " +
         "CAST(length(html) AS BIGINT) AS body_len, " +
-        "regexp_replace(html, '<[^>]*>', '', 'g') AS text, " +
-        "CAST(length(regexp_replace(html, '<[^>]*>', '', 'g')) AS BIGINT) AS n_text_chars " +
+        graft.functions.Html.duckExtractSql("html") + " AS text, " +
+        "CAST(length(" + graft.functions.Html.duckExtractSql("html") +
+        ") AS BIGINT) AS n_text_chars " +
+        "FROM t ORDER BY k"),
+    // chunked-transfer invisibility: the engine dechunks every varying-
+    // framing chunked HTTP body and extracts text; the oracle rebuilds
+    // the UNCHUNKED closed form — a kept framing byte, lost tail chunk,
+    // or un-decoded entity moves body_len/text/n_text_chars
+    "source_warc_chunked" ->
+      ("WITH t AS (SELECT p_partkey AS k, " +
+        "'<html><head><title>C' || p_partkey || '</title>' || " +
+        "'<style>p { margin: ' || (p_partkey % 7) || 'px; }</style></head>' || " +
+        "'<body><script>var n = ' || p_partkey || '; if (n < 100 && n > 3) { mark(n); }</script>' || " +
+        "'<p>chunked ' || p_partkey || ' gamma ' || ((p_partkey * 31) % 9973) || ' &amp; delta ' || " +
+        "'&lt;' || (p_partkey % 13) || '&gt;&nbsp;end</p></body></html>' AS html " +
+        "FROM part WHERE p_partkey <= 150) " +
+        "SELECT k, CAST(CASE WHEN k % 10 = 0 THEN 404 ELSE 200 END AS BIGINT) AS status, " +
+        "CAST(length(html) AS BIGINT) AS body_len, " +
+        graft.functions.Html.duckExtractSql("html") + " AS text, " +
+        "CAST(length(" + graft.functions.Html.duckExtractSql("html") +
+        ") AS BIGINT) AS n_text_chars " +
         "FROM t ORDER BY k"),
     // WARC quarantine invisibility: two planted corrupt containers cost
     // exactly two quarantine rows and zero data movement — the clean
@@ -531,6 +550,26 @@ object Oracle {
       ("SELECT lang, count(*) AS docs, CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens, " +
         "CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpeish_tokens, " +
         "round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_words FROM documents GROUP BY lang ORDER BY lang"),
+    // HTML extraction replay: the oracle rebuilds the identical page
+    // from doc_id+text and applies Html.duckExtractSql — GENERATED from
+    // the same regex/entity table the engine folds (single source of
+    // truth), so a kept script fragment, wrong decode order, or
+    // mis-decoded exotic entity moves text/lengths and fails the hash
+    "text_html_extract" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "'<html><head><title>D' || doc_id || " +
+        "'</title><style type=\"text/css\">body { color: #' || (doc_id % 1000) || " +
+        "'; }</style></head><body><script src=\"app.js\"></script><script>var k = ' || doc_id || " +
+        "'; if (k < 10 && k > 0) { trackPage(k); }</script><h1>Doc &quot;' || doc_id || " +
+        "'&quot;</h1><p>' || substr(text, 1, 160) || " +
+        "' &amp; more &amp;lt; tail &lt;' || (doc_id % 97) || " +
+        "'&gt;&nbsp;&#169; end</p></body></html>' AS html FROM documents), " +
+        "e AS (SELECT doc_id, CAST(length(html) AS BIGINT) AS n_chars_html, " +
+        graft.functions.Html.duckExtractSql("html") + " AS text FROM t) " +
+        "SELECT doc_id, n_chars_html, text, " +
+        "CAST(length(text) AS BIGINT) AS n_chars_text, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens " +
+        "FROM e ORDER BY doc_id LIMIT 300"),
     // BPE replay: the SAME pinned merge table as a replace() chain with
     // private-use placeholder chars (generated from graft.functions.Bpe
     // — single source of truth); SQL replace is the same leftmost

@@ -39,6 +39,48 @@ object TrainingData {
         round(avg(TextAnalysis.tokenCount(col("text"))), 4).as("avg_words"))
       .orderBy(col("lang"))
 
+  /** #232 REAL HTML text extraction (round-16) — the step between a
+    * crawl body and every downstream text feature, judged: each page is
+    * a closed-form HTML document carrying a `<style>` block, TWO
+    * `<script>` elements whose code contains bare `<`/`>` comparisons
+    * (which a naive one-regex tag strip mangles into fake tags),
+    * entities from the pinned common set, a double-encoded `&amp;lt;`
+    * (must surface as the literal text `&lt;`, the single-decode-pass
+    * contract), and one entity OUTSIDE the set (`&#169;` — must pass
+    * through verbatim, never silently mis-decode) around a real slice
+    * of the document text. [[graft.functions.Html.extractText]] must
+    * drop script/style CONTENT, strip the remaining tags, and decode
+    * the entity chain in order; the oracle rebuilds the identical HTML
+    * from doc_id+text and replays the extraction with
+    * [[graft.functions.Html.duckExtractSql]] (generated from the same
+    * entity table — single source of truth), so a kept script
+    * fragment, a fused word, a wrong decode order, or a mis-decoded
+    * exotic entity moves text and lengths and fails the hash. Pure
+    * Column chain — whole-stage codegen, embarrassingly parallel. */
+  def textHtmlExtract(s: SparkSession, d: String): DataFrame = {
+    val docId = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><head><title>D"), docId,
+      lit("</title><style type=\"text/css\">body { color: #"),
+      (col("doc_id") % 1000).cast("string"),
+      lit("; }</style></head><body><script src=\"app.js\"></script><script>var k = "),
+      docId,
+      lit("; if (k < 10 && k > 0) { trackPage(k); }</script><h1>Doc &quot;"), docId,
+      lit("&quot;</h1><p>"), substring(col("text"), 1, 160),
+      lit(" &amp; more &amp;lt; tail &lt;"),
+      (col("doc_id") % 97).cast("string"),
+      lit("&gt;&nbsp;&#169; end</p></body></html>"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"),
+        length(col("html")).cast("long").as("n_chars_html"),
+        graft.functions.Html.extractText(col("html")).as("text"))
+      .withColumn("n_chars_text", length(col("text")).cast("long"))
+      .withColumn("ws_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .orderBy(col("doc_id"))
+      .limit(300)
+  }
+
   /** #223 REAL subword tokenization (round-15): per-document BPE token
     * counts under the pinned in-repo merge table
     * ([[graft.functions.Bpe.Merges]] — the deterministic greedy encode

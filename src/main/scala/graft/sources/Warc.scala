@@ -302,9 +302,90 @@ object Warc {
     (spark.createDataFrame(rows, recordSchema), quarantine)
   }
 
+  /** Wrap an HTTP/1.1 response with `Transfer-Encoding: chunked`
+    * framing around `body` — the other message form real crawl WARCs
+    * are full of (servers stream dynamic pages without knowing their
+    * length up front). The body is split into `chunkSize`-byte chunks,
+    * each framed as hex-size line + data + CRLF, terminated by the
+    * zero chunk and the final empty line (RFC 9112 §7.1). */
+  def encodeHttpResponseChunked(status: Int, reason: String, contentType: String,
+      body: Array[Byte], chunkSize: Int = 64): Array[Byte] = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    val out = new ByteArrayOutputStream(body.length + 256)
+    def ascii(s: String): Unit = {
+      val b = s.getBytes("US-ASCII"); out.write(b, 0, b.length)
+    }
+    ascii(s"HTTP/1.1 $status $reason\r\n" +
+      s"Content-Type: $contentType\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n")
+    var off = 0
+    while (off < body.length) {
+      val n = math.min(chunkSize, body.length - off)
+      ascii(java.lang.Integer.toHexString(n) + "\r\n")
+      out.write(body, off, n)
+      ascii("\r\n")
+      off += n
+    }
+    ascii("0\r\n\r\n")
+    out.toByteArray
+  }
+
+  /** Reassemble a `Transfer-Encoding: chunked` message body: hex-size
+    * line (chunk extensions after ';' are legal and ignored), that many
+    * data bytes, CRLF, repeated until the zero chunk, then optional
+    * trailer fields and the final empty line. STRICT and loud — a
+    * non-hex size line, a truncated chunk, a missing CRLF, a missing
+    * terminator, or bytes after the terminator all fail with context:
+    * mis-framed chunk decode is how body lengths and every downstream
+    * text feature silently go wrong on real crawl data. */
+  private def dechunk(raw: Array[Byte], file: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream(raw.length)
+    var p = 0
+    def line(what: String): String = {
+      val start = p
+      while (p + 1 < raw.length && !(raw(p) == '\r' && raw(p + 1) == '\n')) p += 1
+      if (p + 1 >= raw.length) fail(file, s"chunked body: EOF before CRLF in $what")
+      val s = new String(raw, start, p - start, "US-ASCII")
+      p += 2
+      s
+    }
+    var more = true
+    while (more) {
+      val sizeLine = line("chunk-size line")
+      val semi = sizeLine.indexOf(';')
+      val hex = (if (semi >= 0) sizeLine.substring(0, semi) else sizeLine).trim
+      if (hex.isEmpty || hex.length > 8 ||
+          !hex.forall(c => Character.digit(c, 16) >= 0))
+        fail(file, s"chunked body: bad chunk-size line '${sizeLine.take(40)}'")
+      val n = java.lang.Integer.parseInt(hex, 16)
+      if (n == 0) {
+        // optional trailer fields, then the final empty line
+        var t = line("trailer")
+        while (t.nonEmpty) t = line("trailer")
+        if (p != raw.length)
+          fail(file, s"chunked body: ${raw.length - p} bytes after the final chunk")
+        more = false
+      } else {
+        if (p + n + 2 > raw.length)
+          fail(file, s"chunked body: truncated $n-byte chunk at $p/${raw.length}")
+        out.write(raw, p, n)
+        p += n
+        if (!(raw(p) == '\r' && raw(p + 1) == '\n'))
+          fail(file, "chunked body: chunk data not CRLF-terminated")
+        p += 2
+      }
+    }
+    out.toByteArray
+  }
+
   /** Split a `response` record's HTTP/1.1 payload into (status code,
-    * content-type, body bytes). Strict: a payload without a valid
-    * status line or header block fails loudly. */
+    * content-type, body bytes), reassembling `Transfer-Encoding:
+    * chunked` bodies ([[dechunk]]) so the returned bytes are always the
+    * message content, never framing. Strict: a payload without a valid
+    * status line or header block fails loudly, as does a
+    * Transfer-Encoding this engine can't decode (silently returning
+    * still-encoded bytes would poison every downstream length and
+    * feature). */
   def parseHttpResponse(payload: Array[Byte], file: String = "<payload>"):
       (Int, String, Array[Byte]) = {
     // find the header/body split (CRLFCRLF)
@@ -328,7 +409,16 @@ object Warc {
       case l if l.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:") =>
         l.substring(l.indexOf(':') + 1).trim
     }.orNull
-    val body = java.util.Arrays.copyOfRange(payload, split + 4, payload.length)
+    val te = lines.drop(1).collectFirst {
+      case l if l.toLowerCase(java.util.Locale.ROOT).startsWith("transfer-encoding:") =>
+        l.substring(l.indexOf(':') + 1).trim.toLowerCase(java.util.Locale.ROOT)
+    }
+    val raw = java.util.Arrays.copyOfRange(payload, split + 4, payload.length)
+    val body = te match {
+      case None => raw
+      case Some("chunked") => dechunk(raw, file)
+      case Some(other) => fail(file, s"unsupported Transfer-Encoding '$other'")
+    }
     (code, ctype, body)
   }
 }

@@ -137,4 +137,56 @@ class WarcSpec extends SparkSpecBase {
       Warc.parseHttpResponse("BOGUS line\r\n\r\n".getBytes("US-ASCII"))
     }
   }
+
+  test("chunked Transfer-Encoding bodies reassemble to the plain body") {
+    val body = ("alpha " * 50).trim.getBytes("UTF-8") // forces many chunks
+    for (chunkSize <- Seq(1, 7, 64, 1 << 16)) {
+      val p = Warc.encodeHttpResponseChunked(200, "OK", "text/html", body, chunkSize)
+      val (code, ctype, got) = Warc.parseHttpResponse(p)
+      assert(code == 200 && ctype == "text/html", s"chunkSize=$chunkSize")
+      assert(got.toSeq == body.toSeq, s"chunkSize=$chunkSize")
+    }
+    // empty body: just the zero chunk
+    val empty = Warc.encodeHttpResponseChunked(204, "No Content", "text/plain",
+      Array.emptyByteArray)
+    assert(Warc.parseHttpResponse(empty)._3.isEmpty)
+  }
+
+  test("chunk extensions and trailer fields are legal and ignored") {
+    val p = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "5;ext=1\r\nhello\r\n0\r\nX-Trailer: t\r\n\r\n").getBytes("US-ASCII")
+    assert(new String(Warc.parseHttpResponse(p)._3, "UTF-8") == "hello")
+  }
+
+  test("malformed chunked framing fails loudly, never returns framed bytes") {
+    def msg(framed: String): Array[Byte] =
+      ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + framed)
+        .getBytes("US-ASCII")
+    // truncated chunk: size line claims more data than present
+    val e1 = intercept[IllegalArgumentException] {
+      Warc.parseHttpResponse(msg("ff\r\nshort\r\n0\r\n\r\n"))
+    }
+    assert(e1.getMessage.contains("truncated"))
+    // missing zero-chunk terminator
+    intercept[IllegalArgumentException] {
+      Warc.parseHttpResponse(msg("5\r\nhello\r\n"))
+    }
+    // non-hex size line
+    intercept[IllegalArgumentException] {
+      Warc.parseHttpResponse(msg("xyz\r\nhello\r\n0\r\n\r\n"))
+    }
+    // chunk data not CRLF-terminated
+    intercept[IllegalArgumentException] {
+      Warc.parseHttpResponse(msg("5\r\nhelloXX0\r\n\r\n"))
+    }
+    // bytes after the final chunk
+    intercept[IllegalArgumentException] {
+      Warc.parseHttpResponse(msg("5\r\nhello\r\n0\r\n\r\ntrailing-garbage"))
+    }
+    // an encoding this engine can't decode must fail, not pass through
+    val gz = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n\r\nxx")
+      .getBytes("US-ASCII")
+    val e2 = intercept[IllegalArgumentException] { Warc.parseHttpResponse(gz) }
+    assert(e2.getMessage.contains("unsupported Transfer-Encoding"))
+  }
 }
