@@ -1126,6 +1126,16 @@ object Oracle {
     // WebDataset invisibility: image lattice, caption and label are all
     // closed-form key functions; a tar header slip, padding error, or
     // wrong-key grouping moves px_sum/caption/label
+    // pax invisibility: the full 107-char key must survive the x-header
+    // path override (key_len pins it); px_sum/caption/label are
+    // closed-form key lattices as in the ustar row
+    "source_tar_pax" ->
+      ("SELECT p_partkey AS k, " +
+        "CAST(length('webdataset/shards/split-' || (p_partkey % 4) || '/category-' || (p_partkey % 7) || '/' || repeat('x', 60) || '-' || lpad(CAST(p_partkey AS VARCHAR), 9, '0')) AS BIGINT) AS key_len, " +
+        "CAST(list_sum(list_transform(range(0, 64), j -> (p_partkey*61 + j*29) % 256)) AS BIGINT) AS px_sum, " +
+        "'pax caption ' || p_partkey || ' omega ' || ((p_partkey * p_partkey) % 9973) AS caption, " +
+        "CAST(p_partkey % 10 AS BIGINT) AS label " +
+        "FROM part WHERE p_partkey <= 120 ORDER BY p_partkey"),
     "source_tar_webdataset" ->
       ("SELECT p_partkey AS k, " +
         "CAST(list_sum(list_transform(range(0, 64), j -> (p_partkey*41 + j*23) % 256)) AS BIGINT) AS px_sum, " +

@@ -560,6 +560,62 @@ object Media {
       .orderBy(col("k"))
   }
 
+  /** Deterministic 8×8 gray BMP for the pax WebDataset sample of key
+    * `pk` (lattice 61/29 — independent of every other image row). */
+  private val encodePaxWdsImage = udf { (pk: Long) =>
+    Multimodal.encodeBmp24(8, 8, (x, y) => {
+      val j = y * 8 + x
+      val v = ((pk * 61 + j * 29) % 256).toInt
+      (v, v, v)
+    })
+  }
+
+  /** #234 judged PAX-FORMAT WebDataset read (round-16) — the tar
+    * dialect third-party shards actually arrive in (pax extended
+    * headers are python tarfile's DEFAULT output): every sample key is
+    * a 107-char nested path that CANNOT fit ustar's 100-byte name
+    * field, so each entry travels as a typeflag-`x` extended header
+    * carrying the `path=` record plus a data entry under a truncated
+    * name, and the reader must apply the override, never surface the
+    * metadata entry as data, and group the full long keys. The judged
+    * output pins `key_len` per sample (the closed-form length of the
+    * FULL path — a truncated or un-overridden name moves it), plus the
+    * usual pixel-sum/caption/label lattice. Before the typeflag
+    * discipline landed, pax metadata entries would have surfaced as
+    * ordinary rows and silently polluted samples. Scale: identical to
+    * [[sourceTarWebdataset]] — shards are the parallelism unit. */
+  def sourceTarPax(s: SparkSession, d: String): DataFrame = {
+    val dir = mediaLayoutOnce("wds_pax", d) { out =>
+      val key0 = format_string(
+        "webdataset/shards/split-%d/category-%d/" + ("x" * 60) + "-%09d",
+        col("p_partkey") % 4, col("p_partkey") % 7, col("p_partkey"))
+      val entries = Tables.part(s, d)
+        .filter(col("p_partkey") <= 120)
+        .select(col("p_partkey"), key0.as("key0"))
+        .select(explode(array(
+          struct(concat(col("key0"), lit(".bmp")).as("name"),
+            encodePaxWdsImage(col("p_partkey")).as("content")),
+          struct(concat(col("key0"), lit(".txt")).as("name"),
+            concat(lit("pax caption "), col("p_partkey"), lit(" omega "),
+              (col("p_partkey") * col("p_partkey")) % 9973)
+              .cast("binary").as("content")),
+          struct(concat(col("key0"), lit(".cls")).as("name"),
+            (col("p_partkey") % 10).cast("string").cast("binary")
+              .as("content")))).as("e"))
+        .select(col("e.name"), col("e.content"))
+        .repartition(3, col("name"))
+        .sortWithinPartitions(col("name"))
+      graft.sources.Tar.writeTar(entries, out, pax = true)
+    }
+    graft.sources.Tar.readWebDataset(s, dir)
+      .select(regexp_extract(col("key"), "-(\\d+)$", 1).cast("long").as("k"),
+        length(col("key")).cast("long").as("key_len"),
+        featureBmp(element_at(col("sample"), "bmp")).as("px_sum"),
+        element_at(col("sample"), "txt").cast("string").as("caption"),
+        element_at(col("sample"), "cls").cast("string").cast("long").as("label"))
+      .orderBy(col("k"))
+  }
+
   /** Deterministic media blob for ZIP entry of key `pk`: even keys an
     * 8×8 gray BMP (lattice 59/17), odd keys a 256-sample PCM-16 WAV
     * (lattice 43/19) — constants independent of every other media row. */

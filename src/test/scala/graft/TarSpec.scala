@@ -105,4 +105,105 @@ class TarSpec extends SparkSpecBase {
     val badSize = good.clone(); badSize(124) = '9'.toByte // non-octal
     intercept[IllegalArgumentException] { parse(badSize) }
   }
+
+  private def parseBytes(b: Array[Byte]): List[Row] =
+    Tar.decodeStream(new java.io.ByteArrayInputStream(b), "t").toList
+
+  private val eoa = new Array[Byte](1024)
+
+  test("pax long names roundtrip: the path override replaces the truncated name") {
+    val longName = "webdataset/shards/split-3/category-5/" + "x" * 60 + "-000000042.bmp"
+    assert(longName.length > 100)
+    val short = "short.txt"
+    val bytes = Tar.encodePaxEntry(longName, "img-bytes".getBytes("UTF-8")) ++
+      Tar.encodePaxEntry(short, "caption".getBytes("UTF-8")) ++ eoa
+    val rows = parseBytes(bytes)
+    assert(rows.map(_.getString(0)) == List(longName, short))
+    assert(new String(rows.head.getAs[Array[Byte]](1), "UTF-8") == "img-bytes")
+    // the x entry itself must NOT surface as a data row
+    assert(rows.size == 2)
+  }
+
+  test("pax entries with short names stay plain ustar (byte-identical)") {
+    val e = Tar.encodePaxEntry("a.txt", "abc".getBytes("UTF-8"))
+    assert(e.toSeq == Tar.encodeEntry("a.txt", "abc".getBytes("UTF-8")).toSeq)
+  }
+
+  test("pax record framing is the POSIX fixed point and parses back") {
+    val r = new String(Tar.paxRecord("path", "p/q.txt"), "UTF-8")
+    assert(r == "16 path=p/q.txt\n") // 2 digits + " path=p/q.txt\n" = 16
+    val m = Tar.parsePax(Tar.paxRecord("path", "x" * 120) ++
+      Tar.paxRecord("mtime", "123.5"), "t")
+    assert(m("path") == "x" * 120 && m("mtime") == "123.5")
+  }
+
+  test("pax global headers validate and skip; unknown typeflags fail loudly") {
+    // hand-build a 'g' entry via the writer's own framing, then flip
+    // the typeflag byte and re-checksum
+    def retype(entry: Array[Byte], flag: Char): Array[Byte] = {
+      val e = entry.clone()
+      e(156) = flag.toByte
+      java.util.Arrays.fill(e, 148, 156, ' '.toByte)
+      var sum = 0
+      for (i <- 0 until 512) sum += e(i) & 0xff
+      val cs = f"$sum%06o".getBytes("US-ASCII")
+      System.arraycopy(cs, 0, e, 148, 6); e(154) = 0; e(155) = ' '
+      e
+    }
+    val g = retype(Tar.encodeEntry("pax_global", Tar.paxRecord("comment", "c")), 'g')
+    val data = Tar.encodeEntry("a.txt", "abc".getBytes("UTF-8"))
+    assert(parseBytes(g ++ data ++ eoa).map(_.getString(0)) == List("a.txt"))
+    // GNU longname ('L') and directory ('5') are NOT silently data
+    for (flag <- Seq('L', '5')) {
+      val bad = retype(data, flag)
+      val err = intercept[IllegalArgumentException] { parseBytes(bad ++ eoa) }
+      assert(err.getMessage.contains("typeflag"), s"flag=$flag: ${err.getMessage}")
+    }
+  }
+
+  test("malformed pax records and dangling overrides fail loudly") {
+    def xEntry(content: Array[Byte]): Array[Byte] = {
+      val e = Tar.encodeEntry("pax_hdr", content).clone()
+      e(156) = 'x'.toByte
+      java.util.Arrays.fill(e, 148, 156, ' '.toByte)
+      var sum = 0
+      for (i <- 0 until 512) sum += e(i) & 0xff
+      val cs = f"$sum%06o".getBytes("US-ASCII")
+      System.arraycopy(cs, 0, e, 148, 6); e(154) = 0; e(155) = ' '
+      e
+    }
+    val data = Tar.encodeEntry("a.txt", "abc".getBytes("UTF-8"))
+    // no decimal length prefix
+    intercept[IllegalArgumentException] {
+      parseBytes(xEntry("path=x\n".getBytes("UTF-8")) ++ data ++ eoa)
+    }
+    // length overruns the entry
+    intercept[IllegalArgumentException] {
+      parseBytes(xEntry("999 path=x\n".getBytes("UTF-8")) ++ data ++ eoa)
+    }
+    // record without '='
+    intercept[IllegalArgumentException] {
+      parseBytes(xEntry("8 pathx\n".getBytes("UTF-8")) ++ data ++ eoa)
+    }
+    // a path override with no following entry is a malformed archive
+    val dangling = xEntry(Tar.paxRecord("path", "long/name.bin"))
+    val err = intercept[IllegalArgumentException] { parseBytes(dangling ++ eoa) }
+    assert(err.getMessage.contains("no following entry"))
+  }
+
+  test("webdataset grouping works across pax long-name shards") {
+    val dir = Files.createTempDirectory("graft_tar_pax").toString
+    val prefix = "corpus/split-0/" + "y" * 70 + "/sample-"
+    val rows = (0 until 6).flatMap { k =>
+      Seq(Row(f"$prefix$k%06d.txt", s"cap $k".getBytes("UTF-8")),
+        Row(f"$prefix$k%06d.cls", s"$k".getBytes("UTF-8")))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Tar.entrySchema)
+    Tar.writeTar(df, dir, pax = true)
+    val back = Tar.readWebDataset(spark, dir).collect()
+    assert(back.length == 6)
+    assert(back.map(_.getString(0)).sorted.toSeq ==
+      (0 until 6).map(k => f"$prefix$k%06d").sorted)
+  }
 }
