@@ -182,6 +182,20 @@ object Oracle {
         "CAST(length(" + graft.functions.Html.duckExtractSql("html") +
         ") AS BIGINT) AS n_text_chars " +
         "FROM t ORDER BY k"),
+    // split invisibility on the crawl container: ONE fat .warc.gz read
+    // as ~24 byte-range tasks via its CDX record index; a member owned
+    // twice, orphaned, or mis-seeked moves the aggregate
+    "source_warc_split" ->
+      ("WITH t AS (SELECT p_partkey AS k, " +
+        "CASE WHEN p_partkey % 10 = 0 THEN 404 ELSE 200 END AS status, " +
+        "length('<html><head><title>T' || p_partkey || '</title></head><body>' || " +
+        "'<p>alpha ' || p_partkey || ' beta ' || ((p_partkey * p_partkey) % 9973) || '</p>' || " +
+        "'<b>tok' || (p_partkey % 13) || '</b></body></html>') AS body_chars " +
+        "FROM part WHERE p_partkey <= 150) " +
+        "SELECT CAST(status AS BIGINT) AS status, count(*) AS n_pages, " +
+        "CAST(sum(body_chars) AS BIGINT) AS sum_body_chars, " +
+        "max(k) AS last_k " +
+        "FROM t GROUP BY status ORDER BY status"),
     // WARC quarantine invisibility: two planted corrupt containers cost
     // exactly two quarantine rows and zero data movement — the clean
     // shards' per-status aggregate equals the closed-form page set

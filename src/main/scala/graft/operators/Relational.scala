@@ -506,6 +506,47 @@ object Relational {
       .orderBy(col("k"))
   }
 
+  /** #235 judged WARC SUB-FILE SPLIT (round-16) — the
+    * [[sourceAvroSplit]] posture for the crawl container: the layout
+    * writes ONE fat `.warc.gz` (repartition(1) — the straggler shape a
+    * single third-party container arrives in) WITH its CDX-style
+    * record index, and the read fans it into ~24 forced byte-range
+    * tasks via [[graft.sources.Warc.readWarcSplit]] — each task owns
+    * exactly the members whose start offset falls in its range, seeks
+    * once, and streams its contiguous span. The oracle computes the
+    * same per-status aggregate from `part` directly, so a member
+    * decoded twice (overlapping ownership), dropped (orphaned between
+    * ranges), or mis-seeked (landing inside a gzip member) moves
+    * n_pages/sum_body_chars/last_k and fails the hash. Closes the one
+    * honest per-file-parallelism limit the WARC entry point had: gzip
+    * members carry no sync marker, so the index the WRITER emits for
+    * free is what makes a 40 GB container fan out instead of straggle. */
+  def sourceWarcSplit(s: SparkSession, d: String): DataFrame = {
+    val dir = layoutOnce("warc_crawl_split", d) { out =>
+      val recs = Tables.part(s, d)
+        .filter(col("p_partkey") <= 150)
+        .select(makeWarcRecord(col("p_partkey")).as("r"))
+        .select(col("r._1").as("warc_type"), col("r._2").as("target_uri"),
+          col("r._3").as("warc_date"), col("r._4").as("record_id"),
+          col("r._5").as("content_type"), col("r._6").as("payload"))
+      graft.sources.Warc.writeWarc(recs.repartition(1), out,
+        gzipPerRecord = true, index = true)
+    }
+    val totalLen = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).map(_.length).sum
+    val splitBytes = math.max(totalLen / 24, 256L) // force real multi-split
+    graft.sources.Warc.readWarcSplit(s, dir, splitBytes)
+      .filter(col("warc_type") === "response")
+      .withColumn("k", regexp_extract(col("target_uri"), "/page/(\\d+)$", 1)
+        .cast("long"))
+      .withColumn("h", parseHttp(col("payload")))
+      .groupBy(col("h._1").cast("long").as("status"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(length(col("h._3"))).cast("long").as("sum_body_chars"),
+        max(col("k")).as("last_k"))
+      .orderBy(col("status"))
+  }
+
   /** #230 judged WARC QUARANTINE (round-15) — crawl fault isolation
     * under the oracle, the [[sourceAvroQuarantine]] contract on the
     * crawl container: the layout holds two clean one-member-per-record

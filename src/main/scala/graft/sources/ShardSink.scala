@@ -34,4 +34,40 @@ object ShardSink {
     }.count()
     ()
   }
+
+  /** [[writeShards]] with a sidecar file per shard (a record index, a
+    * manifest, ...). The sidecar is created alongside the data file and
+    * BOTH are deleted on a mid-write failure — a data file without its
+    * sidecar (or the reverse) must never sit in the output directory
+    * looking complete. */
+  def writeShardsWithSidecar(df: DataFrame, path: String,
+      fileName: Int => String, sidecarName: Int => String)(
+      write: (Int, Iterator[Row], java.io.OutputStream, java.io.OutputStream) => Unit): Unit = {
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val file = new org.apache.hadoop.fs.Path(path, fileName(pid))
+      val side = new org.apache.hadoop.fs.Path(path, sidecarName(pid))
+      val fs = file.getFileSystem(hconf.value)
+      val os = fs.create(file, /*overwrite=*/ true)
+      try {
+        val ss = fs.create(side, /*overwrite=*/ true)
+        try {
+          try write(pid, rows, os, ss) finally { ss.close(); os.close() }
+        } catch {
+          case t: Throwable =>
+            try fs.delete(side, false)
+            catch { case scala.util.control.NonFatal(_) => }
+            throw t
+        }
+      } catch {
+        case t: Throwable =>
+          try fs.delete(file, false)
+          catch { case scala.util.control.NonFatal(_) => }
+          throw t
+      }
+      Iterator.empty: Iterator[Int]
+    }.count()
+    ()
+  }
 }

@@ -26,11 +26,11 @@ import org.apache.spark.sql.types._
   * (`binaryFiles`, streamed — a record body is the only buffered
   * unit) and walks records sequentially within a task. Crawl corpora
   * ship many container files by construction (one per crawler shard),
-  * so the file count is the split unit; sub-file splits of .warc.gz
-  * require an external record index (the convention crawls actually
-  * use) because a gzip member boundary has no sync marker — unlike
-  * Avro, the honest answer here is per-file parallelism plus
-  * writer-side sizing.
+  * so the file count is the natural split unit; for FAT containers,
+  * `writeWarc(index = true)` additionally emits a CDX-style sidecar
+  * record index (the convention crawls actually use, because a gzip
+  * member boundary has no sync marker) and [[readWarcSplit]] fans one
+  * container into byte-range tasks driven by it.
   *
   * Parsing is STRICT and loud: a malformed version line, a header
   * without a colon, a short body, or a missing record terminator
@@ -93,26 +93,61 @@ object Warc {
   /** Write `df` (rows shaped like [[recordSchema]]) as WARC containers
     * under `path` — one file per input partition, executor-side; with
     * `gzipPerRecord` each record becomes its own gzip member
-    * (`.warc.gz`, the crawl convention), else a plain `.warc`. */
-  def writeWarc(df: DataFrame, path: String, gzipPerRecord: Boolean = true): Unit = {
+    * (`.warc.gz`, the crawl convention), else a plain `.warc`.
+    *
+    * With `index = true` each container gets a CDX-style sidecar
+    * (`crawl-NNNNN.cdx`, lines `offset length uri`) recording every
+    * record's byte extent — the convention real crawls use to make a
+    * fat `.warc.gz` splittable, since gzip members carry no sync
+    * marker to resynchronize on. The writer knows each member's offset
+    * as it writes, so the index is free; [[readWarcSplit]] turns it
+    * into sub-file byte-range parallelism. */
+  def writeWarc(df: DataFrame, path: String, gzipPerRecord: Boolean = true,
+      index: Boolean = false): Unit = {
     val schema = df.schema
     require(schema.fieldNames.toSeq == recordSchema.fieldNames.toSeq,
       s"writeWarc needs columns ${recordSchema.fieldNames.mkString(",")}, " +
         s"got ${schema.fieldNames.mkString(",")}")
     val ext = if (gzipPerRecord) "warc.gz" else "warc"
-    ShardSink.writeShards(df, path, pid => f"crawl-$pid%05d.$ext") { (_, rows, os) =>
-      rows.foreach { r =>
-        val rec = encodeRecord(r.getString(0), r.getString(1), r.getString(2),
-          r.getString(3), r.getString(4), r.getAs[Array[Byte]](5))
-        if (gzipPerRecord) {
-          val member = new ByteArrayOutputStream(rec.length / 2 + 64)
-          val gz = new GZIPOutputStream(member)
-          gz.write(rec, 0, rec.length); gz.finish(); gz.close()
-          val m = member.toByteArray
+    if (index) {
+      ShardSink.writeShardsWithSidecar(df, path,
+        pid => f"crawl-$pid%05d.$ext", pid => f"crawl-$pid%05d.cdx") {
+        (_, rows, os, ios) =>
+          var offset = 0L
+          rows.foreach { r =>
+            val m = encodeMember(r, gzipPerRecord)
+            os.write(m, 0, m.length)
+            // uri LAST: URIs carry no spaces (spec), so the line splits
+            // unambiguously on the first two
+            val uri = Option(r.getString(1)).getOrElse("-")
+            val line = s"$offset ${m.length} $uri\n".getBytes("US-ASCII")
+            ios.write(line, 0, line.length)
+            offset += m.length
+          }
+      }
+    } else {
+      ShardSink.writeShards(df, path, pid => f"crawl-$pid%05d.$ext") { (_, rows, os) =>
+        rows.foreach { r =>
+          val m = encodeMember(r, gzipPerRecord)
           os.write(m, 0, m.length)
-        } else os.write(rec, 0, rec.length)
+        }
       }
     }
+  }
+
+  /** One container member for row `r`: the encoded record, gzipped as
+    * its own member when `gzipPerRecord` (object-level, NOT a local
+    * def — a local def would make the writer closures capture the
+    * non-serializable enclosing object). */
+  private def encodeMember(r: Row, gzipPerRecord: Boolean): Array[Byte] = {
+    val rec = encodeRecord(r.getString(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getString(4), r.getAs[Array[Byte]](5))
+    if (gzipPerRecord) {
+      val buf = new ByteArrayOutputStream(rec.length / 2 + 64)
+      val gz = new GZIPOutputStream(buf)
+      gz.write(rec, 0, rec.length); gz.finish(); gz.close()
+      buf.toByteArray
+    } else rec
   }
 
   private def fail(file: String, msg: String): Nothing =
@@ -241,6 +276,111 @@ object Warc {
         val in = pds.open()
         TaskClose.onTaskDone(in)
         decodeStream(in, file, gzipped = file.endsWith(".gz"))
+      }
+    spark.createDataFrame(rows, recordSchema)
+  }
+
+  /** Parse one CDX-style sidecar: `offset length uri` per line, one
+    * line per record member, STRICTLY validated — offsets must start
+    * at 0, be contiguous (offset(i+1) = offset(i) + length(i)), and
+    * end inside the container. Contiguity is load-bearing for
+    * [[readWarcSplit]]: a gap would put unindexed bytes inside a
+    * decoded span, and an overlap would decode a member twice. */
+  private[graft] def readCdx(in: InputStream, fileLen: Long,
+      file: String): IndexedSeq[(Long, Long, String)] = {
+    val out = scala.collection.immutable.IndexedSeq.newBuilder[(Long, Long, String)]
+    val br = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, "US-ASCII"), 1 << 16)
+    try {
+      var expect = 0L
+      var line = br.readLine()
+      var n = 0
+      while (line != null) {
+        val a = line.indexOf(' ')
+        val b = if (a < 0) -1 else line.indexOf(' ', a + 1)
+        if (b < 0) fail(file, s"bad cdx line $n: '${line.take(60)}'")
+        val (off, len) =
+          try (line.substring(0, a).toLong, line.substring(a + 1, b).toLong)
+          catch { case _: NumberFormatException =>
+            fail(file, s"non-numeric cdx extent at line $n: '${line.take(60)}'") }
+        if (off != expect)
+          fail(file, s"cdx line $n: offset $off, expected $expect (index must be contiguous)")
+        if (len <= 0 || off + len > fileLen)
+          fail(file, s"cdx line $n: extent [$off,+$len) overruns $fileLen-byte container")
+        out += ((off, len, line.substring(b + 1)))
+        expect = off + len
+        n += 1
+        line = br.readLine()
+      }
+      if (expect != fileLen)
+        fail(file, s"cdx covers $expect of $fileLen container bytes")
+    } finally br.close()
+    out.result()
+  }
+
+  /** An InputStream view of `[0, limit)` bytes of `in` — the bounded
+    * span a byte-range task decodes. */
+  private class LimitedInputStream(in: InputStream, var limit: Long)
+      extends InputStream {
+    override def read(): Int =
+      if (limit <= 0) -1
+      else { val b = in.read(); if (b >= 0) limit -= 1; b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (limit <= 0) return -1
+      val k = in.read(b, off, math.min(len.toLong, limit).toInt)
+      if (k > 0) limit -= k
+      k
+    }
+    override def close(): Unit = in.close()
+  }
+
+  /** Index-driven SUB-FILE splits over `.warc`/`.warc.gz` containers
+    * written with `index = true`: each container fans out into
+    * byte-range tasks of ~`splitBytes`, a task owns exactly the
+    * members whose START offset falls in its range (the
+    * [[Avro.readAvroSplit]] ownership rule — every member lands in
+    * exactly one task under ANY range partition), seeks once to its
+    * first owned member and streams the contiguous owned span. This is
+    * the 100 TB posture for fat third-party containers: one 40 GB
+    * `.warc.gz` fans out instead of straggling as a single task. A
+    * missing or malformed index fails loudly — [[readWarc]] is the
+    * per-file fallback, and guessing record boundaries inside
+    * sync-markerless gzip is exactly the resynchronization heuristic
+    * this reader refuses to have. */
+  def readWarcSplit(spark: SparkSession, path: String, splitBytes: Long): DataFrame = {
+    require(splitBytes > 0, s"splitBytes must be positive, got $splitBytes")
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val pat = new org.apache.hadoop.fs.Path(s"$path/*.warc*")
+    val fs0 = pat.getFileSystem(hconf.value)
+    val files = Option(fs0.globStatus(pat)).getOrElse(Array.empty)
+      .map(st => (st.getPath.toString, st.getLen)).toSeq
+    val tasks = files.flatMap { case (f, len) =>
+      val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
+      (0L until n).map(i =>
+        (f, len, i * splitBytes, math.min((i + 1) * splitBytes, len)))
+    }
+    val rows = spark.sparkContext
+      .parallelize(tasks, math.max(1, tasks.length))
+      .flatMap { case (f, fileLen, lo, hi) =>
+        val dataPath = new org.apache.hadoop.fs.Path(f)
+        val fs = dataPath.getFileSystem(hconf.value)
+        val idxPath = new org.apache.hadoop.fs.Path(
+          f.replaceAll("\\.warc(\\.gz)?$", ".cdx"))
+        if (!fs.exists(idxPath))
+          fail(f, "no .cdx record index — write with index=true, or readWarc per-file")
+        val members = readCdx(fs.open(idxPath), fileLen, f)
+        val owned = members.filter(m => m._1 >= lo && m._1 < hi)
+        if (owned.isEmpty) Iterator.empty
+        else {
+          val start = owned.head._1
+          val end = owned.last._1 + owned.last._2
+          val in = fs.open(dataPath)
+          in.seek(start)
+          val span = new LimitedInputStream(in, end - start)
+          TaskClose.onTaskDone(span)
+          decodeStream(span, f, gzipped = f.endsWith(".gz"))
+        }
       }
     spark.createDataFrame(rows, recordSchema)
   }

@@ -138,6 +138,62 @@ class WarcSpec extends SparkSpecBase {
     }
   }
 
+  test("cdx index: every member lands in exactly one byte range, any splitBytes") {
+    val dir = Files.createTempDirectory("graft_warc_idx").toString
+    Warc.writeWarc(recsDf(60, 1), dir, gzipPerRecord = true, index = true)
+    val files = new java.io.File(dir).listFiles()
+    assert(files.exists(_.getName.endsWith(".warc.gz")))
+    assert(files.exists(_.getName.endsWith(".cdx")))
+    val whole = collectKeys(Warc.readWarc(spark, dir))
+    val fileLen = files.filter(_.getName.endsWith(".warc.gz")).head.length
+    // ownership property: for MANY forced split sizes — from one task to
+    // more tasks than members — the multiset of records is identical to
+    // the whole-file read (no member dropped, none decoded twice)
+    for (splitBytes <- Seq(fileLen + 1, fileLen / 2, fileLen / 7, 300L, 64L)) {
+      val split = collectKeys(Warc.readWarcSplit(spark, dir, splitBytes))
+      assert(split == whole, s"splitBytes=$splitBytes")
+    }
+  }
+
+  test("cdx index lines are contiguous extents the reader validates") {
+    val dir = Files.createTempDirectory("graft_warc_idx2").toString
+    Warc.writeWarc(recsDf(10, 1), dir, gzipPerRecord = true, index = true)
+    val d = new java.io.File(dir)
+    val cdx = d.listFiles().filter(_.getName.endsWith(".cdx")).head
+    val data = d.listFiles().filter(_.getName.endsWith(".warc.gz")).head
+    val lines = new String(Files.readAllBytes(cdx.toPath), "US-ASCII")
+      .split("\n").filter(_.nonEmpty)
+    assert(lines.length == 10)
+    val extents = lines.map { l =>
+      val p = l.split(" ", 3); (p(0).toLong, p(1).toLong, p(2))
+    }
+    assert(extents.head._1 == 0L)
+    extents.sliding(2).foreach { case Array(a, b) =>
+      assert(b._1 == a._1 + a._2, "extents must be contiguous")
+    }
+    assert(extents.last._1 + extents.last._2 == data.length)
+    assert(extents.forall(_._3.startsWith("http://ex.example/p/")))
+    // a corrupted index fails loudly, never resyncs
+    val broken = lines.updated(3, "999999 17 http://x").mkString("", "\n", "\n")
+    Files.write(cdx.toPath, broken.getBytes("US-ASCII"))
+    val err = intercept[org.apache.spark.SparkException] {
+      Warc.readWarcSplit(spark, dir, 128).collect()
+    }
+    assert(err.getMessage.contains("cdx") || Option(err.getCause).toSeq
+      .flatMap(c => Option(c.getMessage)).exists(_.contains("cdx")))
+  }
+
+  test("a container without its index fails the split read loudly") {
+    val dir = Files.createTempDirectory("graft_warc_noidx").toString
+    Warc.writeWarc(recsDf(5, 1), dir, gzipPerRecord = true, index = false)
+    val err = intercept[org.apache.spark.SparkException] {
+      Warc.readWarcSplit(spark, dir, 128).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("no .cdx record index")))
+  }
+
   test("chunked Transfer-Encoding bodies reassemble to the plain body") {
     val body = ("alpha " * 50).trim.getBytes("UTF-8") // forces many chunks
     for (chunkSize <- Seq(1, 7, 64, 1 << 16)) {
