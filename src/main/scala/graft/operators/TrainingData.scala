@@ -158,10 +158,16 @@ object TrainingData {
     * document reports how much of it survived plus an
     * order-insensitive md5 checksum of its kept chunks (so a
     * wrong-chunk keep moves the hash even when counts collide). Scale
-    * shape: the dedup is one hash-partitioned window over the chunk
-    * text — exact corpus-wide dedup as a plain shuffle, never a cross
-    * product; at 100 TB this is the same groupBy-hash shape as
-    * `llm_exact_dedup`, one level down. */
+    * shape (round 16 — the skew-safe form): keep-first is a
+    * `groupBy(chunk).agg(min(struct(doc_id, idx)))` AGGREGATION, not a
+    * chunk-partitioned window — same semantics (struct ordering is
+    * (doc_id, idx), exactly the window's ORDER BY), but partial
+    * map-side combine absorbs what a window sort serializes: a
+    * pathologically hot chunk (site boilerplate repeated across
+    * millions of docs) costs one partial min per map task instead of
+    * one window partition holding every occurrence. Winners then
+    * roll up per doc and join the per-doc totals on doc_id — every
+    * exchange is a plain hash shuffle, never a cross product. */
   def dedupSubdoc(s: SparkSession, d: String): DataFrame = {
     val chunkWords = 10
     val chunks = Tables.documents(s, d)
@@ -171,17 +177,20 @@ object TrainingData {
           s"""transform(sequence(0, cast(ceil(size(ws) / $chunkWords.0) as int) - 1),
              |  i -> array_join(slice(ws, i * $chunkWords + 1, $chunkWords), ' '))"""
             .stripMargin)).as(Seq("idx", "chunk")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("chunk"))
-      .orderBy(col("doc_id"), col("idx"))
-    chunks
-      .withColumn("rn", row_number().over(w))
+    val winners = chunks
+      .groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"),
+        graft.functions.TextAnalysis.md5Bucket(col("chunk")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("rn") === 1,
-          graft.functions.TextAnalysis.md5Bucket(col("chunk")))
-          .otherwise(0L)).as("kept_hash"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("h")).as("kept_hash"))
+    chunks
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+      .join(winners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_hash"), lit(0L)).as("kept_hash"))
       .withColumn("kept_ratio",
         round(col("n_kept").cast("double") / col("n_chunks"), 4))
       .orderBy(col("doc_id"))

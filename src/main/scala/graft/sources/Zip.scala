@@ -134,10 +134,20 @@ object Zip {
   private def fail(file: String, msg: String): Nothing =
     throw new IllegalArgumentException(s"invalid zip in $file: $msg")
 
+  /** One central-directory entry's metadata — parsed eagerly (the
+    * directory is metadata-scale); the entry's DATA decodes lazily. */
+  private case class CdEntry(name: String, method: Int, crc: Long,
+      csize: Int, usize: Int, localOff: Long)
+
   /** Decode one archive through its central directory (seekable
-    * input). Returns (name, content) rows in directory order. */
+    * input). Returns (name, content) rows in directory order, as a
+    * LAZY iterator: the EOCD and central directory (metadata) are read
+    * and validated up front, but each entry's bytes are fetched,
+    * inflated, and CRC-checked only when `next()` pulls its row — one
+    * entry is the only decompressed buffer resident per task, matching
+    * the WARC (one record) and tar (one entry) readers. */
   private[graft] def decodeArchive(read: (Long, Int) => Array[Byte],
-      fileLen: Long, file: String): Seq[Row] = {
+      fileLen: Long, file: String): Iterator[Row] = {
     // EOCD: fixed 22 bytes + comment; scan the tail window backward
     val tailLen = math.min(fileLen, 22L + 65535L).toInt
     if (tailLen < 22) fail(file, "too short for an end-of-central-directory")
@@ -159,7 +169,7 @@ object Zip {
     if (cdSize > (1L << 28))
       fail(file, s"central directory claims $cdSize bytes — corrupt EOCD")
     val cd = read(cdOff, cdSize.toInt)
-    val out = Vector.newBuilder[Row]
+    val entries = new Array[CdEntry](n)
     var p = 0
     var i = 0
     while (i < n) {
@@ -180,30 +190,32 @@ object Zip {
         fail(file, s"entry '$name' uses unsupported method $method")
       if (usize > Int.MaxValue || csize > Int.MaxValue)
         fail(file, s"entry '$name' too large")
+      entries(i) = CdEntry(name, method, crc, csize.toInt, usize.toInt, localOff)
+      p += 46 + nameLen + extraLen + commentLen
+      i += 1
+    }
+    entries.iterator.map { ent =>
       // local header: sig(4) ver(2) flag(2) method(2) time(4) crc(4)
       // csize(4) usize(4) nameLen(2) extraLen(2) — the LOCAL name/extra
       // lengths govern the data offset (they may differ from the CD's)
-      val lh = read(localOff, 30)
+      val lh = read(ent.localOff, 30)
       if (u32(lh, 0) != 0x04034b50L)
-        fail(file, s"entry '$name' local-header signature missing")
-      val dataOff = localOff + 30 + u16(lh, 26) + u16(lh, 28)
-      val data = read(dataOff, csize.toInt)
+        fail(file, s"entry '${ent.name}' local-header signature missing")
+      val dataOff = ent.localOff + 30 + u16(lh, 26) + u16(lh, 28)
+      val data = read(dataOff, ent.csize)
       val content =
-        if (method == 8) rawInflate(data, usize.toInt, file, name)
+        if (ent.method == 8) rawInflate(data, ent.usize, file, ent.name)
         else {
-          if (data.length != usize.toInt)
-            fail(file, s"entry '$name' stored size mismatch")
+          if (data.length != ent.usize)
+            fail(file, s"entry '${ent.name}' stored size mismatch")
           data
         }
       val check = new CRC32
       check.update(content, 0, content.length)
-      if (check.getValue != crc)
-        fail(file, s"entry '$name' CRC ${check.getValue} != directory $crc")
-      out += Row(name, content)
-      p += 46 + nameLen + extraLen + commentLen
-      i += 1
+      if (check.getValue != ent.crc)
+        fail(file, s"entry '${ent.name}' CRC ${check.getValue} != directory ${ent.crc}")
+      Row(ent.name, content)
     }
-    out.result()
   }
 
   /** Read every `*.zip` under `path` as one entry per row. One task per
@@ -220,14 +232,16 @@ object Zip {
       .flatMap { case (f, len) =>
         val p = new org.apache.hadoop.fs.Path(f)
         val in = p.getFileSystem(hconf.value).open(p)
-        try {
-          def read(off: Long, n: Int): Array[Byte] = {
-            val b = new Array[Byte](n)
-            in.readFully(off, b, 0, n)
-            b
-          }
-          decodeArchive(read, len, f)
-        } finally in.close()
+        // the iterator decodes one entry per pull, so the stream must
+        // outlive this call — closed at task completion (success,
+        // failure, or a partially-consumed limit/take)
+        TaskClose.onTaskDone(in)
+        def read(off: Long, n: Int): Array[Byte] = {
+          val b = new Array[Byte](n)
+          in.readFully(off, b, 0, n)
+          b
+        }
+        decodeArchive(read, len, f)
       }
     spark.createDataFrame(rows, entrySchema)
   }

@@ -79,7 +79,7 @@ class ZipSpec extends SparkSpecBase {
     val bytes = Files.readAllBytes(f.toPath)
     def parse(b: Array[Byte]): Seq[Row] =
       Zip.decodeArchive((off, n) => java.util.Arrays.copyOfRange(
-        b, off.toInt, off.toInt + n), b.length.toLong, "t")
+        b, off.toInt, off.toInt + n), b.length.toLong, "t").toList
     assert(parse(bytes).size == 3)
     // no EOCD: chop the tail
     intercept[IllegalArgumentException] {
@@ -105,5 +105,26 @@ class ZipSpec extends SparkSpecBase {
     val err = intercept[IllegalArgumentException] { parse(flipped) }
     assert(err.getMessage.matches(".*(CRC|deflate|inflated).*"),
       s"unexpected: ${err.getMessage}")
+  }
+
+  test("entries decode lazily: one per pull, never the whole archive") {
+    val dir = Files.createTempDirectory("graft_zip").toString
+    Zip.writeZip(entriesDf(sample(20), 1), dir, deflate = true)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".zip")).head
+    val bytes = Files.readAllBytes(f.toPath)
+    var reads = 0
+    val it = Zip.decodeArchive((off, n) => {
+      reads += 1
+      java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + n)
+    }, bytes.length.toLong, "t")
+    // constructing the iterator reads ONLY metadata: the EOCD tail
+    // window and the central directory
+    assert(reads == 2, s"expected 2 metadata reads, saw $reads")
+    it.next()
+    // one pull = one local header + one data extent
+    assert(reads == 4, s"expected 4 reads after first entry, saw $reads")
+    it.next()
+    assert(reads == 6, s"expected 6 reads after second entry, saw $reads")
+    assert(it.size == 18) // the rest
   }
 }
