@@ -182,6 +182,23 @@ object Oracle {
         "CAST(length(" + graft.functions.Html.duckExtractSql("html") +
         ") AS BIGINT) AS n_text_chars " +
         "FROM t ORDER BY k"),
+    // gzip-content-encoding invisibility: the engine dechunks then
+    // gunzips each body; the oracle is the UNCOMPRESSED closed form, so
+    // a skipped gunzip, wrong layering, or truncated stream moves
+    // body_len/text
+    "source_warc_encoded" ->
+      ("WITH t AS (SELECT p_partkey AS k, " +
+        "'<html><head><title>G' || p_partkey || '</title></head>' || " +
+        "'<body><script>var g = ' || p_partkey || '; if (g < 50 && g > 1) { ping(g); }</script>' || " +
+        "'<p>gzipped ' || p_partkey || ' sigma ' || ((p_partkey * 37) % 9973) || ' &amp; rho &lt;' || (p_partkey % 11) || '&gt; fin</p>' || " +
+        "'</body></html>' AS html " +
+        "FROM part WHERE p_partkey <= 150) " +
+        "SELECT k, CAST(CASE WHEN k % 10 = 0 THEN 404 ELSE 200 END AS BIGINT) AS status, " +
+        "CAST(length(html) AS BIGINT) AS body_len, " +
+        graft.functions.Html.duckExtractSql("html") + " AS text, " +
+        "CAST(length(" + graft.functions.Html.duckExtractSql("html") +
+        ") AS BIGINT) AS n_text_chars " +
+        "FROM t ORDER BY k"),
     // split invisibility on the crawl container: ONE fat .warc.gz read
     // as ~24 byte-range tasks via its CDX record index; a member owned
     // twice, orphaned, or mis-seeked moves the aggregate
@@ -574,7 +591,8 @@ object Oracle {
         "'<html><head><title>D' || doc_id || " +
         "'</title><style type=\"text/css\">body { color: #' || (doc_id % 1000) || " +
         "'; }</style></head><body><script src=\"app.js\"></script><script>var k = ' || doc_id || " +
-        "'; if (k < 10 && k > 0) { trackPage(k); }</script><h1>Doc &quot;' || doc_id || " +
+        "'; if (k < 10 && k > 0) { trackPage(k); }</script><!-- ad slot ' || (doc_id % 5) || " +
+        "' > banner --><h1>Doc &quot;' || doc_id || " +
         "'&quot;</h1><p>' || substr(text, 1, 160) || " +
         "' &amp; more &amp;lt; tail &lt;' || (doc_id % 97) || " +
         "'&gt;&nbsp;&#169; end</p></body></html>' AS html FROM documents), " +

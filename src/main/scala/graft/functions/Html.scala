@@ -41,16 +41,20 @@ object Html {
 
   private val ScriptRe = "(?is)<script\\b[^>]*>.*?</script>"
   private val StyleRe = "(?is)<style\\b[^>]*>.*?</style>"
+  private val CommentRe = "(?s)<!--.*?-->"
   private val TagRe = "(?s)<[^>]*>"
 
   /** Extract the page text of an HTML string column: drop script/style
     * elements INCLUDING their content (replaced by one space, so text
-    * on either side never fuses), strip the remaining tags, decode the
-    * common entities. */
+    * on either side never fuses), drop comments (their content is not
+    * page text, and a bare `>` INSIDE a comment would derail the tag
+    * strip — `<!-- a > b -->` must vanish whole, not leave ` b -->`
+    * behind), strip the remaining tags, decode the common entities. */
   def extractText(html: Column): Column = {
     val noScript = regexp_replace(html, ScriptRe, " ")
     val noStyle = regexp_replace(noScript, StyleRe, " ")
-    val noTags = regexp_replace(noStyle, TagRe, "")
+    val noComment = regexp_replace(noStyle, CommentRe, " ")
+    val noTags = regexp_replace(noComment, TagRe, "")
     Entities.foldLeft(noTags) { case (c, (ent, ch)) =>
       replace(c, lit(ent), lit(ch))
     }
@@ -64,7 +68,8 @@ object Html {
       if (s == 160.toChar.toString) "chr(160)" else "'" + s.replace("'", "''") + "'"
     val noScript = s"regexp_replace($inner, '$ScriptRe', ' ', 'g')"
     val noStyle = s"regexp_replace($noScript, '$StyleRe', ' ', 'g')"
-    val noTags = s"regexp_replace($noStyle, '$TagRe', '', 'g')"
+    val noComment = s"regexp_replace($noStyle, '$CommentRe', ' ', 'g')"
+    val noTags = s"regexp_replace($noComment, '$TagRe', '', 'g')"
     Entities.foldLeft(noTags) { case (e, (ent, ch)) =>
       s"replace($e, '$ent', ${lit(ch)})"
     }

@@ -506,6 +506,65 @@ object Relational {
       .orderBy(col("k"))
   }
 
+  /** Closed-form gzip-Content-Encoding WARC response for key `pk`:
+    * even keys Content-Length-framed over the compressed bytes, odd
+    * keys chunked + gzipped stacked (framing over representation, the
+    * RFC layering) — so the corpus exercises both paths and their
+    * composition. */
+  private val makeEncodedWarcRecord = udf { (pk: Long) =>
+    val html = s"<html><head><title>G$pk</title></head>" +
+      s"<body><script>var g = $pk; if (g < 50 && g > 1) { ping(g); }</script>" +
+      s"<p>gzipped $pk sigma ${(pk * 37) % 9973} &amp; rho &lt;${pk % 11}&gt; fin</p>" +
+      "</body></html>"
+    val status = if (pk % 10 == 0) 404 else 200
+    val reason = if (status == 404) "Not Found" else "OK"
+    val chunkSize = if (pk % 2 == 0) 0 else ((pk % 5) + 1).toInt * 16
+    val payload = graft.sources.Warc.encodeHttpResponseGzip(
+      status, reason, "text/html; charset=utf-8", html.getBytes("UTF-8"), chunkSize)
+    (
+      "response",
+      s"http://gz-${pk % 3}.example/page/$pk",
+      f"2024-${1 + pk % 12}%02d-${1 + pk % 28}%02dT00:00:00Z",
+      f"<urn:uuid:00000000-0000-0000-0002-$pk%012d>",
+      "application/http;msgtype=response",
+      payload)
+  }
+
+  /** #236 judged GZIP-CONTENT-ENCODING crawl chain (round-16) — how
+    * most real servers actually send text: every response body travels
+    * gzip-compressed (`Content-Encoding: gzip`), even keys framed by
+    * Content-Length over the compressed bytes, odd keys ALSO chunked —
+    * the two layers stacked in RFC order, framing outside
+    * representation. The read must dechunk, THEN gunzip
+    * ([[graft.sources.Warc.parseHttpResponse]] — a corrupt stream or
+    * an unsupported coding fails loudly; compressed bytes must never
+    * pass through as "text"), then extract. The oracle rebuilds each
+    * page's UNCOMPRESSED closed form, so a skipped gunzip, a wrong
+    * layering order, or a truncated stream moves body_len/text and
+    * fails the hash. Same scale shape as the sibling crawl rows. */
+  def sourceWarcEncoded(s: SparkSession, d: String): DataFrame = {
+    val dir = layoutOnce("warc_crawl_gz", d) { out =>
+      val recs = Tables.part(s, d)
+        .filter(col("p_partkey") <= 150)
+        .select(makeEncodedWarcRecord(col("p_partkey")).as("r"))
+        .select(col("r._1").as("warc_type"), col("r._2").as("target_uri"),
+          col("r._3").as("warc_date"), col("r._4").as("record_id"),
+          col("r._5").as("content_type"), col("r._6").as("payload"))
+      graft.sources.Warc.writeWarc(recs.repartition(1), out, gzipPerRecord = true)
+    }
+    graft.sources.Warc.readWarc(s, dir)
+      .filter(col("warc_type") === "response")
+      .withColumn("k", regexp_extract(col("target_uri"), "/page/(\\d+)$", 1)
+        .cast("long"))
+      .withColumn("h", parseHttp(col("payload")))
+      .select(col("k"),
+        col("h._1").cast("long").as("status"),
+        length(col("h._3")).cast("long").as("body_len"),
+        graft.functions.Html.extractText(col("h._3")).as("text"))
+      .withColumn("n_text_chars", length(col("text")).cast("long"))
+      .orderBy(col("k"))
+  }
+
   /** #235 judged WARC SUB-FILE SPLIT (round-16) — the
     * [[sourceAvroSplit]] posture for the crawl container: the layout
     * writes ONE fat `.warc.gz` (repartition(1) — the straggler shape a

@@ -46,7 +46,9 @@ object TrainingData {
     * (which a naive one-regex tag strip mangles into fake tags),
     * entities from the pinned common set, a double-encoded `&amp;lt;`
     * (must surface as the literal text `&lt;`, the single-decode-pass
-    * contract), and one entity OUTSIDE the set (`&#169;` — must pass
+    * contract), a comment whose content holds a bare `>` (the whole
+    * comment must vanish — a naive tag strip leaves ` banner -->`
+    * behind), and one entity OUTSIDE the set (`&#169;` — must pass
     * through verbatim, never silently mis-decode) around a real slice
     * of the document text. [[graft.functions.Html.extractText]] must
     * drop script/style CONTENT, strip the remaining tags, and decode
@@ -65,7 +67,9 @@ object TrainingData {
       (col("doc_id") % 1000).cast("string"),
       lit("; }</style></head><body><script src=\"app.js\"></script><script>var k = "),
       docId,
-      lit("; if (k < 10 && k > 0) { trackPage(k); }</script><h1>Doc &quot;"), docId,
+      lit("; if (k < 10 && k > 0) { trackPage(k); }</script><!-- ad slot "),
+      (col("doc_id") % 5).cast("string"),
+      lit(" > banner --><h1>Doc &quot;"), docId,
       lit("&quot;</h1><p>"), substring(col("text"), 1, 160),
       lit(" &amp; more &amp;lt; tail &lt;"),
       (col("doc_id") % 97).cast("string"),

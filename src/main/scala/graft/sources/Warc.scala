@@ -470,6 +470,69 @@ object Warc {
     out.toByteArray
   }
 
+  /** Wrap an HTTP/1.1 response whose body travels gzip-compressed
+    * (`Content-Encoding: gzip` — how most real servers actually send
+    * text), framed either by Content-Length over the COMPRESSED bytes
+    * (`chunkSize = 0`) or by chunked transfer coding (`chunkSize > 0`,
+    * both layers stacked exactly as RFC 9110/9112 order them:
+    * Content-Encoding is the representation, Transfer-Encoding the
+    * framing on top). */
+  def encodeHttpResponseGzip(status: Int, reason: String, contentType: String,
+      body: Array[Byte], chunkSize: Int = 0): Array[Byte] = {
+    val zipped = {
+      val buf = new ByteArrayOutputStream(body.length / 2 + 64)
+      val gz = new GZIPOutputStream(buf)
+      gz.write(body, 0, body.length); gz.finish(); gz.close()
+      buf.toByteArray
+    }
+    val out = new ByteArrayOutputStream(zipped.length + 256)
+    def ascii(s: String): Unit = {
+      val b = s.getBytes("US-ASCII"); out.write(b, 0, b.length)
+    }
+    if (chunkSize <= 0) {
+      ascii(s"HTTP/1.1 $status $reason\r\n" +
+        s"Content-Type: $contentType\r\n" +
+        "Content-Encoding: gzip\r\n" +
+        s"Content-Length: ${zipped.length}\r\n\r\n")
+      out.write(zipped, 0, zipped.length)
+    } else {
+      ascii(s"HTTP/1.1 $status $reason\r\n" +
+        s"Content-Type: $contentType\r\n" +
+        "Content-Encoding: gzip\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n")
+      var off = 0
+      while (off < zipped.length) {
+        val n = math.min(chunkSize, zipped.length - off)
+        ascii(java.lang.Integer.toHexString(n) + "\r\n")
+        out.write(zipped, off, n)
+        ascii("\r\n")
+        off += n
+      }
+      ascii("0\r\n\r\n")
+    }
+    out.toByteArray
+  }
+
+  /** Decompress a `Content-Encoding: gzip` body. Strict: a truncated
+    * or corrupt stream fails with context — silently passing
+    * compressed bytes through as "text" poisons every downstream
+    * length and feature (the same failure class as unframed chunks). */
+  private def gunzipBody(raw: Array[Byte], file: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream(raw.length * 3 + 64)
+    try {
+      val in = new GZIPInputStream(new java.io.ByteArrayInputStream(raw), 1 << 16)
+      try {
+        val buf = new Array[Byte](8192)
+        var k = in.read(buf)
+        while (k >= 0) { out.write(buf, 0, k); k = in.read(buf) }
+      } finally in.close()
+    } catch {
+      case e: java.io.IOException =>
+        fail(file, s"corrupt gzip Content-Encoding body: ${e.getMessage}")
+    }
+    out.toByteArray
+  }
+
   /** Reassemble a `Transfer-Encoding: chunked` message body: hex-size
     * line (chunk extensions after ';' are legal and ignored), that many
     * data bytes, CRLF, repeated until the zero chunk, then optional
@@ -553,11 +616,23 @@ object Warc {
       case l if l.toLowerCase(java.util.Locale.ROOT).startsWith("transfer-encoding:") =>
         l.substring(l.indexOf(':') + 1).trim.toLowerCase(java.util.Locale.ROOT)
     }
+    val ce = lines.drop(1).collectFirst {
+      case l if l.toLowerCase(java.util.Locale.ROOT).startsWith("content-encoding:") =>
+        l.substring(l.indexOf(':') + 1).trim.toLowerCase(java.util.Locale.ROOT)
+    }
     val raw = java.util.Arrays.copyOfRange(payload, split + 4, payload.length)
-    val body = te match {
+    // framing first (Transfer-Encoding), then representation
+    // (Content-Encoding) — the RFC 9110/9112 layering
+    val framed = te match {
       case None => raw
       case Some("chunked") => dechunk(raw, file)
       case Some(other) => fail(file, s"unsupported Transfer-Encoding '$other'")
+    }
+    val body = ce match {
+      case None | Some("identity") => framed
+      case Some("gzip") | Some("x-gzip") => gunzipBody(framed, file)
+      case Some(other) => fail(file, s"unsupported Content-Encoding '$other' " +
+        "(compressed bytes must never pass through as text)")
     }
     (code, ctype, body)
   }

@@ -47,6 +47,14 @@ class HtmlSpec extends SparkSpecBase {
     assert(extract("&amp;lt;tag&amp;gt;") == "&lt;tag&gt;")
   }
 
+  test("comments vanish whole, even with a bare > inside") {
+    assert(extract("a<!-- hidden -->b") == "a b")
+    // the hazard case: a naive tag strip eats '<!-- x >' and leaves
+    // ' banner -->' as fake page text
+    assert(extract("a<!-- ad slot 3 > banner -->b") == "a b")
+    assert(extract("<!-- multi\nline\ncomment -->x") == " x")
+  }
+
   test("entities outside the pinned set pass through verbatim") {
     assert(extract("&#169; &copy; &euro;") == "&#169; &copy; &euro;")
   }

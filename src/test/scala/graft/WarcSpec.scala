@@ -245,4 +245,42 @@ class WarcSpec extends SparkSpecBase {
     val e2 = intercept[IllegalArgumentException] { Warc.parseHttpResponse(gz) }
     assert(e2.getMessage.contains("unsupported Transfer-Encoding"))
   }
+
+  test("gzip Content-Encoding bodies decompress, plain and chunk-stacked") {
+    val body = ("sigma " * 40).trim.getBytes("UTF-8")
+    // Content-Length framing over the compressed bytes
+    val plain = Warc.encodeHttpResponseGzip(200, "OK", "text/html", body)
+    val (c1, t1, b1) = Warc.parseHttpResponse(plain)
+    assert(c1 == 200 && t1 == "text/html" && b1.toSeq == body.toSeq)
+    // chunked framing OVER the gzip representation (RFC layering)
+    for (chunkSize <- Seq(7, 64)) {
+      val stacked = Warc.encodeHttpResponseGzip(200, "OK", "text/html", body, chunkSize)
+      assert(new String(stacked.takeWhile(_ != '\r'.toByte), "US-ASCII")
+        .startsWith("HTTP/1.1"))
+      assert(Warc.parseHttpResponse(stacked)._3.toSeq == body.toSeq,
+        s"chunkSize=$chunkSize")
+    }
+  }
+
+  test("corrupt or unsupported Content-Encoding fails, never passes through") {
+    val body = "hello gzip".getBytes("UTF-8")
+    val msg = Warc.encodeHttpResponseGzip(200, "OK", "text/plain", body)
+    // flip a byte inside the gzip stream (past the HTTP header block)
+    var split = 0
+    while (!(msg(split) == '\r' && msg(split + 1) == '\n' &&
+        msg(split + 2) == '\r' && msg(split + 3) == '\n')) split += 1
+    val corrupt = msg.clone()
+    corrupt(split + 4 + 12) = (corrupt(split + 4 + 12) ^ 0x5a).toByte
+    val e1 = intercept[IllegalArgumentException] { Warc.parseHttpResponse(corrupt) }
+    assert(e1.getMessage.contains("gzip"))
+    // brotli (or anything else) must fail loudly, not surface as text
+    val br = ("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxxxx")
+      .getBytes("US-ASCII")
+    val e2 = intercept[IllegalArgumentException] { Warc.parseHttpResponse(br) }
+    assert(e2.getMessage.contains("unsupported Content-Encoding"))
+    // identity is a legal no-op
+    val id = ("HTTP/1.1 200 OK\r\nContent-Encoding: identity\r\n\r\nok")
+      .getBytes("US-ASCII")
+    assert(new String(Warc.parseHttpResponse(id)._3, "UTF-8") == "ok")
+  }
 }
