@@ -199,6 +199,34 @@ object Oracle {
         "CAST(length(" + graft.functions.Html.duckExtractSql("html") +
         ") AS BIGINT) AS n_text_chars " +
         "FROM t ORDER BY k"),
+    // charset invisibility: six declaration/encoding shapes (BOM >
+    // Content-Type > meta prescan > cp1252 default, incl. a LYING
+    // header beaten by the BOM) all decode back to the same logical
+    // page text the oracle rebuilds with chr() codepoints — one wrong
+    // precedence rule, label alias, or BOM strip moves text/n_chars
+    "source_warc_charset" ->
+      ("WITH t AS (SELECT p_partkey AS k, " +
+        "CASE p_partkey % 6 WHEN 2 THEN '<meta http-equiv=\"Content-Type\" " +
+        "content=\"text/html; charset=iso-8859-1\">' ELSE '' END AS meta, " +
+        "CASE p_partkey % 6 " +
+        "WHEN 0 THEN chr(937) || chr(945) || chr(946) || chr(947) " +
+        "WHEN 1 THEN 'caf' || chr(233) || ' ' || chr(8364) " +
+        "WHEN 2 THEN 'caf' || chr(233) || ' ' || chr(177) " +
+        "WHEN 3 THEN 'na' || chr(239) || 've ' || chr(937) " +
+        "WHEN 4 THEN 'r' || chr(233) || 'sum' || chr(233) " +
+        "ELSE 'utf16 ' || chr(10003) END AS payload, " +
+        "CASE p_partkey % 6 WHEN 0 THEN 'UTF-8' WHEN 3 THEN 'UTF-8' " +
+        "WHEN 5 THEN 'UTF-16LE' ELSE 'windows-1252' END AS charset " +
+        "FROM part WHERE p_partkey <= 150), " +
+        "h AS (SELECT k, charset, " +
+        "'<html><head><title>E' || k || '</title>' || meta || '</head><body>' || " +
+        "'<p>enc ' || k || ' ' || payload || ' tail ' || ((k * 41) % 9973) || " +
+        "'</p></body></html>' AS html FROM t) " +
+        "SELECT k, charset, " +
+        graft.functions.Html.duckExtractSql("html") + " AS text, " +
+        "CAST(length(" + graft.functions.Html.duckExtractSql("html") +
+        ") AS BIGINT) AS n_chars " +
+        "FROM h ORDER BY k"),
     // split invisibility on the crawl container: ONE fat .warc.gz read
     // as ~24 byte-range tasks via its CDX record index; a member owned
     // twice, orphaned, or mis-seeked moves the aggregate
@@ -747,6 +775,66 @@ object Oracle {
         "p AS (SELECT doc_id, md5(array_to_string(tk[1:8], ' ')) AS pm FROM t WHERE len(tk) >= 8) " +
         "SELECT pm AS prefix_md5, CAST(min(doc_id) AS BIGINT) AS keeper, CAST(count(*) AS BIGINT) AS n_docs " +
         "FROM p GROUP BY pm HAVING count(*) >= 2 ORDER BY prefix_md5"),
+    // C4 line-level cleaning: the closed-form multi-line corpus is a
+    // key function both engines rebuild; every rule arm (terminal
+    // punctuation, >=5 words, javascript, lorem-ipsum / brace page
+    // poison, >=3 surviving lines) is exercised by a template
+    "text_c4_filter" ->
+      ("WITH t AS (SELECT p_partkey AS k, (p_partkey % 6) + 4 AS m " +
+        "FROM part WHERE p_partkey <= 200), " +
+        "l0 AS (SELECT k, list_transform(generate_series(0, m - 1), " +
+        "j -> CASE (k * 3 + j) % 7 " +
+        "WHEN 0 THEN 'page ' || k || ' part ' || j || ' carries several useful words.' " +
+        "WHEN 1 THEN 'section ' || j || ' of page ' || k || ' reads cleanly today.' " +
+        "WHEN 2 THEN 'entry ' || j || ' on page ' || k || ' closes with punctuation!' " +
+        "WHEN 3 THEN 'does line ' || j || ' of page ' || k || ' end with a question?' " +
+        "WHEN 4 THEN 'dangling line ' || j || ' on page ' || k || ' never ends' " +
+        "WHEN 5 THEN 'please enable javascript to view item ' || j || '.' " +
+        "ELSE 'tiny note ' || j || '.' END) AS base FROM t), " +
+        "l AS (SELECT k, base || " +
+        "CASE WHEN k % 37 = 0 THEN ['lorem ipsum dolor sit amet.'] " +
+        "ELSE CAST([] AS VARCHAR[]) END || " +
+        "CASE WHEN k % 41 = 0 THEN ['config { value: ' || k || ' }.'] " +
+        "ELSE CAST([] AS VARCHAR[]) END AS lines FROM l0), " +
+        "f AS (SELECT k, lines, " +
+        "list_filter(lines, x -> regexp_matches(x, '[.!?\"]$') " +
+        "AND len(string_split(x, ' ')) >= 5 " +
+        "AND NOT contains(x, 'javascript')) AS kept, " +
+        "len(list_filter(lines, x -> contains(x, 'lorem ipsum') " +
+        "OR contains(x, '{'))) > 0 AS poisoned FROM l) " +
+        "SELECT k, CAST(len(lines) AS BIGINT) AS n_lines, " +
+        "CAST(len(kept) AS BIGINT) AS n_kept, " +
+        "(NOT poisoned AND len(kept) >= 3) AS page_kept, " +
+        "CASE WHEN NOT poisoned AND len(kept) >= 3 " +
+        "THEN array_to_string(kept, ' | ') ELSE NULL END AS clean_text " +
+        "FROM f ORDER BY k"),
+    // Gopher document-quality gate: the four public MassiveText rules
+    // in exact integer basis points; the top-bigram mode is rank-1
+    // with a lexicographic tie-break so both engines pick the same
+    // bigram deterministically
+    "text_gopher_quality" ->
+      ("WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS tk " +
+        "FROM documents WHERE len(string_split(text, ' ')) >= 2), " +
+        "base AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        "CAST(len(tk) AS BIGINT) AS n_words, " +
+        "CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS word_chars, " +
+        "CAST(len(list_filter(tk, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS stop_n " +
+        "FROM w), " +
+        "bgl AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1), " +
+        "i -> tk[i] || ' ' || tk[i+1])) AS bg FROM w), " +
+        "cnt AS (SELECT doc_id, bg, count(*) AS n FROM bgl GROUP BY 1, 2), " +
+        "top AS (SELECT doc_id, bg AS top_bg, n AS top_bg_n FROM " +
+        "(SELECT doc_id, bg, n, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY n DESC, bg ASC) AS rn FROM cnt) WHERE rn = 1), " +
+        "j AS (SELECT b.doc_id, n_words, " +
+        "CAST((10000 * word_chars) // n_words AS BIGINT) AS mean_len_bp, " +
+        "stop_n, top_bg, CAST(top_bg_n AS BIGINT) AS top_bg_n, " +
+        "CAST((10000 * top_bg_n * length(top_bg)) // n_chars AS BIGINT) AS top_frac_bp " +
+        "FROM base b JOIN top t ON b.doc_id = t.doc_id) " +
+        "SELECT doc_id, n_words, mean_len_bp, stop_n, top_bg, top_bg_n, top_frac_bp, " +
+        "(n_words BETWEEN 50 AND 100000 AND mean_len_bp BETWEEN 30000 AND 100000 " +
+        "AND stop_n >= 2 AND top_frac_bp <= 2000) AS keep " +
+        "FROM j ORDER BY doc_id"),
     // Gopher-style duplicate-bigram fraction: adjacent-pair lambdas
     // (1-based on both engines), dup share half-up-rounded to basis
     // points in pure integer arithmetic -- no float anywhere

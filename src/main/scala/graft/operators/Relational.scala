@@ -384,9 +384,17 @@ object Relational {
       "application/http;msgtype=response",
       payload)
   }
+  /** HTTP payload → (status, content-type, detected charset, decoded
+    * body text). Decoding is charset-AWARE ([[graft.sources
+    * .HttpCharset]]: BOM > Content-Type charset param > meta prescan >
+    * windows-1252 default, the WHATWG browser precedence) — blind
+    * UTF-8 would mojibake the cp1252/UTF-16 fraction of a real crawl.
+    * Pure-ASCII bodies decode identically under every charset here, so
+    * the pre-existing ASCII fixtures are unaffected. */
   private val parseHttp = udf { (payload: Array[Byte]) =>
     val (code, ctype, body) = graft.sources.Warc.parseHttpResponse(payload)
-    (code, ctype, new String(body, "UTF-8"))
+    val (charset, text) = graft.sources.HttpCharset.decode(ctype, body)
+    (code, ctype, charset, text)
   }
 
   /** #226 judged WARC CRAWL-TO-TEXT chain (round-15) — the entry point
@@ -435,8 +443,8 @@ object Relational {
         col("target_uri"),
         col("h._1").cast("long").as("status"),
         col("h._2").as("http_ctype"),
-        length(col("h._3")).cast("long").as("body_len"),
-        graft.functions.Html.extractText(col("h._3")).as("text"))
+        length(col("h._4")).cast("long").as("body_len"),
+        graft.functions.Html.extractText(col("h._4")).as("text"))
       .withColumn("n_text_chars", length(col("text")).cast("long"))
       .orderBy(col("k"))
   }
@@ -500,8 +508,8 @@ object Relational {
       .withColumn("h", parseHttp(col("payload")))
       .select(col("k"),
         col("h._1").cast("long").as("status"),
-        length(col("h._3")).cast("long").as("body_len"),
-        graft.functions.Html.extractText(col("h._3")).as("text"))
+        length(col("h._4")).cast("long").as("body_len"),
+        graft.functions.Html.extractText(col("h._4")).as("text"))
       .withColumn("n_text_chars", length(col("text")).cast("long"))
       .orderBy(col("k"))
   }
@@ -559,9 +567,100 @@ object Relational {
       .withColumn("h", parseHttp(col("payload")))
       .select(col("k"),
         col("h._1").cast("long").as("status"),
-        length(col("h._3")).cast("long").as("body_len"),
-        graft.functions.Html.extractText(col("h._3")).as("text"))
+        length(col("h._4")).cast("long").as("body_len"),
+        graft.functions.Html.extractText(col("h._4")).as("text"))
       .withColumn("n_text_chars", length(col("text")).cast("long"))
+      .orderBy(col("k"))
+  }
+
+  /** Closed-form MIXED-CHARSET WARC response record for key `pk`: six
+    * rotating declaration/encoding shapes (see [[sourceWarcCharset]]),
+    * every byte a key function so the oracle can rebuild each page's
+    * decoded text from `part` alone. */
+  private val makeCharsetWarcRecord = udf { (pk: Long) =>
+    val variant = (pk % 6).toInt
+    val meta = if (variant == 2)
+      "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=iso-8859-1\">"
+    else ""
+    val payloadText = variant match {
+      case 0 => "Ωαβγ"        // Ωαβγ — beyond latin
+      case 1 => "café €"                 // é + € (cp1252 0x80)
+      case 2 => "café ±"                 // latin-1 bytes
+      case 3 => "naïve Ω"                // ï + Ω
+      case 4 => "résumé"                 // undeclared cp1252
+      case _ => "utf16 ✓"                     // ✓ U+2713
+    }
+    val html = s"<html><head><title>E$pk</title>$meta</head><body>" +
+      s"<p>enc $pk $payloadText tail ${(pk * 41) % 9973}</p></body></html>"
+    val ctype = variant match {
+      case 0 => "text/html; charset=utf-8"
+      case 1 => "text/html; charset=windows-1252"
+      case 3 => "text/html; charset=iso-8859-1"   // LIES — body is UTF-8+BOM
+      case _ => "text/html"
+    }
+    val body = variant match {
+      case 0 => html.getBytes("UTF-8")
+      case 1 => html.getBytes("windows-1252")
+      case 2 => html.getBytes("ISO-8859-1")
+      case 3 =>
+        val b = html.getBytes("UTF-8")
+        val out = new Array[Byte](b.length + 3)
+        out(0) = 0xEF.toByte; out(1) = 0xBB.toByte; out(2) = 0xBF.toByte
+        System.arraycopy(b, 0, out, 3, b.length); out
+      case 4 => html.getBytes("windows-1252")
+      case _ =>
+        val b = html.getBytes("UTF-16LE")
+        val out = new Array[Byte](b.length + 2)
+        out(0) = 0xFF.toByte; out(1) = 0xFE.toByte
+        System.arraycopy(b, 0, out, 2, b.length); out
+    }
+    val payload = graft.sources.Warc.encodeHttpResponse(200, "OK", ctype, body)
+    (
+      "response",
+      s"http://site-${pk % 7}.example/enc/$pk",
+      f"2024-${1 + pk % 12}%02d-${1 + pk % 28}%02dT${pk % 24}%02d:${pk % 60}%02d:${pk % 60}%02dZ",
+      f"<urn:uuid:00000000-0000-0000-0001-$pk%012d>",
+      "application/http;msgtype=response",
+      payload)
+  }
+
+  /** #237 judged CHARSET-AWARE crawl decoding (round-16) — the step a
+    * blind-UTF-8 reader gets wrong on most of the real web: pages
+    * arrive windows-1252 (usually mislabeled iso-8859-1), UTF-16
+    * behind BOMs, or with the encoding declared only in a `<meta>`
+    * tag. The corpus rotates SIX declaration/encoding shapes per key
+    * ([[makeCharsetWarcRecord]]): (0) UTF-8 via Content-Type, (1)
+    * cp1252 via Content-Type with a 0x80 `€` — the byte latin-1 maps
+    * to a C1 control, so a latin-1 decode would differ, (2) latin-1
+    * bytes declared ONLY by meta prescan, (3) UTF-8 with BOM under a
+    * LYING `charset=iso-8859-1` header — BOM must win, (4) cp1252
+    * with NO declaration anywhere — the windows-1252 default, (5)
+    * UTF-16LE by BOM. [[graft.sources.HttpCharset]] applies the WHATWG
+    * precedence; the oracle rebuilds each page's decoded text from
+    * `part` with `chr()` codepoints, so one wrong precedence rule,
+    * label alias, BOM strip, or decode pass moves text/n_chars and
+    * fails the hash. Scale shape: detection reads ≤1 KB per page and
+    * the decode is the same single pass a blind reader does — charset
+    * correctness is free at 100 TB. */
+  def sourceWarcCharset(s: SparkSession, d: String): DataFrame = {
+    val dir = layoutOnce("warc_crawl_charset", d) { out =>
+      val recs = Tables.part(s, d)
+        .filter(col("p_partkey") <= 150)
+        .select(makeCharsetWarcRecord(col("p_partkey")).as("r"))
+        .select(col("r._1").as("warc_type"), col("r._2").as("target_uri"),
+          col("r._3").as("warc_date"), col("r._4").as("record_id"),
+          col("r._5").as("content_type"), col("r._6").as("payload"))
+      graft.sources.Warc.writeWarc(recs.repartition(1), out, gzipPerRecord = true)
+    }
+    graft.sources.Warc.readWarc(s, dir)
+      .filter(col("warc_type") === "response")
+      .withColumn("k", regexp_extract(col("target_uri"), "/enc/(\\d+)$", 1)
+        .cast("long"))
+      .withColumn("h", parseHttp(col("payload")))
+      .select(col("k"),
+        col("h._3").as("charset"),
+        graft.functions.Html.extractText(col("h._4")).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .orderBy(col("k"))
   }
 
@@ -601,7 +700,7 @@ object Relational {
       .withColumn("h", parseHttp(col("payload")))
       .groupBy(col("h._1").cast("long").as("status"))
       .agg(count(lit(1)).as("n_pages"),
-        sum(length(col("h._3"))).cast("long").as("sum_body_chars"),
+        sum(length(col("h._4"))).cast("long").as("sum_body_chars"),
         max(col("k")).as("last_k"))
       .orderBy(col("status"))
   }
@@ -645,7 +744,7 @@ object Relational {
       .withColumn("h", parseHttp(col("payload")))
       .groupBy(col("h._1").cast("long").as("status"))
       .agg(count(lit(1)).as("n_pages"),
-        sum(length(col("h._3"))).cast("long").as("sum_body_chars"))
+        sum(length(col("h._4"))).cast("long").as("sum_body_chars"))
       .crossJoin(broadcast(quarantine.agg(count(lit(1)).as("n_quarantined"))))
       .orderBy(col("status"))
   }

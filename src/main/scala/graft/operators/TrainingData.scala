@@ -703,6 +703,68 @@ object TrainingData {
         "(20000 * (n_bigrams - n_distinct) + n_bigrams) div (2 * n_bigrams)"))
       .orderBy(col("doc_id"))
 
+  /** The pinned Gopher stop-word set (Rae et al. 2021, "Scaling
+    * Language Models: … Gopher", appendix A1.1: the, be, to, of, and,
+    * that, have, with — a document must contain ≥2 to pass). */
+  private val GopherStops = Seq("the", "be", "to", "of", "and", "that",
+    "have", "with")
+
+  /** #238 GOPHER QUALITY RULES (round-16) — the public MassiveText
+    * document-quality gate (Rae et al. 2021 A1.1) judged per document,
+    * in exact INTEGER basis points (no float anywhere, the
+    * [[textRepetition]] discipline): word count in [50, 100k], mean
+    * word length in [3, 10], ≥2 stop words from the pinned set, and
+    * the repetition rule — the fraction of characters inside
+    * occurrences of the single most frequent word BIGRAM ≤ 20%. The
+    * top bigram needs a per-document mode: explode bigrams →
+    * count per (doc, bigram) → keep rank 1 (ties broken
+    * lexicographically so both engines pick the same bigram) → join
+    * back to the per-document scalars. Scale shape: the explode is the
+    * honest cost of n-gram statistics (rows × ~doc length, map-side
+    * partial count absorbs the Zipf head before the shuffle); the
+    * scalars branch is a pure map, and the join-back is keyed on
+    * doc_id — the same partitioning the count shuffle already
+    * established. */
+  def textGopherQuality(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val base = tk.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(col("tk")).cast("long").as("n_words"),
+      aggregate(transform(col("tk"), w => length(w)),
+        lit(0L), (acc, x) => acc + x).as("word_chars"),
+      size(filter(col("tk"), w => w.isin(GopherStops: _*)))
+        .cast("long").as("stop_n"))
+    val bg = tk
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+    val top = bg
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("n").desc, col("bg").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bg").as("top_bg"), col("n").as("top_bg_n"))
+    base.join(top, Seq("doc_id"))
+      .withColumn("mean_len_bp",
+        expr("10000 * word_chars div n_words"))
+      .withColumn("top_frac_bp",
+        expr("10000 * top_bg_n * length(top_bg) div n_chars"))
+      .withColumn("keep",
+        col("n_words").between(50, 100000) &&
+          col("mean_len_bp").between(30000, 100000) &&
+          col("stop_n") >= 2 && col("top_frac_bp") <= 2000)
+      .select(col("doc_id"), col("n_words"), col("mean_len_bp"),
+        col("stop_n"), col("top_bg"), col("top_bg_n"),
+        col("top_frac_bp"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** #191 PREFIX dedup — duplicate-prologue detection: documents
     * sharing their first 8 tokens verbatim group under one md5 prefix
     * key (templated intros, mirrored articles, repeated boilerplate
@@ -803,6 +865,65 @@ object TrainingData {
     * with the whole canonicalization chain on top. At 100 TB this is
     * the map-side key derivation feeding a `dedup_prefix`-style
     * group-by on canon — one pass, no shuffle of its own. */
+  /** #239 C4 LINE-LEVEL CLEANING (round-16) — the public C4 recipe
+    * (Raffel et al. 2020 §2.2) judged end to end on a closed-form
+    * multi-line corpus built from `part` (the [[textUrlCanonical]]
+    * posture: the OPERATOR is under judgment, the noisy input is a key
+    * function both engines rebuild identically). Seven rotating line
+    * templates exercise every rule arm: keep a line only if it ends in
+    * terminal punctuation (`.` `!` `?` `"`), has ≥5 words, and does
+    * not mention javascript; drop the whole page if any line carries
+    * `lorem ipsum` or a `{`, or if fewer than 3 lines survive. Two
+    * poison templates append ONLY on keys ≡0 mod 37 / mod 41, so the
+    * corpus holds mostly-clean pages, line-starved pages, and poisoned
+    * pages whose individually-clean lines must still vanish. All pure
+    * Column lambdas (transform / filter / exists over one projection)
+    * — whole-stage codegen, ZERO shuffles beyond the ordered output at
+    * any corpus size. */
+  def textC4Filter(s: SparkSession, d: String): DataFrame = {
+    val k = col("p_partkey")
+    val m = (k % 6) + lit(4)
+    val mk = transform(sequence(lit(0L), m - 1), j => {
+      val t = (k * 3 + j) % 7
+      when(t === 0, concat(lit("page "), k.cast("string"), lit(" part "), j.cast("string"),
+        lit(" carries several useful words.")))
+        .when(t === 1, concat(lit("section "), j.cast("string"), lit(" of page "), k.cast("string"),
+          lit(" reads cleanly today.")))
+        .when(t === 2, concat(lit("entry "), j.cast("string"), lit(" on page "), k.cast("string"),
+          lit(" closes with punctuation!")))
+        .when(t === 3, concat(lit("does line "), j.cast("string"), lit(" of page "), k.cast("string"),
+          lit(" end with a question?")))
+        .when(t === 4, concat(lit("dangling line "), j.cast("string"), lit(" on page "), k.cast("string"),
+          lit(" never ends")))
+        .when(t === 5, concat(lit("please enable javascript to view item "),
+          j.cast("string"), lit(".")))
+        .otherwise(concat(lit("tiny note "), j.cast("string"), lit(".")))
+    })
+    val withPoison = concat(
+      mk,
+      when(k % 37 === 0, array(lit("lorem ipsum dolor sit amet.")))
+        .otherwise(array().cast("array<string>")),
+      when(k % 41 === 0,
+        array(concat(lit("config { value: "), k.cast("string"), lit(" }."))))
+        .otherwise(array().cast("array<string>")))
+    val keepLine = (l: Column) =>
+      l.rlike("[.!?\"]$") && size(split(l, " ")) >= 5 &&
+        !l.contains("javascript")
+    Tables.part(s, d)
+      .filter(k <= 200)
+      .select(k.as("k"), withPoison.as("lines"))
+      .withColumn("kept", filter(col("lines"), keepLine))
+      .withColumn("poisoned",
+        exists(col("lines"), l => l.contains("lorem ipsum") || l.contains("{")))
+      .select(col("k"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (!col("poisoned") && size(col("kept")) >= 3).as("page_kept"),
+        when(!col("poisoned") && size(col("kept")) >= 3,
+          array_join(col("kept"), " | ")).as("clean_text"))
+      .orderBy(col("k"))
+  }
+
   def textUrlCanonical(s: SparkSession, d: String): DataFrame = {
     val noisy = concat(
       lit("HTTPS://W"), (col("p_partkey") % 7).cast("string"),
