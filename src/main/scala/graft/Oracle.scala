@@ -199,6 +199,21 @@ object Oracle {
         "CAST(length(" + graft.functions.Html.duckExtractSql("html") +
         ") AS BIGINT) AS n_text_chars " +
         "FROM t ORDER BY k"),
+    // robots compliance: the oracle pins every RFC 9309 decision the
+    // fixture's rule set implies — a wrong group pick (otherbot's
+    // block-all or the * fallback), specificity rule, allow tie-break,
+    // or wildcard/$ translation flips `allowed` rows
+    "crawl_robots_filter" ->
+      ("SELECT p_partkey AS k, CAST(p_partkey % 7 AS BIGINT) AS site, " +
+        "CASE p_partkey % 6 " +
+        "WHEN 0 THEN '/cat/' || (p_partkey % 7) || '/item' || p_partkey " +
+        "WHEN 1 THEN '/public/item' || p_partkey " +
+        "WHEN 2 THEN '/private/doc' || p_partkey " +
+        "WHEN 3 THEN '/private/ok/doc' || p_partkey " +
+        "WHEN 4 THEN '/public/file' || p_partkey || '.pdf' " +
+        "ELSE '/dl/v' || (p_partkey % 3) || '/raw' || p_partkey END AS path, " +
+        "(p_partkey % 6) IN (1, 3) AS allowed " +
+        "FROM part WHERE p_partkey <= 300 ORDER BY k"),
     // charset invisibility: six declaration/encoding shapes (BOM >
     // Content-Type > meta prescan > cp1252 default, incl. a LYING
     // header beaten by the BOM) all decode back to the same logical

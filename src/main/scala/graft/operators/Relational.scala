@@ -664,6 +664,54 @@ object Relational {
       .orderBy(col("k"))
   }
 
+  private val robotsAllowed = udf { (robots: String, path: String) =>
+    graft.sources.Robots.allowed(robots, "graftbot", path)
+  }
+
+  /** #240 judged ROBOTS.TXT COMPLIANCE FILTER (round-16) — the
+    * politeness/compliance gate a responsibly-built web corpus runs
+    * between fetch and training ([[graft.sources.Robots]], RFC 9309):
+    * each site's closed-form robots.txt carries an `otherbot`
+    * block-everything group (group selection must pass it over), a
+    * `graftbot` group with a prefix disallow, a LONGER allow carve-out
+    * under it (longest-match must let `/private/ok/` through a
+    * `/private/` block), a site-keyed disallow, a `$`-anchored
+    * star-dot-pdf wildcard and a mid-segment wildcard disallow over
+    * the `/dl/` download tree (star between path segments), plus a
+    * `*` fallback group that must NOT apply. Six page shapes
+    * per key hit every arm; the oracle pins each decision, so one
+    * wrong group pick, specificity rule, tie-break, or wildcard
+    * translation flips `allowed` rows and fails the hash. Scale shape:
+    * robots bodies are per-HOST and tiny — compiled once per executor
+    * via memo ([[graft.sources.Robots.allowed]]), evaluation is a few
+    * prefix probes per page, zero shuffles beyond the ordered output. */
+  def crawlRobotsFilter(s: SparkSession, d: String): DataFrame = {
+    val k = col("p_partkey")
+    val site = (k % 7).cast("string")
+    val robots = concat(
+      lit("# synthetic robots for site-"), site, lit("\n"),
+      lit("User-agent: otherbot\nDisallow: /\n\n"),
+      lit("User-agent: graftbot\nDisallow: /private/\n"),
+      lit("Allow: /private/ok/\n"),
+      lit("Disallow: /cat/"), site, lit("/\n"),
+      lit("Disallow: /*.pdf$\nDisallow: /dl/*/raw\n\n"),
+      lit("User-agent: *\nDisallow: /none/\n"))
+    val path = when(k % 6 === 0,
+        concat(lit("/cat/"), site, lit("/item"), k.cast("string")))
+      .when(k % 6 === 1, concat(lit("/public/item"), k.cast("string")))
+      .when(k % 6 === 2, concat(lit("/private/doc"), k.cast("string")))
+      .when(k % 6 === 3, concat(lit("/private/ok/doc"), k.cast("string")))
+      .when(k % 6 === 4,
+        concat(lit("/public/file"), k.cast("string"), lit(".pdf")))
+      .otherwise(concat(lit("/dl/v"), (k % 3).cast("string"),
+        lit("/raw"), k.cast("string")))
+    Tables.part(s, d)
+      .filter(k <= 300)
+      .select(k.as("k"), (k % 7).cast("long").as("site"),
+        path.as("path"), robotsAllowed(robots, path).as("allowed"))
+      .orderBy(col("k"))
+  }
+
   /** #235 judged WARC SUB-FILE SPLIT (round-16) — the
     * [[sourceAvroSplit]] posture for the crawl container: the layout
     * writes ONE fat `.warc.gz` (repartition(1) — the straggler shape a

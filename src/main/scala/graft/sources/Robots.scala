@@ -1,0 +1,142 @@
+package graft.sources
+
+/** Robots Exclusion Protocol (RFC 9309) evaluation for the crawl
+  * chain — the politeness/compliance gate between a fetched corpus and
+  * a training pipeline: given a site's `robots.txt` and a page path,
+  * was this crawler allowed to take the page? Post-hoc filtering on
+  * this signal is a standard curation step for responsibly-built web
+  * corpora.
+  *
+  * Semantics implemented per RFC 9309:
+  *   - Group selection (§2.2.1): the group whose `User-agent` product
+  *     token case-insensitively equals the crawler's token; multiple
+  *     groups for the same token merge; otherwise the `*` group;
+  *     otherwise no rules apply (everything allowed).
+  *   - Rule matching (§2.2.2): a rule's path pattern matches as a
+  *     PREFIX of the request path, with `*` matching any octet
+  *     sequence and a trailing `$` anchoring the end. The most
+  *     specific match wins = the matching rule with the LONGEST
+  *     pattern (octet length, wildcards counted as written); on a
+  *     length tie, `Allow` wins (§2.2.2's "least restrictive" rule).
+  *     No matching rule → allowed. An EMPTY `Disallow:` value is a
+  *     no-op (the classic allow-all form), never a block-everything.
+  *   - Lines are `field: value` with `#` comments stripped, field
+  *     names case-insensitive, CRLF or LF, unknown fields (crawl-delay,
+  *     sitemap) skipped without ending a group — but a `user-agent`
+  *     line after rules starts a NEW group (§2.2).
+  *
+  * Out of scope, documented: percent-encoding normalization of rule
+  * and request paths (the fixture and spec paths are ASCII-literal).
+  *
+  * Scale shape: `robots.txt` bodies are small and per-HOST, so the
+  * compiled rule set rides a broadcast (or, as here, a per-executor
+  * memo keyed by the robots text — the [[graft.functions.Bpe]]
+  * loaded-table discipline): evaluation is a handful of prefix/regex
+  * probes per page, never a shuffle.
+  */
+object Robots {
+
+  /** One merged, compiled rule: allow/disallow + the source pattern
+    * (for specificity length) + its compiled matcher. */
+  final case class Rule(allow: Boolean, pattern: String,
+      regex: java.util.regex.Pattern) {
+    def matches(path: String): Boolean = regex.matcher(path).lookingAt()
+  }
+
+  /** Translate an RFC 9309 path pattern to a regex applied with
+    * `lookingAt` (prefix semantics): `*` → `.*`, trailing `$` → end
+    * anchor, everything else literal. */
+  private[sources] def compilePattern(p: String): java.util.regex.Pattern = {
+    val (body, anchored) =
+      if (p.endsWith("$")) (p.dropRight(1), true) else (p, false)
+    val sb = new StringBuilder
+    body.foreach {
+      case '*' => sb.append(".*")
+      case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+    }
+    if (anchored) sb.append('$')
+    java.util.regex.Pattern.compile(sb.toString)
+  }
+
+  /** Parse `robots.txt` and return the merged rule list that governs
+    * `agent` (case-insensitive product token), per the group-selection
+    * rules above. */
+  def parse(txt: String, agent: String): Seq[Rule] = {
+    val want = agent.toLowerCase(java.util.Locale.ROOT)
+    // accumulate (agentTokens, rules) groups
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(List[String], scala.collection.mutable.ArrayBuffer[(Boolean, String)])]
+    var curAgents: List[String] = Nil
+    var inAgentRun = false // consecutive user-agent lines share one group
+    for (raw <- txt.split("\r?\n")) {
+      val line = raw.indexOf('#') match {
+        case -1 => raw.trim
+        case i => raw.substring(0, i).trim
+      }
+      val colon = line.indexOf(':')
+      if (line.nonEmpty && colon > 0) {
+        val field = line.substring(0, colon).trim
+          .toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        field match {
+          case "user-agent" =>
+            val tok = value.toLowerCase(java.util.Locale.ROOT)
+            if (inAgentRun) curAgents = tok :: curAgents
+            else { curAgents = List(tok); inAgentRun = true }
+          case "allow" | "disallow" =>
+            if (curAgents.nonEmpty) {
+              if (inAgentRun) {
+                groups += ((curAgents,
+                  scala.collection.mutable.ArrayBuffer.empty))
+                inAgentRun = false
+              }
+              // empty Disallow/Allow value is a no-op (allow-all form)
+              if (value.nonEmpty)
+                groups.last._2 += ((field == "allow", value))
+            }
+          case _ => () // crawl-delay, sitemap, unknown: skip, group survives
+        }
+      }
+    }
+    // a trailing agent run with no rules at EOF is an EMPTY group —
+    // the specific agent's allow-all, which must still beat the `*`
+    // group (RFC 9309 §2.2.1), so record it
+    if (inAgentRun)
+      groups += ((curAgents, scala.collection.mutable.ArrayBuffer.empty))
+    val mine = groups.filter(_._1.contains(want))
+    val chosen =
+      if (mine.nonEmpty) mine else groups.filter(_._1.contains("*"))
+    chosen.flatMap(_._2).toSeq.map { case (allow, p) =>
+      Rule(allow, p, compilePattern(p))
+    }
+  }
+
+  /** RFC 9309 decision for `path` under `rules`: longest matching
+    * pattern wins, allow wins length ties, no match → allowed. */
+  def isAllowed(rules: Seq[Rule], path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { r =>
+      if (r.matches(path)) {
+        val len = r.pattern.length
+        if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
+          bestLen = len
+          bestAllow = r.allow
+        }
+      }
+    }
+    bestAllow
+  }
+
+  /** Per-executor compiled-rules memo — robots bodies repeat per host,
+    * so each executor parses each distinct body once (the loaded-BPE-
+    * table discipline; bounded: one entry per distinct host body). */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[Rule]]()
+
+  def allowed(robotsTxt: String, agent: String, path: String): Boolean = {
+    val rules = memo.computeIfAbsent((robotsTxt, agent),
+      { case (t, a) => parse(t, a) })
+    isAllowed(rules, path)
+  }
+}
