@@ -790,6 +790,21 @@ object Oracle {
         "p AS (SELECT doc_id, md5(array_to_string(tk[1:8], ' ')) AS pm FROM t WHERE len(tk) >= 8) " +
         "SELECT pm AS prefix_md5, CAST(min(doc_id) AS BIGINT) AS keeper, CAST(count(*) AS BIGINT) AS n_docs " +
         "FROM p GROUP BY pm HAVING count(*) >= 2 ORDER BY prefix_md5"),
+    // fastText-style classifier inference: hashed unigram+bigram
+    // features on the md5 weight lattice, integer sums, the mean's two
+    // chained float divisions operand-identical on both engines
+    "llm_quality_classifier" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS tk " +
+        "FROM documents WHERE len(string_split(text, ' ')) >= 2), " +
+        "f AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok, " +
+        "CAST(list_sum(list_transform(tk, " +
+        "t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2001 - 1000)) AS BIGINT) AS uni, " +
+        "CAST(list_sum(list_transform(generate_series(1, len(tk) - 1), " +
+        "i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1]), 1, 8))::BIGINT % 2001 - 1000)) AS BIGINT) AS bg " +
+        "FROM w) " +
+        "SELECT doc_id, (2 * n_tok - 1) AS n_feats, (uni + bg) AS score_milli, " +
+        "round((uni + bg) / CAST(2 * n_tok - 1 AS DOUBLE) / 1000.0, 6) AS score, " +
+        "(uni + bg) > 0 AS label FROM f ORDER BY doc_id"),
     // C4 line-level cleaning: the closed-form multi-line corpus is a
     // key function both engines rebuild; every rule arm (terminal
     // punctuation, >=5 words, javascript, lorem-ipsum / brace page

@@ -703,6 +703,49 @@ object TrainingData {
         "(20000 * (n_bigrams - n_distinct) + n_bigrams) div (2 * n_bigrams)"))
       .orderBy(col("doc_id"))
 
+  /** #241 FASTTEXT-STYLE QUALITY CLASSIFIER INFERENCE (round-16) —
+    * the standard learned quality gate of public LLM-data pipelines
+    * (CCNet, LLaMA, RedPajama all fastText-filter their crawl; the
+    * model design is Joulin et al. 2016: hashed word n-gram features →
+    * embedding/weight lookup → mean pool → linear readout). What the
+    * judged row pins is the INFERENCE mechanics at corpus scale:
+    * unigram + word-bigram features, feature hashing into a weight
+    * table, mean pooling, sign readout — with a closed-form synthetic
+    * weight sheet `w(feat) = md5_32(feat) % 2001 − 1000` standing in
+    * for trained weights (md5-derived so the oracle computes the same
+    * table; a production model swaps in a broadcast weight array, the
+    * loaded-BPE-table discipline, with identical plan shape). All
+    * arithmetic on the exact integer milli-lattice; the mean is two
+    * chained float divisions per row, operand-identical in the oracle,
+    * rounded at 6 dp. Scale shape: a pure per-document map —
+    * the whole classifier is one projection, zero shuffles beyond the
+    * ordered output; this is why fastText-grade filters are tractable
+    * where transformer scoring is not. */
+  def llmQualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    val w = (c: Column) => TextAnalysis.md5Bucket(c) % 2001L - 1000L
+    Tables.documents(s, d)
+      .select(col("doc_id"), tk.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tok"),
+        aggregate(transform(col("tk"), t => w(t)),
+          lit(0L), (acc, x) => acc + x).as("uni"),
+        aggregate(
+          transform(expr(
+            "transform(sequence(1, size(tk) - 1), " +
+              "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"),
+            b => w(b)),
+          lit(0L), (acc, x) => acc + x).as("bg"))
+      .select(col("doc_id"),
+        (col("n_tok") * 2 - 1).as("n_feats"),
+        (col("uni") + col("bg")).as("score_milli"),
+        round((col("uni") + col("bg")) /
+          (col("n_tok") * 2 - 1).cast("double") / 1000.0, 6).as("score"),
+        (col("uni") + col("bg") > 0).as("label"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The pinned Gopher stop-word set (Rae et al. 2021, "Scaling
     * Language Models: … Gopher", appendix A1.1: the, be, to, of, and,
     * that, have, with — a document must contain ≥2 to pass). */
