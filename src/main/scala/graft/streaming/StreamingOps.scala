@@ -155,6 +155,25 @@ object StreamingOps {
       .select(col("w.start").as("wstart"), col("sk"))
   }
 
+  /** Per-window Misra-Gries heavy-hitter summaries on the stream: one
+    * ≤K-entry (key, counter) buffer per open window in the state store
+    * (exact streaming top-k would hold every key), emitted as a BINARY
+    * column — the persisted frequent-items table later probed via
+    * `graft_mg_estimate`/`graft_mg_error` without re-touching stream
+    * data. The fifth sketch twin (HLL/CMS/quantile/KMV above): in the
+    * EXACT regime (distinct keys per window ≤ K = 64) no truncation
+    * fires at any stage, so the streamed sketch bytes EQUAL the batch
+    * aggregate's regardless of batch boundaries or merge order; beyond
+    * it, estimates stay within the sketch's carried ±err band (the
+    * PODS'12 mergeable-summaries contract the batch side documents). */
+  def heavyHitterSketchPerWindow(events: DataFrame,
+      watermark: String = "1 day"): DataFrame = {
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.MisraGries.mgSketch(col("event_type")).as("sk"))
+      .select(col("w.start").as("wstart"), col("sk"))
+  }
+
   /** Twin of TimeSeries.streamSliding: 60-minute windows sliding every 30
     * minutes — window() assigns each event to both overlapping windows,
     * which is exactly the explode-candidates plan the batch form uses. */

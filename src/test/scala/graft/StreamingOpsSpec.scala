@@ -91,6 +91,32 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(est == 2L)
   }
 
+  test("streaming Misra-Gries per-window sketches are bit-identical to batch") {
+    // event_type cardinality is far below K = 64, the exact regime: no
+    // truncation fires at any stage, so the streamed sketch bytes must
+    // EQUAL the batch aggregate's whatever the batch boundaries, and
+    // probing them gives exact per-window type counts with err = 0
+    val got = runStream(
+        StreamingOps.heavyHitterSketchPerWindow(stream()), "t_mg", "complete")
+      .collect()
+      .map(r => r.getTimestamp(0).getTime / 1000 -> r.getAs[Array[Byte]](1)).toMap
+    val batch = eventsDF(rows.toDF())
+      .groupBy(date_trunc("hour", $"ts").as("wstart"))
+      .agg(graft.functions.MisraGries.mgSketch($"event_type").as("sk"))
+      .collect()
+      .map(r => r.getTimestamp(0).getTime / 1000 -> r.getAs[Array[Byte]](1)).toMap
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (w, sk) =>
+      assert(java.util.Arrays.equals(sk, batch(w)), s"window $w sketch differs") }
+    // hour 0 holds two clicks; the persisted sketch answers exactly
+    val h0 = got(0L)
+    val probed = Seq(h0).toDF("sk").select(
+      graft.functions.MisraGries.mgEstimate($"sk", lit("click")),
+      graft.functions.MisraGries.mgError($"sk"))
+      .collect().head
+    assert(probed.getLong(0) == 2L && probed.getLong(1) == 0L)
+  }
+
   test("streaming quantile per-window sketches are bit-identical to batch") {
     // the bucket index is a pure function of the value, so the streamed
     // sketch bytes must EQUAL the batch aggregate's, window for window,
