@@ -790,6 +790,23 @@ object Oracle {
         "p AS (SELECT doc_id, md5(array_to_string(tk[1:8], ' ')) AS pm FROM t WHERE len(tk) >= 8) " +
         "SELECT pm AS prefix_md5, CAST(min(doc_id) AS BIGINT) AS keeper, CAST(count(*) AS BIGINT) AS n_docs " +
         "FROM p GROUP BY pm HAVING count(*) >= 2 ORDER BY prefix_md5"),
+    // DSIR importance weights: data-estimated bucket models (add-1),
+    // per-token ln terms operand-identical, the one order-sensitive
+    // per-doc float fold rounded at 4 dp (text_char_entropy precedent)
+    "llm_dsir_weight" ->
+      ("WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents), " +
+        "tb AS (SELECT doc_id, lang, " +
+        "('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b FROM toks), " +
+        "counts AS (SELECT b, " +
+        "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct, " +
+        "CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cs " +
+        "FROM tb GROUP BY b) " +
+        "SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_tok, " +
+        "round(sum(ln(ct + 1) - ln(cs + 1)), 4) AS dsir_w, " +
+        "(t.lang = 'en') AS is_target " +
+        "FROM tb t JOIN counts c ON t.b = c.b " +
+        "GROUP BY t.doc_id, t.lang ORDER BY t.doc_id"),
     // fastText-style classifier inference: hashed unigram+bigram
     // features on the md5 weight lattice, integer sums, the mean's two
     // chained float divisions operand-identical on both engines

@@ -746,6 +746,43 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** #242 DSIR IMPORTANCE WEIGHTS (round-16) — Data Selection via
+    * Importance Resampling (Xie et al., NeurIPS 2023, public): score
+    * every document by `log p_target(x) − log p_source(x)` under
+    * hashed bag-of-ngram unigram models ESTIMATED FROM THE DATA — here
+    * target = the `en` sub-corpus, source = everything else, features
+    * hashed into 1024 buckets on the md5 lattice, add-1 smoothed
+    * counts. This is the two-corpus CONTRAST selector the
+    * [[llmQualityClassifier]] (fixed weight sheet) cannot express:
+    * the weights come from the corpora themselves. Per-token terms
+    * `ln(cT+1) − ln(cS+1)` are operand-identical in both engines;
+    * the per-document sum is the ONE order-sensitive float fold
+    * (~100 terms, ~1e-13 absolute), rounded at 4 dp — the
+    * `text_char_entropy` precedent. Scale shape: the bucket-count
+    * model is O(1024) rows — estimated with one map-side-combined
+    * shuffle over each corpus, then BROADCAST to the scoring join, so
+    * scoring a 100 TB corpus is explode → broadcast-hash-join →
+    * per-doc re-aggregate, no large-table shuffle on the lookup. */
+  def llmDsirWeight(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b", TextAnalysis.md5Bucket(col("tok")) % 1024L)
+    val counts = toks
+      .groupBy(col("b"))
+      .agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cs"))
+    toks.join(broadcast(counts), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        round(sum(log(col("ct") + 1) - log(col("cs") + 1)), 4).as("dsir_w"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("dsir_w"),
+        (col("lang") === "en").as("is_target"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The pinned Gopher stop-word set (Rae et al. 2021, "Scaling
     * Language Models: … Gopher", appendix A1.1: the, be, to, of, and,
     * that, have, with — a document must contain ≥2 to pass). */
