@@ -96,6 +96,12 @@ object CrawlMeasure {
       pages.select(sum(evalRobots(col("robots"), col("path")))).as[Long].head())
 
     val mb = totalBytes / 1e6
+    // The no-op baseline run isolates the Spark scan/UDF overhead the
+    // robots figure must NOT absorb: the raw pages/s divides by the
+    // whole eval wall (includes that overhead), the _adj figure by
+    // (tRobots − tBase) — the robots evaluation cost alone. Both are
+    // emitted; quote _adj when talking about per-page robots cost.
+    val tRobotsOnly = math.max(tRobots - tBase, 1e-9)
     println(
       s"""{"metric":"crawl_measure","bodies":$n,"mb":${f"$mb%.1f"},""" +
       s""""decode_blind_sec":${f"$tBlind%.3f"},"decode_aware_sec":${f"$tAware%.3f"},""" +
@@ -103,7 +109,8 @@ object CrawlMeasure {
       s""""aware_over_blind":${f"${tAware / tBlind}%.3f"},""" +
       s""""robots_pages":$n,"robots_base_sec":${f"$tBase%.3f"},""" +
       s""""robots_eval_sec":${f"$tRobots%.3f"},""" +
-      s""""robots_pages_s":${f"${n / tRobots}%.0f"}}""")
+      s""""robots_pages_s":${f"${n / tRobots}%.0f"},""" +
+      s""""robots_pages_s_adj":${f"${n / tRobotsOnly}%.0f"}}""")
     spark.stop()
   }
 }

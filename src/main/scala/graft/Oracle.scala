@@ -242,6 +242,33 @@ object Oracle {
         "CAST(length(" + graft.functions.Html.duckExtractSql("html") +
         ") AS BIGINT) AS n_chars " +
         "FROM h ORDER BY k"),
+    // unknown-label quarantine: exotic charset labels (header AND
+    // meta-declared) must yield the `unknown:<label>` sentinel + a
+    // cp1252-fallback decode, never a thrown task; the decoy
+    // `x-nocharset=foo` shape pins the param-boundary parse
+    "source_warc_charset_unknown" ->
+      ("WITH t AS (SELECT p_partkey AS k, " +
+        "CASE p_partkey % 5 WHEN 2 THEN '<meta charset=euc-kr>' ELSE '' END AS meta, " +
+        "CASE p_partkey % 5 " +
+        "WHEN 0 THEN 'plain control' " +
+        "WHEN 1 THEN 'sjis page' " +
+        "WHEN 2 THEN 'kr page' " +
+        "WHEN 3 THEN 'caf' || chr(233) " +
+        "ELSE 'r' || chr(233) || 'sum' || chr(233) END AS payload, " +
+        "CASE p_partkey % 5 WHEN 0 THEN 'UTF-8' " +
+        "WHEN 1 THEN 'unknown:shift_jis' WHEN 2 THEN 'unknown:euc-kr' " +
+        "WHEN 3 THEN 'unknown:iso-8859-2' " +
+        "ELSE 'windows-1252' END AS charset " +
+        "FROM part WHERE p_partkey <= 150), " +
+        "h AS (SELECT k, charset, charset LIKE 'unknown:%' AS quarantined, " +
+        "'<html><head><title>U' || k || '</title>' || meta || '</head><body>' || " +
+        "'<p>unk ' || k || ' ' || payload || ' tail ' || ((k * 53) % 9973) || " +
+        "'</p></body></html>' AS html FROM t) " +
+        "SELECT k, charset, quarantined, " +
+        graft.functions.Html.duckExtractSql("html") + " AS text, " +
+        "CAST(length(" + graft.functions.Html.duckExtractSql("html") +
+        ") AS BIGINT) AS n_chars " +
+        "FROM h ORDER BY k"),
     // split invisibility on the crawl container: ONE fat .warc.gz read
     // as ~24 byte-range tasks via its CDX record index; a member owned
     // twice, orphaned, or mis-seeked moves the aggregate
@@ -826,6 +853,27 @@ object Oracle {
     // key function both engines rebuild; every rule arm (terminal
     // punctuation, >=5 words, javascript, lorem-ipsum / brace page
     // poison, >=3 surviving lines) is exercised by a template
+    // global line-level dedup (CCNet boilerplate pass): a line is kept
+    // only at its first corpus-wide (doc, pos) occurrence; the oracle
+    // replays keep-first with a row_number window — a wrong keeper,
+    // lost unique line, or mis-ordered reassembly moves
+    // n_kept/text_kept
+    "text_line_dedup" ->
+      ("WITH t AS (SELECT p_partkey AS k, (p_partkey % 7) AS site " +
+        "FROM part WHERE p_partkey <= 300), " +
+        "l AS (" +
+        "SELECT k, 0 AS pos, 'Home | About | Contact - site-' || site AS line FROM t " +
+        "UNION ALL SELECT k, 1, 'welcome to site ' || site || ' page' FROM t " +
+        "UNION ALL SELECT k, 2, 'unique content ' || k || ' alpha ' || ((k * 17) % 9973) FROM t " +
+        "UNION ALL SELECT k, 3, 'body text ' || k || ' beta ' || ((k * 29) % 9973) FROM t " +
+        "UNION ALL SELECT k, 4, 'copyright site-' || site FROM t " +
+        "UNION ALL SELECT k, 5, 'subscribe to our newsletter' FROM t WHERE k % 3 = 0), " +
+        "r AS (SELECT k, pos, line, " +
+        "row_number() OVER (PARTITION BY line ORDER BY k, pos) AS rn FROM l) " +
+        "SELECT k, CAST(count(*) AS BIGINT) AS n_lines, " +
+        "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos), '') AS text_kept " +
+        "FROM r GROUP BY k ORDER BY k"),
     "text_c4_filter" ->
       ("WITH t AS (SELECT p_partkey AS k, (p_partkey % 6) + 4 AS m " +
         "FROM part WHERE p_partkey <= 200), " +

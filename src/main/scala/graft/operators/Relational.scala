@@ -664,6 +664,86 @@ object Relational {
       .orderBy(col("k"))
   }
 
+  /** Closed-form UNKNOWN-CHARSET-LABEL WARC response record for key
+    * `pk`: five rotating shapes — (0) a known label as control, (1)
+    * `charset=shift_jis` in the header, (2) `euc-kr` declared only by
+    * meta prescan, (3) `iso-8859-2` over cp1252-safe bytes, (4) a
+    * DECOY `x-nocharset=foo` parameter that must NOT parse as a
+    * charset param. Every byte a key function for the oracle. */
+  private val makeUnknownCharsetWarcRecord = udf { (pk: Long) =>
+    val variant = (pk % 5).toInt
+    val meta = if (variant == 2) "<meta charset=euc-kr>" else ""
+    val payloadText = variant match {
+      case 0 => "plain control"
+      case 1 => "sjis page"
+      case 2 => "kr page"
+      case 3 => "café"    // 0xE9 under cp1252 — the fallback decode
+      case _ => "résumé"  // cp1252 bytes, undeclared (decoy param)
+    }
+    val html = s"<html><head><title>U$pk</title>$meta</head><body>" +
+      s"<p>unk $pk $payloadText tail ${(pk * 53) % 9973}</p></body></html>"
+    val ctype = variant match {
+      case 0 => "text/html; charset=utf-8"
+      case 1 => "text/html; charset=shift_jis"
+      case 2 => "text/html"
+      case 3 => "text/html; charset=iso-8859-2"
+      case _ => "text/html; x-nocharset=foo"
+    }
+    val body = variant match {
+      case 3 | 4 => html.getBytes("windows-1252")
+      case _ => html.getBytes("UTF-8")
+    }
+    val payload = graft.sources.Warc.encodeHttpResponse(200, "OK", ctype, body)
+    (
+      "response",
+      s"http://site-${pk % 7}.example/unk/$pk",
+      f"2024-${1 + pk % 12}%02d-${1 + pk % 28}%02dT${pk % 24}%02d:${pk % 60}%02d:${pk % 60}%02dZ",
+      f"<urn:uuid:00000000-0000-0000-0002-$pk%012d>",
+      "application/http;msgtype=response",
+      payload)
+  }
+
+  /** #243 judged UNKNOWN-CHARSET QUARANTINE (round-17, closes the
+    * round-16 advisory's medium finding) — real crawls carry charset
+    * labels outside any fixed alias table (shift_jis, euc-kr, gb2312,
+    * iso-8859-2 …), and the decode runs inside a per-page UDF: a
+    * reader that THROWS on the first exotic label kills the task and
+    * the 100 TB shard with it. [[graft.sources.HttpCharset]] instead
+    * quarantines the page in place — decodes under the windows-1252
+    * fallback (visibly, U+FFFD for unmappable bytes) and reports the
+    * `unknown:<label>` sentinel in the charset column so downstream
+    * curation can filter or re-route those rows. The corpus rotates
+    * five shapes ([[makeUnknownCharsetWarcRecord]]), including
+    * unknown labels from BOTH declaration sources (header and meta
+    * prescan) and a decoy `x-nocharset=foo` parameter that a naive
+    * substring match would misparse as a charset param; the oracle
+    * pins every page's sentinel and decoded text, so a thrown task, a
+    * silently-wrong fallback, or a decoy-param misparse fails the
+    * hash. Scale shape: identical to [[sourceWarcCharset]] — the
+    * sentinel path costs one map lookup, nothing more. */
+  def sourceWarcCharsetUnknown(s: SparkSession, d: String): DataFrame = {
+    val dir = layoutOnce("warc_crawl_charset_unknown", d) { out =>
+      val recs = Tables.part(s, d)
+        .filter(col("p_partkey") <= 150)
+        .select(makeUnknownCharsetWarcRecord(col("p_partkey")).as("r"))
+        .select(col("r._1").as("warc_type"), col("r._2").as("target_uri"),
+          col("r._3").as("warc_date"), col("r._4").as("record_id"),
+          col("r._5").as("content_type"), col("r._6").as("payload"))
+      graft.sources.Warc.writeWarc(recs.repartition(1), out, gzipPerRecord = true)
+    }
+    graft.sources.Warc.readWarc(s, dir)
+      .filter(col("warc_type") === "response")
+      .withColumn("k", regexp_extract(col("target_uri"), "/unk/(\\d+)$", 1)
+        .cast("long"))
+      .withColumn("h", parseHttp(col("payload")))
+      .select(col("k"),
+        col("h._3").as("charset"),
+        col("h._3").startsWith("unknown:").as("quarantined"),
+        graft.functions.Html.extractText(col("h._4")).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .orderBy(col("k"))
+  }
+
   private val robotsAllowed = udf { (robots: String, path: String) =>
     graft.sources.Robots.allowed(robots, "graftbot", path)
   }

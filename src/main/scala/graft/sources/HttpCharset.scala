@@ -27,11 +27,19 @@ import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
   *      locales; pure-ASCII bytes decode identically under it).
   *
   * Label handling: the common WHATWG aliases below normalize to their
-  * canonical charset; an UNKNOWN label fails loudly (silently falling
-  * back would mojibake the page invisibly). Malformed byte sequences
-  * under the chosen charset decode to U+FFFD replacement characters —
-  * the browser behavior; a 100 TB crawl shard must not die on one
-  * mojibake byte, and U+FFFD is visible and greppable downstream.
+  * canonical charset. An UNKNOWN label (shift_jis, euc-kr, gb2312,
+  * iso-8859-2 — all common on the real web and outside this subset)
+  * must NOT throw: the decode runs inside a per-page UDF, and one
+  * exotic page would kill the whole 100 TB shard. Instead the page is
+  * QUARANTINED in place — decoded with replacement under the
+  * windows-1252 fallback and surfaced as `unknown:<label>` in the
+  * charset column, so downstream curation can filter or re-route it
+  * while the job keeps running (the same fail-soft posture as the
+  * U+FFFD rule below, and the per-record quarantine pattern of the
+  * Avro/WARC readers). Malformed byte sequences under the chosen
+  * charset decode to U+FFFD replacement characters — the browser
+  * behavior; a 100 TB crawl shard must not die on one mojibake byte,
+  * and U+FFFD is visible and greppable downstream.
   */
 object HttpCharset {
 
@@ -50,28 +58,33 @@ object HttpCharset {
     "utf-16" -> "UTF-16LE", "utf-16le" -> "UTF-16LE",
     "utf-16be" -> "UTF-16BE")
 
-  private def fail(file: String, msg: String): Nothing =
-    throw new IllegalArgumentException(s"charset [$file]: $msg")
-
-  private def canonical(label: String, file: String): String =
-    Labels.getOrElse(
-      label.trim.stripPrefix("\"").stripSuffix("\"").stripPrefix("'")
-        .stripSuffix("'").toLowerCase(java.util.Locale.ROOT),
-      fail(file, s"unsupported charset label '${label.take(40)}' " +
-        "(an unknown label must fail loudly, never silently mojibake)"))
-
-  /** `charset=` parameter of a Content-Type value, or None. */
-  private[sources] def charsetParam(ctype: String): Option[String] = {
-    if (ctype == null) return None
-    val lower = ctype.toLowerCase(java.util.Locale.ROOT)
-    val i = lower.indexOf("charset=")
-    if (i < 0) None
-    else {
-      val rest = ctype.substring(i + "charset=".length)
-      val end = rest.indexWhere(c => c == ';' || c == ' ' || c == '\t')
-      Some(if (end < 0) rest else rest.substring(0, end))
-    }
+  /** A sniffed label resolved to the charset this engine will report
+    * and decode with: a known label canonicalizes; an unknown one
+    * becomes the quarantine sentinel `unknown:<label>` (reported
+    * as-is, decoded under the windows-1252 fallback — see header). */
+  private def canonical(label: String): String = {
+    val cleaned = label.trim.stripPrefix("\"").stripSuffix("\"")
+      .stripPrefix("'").stripSuffix("'").toLowerCase(java.util.Locale.ROOT)
+    Labels.getOrElse(cleaned, s"unknown:${cleaned.take(40)}")
   }
+
+  /** The charset [[decode]] actually decodes `name` with: the name
+    * itself for a known canonical, the windows-1252 fallback for a
+    * quarantined `unknown:<label>` sentinel. */
+  private[sources] def decodeCharsetOf(name: String): String =
+    if (name.startsWith("unknown:")) "windows-1252" else name
+
+  /** `charset=` parameter of a Content-Type value, or None. The
+    * parameter NAME boundary is matched explicitly (`;` or whitespace
+    * before `charset`), so a parameter merely ending in "charset"
+    * (e.g. `x-nocharset=foo`) or a value containing the substring is
+    * not misparsed; the value may be quoted or bare. */
+  private val CharsetParamRe =
+    "(?i)[;\\s]charset\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^;\\s]+)".r
+
+  private[sources] def charsetParam(ctype: String): Option[String] =
+    if (ctype == null) None
+    else CharsetParamRe.findFirstMatchIn(";" + ctype).map(_.group(1))
 
   private val MetaRe =
     ("(?is)<meta\\s[^>]*?charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)").r
@@ -90,7 +103,9 @@ object HttpCharset {
   }
 
   /** Detect the charset of an HTTP body per the precedence above.
-    * Returns (canonical charset name, BOM length to strip). */
+    * Returns (reported charset name, BOM length to strip) — the name
+    * is a canonical charset, or the `unknown:<label>` quarantine
+    * sentinel when the page declares a label outside [[Labels]]. */
   def sniff(ctype: String, body: Array[Byte],
       file: String = "<payload>"): (String, Int) = {
     if (body.length >= 3 && (body(0) & 0xFF) == 0xEF &&
@@ -101,21 +116,23 @@ object HttpCharset {
     if (body.length >= 2 && (body(0) & 0xFF) == 0xFE && (body(1) & 0xFF) == 0xFF)
       return ("UTF-16BE", 2)
     charsetParam(ctype) match {
-      case Some(label) => (canonical(label, file), 0)
+      case Some(label) => (canonical(label), 0)
       case None => metaPrescan(body) match {
-        case Some(label) => (canonical(label, file), 0)
+        case Some(label) => (canonical(label), 0)
         case None => ("windows-1252", 0)
       }
     }
   }
 
-  /** Decode `body` per the sniffed charset. Returns (canonical charset
-    * the decode used, decoded text). Malformed sequences become U+FFFD
+  /** Decode `body` per the sniffed charset. Returns (reported charset
+    * name, decoded text). An `unknown:<label>` sentinel decodes under
+    * the windows-1252 fallback but REPORTS the sentinel, so the row
+    * stays alive and quarantinable. Malformed sequences become U+FFFD
     * — see the header note. */
   def decode(ctype: String, body: Array[Byte],
       file: String = "<payload>"): (String, String) = {
     val (name, bom) = sniff(ctype, body, file)
-    val dec = Charset.forName(name).newDecoder()
+    val dec = Charset.forName(decodeCharsetOf(name)).newDecoder()
       .onMalformedInput(CodingErrorAction.REPLACE)
       .onUnmappableCharacter(CodingErrorAction.REPLACE)
     val text = dec.decode(

@@ -21,9 +21,14 @@ package graft.sources
   *     No matching rule → allowed. An EMPTY `Disallow:` value is a
   *     no-op (the classic allow-all form), never a block-everything.
   *   - Lines are `field: value` with `#` comments stripped, field
-  *     names case-insensitive, CRLF or LF, unknown fields (crawl-delay,
-  *     sitemap) skipped without ending a group — but a `user-agent`
-  *     line after rules starts a NEW group (§2.2).
+  *     names case-insensitive, CRLF or LF. Unknown fields (crawl-delay,
+  *     sitemap) never terminate an open group's RULE list — but per
+  *     §2.2's grammar only CONSECUTIVE `user-agent` lines head a
+  *     single group, so an unknown field between two `user-agent`
+  *     lines ends the first agent run (that group stays, possibly
+  *     empty = that agent's allow-all) and the next `user-agent` line
+  *     starts a NEW group; likewise a `user-agent` line after rules
+  *     starts a new group.
   *
   * Out of scope, documented: percent-encoding normalization of rule
   * and request paths (the fixture and spec paths are ASCII-literal).
@@ -94,7 +99,17 @@ object Robots {
               if (value.nonEmpty)
                 groups.last._2 += ((field == "allow", value))
             }
-          case _ => () // crawl-delay, sitemap, unknown: skip, group survives
+          case _ =>
+            // crawl-delay, sitemap, unknown: never terminates an open
+            // group's rule list — but it DOES end a run of user-agent
+            // lines (§2.2: only consecutive user-agent lines head one
+            // group), so `User-agent: a / Crawl-delay / User-agent: b`
+            // gives a an (empty) group of its own, not b's rules
+            if (inAgentRun) {
+              groups += ((curAgents,
+                scala.collection.mutable.ArrayBuffer.empty))
+              inAgentRun = false
+            }
         }
       }
     }
@@ -130,11 +145,19 @@ object Robots {
 
   /** Per-executor compiled-rules memo — robots bodies repeat per host,
     * so each executor parses each distinct body once (the loaded-BPE-
-    * table discipline; bounded: one entry per distinct host body). */
+    * table discipline). SIZE-BOUNDED: a large crawl sees millions of
+    * distinct hosts over a JVM's lifetime, and an unbounded map would
+    * retain every robots body string forever. When the cap is hit the
+    * map is cleared wholesale — crude but lock-free on the hot path
+    * (no LRU bookkeeping per lookup); the working set re-parses in
+    * microseconds and a full churn costs one parse per distinct body
+    * per overflow, while retained memory stays ≤ ~cap × body size. */
+  private val MemoMaxEntries = 4096
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[Rule]]()
 
   def allowed(robotsTxt: String, agent: String, path: String): Boolean = {
+    if (memo.size() > MemoMaxEntries) memo.clear()
     val rules = memo.computeIfAbsent((robotsTxt, agent),
       { case (t, a) => parse(t, a) })
     isAllowed(rules, path)

@@ -62,11 +62,35 @@ class HttpCharsetSpec extends AnyFunSuite {
     assert(text == "plain résumé")
   }
 
-  test("an unknown charset label fails loudly, never silently mojibakes") {
-    val e = intercept[IllegalArgumentException] {
-      HttpCharset.decode("text/html; charset=x-klingon", "hi".getBytes("US-ASCII"))
-    }
-    assert(e.getMessage.contains("x-klingon"))
+  test("an unknown charset label quarantines the row, never kills the task") {
+    // decode() runs inside a per-page UDF — throwing would fail the
+    // Spark task and the whole shard on one exotic page. Instead the
+    // page decodes under the cp1252 fallback and the charset column
+    // carries the `unknown:<label>` sentinel for downstream filtering.
+    val (cs, text) =
+      HttpCharset.decode("text/html; charset=shift_jis", "hi".getBytes("US-ASCII"))
+    assert(cs == "unknown:shift_jis")
+    assert(text == "hi") // ASCII bytes decode identically under the fallback
+    // the sentinel surfaces from a meta declaration too, label bounded
+    val h = "<meta charset=euc-kr><p>x</p>"
+    assert(HttpCharset.decode("text/html", h.getBytes("US-ASCII"))._1
+      == "unknown:euc-kr")
+    // non-ASCII bytes under an unknown label decode VISIBLY (cp1252 /
+    // U+FFFD), not by crashing: 0x81 is unmapped in cp1252
+    val b = "a".getBytes("US-ASCII") ++ Array(0x81.toByte)
+    val (cs2, t2) = HttpCharset.decode("text/html; charset=gb2312", b)
+    assert(cs2 == "unknown:gb2312" && t2 == "a�")
+  }
+
+  test("charset param needs a real parameter boundary, not a substring") {
+    // a parameter NAME merely ending in charset is not the charset param
+    assert(HttpCharset.sniff("text/html; x-nocharset=foo",
+      "hi".getBytes("US-ASCII"))._1 == "windows-1252")
+    // ...but the real parameter still parses in all its usual shapes
+    assert(HttpCharset.sniff("text/html;charset=utf-8",
+      "hi".getBytes("US-ASCII"))._1 == "UTF-8")
+    assert(HttpCharset.sniff("text/html; charset = utf-8",
+      "hi".getBytes("US-ASCII"))._1 == "UTF-8")
   }
 
   test("malformed bytes under the chosen charset decode to U+FFFD, not a crash") {

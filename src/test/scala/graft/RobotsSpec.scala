@@ -90,6 +90,18 @@ class RobotsSpec extends AnyFunSuite {
     assert(allowed(txt, "graftbot", "/open/x"))
   }
 
+  test("an unknown field between user-agent lines SPLITS the groups (§2.2)") {
+    // only consecutive user-agent lines head one group: a gets its own
+    // (empty = allow-all) group, b alone carries the disallow
+    val txt = "User-agent: a\nCrawl-delay: 10\nUser-agent: b\nDisallow: /x/\n"
+    assert(allowed(txt, "a", "/x/1"))   // a does NOT inherit b's rules
+    assert(!allowed(txt, "b", "/x/1"))
+    // ...and a's empty group still beats a * group (allow-all for a)
+    val txt2 = txt + "\nUser-agent: *\nDisallow: /\n"
+    assert(allowed(txt2, "a", "/anything"))
+    assert(!allowed(txt2, "c", "/anything"))
+  }
+
   test("rules before any user-agent line are ignored") {
     val txt = "Disallow: /\nUser-agent: graftbot\nDisallow: /y/\n"
     assert(allowed(txt, "graftbot", "/z"))
