@@ -242,6 +242,55 @@ object Oracle {
         "CAST(length(" + graft.functions.Html.duckExtractSql("html") +
         ") AS BIGINT) AS n_chars " +
         "FROM h ORDER BY k"),
+    // redirect-chain resolution: the oracle rebuilds the closed-form
+    // redirect graph and replays the identical bounded-3-hop join
+    // cascade with visited-prefix loop detection — a mis-parsed
+    // Location, wrong join, or wrong loop/dangling precedence flips
+    // final_path/n_hops/resolved/looped
+    "source_warc_redirect" ->
+      ("WITH p AS (SELECT p_partkey AS k FROM part WHERE p_partkey <= 300), " +
+        "rec AS (SELECT k, '/r/' || k AS u0, " +
+        "CAST(CASE WHEN k % 10 IN (0, 5, 7) THEN 301 WHEN k % 10 = 4 THEN 302 ELSE 200 END AS BIGINT) AS status, " +
+        "CASE WHEN k % 10 IN (0, 4, 5) THEN '/r/' || (k + 1) " +
+        "WHEN k % 10 = 7 THEN '/r/' || k ELSE NULL END AS u1 FROM p), " +
+        "j AS (SELECT r.k, r.u0, r.status, r.u1, " +
+        "a.status AS s1, a.u1 AS u2, b.status AS s2, b.u1 AS u3, c.status AS s3 " +
+        "FROM rec r LEFT JOIN rec a ON r.u1 = a.u0 " +
+        "LEFT JOIN rec b ON a.u1 = b.u0 LEFT JOIN rec c ON b.u1 = c.u0) " +
+        "SELECT k, status, " +
+        "CASE WHEN status = 200 THEN u0 " +
+        "WHEN u1 = u0 OR s1 IS NULL OR s1 = 200 THEN u1 " +
+        "WHEN u2 IN (u0, u1) OR s2 IS NULL OR s2 = 200 THEN u2 " +
+        "ELSE u3 END AS final_path, " +
+        "CAST(CASE WHEN status = 200 THEN 0 " +
+        "WHEN u1 = u0 OR s1 IS NULL OR s1 = 200 THEN 1 " +
+        "WHEN u2 IN (u0, u1) OR s2 IS NULL OR s2 = 200 THEN 2 " +
+        "ELSE 3 END AS BIGINT) AS n_hops, " +
+        "CASE WHEN status = 200 THEN TRUE " +
+        "WHEN u1 = u0 THEN FALSE WHEN s1 IS NULL THEN FALSE WHEN s1 = 200 THEN TRUE " +
+        "WHEN u2 IN (u0, u1) THEN FALSE WHEN s2 IS NULL THEN FALSE WHEN s2 = 200 THEN TRUE " +
+        "WHEN u3 IN (u0, u1, u2) THEN FALSE WHEN s3 = 200 THEN TRUE " +
+        "ELSE FALSE END AS resolved, " +
+        "CASE WHEN status = 200 THEN FALSE " +
+        "WHEN u1 = u0 THEN TRUE WHEN s1 IS NULL OR s1 = 200 THEN FALSE " +
+        "WHEN u2 IN (u0, u1) THEN TRUE WHEN s2 IS NULL OR s2 = 200 THEN FALSE " +
+        "WHEN u3 IN (u0, u1, u2) THEN TRUE ELSE FALSE END AS looped " +
+        "FROM j ORDER BY k"),
+    // robots percent-encoding: unreserved escapes decode before
+    // comparison, reserved/non-ASCII escapes stay encoded with hex
+    // case-folded, %2F never equals literal /; the oracle pins each
+    // decision closed-form
+    "crawl_robots_pctenc" ->
+      ("SELECT p_partkey AS k, " +
+        "CASE p_partkey % 6 " +
+        "WHEN 0 THEN '/caf%C3%A9/item' || p_partkey " +
+        "WHEN 1 THEN '/caf%c3%a9/item' || p_partkey " +
+        "WHEN 2 THEN '/~admin/sec' || p_partkey " +
+        "WHEN 3 THEN '/%7Eadmin/public/p' || p_partkey " +
+        "WHEN 4 THEN '/a/b/x' || p_partkey " +
+        "ELSE '/open/x' || p_partkey END AS path, " +
+        "(p_partkey % 6) IN (3, 4, 5) AS allowed " +
+        "FROM part WHERE p_partkey <= 300 ORDER BY k"),
     // unknown-label quarantine: exotic charset labels (header AND
     // meta-declared) must yield the `unknown:<label>` sentinel + a
     // cp1252-fallback decode, never a thrown task; the decoy

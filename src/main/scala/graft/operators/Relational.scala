@@ -664,6 +664,115 @@ object Relational {
       .orderBy(col("k"))
   }
 
+  /** Closed-form REDIRECT-GRAPH WARC record for key `pk`: last digit
+    * selects the page's role — `0`/`5` a 301 hop to `pk+1`, `4` a 302
+    * entering a 2-hop chain (`pk`→`pk+1`(301)→`pk+2`), `7` a 301
+    * SELF-loop, everything else a 200 landing page. Chains that point
+    * past the corpus edge dangle — exactly like a redirect target the
+    * crawler never fetched. */
+  private val makeRedirectWarcRecord = udf { (pk: Long) =>
+    val m = pk % 10
+    val payload =
+      if (m == 0 || m == 5)
+        graft.sources.Warc.encodeHttpRedirect(301, "Moved Permanently", s"/r/${pk + 1}")
+      else if (m == 4)
+        graft.sources.Warc.encodeHttpRedirect(302, "Found", s"/r/${pk + 1}")
+      else if (m == 7)
+        graft.sources.Warc.encodeHttpRedirect(301, "Moved Permanently", s"/r/$pk")
+      else
+        graft.sources.Warc.encodeHttpResponse(200, "OK",
+          "text/html; charset=utf-8",
+          s"<html><body><p>landing $pk</p></body></html>".getBytes("UTF-8"))
+    (
+      "response",
+      s"http://site.example/r/$pk",
+      f"2024-${1 + pk % 12}%02d-${1 + pk % 28}%02dT${pk % 24}%02d:${pk % 60}%02d:${pk % 60}%02dZ",
+      f"<urn:uuid:00000000-0000-0000-0003-$pk%012d>",
+      "application/http;msgtype=response",
+      payload)
+  }
+
+  /** (status, Location) from a response payload without decoding the
+    * body — 3xx bodies are empty/irrelevant and decoding them per
+    * record would be wasted work at crawl scale. */
+  private val parseRedirect = udf { (payload: Array[Byte]) =>
+    val (code, loc) = graft.sources.Warc.httpStatusHeader(payload, "location")
+    (code, loc)
+  }
+
+  /** #246 judged REDIRECT-CHAIN RESOLUTION (round-17) — a large
+    * fraction of real crawl fetches land on 301/302 before content,
+    * and mapping every fetched URL to its FINAL landing page (or
+    * flagging it dangling/looping) is the first graph pass a crawl
+    * corpus needs: dedup, canonical-URL grouping, and link analysis
+    * all key on the resolved target. The corpus is a closed-form
+    * redirect graph ([[makeRedirectWarcRecord]]: 1-hop and 2-hop
+    * chains, chains entered mid-way, SELF-loops, and corpus-edge
+    * danglers — targets the crawler never fetched); the read extracts
+    * (status, Location) per record WITHOUT body decode, then resolves
+    * every page through up to 3 hops RELATIONALLY — three left joins
+    * against the page set itself, with loop detection comparing each
+    * arrival against the visited prefix — and emits final path,
+    * hop count, resolved/loop flags. The oracle rebuilds the same
+    * graph closed-form and replays the identical 3-join cascade, so a
+    * mis-parsed Location, wrong join, or wrong loop/dangling
+    * precedence flips rows. Scale shape: each hop is ONE hash join of
+    * the redirect subset against the page map (both sides partitioned
+    * on the join key; the redirect side shrinks every hop as chains
+    * resolve); bounded-hop resolution is how production crawlers do
+    * it — unbounded chasing is a DoS vector, and loops surface as
+    * flags, not infinite work. */
+  def sourceWarcRedirect(s: SparkSession, d: String): DataFrame = {
+    val dir = layoutOnce("warc_crawl_redirect", d) { out =>
+      val recs = Tables.part(s, d)
+        .filter(col("p_partkey") <= 300)
+        .select(makeRedirectWarcRecord(col("p_partkey")).as("r"))
+        .select(col("r._1").as("warc_type"), col("r._2").as("target_uri"),
+          col("r._3").as("warc_date"), col("r._4").as("record_id"),
+          col("r._5").as("content_type"), col("r._6").as("payload"))
+      graft.sources.Warc.writeWarc(recs.repartition(1), out, gzipPerRecord = true)
+    }
+    val pages = graft.sources.Warc.readWarc(s, dir)
+      .filter(col("warc_type") === "response")
+      .withColumn("k", regexp_extract(col("target_uri"), "/r/(\\d+)$", 1)
+        .cast("long"))
+      .withColumn("h", parseRedirect(col("payload")))
+      .select(col("k"), concat(lit("/r/"), col("k").cast("string")).as("u0"),
+        col("h._1").cast("long").as("status"), col("h._2").as("u1"))
+    val m1 = pages.select(col("u0").as("t1"), col("status").as("s1"),
+      col("u1").as("l1"))
+    val m2 = pages.select(col("u0").as("t2"), col("status").as("s2"),
+      col("u1").as("l2"))
+    val m3 = pages.select(col("u0").as("t3"), col("status").as("s3"))
+    val j = pages
+      .join(m1, col("u1") === col("t1"), "left")
+      .withColumn("u2", col("l1"))
+      .join(m2, col("u2") === col("t2"), "left")
+      .withColumn("u3", col("l2"))
+      .join(m3, col("u3") === col("t3"), "left")
+    def res(f: Column, n: Long, r: Boolean, lp: Boolean): Column = struct(
+      f.as("f"), lit(n).as("n"), lit(r).as("r"), lit(lp).as("lp"))
+    j.select(col("k"), col("status"),
+        when(col("status") === 200, res(col("u0"), 0L, r = true, lp = false))
+          .when(col("u1") === col("u0"), res(col("u1"), 1L, r = false, lp = true))
+          .when(col("s1").isNull, res(col("u1"), 1L, r = false, lp = false))
+          .when(col("s1") === 200, res(col("u1"), 1L, r = true, lp = false))
+          .when(col("u2") === col("u0") || col("u2") === col("u1"),
+            res(col("u2"), 2L, r = false, lp = true))
+          .when(col("s2").isNull, res(col("u2"), 2L, r = false, lp = false))
+          .when(col("s2") === 200, res(col("u2"), 2L, r = true, lp = false))
+          .when(col("u3") === col("u0") || col("u3") === col("u1") ||
+              col("u3") === col("u2"),
+            res(col("u3"), 3L, r = false, lp = true))
+          .when(col("s3") === 200, res(col("u3"), 3L, r = true, lp = false))
+          .otherwise(res(col("u3"), 3L, r = false, lp = false))
+          .as("x"))
+      .select(col("k"), col("status"), col("x.f").as("final_path"),
+        col("x.n").as("n_hops"), col("x.r").as("resolved"),
+        col("x.lp").as("looped"))
+      .orderBy(col("k"))
+  }
+
   /** Closed-form UNKNOWN-CHARSET-LABEL WARC response record for key
     * `pk`: five rotating shapes — (0) a known label as control, (1)
     * `charset=shift_jis` in the header, (2) `euc-kr` declared only by
@@ -788,6 +897,47 @@ object Relational {
     Tables.part(s, d)
       .filter(k <= 300)
       .select(k.as("k"), (k % 7).cast("long").as("site"),
+        path.as("path"), robotsAllowed(robots, path).as("allowed"))
+      .orderBy(col("k"))
+  }
+
+  /** #245 judged ROBOTS PERCENT-ENCODING decisions (round-17, closes
+    * the previously documented out-of-scope) — real rule sets and
+    * crawl paths mix encoded and literal spellings freely, and RFC
+    * 9309 §2.2.2 / RFC 3986 pin how they compare: an UNRESERVED
+    * escape (`%7E` = `~`) decodes before comparison, so either
+    * spelling of pattern or path matches the other; every other
+    * escape stays encoded with hex digits case-folded (`%c3%a9` ≡
+    * `%C3%A9`), and `%2F` therefore never matches a literal `/` —
+    * decoding it would change the path structure. Six path shapes per
+    * key pin all four behaviors plus the longest-match carve-out
+    * measured on NORMALIZED lengths and the `*` fallback that must
+    * not apply; the oracle pins each decision, so one wrong decode
+    * set, un-folded hex, or structure-changing `%2F` decode flips
+    * `allowed` rows. Scale shape: identical to [[crawlRobotsFilter]]
+    * — normalization is one no-allocation scan per path (fast-path
+    * exit when no `%` present), zero shuffles beyond the output. */
+  def crawlRobotsPctenc(s: SparkSession, d: String): DataFrame = {
+    val k = col("p_partkey")
+    val robots = concat(
+      lit("User-agent: otherbot\nDisallow: /\n\n"),
+      lit("User-agent: graftbot\n"),
+      lit("Disallow: /caf%C3%A9/\n"),
+      lit("Disallow: /%7Eadmin/\n"),
+      lit("Allow: /~admin/public/\n"),
+      lit("Disallow: /a%2Fb/\n\n"),
+      lit("User-agent: *\nDisallow: /\n"))
+    val path = when(k % 6 === 0,
+        concat(lit("/caf%C3%A9/item"), k.cast("string")))
+      .when(k % 6 === 1, concat(lit("/caf%c3%a9/item"), k.cast("string")))
+      .when(k % 6 === 2, concat(lit("/~admin/sec"), k.cast("string")))
+      .when(k % 6 === 3,
+        concat(lit("/%7Eadmin/public/p"), k.cast("string")))
+      .when(k % 6 === 4, concat(lit("/a/b/x"), k.cast("string")))
+      .otherwise(concat(lit("/open/x"), k.cast("string")))
+    Tables.part(s, d)
+      .filter(k <= 300)
+      .select(k.as("k"),
         path.as("path"), robotsAllowed(robots, path).as("allowed"))
       .orderBy(col("k"))
   }

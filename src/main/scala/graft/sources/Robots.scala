@@ -30,8 +30,17 @@ package graft.sources
   *     starts a NEW group; likewise a `user-agent` line after rules
   *     starts a new group.
   *
-  * Out of scope, documented: percent-encoding normalization of rule
-  * and request paths (the fixture and spec paths are ASCII-literal).
+  * Percent-encoding normalization (round 17, closing the previously
+  * documented out-of-scope): per §2.2.2 / RFC 3986, a percent-encoded
+  * octet in a rule pattern or request path is DECODED before
+  * comparison only when it encodes an UNRESERVED character
+  * (ALPHA / DIGIT / `-` `.` `_` `~`) — so `%7Eadmin` and `~admin`
+  * compare equal — while every other escape stays encoded with its
+  * hex digits UPPERCASED (so `%2f` and `%2F` compare equal, and
+  * `%2F` never matches a literal `/` — decoding it would change the
+  * path structure). An invalid escape (`%` not followed by two hex
+  * digits) passes through literally. Both sides normalize, and rule
+  * specificity lengths are measured on the normalized pattern.
   *
   * Scale shape: `robots.txt` bodies are small and per-HOST, so the
   * compiled rule set rides a broadcast (or, as here, a per-executor
@@ -46,6 +55,41 @@ object Robots {
   final case class Rule(allow: Boolean, pattern: String,
       regex: java.util.regex.Pattern) {
     def matches(path: String): Boolean = regex.matcher(path).lookingAt()
+  }
+
+  private def isUnreserved(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else -1
+
+  /** §2.2.2 comparison normalization (see header): decode unreserved
+    * escapes, uppercase the hex of everything else, pass invalid
+    * escapes through literally. No-allocation fast path for the
+    * overwhelmingly common no-`%` string. */
+  private[sources] def normalizePct(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val h = hexVal(s.charAt(i + 1)); val l = hexVal(s.charAt(i + 2))
+        if (h >= 0 && l >= 0) {
+          val octet = (h << 4) | l
+          if (octet < 0x80 && isUnreserved(octet.toChar)) sb.append(octet.toChar)
+          else sb.append('%')
+            .append(java.lang.Character.toUpperCase(s.charAt(i + 1)))
+            .append(java.lang.Character.toUpperCase(s.charAt(i + 2)))
+          i += 3
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Translate an RFC 9309 path pattern to a regex applied with
@@ -122,17 +166,21 @@ object Robots {
     val chosen =
       if (mine.nonEmpty) mine else groups.filter(_._1.contains("*"))
     chosen.flatMap(_._2).toSeq.map { case (allow, p) =>
-      Rule(allow, p, compilePattern(p))
+      val np = normalizePct(p)
+      Rule(allow, np, compilePattern(np))
     }
   }
 
   /** RFC 9309 decision for `path` under `rules`: longest matching
-    * pattern wins, allow wins length ties, no match → allowed. */
+    * pattern wins, allow wins length ties, no match → allowed. Both
+    * sides compare in §2.2.2-normalized form ([[normalizePct]] — rule
+    * patterns were normalized at parse time). */
   def isAllowed(rules: Seq[Rule], path: String): Boolean = {
+    val p = normalizePct(path)
     var bestLen = -1
     var bestAllow = true
     rules.foreach { r =>
-      if (r.matches(path)) {
+      if (r.matches(p)) {
         val len = r.pattern.length
         if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
           bestLen = len

@@ -581,6 +581,47 @@ object Warc {
     out.toByteArray
   }
 
+  /** Encode a 3xx HTTP response with a `Location` header and an empty
+    * body — the redirect shape real crawls are full of (a large
+    * fraction of fetches land on 301/302 before content). */
+  def encodeHttpRedirect(status: Int, reason: String,
+      location: String): Array[Byte] =
+    (s"HTTP/1.1 $status $reason\r\n" +
+      s"Location: $location\r\n" +
+      "Content-Length: 0\r\n\r\n").getBytes("US-ASCII")
+
+  /** Status code + one named header (case-insensitive; null when
+    * absent) WITHOUT touching body bytes — the redirect-resolution
+    * path needs only (status, Location), and 3xx bodies are
+    * empty/irrelevant, so decoding them (dechunk/gunzip) would be
+    * wasted work per record at crawl scale. Same strictness on the
+    * status line and header-block framing as [[parseHttpResponse]]. */
+  def httpStatusHeader(payload: Array[Byte], header: String,
+      file: String = "<payload>"): (Int, String) = {
+    var i = 0
+    var split = -1
+    while (split < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n') split = i
+      i += 1
+    }
+    if (split < 0) fail(file, "HTTP payload without header terminator")
+    val head = new String(payload, 0, split, "US-ASCII")
+    val lines = head.split("\r\n")
+    val status = lines(0).split(" ")
+    if (status.length < 2 || !status(0).startsWith("HTTP/"))
+      fail(file, s"bad HTTP status line '${lines(0).take(40)}'")
+    val code = try status(1).toInt
+    catch { case _: NumberFormatException =>
+      fail(file, s"bad HTTP status code '${status(1)}'") }
+    val want = header.toLowerCase(java.util.Locale.ROOT) + ":"
+    val value = lines.drop(1).collectFirst {
+      case l if l.toLowerCase(java.util.Locale.ROOT).startsWith(want) =>
+        l.substring(l.indexOf(':') + 1).trim
+    }
+    (code, value.orNull)
+  }
+
   /** Split a `response` record's HTTP/1.1 payload into (status code,
     * content-type, body bytes), reassembling `Transfer-Encoding:
     * chunked` bodies ([[dechunk]]) so the returned bytes are always the

@@ -113,6 +113,39 @@ class RobotsSpec extends AnyFunSuite {
     assert(allowed(txt, "graftbot", "/anything"))
   }
 
+  test("percent-encoding: unreserved escapes decode before comparison") {
+    // %7E encodes ~ (unreserved) — pattern and path compare equal in
+    // either spelling, both directions (RFC 9309 §2.2.2 / RFC 3986)
+    val enc = "User-agent: graftbot\nDisallow: /%7Eadmin/\n"
+    assert(!allowed(enc, "graftbot", "/~admin/sec"))
+    assert(!allowed(enc, "graftbot", "/%7Eadmin/sec"))
+    val dec = "User-agent: graftbot\nDisallow: /~admin/\n"
+    assert(!allowed(dec, "graftbot", "/%7Eadmin/sec"))
+    assert(allowed(dec, "graftbot", "/other"))
+  }
+
+  test("percent-encoding: reserved escapes stay encoded, hex case-folded") {
+    // %2F encodes / (reserved): it must NOT match a literal slash —
+    // decoding would change the path structure — but %2f and %2F
+    // compare equal after hex uppercasing
+    val txt = "User-agent: graftbot\nDisallow: /a%2Fb/\n"
+    assert(!allowed(txt, "graftbot", "/a%2Fb/x"))
+    assert(!allowed(txt, "graftbot", "/a%2fb/x"))
+    assert(allowed(txt, "graftbot", "/a/b/x"))
+    // non-ASCII octets stay encoded too, matching across hex case
+    val cafe = "User-agent: graftbot\nDisallow: /caf%C3%A9/\n"
+    assert(!allowed(cafe, "graftbot", "/caf%c3%a9/menu"))
+    assert(allowed(cafe, "graftbot", "/cafe/menu"))
+  }
+
+  test("percent-encoding: invalid escapes pass through literally") {
+    val txt = "User-agent: graftbot\nDisallow: /100%/\n"
+    assert(!allowed(txt, "graftbot", "/100%/x"))
+    assert(allowed(txt, "graftbot", "/100/x"))
+    // a bare trailing % in the path must not crash the normalizer
+    assert(allowed(txt, "graftbot", "/other%"))
+  }
+
   test("regex metacharacters in rule paths are literal") {
     val txt = "User-agent: graftbot\nDisallow: /a+b(c)/\n"
     assert(!allowed(txt, "graftbot", "/a+b(c)/d"))

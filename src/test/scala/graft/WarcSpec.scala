@@ -262,6 +262,24 @@ class WarcSpec extends SparkSpecBase {
     }
   }
 
+  test("redirect encode + header-only parse: status and Location, no body touch") {
+    val msg = Warc.encodeHttpRedirect(301, "Moved Permanently", "/r/42")
+    assert(Warc.httpStatusHeader(msg, "location") == ((301, "/r/42")))
+    assert(Warc.httpStatusHeader(msg, "Location") == ((301, "/r/42"))) // ci
+    // absent header is null, status still parses
+    assert(Warc.httpStatusHeader(msg, "retry-after") == ((301, null)))
+    // a CHUNKED body does not get decoded (or choked on) by the
+    // header-only path — that is the point of it
+    val chunked = Warc.encodeHttpResponseChunked(
+      200, "OK", "text/html", "hello world".getBytes("UTF-8"), 4)
+    assert(Warc.httpStatusHeader(chunked, "location") == ((200, null)))
+    // malformed head still fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Warc.httpStatusHeader("not http".getBytes("US-ASCII"), "location")
+    }
+    assert(e.getMessage.contains("header terminator"))
+  }
+
   test("corrupt or unsupported Content-Encoding fails, never passes through") {
     val body = "hello gzip".getBytes("UTF-8")
     val msg = Warc.encodeHttpResponseGzip(200, "OK", "text/plain", body)
