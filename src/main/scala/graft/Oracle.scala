@@ -242,6 +242,25 @@ object Oracle {
         "CAST(length(" + graft.functions.Html.duckExtractSql("html") +
         ") AS BIGINT) AS n_chars " +
         "FROM h ORDER BY k"),
+    // revisit-record resolution: digests are content-addressed, so the
+    // oracle recomputes every sha256 itself (writer header, reader
+    // parse, and join must all agree with DuckDB's own hash) and pins
+    // resolved/refers_match/text per fetch, phantom digests unresolved
+    "source_warc_revisit" ->
+      ("WITH p AS (SELECT p_partkey AS k FROM part WHERE p_partkey <= 300), " +
+        "t AS (SELECT k, k % 40 AS c, (k >= 40 AND k % 37 = 0) AS phantom FROM p), " +
+        "b AS (SELECT k, c, phantom, " +
+        "'<html><body><p>content ' || c || ' gamma ' || ((c * 61) % 9973) || '</p></body></html>' AS html, " +
+        "'content ' || c || ' gamma ' || ((c * 61) % 9973) AS txt FROM t) " +
+        "SELECT k, " +
+        "CASE WHEN k < 40 THEN 'response' ELSE 'revisit' END AS warc_type, " +
+        "CASE WHEN phantom THEN sha256('phantom ' || k) ELSE sha256(html) END AS digest, " +
+        "CASE WHEN phantom THEN NULL ELSE CAST(c AS BIGINT) END AS source_k, " +
+        "NOT phantom AS resolved, " +
+        "NOT phantom AS refers_match, " +
+        "CASE WHEN phantom THEN NULL ELSE txt END AS text, " +
+        "CASE WHEN phantom THEN NULL ELSE CAST(length(txt) AS BIGINT) END AS n_chars " +
+        "FROM b ORDER BY k"),
     // redirect-chain resolution: the oracle rebuilds the closed-form
     // redirect graph and replays the identical bounded-3-hop join
     // cascade with visited-prefix loop detection — a mis-parsed

@@ -664,6 +664,117 @@ object Relational {
       .orderBy(col("k"))
   }
 
+  /** Closed-form REVISIT-GRAPH WARC record for key `pk`: content
+    * identity is `c = pk % 40`, so each of the 40 page bodies is
+    * stored ONCE (the `pk < 40` fetch is the full `response` record)
+    * and every later fetch of the same content is a `revisit` record
+    * — empty payload, `WARC-Payload-Digest`/`WARC-Refers-To-Target-
+    * URI`/`WARC-Profile` headers only, exactly how crawl-time dedup
+    * (ISO 28500 / WARC 1.1 §6.7.2 identical-payload-digest) writes
+    * them. Every 37th key ≥ 40 is a PHANTOM revisit whose digest
+    * matches nothing stored — the original was crawled by another
+    * shard or lost. Returns the 6 core columns + extra_headers. */
+  private val makeRevisitWarcRecord = udf { (pk: Long) =>
+    val c = pk % 40
+    val content = s"<html><body><p>content $c gamma ${(c * 61) % 9973}</p></body></html>"
+    def sha256Hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    val date =
+      f"2024-${1 + pk % 12}%02d-${1 + pk % 28}%02dT${pk % 24}%02d:${pk % 60}%02d:${pk % 60}%02dZ"
+    val id = f"<urn:uuid:00000000-0000-0000-0004-$pk%012d>"
+    if (pk < 40)
+      ("response", s"http://site.example/p/$pk", date, id,
+        "application/http;msgtype=response",
+        graft.sources.Warc.encodeHttpResponse(200, "OK",
+          "text/html; charset=utf-8", content.getBytes("UTF-8")),
+        null: Seq[String])
+    else {
+      val phantom = pk % 37 == 0
+      val digest =
+        if (phantom) sha256Hex(s"phantom $pk") else sha256Hex(content)
+      val refers = if (phantom) "/p/missing" else s"/p/$c"
+      ("revisit", s"http://site.example/p/$pk", date, id,
+        "application/http;msgtype=response",
+        Array.empty[Byte],
+        Seq(
+          s"WARC-Payload-Digest: sha256:$digest",
+          s"WARC-Refers-To-Target-URI: $refers",
+          "WARC-Profile: http://netpreservation.org/warc/1.1/revisit/identical-payload-digest"))
+    }
+  }
+
+  /** #247 judged REVISIT-RECORD RESOLUTION (round-17) — how crawl
+    * archives actually store refetches: when a page's payload digest
+    * matches an earlier capture, the archive writes a `revisit`
+    * record (WARC 1.1 §6.7.2 identical-payload-digest profile) with
+    * NO payload, just `WARC-Payload-Digest` + `WARC-Refers-To-*`
+    * headers — so a consumer that ignores revisit records silently
+    * drops most refetch history, and one that can't resolve them
+    * can't reconstruct what each fetch SAW. This row reconstructs the
+    * full fetch view: responses surface their own text and a
+    * self-computed payload digest; revisits resolve their stored
+    * digest against the response set (left join on digest — exact,
+    * content-addressed), verify the `WARC-Refers-To-Target-URI`
+    * agrees with the resolved original, and PHANTOM digests (original
+    * crawled by another shard or lost) surface as unresolved rows,
+    * never errors. The oracle rebuilds the graph closed-form with
+    * DuckDB's own sha256, so a digest mismatch ANYWHERE (writer
+    * header, reader parse, join) flips rows. Scale shape: the join is
+    * content-addressed on the digest — both sides hash-partition on
+    * it, revisits are the big side and shrink nothing, responses are
+    * the stored-once side; this is exactly the shuffle a revisit-
+    * aware corpus rebuild pays, and the only one. */
+  def sourceWarcRevisit(s: SparkSession, d: String): DataFrame = {
+    val dir = layoutOnce("warc_crawl_revisit", d) { out =>
+      val recs = Tables.part(s, d)
+        .filter(col("p_partkey") <= 300)
+        .select(makeRevisitWarcRecord(col("p_partkey")).as("r"))
+        .select(col("r._1").as("warc_type"), col("r._2").as("target_uri"),
+          col("r._3").as("warc_date"), col("r._4").as("record_id"),
+          col("r._5").as("content_type"), col("r._6").as("payload"),
+          col("r._7").as("extra_headers"))
+      graft.sources.Warc.writeWarc(recs.repartition(1), out, gzipPerRecord = true)
+    }
+    val recs = graft.sources.Warc.readWarcExt(s, dir)
+      .withColumn("k", regexp_extract(col("target_uri"), "/p/(\\d+)$", 1)
+        .cast("long"))
+    val resp = recs.filter(col("warc_type") === "response")
+      .withColumn("h", parseHttp(col("payload")))
+      .select(col("k"), col("h._4").as("body"),
+        // bodies are ASCII, so the digest of the decoded string's
+        // UTF-8 bytes IS the payload digest
+        sha2(col("h._4"), 256).as("digest"))
+    val rev = recs.filter(col("warc_type") === "revisit")
+      .select(col("k"),
+        regexp_replace(
+          element_at(col("warc_headers"), "warc-payload-digest"),
+          "^sha256:", "").as("digest"),
+        element_at(col("warc_headers"), "warc-refers-to-target-uri")
+          .as("refers_uri"))
+    val respKeyed = resp.select(col("digest"),
+      col("k").as("source_k"), col("body").as("src_body"))
+    val revResolved = rev.join(respKeyed, Seq("digest"), "left")
+      .select(col("k"), lit("revisit").as("warc_type"), col("digest"),
+        col("source_k"),
+        col("source_k").isNotNull.as("resolved"),
+        coalesce(col("refers_uri") ===
+          concat(lit("/p/"), col("source_k").cast("string")), lit(false))
+          .as("refers_match"),
+        when(col("source_k").isNotNull,
+          graft.functions.Html.extractText(col("src_body"))).as("text"))
+    val respOut = resp
+      .select(col("k"), lit("response").as("warc_type"), col("digest"),
+        col("k").as("source_k"), lit(true).as("resolved"),
+        lit(true).as("refers_match"),
+        graft.functions.Html.extractText(col("body")).as("text"))
+    respOut.unionByName(revResolved)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .orderBy(col("k"))
+  }
+
   /** Closed-form REDIRECT-GRAPH WARC record for key `pk`: last digit
     * selects the page's role — `0`/`5` a 301 hop to `pk+1`, `4` a 302
     * entering a 2-hop chain (`pk`→`pk+1`(301)→`pk+2`), `7` a 301

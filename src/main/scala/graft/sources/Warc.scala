@@ -54,9 +54,14 @@ object Warc {
   private val Crlf = "\r\n".getBytes("US-ASCII")
 
   /** Encode one WARC/1.1 record (headers in spec order, CRLF
-    * discipline, Content-Length exact, CRLF CRLF terminator). */
+    * discipline, Content-Length exact, CRLF CRLF terminator).
+    * `extraHeaders` carries additional named WARC headers — the spec's
+    * revisit machinery (`WARC-Payload-Digest`, `WARC-Refers-To-*`,
+    * `WARC-Profile`) rides here; emitted in the given order, after the
+    * core headers and before Content-Length. */
   def encodeRecord(warcType: String, targetUri: String, warcDate: String,
-      recordId: String, contentType: String, payload: Array[Byte]): Array[Byte] = {
+      recordId: String, contentType: String, payload: Array[Byte],
+      extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
     val out = new ByteArrayOutputStream(payload.length + 256)
     def line(s: String): Unit = {
       val b = s.getBytes("US-ASCII")
@@ -68,6 +73,7 @@ object Warc {
     if (warcDate != null) line(s"WARC-Date: $warcDate")
     if (recordId != null) line(s"WARC-Record-ID: $recordId")
     if (contentType != null) line(s"Content-Type: $contentType")
+    extraHeaders.foreach { case (k, v) => line(s"$k: $v") }
     line(s"Content-Length: ${payload.length}")
     out.write(Crlf, 0, 2)
     out.write(payload, 0, payload.length)
@@ -105,9 +111,13 @@ object Warc {
   def writeWarc(df: DataFrame, path: String, gzipPerRecord: Boolean = true,
       index: Boolean = false): Unit = {
     val schema = df.schema
-    require(schema.fieldNames.toSeq == recordSchema.fieldNames.toSeq,
-      s"writeWarc needs columns ${recordSchema.fieldNames.mkString(",")}, " +
-        s"got ${schema.fieldNames.mkString(",")}")
+    // the six core columns, optionally followed by `extra_headers`
+    // (array of "Name: value" strings — the revisit machinery)
+    require(schema.fieldNames.toSeq == recordSchema.fieldNames.toSeq ||
+      schema.fieldNames.toSeq ==
+        recordSchema.fieldNames.toSeq :+ "extra_headers",
+      s"writeWarc needs columns ${recordSchema.fieldNames.mkString(",")} " +
+        s"(+ optional extra_headers), got ${schema.fieldNames.mkString(",")}")
     val ext = if (gzipPerRecord) "warc.gz" else "warc"
     if (index) {
       ShardSink.writeShardsWithSidecar(df, path,
@@ -140,8 +150,16 @@ object Warc {
     * def — a local def would make the writer closures capture the
     * non-serializable enclosing object). */
   private def encodeMember(r: Row, gzipPerRecord: Boolean): Array[Byte] = {
+    val extras: Seq[(String, String)] =
+      if (r.length > 6 && !r.isNullAt(6))
+        r.getSeq[String](6).map { h =>
+          val i = h.indexOf(':')
+          require(i > 0, s"extra_headers entry without colon: '$h'")
+          (h.substring(0, i).trim, h.substring(i + 1).trim)
+        }
+      else Nil
     val rec = encodeRecord(r.getString(0), r.getString(1), r.getString(2),
-      r.getString(3), r.getString(4), r.getAs[Array[Byte]](5))
+      r.getString(3), r.getString(4), r.getAs[Array[Byte]](5), extras)
     if (gzipPerRecord) {
       val buf = new ByteArrayOutputStream(rec.length / 2 + 64)
       val gz = new GZIPOutputStream(buf)
@@ -190,7 +208,7 @@ object Warc {
 
   /** Stream the records of one (possibly multi-member-gzip) container. */
   private[graft] def decodeStream(in0: InputStream, file: String,
-      gzipped: Boolean): Iterator[Row] = {
+      gzipped: Boolean, captureExtra: Boolean = false): Iterator[Row] = {
     val in: InputStream = {
       val buffered = new BufferedInputStream(in0, 1 << 16)
       if (gzipped) {
@@ -222,6 +240,9 @@ object Warc {
             var date: String = null
             var id: String = null
             var ctype: String = null
+            var extra: scala.collection.mutable.ArrayBuffer[(String, String)] =
+              if (captureExtra) scala.collection.mutable.ArrayBuffer.empty
+              else null
             var len = -1L
             var header = readLine(in, file).getOrElse(fail(file, "EOF in headers"))
             while (header.nonEmpty) {
@@ -242,7 +263,10 @@ object Warc {
                   len = try v.toLong
                   catch { case _: NumberFormatException =>
                     fail(file, s"bad Content-Length '$v'") }
-                case _ => // unknown headers are legal; skip
+                case _ =>
+                  // unknown headers are legal; captured (lowercased
+                  // key) for the extended reader, skipped otherwise
+                  if (captureExtra) extra += ((k, v))
               }
               header = readLine(in, file).getOrElse(fail(file, "EOF in headers"))
             }
@@ -254,7 +278,10 @@ object Warc {
             val term = readFully(in, 4, file)
             if (!(term(0) == '\r' && term(1) == '\n' && term(2) == '\r' && term(3) == '\n'))
               fail(file, "missing CRLFCRLF record terminator")
-            nextRow = Row(warcType, uri, date, id, ctype, payload)
+            nextRow =
+              if (captureExtra)
+                Row(warcType, uri, date, id, ctype, payload, extra.toMap)
+              else Row(warcType, uri, date, id, ctype, payload)
         }
       }
 
@@ -265,6 +292,28 @@ object Warc {
         val r = nextRow; nextRow = null; r
       }
     }
+  }
+
+  /** [[recordSchema]] plus `warc_headers`: every non-core WARC header
+    * (lowercased names) — the revisit machinery (WARC-Payload-Digest,
+    * WARC-Refers-To-Target-URI, WARC-Profile) rides here. */
+  val recordSchemaExt: StructType = StructType(recordSchema.fields :+
+    StructField("warc_headers", MapType(StringType, StringType),
+      nullable = true))
+
+  /** Extended read: one row per record with captured non-core headers
+    * ([[recordSchemaExt]]). Same one-streamed-task-per-container shape
+    * as [[readWarc]]. */
+  def readWarcExt(spark: SparkSession, path: String): DataFrame = {
+    val rows = spark.sparkContext
+      .binaryFiles(s"$path/*.warc*")
+      .flatMap { case (file, pds) =>
+        val in = pds.open()
+        TaskClose.onTaskDone(in)
+        decodeStream(in, file, gzipped = file.endsWith(".gz"),
+          captureExtra = true)
+      }
+    spark.createDataFrame(rows, recordSchemaExt)
   }
 
   /** Read every `*.warc` / `*.warc.gz` under `path` as one record per

@@ -262,6 +262,30 @@ class WarcSpec extends SparkSpecBase {
     }
   }
 
+  test("extra WARC headers round-trip: written in order, captured lowercased") {
+    val rec = Warc.encodeRecord("revisit", "http://x.example/p/7",
+      "2024-01-01T00:00:00Z", "<urn:uuid:1>",
+      "application/http;msgtype=response", Array.emptyByteArray,
+      Seq("WARC-Payload-Digest" -> "sha256:abc123",
+        "WARC-Refers-To-Target-URI" -> "/p/3"))
+    val txt = new String(rec, "US-ASCII")
+    // extras sit between the core headers and Content-Length
+    assert(txt.contains("WARC-Payload-Digest: sha256:abc123\r\n"))
+    assert(txt.indexOf("WARC-Payload-Digest") <
+      txt.indexOf("Content-Length"))
+    // the plain reader ignores them; the extended reader captures them
+    val in = new java.io.ByteArrayInputStream(rec)
+    val rows = Warc.decodeStream(in, "<test>", gzipped = false,
+      captureExtra = true).toList
+    assert(rows.size == 1)
+    val hdrs = rows.head.getAs[Map[String, String]](6)
+    assert(hdrs("warc-payload-digest") == "sha256:abc123")
+    assert(hdrs("warc-refers-to-target-uri") == "/p/3")
+    val in2 = new java.io.ByteArrayInputStream(rec)
+    assert(Warc.decodeStream(in2, "<test>", gzipped = false)
+      .toList.head.length == 6)
+  }
+
   test("redirect encode + header-only parse: status and Location, no body touch") {
     val msg = Warc.encodeHttpRedirect(301, "Moved Permanently", "/r/42")
     assert(Warc.httpStatusHeader(msg, "location") == ((301, "/r/42")))
