@@ -921,6 +921,33 @@ object Oracle {
     // key function both engines rebuild; every rule arm (terminal
     // punctuation, >=5 words, javascript, lorem-ipsum / brace page
     // poison, >=3 surviving lines) is exercised by a template
+    // C4 three-sentence-span dedup: overlapping spans via two leads, a
+    // sentence is removed when any non-first span covers it — the
+    // oracle replays span formation, keep-first and coverage exactly
+    "dedup_c4_spans" ->
+      ("WITH t AS (SELECT p_partkey AS k, (p_partkey % 7) AS site " +
+        "FROM part WHERE p_partkey <= 300), " +
+        "s AS (" +
+        "SELECT k, 0 AS pos, 'intro ' || k || ' alpha ' || ((k * 7) % 9973) || '.' AS line FROM t " +
+        "UNION ALL SELECT k, 1, 'share a ' || site || '.' FROM t " +
+        "UNION ALL SELECT k, 2, 'share b ' || site || '.' FROM t " +
+        "UNION ALL SELECT k, 3, 'share c ' || site || '.' FROM t " +
+        "UNION ALL SELECT k, 4, 'outro ' || k || ' beta ' || ((k * 11) % 9973) || '.' FROM t), " +
+        "sp0 AS (SELECT k, pos, line || ' ' || " +
+        "lead(line, 1) OVER (PARTITION BY k ORDER BY pos) || ' ' || " +
+        "lead(line, 2) OVER (PARTITION BY k ORDER BY pos) AS span, " +
+        "lead(line, 2) OVER (PARTITION BY k ORDER BY pos) AS s2 FROM s), " +
+        "sp AS (SELECT k, pos, span FROM sp0 WHERE s2 IS NOT NULL), " +
+        "r AS (SELECT k, pos, " +
+        "row_number() OVER (PARTITION BY span ORDER BY k, pos) AS rn FROM sp), " +
+        "rem AS (SELECT DISTINCT r.k, r.pos + d.i AS pos " +
+        "FROM r, (VALUES (0), (1), (2)) AS d(i) WHERE r.rn > 1), " +
+        "o AS (SELECT s.k, s.pos, s.line, rem.pos IS NOT NULL AS removed " +
+        "FROM s LEFT JOIN rem ON s.k = rem.k AND s.pos = rem.pos) " +
+        "SELECT k, CAST(count(*) AS BIGINT) AS n_sentences, " +
+        "CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
+        "coalesce(string_agg(CASE WHEN NOT removed THEN line END, ' ' ORDER BY pos), '') AS text_clean " +
+        "FROM o GROUP BY k ORDER BY k"),
     // global line-level dedup (CCNet boilerplate pass): a line is kept
     // only at its first corpus-wide (doc, pos) occurrence; the oracle
     // replays keep-first with a row_number window — a wrong keeper,

@@ -258,6 +258,73 @@ object TrainingData {
       .orderBy(col("k"))
   }
 
+  /** #248 C4 THREE-SENTENCE-SPAN dedup (round 17) — the exact recipe
+    * of Raffel et al. 2020 §2.2 ("we discarded all but one of any
+    * three-sentence span occurring more than once in the data set"),
+    * DISTINCT from the line ([[textLineDedup]]) and fixed-chunk
+    * ([[dedupSubdoc]]) members of the family because spans OVERLAP:
+    * every consecutive sentence triple is a span, a span is a
+    * duplicate unless it is the corpus-wide first occurrence (ordered
+    * by (doc, start)), and a SENTENCE is removed when any duplicate
+    * span covers it — so a repeated 3-sentence boilerplate block
+    * disappears from every doc but the first while the unique
+    * sentences around it survive. The fixture plants exactly that
+    * shape: a per-site 3-sentence block between two unique sentences.
+    * Scale shape: span formation is two `lead()`s over the per-doc
+    * window (partitioned by doc — no global sort); keep-first is the
+    * skew-safe `groupBy(span).agg(min(struct(k, pos)))` (map-side
+    * partial combine absorbs hot boilerplate); the winner-filter join
+    * is span-keyed but its build side is UNIQUE per span (one winner
+    * row), so a hot span is pure probe-side skew — exactly the shape
+    * AQE's skew-join split handles by replicating the one build row;
+    * the final sentence-marking join is on the UNIQUE (k, pos) key. */
+  def dedupC4Spans(s: SparkSession, d: String): DataFrame = {
+    val k = col("p_partkey")
+    val site = (k % 7).cast("string")
+    val sents = array(
+      concat(lit("intro "), k.cast("string"), lit(" alpha "),
+        ((k * 7) % 9973).cast("string"), lit(".")),
+      concat(lit("share a "), site, lit(".")),
+      concat(lit("share b "), site, lit(".")),
+      concat(lit("share c "), site, lit(".")),
+      concat(lit("outro "), k.cast("string"), lit(" beta "),
+        ((k * 11) % 9973).cast("string"), lit(".")))
+    val docs = Tables.part(s, d).filter(k <= 300)
+      .select(k.as("k"), sents.as("sents"))
+    val sent = docs.select(col("k"),
+      posexplode(col("sents")).as(Seq("pos", "line")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("pos"))
+    val spans = sent
+      .withColumn("s1", lead(col("line"), 1).over(w))
+      .withColumn("s2", lead(col("line"), 2).over(w))
+      .filter(col("s2").isNotNull)
+      .select(col("k"), col("pos"),
+        concat_ws(" ", col("line"), col("s1"), col("s2")).as("span"))
+    val winners = spans.groupBy(col("span"))
+      .agg(min(struct(col("k"), col("pos"))).as("w"))
+      .select(col("span"), col("w.k").as("wk"), col("w.pos").as("wpos"))
+    val removedPos = spans.join(winners, Seq("span"))
+      .filter(!(col("k") === col("wk") && col("pos") === col("wpos")))
+      .select(col("k"),
+        explode(array(col("pos"), col("pos") + 1, col("pos") + 2))
+          .as("pos"))
+      .distinct()
+      .withColumn("removed", lit(true))
+    sent.join(removedPos, Seq("k", "pos"), "left")
+      .withColumn("removed", coalesce(col("removed"), lit(false)))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("removed"), struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          " ").as("text_clean"))
+      .orderBy(col("k"))
+  }
+
   /** #60 language-ID confusion matrix: actual `lang` column vs the
     * marker-word heuristic (TextAnalysis.langId verbatim). */
   def textLangid(s: SparkSession, d: String): DataFrame =

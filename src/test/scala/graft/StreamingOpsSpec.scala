@@ -1353,4 +1353,73 @@ class StreamingOpsSpec extends SparkSpecBase {
       Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse(""))
       .contains("duplicate delta key"))
   }
+
+  test("streaming capture dedup: first-by-time stores, later fetches " +
+      "revisit — bit-identical under scrambled and sliced delivery") {
+    implicit val ctx = spark.sqlContext
+    // the source_warc_revisit fixture's write side: fetch k of content
+    // c = k % 40 at instant base + k minutes; first-by-time of each
+    // content is k = c, every later fetch must come out a revisit
+    // referencing it — whatever order batches deliver
+    val baseUs = 1700000000000000L
+    val all = (0L until 250L).map { k =>
+      (k, s"d${k % 40}", baseUs + k * 60000000L)
+    }
+    val want = all.map { case (k, d, _) =>
+      if (k < 40) (k, d, "response", k) else (k, d, "revisit", k % 40)
+    }.toSet
+
+    def run(name: String, batches: Seq[Seq[(Long, String, Long)]],
+        watermark: String): Set[(Long, String, String, Long)] = {
+      val ms = MemoryStream[(Long, String, Long)]
+      val in = ms.toDF().select($"_1".as("fetch_id"), $"_2".as("digest"),
+        timestamp_micros($"_3").as("ts"))
+      val out = StreamingOps.statefulCaptureDedup(in, watermark)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+        // far-future sentinel seals every real instant (excluded below)
+        ms.addData((999999L, "sentinel", baseUs + 10000L * 86400000000L))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).filter($"digest" =!= "sentinel")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+    }
+
+    // fully scrambled: batch i gets fetch_id % 3 == i, so a content's
+    // first-by-time fetch routinely arrives AFTER later ones
+    val scrambled = (0 until 3).map(i => all.filter(_._1 % 3 == i))
+    val got = run("t_capture", scrambled, "400 days")
+    assert(got == want,
+      s"stream-only: ${got -- want}; batch-only: ${want -- got}")
+
+    // time-sliced with a tight watermark: rows must seal and emit
+    // PROGRESSIVELY (not only at the sentinel) and still agree
+    val sorted = all.sortBy(_._3)
+    val slices = sorted.grouped((sorted.size + 2) / 3).toSeq
+      .map(_.sortBy(_._1)) // scrambled within the slice
+    val ms2 = MemoryStream[(Long, String, Long)]
+    val in2 = ms2.toDF().select($"_1".as("fetch_id"), $"_2".as("digest"),
+      timestamp_micros($"_3").as("ts"))
+    val out2 = StreamingOps.statefulCaptureDedup(in2, "30 minutes")
+    val q2 = out2.writeStream.format("memory").queryName("t_capture2")
+      .outputMode("append").start()
+    var afterSlices = 0L
+    try {
+      slices.foreach { b => ms2.addData(b: _*); q2.processAllAvailable() }
+      afterSlices = spark.table("t_capture2").count()
+      ms2.addData((999999L, "sentinel", baseUs + 10000L * 86400000000L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(afterSlices > 0, "nothing sealed before the sentinel")
+    val got2 = spark.table("t_capture2").filter($"digest" =!= "sentinel")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got2 == want,
+      s"stream-only: ${got2 -- want}; batch-only: ${want -- got2}")
+  }
 }
