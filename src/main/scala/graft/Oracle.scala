@@ -828,6 +828,29 @@ object Oracle {
         "w AS (SELECT doc_id, pos, n, min(hv) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin FROM h), " +
         "sel AS (SELECT DISTINCT doc_id, wmin FROM w WHERE pos <= n - 3 - 4) " +
         "SELECT doc_id, count(*) AS n_fp, CAST(sum(wmin) AS BIGINT) AS fp_sum FROM sel GROUP BY doc_id ORDER BY doc_id"),
+    // BM25 (Okapi, k1=1.2 b=0.75, Lucene +1 idf) for a fixed 4-term
+    // query: corpus stats (df/N/avgdl) recomputed from the data, the
+    // exact formula replayed operand-for-operand, 4 dp
+    "text_bm25" ->
+      ("WITH base AS (SELECT doc_id, " +
+        "CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl, " +
+        "CAST(len(list_filter(string_split(lower(text), ' '), x -> x = 'table')) AS DOUBLE) AS tf0, " +
+        "CAST(len(list_filter(string_split(lower(text), ' '), x -> x = 'spark')) AS DOUBLE) AS tf1, " +
+        "CAST(len(list_filter(string_split(lower(text), ' '), x -> x = 'value')) AS DOUBLE) AS tf2, " +
+        "CAST(len(list_filter(string_split(lower(text), ' '), x -> x = 'row')) AS DOUBLE) AS tf3 " +
+        "FROM documents), " +
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, " +
+        "sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0, " +
+        "sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1, " +
+        "sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2, " +
+        "sum(CASE WHEN tf3 > 0 THEN 1.0 ELSE 0.0 END) AS df3 FROM base) " +
+        "SELECT doc_id, CAST(dl AS BIGINT) AS dl, round(" +
+        "ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) + " +
+        "ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) + " +
+        "ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) + " +
+        "ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) * (tf3 * (1.2 + 1.0)) / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))" +
+        ", 4) AS bm25 " +
+        "FROM base CROSS JOIN stats ORDER BY doc_id"),
     "text_tfidf" ->
       ("WITH terms AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents), " +
         "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2), " +

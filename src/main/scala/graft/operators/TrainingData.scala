@@ -1000,6 +1000,49 @@ object TrainingData {
         round(col("idf"), 6).as("idf"), round(col("tfidf"), 6).as("tfidf"))
       .orderBy(col("doc_id"), col("term"))
 
+  /** #249 BM25 RANKING (round 17) — the Robertson/Spärck Jones
+    * probabilistic relevance function in its standard Okapi form
+    * (k1 = 1.2, b = 0.75, Lucene's +1-smoothed idf), scored for a
+    * fixed 4-term query over every document: the retrieval primitive
+    * behind corpus search, near-duplicate triage and
+    * retrieval-augmented sampling, and the lexical complement of the
+    * judged tf-idf (#67) / cosine-ANN rows. Everything derives from
+    * the corpus itself — per-term document frequencies, corpus size,
+    * average document length — and the oracle recomputes the
+    * identical formula (same operand order, same smoothing) in
+    * DuckDB, rounded at 4 dp (the float-chain precedent of
+    * `llm_quality_classifier`). Scale shape: term frequencies are
+    * per-document Column lambdas (codegen, no explode for a FIXED
+    * query); the corpus statistics collapse to ONE scalar row
+    * broadcast back over the scan — scoring at 100 TB is a map pass
+    * plus a 1-row broadcast, no shuffle on the document side. */
+  def textBm25(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("table", "spark", "value", "row")
+    val k1 = 1.2; val b = 0.75
+    val toks = split(lower(col("text")), " ")
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      size(toks).cast("double").as("dl"),
+      struct(terms.zipWithIndex.map { case (t, i) =>
+        size(filter(toks, x => x === lit(t))).cast("double").as(s"tf$i")
+      }: _*).as("tf"))
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"),
+      struct(terms.indices.map { i =>
+        sum(when(col(s"tf.tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i")
+      }: _*).as("df"))
+    val scored = base.crossJoin(broadcast(stats))
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf.tf$i"); val df = col(s"df.df$i")
+      val idf = log((col("n") - df + 0.5) / (df + 0.5) + 1.0)
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    scored.select(col("doc_id"), col("dl").cast("long").as("dl"),
+        round(score, 4).as("bm25"))
+      .orderBy(col("doc_id"))
+  }
+
   /** #68 artifact cleaning (Hrv.flagOutliers + interpolateOutliers
     * verbatim — the reference's signature cleaning step): flag samples
     * outside absolute bounds or deviating > 200% from the rolling median
