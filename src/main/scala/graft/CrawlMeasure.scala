@@ -99,9 +99,14 @@ object CrawlMeasure {
     // The no-op baseline run isolates the Spark scan/UDF overhead the
     // robots figure must NOT absorb: the raw pages/s divides by the
     // whole eval wall (includes that overhead), the _adj figure by
-    // (tRobots − tBase) — the robots evaluation cost alone. Both are
-    // emitted; quote _adj when talking about per-page robots cost.
-    val tRobotsOnly = math.max(tRobots - tBase, 1e-9)
+    // (tRobots − tBase) — the robots evaluation cost alone. When the
+    // difference is at or below the noise floor (the memo'd eval can
+    // even measure FASTER than the no-op on a warm run), the honest
+    // answer is "unresolvable at this n", emitted as null rather than
+    // a clamped-divisor fiction.
+    val isolated = tRobots - tBase
+    val adj =
+      if (isolated > 0.02) f"${n / isolated}%.0f" else "null"
     println(
       s"""{"metric":"crawl_measure","bodies":$n,"mb":${f"$mb%.1f"},""" +
       s""""decode_blind_sec":${f"$tBlind%.3f"},"decode_aware_sec":${f"$tAware%.3f"},""" +
@@ -109,8 +114,9 @@ object CrawlMeasure {
       s""""aware_over_blind":${f"${tAware / tBlind}%.3f"},""" +
       s""""robots_pages":$n,"robots_base_sec":${f"$tBase%.3f"},""" +
       s""""robots_eval_sec":${f"$tRobots%.3f"},""" +
+      s""""robots_isolated_sec":${f"$isolated%.3f"},""" +
       s""""robots_pages_s":${f"${n / tRobots}%.0f"},""" +
-      s""""robots_pages_s_adj":${f"${n / tRobotsOnly}%.0f"}}""")
+      s""""robots_pages_s_adj":$adj}""")
     spark.stop()
   }
 }
