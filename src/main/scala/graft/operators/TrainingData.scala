@@ -328,7 +328,7 @@ object TrainingData {
   /** #60 language-ID confusion matrix: actual `lang` column vs the
     * marker-word heuristic (TextAnalysis.langId verbatim). */
   def textLangid(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Par.widen(Tables.documents(s, d), col("doc_id"))
       .groupBy(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
       .agg(count(lit(1)).as("c"))
       .orderBy(col("lang"), col("pred"))
@@ -889,7 +889,8 @@ object TrainingData {
     * scoring a 100 TB corpus is explode → broadcast-hash-join →
     * per-doc re-aggregate, no large-table shuffle on the lookup. */
   def llmDsirWeight(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = Par.widen(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text")), col("doc_id"))
     val toks = docs
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("b", TextAnalysis.md5Bucket(col("tok")) % 1024L)
@@ -931,7 +932,8 @@ object TrainingData {
     * doc_id — the same partitioning the count shuffle already
     * established. */
   def textGopherQuality(s: SparkSession, d: String): DataFrame = {
-    val tk = Tables.documents(s, d)
+    val tk = Par.widen(Tables.documents(s, d)
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 2)
     val base = tk.select(
@@ -1223,7 +1225,8 @@ object TrainingData {
     * all-pairs) on a bounded window, mirroring the list-intersect oracle.
     * Filter on the ROUNDED value, matching the oracle's HAVING. */
   def textDecontaminate(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val docs = Par.widen(Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text")), col("doc_id"))
     val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
     val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
     Decontaminate.maxContainment(corpus, bench, "doc_id", "text", n = 3)
@@ -1476,7 +1479,10 @@ object TrainingData {
       .otherwise(array().cast("array<int>"))
     val winMin = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(0, w - 1)
-    docs
+    // Par.widen: the per-position md5 explode is the expensive map work
+    // and sat on the single-task scan; hash-partitioning by idCol also
+    // pre-satisfies the window's required distribution (no new exchange)
+    Par.widen(docs, col(idCol))
       .select(col(idCol), col(textCol), n.as("n"))
       .withColumn("pos", explode(positions))
       .select(col(idCol), col("n"), col("pos"),
@@ -1544,8 +1550,12 @@ object TrainingData {
     // shingling would run three times. shingle_hash32 is the fused
     // one-expression form of shingleHashes(shingleSet(text, 4)) —
     // identical arithmetic (spec-pinned), no shingle-string or
-    // hex-string churn
-    val docs = Tables.documents(s, d)
+    // hex-string churn. Par.widen lifts the per-shingle md5 work off the
+    // single-task scan (r17: the one-row-group read serialized ~1.5M
+    // md5s on one core); per-doc rows + integer hashes — partitioning
+    // cannot perturb any value.
+    val docs = Par.widen(Tables.documents(s, d)
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         graft.functions.ShingleHash32Expr.shingle_hash32(col("text"), 4).as("hs"))
       .localCheckpoint(true)
@@ -1609,7 +1619,9 @@ object TrainingData {
     * scale: band |delta| docs, join against a store that only ever
     * APPENDS — vs re-banding the whole corpus every day. */
   def llmLshAppend(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    // Par.widen: same single-task-scan md5 lift as minhashDupPairs
+    val docs = Par.widen(Tables.documents(s, d)
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         graft.functions.ShingleHash32Expr.shingle_hash32(col("text"), 4).as("hs"))
       .localCheckpoint(true)
