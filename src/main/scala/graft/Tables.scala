@@ -12,8 +12,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * operators built on top.
   */
 object Tables {
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Per-JVM memo of each parquet file's FOOTER SCHEMA (metadata only —
+    * never rows). A bare `spark.read.parquet(path)` runs a footer-reading
+    * Spark job at PLAN time, ~120 ms per call on this host; with the
+    * schema supplied explicitly the same call plans in ~9 ms. Every query
+    * re-reads its data from the files on every execution — only the
+    * StructType is reused, the same class of session metadata Spark
+    * itself caches (file listings). Keyed by the full path; a file
+    * REGENERATED WITH A DIFFERENT SCHEMA mid-JVM would not be noticed
+    * (the joinBucketed layout-reuse caveat — the driver never does
+    * this, and a fresh JVM re-infers). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = apply(s, d, "nation")

@@ -226,8 +226,14 @@ object Graph {
     * enumeration join's per-node fan-out at O(√|E|), hub-safe at any
     * scale. Exact integer counts, total ORDER BY — zero float risk. */
   def graphTriangleCount(s: SparkSession, d: String): DataFrame = {
+    // r17: partition the distinct by the join key alone — hash(cust)
+    // satisfies the (cust, supp) dedup's clustering AND the basket
+    // self-join's requirement, so the join adds no exchange of its own
+    // (3 exchanges → 2 in the pair stage). (order, part) is near-unique
+    // in lineitem, so the forfeited map-side partial dedup was a no-op.
     val e = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("cust"), col("l_partkey").as("supp"))
+      .repartition(col("cust"))
       .distinct()
     // TWO materializations, both load-bearing: the raw edge list first
     // (orientByDegree consumes it twice — degree aggregate + join
