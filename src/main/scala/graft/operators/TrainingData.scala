@@ -1479,10 +1479,7 @@ object TrainingData {
       .otherwise(array().cast("array<int>"))
     val winMin = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(0, w - 1)
-    // Par.widen: the per-position md5 explode is the expensive map work
-    // and sat on the single-task scan; hash-partitioning by idCol also
-    // pre-satisfies the window's required distribution (no new exchange)
-    Par.widen(docs, col(idCol))
+    docs
       .select(col(idCol), col(textCol), n.as("n"))
       .withColumn("pos", explode(positions))
       .select(col(idCol), col("n"), col("pos"),
