@@ -302,41 +302,48 @@ object Hrv {
       .join(g.withColumnRenamed("bin", "b"), Seq("series_key", "b"), "left")
       .select(col("series_key"), col("x"), col("y"), col("b"),
         coalesce(col("cnt"), lit(0L)).as("d"))
-    // one side's argmin: candidates cands(row of s), bins grid-filtered
-    // by side, scaled error e_num over the side's bins, pick (e, cand)
-    def side(cands: Column, binKeep: Column, dist: Column, tpos: Column,
-        outName: String): DataFrame = {
-      val cand = s
-        .select(col("series_key"), explode(cands).as("cand"))
-      val e = cand.as("c")
-        .join(grid.as("gr"), col("c.series_key") === col("gr.series_key"))
-        .filter(binKeep)
-        .groupBy(col("c.series_key").as("series_key"), col("cand"))
-        .agg(sum(
-          when(tpos < 0L, col("d") * dist * col("d") * dist)
-            .otherwise((col("d") * dist - col("y") * tpos)
-              * (col("d") * dist - col("y") * tpos))).as("e_num"),
-          first(dist).as("dd"))
-        .select(col("series_key"), col("cand"),
-          (col("e_num").cast("double") / (col("dd") * col("dd")).cast("double"))
-            .as("e"))
-      val w = Window.partitionBy(col("series_key")).orderBy(col("e"), col("cand"))
-      e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("series_key"), col("cand").as(outName))
-    }
+    // both sides' argmins in ONE tagged pass (r17 — halves the
+    // explode→join→aggregate→window chain): candidates carry a side flag
+    // (0 = left of the peak, 1 = right), the grid join keeps each side's
+    // bins, and the error/argmin arithmetic is the same EXACT int64 form
+    // per side, so fusing the passes cannot move a value. One row per
+    // (series, side) survives the window, pivoted back with a
+    // side-conditional aggregate — one attach join instead of two.
     val emptyArr = array().cast("array<long>")
-    val left = side(
-      when(col("x") > col("minb"),
-        sequence(col("minb"), col("x") - 1)).otherwise(emptyArr),
-      col("b") < col("x"), col("x") - col("cand"), col("b") - col("cand"),
-      "n_left")
-    val right = side(
-      when(col("x") < col("maxb"),
-        sequence(col("x") + 1, col("maxb"))).otherwise(emptyArr),
-      col("b") > col("x"), col("cand") - col("x"), col("cand") - col("b"),
-      "m_right")
-    s.join(left, Seq("series_key"), "left")
-      .join(right, Seq("series_key"), "left")
+    val leftCands = when(col("x") > col("minb"),
+      sequence(col("minb"), col("x") - 1)).otherwise(emptyArr)
+    val rightCands = when(col("x") < col("maxb"),
+      sequence(col("x") + 1, col("maxb"))).otherwise(emptyArr)
+    val cand = s.select(col("series_key"), explode(concat(
+        transform(leftCands, cd => struct(lit(0).as("side"), cd.as("cand"))),
+        transform(rightCands, cd => struct(lit(1).as("side"), cd.as("cand")))))
+        .as("sc"))
+      .select(col("series_key"), col("sc.side").as("side"), col("sc.cand").as("cand"))
+    val binKeep = (col("side") === 0 && col("b") < col("x")) ||
+      (col("side") === 1 && col("b") > col("x"))
+    val dist = when(col("side") === 0, col("x") - col("cand"))
+      .otherwise(col("cand") - col("x"))
+    val tpos = when(col("side") === 0, col("b") - col("cand"))
+      .otherwise(col("cand") - col("b"))
+    val e = cand.as("c")
+      .join(grid.as("gr"), col("c.series_key") === col("gr.series_key"))
+      .filter(binKeep)
+      .groupBy(col("c.series_key").as("series_key"), col("side"), col("cand"))
+      .agg(sum(
+        when(tpos < 0L, col("d") * dist * col("d") * dist)
+          .otherwise((col("d") * dist - col("y") * tpos)
+            * (col("d") * dist - col("y") * tpos))).as("e_num"),
+        first(dist).as("dd"))
+      .select(col("series_key"), col("side"), col("cand"),
+        (col("e_num").cast("double") / (col("dd") * col("dd")).cast("double"))
+          .as("e"))
+    val w = Window.partitionBy(col("series_key"), col("side"))
+      .orderBy(col("e"), col("cand"))
+    val sides = e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("series_key"))
+      .agg(max(when(col("side") === 0, col("cand"))).as("n_left"),
+        max(when(col("side") === 1, col("cand"))).as("m_right"))
+    s.join(sides, Seq("series_key"), "left")
       .select(col("series_key"), col("n"), col("x").as("peak_bin"),
         coalesce(col("n_left"), col("x")).as("n_left"),
         coalesce(col("m_right"), col("x")).as("m_right"))
