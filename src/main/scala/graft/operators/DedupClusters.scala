@@ -88,10 +88,12 @@ object DedupClusters {
   private[graft] def connectedComponentsWithRounds(pairs: DataFrame,
       aCol: String, bCol: String, maxIter: Int = 20,
       smallGraphEdges: Long = 1L << 20): (DataFrame, Int) = {
+    // r17: no checkpoint — the node list is consumed exactly once (the
+    // final labels join), so an eager materialization was one whole job
+    // dispatch with zero reuse to amortize it
     val nodes = pairs.select(col(aCol).as("id"))
       .union(pairs.select(col(bCol).as("id")))
       .distinct()
-      .localCheckpoint(true)
     // orient (bigger, smaller); self-pairs carry no connectivity
     var edges = pairs.select(
         greatest(col(aCol), col(bCol)).as("u"),
