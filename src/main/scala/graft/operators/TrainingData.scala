@@ -531,7 +531,13 @@ object TrainingData {
     * graph, and the labelings provably coincide: both assign each node
     * the minimum id of its component. */
   def dedupCcClusters(s: SparkSession, d: String): DataFrame = {
+    // r17: checkpoint the pair set at the CALLER (the llm_dedup_clusters
+    // pattern) — connectedComponents consumes it from two subtrees
+    // (node list + oriented edges), and with the module's single-use
+    // node checkpoint gone the un-materialized pipeline would re-run
+    // its bounded-probe BNLJ in the final labels job
     val pairs = embeddingNearDupPairs(s, d).select(col("a_id"), col("b_id"))
+      .localCheckpoint(true)
     DedupClusters.connectedComponents(pairs, "a_id", "b_id")
       .select(col("id"), col("comp").as("cluster_id"))
       .orderBy(col("id"))
